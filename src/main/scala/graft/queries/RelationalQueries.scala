@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** The relational substrate (SURVEY §2.2-2.7): scans, filters, joins,
+  * aggregations, windows, top-k, set ops — exercised over the driver's
+  * TPC-H-ish tables so every one has a DuckDB oracle.
+  *
+  * Determinism rules applied throughout:
+  *  - every output is ORDER BY'd on a unique key in BOTH engines;
+  *  - no raw double aggregates: sums/avgs are rounded (floating partial-agg
+  *    order differs between engines AND between Spark runs);
+  *  - counts are BIGINT both sides (DuckDB `count(*)` is BIGINT; its
+  *    `sum(int)` is HUGEINT, so oracles cast).
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── A-family: aggregation (SURVEY §2.4) ────────────────────────────────
+    QueryDef.sql("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QueryDef.sql("a4_event_type_stats",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // ── P-family: filter + projection pushdown (SURVEY §2.2) ───────────────
+    QueryDef.sql("p1_filter_project",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 100000 && col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ── J-family: joins (SURVEY §2.3) ──────────────────────────────────────
+    QueryDef.sql("j1_hit_lookup",
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents
+        |WHERE doc_id IN (5, 17, 42, 99, 123, 256, 499)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Reference shape: hit-id set → batched doc lookup
+      // (/root/reference/query/search.py:94-101). The hit set is a tiny
+      // in-memory relation → broadcast hash join, no shuffle of documents.
+      import s.implicits._
+      val hits = Seq(5L, 17L, 42L, 99L, 123L, 256L, 499L).toDF("doc_id")
+      Tables.documents(s, dir)
+        .join(broadcast(hits), "doc_id")
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.sql("j6_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // S5/J6 incremental-ingest skip as a left-anti join
+      // (/root/reference/database/db_manager.py:349-374).
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    QueryDef.sql("j_star_revenue",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      // Star join: fact lineitem ⋈ orders shuffles on the join key; the
+      // small dims (customer at this SF, nation always) broadcast — at
+      // 100 TB customer stops broadcasting and AQE picks shuffle-hash.
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ── T-family: top-k (SURVEY §2.6) ──────────────────────────────────────
+    QueryDef.sql("t1_topk_orders",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      // orderBy+limit → TakeOrderedAndProject: per-partition heap, driver
+      // merge of 32 k-sized heaps — the distributed form of the heapq the
+      // reference hand-rolls (/root/reference/embedding/bm25_manager.py:294-313).
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ── W-family: windows (SURVEY §2.5) ────────────────────────────────────
+    QueryDef.sql("w1_rank_per_customer",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    QueryDef.sql("w3_running_sum",
+      """SELECT user_id, event_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id), 2) AS running
+        |FROM events
+        |WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .withColumn("running", round(sum("value").over(w), 2))
+        .select("user_id", "event_id", "running")
+        .orderBy("user_id", "event_id")
+    },
+
+    // ── U-family: set ops (SURVEY §2.7) ────────────────────────────────────
+    QueryDef.sql("u2_union_distinct",
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |  UNION
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+        .union(Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")
+    })
+}
