@@ -53,7 +53,9 @@ object TextFunctions {
   def tokenizeBm25(c: Column): Column = {
     val toks = tokenize(c)
     val noShort = filter(toks, t => length(t) > 1 || t.rlike("^[0-9]$"))
-    array_except(noShort, lit(EnglishStopwords.toArray))
+    // NOT array_except: that would dedup the sequence and corrupt term
+    // frequencies — BM25 needs the full token stream.
+    filter(noShort, t => !array_contains(lit(EnglishStopwords.toArray), t))
   }
 
   /** U4 order-preserving token dedup
@@ -69,9 +71,16 @@ object TextFunctions {
     * analogue of `/root/reference/database/db_manager.py` file hashing),
     * exact-dup keys, and as the base hash for MinHash/SimHash families.
     */
+  /** Characters of a string as an array, with the trailing empty string
+    * Java's split-with-limit--1 emits removed (DuckDB's string_split has no
+    * such artifact — parity requires the filter).
+    */
+  private def chars(c: Column): Column =
+    filter(split(c, ""), ch => length(ch) > 0)
+
   def polyHash(c: Column): Column =
     aggregate(
-      split(c, ""),
+      chars(c),
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
 
@@ -80,7 +89,7 @@ object TextFunctions {
     */
   def polyHash2(c: Column): Column =
     aggregate(
-      split(c, ""),
+      chars(c),
       lit(0L),
       (acc, ch) => pmod(acc * lit(131L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
 

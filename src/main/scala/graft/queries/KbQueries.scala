@@ -1,10 +1,262 @@
 package graft.queries
 
-import graft.QueryDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Bm25, ContextWindow, Fusion, VectorSearch}
 
-/** Knowledge-base retrieval pipeline queries (SURVEY §3): tokenize → BM25 →
-  * vector top-k → RRF hybrid → context expansion. Populated incrementally.
+/** Knowledge-base retrieval pipeline (SURVEY §2.8, §2.4 A1/A2, §2.6 T1/T2,
+  * §2.3 J2/J3, §3.1): tokenization → BM25 stats/scoring → vector k-NN → RRF
+  * hybrid fusion → context-window expansion. Every query here calls the
+  * graft.operators / graft.functions library and carries a DuckDB oracle.
+  *
+  * Oracle-parity rules (see tools/check.py):
+  *  - tokenization = lower + split [^a-z0-9]+ (identical regex both sides);
+  *  - all hashing is exact 64-bit integer math (polynomial mod 1e9+7);
+  *  - cosine/BM25 float math is written with IDENTICAL association order in
+  *    both engines and rounded; DuckDB's builtin list_cosine_similarity
+  *    accumulates in float32 (≈1e-7 error) so oracles use a manual
+  *    list_reduce in double — bit-identical to Spark's `aggregate` HOF.
   */
 object KbQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  /** DuckDB SQL for the BM25 tokenizer applied to an expression — MUST stay
+    * in lockstep with [[TextFunctions.tokenizeBm25]].
+    */
+  private def tokSql(expr: String): String =
+    s"""list_filter(list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'),
+       | t -> len(t) > 0),
+       | t -> (len(t) > 1 OR regexp_matches(t, '^[0-9]$$'))
+       |      AND NOT list_contains(['the','a','an','and','or','but','in','on','at','to','for','of','with','is'], t))"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** DuckDB SQL for the plain tokenizer ([[TextFunctions.tokenize]]). */
+  private def plainTokSql(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** DuckDB SQL: sequential-double dot product of two list exprs (matches
+    * Spark's zip_with+aggregate association order exactly).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       | list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+
+  private def normSqSql(a: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       | list_transform($a, x -> x::DOUBLE * x::DOUBLE)),
+       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+
+  private def cosineSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)}) > 0 " +
+      s"THEN ${dotSql(a, b)} / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) ELSE 0.0 END"
+
+  /** The fixed demo retrieval query (terms all in the synthetic vocab). */
+  private val QueryText = "spark join filter window"
+
+  /** BM25 scores for [[QueryText]] over documents — shared CTE prefix. */
+  private val bm25Cte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+       |post AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+       |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
+       |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+       |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |idf AS (
+       |  SELECT term, count(*)::BIGINT AS df,
+       |         ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+       |  FROM post GROUP BY term),
+       |q AS (SELECT unnest(${tokSql(s"'$QueryText'")}) AS term),
+       |bm25 AS (
+       |  SELECT p.doc_id,
+       |         sum((i.idf * (p.tf * (1.2 + 1.0))) /
+       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+       |  FROM post p
+       |  JOIN q USING (term) JOIN idf i USING (term) JOIN lens l USING (doc_id)
+       |  CROSS JOIN stats s
+       |  GROUP BY p.doc_id HAVING sum((i.idf * (p.tf * (1.2 + 1.0))) /
+       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0)""".stripMargin
+
+  /** Cosine scores of every embedding against the vec_id=0 query vector. */
+  private val cosCte: String =
+    s"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |cos AS (
+       |  SELECT vec_id AS doc_id,
+       |         ${cosineSql("embedding", "(SELECT v FROM qv)")} AS score
+       |  FROM embeddings)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── F3: tokenization (/root/reference/utils/text_utils.py:255-314) ────
+    QueryDef.sql("f3_tokenize",
+      s"""SELECT doc_id,
+         |       ${plainTokSql("text")} AS tokens,
+         |       ${tokSql("text")} AS bm25_tokens,
+         |       len(${tokSql("text")})::INT AS n_bm25
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenize(col("text")).as("tokens"),
+          TextFunctions.tokenizeBm25(col("text")).as("bm25_tokens"),
+          size(TextFunctions.tokenizeBm25(col("text"))).as("n_bm25"))
+        .orderBy("doc_id")
+    },
+
+    // ── F9: content keys (sha256 + reproducible poly fingerprint) ─────────
+    QueryDef.sql("f9_content_keys",
+      s"""SELECT doc_id, sha256(text) AS sha_key,
+         |       list_reduce(list_prepend(0::BIGINT,
+         |         list_transform(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         |           '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')), ''), c -> ord(c)::BIGINT)),
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          sha2(col("text"), 256).as("sha_key"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ── F14: language identification heuristic ────────────────────────────
+    QueryDef.sql("f14_language_id", {
+      val scoredStructs = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"{'hits': len(list_filter($lst, m -> list_contains(toks, m))), 'lang': '$lang'}"
+        }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |scored AS (SELECT doc_id, list_max($scoredStructs) AS best FROM t)
+         |SELECT doc_id,
+         |       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.languageId(TextFunctions.tokenize(col("text"))).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // ── F12: JSON metadata extraction ─────────────────────────────────────
+    QueryDef.sql("f12_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ── A1: BM25 corpus statistics ────────────────────────────────────────
+    QueryDef.sql("a1_bm25_idf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (SELECT DISTINCT doc_id, term FROM tok),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents)
+         |SELECT term, count(*)::BIGINT AS df,
+         |       round(ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0), 6) AS idf
+         |FROM post GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val post = Bm25.postings(docs, "doc_id", "text")
+      Bm25.idf(post, docs.count())
+        .select(col("term"), col("df"), round(col("idf"), 6).as("idf"))
+        .orderBy("term")
+    },
+
+    // ── A2: BM25 query scoring (all matching docs — no boundary) ──────────
+    QueryDef.sql("a2_bm25_scores",
+      s"""$bm25Cte
+         |SELECT doc_id, round(score, 4) AS score FROM bm25 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ── T2: BM25 top-k (rounded sort key → deterministic boundary) ────────
+    QueryDef.sql("t2_bm25_topk",
+      s"""$bm25Cte
+         |SELECT doc_id, round(score, 4) AS score FROM bm25
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      Bm25.topK(
+        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 20)
+    },
+
+    // ── T1: exact vector k-NN (cosine, TakeOrderedAndProject) ─────────────
+    QueryDef.sql("t1_cosine_knn",
+      s"""$cosCte
+         |SELECT doc_id, round(score, 6) AS score FROM cos
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      VectorSearch.bruteTopK(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ── J3/A3: RRF hybrid fusion of vector + BM25 ranked lists ────────────
+    QueryDef.sql("j3_rrf_hybrid",
+      s"""$bm25Cte,
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |cos AS (
+         |  SELECT vec_id AS doc_id,
+         |         ${cosineSql("embedding", "(SELECT v FROM qv)")} AS score
+         |  FROM embeddings),
+         |vtop AS (SELECT doc_id, round(score, 6) AS score FROM cos
+         |         ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+         |ktop AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |         ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+         |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM vtop),
+         |krank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM ktop),
+         |contrib AS (
+         |  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM vrank
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM krank)
+         |SELECT doc_id, round(sum(contrib), 6) AS rrf_score
+         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(50)
+      val ktop = Bm25.topK(
+        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
+      Fusion.rrf(Seq(vtop, ktop))
+        .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy("doc_id")
+    },
+
+    // ── J2/W2: context-window expansion around hits ───────────────────────
+    QueryDef.sql("w2_context_window",
+      """WITH chunks AS (
+        |  SELECT doc_id, source AS sourcedoc,
+        |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid
+        |  FROM documents),
+        |hits AS (SELECT sourcedoc, sid FROM chunks WHERE doc_id IN (10, 137, 256, 401)),
+        |expanded AS (
+        |  SELECT sourcedoc, sid AS hit_sid,
+        |         unnest(range(greatest(sid - 2, 0), sid + 3))::INT AS ctx_sid
+        |  FROM hits),
+        |want AS (
+        |  SELECT sourcedoc, ctx_sid AS sid, min(hit_sid)::INT AS hit_sid
+        |  FROM expanded GROUP BY sourcedoc, ctx_sid)
+        |SELECT c.sourcedoc, c.sid, c.doc_id, w.hit_sid
+        |FROM chunks c JOIN want w USING (sourcedoc, sid)
+        |ORDER BY sourcedoc, sid""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      val hits = chunks.filter(col("doc_id").isin(10, 137, 256, 401))
+      ContextWindow.expand(chunks, hits, 2)
+        .select(col("sourcedoc"), col("sid"), col("doc_id"), col("hit_sid"))
+        .orderBy("sourcedoc", "sid")
+    })
 }
