@@ -54,11 +54,12 @@ object Dedup {
     val sh = TextFunctions.shingles(toks, shingleN)
     val hashes = transform(array_distinct(sh), s => TextFunctions.polyHash(s))
     val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(hashes, h =>
+      array_min(transform(col("hs"), h =>
         pmod((lit(2L) * i.cast("long") + 1L) * h + lit(12289L) * i.cast("long"),
           lit(1000000007L)))))
-    docs.select(col(idCol).as("doc_id"), sig.as("sig"))
-      .filter(size(col("sig")) > 0)
+    docs.select(col(idCol).as("doc_id"), hashes.as("hs"))
+      .filter(size(col("hs")) > 0) // docs with no shingles have no signature
+      .select(col("doc_id"), sig.as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -70,7 +71,9 @@ object Dedup {
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
             TextFunctions.polyHash(
-              array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "_"))
+              array_join(transform(
+                slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")), "_"))
               .as("band_hash")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_hash"))
 

@@ -1,11 +1,316 @@
 package graft.queries
 
-import graft.QueryDef
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ingest.Chunker
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
 
-/** Training-data pipeline queries (builder-prompt extensions): dedup suite,
-  * similarity search, text analysis, multimodal plumbing. Populated
-  * incrementally.
+/** Training-data pipeline queries (builder-prompt extensions): dedup suite
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
+  * similarity search, text analysis (token counting, quality scoring,
+  * fingerprinting), chunking, streaming-window semantics, and multimodal
+  * plumbing. All oracle-verified — every hash is exact integer math, every
+  * float expression uses identical association order in both engines.
   */
 object PipelineQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  // ── DuckDB SQL fragment builders (lockstep with graft.functions) ────────
+  private def plainTokSql(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  private def polySql(expr: String, mult: Int): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       | list_transform(string_split($expr, ''), c -> ord(c)::BIGINT)),
+       | (acc, x) -> (acc * $mult + x) % 1000000007)""".stripMargin.replaceAll("\n", "")
+
+  /** Shingles of a token-list expr (n-gram word shingles, non-empty). */
+  private def shinglesSql(toks: String, n: Int): String =
+    s"""list_filter(list_transform(range(0, greatest(len($toks) - $n, 0) + 1),
+       | i -> array_to_string(list_slice($toks, i + 1, i + $n), ' ')),
+       | s -> len(s) > 0)""".stripMargin.replaceAll("\n", "")
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       | list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+
+  private def normSqSql(a: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       | list_transform($a, x -> x::DOUBLE * x::DOUBLE)),
+       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+
+  private def cosineSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)}) > 0 " +
+      s"THEN ${dotSql(a, b)} / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) ELSE 0.0 END"
+
+  /** MinHash signature pipeline CTEs (16 hashes over distinct 3-shingles). */
+  private val minhashCte: String =
+    s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+       |hs AS (SELECT doc_id,
+       |         list_transform(list_distinct(${shinglesSql("toks", 3)}),
+       |                        s -> ${polySql("s", 31)}) AS hs
+       |       FROM t),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 16), i ->
+       |           list_min(list_transform(hs, h -> ((2*i + 1) * h + 12289 * i) % 1000000007))) AS sig
+       |  FROM hs WHERE len(hs) > 0)""".stripMargin
+
+  /** SimHash 60-bit signature CTEs (token hashes h31 + h131·2^30). */
+  private val simhashCte: String =
+    s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+       |th AS (SELECT doc_id,
+       |         list_transform(toks, tk -> ${polySql("tk", 31)} + ${polySql("tk", 131)} * 1073741824) AS th
+       |       FROM t),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
+       |      CASE WHEN list_reduce(list_prepend(0::BIGINT,
+       |                  list_transform(th, h -> CASE WHEN (h >> b) & 1 = 1
+       |                                          THEN 1::BIGINT ELSE -1::BIGINT END)),
+       |                  (a, x) -> a + x) > 0
+       |      THEN 1::BIGINT << b ELSE 0::BIGINT END)), (a, x) -> a + x) AS sig
+       |  FROM th)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: fingerprint groups (U3/J5) ───────────────────────────
+    QueryDef.sql("dedup_exact_groups",
+      s"""WITH fp AS (
+         |  SELECT doc_id AS dup_id,
+         |         ${polySql(s"trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))", 31)} AS fp
+         |  FROM documents)
+         |SELECT f.dup_id, k.keep_id
+         |FROM fp f JOIN (SELECT fp, min(dup_id) AS keep_id FROM fp GROUP BY fp) k
+         |USING (fp)
+         |ORDER BY dup_id""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("dup_id")
+    },
+
+    // ── MinHash signatures (oracle-verified integer sketches) ─────────────
+    QueryDef.sql("dedup_minhash_sig",
+      s"""$minhashCte
+         |SELECT doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ── MinHash → LSH bands → candidates → exact Jaccard verify ───────────
+    QueryDef.sql("dedup_minhash_lsh",
+      s"""$minhashCte,
+         |buckets AS (
+         |  SELECT doc_id, b.band,
+         |         ${polySql("array_to_string(list_slice(sig, b.band*4 + 1, b.band*4 + 4), '_')", 31)} AS band_hash
+         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |shx AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 3)})) AS shingle
+         |  FROM t),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shx GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+         |  FROM cand c
+         |  JOIN shx a ON a.doc_id = c.doc_a
+         |  JOIN shx b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.lshCandidates(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+      Dedup.jaccardPairs(docs, "doc_id", "text", cand)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── SimHash near-dup pairs (Hamming ≤ 3 via quarter-bucket pigeonhole) ─
+    QueryDef.sql("dedup_simhash",
+      s"""$simhashCte,
+         |quarters AS (
+         |  SELECT doc_id, sig, q.q, (sig >> (q.q * 15)) & 32767 AS qh
+         |  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS q) q),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.sig, b.sig)) AS hamming
+         |  FROM quarters a JOIN quarters b
+         |    ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming::INT AS hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── Embedding near-dup: exact all-pairs baseline (cos ≥ 0.35) ─────────
+    QueryDef.sql("dedup_embedding_exact",
+      s"""WITH a AS (SELECT vec_id AS doc_a, embedding AS va FROM embeddings),
+         |b AS (SELECT vec_id AS doc_b, embedding AS vb FROM embeddings)
+         |SELECT doc_a, doc_b, round(${cosineSql("va", "vb")}, 6) AS cos
+         |FROM a JOIN b ON doc_a < doc_b
+         |WHERE ${cosineSql("va", "vb")} >= 0.35
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.35)
+        .select(col("doc_a"), col("doc_b"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── Embedding near-dup at scale: sign-LSH buckets (rows-only) ─────────
+    QueryDef.rowsOnly("dedup_embedding_lsh") { (s, dir) =>
+      Dedup.embeddingDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 4)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ── Batched k-NN similarity search (5 queries × top-5) ────────────────
+    QueryDef.sql("sim_knn_batch",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (0, 100, 200, 300, 400)),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |         ${cosineSql("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e CROSS JOIN q),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.VectorSearch.bruteTopKBatch(
+          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ── Text analysis: token counting (F4) ────────────────────────────────
+    QueryDef.sql("f4_token_counts",
+      s"""SELECT doc_id,
+         |       len(${plainTokSql("text")})::INT AS n_ws,
+         |       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("n_ws"),
+          TextFunctions.approxTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // ── Text analysis: quality scoring ────────────────────────────────────
+    QueryDef.sql("f_quality_score", {
+      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, ${plainTokSql("text")} AS toks,
+         |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_score,
+         |    CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
+         |         THEN 1.0 ELSE 0.0 END AS stop_score,
+         |    CASE WHEN len(text) > 0 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN len(toks) > 0 THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END AS mean_word
+         |  FROM t)
+         |SELECT doc_id,
+         |       round((len_score + stop_score +
+         |              (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |              alpha_ratio) / 4.0, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ── Chunker: token-window chunking with overlap (UDTF-shaped) ─────────
+    QueryDef.sql("s_chunker",
+      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |starts AS (
+         |  SELECT doc_id, toks,
+         |         unnest(range(0, greatest(len(toks) - ${Chunker.DefaultOverlap}, 1),
+         |                      ${Chunker.DefaultSize - Chunker.DefaultOverlap})) AS s
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id AS sourcedoc_id,
+         |         (s // ${Chunker.DefaultSize - Chunker.DefaultOverlap})::INT AS sid,
+         |         array_to_string(list_slice(toks, s + 1, s + ${Chunker.DefaultSize}), ' ') AS chunk_text
+         |  FROM starts)
+         |SELECT sourcedoc_id, sid, chunk_text,
+         |       len(${plainTokSql("chunk_text")})::INT AS token_count
+         |FROM ch ORDER BY sourcedoc_id, sid""".stripMargin) { (s, dir) =>
+      Chunker.chunkDocuments(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("sourcedoc_id", "sid")
+    },
+
+    // ── T6: deterministic hash-ordered sample (reproducible "random") ─────
+    QueryDef.sql("t6_sample_hash",
+      """SELECT doc_id, source
+        |FROM documents
+        |ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      // ORDER BY RANDOM() (/root/reference/categorize/categorize_manager.py:122-143)
+      // re-expressed with an explicit Knuth-hash key so any engine (and any
+      // re-run) draws the same sample — true rand() is not oracle-checkable.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000007L)), col("doc_id"))
+        .limit(10)
+    },
+
+    // ── Streaming-window semantics: hourly tumbling aggregation ───────────
+    QueryDef.sql("stream_window_agg",
+      """SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin) { (s, dir) =>
+      // Batch form of the Structured Streaming tumbling-window aggregation
+      // (graft.streaming runs the same plan via readStream; semantics and
+      // results are identical by Spark's unified batch/stream model).
+      Tables.events(s, dir)
+        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+        .groupBy(unix_micros(date_trunc("hour", col("tsx"))).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_us", "event_type")
+    },
+
+    // ── Multimodal plumbing: binary columns + per-partition decode stub ───
+    QueryDef.sql("mm_features",
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
+         |         ${polySql("text", 31)} AS h
+         |  FROM documents)
+         |SELECT media_id, byte_len,
+         |       [(h % 1000)::FLOAT, ((h // 1000) % 1000)::FLOAT,
+         |        ((h // 1000000) % 1000)::FLOAT, byte_len::FLOAT] AS features
+         |FROM m ORDER BY media_id""".stripMargin) { (s, dir) =>
+      // Real pipeline: media bytes → mapPartitions decode (one codec init
+      // per partition). decodeStub is the deterministic fake (no codecs in
+      // container); the schema/batch plumbing is the real thing.
+      Multimodal.extractFeatures(
+          Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("byte_len"), col("features"))
+        .orderBy("media_id")
+    })
 }
