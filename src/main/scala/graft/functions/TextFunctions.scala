@@ -78,20 +78,22 @@ object TextFunctions {
   private def chars(c: Column): Column =
     filter(split(c, ""), ch => length(ch) > 0)
 
-  def polyHash(c: Column): Column =
-    aggregate(
-      chars(c),
-      lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+  def polyHash(c: Column): Column = FastFunctions.polyHash(c)
 
   /** Second independent polynomial hash (multiplier 131) — combined with
     * [[polyHash]] to get ~60 bits for SimHash / MinHash permutations.
     */
-  def polyHash2(c: Column): Column =
+  def polyHash2(c: Column): Column = FastFunctions.polyHash2(c)
+
+  /** Spec version of [[polyHash]] in pure SQL functions — the definition the
+    * DuckDB oracle reproduces; [[HashAlgos.polyHash]] must match it
+    * bit-for-bit (cross-checked in tests and by the oracle gate).
+    */
+  def polyHashSpec(c: Column): Column =
     aggregate(
       chars(c),
       lit(0L),
-      (acc, ch) => pmod(acc * lit(131L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
 
   /** Rolling-hash document fingerprint: polynomial hash over the whole
     * cleaned text. Cheap single-pass, codegen'd; used as the exact-dedup key

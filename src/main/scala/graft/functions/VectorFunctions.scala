@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns — codegen'd [[DotF32]]; the
+    * higher-order-function spec equivalent is [[dotSpec]] (identical math,
+    * interpreted — kept as the executable specification for tests).
+    */
+  def dot(a: Column, b: Column): Column = FastFunctions.dot(a, b)
+
+  /** Spec version of [[dot]]: sequential double accumulation via HOFs. */
+  def dotSpec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -32,9 +38,14 @@ object VectorFunctions {
     * unnormalized zero vectors returns 0 — `query/search.py:245-258` treats
     * score passthrough; we pick the conventional 0).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = FastFunctions.cosine(a, b)
+
+  /** Spec version of [[cosine]] — same float→double→sqrt order as
+    * [[HashAlgos.cosineF32]], interpreted HOFs.
+    */
+  def cosineSpec(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+    when(denom > 0, dotSpec(a, b) / denom).otherwise(lit(0.0))
   }
 
   /** Squared Euclidean distance. */

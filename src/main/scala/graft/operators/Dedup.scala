@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{FastFunctions, TextFunctions, VectorFunctions}
 
 /** Deduplication suite for training-data pipelines (builder-prompt
   * extension; the reference's only dedup is exact-text before embedding,
@@ -49,18 +49,11 @@ object Dedup {
     * Returns `(doc_id, sig ARRAY<LONG>)`.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
-    val toks = TextFunctions.tokenize(col(textCol))
-    val sh = TextFunctions.shingles(toks, shingleN)
-    val hashes = transform(array_distinct(sh), s => TextFunctions.polyHash(s))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(col("hs"), h =>
-        pmod((lit(2L) * i.cast("long") + 1L) * h + lit(12289L) * i.cast("long"),
-          lit(1000000007L)))))
-    docs.select(col(idCol).as("doc_id"), hashes.as("hs"))
-      .filter(size(col("hs")) > 0) // docs with no shingles have no signature
-      .select(col("doc_id"), sig.as("sig"))
-  }
+                        shingleN: Int = 3, numHashes: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        FastFunctions.minhashSig(TextFunctions.tokenize(col(textCol)),
+          shingleN, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0) // docs with no shingles have no signature
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and emit one `(band, band_hash, doc_id)` row per band. Docs sharing any
@@ -119,11 +112,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs
-      .withColumn("th", VectorFunctions.tokenHashes60(
-        TextFunctions.tokenize(col(textCol))))
-      .select(col(idCol).as("doc_id"),
-        VectorFunctions.simhashFromHashes(col("th")).as("sig"))
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      FastFunctions.simhash60(TextFunctions.tokenize(col(textCol))).as("sig"))
     val quarters = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
