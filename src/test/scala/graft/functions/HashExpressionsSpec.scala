@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** The codegen expressions must agree bit-for-bit with their HOF spec
+  * column functions — that equivalence is what lets the DuckDB oracle keep
+  * verifying them. Checked here on adversarial strings (unicode, empty,
+  * punctuation) and on random token arrays.
+  */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "", "a", "hello world", "The quick brown fox jumps over the lazy dog",
+    "ünïcödé tëxt façade", "日本語のテキスト", "ёлка и вода",
+    "punct!@#$%^&*()", "  spaces   everywhere  ", "123 456 789",
+    "a" * 500)
+
+  test("fast polyHash == HOF spec polyHash on adversarial strings") {
+    val df = samples.toDF("s")
+    val rows = df.select(
+      FastFunctions.polyHash(col("s")).as("fast"),
+      TextFunctions.polyHashSpec(col("s")).as("spec")).collect()
+    rows.foreach { r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r") }
+  }
+
+  test("fast cosine/dot == HOF spec on random float vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fd"),
+      VectorFunctions.dotSpec(col("a"), col("b")).as("sd"),
+      VectorFunctions.cosine(col("a"), col("b")).as("fc"),
+      VectorFunctions.cosineSpec(col("a"), col("b")).as("sc")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"dot mismatch: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"cosine mismatch: $r")
+    }
+  }
+
+  test("cosine of zero vector is 0.0; cosine of identical vectors is ~1.0") {
+    val df = Seq((Array.fill(8)(0.0f), Array.fill(8)(1.0f)),
+      (Array.fill(8)(0.5f), Array.fill(8)(0.5f))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) == 0.0)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("minhash signature: length, determinism, identity for equal docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "totally different words here now"),
+      (4L, "ab"), // fewer tokens than shingle size -> one shingle
+      (5L, "")    // no tokens -> empty signature
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      FastFunctions.minhashSig(TextFunctions.tokenize(col("text")), 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) == sigs(2L), "identical docs must share signatures")
+    assert(sigs(1L) != sigs(3L), "different docs must differ")
+    assert(sigs(4L).length == 16)
+    assert(sigs(5L).isEmpty)
+  }
+
+  test("near-duplicate docs agree on most minhash positions (Jaccard estimate)") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup)).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      FastFunctions.minhashSig(TextFunctions.tokenize(col("text")), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    // true Jaccard of shingle sets ≈ 32/41 ≈ 0.78; 32 hashes → expect >= ~18 agreements
+    assert(agree >= 18, s"only $agree/32 minhash positions agree")
+  }
+
+  test("simhash: identical docs equal; near-dups within small Hamming distance") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 29 == 0) "swap" else s"word$i").mkString(" ")
+    val far = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      FastFunctions.simhash60(TextFunctions.tokenize(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hamNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hamFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hamNear < hamFar, s"near=$hamNear should be < far=$hamFar")
+    assert(hamNear <= 12, s"near-dup Hamming $hamNear too large")
+  }
+
+  test("type check rejects wrong input types loudly") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(FastFunctions.cosine(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_cosine_f32"))
+  }
+}

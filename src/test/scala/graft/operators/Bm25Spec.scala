@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 verified against an independent naive in-memory Okapi
+  * implementation (the property SURVEY §5 calls for: "BM25 vs
+  * naive-reference implementation").
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox"),
+    (3L, "lorem ipsum dolor sit amet consectetur"),
+    (4L, "quick quick quick fox fox dog"),
+    (5L, "an unrelated document about spark catalyst optimization"))
+
+  // naive Okapi BM25 (k1=1.2, b=0.75, rank_bm25 idf variant) on tokenized text
+  private def tokenize(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .filter(t => t.length > 1 || t.matches("[0-9]"))
+      .filterNot(graft.functions.TextFunctions.EnglishStopwords.contains)
+
+  private def naiveScores(query: String): Map[Long, Double] = {
+    val docs = corpus.map { case (id, t) => id -> tokenize(t) }
+    val n = docs.size
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size)
+    val qTokens = tokenize(query)
+    docs.map { case (id, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.size)
+      val score = qTokens.map { t =>
+        val d = df.getOrElse(t, 0)
+        if (d == 0) 0.0
+        else {
+          val idf = math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+          val f = tf.getOrElse(t, 0).toDouble
+          idf * f * (1.2 + 1.0) / (f + 1.2 * (1 - 0.75 + 0.75 * toks.size / avgdl))
+        }
+      }.sum
+      id -> score
+    }.toMap.filter(_._2 > 0)
+  }
+
+  test("scoreQuery matches the naive Okapi implementation") {
+    val docs = corpus.toDF("doc_id", "text")
+    val query = "quick fox"
+    val got = Bm25.scoreQuery(docs, "doc_id", "text", query)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = naiveScores(query)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-9, s"doc $id: got $s want ${want(id)}")
+    }
+  }
+
+  test("repeated query terms weight the score by query term frequency") {
+    val docs = corpus.toDF("doc_id", "text")
+    val once = Bm25.scoreQuery(docs, "doc_id", "text", "fox")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val twice = Bm25.scoreQuery(docs, "doc_id", "text", "fox fox")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    once.foreach { case (id, s) =>
+      assert(math.abs(twice(id) - 2 * s) < 1e-9, s"doc $id: qtf weighting broken")
+    }
+  }
+
+  test("terms absent from the corpus contribute nothing and empty queries score nothing") {
+    val docs = corpus.toDF("doc_id", "text")
+    assert(Bm25.scoreQuery(docs, "doc_id", "text", "zzz qqq").count() == 0)
+    assert(Bm25.scoreQuery(docs, "doc_id", "text", "").count() == 0)
+  }
+
+  test("topK returns k best with deterministic tie-break") {
+    val docs = corpus.toDF("doc_id", "text")
+    val top2 = Bm25.topK(Bm25.scoreQuery(docs, "doc_id", "text", "quick fox"), 2)
+      .collect().map(_.getLong(0))
+    val all = naiveScores("quick fox").toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(top2.toSeq == all.take(2).map(_._1))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the QUICK brown fox, jumps over the lazy dog near the river bank today"), // exact dup after cleaning
+    (3L, "The quick brown fox jumps over the lazy cat near the river bank today"),  // near dup (1 token)
+    (4L, "Completely different content talking about distributed query engines"),
+    (5L, "Another unrelated text on parquet columnar storage formats and codecs"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups maps cleaned-identical docs to one keeper") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L)
+    assert(groups(2L) == 1L) // case/punct-insensitive duplicate of 1
+    assert(groups(3L) == 3L)
+    assert(groups(4L) == 4L)
+  }
+
+  test("exact keeps exactly one row per duplicate group") {
+    val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("LSH candidates contain the near-duplicate pair and jaccard confirms it") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
+    val buckets = Dedup.lshBuckets(sigs, bands = 8, rowsPerBand = 2)
+    val cands = Dedup.lshCandidates(buckets)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), "exact dup pair must collide in every band")
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)),
+      s"near-dup should collide in some band, got $cands")
+    val verified = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Dedup.lshCandidates(buckets), shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified((1L, 2L)) == 1.0, "cleaned-identical docs have Jaccard 1")
+    verified.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("simhashPairs finds near-dups within the Hamming budget, not unrelated docs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L && p._1 != 4L))
+  }
+
+  test("embeddingDups finds planted high-cosine pairs inside LSH buckets") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val nearDup = base.map(x => x + 0.001f)
+    val others = (3L to 20L).map(i => i -> Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val emb = (Seq(1L -> base, 2L -> nearDup) ++ others).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingDups(emb, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 2L)), s"got $dups")
+  }
+}
