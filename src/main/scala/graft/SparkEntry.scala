@@ -14,11 +14,15 @@ object SparkEntry {
   private def registries: Seq[QueryDef] =
     graft.queries.RelationalQueries.defs ++
       graft.queries.KbQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.EngineQueries.defs
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full §3.1 retrieval lifecycle (enhance → embed → hybrid
+    * vector+BM25 → RRF → rerank → final hits) on sf=0.001; driver
+    * smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("e2e_hybrid_query")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

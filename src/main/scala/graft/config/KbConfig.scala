@@ -1,0 +1,92 @@
+package graft.config
+
+/** Knowledgebase configuration (SURVEY §1.1 "Config").
+  *
+  * The reference loads an INI `.cfg` with five sections and applies
+  * env-var > file > default precedence, validated by Pydantic
+  * (`/root/reference/config/models.py:45-211`,
+  * `config/config_manager.py:207-296`). Here: one immutable case class per
+  * concern with the same defaults, a minimal INI parser (no external deps),
+  * and the same precedence chain. Everything is plain Scala — config is
+  * driver-side and tiny.
+  */
+final case class KbConfig(
+    // [DEFAULT] — config/models.py:45-75
+    vectorModel: String = "deterministic-64", // reference: text-embedding-3-small
+    vectorDimensions: Int = 64,
+    dbMinTokens: Int = 100,
+    dbMaxTokens: Int = 200,
+    queryModel: String = "none",
+    queryTopK: Int = 50,             // config/models.py:61
+    queryContextScope: Int = 4,      // config/models.py:62
+    queryContextFiles: Seq[String] = Nil,
+    // [ALGORITHMS] — config/models.py:130-190
+    similarityThreshold: Double = 0.6,        // models.py:139
+    lowSimilarityScopeFactor: Double = 0.5,   // models.py:140
+    enableHybridSearch: Boolean = true,
+    vectorWeight: Double = 0.7,               // search.py:350-411
+    bm25K1: Double = 1.2,                     // models.py:162
+    bm25B: Double = 0.75,                     // models.py:163
+    bm25MaxResults: Int = 1000,               // bm25_manager.py:289-320
+    enableReranking: Boolean = true,
+    rerankingTopK: Int = 20,                  // rerank_manager.py:216-220
+    ivfNprobe: Int = 32,                      // models.py:189
+    // [PERFORMANCE] — replaced by Spark conf at scale; kept for parity
+    embeddingBatchSize: Int = 100,
+    apiMaxRetries: Int = 20,                  // models.py:77-82
+    // formatting
+    referenceFormat: String = "xml")
+
+object KbConfig {
+
+  /** Parse a minimal INI: `[section]` headers, `key = value` lines, `#`/`;`
+    * comments. Section names are flattened — the reference's five sections
+    * share one key namespace in practice (config_manager.py:254-266).
+    */
+  def parseIni(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#") || l.startsWith(";") || l.startsWith("["))
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+          case _           => None
+        }
+      }.toMap
+
+  /** Env-var > file > default precedence
+    * (`/root/reference/config/config_manager.py:17-23`): env keys are the
+    * upper-cased ini keys with a `GRAFT_` prefix.
+    */
+  def load(iniText: String = "", env: Map[String, String] = sys.env): KbConfig = {
+    val ini = parseIni(iniText)
+    def get(key: String): Option[String] =
+      env.get("GRAFT_" + key.toUpperCase).orElse(ini.get(key))
+    def i(key: String, d: Int): Int = get(key).map(_.toInt).getOrElse(d)
+    def f(key: String, d: Double): Double = get(key).map(_.toDouble).getOrElse(d)
+    def b(key: String, d: Boolean): Boolean = get(key).map(_.toBoolean).getOrElse(d)
+    def s(key: String, d: String): String = get(key).getOrElse(d)
+    val c = KbConfig()
+    KbConfig(
+      vectorModel = s("vector_model", c.vectorModel),
+      vectorDimensions = i("vector_dimensions", c.vectorDimensions),
+      dbMinTokens = i("db_min_tokens", c.dbMinTokens),
+      dbMaxTokens = i("db_max_tokens", c.dbMaxTokens),
+      queryModel = s("query_model", c.queryModel),
+      queryTopK = i("query_top_k", c.queryTopK),
+      queryContextScope = i("query_context_scope", c.queryContextScope),
+      similarityThreshold = f("similarity_threshold", c.similarityThreshold),
+      lowSimilarityScopeFactor = f("low_similarity_scope_factor", c.lowSimilarityScopeFactor),
+      enableHybridSearch = b("enable_hybrid_search", c.enableHybridSearch),
+      vectorWeight = f("vector_weight", c.vectorWeight),
+      bm25K1 = f("bm25_k1", c.bm25K1),
+      bm25B = f("bm25_b", c.bm25B),
+      bm25MaxResults = i("bm25_max_results", c.bm25MaxResults),
+      enableReranking = b("enable_reranking", c.enableReranking),
+      rerankingTopK = i("reranking_top_k", c.rerankingTopK),
+      ivfNprobe = i("ivf_nprobe", c.ivfNprobe),
+      embeddingBatchSize = i("embedding_batch_size", c.embeddingBatchSize),
+      apiMaxRetries = i("api_max_retries", c.apiMaxRetries),
+      referenceFormat = s("reference_format", c.referenceFormat))
+  }
+}

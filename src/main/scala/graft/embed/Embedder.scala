@@ -1,0 +1,130 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.FastFunctions
+
+/** Embedding generation as Spark jobs (SURVEY §2.9 M1-M6, §3.3).
+  *
+  * The reference's embed stage is an async per-batch HTTP loop with a
+  * two-tier LRU+disk cache, retry/backoff, semaphore concurrency and
+  * mid-run checkpoints (`/root/reference/embedding/embed_manager.py:421-523`).
+  * Spark-native, every piece becomes a table operation:
+  *
+  *  - the CACHE is a persistent `(content_key, model, embedding)` table and
+  *    "cache probe" is an equi-join (M5 ≡ J5);
+  *  - "pending rows" is a left-anti join of chunks vs that table (P1/S5);
+  *  - batching/concurrency/checkpointing are Spark's task model —
+  *    `mapPartitions` batches per partition, task retries replace the
+  *    hand-rolled backoff loop, and each task's output commit is the
+  *    checkpoint;
+  *  - dedup-before-embed (U3/J5, `embed_manager.py:669-677`) is a
+  *    `dropDuplicates` on the content key before the provider call, then a
+  *    join to propagate vectors to every duplicate row.
+  */
+object Embedder {
+
+  /** Provider abstraction (M1). Implementations must be deterministic per
+    * (model, text) so re-runs and task retries are idempotent — the property
+    * the reference's cache keys rely on (`embed_manager.py:72-85`).
+    *
+    * A production HTTP provider implements `embedBatch` with a rate-limited
+    * client per executor (built lazily inside mapPartitions, never
+    * serialized from the driver) and idempotent retries; the contract is
+    * batch-in/batch-out so the task boundary does the batching (M2-M4).
+    */
+  trait Provider extends Serializable {
+    def model: String
+    def dims: Int
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Deterministic provider — the same trick as the reference's test
+    * fixtures (`/root/reference/tests/fixtures/mock_data.py:146-151`: seeded
+    * RNG keyed by hash(text)). Component j of v(text) =
+    * ((polyHash31(text + "|" + j) mod 1000) - 500) / 500 — pure integer
+    * math, so the DuckDB oracle can reproduce whole-pipeline outputs.
+    */
+  final case class Deterministic(dims: Int) extends Provider {
+    val model = s"deterministic-$dims"
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map { t =>
+        Array.tabulate(dims) { j =>
+          val h = hashComponent(t, j)
+          ((h % 1000L).toFloat - 500f) / 500f
+        }
+      }
+
+    private def hashComponent(t: String, j: Int): Long = {
+      val s = t + "|" + j
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+  }
+
+  /** The deterministic embedding as a pure COLUMN expression — identical
+    * values to [[Deterministic.embedBatch]], but runs inside codegen with no
+    * mapPartitions. Used by oracle-checked queries; the mapPartitions path
+    * exists to exercise the real provider plumbing.
+    */
+  def deterministicEmbed(text: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)), j =>
+      (((pmod(FastFunctions.polyHash(concat(text, lit("|"), j.cast("string"))), lit(1000L)))
+        .cast("float") - lit(500f)) / lit(500f)).cast("float"))
+
+  /** M1 batch embedding via mapPartitions: per-partition provider call with
+    * the partition as the batch (M2's batch planning = partition sizing;
+    * `coalesce`/`repartition` upstream controls batch size). Output schema:
+    * input columns + `embedding ARRAY<FLOAT>`.
+    */
+  def embedPartitions(df: DataFrame, textCol: String, provider: Provider,
+                      batchSize: Int = 256): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val vecs = provider.embedBatch(rows.map(_.getString(idx)))
+        rows.lazyZip(vecs).map { (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** M5/J5/P1: cache-aware embedding. `cache` is the persistent embeddings
+    * table `(content_key, embedding)` for `provider.model`; rows whose key
+    * already exists are joined, only MISSES call the provider, and
+    * duplicate texts are embedded once (U3) with vectors propagated back by
+    * the key join. Returns df + `content_key` + `embedding`, and the new
+    * cache rows to append.
+    */
+  final case class CacheResult(embedded: DataFrame, newCacheRows: DataFrame)
+
+  def contentKey(text: Column): Column = sha2(text, 256)
+
+  def embedWithCache(df: DataFrame, textCol: String, cache: DataFrame,
+                     provider: Provider): CacheResult = {
+    val keyed = df.withColumn("content_key", contentKey(col(textCol)))
+    val misses = keyed.select("content_key", textCol).dropDuplicates("content_key")
+      .join(cache.select("content_key"), Seq("content_key"), "left_anti")
+    val fresh = embedPartitions(misses, textCol, provider)
+      .select(col("content_key"), col("embedding"))
+    val lookup = cache.select("content_key", "embedding").unionByName(fresh)
+    CacheResult(keyed.join(lookup, "content_key"), fresh)
+  }
+
+  /** M6 dim probe: embed one sample row and read the vector length (the
+    * reference probes the remote model, `embed_manager.py:616-626`).
+    */
+  def probeDims(provider: Provider): Int =
+    provider.embedBatch(Seq("dimension probe")).head.length
+}

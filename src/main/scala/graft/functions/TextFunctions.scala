@@ -44,6 +44,15 @@ object TextFunctions {
   def tokenize(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Whitespace tokenizer that PRESERVES the words (case, accents, CJK —
+    * everything but whitespace). This is the chunking tokenizer: chunk text
+    * must round-trip the document content, so it cannot go through the
+    * lossy lowercase-alnum analysis tokenizer above (that one is for
+    * matching, not storage).
+    */
+  def wsTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
   /** F3 `tokenize_for_bm25` (`/root/reference/utils/text_utils.py:255-314`):
     * tokenize, drop single-char non-digit tokens, remove minimal stopword
     * set. (The reference also order-preserving-dedups; that is exposed

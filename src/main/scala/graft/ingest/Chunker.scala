@@ -37,7 +37,10 @@ object Chunker {
   /** Explode a text column into (sid, chunk_text) structs. */
   def chunks(text: Column, chunkSize: Int = DefaultSize, overlap: Int = DefaultOverlap): Column = {
     val step = chunkSize - overlap
-    val toks = TextFunctions.tokenize(text)
+    // whitespace split, NOT the analysis tokenizer: chunk text must preserve
+    // the document's words verbatim (case/accents/CJK), reference parity
+    // with `originaltext` (/root/reference/database/connection.py:100-122)
+    val toks = TextFunctions.wsTokens(text)
     transform(
       chunkStarts(size(toks), chunkSize, overlap),
       s => struct(

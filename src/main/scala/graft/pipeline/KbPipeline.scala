@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.KbConfig
+import graft.embed.Embedder
+import graft.functions.TextFunctions
+import graft.operators.{Bm25, ContextWindow, Fusion, VectorSearch}
+import graft.query.{Enhancement, Rerank}
+
+/** The reference's three CLI verbs as Spark jobs (SURVEY §3, Appendix).
+  *
+  * `query` is the flagship lifecycle (§3.1): enhance → embed the query →
+  * vector k-NN + BM25 → RRF fusion → category filter → rerank → context
+  * expansion. The reference runs this as ~10 sequential engine hops
+  * (SQLite, FAISS, NPZ, HTTP); here it is ONE DataFrame DAG that Catalyst
+  * plans end-to-end — the hit set stays tiny (broadcast everywhere), the
+  * only full-corpus passes are the vector scan and the postings semi-join.
+  */
+object KbPipeline {
+
+  /** §3.2 `database` verb: chunk raw documents into the canonical chunk
+    * table (SURVEY §1.2 `docs` analogue).
+    */
+  def database(docs: DataFrame, cfg: KbConfig = KbConfig()): DataFrame =
+    graft.ingest.Chunker.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
+      .withColumn("embedtext", TextFunctions.cleanText(col("chunk_text")))
+      .withColumn("bm25_tokens", TextFunctions.tokenizeBm25(col("chunk_text")))
+      .withColumn("doc_length", size(array_distinct(col("bm25_tokens"))))
+      .withColumn("language", TextFunctions.languageId(
+        TextFunctions.tokenize(col("chunk_text"))))
+
+  /** §3.3 `embed` verb: cache-aware embedding of chunk rows. */
+  def embed(chunks: DataFrame, textCol: String, cache: DataFrame,
+            cfg: KbConfig = KbConfig()): Embedder.CacheResult =
+    Embedder.embedWithCache(chunks, textCol, cache,
+      Embedder.Deterministic(cfg.vectorDimensions))
+
+  /** Search-hit schema: (doc_id, score, rank). */
+  final case class QueryResult(hits: DataFrame, context: DataFrame, formatted: String)
+
+  /** §3.1 `query` verb over a corpus with `(doc_id, text, sourcedoc, sid,
+    * categories?)` chunks and `(doc_id, embedding)` vectors.
+    *
+    * @param categoryFilter  P3: restrict hits to chunks tagged with any of
+    *                        these categories (exact `array_contains`, the
+    *                        deliberate upgrade over the reference's LIKE)
+    */
+  def query(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
+            queryText: String, cfg: KbConfig = KbConfig(),
+            categoryFilter: Seq[String] = Nil): QueryResult = {
+
+    // 1. enhancement (F6-F8) — one-row DataFrame pass, stays on driver
+    val enhanced = spark.range(1).select(Enhancement.enhance(lit(queryText)).as("q"))
+      .first().getString(0)
+
+    // 2. query embedding (deterministic provider; a real provider is one
+    //    Provider swap) — M1 on a single row
+    val qvec = Embedder.Deterministic(cfg.vectorDimensions)
+      .embedBatch(Seq(enhanced)).head.toSeq
+
+    // 3a. vector k-NN (T1)
+    val vtop = VectorSearch.bruteTopK(embeddings, "doc_id", "embedding",
+      qvec, cfg.queryTopK)
+
+    // 3b. BM25 (A2/T2) — skipped when hybrid disabled (the reference's
+    //     low-memory tier does the same, README.md:454-459)
+    val hits0 =
+      if (cfg.enableHybridSearch) {
+        val ktop = Bm25.topK(
+          Bm25.scoreQuery(chunks, "doc_id", "text", enhanced), cfg.queryTopK)
+        Fusion.rrf(Seq(vtop, ktop)).withColumnRenamed("rrf_score", "score")
+      } else vtop
+
+    // 3d. category filter (P3) — semi-join shape on the tiny hit set
+    val hits1 =
+      if (categoryFilter.isEmpty) hits0
+      else hits0.join(
+        chunks.filter(arrays_overlap(col("categories"),
+            lit(categoryFilter.toArray)))
+          .select(col("doc_id")), "doc_id")
+
+    // 3e. rerank head (M7/T4) with the deterministic lexical scorer
+    val withText = hits1.join(chunks.select(col("doc_id"), col("text"),
+      col("sourcedoc"), col("sid")), "doc_id")
+    val hits =
+      if (cfg.enableReranking)
+        Rerank.rerankHead(withText, "score", cfg.rerankingTopK,
+          Rerank.lexicalScore(enhanced, col("text")))
+          .orderBy("final_rank").limit(cfg.queryTopK)
+      else withText.orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
+
+    // 5. context expansion (J2/W2 with P5 adaptive scope)
+    val context = ContextWindow.expand(chunks, hits.select("sourcedoc", "sid"),
+      cfg.queryContextScope)
+
+    // 7. formatting (driver-side assembly of ≤ top-k · scope blocks)
+    val formatted = graft.format.Formatters.assemble(
+      graft.format.Formatters.formatBlocks(
+        graft.format.Formatters.blocks(context, "text"), cfg.referenceFormat),
+      cfg.referenceFormat)
+
+    QueryResult(hits, context, formatted)
+  }
+}

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.embed.Embedder
+import graft.functions.TextFunctions
+import graft.operators.{Bm25, ContextWindow, Fusion, VectorSearch}
+import graft.query.{Enhancement, Rerank}
+
+/** Engine-stage queries: enhancement, deterministic embedding + cache join,
+  * weighted fusion, adaptive scope, consecutive grouping, rerank, file-type
+  * detection (SURVEY §2.8 F6-F8, §2.9 M1/M5/M7, §2.3 J4, §2.2 P5, §2.5 W3,
+  * §2.1 S3).
+  */
+object EngineQueries {
+  import OracleSql._
+
+  /** Crafted strings that exercise normalization/spelling/synonym paths the
+    * word-soup documents table can't (smart quotes, repeated punctuation,
+    * stretched letters). Same literals live in the oracle VALUES list.
+    */
+  private val EnhanceSamples: Seq[(Int, String)] = Seq(
+    1 -> "what   is a fast   query plan??",
+    2 -> "sooooo   slow join performance!!!",
+    3 -> "filter the window,, please",
+    4 -> "document error   handling",
+    5 -> "plain words only")
+
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** DuckDB rendition of [[Enhancement.enhance]] on expr `q`. RE2 has no
+    * pattern backreferences, so run-collapsing is a per-character chain in
+    * BOTH engines (see [[Enhancement]]); backslashes here are single —
+    * Scala triple-quoted strings are raw.
+    */
+  private def enhanceSql(q: String): String = {
+    val punctCollapsed = Enhancement.PunctMarks.foldLeft(q) { (e, ch) =>
+      s"regexp_replace($e, '\\${ch}{2,}', '$ch', 'g')"
+    }
+    val norm = s"""trim(regexp_replace(regexp_replace($punctCollapsed,
+                  | '\\s+', ' ', 'g'),
+                  | '\\s+([!?.,;:])', '\\1', 'g'))""".stripMargin.replaceAll("\n", "")
+    val fixed = "abcdefghijklmnopqrstuvwxyz".foldLeft(s"lower($norm)") { (e, ch) =>
+      s"regexp_replace($e, '$ch{3,}', '$ch$ch', 'g')"
+    }
+    val toks = plainTokSql(fixed)
+    val cases = Enhancement.Synonyms.toSeq.sortBy(_._1).map { case (w, syns) =>
+      s"WHEN t = '$w' THEN '${(w +: syns).mkString("(", " OR ", ")")}'"
+    }.mkString(" ")
+    val stop = Enhancement.ExpansionStopwords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    s"""list_aggregate(list_transform($toks,
+       | t -> CASE WHEN len(t) >= 4 AND t NOT IN ($stop) THEN (CASE $cases ELSE t END)
+       |           ELSE t END), 'string_agg', ' ')""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** DuckDB rendition of [[Embedder.deterministicEmbed]] with `dims`
+    * components, each rounded to 6 dp as DOUBLE.
+    */
+  private def embedSql(text: String, dims: Int): String =
+    s"""list_transform(range(0, $dims), j ->
+       | round(((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)
+       |   / 500.0)::FLOAT::DOUBLE, 6))""".stripMargin.replaceAll("\n", "")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── F6-F8: query enhancement chain ────────────────────────────────────
+    QueryDef.sql("f6_enhance", {
+      val vals = EnhanceSamples.map { case (i, s) => s"($i, '${sqlQuote(s)}')" }.mkString(", ")
+      s"""WITH samples(qid, q) AS (VALUES $vals)
+         |SELECT qid, ${enhanceSql("q")} AS enhanced FROM samples ORDER BY qid""".stripMargin
+    }) { (s, _) =>
+      import s.implicits._
+      EnhanceSamples.toDF("qid", "q")
+        .select(col("qid"), Enhancement.enhance(col("q")).as("enhanced"))
+        .orderBy("qid")
+    },
+
+    // ── M1: deterministic embedding as a column expression ────────────────
+    QueryDef.sql("m1_embed_deterministic",
+      s"""SELECT doc_id, ${embedSql("text", 8)} AS vec
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          transform(Embedder.deterministicEmbed(col("text"), 8),
+            v => round(v.cast("double"), 6)).as("vec"))
+        .orderBy("doc_id")
+    },
+
+    // ── M5/J5/P1: cache-aware embedding (mapPartitions provider + anti-join)
+    QueryDef.sql("m5_embed_cache",
+      // Values must equal a direct embed of every row — the cache join only
+      // changes WHERE vectors come from, never what they are.
+      s"""SELECT doc_id, sha256(text) AS content_key,
+         |       ${embedSql("text", 16)} AS vec
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // seed cache: first half of the corpus, embedded via the column expr
+      val cache = docs.filter(col("doc_id") < 250)
+        .select(Embedder.contentKey(col("text")).as("content_key"),
+          Embedder.deterministicEmbed(col("text"), 16).as("embedding"))
+      val res = Embedder.embedWithCache(docs, "text", cache, Embedder.Deterministic(16))
+      res.embedded
+        .select(col("doc_id"), col("content_key"),
+          transform(col("embedding"), v => round(v.cast("double"), 6)).as("vec"))
+        .orderBy("doc_id")
+    },
+
+    // ── J4/A7: legacy weighted fusion with max-normalization ──────────────
+    QueryDef.sql("j4_weighted_fusion",
+      s"""$bm25Cte,
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |cos AS (SELECT vec_id AS doc_id,
+         |        ${cosineSql("embedding", "(SELECT v FROM qv)")} AS score
+         |        FROM embeddings),
+         |vtop AS (SELECT doc_id, round(score, 6) AS score FROM cos
+         |         ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+         |ktop AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |         ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+         |vn AS (SELECT doc_id, CASE WHEN (SELECT max(abs(score)) FROM vtop) > 0
+         |         THEN score / (SELECT max(abs(score)) FROM vtop) ELSE 0.0 END AS vscore FROM vtop),
+         |kn AS (SELECT doc_id, CASE WHEN (SELECT max(abs(score)) FROM ktop) > 0
+         |         THEN score / (SELECT max(abs(score)) FROM ktop) ELSE 0.0 END AS kscore FROM ktop)
+         |SELECT coalesce(vn.doc_id, kn.doc_id) AS doc_id,
+         |       round(coalesce(vscore, 0.0) * 0.7 + coalesce(kscore, 0.0) * 0.3, 6) AS score
+         |FROM vn FULL OUTER JOIN kn ON vn.doc_id = kn.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(50)
+      val ktop = Bm25.topK(
+        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
+      Fusion.weighted(vtop, ktop, 0.7)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ── P5: similarity-adaptive context scope ─────────────────────────────
+    QueryDef.sql("p5_adaptive_scope",
+      s"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |cos AS (SELECT vec_id AS doc_id,
+         |        ${cosineSql("embedding", "(SELECT v FROM qv)")} AS score
+         |        FROM embeddings)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       CASE WHEN score < 0.6 THEN greatest(2, 1) ELSE 4 END AS scope
+         |FROM cos ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      emb.select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.cosine(col("embedding"),
+            graft.functions.VectorFunctions.vecLit(qv)).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          ContextWindow.adaptiveScope(col("score"), 4).as("scope"))
+        .orderBy("doc_id")
+    },
+
+    // ── W3: consecutive-sid grouping for formatters ───────────────────────
+    QueryDef.sql("w3_consecutive_groups",
+      """WITH chunks AS (
+        |  SELECT doc_id, source AS sourcedoc,
+        |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid
+        |  FROM documents),
+        |ctx AS (SELECT sourcedoc, sid, doc_id FROM chunks
+        |        WHERE sid % 7 < 3), -- gappy selection => multiple runs
+        |lagged AS (
+        |  SELECT sourcedoc, sid, doc_id,
+        |         lag(sid) OVER (PARTITION BY sourcedoc ORDER BY sid) AS prev_sid
+        |  FROM ctx),
+        |flagged AS (
+        |  SELECT sourcedoc, sid, doc_id,
+        |         CASE WHEN prev_sid IS NULL OR sid != prev_sid + 1 THEN 1 ELSE 0 END AS ng
+        |  FROM lagged)
+        |SELECT sourcedoc, sid, doc_id,
+        |       sum(ng) OVER (PARTITION BY sourcedoc ORDER BY sid
+        |                     ROWS UNBOUNDED PRECEDING)::BIGINT AS group_id
+        |FROM flagged ORDER BY sourcedoc, sid""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      ContextWindow.consecutiveGroups(chunks.filter(col("sid") % 7 < 3))
+        .select(col("sourcedoc"), col("sid"), col("doc_id"), col("group_id"))
+        .orderBy("sourcedoc", "sid")
+    },
+
+    // ── M7/T4: head rerank with the deterministic lexical scorer ──────────
+    QueryDef.sql("m7_rerank", {
+      // literal token list (not a subquery — RE2/DuckDB lambdas can't
+      // reference subqueries); must equal tokenizeBm25(QueryText)
+      val qToks = QueryText.toLowerCase.split("[^a-z0-9]+")
+        .filter(t => t.length > 1 || t.matches("[0-9]"))
+        .filterNot(graft.functions.TextFunctions.EnglishStopwords.contains)
+        .distinct.map(t => s"'$t'").mkString("[", ",", "]")
+      s"""$bm25Cte,
+         |ranked AS (
+         |  SELECT doc_id, round(score, 4) AS score,
+         |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS orig_rank
+         |  FROM bm25 ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+         |scored AS (
+         |  SELECT r.doc_id, r.score, r.orig_rank,
+         |         CASE WHEN r.orig_rank <= 20 THEN
+         |           (SELECT CASE WHEN len(list_distinct(list_concat(dt, $qToks))) > 0
+         |              THEN len(list_filter(list_distinct(dt), t -> list_contains($qToks, t)))::DOUBLE
+         |                   / len(list_distinct(list_concat(dt, $qToks)))::DOUBLE
+         |              ELSE 0.0 END
+         |            FROM (SELECT ${tokSql("d.text")} AS dt FROM documents d WHERE d.doc_id = r.doc_id))
+         |         ELSE NULL END AS rerank_score
+         |  FROM ranked r),
+         |head AS (
+         |  SELECT doc_id, score, rerank_score,
+         |         row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS new_rank
+         |  FROM scored WHERE orig_rank <= 20),
+         |tail AS (SELECT doc_id, score, rerank_score, orig_rank AS new_rank
+         |         FROM scored WHERE orig_rank > 20),
+         |unioned AS (SELECT *, 0 AS grp FROM head UNION ALL SELECT *, 1 AS grp FROM tail)
+         |SELECT doc_id, score, round(coalesce(rerank_score, -1.0), 6) AS rerank_score,
+         |       row_number() OVER (ORDER BY grp, new_rank) AS final_rank
+         |FROM unioned ORDER BY final_rank""".stripMargin
+    }) { (s, dir) =>
+      val ktop = Bm25.topK(
+        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
+      val withText = ktop.join(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+      Rerank.rerankHead(withText, "score", 20,
+          Rerank.lexicalScore(QueryText, col("text")))
+        .select(col("doc_id"), col("score"),
+          round(coalesce(col("rerank_score"), lit(-1.0)), 6).as("rerank_score"),
+          col("final_rank").cast("long").as("final_rank"))
+        .orderBy("final_rank")
+    },
+
+    // ── §3.1 flagship: the full retrieval lifecycle in one DAG ────────────
+    // (enhance → deterministic query embed → vector kNN + BM25 → RRF →
+    // lexical rerank → final hits). Not ANSI-SQL-expressible as one oracle
+    // (driver-side embed + config branches) → rows-only; every STAGE is
+    // oracle-checked individually above.
+    QueryDef.rowsOnly("e2e_hybrid_query") { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      graft.pipeline.KbPipeline.query(s, chunks, emb,
+        "fast spark join and filter queries").hits
+    },
+
+    // ── S3: file-type detection from filename (synthetic extensions) ──────
+    QueryDef.sql("s3_file_type",
+      """WITH files AS (
+        |  SELECT doc_id, source || '/f' || doc_id::VARCHAR ||
+        |    CASE doc_id % 8 WHEN 0 THEN '.md' WHEN 1 THEN '.html' WHEN 2 THEN '.py'
+        |      WHEN 3 THEN '.json' WHEN 4 THEN '.yaml' WHEN 5 THEN '.xml'
+        |      WHEN 6 THEN '.cfg' ELSE '.txt' END AS path
+        |  FROM documents)
+        |SELECT doc_id, path,
+        |  CASE lower(regexp_extract(path, '\.([a-z0-9]+)$', 1))
+        |    WHEN 'md' THEN 'markdown' WHEN 'html' THEN 'html' WHEN 'py' THEN 'code'
+        |    WHEN 'json' THEN 'json' WHEN 'yaml' THEN 'yaml' WHEN 'xml' THEN 'xml'
+        |    WHEN 'cfg' THEN 'config' ELSE 'text' END AS file_type
+        |FROM files ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val path = concat(col("source"), lit("/f"), col("doc_id").cast("string"),
+        element_at(lit(Array(".md", ".html", ".py", ".json", ".yaml", ".xml", ".cfg", ".txt")),
+          (col("doc_id") % 8).cast("int") + 1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), path.as("path"),
+          graft.ingest.Ingest.fileType(path).as("file_type"))
+        .orderBy("doc_id")
+    })
+}

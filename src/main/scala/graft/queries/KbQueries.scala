@@ -21,63 +21,7 @@ import graft.operators.{Bm25, ContextWindow, Fusion, VectorSearch}
   */
 object KbQueries {
 
-  /** DuckDB SQL for the BM25 tokenizer applied to an expression — MUST stay
-    * in lockstep with [[TextFunctions.tokenizeBm25]].
-    */
-  private def tokSql(expr: String): String =
-    s"""list_filter(list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'),
-       | t -> len(t) > 0),
-       | t -> (len(t) > 1 OR regexp_matches(t, '^[0-9]$$'))
-       |      AND NOT list_contains(['the','a','an','and','or','but','in','on','at','to','for','of','with','is'], t))"""
-      .stripMargin.replaceAll("\n", "")
-
-  /** DuckDB SQL for the plain tokenizer ([[TextFunctions.tokenize]]). */
-  private def plainTokSql(expr: String): String =
-    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
-
-  /** DuckDB SQL: sequential-double dot product of two list exprs (matches
-    * Spark's zip_with+aggregate association order exactly).
-    */
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0::DOUBLE,
-       | list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)),
-       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
-
-  private def normSqSql(a: String): String =
-    s"""list_reduce(list_prepend(0.0::DOUBLE,
-       | list_transform($a, x -> x::DOUBLE * x::DOUBLE)),
-       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
-
-  private def cosineSql(a: String, b: String): String =
-    s"CASE WHEN sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)}) > 0 " +
-      s"THEN ${dotSql(a, b)} / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) ELSE 0.0 END"
-
-  /** The fixed demo retrieval query (terms all in the synthetic vocab). */
-  private val QueryText = "spark join filter window"
-
-  /** BM25 scores for [[QueryText]] over documents — shared CTE prefix. */
-  private val bm25Cte: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
-       |post AS (
-       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
-       |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
-       |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
-       |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
-       |idf AS (
-       |  SELECT term, count(*)::BIGINT AS df,
-       |         ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
-       |  FROM post GROUP BY term),
-       |q AS (SELECT unnest(${tokSql(s"'$QueryText'")}) AS term),
-       |bm25 AS (
-       |  SELECT p.doc_id,
-       |         sum((i.idf * (p.tf * (1.2 + 1.0))) /
-       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
-       |  FROM post p
-       |  JOIN q USING (term) JOIN idf i USING (term) JOIN lens l USING (doc_id)
-       |  CROSS JOIN stats s
-       |  GROUP BY p.doc_id HAVING sum((i.idf * (p.tf * (1.2 + 1.0))) /
-       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0)""".stripMargin
+  import OracleSql.{tokSql, plainTokSql, cosineSql, bm25Cte, QueryText}
 
   /** Cosine scores of every embedding against the vec_id=0 query vector. */
   private val cosCte: String =

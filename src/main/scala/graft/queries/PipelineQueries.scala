@@ -245,7 +245,9 @@ object PipelineQueries {
 
     // ── Chunker: token-window chunking with overlap (UDTF-shaped) ─────────
     QueryDef.sql("s_chunker",
-      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM documents),
          |starts AS (
          |  SELECT doc_id, toks,
          |         unnest(range(0, greatest(len(toks) - ${Chunker.DefaultOverlap}, 1),

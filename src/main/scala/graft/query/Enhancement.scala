@@ -1,0 +1,100 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Query enhancement (SURVEY §2.8 F6-F8;
+  * `/root/reference/query/enhancement.py`).
+  *
+  * The reference normalizes, spell-corrects (TextBlob + a double-letter
+  * heuristic fallback) and expands synonyms (WordNet, ≤3 synsets, words ≥4
+  * chars) with a disk cache. Queries are single strings, so this is
+  * driver-side-cheap either way — but every step here is ALSO a pure column
+  * expression, so enhancement can run over a BATCH of queries as one
+  * DataFrame pass (the shape the reference can't do).
+  *
+  * WordNet isn't available offline; the synonym table is a small static map
+  * with the same expansion semantics (`(word OR syn …)` emission,
+  * `enhancement.py:59-126`) — swap in a broadcast dictionary table for a
+  * real lexicon.
+  */
+object Enhancement {
+
+  /** Punctuation marks whose runs get collapsed. Collapsing is one regex
+    * per mark instead of a `([!?.,;:])\1+` backreference — RE2-based engines
+    * (the DuckDB oracle) don't support pattern backreferences, and the
+    * per-mark chain is the same semantics.
+    */
+  val PunctMarks = "!?.,;:"
+
+  private def collapseRuns(q: Column, chars: String, min: Int, keep: Int): Column =
+    chars.foldLeft(q) { (c, ch) =>
+      val esc = java.util.regex.Pattern.quote(ch.toString)
+      regexp_replace(c, s"$esc{$min,}", ch.toString * keep)
+    }
+
+  /** F6 normalization (`enhancement.py:26-56`): whitespace collapse,
+    * smart-quote standardization, punctuation dedup.
+    */
+  def normalize(q: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        collapseRuns(translate(q, "‘’“”", "''\"\""), PunctMarks, min = 2, keep = 1),
+        "\\s+", " "),
+      "\\s+([!?.,;:])", "$1"))
+
+  /** F8 double-letter spelling heuristic (`enhancement.py:267-319` fallback
+    * path): collapse 3+ repeated letters to 2 (e.g. "goooood" → "good").
+    * The TextBlob statistical correction is a model dependency; the
+    * reference's own fallback is this heuristic. Per-letter chain for the
+    * same RE2 reason as [[normalize]].
+    */
+  def fixRepeatedLetters(q: Column): Column =
+    collapseRuns(q, "abcdefghijklmnopqrstuvwxyz", min = 3, keep = 2)
+
+  /** Static synonym map (stand-in for WordNet synsets; structure mirrors
+    * `enhancement.py:178-264`). Keys are query words ≥4 chars.
+    */
+  val Synonyms: Map[String, Seq[String]] = Map(
+    "query" -> Seq("search", "lookup"),
+    "fast" -> Seq("quick", "rapid"),
+    "join" -> Seq("merge", "combine"),
+    "filter" -> Seq("predicate", "where"),
+    "window" -> Seq("frame", "range"),
+    "error" -> Seq("fault", "failure"),
+    "document" -> Seq("text", "record"))
+
+  /** 33-word stop set the reference skips during expansion
+    * (`enhancement.py:86-95` — abridged to the same spirit).
+    */
+  val ExpansionStopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "do", "does", "did", "will", "would", "could",
+    "should", "may", "might", "must")
+
+  /** F7 synonym expansion over a token array: each word ≥4 chars, not a
+    * stopword, with synonyms becomes `(word OR syn1 OR syn2)`; other words
+    * pass through. Returns the expanded query string.
+    */
+  def expandSynonyms(tokens: Column): Column = {
+    val entries = Synonyms.toSeq.sortBy(_._1).map { case (w, syns) =>
+      struct(lit(w).as("w"), lit((w +: syns).mkString("(", " OR ", ")")).as("exp"))
+    }
+    val dict = map_from_entries(array(entries: _*))
+    array_join(
+      transform(tokens, t =>
+        when(length(t) >= 4 && !t.isin(ExpansionStopwords.toSeq.map(lit): _*)
+          && map_contains_key(dict, t), element_at(dict, t))
+          .otherwise(t)),
+      " ")
+  }
+
+  /** Full enhancement chain on a raw query column: normalize → repeated-
+    * letter fix → lowercase tokenize → synonym expansion
+    * (`enhancement.py:404-444` pipeline order).
+    */
+  def enhance(q: Column): Column =
+    expandSynonyms(
+      graft.functions.TextFunctions.tokenize(fixRepeatedLetters(lower(normalize(q)))))
+}

@@ -1,0 +1,59 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Cross-encoder-style reranking (SURVEY §2.9 M7, §2.6 T4;
+  * `/root/reference/embedding/rerank_manager.py`).
+  *
+  * The reference fetches each hit's text (N point queries → here ONE
+  * broadcast join, J7), scores (query, text) pairs with a CrossEncoder in a
+  * thread pool, reranks only the head `reranking_top_k` (20) hits and
+  * appends the untouched tail (`rerank_manager.py:216-220,268-271,295-331`).
+  *
+  * The scoring function is pluggable:
+  *  - [[lexicalScore]] — deterministic token-overlap (Jaccard) scorer, a
+  *    pure column expression: the stand-in for the model, oracle-checkable;
+  *  - a real cross-encoder drops in as a `mapPartitions` scorer with an
+  *    executor-cached ONNX session (same shape as [[graft.embed.Embedder
+  *    .embedPartitions]]) — the hit set is tiny so this is one task.
+  */
+object Rerank {
+
+  /** Deterministic relevance score: |Q ∩ D| / |Q ∪ D| over distinct
+    * BM25-tokenized token sets.
+    */
+  def lexicalScore(queryText: String, doc: Column): Column = {
+    val q = TextFunctions.tokenizeBm25(lit(queryText))
+    val d = array_distinct(TextFunctions.tokenizeBm25(doc))
+    val inter = size(array_intersect(d, q))
+    val union = size(array_union(d, q))
+    when(union > 0, inter.cast("double") / union.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** T4 head/tail rerank: rows ranked ≤ topK by `orderCol` are re-scored
+    * and reordered by (new score desc, doc_id); the tail keeps its original
+    * order after the head. Returns the input columns + `rerank_score` +
+    * `final_rank`.
+    */
+  def rerankHead(hits: DataFrame, scoreCol: String, topK: Int,
+                 scorer: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = hits.withColumn("orig_rank",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id"))))
+    val head = ranked.filter(col("orig_rank") <= topK)
+      .withColumn("rerank_score", scorer)
+    val tail = ranked.filter(col("orig_rank") > topK)
+      .withColumn("rerank_score", lit(null).cast("double"))
+    val rescoredHead = head.withColumn("new_rank",
+      row_number().over(Window.orderBy(col("rerank_score").desc, col("doc_id"))))
+    val keptTail = tail.withColumn("new_rank", col("orig_rank"))
+    rescoredHead.unionByName(keptTail)
+      .withColumn("final_rank",
+        row_number().over(Window.orderBy(
+          when(col("new_rank") <= topK && col("rerank_score").isNotNull, lit(0)).otherwise(lit(1)),
+          col("new_rank"))))
+      .drop("orig_rank", "new_rank")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_ingest").toString
+    Files.write(Paths.get(d, "plain.txt"),
+      ((1 to 80).map(i => s"word$i").mkString(" ")).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(d, "notes.md"),
+      "# Heading\n\n- item one\n- item two\n".getBytes(StandardCharsets.UTF_8))
+    // latin-1 bytes that are INVALID utf-8 (0xE9 = é) — exercises the
+    // fallback chain (S2)
+    Files.write(Paths.get(d, "legacy.txt"),
+      "café crème legacy text here".getBytes(StandardCharsets.ISO_8859_1))
+    d
+  }
+
+  test("ingestFiles: scans, decodes (with fallback), chunks, derives columns") {
+    val out = Ingest.ingestFiles(spark, s"$dir/*", chunkSize = 30, overlap = 5)
+    val bySource = out.select(col("sourcedoc"), col("chunk_text")).collect()
+      .groupBy(r => r.getString(0).split("/").last)
+    assert(bySource.keySet == Set("plain.txt", "notes.md", "legacy.txt"))
+    // fallback decode turned 0xE9 into é, not a replacement char
+    val legacy = bySource("legacy.txt").map(_.getString(1)).mkString(" ")
+    assert(legacy.contains("café"), s"latin-1 fallback failed: $legacy")
+    assert(!legacy.contains("�"))
+    // file types detected from extension
+    val types = out.select("sourcedoc", "file_type").distinct().collect()
+      .map(r => r.getString(0).split("/").last -> r.getString(1)).toMap
+    assert(types("notes.md") == "markdown")
+    assert(types("plain.txt") == "text")
+  }
+
+  test("metadata extraction finds heading and section type") {
+    val out = Ingest.ingestFiles(spark, s"$dir/notes.md")
+    val md = out.select(col("metadata.heading"), col("metadata.section_type"))
+      .collect().head
+    assert(md.getString(0).startsWith("Heading"))
+    assert(md.getString(1) == "list")
+  }
+
+  test("incremental ingest skips files already in the registry (S5 anti-join)") {
+    val all = Ingest.ingestFiles(spark, s"$dir/*")
+    val registry = all.select("file_hash").distinct()
+      .filter(col("file_hash").isNotNull)
+    // re-ingest with a registry containing everything -> nothing new
+    val none = Ingest.ingestFiles(spark, s"$dir/*", Some(registry))
+    assert(none.count() == 0)
+    // registry missing one file -> only that file re-ingests
+    val hashOfPlain = all.filter(col("sourcedoc").endsWith("plain.txt"))
+      .select("file_hash").first().getString(0)
+    val partial = registry.filter(col("file_hash") =!= hashOfPlain)
+    val re = Ingest.ingestFiles(spark, s"$dir/*", Some(partial))
+    val redone = re.select("sourcedoc").distinct().collect().map(_.getString(0))
+    assert(redone.length == 1 && redone.head.endsWith("plain.txt"))
+  }
+
+  test("sanitizeName strips shell metacharacters") {
+    val got = Seq("dir/bad<file>|name&x;y`z$.txt").toDF("p")
+      .select(Ingest.sanitizeName(col("p"))).as[String].first()
+    assert(got == "dir/bad_file__name_x_y_z_.txt")
+  }
+}

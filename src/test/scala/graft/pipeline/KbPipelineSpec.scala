@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.KbConfig
+import graft.embed.Embedder
+import org.apache.spark.sql.functions._
+
+class KbPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark joins and filters run fast on columnar data", "a", 0),
+    (2L, "window functions rank rows within partitions", "a", 1),
+    (3L, "the quick brown fox jumps over the lazy dog", "a", 2),
+    (4L, "broadcast joins avoid shuffles for small tables", "b", 0),
+    (5L, "cats and dogs are common household pets", "b", 1))
+    .toDF("doc_id", "text", "sourcedoc", "sid")
+
+  private def embeddings = {
+    // embed the corpus texts with the SAME deterministic provider the query
+    // side uses, so query("...") genuinely ranks semantically-keyed vectors
+    val p = Embedder.Deterministic(16)
+    val texts = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    texts.map { case (id, t) => (id, p.embedBatch(Seq(t)).head) }
+      .toSeq.toDF("doc_id", "embedding")
+  }
+
+  test("full query lifecycle returns ranked hits and formatted context") {
+    val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3,
+      queryContextScope = 1)
+    val res = KbPipeline.query(spark, corpus, embeddings,
+      "fast spark joins  and filters!!", cfg)
+    val hits = res.hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toMap
+    assert(hits.nonEmpty)
+    // doc 1 shares the most query terms — the lexical rerank must put it first
+    assert(hits.map(_.swap).get(1).contains(1L), s"expected doc 1 first, got $hits")
+    assert(res.formatted.startsWith("<references>"))
+    assert(res.formatted.contains("spark joins and filters"))
+    // context includes neighbors of the hit chunk (scope 1)
+    val ctx = res.context.select("doc_id").as[Long].collect().toSet
+    assert(ctx.contains(2L), "sid neighbor of hit chunk missing from context")
+  }
+
+  test("hybrid off degrades to pure vector search; rerank off keeps fusion order") {
+    val cfg = KbConfig(vectorDimensions = 16, enableHybridSearch = false,
+      enableReranking = false, queryTopK = 3)
+    val res = KbPipeline.query(spark, corpus, embeddings, "household pets", cfg)
+    assert(res.hits.count() == 3)
+    assert(res.hits.columns.contains("score"))
+  }
+
+  test("category filter restricts hits (array_contains, not LIKE)") {
+    val tagged = corpus.withColumn("categories",
+      when(col("doc_id") <= 2, array(lit("tech"), lit("spark")))
+        .otherwise(array(lit("animals"))))
+    val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5)
+    val res = KbPipeline.query(spark, tagged, embeddings,
+      "spark", cfg, categoryFilter = Seq("animals"))
+    val ids = res.hits.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(Set(3L, 4L, 5L)), s"category filter leaked: $ids")
+  }
+
+  test("database verb produces the canonical chunk schema") {
+    val docs = Seq((1L, (1 to 300).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val out = KbPipeline.database(docs, KbConfig(dbMaxTokens = 100))
+    assert(out.columns.toSet.contains("embedtext"))
+    assert(out.columns.toSet.contains("bm25_tokens"))
+    assert(out.count() > 1) // 300 tokens / (100-25) step -> several chunks
+  }
+}

@@ -1,0 +1,70 @@
+package graft.query
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EnhancementRerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def enhance1(s: String): String =
+    Seq(s).toDF("q").select(Enhancement.enhance(col("q"))).as[String].first()
+
+  test("normalization collapses whitespace and punctuation runs") {
+    assert(enhance1("what   is   happening??") == "what is happening")
+    assert(enhance1("stop!!! now,,, please") == "stop now please")
+  }
+
+  test("repeated-letter heuristic: goooood -> good survives tokenization") {
+    assert(enhance1("goooood results") == "good results")
+    assert(enhance1("soooo sloooow") == "soo sloow") // collapse to 2, not 1
+  }
+
+  test("synonym expansion emits (word OR syn...) only for dictionary words >= 4 chars") {
+    assert(enhance1("fast join") == "(fast OR quick OR rapid) (join OR merge OR combine)")
+    assert(enhance1("the cat ran") == "the cat ran") // <4 chars / stopwords untouched
+  }
+
+  test("rerankHead reorders only the head, tail keeps original order") {
+    val hits = Seq(
+      (1L, 10.0, "zz yy xx"),          // rank 1, no query overlap
+      (2L, 9.0, "alpha beta gamma"),   // rank 2, full overlap
+      (3L, 8.0, "alpha beta zz"),      // rank 3, partial overlap
+      (4L, 7.0, "unrelated words"),    // rank 4 -> tail, stays 4th
+      (5L, 6.0, "alpha beta gamma")    // rank 5 -> tail, stays 5th
+    ).toDF("doc_id", "score", "text")
+    val out = Rerank.rerankHead(hits, "score", topK = 3,
+        Rerank.lexicalScore("alpha beta gamma", col("text")))
+      .select("doc_id", "final_rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    // head {1,2,3} reordered by overlap: 2 (1.0), 3 (0.5), 1 (0.0); tail 4, 5 appended
+    assert(out == Seq(2L, 3L, 1L, 4L, 5L))
+  }
+
+  test("KbConfig: ini parsing and env precedence") {
+    import graft.config.KbConfig
+    val ini = """
+      |[DEFAULT]
+      |query_top_k = 10
+      |# comment
+      |vector_dimensions = 32
+      |[ALGORITHMS]
+      |enable_reranking = false
+      |""".stripMargin
+    val c = KbConfig.load(ini, env = Map.empty)
+    assert(c.queryTopK == 10 && c.vectorDimensions == 32 && !c.enableReranking)
+    val c2 = KbConfig.load(ini, env = Map("GRAFT_QUERY_TOP_K" -> "99"))
+    assert(c2.queryTopK == 99, "env must beat file")
+    assert(KbConfig.load("", Map.empty).queryTopK == 50, "defaults")
+  }
+
+  test("deterministic embedder: column expression == mapPartitions provider") {
+    import graft.embed.Embedder
+    val df = Seq("hello world", "spark engine", "").toDF("text")
+    val viaExpr = df.select(Embedder.deterministicEmbed(col("text"), 8).as("v"))
+      .as[Seq[Float]].collect()
+    val viaProvider = Embedder.Deterministic(8)
+      .embedBatch(Seq("hello world", "spark engine", "")).map(_.toSeq)
+    assert(viaExpr.map(_.toList).toSeq == viaProvider.map(_.toList))
+    assert(viaExpr.forall(v => v.forall(x => x >= -1.0f && x <= 1.0f)))
+  }
+}
