@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs ++
       graft.queries.KbQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.EngineQueries.defs
+      graft.queries.EngineQueries.defs ++
+      graft.queries.CategorizeQueries.defs
 
   /** Flagship: the full §3.1 retrieval lifecycle (enhance → embed → hybrid
     * vector+BM25 → RRF → rerank → final hits) on sf=0.001; driver
