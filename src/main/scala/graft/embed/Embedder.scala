@@ -127,4 +127,30 @@ object Embedder {
     */
   def probeDims(provider: Provider): Int =
     provider.embedBatch(Seq("dimension probe")).head.length
+
+  /** M3 retry with exponential backoff + jitter
+    * (`/root/reference/embedding/embed_manager.py:296-333`: backoff
+    * min(tries², 30s) + proportional jitter). Wraps any provider; runs
+    * INSIDE the executor task, complementing Spark's own task-level retry.
+    * Jitter is seeded per batch so retries are deterministic in tests.
+    */
+  final case class Retrying(inner: Provider, maxRetries: Int = 20,
+                            sleeper: Long => Unit = Thread.sleep) extends Provider {
+    def model: String = inner.model
+    def dims: Int = inner.dims
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      var tries = 0
+      while (true) {
+        try return inner.embedBatch(texts)
+        catch {
+          case e: Exception if tries < maxRetries =>
+            tries += 1
+            val base = math.min(tries.toLong * tries, 30L) * 1000
+            val jitter = (base * 0.1 * ((texts.hashCode.abs % 100) / 100.0)).toLong
+            sleeper(base + jitter)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-rest layout for KB tables (SURVEY §4 — the Spark analogue of the
+  * reference's covering/composite SQLite indexes,
+  * `/root/reference/database/index_manager.py:20-30,149-190`).
+  *
+  *  - '''Chunks''': bucketed by `sourcedoc`, sorted by `(sourcedoc, sid)`.
+  *    The context-window join (J2/W2) then needs NO shuffle of the chunk
+  *    table — bucket-local hash join against the broadcast hit set, with
+  *    sid runs physically contiguous (the covering-index effect).
+  *  - '''Embeddings''': partitioned by `cluster_id` (IVF assignment). A
+  *    query probing nprobe clusters prunes partitions at the file level —
+  *    the scan reads nprobe/ncentroids of the bytes.
+  *  - '''Query log''' (S9, `/root/reference/query/processing.py:134-146`):
+  *    append-only parquet.
+  */
+object KbStorage {
+
+  /** Write the chunk table bucketed for context-join locality. Bucketing
+    * requires the table catalog (`saveAsTable`); plain parquet paths lose
+    * bucket metadata.
+    */
+  def writeChunks(chunks: DataFrame, table: String, buckets: Int = 32): Unit =
+    chunks.write.mode("overwrite")
+      .bucketBy(buckets, "sourcedoc")
+      .sortBy("sourcedoc", "sid")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write embeddings partitioned by IVF cluster for partition-pruned ANN
+    * probes.
+    */
+  def writeEmbeddingsIvf(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite")
+      .partitionBy("cluster_id")
+      .parquet(path)
+
+  /** Read the pruned probe set: only the nprobe cluster partitions are
+    * scanned (PartitionFilters in the plan — verified in KbStorageSpec).
+    */
+  def readProbeClusters(spark: SparkSession, path: String, clusters: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("cluster_id").isin(clusters: _*))
+
+  /** S9 query-log sink: append one row per answered query. */
+  def logQuery(spark: SparkSession, path: String, kb: String, query: String,
+               answer: String, latencyMs: Long): Unit = {
+    import spark.implicits._
+    Seq((java.time.Instant.now().toString, kb, query, answer, latencyMs))
+      .toDF("ts", "kb", "query", "answer", "latency_ms")
+      .write.mode("append").parquet(path)
+  }
+
+  /** S11 context-file source (`/root/reference/query/processing.py:30-52`):
+    * small files read driver-side, prepended verbatim to the prompt context.
+    */
+  def readContextFiles(paths: Seq[String]): String =
+    paths.flatMap { p =>
+      val f = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isReadable(f))
+        Some(new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    }.mkString("\n\n")
+
+  /** S10 encoding-converter job (`/root/reference/utils/encoding_converter
+    * .py`): batch-convert a directory of possibly-legacy-encoded text files
+    * to UTF-8 under `outDir` (inputs immutable — no in-place rewrite).
+    */
+  def convertEncoding(spark: SparkSession, glob: String, outDir: String): Long = {
+    val decoded = graft.ingest.Ingest.scanFiles(spark, glob)
+      .select(col("path"), graft.ingest.Ingest.decodeText(col("content")).as("text"))
+      .collect() // tool-scale job: file list fits the driver by definition
+    decoded.foreach { r =>
+      val name = r.getString(0).split("/").last
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, name),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    decoded.length.toLong
+  }
+}

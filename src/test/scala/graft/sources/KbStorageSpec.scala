@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class KbStorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks = (0 until 200).map { i =>
+    (s"doc${i % 10}", i / 10, s"chunk text number $i")
+  }.toDF("sourcedoc", "sid", "text")
+
+  test("context join: chunk side streams straight from the scan (no shuffle)") {
+    spark.sql("DROP TABLE IF EXISTS chunks_bucketed")
+    KbStorage.writeChunks(chunks, "chunks_bucketed", buckets = 4)
+    val stored = spark.table("chunks_bucketed")
+    val hits = Seq(("doc3", 5), ("doc7", 2)).toDF("sourcedoc", "sid")
+    val joined = graft.operators.ContextWindow.expand(stored, hits, scope = 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the chunk FileScan must feed the join directly (Filter only) — any
+    // Exchange belongs to the tiny broadcast-build (hit) side
+    val probeSide = plan.split("BroadcastExchange").head
+    assert(!probeSide.contains("Exchange"),
+      s"chunk side shuffled:\n${plan.take(1200)}")
+    assert(joined.count() == 10) // 2 hits x 5-row window
+  }
+
+  test("bucketed co-located join: large-large join on sourcedoc needs NO Exchange") {
+    spark.sql("DROP TABLE IF EXISTS chunks_bucketed2")
+    KbStorage.writeChunks(chunks, "chunks_bucketed2", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val a = spark.table("chunks_bucketed2")
+      val b = spark.table("chunks_bucketed2")
+        .groupBy("sourcedoc").agg(count(lit(1)).as("n"))
+      val joined = a.join(b, "sourcedoc")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"bucket metadata unused:\n${plan.take(1500)}")
+      assert(joined.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF-partitioned embeddings: probe scan prunes partitions") {
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/emb"
+    val rnd = new scala.util.Random(3)
+    val assigned = (1L to 100L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "cluster_id")
+    KbStorage.writeEmbeddingsIvf(assigned, dir)
+    val probed = KbStorage.readProbeClusters(spark, dir, Seq(1, 3))
+    assert(probed.count() == 40)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"no partition pruning in:\n${plan.take(800)}")
+    // file-level check: only the probed cluster directories are listed
+    val scanned = probed.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scanned.forall(f => f.contains("cluster_id=1") || f.contains("cluster_id=3")),
+      "scan touched non-probed cluster files")
+  }
+
+  test("query log appends rows; context files concatenate") {
+    val dir = Files.createTempDirectory("graft_log").toString + "/log"
+    KbStorage.logQuery(spark, dir, "kb1", "q?", "a.", 12L)
+    KbStorage.logQuery(spark, dir, "kb1", "q2?", "a2.", 7L)
+    val log = spark.read.parquet(dir)
+    assert(log.count() == 2)
+    assert(log.columns.toSet == Set("ts", "kb", "query", "answer", "latency_ms"))
+
+    val f1 = Files.createTempFile("ctx1", ".txt")
+    Files.write(f1, "alpha".getBytes)
+    val got = KbStorage.readContextFiles(Seq(f1.toString, "/nonexistent/file.txt"))
+    assert(got == "alpha")
+  }
+
+  test("encoding converter rewrites legacy files as UTF-8") {
+    val in = Files.createTempDirectory("graft_conv_in").toString
+    val out = Files.createTempDirectory("graft_conv_out").toString
+    Files.write(java.nio.file.Paths.get(in, "legacy.txt"),
+      "café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val n = KbStorage.convertEncoding(spark, s"$in/*", out)
+    assert(n == 1)
+    val rewritten = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(out, "legacy.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(rewritten == "café")
+  }
+
+  test("Retrying provider: backs off then succeeds; deterministic jitter") {
+    import graft.embed.Embedder
+    var calls = 0
+    val flaky = new Embedder.Provider {
+      val model = "flaky"; val dims = 4
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException("transient")
+        Embedder.Deterministic(4).embedBatch(texts)
+      }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val got = Embedder.Retrying(flaky, maxRetries = 5, sleeper = sleeps.append(_))
+      .embedBatch(Seq("x"))
+    assert(calls == 3 && got.head.length == 4)
+    assert(sleeps.size == 2 && sleeps(0) < sleeps(1), s"backoff must grow: $sleeps")
+  }
+}
