@@ -26,6 +26,9 @@ object KbPipeline {
     graft.ingest.Chunker.chunkDocuments(docs, "doc_id", "text",
         chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
       .withColumn("embedtext", TextFunctions.cleanText(col("chunk_text")))
+      // P6: drop chunks whose cleaned text is empty
+      // (/root/reference/database/db_manager.py:630-633)
+      .filter(length(col("embedtext")) > 0)
       .withColumn("bm25_tokens", TextFunctions.tokenizeBm25(col("chunk_text")))
       .withColumn("doc_length", size(array_distinct(col("bm25_tokens"))))
       .withColumn("language", TextFunctions.languageId(

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** The extension-registered SQL functions must equal the Column API — one
+  * engine, two surfaces.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val sqlSession: SparkSession = {
+    // a sibling session on the same SparkContext, built WITH the extensions
+    // (the shared test session predates them)
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("graft_cosine / graft_dot are callable from pure SQL and match the Column API") {
+    val row = sqlSession.sql(
+      """SELECT graft_cosine(cast(array(1.0, 0.0) as array<float>),
+        |                    cast(array(1.0, 0.0) as array<float>)) AS c,
+        |       graft_dot(cast(array(1.0, 2.0) as array<float>),
+        |                 cast(array(3.0, 4.0) as array<float>)) AS d""".stripMargin)
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) == 11.0)
+  }
+
+  test("graft_polyhash / graft_simhash60 / graft_minhash_sig from SQL") {
+    val row = sqlSession.sql(
+      """SELECT graft_polyhash('hello') AS h,
+        |       graft_simhash60(array('hello', 'world')) AS s,
+        |       graft_minhash_sig(array('a','b','c','d','e'), 3, 4) AS m""".stripMargin)
+      .collect().head
+    // cross-check against direct helpers
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(row.getLong(0) == HashAlgos.polyHash(UTF8String.fromString("hello"), 31L))
+    assert(row.getLong(1) != 0L)
+    assert(row.getSeq[Long](2).length == 4)
+  }
+
+  test("unknown-typed input fails analysis with the expression name") {
+    val e = intercept[Exception] {
+      sqlSession.sql("SELECT graft_cosine(1, 2)").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"))
+  }
+}
