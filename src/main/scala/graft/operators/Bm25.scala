@@ -57,6 +57,50 @@ object Bm25 {
     idf * (tf * (K1 + 1.0)) /
       (tf + lit(K1) * (lit(1.0 - B) + lit(B) * docLen.cast("double") / avgdl))
 
+  /** The prebuilt BM25 index (S8): postings + lengths + idf + corpus
+    * stats. The reference persists this as NPZ and loads it per query
+    * (`/root/reference/embedding/bm25_manager.py:115-211`); here the
+    * DataFrames are persisted (memory/disk) and — at cluster scale —
+    * written as parquet bucketed by `term`.
+    */
+  final case class Index(postings: DataFrame, lengths: DataFrame,
+                         idf: DataFrame, stats: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 persist: Boolean = false): Index = {
+    val post = postings(docs, idCol, textCol)
+    val p = if (persist) post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else post
+    val lens = docLengths(p)
+    val l = if (persist) lens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else lens
+    val idfDf = idf(p, docs.count())
+    val i = if (persist) idfDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else idfDf
+    val stats = l.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+    Index(p, l, i, stats)
+  }
+
+  /** Memoized per-corpus index — the "load the persisted index" path the
+    * reference takes on every query. Keyed by corpus identity (sf dir).
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  def cachedIndex(key: String, docs: => DataFrame, idCol: String, textCol: String): Index =
+    indexCache.computeIfAbsent(key, _ => buildIndex(docs, idCol, textCol, persist = true))
+
+  /** Score a single query string against a prebuilt index. */
+  def scoreWithIndex(ix: Index, spark: org.apache.spark.sql.SparkSession,
+                     query: String): DataFrame = {
+    val qTerms = TextFunctions.tokenizeBm25(lit(query))
+    val qDf = spark.range(1).select(explode(qTerms).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("qtf"))
+    val qStats = ix.idf.select("term", "idf").join(broadcast(qDf), "term")
+    ix.postings
+      .join(broadcast(qStats), "term")                 // prune to query terms
+      .join(ix.lengths, "doc_id")
+      .crossJoin(broadcast(ix.stats))
+      .groupBy("doc_id")
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"))).as("score"))
+      .filter(col("score") > 0)
+  }
+
   /** Score a single query string against a corpus; returns
     * `(doc_id, score)` for docs with positive score (P4 filter,
     * `/root/reference/embedding/bm25_manager.py:298,316`).

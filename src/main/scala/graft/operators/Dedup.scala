@@ -89,9 +89,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.shingles(
-        TextFunctions.tokenize(col(textCol)), shingleN))).as("shingle"))
+    // only CANDIDATE docs get re-shingled — at scale candidates ≪ corpus,
+    // so the expensive explode runs on the small semi-joined subset
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+    val sh = docs.join(candDocs, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(
+          TextFunctions.tokenize(col(textCol)), shingleN))).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -52,7 +52,8 @@ object KbPipeline {
     */
   def query(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
             queryText: String, cfg: KbConfig = KbConfig(),
-            categoryFilter: Seq[String] = Nil): QueryResult = {
+            categoryFilter: Seq[String] = Nil,
+            bm25Index: Option[Bm25.Index] = None): QueryResult = {
 
     // 1. enhancement (F6-F8) — one-row DataFrame pass, stays on driver
     val enhanced = spark.range(1).select(Enhancement.enhance(lit(queryText)).as("q"))
@@ -71,8 +72,11 @@ object KbPipeline {
     //     low-memory tier does the same, README.md:454-459)
     val hits0 =
       if (cfg.enableHybridSearch) {
-        val ktop = Bm25.topK(
-          Bm25.scoreQuery(chunks, "doc_id", "text", enhanced), cfg.queryTopK)
+        val scored = bm25Index match {
+          case Some(ix) => Bm25.scoreWithIndex(ix, spark, enhanced)
+          case None     => Bm25.scoreQuery(chunks, "doc_id", "text", enhanced)
+        }
+        val ktop = Bm25.topK(scored, cfg.queryTopK)
         Fusion.rrf(Seq(vtop, ktop)).withColumnRenamed("rrf_score", "score")
       } else vtop
 

@@ -132,7 +132,7 @@ object EngineQueries {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(50)
       val ktop = Bm25.topK(
-        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+        Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
           .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
       Fusion.weighted(vtop, ktop, 0.7)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -223,7 +223,7 @@ object EngineQueries {
          |FROM unioned ORDER BY final_rank""".stripMargin
     }) { (s, dir) =>
       val ktop = Bm25.topK(
-        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+        Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
           .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
       val withText = ktop.join(
         Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
@@ -248,7 +248,8 @@ object EngineQueries {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.query(s, chunks, emb,
-        "fast spark join and filter queries").hits
+        "fast spark join and filter queries",
+        bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"))).hits
     },
 
     // ── S3: file-type detection from filename (synthetic extensions) ──────

@@ -113,7 +113,7 @@ object KbQueries {
     QueryDef.sql("a2_bm25_scores",
       s"""$bm25Cte
          |SELECT doc_id, round(score, 4) AS score FROM bm25 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+      Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy("doc_id")
     },
@@ -124,7 +124,7 @@ object KbQueries {
          |SELECT doc_id, round(score, 4) AS score FROM bm25
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       Bm25.topK(
-        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+        Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
           .select(col("doc_id"), round(col("score"), 4).as("score")), 20)
     },
 
@@ -170,7 +170,7 @@ object KbQueries {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(50)
       val ktop = Bm25.topK(
-        Bm25.scoreQuery(Tables.documents(s, dir), "doc_id", "text", QueryText)
+        Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
           .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
       Fusion.rrf(Seq(vtop, ktop))
         .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
