@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-group top-k as a typed Aggregator (SURVEY §2.10: "a per-partition
+  * top-k Aggregator is an optimization option for T1").
+  *
+  * The window-function formulation of batched k-NN
+  * ([[VectorSearch.bruteTopKBatch]]) shuffles EVERY scored (query, doc) row
+  * to rank it: corpus×queries rows through the exchange. This Aggregator
+  * keeps a bounded sorted buffer per partition (Spark runs it as a partial
+  * aggregate with map-side combine), so only k rows PER PARTITION per query
+  * reach the shuffle — at 10⁹ corpus rows × 100 queries × k=50 that is the
+  * difference between shuffling 10¹¹ rows and shuffling
+  * partitions × 100 × 50.
+  *
+  * Determinism: buffer order is (score desc, doc_id asc), insertion and
+  * merge preserve it, merge is commutative/associative → identical output
+  * to the `row_number` window for any partitioning.
+  */
+final case class ScoredDoc(doc_id: Long, score: Double)
+final case class TopKBuf(items: Seq[ScoredDoc])
+
+class TopKAggregator(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
+
+  private def better(a: ScoredDoc, b: ScoredDoc): Boolean =
+    a.score > b.score || (a.score == b.score && a.doc_id < b.doc_id)
+
+  private def insert(b: TopKBuf, in: ScoredDoc): TopKBuf =
+    if (b.items.length >= k && better(b.items.last, in)) b // bounded: fast reject
+    else {
+      val (before, after) = b.items.span(it => better(it, in))
+      TopKBuf(((before :+ in) ++ after).take(k))
+    }
+
+  override def zero: TopKBuf = TopKBuf(Vector.empty)
+  override def reduce(b: TopKBuf, in: ScoredDoc): TopKBuf = insert(b, in)
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = y.items.foldLeft(x)(insert)
+  override def finish(b: TopKBuf): TopKBuf = b
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
+
+object TopK {
+
+  /** Column function: `topK(k)(doc_id, score)` usable in `groupBy().agg`. */
+  def topK(k: Int): (Column, Column) => Column = { (docId, score) =>
+    udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])(docId, score)
+  }
+
+  /** Explode an aggregated top-k struct back to (rank, doc_id, score) rows. */
+  def explodeRanked(grouped: DataFrame, tkCol: String, keep: Seq[String]): DataFrame =
+    grouped
+      .select(keep.map(col) :+ posexplode(col(s"$tkCol.items")): _*)
+      .select(keep.map(col) ++ Seq(
+        col("col.doc_id").as("doc_id"),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+}

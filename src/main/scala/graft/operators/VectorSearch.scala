@@ -55,6 +55,23 @@ object VectorSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Batched exact top-k via the bounded [[TopKAggregator]] — same results
+    * as [[bruteTopKBatch]], but only k rows per partition per query reach
+    * the shuffle (map-side combine) instead of every scored pair. The
+    * preferred form at large corpus × many queries.
+    */
+  def bruteTopKBatchAgg(embeddings: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qidCol: String, qvecCol: String,
+                        k: Int): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(queries))
+      .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
+        cosine(col(vecCol), col(qvecCol)).as("score"))
+    TopK.explodeRanked(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("doc_id"), col("score")).as("tk")),
+      "tk", Seq("query_id"))
+  }
+
   /** IVF-style index: centroids + cluster assignment.
     *
     * @param assigned  embeddings with an extra `cluster_id` column — write

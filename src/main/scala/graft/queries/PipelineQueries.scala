@@ -203,6 +203,43 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── Batched k-NN via the bounded TopKAggregator (same oracle) ─────────
+    QueryDef.sql("sim_knn_batch_agg",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (0, 100, 200, 300, 400)),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |         ${cosineSql("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e CROSS JOIN q),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.VectorSearch.bruteTopKBatchAgg(
+          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ── IVF cluster-pruned ANN (approximate → rows-only; recall asserted in
+    //    VectorSearchSpec against the exact scan) ───────────────────────────
+    QueryDef.rowsOnly("sim_knn_ivf") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val ix = graft.operators.VectorSearch.buildIvf(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      graft.operators.VectorSearch.ivfTopK(ix, qv, k = 20, nprobe = 2)
+    },
+
     // ── Text analysis: token counting (F4) ────────────────────────────────
     QueryDef.sql("f4_token_counts",
       s"""SELECT doc_id,

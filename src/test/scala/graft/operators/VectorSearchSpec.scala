@@ -42,6 +42,25 @@ class VectorSearchSpec extends SparkSpec {
     assert(got(2L) == want(q2))
   }
 
+  test("TopKAggregator batch kNN == window-function batch kNN, with partial aggregation") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val q2 = randVec(rnd, 32)
+    val queries = Seq((1L, query), (2L, q2)).toDF("query_id", "qvec")
+    val viaAgg = VectorSearch.bruteTopKBatchAgg(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", 7)
+      .select("query_id", "rank", "doc_id").as[(Long, Int, Long)].collect().toSet
+    val viaWindow = VectorSearch.bruteTopKBatch(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", 7)
+      .select("query_id", "rank", "doc_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // the plan must do partial (map-side) aggregation — only k rows per
+    // partition reach the shuffle
+    val plan = VectorSearch.bruteTopKBatchAgg(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", 7).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkaggregator") ||
+      plan.toLowerCase.contains("partial"), plan.take(1000))
+  }
+
   test("IVF with all clusters probed is exact; fewer probes trade recall") {
     val emb = corpus.toDF("vec_id", "embedding")
     val index = VectorSearch.buildIvf(emb, "vec_id", "embedding", nCentroids = 4)
