@@ -334,6 +334,62 @@ object PipelineQueries {
         .orderBy("hour_us", "event_type")
     },
 
+    // ── Streaming sliding windows (10 min / 5 min) — batch-equivalent of
+    //    StreamingIngest.windowedEventCounts; watermark semantics in
+    //    StreamingIngestSpec ─────────────────────────────────────────────────
+    QueryDef.sql("stream_sliding_window",
+      """WITH w AS (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+        |                 time_bucket(INTERVAL '5 minutes', ts)]) AS win_start,
+        |         event_type
+        |  FROM events)
+        |SELECT epoch_us(win_start)::BIGINT AS win_start_us, event_type,
+        |       count(*)::BIGINT AS n
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingIngest
+        .windowedEventCounts(ev, "tsx", "10 minutes", "5 minutes")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("win_start_us", "event_type")
+    },
+
+    // ── F10/F11: L2 distance kNN with 1/(1+d) similarity transform ────────
+    QueryDef.sql("f10_l2_knn", {
+      val l2Sql =
+        """sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          | list_transform(list_zip(embedding, (SELECT v FROM qv)),
+          |                p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))),
+          | (acc, x) -> acc + x))""".stripMargin.replaceAll("\n", "")
+      s"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT vec_id AS doc_id, $l2Sql AS dist FROM embeddings)
+         |SELECT doc_id, round(dist, 6) AS dist,
+         |       round(1.0 / (1.0 + dist), 6) AS sim
+         |FROM d ORDER BY round(dist, 6) ASC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val dist = sqrt(VectorFunctions.l2Sq(col("embedding"),
+        VectorFunctions.vecLit(qv)))
+      emb.select(col("vec_id").as("doc_id"), dist.as("dist"))
+        .select(col("doc_id"), round(col("dist"), 6).as("dist"),
+          round(VectorFunctions.l2ToSimilarity(col("dist")), 6).as("sim"))
+        .orderBy(round(col("dist"), 6).asc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ── Multimodal frame sampling (video→frames shape; \G-regex split has
+    //    no RE2 oracle → rows-only; decode parity is ⊕ mm_features) ─────────
+    QueryDef.rowsOnly("mm_frames") { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    },
+
     // ── Multimodal plumbing: binary columns + per-partition decode stub ───
     QueryDef.sql("mm_features",
       s"""WITH m AS (
