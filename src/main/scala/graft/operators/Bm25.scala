@@ -139,4 +139,25 @@ object Bm25 {
     */
   def topK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** BATCHED scoring: a whole DataFrame of queries `(query_id, qtext)`
+    * against one index in ONE DAG — the throughput regime the reference
+    * cannot express (it loops queries through an in-process dense scorer).
+    * The broadcast side is (query terms ⋈ idf): tiny. One shuffle on
+    * (query_id, doc_id) with map-side partial sums.
+    */
+  def scoreBatch(ix: Index, queries: DataFrame,
+                 qidCol: String, qtextCol: String): DataFrame = {
+    val qTerms = queries.select(col(qidCol).as("query_id"),
+        explode(TextFunctions.tokenizeBm25(col(qtextCol))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    val qStats = qTerms.join(ix.idf.select("term", "idf"), "term")
+    ix.postings
+      .join(broadcast(qStats), "term")
+      .join(ix.lengths, "doc_id")
+      .crossJoin(broadcast(ix.stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"))).as("score"))
+      .filter(col("score") > 0)
+  }
 }

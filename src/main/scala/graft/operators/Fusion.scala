@@ -40,6 +40,22 @@ object Fusion {
       .agg(sum("contrib").as("rrf_score"))
   }
 
+  /** Batched RRF: every input carries `(query_id, doc_id, score)`; ranks
+    * are per-query windows (`partitionBy(query_id)`) so nothing is a global
+    * sort — the batch variant of [[rrf]] for the many-queries regime.
+    */
+  def rrfBatch(lists: Seq[DataFrame], k: Int = RrfK): DataFrame = {
+    val contribs = lists.map { df =>
+      df.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .select(col("query_id"), col("doc_id"),
+          (lit(1.0) / (lit(k.toDouble) + col("rank"))).as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_score"))
+  }
+
   /** Legacy weighted fusion (`/root/reference/query/search.py:350-411`):
     * max-normalize each list's scores (A7), full-outer merge on doc_id,
     * weighted sum with missing scores as 0.

@@ -73,6 +73,37 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.scoreQuery(docs, "doc_id", "text", "").count() == 0)
   }
 
+  test("scoreBatch == N independent scoreQuery runs") {
+    val docs = corpus.toDF("doc_id", "text")
+    val ix = Bm25.buildIndex(docs, "doc_id", "text")
+    val queries = Seq((1L, "quick fox"), (2L, "spark catalyst"), (3L, "lorem ipsum"))
+    val batch = Bm25.scoreBatch(ix, queries.toDF("query_id", "qtext"), "query_id", "qtext")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val singles = queries.flatMap { case (qid, q) =>
+      Bm25.scoreQuery(docs, "doc_id", "text", q)
+        .collect().map(r => (qid, r.getLong(0)) -> r.getDouble(1))
+    }.toMap
+    assert(batch.keySet == singles.keySet)
+    batch.foreach { case (k, v) => assert(math.abs(v - singles(k)) < 1e-9, s"$k") }
+  }
+
+  test("rrfBatch == per-query rrf") {
+    import org.apache.spark.sql.functions.lit
+    val a = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 12L, 0.7)).toDF("query_id", "doc_id", "score")
+    val b = Seq((1L, 11L, 5.0), (2L, 12L, 4.0), (2L, 13L, 3.0)).toDF("query_id", "doc_id", "score")
+    val batch = Fusion.rrfBatch(Seq(a, b))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Seq(1L, 2L).foreach { qid =>
+      val single = Fusion.rrf(Seq(
+          a.filter(col("query_id") === qid).drop("query_id"),
+          b.filter(col("query_id") === qid).drop("query_id")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      single.foreach { case (d, s) =>
+        assert(math.abs(batch((qid, d)) - s) < 1e-12, s"q$qid doc$d")
+      }
+    }
+  }
+
   test("topK returns k best with deterministic tie-break") {
     val docs = corpus.toDF("doc_id", "text")
     val top2 = Bm25.topK(Bm25.scoreQuery(docs, "doc_id", "text", "quick fox"), 2)
