@@ -186,5 +186,49 @@ object RelationalQueries {
           .select(col("c_custkey").as("custkey")))
         .distinct()
         .orderBy("custkey")
+    },
+
+    // ── U: intersect / except (SURVEY §2.7 "built-in if needed") ──────────
+    QueryDef.sql("u3_intersect_except",
+      """WITH big_orders AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+        |rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000),
+        |in_both AS (SELECT custkey FROM big_orders INTERSECT SELECT custkey FROM rich),
+        |only_rich AS (SELECT custkey FROM rich EXCEPT SELECT custkey FROM big_orders)
+        |SELECT 'both' AS grp, custkey FROM in_both
+        |UNION ALL
+        |SELECT 'only_rich' AS grp, custkey FROM only_rich
+        |ORDER BY grp, custkey""".stripMargin) { (s, dir) =>
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      bigOrders.intersect(rich).withColumn("grp", lit("both"))
+        .unionByName(rich.except(bigOrders).withColumn("grp", lit("only_rich")))
+        .select("grp", "custkey")
+        .orderBy("grp", "custkey")
+    },
+
+    // ── A: rollup (multi-level aggregation; SURVEY §2.4 "built-in") ───────
+    QueryDef.sql("a8_rollup_revenue",
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       round(sum(c_acctbal), 2) AS balance,
+        |       count(*)::BIGINT AS customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum("c_acctbal"), 2).as("balance"),
+          count(lit(1)).as("customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("balance"), col("customers"))
+        .orderBy("region", "nation")
     })
 }
