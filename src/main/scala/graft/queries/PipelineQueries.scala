@@ -356,6 +356,58 @@ object PipelineQueries {
         .orderBy("win_start_us", "event_type")
     },
 
+    // ── Session windows: per-user sessions with 30-min inactivity gap ─────
+    // Spark's session_window (stateful in streaming, same semantics in
+    // batch) vs a lag/cumsum sessionization oracle.
+    QueryDef.sql("stream_session_window",
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM events WHERE user_id < 20),
+        |lagged AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM e),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM lagged),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start_us,
+        |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(col("user_id"), session_window(col("tsx"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    },
+
+    // ── Exact quantiles (statistical aggregation; both engines use linear
+    //    interpolation on the sorted set) ───────────────────────────────────
+    QueryDef.sql("a6_quantiles",
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")
+    },
+
     // ── F10/F11: L2 distance kNN with 1/(1+d) similarity transform ────────
     QueryDef.sql("f10_l2_knn", {
       val l2Sql =
