@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators (builder prompt: "`KeyValueGrouped
+  * Dataset.mapGroupsWithState`/`flatMapGroupsWithState` for custom state").
+  *
+  * [[runningUserTotals]] keeps one small state record per user and emits the
+  * updated running aggregate every micro-batch — the canonical shape for
+  * streaming feature accumulation (per-source ingest counters, per-user
+  * quality stats, dedup bloom state…). State lives in the checkpointed
+  * state store: exactly-once across restarts, proven in
+  * `StatefulOpsSpec` by killing and restarting the query mid-stream.
+  *
+  * At scale: state is partitioned by the grouping key across executors;
+  * the per-key record must stay O(1) (here: 2 longs + a double) — unbounded
+  * per-key state is the streaming anti-pattern the timeout parameter exists
+  * to cap.
+  */
+object StatefulOps {
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def updateUser(userId: Long, events: Iterator[UserEvent],
+                 state: GroupState[UserTotals]): UserTotals = {
+    val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+    var n = prev.n_events
+    var s = prev.sum_value
+    events.foreach { e => n += 1; s += e.value }
+    val next = UserTotals(userId, n, s)
+    state.update(next)
+    next
+  }
+
+  /** Running (n_events, sum_value) per user over a stream of
+    * `(user_id, value)` rows. Works on a batch Dataset too (groupByKey +
+    * mapGroups degenerate), but the point is the streaming state store.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout())(updateUser)
+  }
+
+  /** Start the stateful query: update-mode rows appended to parquet via
+    * foreachBatch (the memory sink cannot recover from a checkpoint; a
+    * foreachBatch sink can — each micro-batch appends its updated keys).
+    */
+  def startRunningTotals(events: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    runningUserTotals(events.as[UserEvent]).writeStream
+      .foreachBatch { (batch: Dataset[UserTotals], batchId: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+}
