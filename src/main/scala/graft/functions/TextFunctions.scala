@@ -67,6 +67,29 @@ object TextFunctions {
     filter(noShort, t => !array_contains(lit(EnglishStopwords.toArray), t))
   }
 
+  /** F2 `enhanced_clean_text` (`/root/reference/utils/text_utils.py:
+    * 105-186`): preserve URLs and emails, lowercase, strip HTML, keep
+    * sentence punctuation `.!?:;-`, filter stopwords. Divergences from the
+    * reference, by design: preserved URLs/emails are appended (in-place
+    * numbered placeholders don't exist in column algebra), and WordNet
+    * lemmatization is a model dependency (plug a lemmatizer UDF between
+    * tokenize and join if needed). RE2-safe regexes → oracle-checkable.
+    */
+  val UrlRegex = "https?://[^\\s]+"
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def enhancedCleanText(c: Column): Column = {
+    val preserved = concat_ws(" ",
+      regexp_extract_all(c, lit(UrlRegex), lit(0)),
+      regexp_extract_all(regexp_replace(c, UrlRegex, " "), lit(EmailRegex), lit(0)))
+    val stripped = regexp_replace(regexp_replace(c, UrlRegex, " "), EmailRegex, " ")
+    val noHtml = regexp_replace(lower(stripped), "<[^>]*>", " ")
+    val kept = regexp_replace(noHtml, "[^a-z0-9.!?:;\\- ]+", " ")
+    val toks = filter(split(kept, "\\s+"), t =>
+      length(t) > 0 && !array_contains(lit(EnglishStopwords.toArray), t))
+    trim(concat_ws(" ", array_join(toks, " "), preserved))
+  }
+
   /** U4 order-preserving token dedup
     * (`/root/reference/utils/text_utils.py:306-314`). Spark's
     * `array_distinct` is order-preserving by spec, matching the reference's

@@ -99,6 +99,17 @@ object VectorSearch {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)), idCol, vecCol)
   }
 
+  /** Memoized IVF index per corpus (the reference loads its FAISS index
+    * once and reuses it across queries; same economics here).
+    */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  def cachedIvf(key: String, embeddings: => DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int): IvfIndex =
+    ivfCache.computeIfAbsent(key, _ => {
+      val ix = buildIvf(embeddings, idCol, vecCol, nCentroids)
+      ix.copy(assigned = ix.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
     * Centroid ranking is driver-side math over ncentroids vectors (tiny —
     * this mirrors FAISS's coarse quantizer step, nprobe default 32 at

@@ -76,6 +76,45 @@ object EngineQueries {
         .orderBy("qid")
     },
 
+    // ── F2: enhanced clean (URL/email preservation + punctuation-keeping) ─
+    QueryDef.sql("f2_enhanced_clean", {
+      val samples = Seq(
+        1 -> "Check https://example.com/page?q=1 for <b>DETAILS</b>; email me@corp.io today!",
+        2 -> "The quick BROWN fox... with numbers 42 & symbols #hash",
+        3 -> "no specials here at all")
+      val vals = samples.map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }.mkString(", ")
+      val urlRe = "https?://[^\\s]+"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val stop = graft.functions.TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH raw(id, txt) AS (VALUES $vals),
+         |pres AS (
+         |  SELECT id, txt,
+         |    trim(coalesce(array_to_string(regexp_extract_all(txt, '$urlRe'), ' '), '') || ' ' ||
+         |         coalesce(array_to_string(regexp_extract_all(regexp_replace(txt, '$urlRe', ' ', 'g'), '$emailRe'), ' '), '')) AS kept_refs,
+         |    regexp_replace(regexp_replace(txt, '$urlRe', ' ', 'g'), '$emailRe', ' ', 'g') AS stripped
+         |  FROM raw),
+         |cleaned AS (
+         |  SELECT id, kept_refs,
+         |    list_filter(string_split_regex(
+         |      regexp_replace(regexp_replace(lower(stripped), '<[^>]*>', ' ', 'g'),
+         |                     '[^a-z0-9.!?:;\\- ]+', ' ', 'g'), '\\s+'),
+         |      t -> len(t) > 0 AND t NOT IN ($stop)) AS toks
+         |  FROM pres)
+         |SELECT id,
+         |       trim(coalesce(array_to_string(toks, ' '), '') || ' ' || kept_refs) AS cleaned
+         |FROM cleaned ORDER BY id""".stripMargin
+    }) { (s, _) =>
+      import s.implicits._
+      Seq(
+        (1, "Check https://example.com/page?q=1 for <b>DETAILS</b>; email me@corp.io today!"),
+        (2, "The quick BROWN fox... with numbers 42 & symbols #hash"),
+        (3, "no specials here at all"))
+        .toDF("id", "txt")
+        .select(col("id"),
+          graft.functions.TextFunctions.enhancedCleanText(col("txt")).as("cleaned"))
+        .orderBy("id")
+    },
+
     // ── M1: deterministic embedding as a column expression ────────────────
     QueryDef.sql("m1_embed_deterministic",
       s"""SELECT doc_id, ${embedSql("text", 8)} AS vec

@@ -235,7 +235,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
-      val ix = graft.operators.VectorSearch.buildIvf(emb, "vec_id", "embedding",
+      val ix = graft.operators.VectorSearch.cachedIvf(dir, emb, "vec_id", "embedding",
         nCentroids = 8)
       graft.operators.VectorSearch.ivfTopK(ix, qv, k = 20, nprobe = 2)
     },

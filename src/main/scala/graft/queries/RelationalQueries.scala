@@ -209,6 +209,24 @@ object RelationalQueries {
         .orderBy("grp", "custkey")
     },
 
+    // ── Correlated scalar subquery (Catalyst decorrelation; SURVEY §4
+    //    "constant folding / join reorder / subquery decorrelation built-
+    //    in") — served through spark.sql to exercise the SQL surface ───────
+    QueryDef.sql("p9_correlated_subquery",
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey) * 1.5
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+          |FROM customer_v c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey) * 1.5
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // ── A: rollup (multi-level aggregation; SURVEY §2.4 "built-in") ───────
     QueryDef.sql("a8_rollup_revenue",
       """SELECT coalesce(r_name, 'ALL') AS region,
