@@ -24,6 +24,7 @@ final case class KbConfig(
     similarityThreshold: Double = 0.6,        // models.py:139
     lowSimilarityScopeFactor: Double = 0.5,   // models.py:140
     enableHybridSearch: Boolean = true,
+    fusionMethod: String = "rrf",             // search.py:414-439 (or "weighted")
     vectorWeight: Double = 0.7,               // search.py:350-411
     bm25K1: Double = 1.2,                     // models.py:162
     bm25B: Double = 0.75,                     // models.py:163
@@ -78,6 +79,7 @@ object KbConfig {
       similarityThreshold = f("similarity_threshold", c.similarityThreshold),
       lowSimilarityScopeFactor = f("low_similarity_scope_factor", c.lowSimilarityScopeFactor),
       enableHybridSearch = b("enable_hybrid_search", c.enableHybridSearch),
+      fusionMethod = s("fusion_method", c.fusionMethod),
       vectorWeight = f("vector_weight", c.vectorWeight),
       bm25K1 = f("bm25_k1", c.bm25K1),
       bm25B = f("bm25_b", c.bm25B),

@@ -112,12 +112,16 @@ object Embedder {
   def contentKey(text: Column): Column = sha2(text, 256)
 
   def embedWithCache(df: DataFrame, textCol: String, cache: DataFrame,
-                     provider: Provider): CacheResult = {
+                     provider: Provider, batchSize: Int = 256): CacheResult = {
     val keyed = df.withColumn("content_key", contentKey(col(textCol)))
     val misses = keyed.select("content_key", textCol).dropDuplicates("content_key")
       .join(cache.select("content_key"), Seq("content_key"), "left_anti")
-    val fresh = embedPartitions(misses, textCol, provider)
+    // persist: `fresh` is consumed by BOTH the result join and newCacheRows —
+    // without it each action re-runs the provider (2x API calls/billing, and
+    // divergent vectors if a real provider is not perfectly deterministic)
+    val fresh = embedPartitions(misses, textCol, provider, batchSize)
       .select(col("content_key"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lookup = cache.select("content_key", "embedding").unionByName(fresh)
     CacheResult(keyed.join(lookup, "content_key"), fresh)
   }

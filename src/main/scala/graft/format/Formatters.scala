@@ -16,10 +16,13 @@ import graft.operators.ContextWindow
   */
 object Formatters {
 
-  /** F17 XML escaping (`/root/reference/query/formatters.py:63-95`). */
+  /** F17 XML escaping (`/root/reference/query/formatters.py:63-95`);
+    * includes quote entities — sourcedoc is emitted inside a double-quoted
+    * attribute, and quotes are legal in file paths.
+    */
   def xmlEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;"), "'", "&apos;")
 
   /** Group context rows `(sourcedoc, sid, text, ...)` into consecutive-run
     * blocks: one row per block with the texts joined in sid order.

@@ -36,6 +36,8 @@ object Chunker {
 
   /** Explode a text column into (sid, chunk_text) structs. */
   def chunks(text: Column, chunkSize: Int = DefaultSize, overlap: Int = DefaultOverlap): Column = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"chunkSize ($chunkSize) must exceed overlap ($overlap) >= 0")
     val step = chunkSize - overlap
     // whitespace split, NOT the analysis tokenizer: chunk text must preserve
     // the document's words verbatim (case/accents/CJK), reference parity

@@ -53,9 +53,10 @@ object Bm25 {
         log((lit(corpusSize.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
 
   /** The BM25 per-(doc,term) score expression. */
-  def termScore(tf: Column, docLen: Column, avgdl: Column, idf: Column): Column =
-    idf * (tf * (K1 + 1.0)) /
-      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * docLen.cast("double") / avgdl))
+  def termScore(tf: Column, docLen: Column, avgdl: Column, idf: Column,
+                k1: Double = K1, b: Double = B): Column =
+    idf * (tf * (k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * docLen.cast("double") / avgdl))
 
   /** The prebuilt BM25 index (S8): postings + lengths + idf + corpus
     * stats. The reference persists this as NPZ and loads it per query
@@ -82,12 +83,18 @@ object Bm25 {
     * reference takes on every query. Keyed by corpus identity (sf dir).
     */
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
-  def cachedIndex(key: String, docs: => DataFrame, idCol: String, textCol: String): Index =
-    indexCache.computeIfAbsent(key, _ => buildIndex(docs, idCol, textCol, persist = true))
+  def cachedIndex(key: String, docs: => DataFrame, idCol: String, textCol: String): Index = {
+    // session-qualified key: DataFrames are bound to their SparkSession, so
+    // a cache hit across sessions (multi-session JVMs, test suites) would
+    // hand out plans of a possibly-stopped session
+    val d = docs
+    val k = System.identityHashCode(d.sparkSession) + "|" + key
+    indexCache.computeIfAbsent(k, _ => buildIndex(d, idCol, textCol, persist = true))
+  }
 
   /** Score a single query string against a prebuilt index. */
   def scoreWithIndex(ix: Index, spark: org.apache.spark.sql.SparkSession,
-                     query: String): DataFrame = {
+                     query: String, k1: Double = K1, b: Double = B): DataFrame = {
     val qTerms = TextFunctions.tokenizeBm25(lit(query))
     val qDf = spark.range(1).select(explode(qTerms).as("term"))
       .groupBy("term").agg(count(lit(1)).as("qtf"))
@@ -97,7 +104,7 @@ object Bm25 {
       .join(ix.lengths, "doc_id")
       .crossJoin(broadcast(ix.stats))
       .groupBy("doc_id")
-      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"))).as("score"))
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"), k1, b)).as("score"))
       .filter(col("score") > 0)
   }
 
@@ -110,7 +117,8 @@ object Bm25 {
     * then one groupBy(doc_id) with map-side partial sums. No dense
     * score vector ever exists, unlike the reference.
     */
-  def scoreQuery(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
+  def scoreQuery(docs: DataFrame, idCol: String, textCol: String, query: String,
+                 k1: Double = K1, b: Double = B): DataFrame = {
     val post = postings(docs, idCol, textCol)
     val lens = docLengths(post)
     val n = docs.count()
@@ -130,7 +138,7 @@ object Bm25 {
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
-      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"))).as("score"))
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"), k1, b)).as("score"))
       .filter(col("score") > 0)
   }
 
@@ -147,7 +155,8 @@ object Bm25 {
     * (query_id, doc_id) with map-side partial sums.
     */
   def scoreBatch(ix: Index, queries: DataFrame,
-                 qidCol: String, qtextCol: String): DataFrame = {
+                 qidCol: String, qtextCol: String,
+                 k1: Double = K1, b: Double = B): DataFrame = {
     val qTerms = queries.select(col(qidCol).as("query_id"),
         explode(TextFunctions.tokenizeBm25(col(qtextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
@@ -157,7 +166,7 @@ object Bm25 {
       .join(ix.lengths, "doc_id")
       .crossJoin(broadcast(ix.stats))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"))).as("score"))
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"), k1, b)).as("score"))
       .filter(col("score") > 0)
   }
 }

@@ -33,11 +33,18 @@ object ContextWindow {
     * into an equi-join keeps it hash-joinable (no nested-loop), the same
     * trick as interval-flattening in range-join optimizers.
     */
-  def expand(chunks: DataFrame, hits: DataFrame, scope: Int): DataFrame = {
+  def expand(chunks: DataFrame, hits: DataFrame, scope: Int): DataFrame =
+    expandScoped(chunks, hits.withColumn("_scope", lit(scope)))
+
+  /** [[expand]] with a per-hit `_scope` column — the P5 adaptive form:
+    * `hits.withColumn("_scope", adaptiveScope(col("score"), cfg...))`.
+    */
+  def expandScoped(chunks: DataFrame, hits: DataFrame): DataFrame = {
     val want = hits
-      .select(col("sourcedoc"), col("sid").as("hit_sid"))
+      .select(col("sourcedoc"), col("sid").as("hit_sid"), col("_scope"))
       .withColumn("sid",
-        explode(sequence(greatest(col("hit_sid") - scope, lit(0)), col("hit_sid") + scope)))
+        explode(sequence(greatest(col("hit_sid") - col("_scope"), lit(0)),
+          col("hit_sid") + col("_scope"))))
       .groupBy("sourcedoc", "sid")
       .agg(min("hit_sid").as("hit_sid")) // dedup overlapping windows
     chunks.join(broadcast(want), Seq("sourcedoc", "sid"))

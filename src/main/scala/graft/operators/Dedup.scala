@@ -141,7 +141,12 @@ object Dedup {
     */
   def embeddingDups(embeddings: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val head = embeddings.select(size(col(vecCol))).take(1)
+    if (head.isEmpty) { // empty corpus slice -> empty result, like the other variants
+      import embeddings.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "cos")
+    }
+    val dim = head(0).getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)
     val sigExpr = (0 until numPlanes).map { p =>

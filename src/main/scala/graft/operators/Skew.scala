@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic salt in [0, buckets): hash of the row's `saltBy` columns
-    * — reproducible across retries (no rand(), which would break exactly-
-    * once semantics under task retry).
+    * — reproducible across retries (no rand() and no
+    * monotonically_increasing_id(), both of which change under task retry /
+    * nondeterministic upstream ordering and would double-count or drop rows
+    * in the two-phase aggregation). Callers pass the FULL row content
+    * (all value columns) so equal rows co-locate and distinct rows spread.
     */
   def salt(buckets: Int, saltBy: Column*): Column =
     pmod(hash(saltBy: _*), lit(buckets))
@@ -36,7 +39,7 @@ object Skew {
                 aggs: Map[String, String]): DataFrame = {
     val p1Aggs = aggs.map { case (c, f) => expr(s"$f($c)").as(s"_p_$c") }.toSeq
     val phase1 = df
-      .withColumn("_salt", salt(buckets, col(key), monotonically_increasing_id()))
+      .withColumn("_salt", salt(buckets, df.columns.map(col).toSeq: _*))
       .groupBy(col(key), col("_salt"))
       .agg(p1Aggs.head, p1Aggs.tail: _*)
     val phase2Aggs = aggs.map { case (c, f) =>
@@ -56,7 +59,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      salt(buckets, col(key), monotonically_increasing_id()))
+      salt(buckets, big.columns.map(col).toSeq: _*))
     val explodedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")

@@ -104,11 +104,14 @@ object VectorSearch {
     */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
   def cachedIvf(key: String, embeddings: => DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int): IvfIndex =
-    ivfCache.computeIfAbsent(key, _ => {
-      val ix = buildIvf(embeddings, idCol, vecCol, nCentroids)
+                nCentroids: Int): IvfIndex = {
+    val e = embeddings // session-qualified key, see Bm25.cachedIndex
+    val k = System.identityHashCode(e.sparkSession) + "|" + key
+    ivfCache.computeIfAbsent(k, _ => {
+      val ix = buildIvf(e, idCol, vecCol, nCentroids)
       ix.copy(assigned = ix.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+  }
 
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
     * Centroid ranking is driver-side math over ncentroids vectors (tiny —

@@ -34,11 +34,15 @@ object KbPipeline {
       .withColumn("language", TextFunctions.languageId(
         TextFunctions.tokenize(col("chunk_text"))))
 
-  /** §3.3 `embed` verb: cache-aware embedding of chunk rows. */
+  /** §3.3 `embed` verb: cache-aware embedding of chunk rows — provider
+    * wrapped in the retry/backoff policy (M3), batch size from config (M2).
+    */
   def embed(chunks: DataFrame, textCol: String, cache: DataFrame,
             cfg: KbConfig = KbConfig()): Embedder.CacheResult =
     Embedder.embedWithCache(chunks, textCol, cache,
-      Embedder.Deterministic(cfg.vectorDimensions))
+      Embedder.Retrying(Embedder.Deterministic(cfg.vectorDimensions),
+        maxRetries = cfg.apiMaxRetries),
+      batchSize = cfg.embeddingBatchSize)
 
   /** Search-hit schema: (doc_id, score, rank). */
   final case class QueryResult(hits: DataFrame, context: DataFrame, formatted: String)
@@ -69,15 +73,21 @@ object KbPipeline {
       qvec, cfg.queryTopK)
 
     // 3b. BM25 (A2/T2) — skipped when hybrid disabled (the reference's
-    //     low-memory tier does the same, README.md:454-459)
+    //     low-memory tier does the same, README.md:454-459); k1/b and the
+    //     candidate cap come from config
     val hits0 =
       if (cfg.enableHybridSearch) {
-        val scored = bm25Index match {
-          case Some(ix) => Bm25.scoreWithIndex(ix, spark, enhanced)
-          case None     => Bm25.scoreQuery(chunks, "doc_id", "text", enhanced)
-        }
+        val scored = (bm25Index match {
+          case Some(ix) => Bm25.scoreWithIndex(ix, spark, enhanced, cfg.bm25K1, cfg.bm25B)
+          case None     => Bm25.scoreQuery(chunks, "doc_id", "text", enhanced, cfg.bm25K1, cfg.bm25B)
+        }).orderBy(col("score").desc, col("doc_id")).limit(cfg.bm25MaxResults)
         val ktop = Bm25.topK(scored, cfg.queryTopK)
-        Fusion.rrf(Seq(vtop, ktop)).withColumnRenamed("rrf_score", "score")
+        // 3c. fusion: RRF default; legacy weighted merge behind the config
+        //     switch (search.py:414-439 vs 350-411)
+        if (cfg.fusionMethod == "weighted")
+          Fusion.weighted(vtop, ktop, cfg.vectorWeight)
+        else
+          Fusion.rrf(Seq(vtop, ktop)).withColumnRenamed("rrf_score", "score")
       } else vtop
 
     // 3d. category filter (P3) — semi-join shape on the tiny hit set
@@ -98,9 +108,13 @@ object KbPipeline {
           .orderBy("final_rank").limit(cfg.queryTopK)
       else withText.orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
 
-    // 5. context expansion (J2/W2 with P5 adaptive scope)
-    val context = ContextWindow.expand(chunks, hits.select("sourcedoc", "sid"),
-      cfg.queryContextScope)
+    // 5. context expansion (J2/W2) with the P5 adaptive scope: low-scoring
+    //    hits get a halved window (similarity_threshold /
+    //    low_similarity_scope_factor from config)
+    val context = ContextWindow.expandScoped(chunks,
+      hits.select(col("sourcedoc"), col("sid"),
+        ContextWindow.adaptiveScope(col("score"), cfg.queryContextScope,
+          cfg.similarityThreshold, cfg.lowSimilarityScopeFactor).as("_scope")))
 
     // 7. formatting (driver-side assembly of ≤ top-k · scope blocks)
     val formatted = graft.format.Formatters.assemble(

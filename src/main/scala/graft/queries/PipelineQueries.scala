@@ -369,7 +369,7 @@ object PipelineQueries {
         |flagged AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN prev_ts IS NULL
-        |                OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |                OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
         |  FROM lagged),
         |sessions AS (
         |  SELECT user_id, ts, value,
@@ -444,10 +444,14 @@ object PipelineQueries {
 
     // ── Multimodal plumbing: binary columns + per-partition decode stub ───
     QueryDef.sql("mm_features",
+      // parity by construction: decodeStub hashes UTF-8 BYTES, the oracle
+      // hashes codepoints — equal only for ASCII, so both sides restrict to
+      // byte_len == char_len rows (all synthetic docs qualify; non-ASCII
+      // media would be checked via a byte-capable oracle)
       s"""WITH m AS (
          |  SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
          |         ${polySql("text", 31)} AS h
-         |  FROM documents)
+         |  FROM documents WHERE octet_length(encode(text)) = len(text))
          |SELECT media_id, byte_len,
          |       [(h % 1000)::FLOAT, ((h // 1000) % 1000)::FLOAT,
          |        ((h // 1000000) % 1000)::FLOAT, byte_len::FLOAT] AS features
@@ -456,7 +460,10 @@ object PipelineQueries {
       // per partition). decodeStub is the deterministic fake (no codecs in
       // container); the schema/batch plumbing is the real thing.
       Multimodal.extractFeatures(
-          Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
+          Multimodal.asMediaTable(
+            Tables.documents(s, dir)
+              .filter(octet_length(col("text")) === length(col("text"))),
+            "doc_id", "text"))
         .select(col("media_id"), col("byte_len"), col("features"))
         .orderBy("media_id")
     })

@@ -60,6 +60,37 @@ class KbPipelineSpec extends SparkSpec {
     assert(ids.subsetOf(Set(3L, 4L, 5L)), s"category filter leaked: $ids")
   }
 
+  test("config knobs actually change behavior: k1/b, fusion method, adaptive scope") {
+    import graft.operators.Bm25
+    val docs = corpus.select(col("doc_id"), col("text"))
+    val defaultScores = Bm25.scoreQuery(docs, "doc_id", "text", "spark joins")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tunedScores = Bm25.scoreQuery(docs, "doc_id", "text", "spark joins",
+        k1 = 2.0, b = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(defaultScores.keySet == tunedScores.keySet)
+    assert(defaultScores.exists { case (k, v) => math.abs(v - tunedScores(k)) > 1e-9 },
+      "k1/b must change scores")
+
+    val cfgW = KbConfig(vectorDimensions = 16, fusionMethod = "weighted",
+      enableReranking = false, queryTopK = 5)
+    val cfgR = cfgW.copy(fusionMethod = "rrf")
+    val w = KbPipeline.query(spark, corpus, embeddings, "spark joins", cfgW)
+      .hits.select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val r = KbPipeline.query(spark, corpus, embeddings, "spark joins", cfgR)
+      .hits.select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(w.nonEmpty && r.nonEmpty && w != r, "fusion method must change scores")
+
+    // adaptive scope: rrf-fused scores sit far below the 0.6 similarity
+    // threshold (reference quirk preserved: the FUSED score is compared),
+    // so scope 4 halves to 2 — context per hit spans at most 5 chunks
+    val cfgA = KbConfig(vectorDimensions = 16, queryTopK = 1, queryContextScope = 4)
+    val res = KbPipeline.query(spark, corpus, embeddings, "spark joins", cfgA)
+    val perDoc = res.context.groupBy("sourcedoc").count()
+      .as[(String, Long)].collect().toMap
+    assert(perDoc.values.forall(_ <= 5), s"scope not halved: $perDoc")
+  }
+
   test("database verb produces the canonical chunk schema") {
     val docs = Seq((1L, (1 to 300).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
     val out = KbPipeline.database(docs, KbConfig(dbMaxTokens = 100))
