@@ -143,6 +143,45 @@ object HashAlgos {
     sig
   }
 
+  private val TokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.EnglishStopwords.foreach(s.add)
+    s
+  }
+
+  /** [[TextFunctions.tokenize]] as one JVM pass: UTF8String lowercase
+    * (Spark's own locale-independent lowering), regex split, drop empties.
+    * Bit-identical to `filter(split(lower(c), "[^a-z0-9]+"), len > 0)`.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val parts = TokenSplit.split(s.toLowerCase.toString, -1)
+    val out = new java.util.ArrayList[AnyRef](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) out.add(UTF8String.fromString(parts(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[TextFunctions.tokenizeBm25]] in one pass: tokenize + drop single-char
+    * non-digits + minimal stopword set. Same output as the HOF spec chain.
+    */
+  def tokenizeBm25(s: UTF8String): ArrayData = {
+    val parts = TokenSplit.split(s.toLowerCase.toString, -1)
+    val out = new java.util.ArrayList[AnyRef](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (t.length > 1 || (t.length == 1 && t.charAt(0) >= '0' && t.charAt(0) <= '9')) {
+        if (!StopSet.contains(t)) out.add(UTF8String.fromString(t))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Dot product of two float arrays in sequential double accumulation —
     * same rounding as `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)`.
     * Assumes equal lengths and no null elements (embedding columns).
@@ -243,6 +282,24 @@ case class SimHash60Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_tokenize(str)` → ARRAY<STRING> (plain or BM25 analysis mode). */
+case class TokenizeExpr(child: Expression, bm25: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = if (bm25) "graft_tokenize_bm25" else "graft_tokenize"
+  override protected def nullSafeEval(s: Any): Any =
+    if (bm25) HashAlgos.tokenizeBm25(s.asInstanceOf[UTF8String])
+    else HashAlgos.tokenize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (bm25) s"graft.functions.HashAlgos.tokenizeBm25($c)"
+      else s"graft.functions.HashAlgos.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+}
+
 /** `dot_f32(a, b)` → DOUBLE. */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -275,6 +332,10 @@ case class CosineF32(left: Expression, right: Expression)
 
 /** Column-API entry points for the codegen expressions. */
 object FastFunctions {
+  def tokenize(c: Column): Column =
+    GraftShims.column(TokenizeExpr(GraftShims.expression(c), bm25 = false))
+  def tokenizeBm25(c: Column): Column =
+    GraftShims.column(TokenizeExpr(GraftShims.expression(c), bm25 = true))
   def polyHash(c: Column): Column =
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 31L))
   def polyHash2(c: Column): Column =

@@ -41,7 +41,12 @@ object TextFunctions {
     * reference's variant (`/root/reference/utils/text_utils.py:255-314`)
     * additionally drops length-1 non-digit tokens; see [[tokenizeBm25]].
     */
-  def tokenize(c: Column): Column =
+  def tokenize(c: Column): Column = FastFunctions.tokenize(c)
+
+  /** Spec version of [[tokenize]] (pure SQL functions — what the DuckDB
+    * oracle reproduces and what the codegen expression must match).
+    */
+  def tokenizeSpec(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Whitespace tokenizer that PRESERVES the words (case, accents, CJK —
@@ -59,8 +64,11 @@ object TextFunctions {
     * separately as [[dedupTokens]] because corpus statistics need the raw
     * sequence while the stored `bm25_tokens` column is deduped.)
     */
-  def tokenizeBm25(c: Column): Column = {
-    val toks = tokenize(c)
+  def tokenizeBm25(c: Column): Column = FastFunctions.tokenizeBm25(c)
+
+  /** Spec version of [[tokenizeBm25]]. */
+  def tokenizeBm25Spec(c: Column): Column = {
+    val toks = tokenizeSpec(c)
     val noShort = filter(toks, t => length(t) > 1 || t.rlike("^[0-9]$"))
     // NOT array_except: that would dedup the sequence and corrupt term
     // frequencies — BM25 needs the full token stream.

@@ -26,6 +26,19 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach { r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r") }
   }
 
+  test("fast tokenizers == HOF spec tokenizers on adversarial strings") {
+    val df = (samples ++ Seq("a 1 b 2 the quick", "THE QUICK the", "1")).toDF("s")
+    val rows = df.select(
+      TextFunctions.tokenize(col("s")).as("ft"),
+      TextFunctions.tokenizeSpec(col("s")).as("st"),
+      TextFunctions.tokenizeBm25(col("s")).as("fb"),
+      TextFunctions.tokenizeBm25Spec(col("s")).as("sb")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"tokenize mismatch: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), s"bm25 mismatch: $r")
+    }
+  }
+
   test("fast cosine/dot == HOF spec on random float vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.fill(50)((Array.fill(64)(rnd.nextFloat() - 0.5f),
