@@ -209,6 +209,47 @@ object RelationalQueries {
         .orderBy("grp", "custkey")
     },
 
+    // ── TPC-H Q3 shape: shipping priority (date filters + join + agg + topk)
+    QueryDef.sql("q3_shipping_priority",
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       epoch_us(o_orderdate)::BIGINT AS orderdate_us
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '2024-06-01'
+        |  AND l_shipdate > TIMESTAMP '2024-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") > lit("2024-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ── TPC-H Q6 shape: forecast revenue (pure filter-aggregate, fully
+    //    pushed to the scan) ────────────────────────────────────────────────
+    QueryDef.sql("q6_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+        |  AND l_shipdate < TIMESTAMP '2025-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2025-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // ── Correlated scalar subquery (Catalyst decorrelation; SURVEY §4
     //    "constant folding / join reorder / subquery decorrelation built-
     //    in") — served through spark.sql to exercise the SQL surface ───────
