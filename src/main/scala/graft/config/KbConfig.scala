@@ -26,6 +26,7 @@ final case class KbConfig(
     enableHybridSearch: Boolean = true,
     fusionMethod: String = "rrf",             // search.py:414-439 (or "weighted")
     vectorWeight: Double = 0.7,               // search.py:350-411
+    bm25Weight: Double = 0.3,                 // models.py:161
     bm25K1: Double = 1.2,                     // models.py:162
     bm25B: Double = 0.75,                     // models.py:163
     bm25MaxResults: Int = 1000,               // bm25_manager.py:289-320
@@ -81,6 +82,7 @@ object KbConfig {
       enableHybridSearch = b("enable_hybrid_search", c.enableHybridSearch),
       fusionMethod = s("fusion_method", c.fusionMethod),
       vectorWeight = f("vector_weight", c.vectorWeight),
+      bm25Weight = f("bm25_weight", c.bm25Weight),
       bm25K1 = f("bm25_k1", c.bm25K1),
       bm25B = f("bm25_b", c.bm25B),
       bm25MaxResults = i("bm25_max_results", c.bm25MaxResults),

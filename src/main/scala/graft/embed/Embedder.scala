@@ -107,7 +107,12 @@ object Embedder {
     * the key join. Returns df + `content_key` + `embedding`, and the new
     * cache rows to append.
     */
-  final case class CacheResult(embedded: DataFrame, newCacheRows: DataFrame)
+  final case class CacheResult(embedded: DataFrame, newCacheRows: DataFrame) {
+    /** The miss-embeddings are persisted (both outputs consume them); the
+      * CALLER owns the release — call after materializing both outputs.
+      */
+    def unpersist(): Unit = { newCacheRows.unpersist(); () }
+  }
 
   def contentKey(text: Column): Column = sha2(text, 256)
 

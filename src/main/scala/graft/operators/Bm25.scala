@@ -85,10 +85,18 @@ object Bm25 {
     * given (bucket pruning at probe time), plain paths otherwise.
     */
   def writeIndex(ix: Index, dir: String): Unit = {
-    ix.postings.write.mode("overwrite").parquet(s"$dir/postings")
-    ix.lengths.write.mode("overwrite").parquet(s"$dir/lengths")
-    ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
-    ix.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    // lengths/idf/stats all derive from postings: persist it for the span
+    // of the four writes or the full corpus aggregation re-runs per sink
+    val alreadyPersisted =
+      ix.postings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val post = if (alreadyPersisted) ix.postings
+      else ix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.write.mode("overwrite").parquet(s"$dir/postings")
+      ix.lengths.write.mode("overwrite").parquet(s"$dir/lengths")
+      ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
+      ix.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    } finally if (!alreadyPersisted) post.unpersist()
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
@@ -101,14 +109,19 @@ object Bm25 {
   /** Memoized per-corpus index — the "load the persisted index" path the
     * reference takes on every query. Keyed by corpus identity (sf dir).
     */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  // weak-keyed by SparkSession: plans are session-bound, hits across
+  // sessions would hand out a stopped session's plans, and weak keys let a
+  // stopped session's entries (and persisted blocks) be collected
+  private val indexCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Index]]()
   def cachedIndex(key: String, docs: => DataFrame, idCol: String, textCol: String): Index = {
-    // session-qualified key: DataFrames are bound to their SparkSession, so
-    // a cache hit across sessions (multi-session JVMs, test suites) would
-    // hand out plans of a possibly-stopped session
     val d = docs
-    val k = System.identityHashCode(d.sparkSession) + "|" + key
-    indexCache.computeIfAbsent(k, _ => buildIndex(d, idCol, textCol, persist = true))
+    val perSession = indexCache.synchronized {
+      indexCache.computeIfAbsent(d.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Index]())
+    }
+    perSession.computeIfAbsent(key, _ => buildIndex(d, idCol, textCol, persist = true))
   }
 
   /** Score a single query string against a prebuilt index. */

@@ -142,10 +142,10 @@ object Dedup {
   def embeddingDups(embeddings: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val head = embeddings.select(size(col(vecCol))).take(1)
-    if (head.isEmpty) { // empty corpus slice -> empty result, like the other variants
-      import embeddings.sparkSession.implicits._
-      return Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "cos")
-    }
+    if (head.isEmpty) // empty corpus slice -> empty result with the SAME
+      // schema the non-empty branch produces (doc ids keep idCol's type)
+      return embeddings.select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
+        lit(0.0).as("cos")).filter(lit(false))
     val dim = head(0).getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)

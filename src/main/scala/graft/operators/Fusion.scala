@@ -60,17 +60,24 @@ object Fusion {
     * max-normalize each list's scores (A7), full-outer merge on doc_id,
     * weighted sum with missing scores as 0.
     */
-  def weighted(vector: DataFrame, keyword: DataFrame, vectorWeight: Double = 0.7): DataFrame = {
-    def normalized(df: DataFrame, out: String): DataFrame = {
-      val mx = df.agg(max(abs(col("score"))).as("mx"))
-      df.crossJoin(broadcast(mx))
+  def weighted(vector: DataFrame, keyword: DataFrame, vectorWeight: Double = 0.7,
+               bm25Weight: Double = 0.3): DataFrame = {
+    // reference semantics (search.py:350-411, models.py:161): independent
+    // vector_weight/bm25_weight, normalized to sum 1
+    val wSum = vectorWeight + bm25Weight
+    val (vw, kw) = if (wSum > 0) (vectorWeight / wSum, bm25Weight / wSum) else (0.5, 0.5)
+    // max-normalize with an unpartitioned window: the lists are top-k-
+    // bounded, and the window keeps each input consumed ONCE (an agg +
+    // rejoin would recompute the full scoring subtree twice)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    def normalized(df: DataFrame, out: String): DataFrame =
+      df.withColumn("mx", max(abs(col("score"))).over(w))
         .select(col("doc_id"),
           (when(col("mx") > 0, col("score") / col("mx")).otherwise(lit(0.0))).as(out))
-    }
     normalized(vector, "vscore")
       .join(normalized(keyword, "kscore"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        (coalesce(col("vscore"), lit(0.0)) * vectorWeight +
-          coalesce(col("kscore"), lit(0.0)) * (1.0 - vectorWeight)).as("score"))
+        (coalesce(col("vscore"), lit(0.0)) * vw +
+          coalesce(col("kscore"), lit(0.0)) * kw).as("score"))
   }
 }

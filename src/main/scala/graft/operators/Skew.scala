@@ -35,11 +35,24 @@ object Skew {
     * "count" | "max" | "min"). Result equals the direct groupBy for these
     * algebraic functions.
     */
+  /** Columns safe to feed Spark's hash(): MapType is rejected by the
+    * analyzer (SPARK-27619), so exclude it. Identical full rows necessarily
+    * share a bucket under any DETERMINISTIC salt — acceptable: retry safety
+    * is non-negotiable, and duplicate-heavy hot keys should be pre-combined
+    * (map-side partial aggregation already collapses them).
+    */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    val cs = df.schema.fields.filterNot(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    if (cs.isEmpty) Seq(lit(0)) else cs
+  }
+
   def saltedAgg(df: DataFrame, key: String, buckets: Int,
                 aggs: Map[String, String]): DataFrame = {
     val p1Aggs = aggs.map { case (c, f) => expr(s"$f($c)").as(s"_p_$c") }.toSeq
     val phase1 = df
-      .withColumn("_salt", salt(buckets, df.columns.map(col).toSeq: _*))
+      .withColumn("_salt", salt(buckets, hashableCols(df): _*))
       .groupBy(col(key), col("_salt"))
       .agg(p1Aggs.head, p1Aggs.tail: _*)
     val phase2Aggs = aggs.map { case (c, f) =>
@@ -59,7 +72,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      salt(buckets, big.columns.map(col).toSeq: _*))
+      salt(buckets, hashableCols(big): _*))
     val explodedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")

@@ -102,12 +102,17 @@ object VectorSearch {
   /** Memoized IVF index per corpus (the reference loads its FAISS index
     * once and reuses it across queries; same economics here).
     */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  private val ivfCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IvfIndex]]()
   def cachedIvf(key: String, embeddings: => DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int): IvfIndex = {
-    val e = embeddings // session-qualified key, see Bm25.cachedIndex
-    val k = System.identityHashCode(e.sparkSession) + "|" + key
-    ivfCache.computeIfAbsent(k, _ => {
+    val e = embeddings // weak session keying: see Bm25.cachedIndex
+    val perSession = ivfCache.synchronized {
+      ivfCache.computeIfAbsent(e.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]())
+    }
+    perSession.computeIfAbsent(key, _ => {
       val ix = buildIvf(e, idCol, vecCol, nCentroids)
       ix.copy(assigned = ix.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })

@@ -85,7 +85,7 @@ object KbPipeline {
         // 3c. fusion: RRF default; legacy weighted merge behind the config
         //     switch (search.py:414-439 vs 350-411)
         if (cfg.fusionMethod == "weighted")
-          Fusion.weighted(vtop, ktop, cfg.vectorWeight)
+          Fusion.weighted(vtop, ktop, cfg.vectorWeight, cfg.bm25Weight)
         else
           Fusion.rrf(Seq(vtop, ktop)).withColumnRenamed("rrf_score", "score")
       } else vtop

@@ -43,8 +43,9 @@ object SchemaEvolution {
     */
   def resolveOptional(df: DataFrame): DataFrame = {
     val present = df.columns.toSet
-    OptionalColumns.foldLeft(df) { case (d, (name, _, default)) =>
-      if (present.contains(name)) d.withColumn(name, coalesce(col(name), default))
+    OptionalColumns.foldLeft(df) { case (d, (name, dt, default)) =>
+      if (present.contains(name))
+        d.withColumn(name, coalesce(col(name).cast(dt), default))
       else d.withColumn(name, default)
     }
   }
