@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.config.KbConfig
+import graft.pipeline.{KbPipeline, Tuning}
+
+/** The reference's CLI surface (SURVEY Appendix: `customkb <verb> ...`) as a
+  * Spark application. A KB here is a directory of parquet tables
+  * (`chunks/`, `embeddings/`, `cache/`, `bm25/`) — the reference's
+  * `$VECTORDBS/<name>/` directory re-imagined for a cluster filesystem.
+  *
+  * Verbs:
+  * {{{
+  *   runMain graft.Main database <kbDir> <inputGlob> [cfg.ini]
+  *   runMain graft.Main embed    <kbDir> [cfg.ini]
+  *   runMain graft.Main bm25     <kbDir>
+  *   runMain graft.Main query    <kbDir> "<query text>" [cfg.ini]
+  *   runMain graft.Main optimize <kbDir>
+  *   runMain graft.Main verify-indexes <kbDir>
+  * }}}
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def loadCfg(args: Array[String], idx: Int): KbConfig =
+    if (args.length > idx)
+      KbConfig.load(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(args(idx)))))
+    else KbConfig.load()
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.Main <verb> <kbDir> [...]")
+    val verb = args(0)
+    val kb = args(1).stripSuffix("/")
+    val spark = session()
+
+    verb match {
+      case "database" =>
+        require(args.length >= 3, "database <kbDir> <inputGlob> [cfg.ini]")
+        val cfg = loadCfg(args, 3)
+        val chunks = graft.ingest.Ingest.ingestFiles(spark, args(2),
+            chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
+          .withColumn("doc_id",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("sourcedoc", "sid")).cast("long"))
+        chunks.write.mode("overwrite").parquet(s"$kb/chunks")
+        println(s"[graft] database: ${spark.read.parquet(s"$kb/chunks").count()} chunks -> $kb/chunks")
+
+      case "embed" =>
+        val cfg = loadCfg(args, 2)
+        val chunks = spark.read.parquet(s"$kb/chunks")
+        val cachePath = s"$kb/cache"
+        val cache =
+          if (new java.io.File(cachePath).exists()) spark.read.parquet(cachePath)
+          else {
+            import spark.implicits._
+            Seq.empty[(String, Array[Float])].toDF("content_key", "embedding")
+          }
+        val res = KbPipeline.embed(chunks, "chunk_text", cache, cfg)
+        res.embedded.select(col("doc_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$kb/embeddings")
+        res.newCacheRows.write.mode("append").parquet(cachePath)
+        res.unpersist()
+        println(s"[graft] embed: ${spark.read.parquet(s"$kb/embeddings").count()} vectors -> $kb/embeddings")
+
+      case "bm25" =>
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        graft.operators.Bm25.writeIndex(
+          graft.operators.Bm25.buildIndex(chunks, "doc_id", "text"), s"$kb/bm25")
+        println(s"[graft] bm25: index -> $kb/bm25")
+
+      case "query" =>
+        require(args.length >= 3, "query <kbDir> \"<text>\" [cfg.ini]")
+        val cfg = loadCfg(args, 3)
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        val ix =
+          if (new java.io.File(s"$kb/bm25").exists())
+            Some(graft.operators.Bm25.readIndex(spark, s"$kb/bm25"))
+          else None
+        val t0 = System.nanoTime()
+        val res = KbPipeline.query(spark, chunks, emb, args(2), cfg, bm25Index = ix)
+        println(res.formatted)
+        graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
+          answer = "", latencyMs = (System.nanoTime() - t0) / 1000000)
+
+      case "optimize" =>
+        val bytes = new java.io.File(s"$kb/chunks").listFiles()
+          .map(_.length()).sum
+        val advice = Tuning.advise(bytes,
+          Runtime.getRuntime.availableProcessors(),
+          Runtime.getRuntime.maxMemory())
+        println(s"[graft] optimize: $advice")
+
+      case "verify-indexes" =>
+        val findings = Tuning.verifyLayout(spark, s"`$kb`.chunks",
+          Some(s"$kb/embeddings_ivf")) // catalog-registered KBs only
+        val pathFindings = Seq(
+          s"$kb/chunks" -> "chunk table", s"$kb/embeddings" -> "embeddings",
+          s"$kb/bm25/postings" -> "bm25 postings").flatMap { case (p, what) =>
+          if (!new java.io.File(p).exists()) Some(s"$what missing at $p") else None
+        }
+        val all = pathFindings // layout findings need catalog tables
+        if (all.isEmpty) println("[graft] verify-indexes: healthy")
+        else all.foreach(f => println(s"[graft] verify-indexes: $f"))
+
+      case other => sys.error(s"unknown verb $other")
+    }
+    spark.stop()
+  }
+}
