@@ -35,4 +35,15 @@ class FusionSpec extends SparkSpec {
     assert(math.abs(got(12L) - (0.7 * (0.7 / 0.9) + 0.3 * 0.0)) < 1e-12)
     assert(math.abs(got(13L) - (0.0 + 0.3 * (4.0 / 5.0))) < 1e-12)
   }
+
+  test("weighted fusion normalizes independent weights like the reference") {
+    // vector_weight=0.5, bm25_weight=0.3 -> effective 0.625 / 0.375
+    // (/root/reference/query/search.py:350-411 normalizes by the sum)
+    val got = Fusion.weighted(vec, kw, vectorWeight = 0.5, bm25Weight = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vw = 0.5 / 0.8
+    val bw = 0.3 / 0.8
+    assert(math.abs(got(10L) - (vw * 1.0 + bw * (3.0 / 5.0))) < 1e-12)
+    assert(math.abs(got(13L) - (bw * (4.0 / 5.0))) < 1e-12)
+  }
 }

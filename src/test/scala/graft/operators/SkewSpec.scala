@@ -29,6 +29,16 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedAgg tolerates MapType columns (hash() rejects maps; they are excluded)") {
+    val withMap = skewed.withColumn("meta",
+      map(lit("k"), col("k"))) // map<string,string> column
+    val got = Skew.saltedAgg(withMap, "k", buckets = 4, Map("v" -> "sum"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = skewed.groupBy("k").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("saltedJoin equals plain join and spreads the hot key across buckets") {
     val dim = Seq(("hot", "HOT"), ("key1", "K1"), ("key5", "K5")).toDF("k", "label")
     val plain = skewed.join(dim, "k").select("k", "n", "label")
