@@ -64,11 +64,17 @@ object CategorizeQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── M9: sampled keyword categorization per sourcedoc ──────────────────
+    // categories list comma-joined (sorted labels, no commas in labels):
+    // the driver's pandas comparator cannot sort array columns.
     QueryDef.sql("m9_categorize",
       s"""$catsCte
-         |SELECT sourcedoc, primary_category, categories
+         |SELECT sourcedoc, primary_category,
+         |       array_to_string(categories, ',') AS categories
          |FROM cats ORDER BY sourcedoc""".stripMargin) { (s, dir) =>
-      catsDf(s, dir).orderBy("sourcedoc")
+      catsDf(s, dir)
+        .select(col("sourcedoc"), col("primary_category"),
+          array_join(col("categories"), ",").as("categories"))
+        .orderBy("sourcedoc")
     },
 
     // ── A4: article counts per category ───────────────────────────────────

@@ -62,6 +62,22 @@ object EngineQueries {
        | round(((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)
        |   / 500.0)::FLOAT::DOUBLE, 6))""".stripMargin.replaceAll("\n", "")
 
+  /** [[embedSql]] quantized to integer micro-units and comma-joined — the
+    * driver's pandas comparator cannot sort array columns, so embedding
+    * queries emit the vector as one exact-integer string. Lockstep with
+    * [[embedStrCol]].
+    */
+  private def embedStrSql(text: String, dims: Int): String =
+    s"array_to_string(list_transform(${embedSql(text, dims)}, " +
+      "x -> (round(x * 1000000.0, 0))::BIGINT), ',')"
+
+  /** Spark twin of [[embedStrSql]]: same round(·,6) → ×1e6 → round(·,0) →
+    * BIGINT chain over an embedding array column.
+    */
+  private def embedStrCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(vec, v =>
+      round(round(v.cast("double"), 6) * 1000000.0, 0).cast("long").cast("string")), ",")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── F6-F8: query enhancement chain ────────────────────────────────────
@@ -117,12 +133,11 @@ object EngineQueries {
 
     // ── M1: deterministic embedding as a column expression ────────────────
     QueryDef.sql("m1_embed_deterministic",
-      s"""SELECT doc_id, ${embedSql("text", 8)} AS vec
+      s"""SELECT doc_id, ${embedStrSql("text", 8)} AS vec
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          transform(Embedder.deterministicEmbed(col("text"), 8),
-            v => round(v.cast("double"), 6)).as("vec"))
+          embedStrCol(Embedder.deterministicEmbed(col("text"), 8)).as("vec"))
         .orderBy("doc_id")
     },
 
@@ -131,7 +146,7 @@ object EngineQueries {
       // Values must equal a direct embed of every row — the cache join only
       // changes WHERE vectors come from, never what they are.
       s"""SELECT doc_id, sha256(text) AS content_key,
-         |       ${embedSql("text", 16)} AS vec
+         |       ${embedStrSql("text", 16)} AS vec
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       // seed cache: first half of the corpus, embedded via the column expr
@@ -141,7 +156,7 @@ object EngineQueries {
       val res = Embedder.embedWithCache(docs, "text", cache, Embedder.Deterministic(16))
       res.embedded
         .select(col("doc_id"), col("content_key"),
-          transform(col("embedding"), v => round(v.cast("double"), 6)).as("vec"))
+          embedStrCol(col("embedding")).as("vec"))
         .orderBy("doc_id")
     },
 

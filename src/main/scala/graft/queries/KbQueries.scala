@@ -34,16 +34,19 @@ object KbQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ── F3: tokenization (/root/reference/utils/text_utils.py:255-314) ────
+    // Token arrays are space-joined for the compare: the driver's pandas
+    // comparator cannot sort array columns (round-1 harness failure), and
+    // tokens contain no whitespace so the join is lossless.
     QueryDef.sql("f3_tokenize",
       s"""SELECT doc_id,
-         |       ${plainTokSql("text")} AS tokens,
-         |       ${tokSql("text")} AS bm25_tokens,
+         |       array_to_string(${plainTokSql("text")}, ' ') AS tokens,
+         |       array_to_string(${tokSql("text")}, ' ') AS bm25_tokens,
          |       len(${tokSql("text")})::INT AS n_bm25
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextFunctions.tokenize(col("text")).as("tokens"),
-          TextFunctions.tokenizeBm25(col("text")).as("bm25_tokens"),
+          array_join(TextFunctions.tokenize(col("text")), " ").as("tokens"),
+          array_join(TextFunctions.tokenizeBm25(col("text")), " ").as("bm25_tokens"),
           size(TextFunctions.tokenizeBm25(col("text"))).as("n_bm25"))
         .orderBy("doc_id")
     },

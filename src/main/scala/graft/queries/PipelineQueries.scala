@@ -91,10 +91,16 @@ object PipelineQueries {
     },
 
     // ── MinHash signatures (oracle-verified integer sketches) ─────────────
+    // Signature joined to one string: the driver's pandas comparator cannot
+    // sort array columns (round-1 harness failure); comma-join is lossless
+    // for the 16 integer hash slots.
     QueryDef.sql("dedup_minhash_sig",
       s"""$minhashCte
-         |SELECT doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |SELECT doc_id, array_to_string(sig, ',') AS sig
+         |FROM sigs ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
         .orderBy("doc_id")
     },
 
@@ -448,13 +454,15 @@ object PipelineQueries {
       // hashes codepoints — equal only for ASCII, so both sides restrict to
       // byte_len == char_len rows (all synthetic docs qualify; non-ASCII
       // media would be checked via a byte-capable oracle)
+      // feature vector comma-joined as integers (all stub features are exact
+      // small ints): the driver's pandas comparator cannot sort array columns
       s"""WITH m AS (
          |  SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
          |         ${polySql("text", 31)} AS h
          |  FROM documents WHERE octet_length(encode(text)) = len(text))
          |SELECT media_id, byte_len,
-         |       [(h % 1000)::FLOAT, ((h // 1000) % 1000)::FLOAT,
-         |        ((h // 1000000) % 1000)::FLOAT, byte_len::FLOAT] AS features
+         |       array_to_string([(h % 1000), ((h // 1000) % 1000),
+         |        ((h // 1000000) % 1000), byte_len], ',') AS features
          |FROM m ORDER BY media_id""".stripMargin) { (s, dir) =>
       // Real pipeline: media bytes → mapPartitions decode (one codec init
       // per partition). decodeStub is the deterministic fake (no codecs in
@@ -464,7 +472,9 @@ object PipelineQueries {
             Tables.documents(s, dir)
               .filter(octet_length(col("text")) === length(col("text"))),
             "doc_id", "text"))
-        .select(col("media_id"), col("byte_len"), col("features"))
+        .select(col("media_id"), col("byte_len"),
+          array_join(transform(col("features"), f => f.cast("long").cast("string")), ",")
+            .as("features"))
         .orderBy("media_id")
     })
 }
