@@ -66,13 +66,21 @@ object Multimodal {
       }
   }
 
-  /** Frame/sample selection stub: every k-th byte-window as a "frame" —
-    * demonstrates the explode-to-frames shape (video → frames) without a
-    * codec. Returns (media_id, frame_no, frame_bytes).
+  /** Frame/sample selection stub: every k-th fixed-size byte window as a
+    * "frame" — demonstrates the explode-to-frames shape (video → frames)
+    * without a codec. Frames are cut arithmetically with
+    * `sequence`+`substring` (all codegen'd; a regex-split chunker breaks on
+    * Spark's MIME-chunked `base64` — its CRLFs stop `.{n}` lookbehinds).
+    * Empty payloads yield one empty frame. Returns
+    * (media_id, frame_no, frame_b64).
     */
-  def sampleFrames(media: DataFrame, frameSize: Int = 64, everyK: Int = 4): DataFrame =
-    media.select(col("media_id"),
-        posexplode(split(base64(col("bytes")), s"(?<=\\G.{$frameSize})")))
-      .toDF("media_id", "frame_no", "frame_b64")
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, everyK: Int = 4): DataFrame = {
+    val lastFrame = greatest(ceil(col("byte_len").cast("double") / frameSize).cast("long") - 1L, lit(0L))
+    media.select(col("media_id"), col("bytes"),
+        explode(sequence(lit(0L), lastFrame)).as("frame_no"))
       .filter(col("frame_no") % everyK === 0)
+      .select(col("media_id"), col("frame_no"),
+        base64(col("bytes").substr((col("frame_no") * frameSize + 1).cast("int"),
+          lit(frameSize))).as("frame_b64"))
+  }
 }

@@ -134,10 +134,21 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Rademacher (±1) hyperplane component for sign-LSH: pure integer hash of
+    * (plane, component, seed) → parity. ±1 planes are a standard random
+    * projection family (Achlioptas 2001), and being integer-hash-derived the
+    * bucket assignment is reproducible by ANY SQL engine — the DuckDB oracle
+    * recomputes the exact buckets (Gaussian JVM randoms were not).
+    */
+  def rademacherPlane(p: Int, j: Int, seed: Long): Float = {
+    val h = ((p.toLong * 1000003L + j) * 2654435761L + seed * 97L) % 1000000007L
+    if (h % 2L == 0L) 1.0f else -1.0f
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate
-    * generation via sign-LSH buckets over `numPlanes` fixed pseudo-random
-    * hyperplanes (deterministic from the seed), exact cosine verify inside
-    * buckets only.
+    * generation via sign-LSH buckets over `numPlanes` fixed hash-derived
+    * ±1 hyperplanes (deterministic from the seed), exact cosine verify
+    * inside buckets only.
     */
   def embeddingDups(embeddings: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
@@ -147,8 +158,7 @@ object Dedup {
       return embeddings.select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
         lit(0.0).as("cos")).filter(lit(false))
     val dim = head(0).getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)
+    val planes = Array.tabulate(numPlanes, dim)((p, j) => rademacherPlane(p, j, seed))
     val sigExpr = (0 until numPlanes).map { p =>
       when(VectorFunctions.dot(col(vecCol), VectorFunctions.vecLit(planes(p).toSeq)) >= 0,
         shiftleft(lit(1L), p)).otherwise(lit(0L))

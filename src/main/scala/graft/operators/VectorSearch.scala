@@ -118,6 +118,23 @@ object VectorSearch {
     })
   }
 
+  /** Deterministic seeded IVF: centroids are designated corpus rows (no
+    * training pass), assignment = argmax cosine tie-broken by lowest
+    * centroid id. Same assignment/pruning plumbing as the KMeans-trained
+    * index but fully SQL-expressible, so the whole ANN path gets a DuckDB
+    * oracle (the KMeans variant's recall is spec-asserted instead).
+    */
+  def seededIvfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    // struct max = lexicographic (cosine, -cid): highest cosine, ties to the
+    // LOWEST centroid id — mirrors the oracle's row_number(ORDER BY cs DESC, cid)
+    val best = array_max(array(centroids.map { case (cid, cv) =>
+      struct(cosine(col(vecCol), vecLit(cv)).as("cs"), lit(-cid).as("ncid"))
+    }: _*))
+    embeddings.select(col(idCol), col(vecCol),
+      (-best.getField("ncid")).as("cluster_id"))
+  }
+
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
     * Centroid ranking is driver-side math over ncentroids vectors (tiny —
     * this mirrors FAISS's coarse quantizer step, nprobe default 32 at

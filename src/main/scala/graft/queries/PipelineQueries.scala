@@ -175,8 +175,35 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // ── Embedding near-dup at scale: sign-LSH buckets (rows-only) ─────────
-    QueryDef.rowsOnly("dedup_embedding_lsh") { (s, dir) =>
+    // ── Embedding near-dup at scale: sign-LSH buckets over hash-derived ±1
+    //    planes — bucket assignment reproduced exactly by the oracle ────────
+    QueryDef.sql("dedup_embedding_lsh", {
+      // Rademacher sign for (plane p, component j), seed 42: parity of
+      // ((p*1000003 + j)*2654435761 + 42*97) mod 1e9+7 — lockstep with
+      // Dedup.rademacherPlane.
+      def signSql(p: String, j: String): String =
+        s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + 4074) % 1000000007) % 2 = 0 " +
+          "THEN 1.0 ELSE -1.0 END)"
+      val dotPlane = // Σ_j sign(p,j)·v[j], sequential double accumulation
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           | list_transform(range(0, len(embedding)),
+           |                j -> ${signSql("p", "j")} * embedding[j + 1]::DOUBLE)),
+           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+      val bucket =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           | list_transform(range(0, 4), p ->
+           |   CASE WHEN $dotPlane >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+      s"""WITH sg AS (
+         |  SELECT vec_id AS doc_id, embedding AS v, $bucket AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${cosineSql("a.v", "b.v")} AS cos
+         |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(cos, 6) AS cos
+         |FROM pairs WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
       Dedup.embeddingDups(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.2, numPlanes = 4)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
@@ -244,6 +271,53 @@ object PipelineQueries {
       val ix = graft.operators.VectorSearch.cachedIvf(dir, emb, "vec_id", "embedding",
         nCentroids = 8)
       graft.operators.VectorSearch.ivfTopK(ix, qv, k = 20, nprobe = 2)
+    },
+
+    // ── Seeded IVF (centroids = vec_id < 8, argmax-cosine assignment,
+    //    nprobe=2): the same assignment/pruning plumbing as the KMeans IVF
+    //    but deterministic end-to-end → full DuckDB oracle for the ANN path ─
+    QueryDef.sql("sim_knn_ivf_seeded",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |              WHERE vec_id < 8),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT doc_id, ev, cid FROM asg WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (
+         |      ORDER BY ${cosineSql("cv", "(SELECT v FROM qv)")} DESC, cid) AS rn
+         |    FROM cent) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT doc_id, ${cosineSql("ev", "(SELECT v FROM qv)")} AS score
+         |  FROM a2 WHERE cid IN (SELECT cid FROM probe))
+         |SELECT doc_id, round(score, 6) AS score
+         |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val assigned = graft.operators.VectorSearch.seededIvfAssign(
+        emb, "vec_id", "embedding", cents)
+      // probe ranking through the SAME cosine expression as the oracle
+      // (driver-side float math could diverge in the last bit)
+      val centDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qv)).as("cs"))
+        .orderBy(col("cs").desc, col("cid")).limit(2)
+      val probeIds = centDf.select("cid").collect().map(_.getInt(0))
+      assigned.filter(col("cluster_id").isin(probeIds.toIndexedSeq: _*))
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qv)).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+        .limit(20)
     },
 
     // ── Text analysis: token counting (F4) ────────────────────────────────
@@ -439,9 +513,15 @@ object PipelineQueries {
         .limit(20)
     },
 
-    // ── Multimodal frame sampling (video→frames shape; \G-regex split has
-    //    no RE2 oracle → rows-only; decode parity is ⊕ mm_features) ─────────
-    QueryDef.rowsOnly("mm_frames") { (s, dir) =>
+    // ── Multimodal frame sampling (video→frames shape). Frames are
+    //    arithmetic byte windows, so the sampled count has a closed form:
+    //    frames = max(⌈bytes/64⌉, 1) windows, frame_no%4==0 keeps
+    //    ⌊(frames−1)/4⌋+1 of them ───────────────────────────────────────────
+    QueryDef.sql("mm_frames",
+      """SELECT doc_id AS media_id,
+        |       (greatest((octet_length(encode(text)) + 63) // 64 - 1, 0) // 4 + 1)::BIGINT
+        |         AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
