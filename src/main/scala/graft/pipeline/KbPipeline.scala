@@ -44,8 +44,15 @@ object KbPipeline {
         maxRetries = cfg.apiMaxRetries),
       batchSize = cfg.embeddingBatchSize)
 
-  /** Search-hit schema: (doc_id, score, rank). */
-  final case class QueryResult(hits: DataFrame, context: DataFrame, formatted: String)
+  /** Search-hit schema: (doc_id, score, rank). `formatted` is lazy: the
+    * driver-side context assembly (a collect) runs only when the caller
+    * actually consumes the formatted string — a caller that only needs the
+    * hit DataFrame never materializes the context expansion.
+    */
+  final class QueryResult(val hits: DataFrame, val context: DataFrame,
+                          formattedThunk: () => String) {
+    lazy val formatted: String = formattedThunk()
+  }
 
   /** §3.1 `query` verb over a corpus with `(doc_id, text, sourcedoc, sid,
     * categories?)` chunks and `(doc_id, embedding)` vectors.
@@ -116,12 +123,12 @@ object KbPipeline {
         ContextWindow.adaptiveScope(col("score"), cfg.queryContextScope,
           cfg.similarityThreshold, cfg.lowSimilarityScopeFactor).as("_scope")))
 
-    // 7. formatting (driver-side assembly of ≤ top-k · scope blocks)
-    val formatted = graft.format.Formatters.assemble(
-      graft.format.Formatters.formatBlocks(
-        graft.format.Formatters.blocks(context, "text"), cfg.referenceFormat),
-      cfg.referenceFormat)
-
-    QueryResult(hits, context, formatted)
+    // 7. formatting (driver-side assembly of ≤ top-k · scope blocks) —
+    //    deferred until the caller reads `formatted`
+    new QueryResult(hits, context, () =>
+      graft.format.Formatters.assemble(
+        graft.format.Formatters.formatBlocks(
+          graft.format.Formatters.blocks(context, "text"), cfg.referenceFormat),
+        cfg.referenceFormat))
   }
 }

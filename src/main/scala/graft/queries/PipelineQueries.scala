@@ -165,13 +165,24 @@ object PipelineQueries {
          |FROM a JOIN b ON doc_a < doc_b
          |WHERE ${cosineSql("va", "vb")} >= 0.35
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Norms are computed ONCE per row before the O(n²) pair join (n pair
+      // evaluations of sqrt(Σv²) instead of n²·2) and the cosine expression
+      // once per pair (alias reused by the filter). Values are identical to
+      // the inline form: same dot order, same sqrt(na)·sqrt(nb) product.
       val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
+      val withN = emb.select(col("vec_id"), col("embedding"),
+        sqrt(VectorFunctions.normSq(col("embedding"))).as("nrm"))
+      val a = withN.select(col("vec_id").as("doc_a"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val b = withN.select(col("vec_id").as("doc_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
       a.join(b, col("doc_a") < col("doc_b"))
-        .filter(VectorFunctions.cosine(col("va"), col("vb")) >= 0.35)
         .select(col("doc_a"), col("doc_b"),
-          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+          when(col("na") * col("nb") > 0,
+            VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+            .otherwise(lit(0.0)).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
         .orderBy("doc_a", "doc_b")
     },
 
