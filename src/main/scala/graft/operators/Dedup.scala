@@ -134,6 +134,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Character n-gram Jaccard near-dup within blocking groups: distinct char
+    * n-grams of the cleaned text, candidate pairs restricted to the same
+    * `blockCol` value (source, shard, language… — any cheap blocking key),
+    * intersection counted by an equi-join on (block, n-gram), never a full
+    * cross join. The n-gram explode runs once per doc; at 100 TB the block
+    * key bounds every shuffle partition to one block's docs.
+    */
+  def charNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val cleaned = TextFunctions.cleanText(col(textCol))
+    val g = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        explode(array_distinct(filter(
+          transform(sequence(lit(0), greatest(length(cleaned) - n, lit(0))),
+            i => cleaned.substr(i + 1, lit(n))),
+          gg => length(gg) === n))).as("ng"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = g.select(col("block"), col("ng"), col("doc_id").as("doc_a"))
+    val b = g.select(col("block"), col("ng"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("block", "ng"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Rademacher (±1) hyperplane component for sign-LSH: pure integer hash of
     * (plane, component, seed) → parity. ±1 planes are a standard random
     * projection family (Achlioptas 2001), and being integer-hash-derived the

@@ -139,6 +139,39 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── Char-trigram Jaccard near-dup, blocked by source (the n-gram
+    //    Jaccard family member; word-shingle Jaccard is the LSH verify) ─────
+    QueryDef.sql("dedup_ngram_jaccard", {
+      val cleanSql = "trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))"
+      s"""WITH t AS (SELECT doc_id, source, $cleanSql AS s FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |         unnest(list_distinct(list_filter(
+         |           list_transform(range(0, greatest(len(s) - 3, 0) + 1),
+         |                          i -> substr(s, i + 1, 3)),
+         |           x -> len(x) = 3))) AS ng
+         |  FROM t),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+         |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng
+         |                    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |         i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+         |FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      Dedup.charNgramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          blockCol = "source", n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ── SimHash near-dup pairs (Hamming ≤ 3 via quarter-bucket pigeonhole) ─
     QueryDef.sql("dedup_simhash",
       s"""$simhashCte,
@@ -480,6 +513,31 @@ object PipelineQueries {
           unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start_us")
+    },
+
+    // ── Streaming dedup (keep-first): batch form of Spark's
+    //    dropDuplicatesWithinWatermark — first event per (user_id,
+    //    event_type) in (ts, event_id) order ─────────────────────────────────
+    QueryDef.sql("stream_dedup",
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS ts_us, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+      // order on RAW nanos (col ts), not the micros truncation — sub-micro
+      // differences must break ties identically to the oracle's ORDER BY ts
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("tsx")).as("ts_us"), col("event_id"))
+        .orderBy("user_id", "event_type")
     },
 
     // ── Exact quantiles (statistical aggregation; both engines use linear

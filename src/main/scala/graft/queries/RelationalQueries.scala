@@ -268,6 +268,72 @@ object RelationalQueries {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // ── J8: as-of (point-in-time) join — for each purchase, the latest view
+    //    at-or-before it per user. Spark side is the single-shuffle
+    //    union-sort-fill operator; the oracle uses DuckDB's native ASOF ────
+    QueryDef.sql("j8_asof_join",
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts)::BIGINT AS ts, round(max(value), 2) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_us,
+        |       v.ts AS asof_ts, v.value AS asof_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      // right side pre-aggregated per (user, ts): AsofJoin's determinism
+      // contract (ties at one timestamp must have a single winner).
+      // Comparison in MICROS on both sides — DuckDB reads the nanos parquet
+      // timestamps truncated to micro precision.
+      val ev = Tables.events(s, dir) // ts is LongType nanos (nanosAsLong)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us").agg(round(max("value"), 2).as("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      graft.operators.AsofJoin.asofLast(purchases, views, "user_id", "ts_us",
+          Seq("ts_us", "value"))
+        .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_us"),
+          col("asof_ts_us").as("asof_ts"), col("asof_value"))
+        .orderBy("event_id")
+    },
+
+    // ── A9: cube (all grouping-set combinations; SURVEY §2.4 family) ──────
+    QueryDef.sql("a9_cube",
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce((user_id % 10)::VARCHAR, 'ALL') AS cohort,
+        |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id % 10)
+        |ORDER BY etype, cohort""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .cube(col("event_type"), (col("user_id") % 10).as("cohort0"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("cohort0").cast("string"), lit("ALL")).as("cohort"),
+          col("n"), col("sum_value"))
+        .orderBy("etype", "cohort")
+    },
+
+    // ── A10: pivot (wide aggregation; oracle is the CASE-sum expansion) ───
+    QueryDef.sql("a10_pivot",
+      """SELECT user_id % 10 AS cohort,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("cohort")
+    },
+
     // ── A: rollup (multi-level aggregation; SURVEY §2.4 "built-in") ───────
     QueryDef.sql("a8_rollup_revenue",
       """SELECT coalesce(r_name, 'ALL') AS region,
