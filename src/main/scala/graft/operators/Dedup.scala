@@ -138,19 +138,40 @@ object Dedup {
     * n-grams of the cleaned text, candidate pairs restricted to the same
     * `blockCol` value (source, shard, language… — any cheap blocking key),
     * intersection counted by an equi-join on (block, n-gram), never a full
-    * cross join. The n-gram explode runs once per doc; at 100 TB the block
-    * key bounds every shuffle partition to one block's docs.
+    * cross join.
+    *
+    * `maxDf` caps the per-block document frequency of the grams that
+    * participate: grams shared by more than `maxDf` docs in a block are
+    * dropped from BOTH the intersection and the set sizes, so the result is
+    * the exact Jaccard over each doc's rare-gram set. Ultra-common grams
+    * ("the", " a ") otherwise make the pair join quadratic in block size
+    * while contributing no discrimination — the same stop-gram move
+    * training-data dedup pipelines apply before pairwise verification. With
+    * the cap, per-gram join fanout is ≤ maxDf², so cost is linear in the
+    * number of (block, gram) groups.
     */
   def charNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
                        blockCol: String, n: Int = 3,
-                       threshold: Double = 0.5): DataFrame = {
-    val cleaned = TextFunctions.cleanText(col(textCol))
-    val g = docs
+                       threshold: Double = 0.5,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    // cleaned text is BOUND to a column before the gram lambda — an inline
+    // expression inside transform() is re-evaluated per gram index (the
+    // regex clean chain would run O(len) times per row)
+    val g0 = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        TextFunctions.cleanText(col(textCol)).as("_s"))
+      .select(col("doc_id"), col("block"),
         explode(array_distinct(filter(
-          transform(sequence(lit(0), greatest(length(cleaned) - n, lit(0))),
-            i => cleaned.substr(i + 1, lit(n))),
+          transform(sequence(lit(0), greatest(length(col("_s")) - n, lit(0))),
+            i => col("_s").substr(i + 1, lit(n))),
           gg => length(gg) === n))).as("ng"))
+    val g =
+      if (maxDf == Int.MaxValue) g0
+      else {
+        val w = Window.partitionBy("block", "ng")
+        g0.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= maxDf).drop("_df")
+      }
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = g.select(col("block"), col("ng"), col("doc_id").as("doc_a"))
     val b = g.select(col("block"), col("ng"), col("doc_id").as("doc_b"))

@@ -139,18 +139,24 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // ── Char-trigram Jaccard near-dup, blocked by source (the n-gram
-    //    Jaccard family member; word-shingle Jaccard is the LSH verify) ─────
+    // ── Char-trigram Jaccard near-dup, blocked by source, ultra-common
+    //    grams dropped by a per-block df cap (exact Jaccard over rare-gram
+    //    sets; word-shingle Jaccard is the LSH verify) ───────────────────────
     QueryDef.sql("dedup_ngram_jaccard", {
       val cleanSql = "trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))"
       s"""WITH t AS (SELECT doc_id, source, $cleanSql AS s FROM documents),
-         |g AS (
+         |g0 AS (
          |  SELECT doc_id, source,
          |         unnest(list_distinct(list_filter(
          |           list_transform(range(0, greatest(len(s) - 3, 0) + 1),
          |                          i -> substr(s, i + 1, 3)),
          |           x -> len(x) = 3))) AS ng
          |  FROM t),
+         |g AS (
+         |  SELECT doc_id, source, ng FROM (
+         |    SELECT doc_id, source, ng,
+         |           count(*) OVER (PARTITION BY source, ng) AS df
+         |    FROM g0) WHERE df <= 20),
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM g GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
@@ -167,7 +173,7 @@ object PipelineQueries {
          |FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       Dedup.charNgramJaccard(Tables.documents(s, dir), "doc_id", "text",
-          blockCol = "source", n = 3, threshold = 0.5)
+          blockCol = "source", n = 3, threshold = 0.5, maxDf = 20)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
