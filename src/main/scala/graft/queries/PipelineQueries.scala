@@ -312,6 +312,35 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── The reference's benchmark workload shape (BASELINE.md: 50 queries,
+    //    top-k = 20, exact search) as ONE DAG through the bounded
+    //    TopKAggregator — the batched-throughput regime that replaces
+    //    per-query FAISS latency at cluster scale ────────────────────────────
+    QueryDef.sql("sim_knn_batch50",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |         ${cosineSql("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e CROSS JOIN q),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+         |FROM rk WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.VectorSearch.bruteTopKBatchAgg(
+          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 20)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // ── IVF cluster-pruned ANN (approximate → rows-only; recall asserted in
     //    VectorSearchSpec against the exact scan) ───────────────────────────
     QueryDef.rowsOnly("sim_knn_ivf") { (s, dir) =>
@@ -544,6 +573,52 @@ object PipelineQueries {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("tsx")).as("ts_us"), col("event_id"))
         .orderBy("user_id", "event_type")
+    },
+
+    // ── W4: time-series gap fill — hourly grid per user, value
+    //    forward-filled from the latest event at-or-before each grid point
+    //    (sequence-explode grid + the AsofJoin operator; ASOF oracle) ───────
+    QueryDef.sql("w4_gap_fill",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, round(max(value), 2) AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(ts_us) - min(ts_us) % 3600000000 AS h0,
+        |         max(ts_us) - max(ts_us) % 3600000000 AS h1
+        |  FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 3600000000, 3600000000)) AS ts_us
+        |  FROM bounds)
+        |SELECT g.user_id, g.ts_us AS hour_us, e.v AS filled
+        |FROM grid g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.ts_us >= e.ts_us
+        |ORDER BY g.user_id, hour_us""".stripMargin) { (s, dir) =>
+      val HourUs = 3600000000L
+      val e = Tables.events(s, dir).filter(col("user_id") < 20)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .groupBy("user_id", "ts_us").agg(round(max("value"), 2).as("v"))
+      val grid = e.groupBy("user_id")
+        .agg((min("ts_us") - min("ts_us") % HourUs).as("h0"),
+          (max("ts_us") - max("ts_us") % HourUs).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), lit(HourUs))).as("ts_us"))
+      graft.operators.AsofJoin.asofLast(grid, e, "user_id", "ts_us", Seq("v"))
+        .select(col("user_id"), col("ts_us").as("hour_us"), col("asof_v").as("filled"))
+        .orderBy("user_id", "hour_us")
+    },
+
+    // ── A11: skew-salted aggregation (two-phase groupBy; equals the direct
+    //    aggregate — the oracle IS the direct form) ─────────────────────────
+    QueryDef.sql("a11_salted_agg",
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+        |       count(*)::BIGINT AS count_one
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Skew.saltedAgg(
+          Tables.events(s, dir).withColumn("one", lit(1L)),
+          "event_type", buckets = 16, Map("value" -> "sum", "one" -> "count"))
+        .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
+          col("count_one"))
+        .orderBy("event_type")
     },
 
     // ── Exact quantiles (statistical aggregation; both engines use linear
