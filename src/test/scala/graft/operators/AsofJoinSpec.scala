@@ -37,6 +37,14 @@ class AsofJoinSpec extends SparkSpec {
       Set("id", "k", "ts", "extra", "asof_price"))
   }
 
+  test("asofLast plans exactly ONE shuffle and no join operator") {
+    val plan = AsofJoin.asofLast(left, right, "k", "ts", Seq("price"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
   test("asofLast matches the naive range-join result on random data") {
     val rnd = new scala.util.Random(7)
     val l = (1 to 300).map(i => (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
