@@ -75,9 +75,17 @@ object KbPipeline {
     val qvec = Embedder.Deterministic(cfg.vectorDimensions)
       .embedBatch(Seq(enhanced)).head.toSeq
 
-    // 3a. vector k-NN (T1)
-    val vtop = VectorSearch.bruteTopK(embeddings, "doc_id", "embedding",
-      qvec, cfg.queryTopK)
+    // 3a. vector k-NN (T1). Every top-k boundary in the pipeline ranks on a
+    //     ROUNDED score (cosine 6dp, BM25 4dp): raw float sums are
+    //     partition-order-dependent in the last bits, and a boundary flip
+    //     would cascade through fusion ranks — the same determinism choice
+    //     the standalone t1/t2/j3 queries make, and what lets the WHOLE
+    //     pipeline carry a value-exact DuckDB oracle (e2e_hybrid_query).
+    val vtop = embeddings
+      .select(col("doc_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"),
+          graft.functions.VectorFunctions.vecLit(qvec)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
 
     // 3b. BM25 (A2/T2) — skipped when hybrid disabled (the reference's
     //     low-memory tier does the same, README.md:454-459); k1/b and the
@@ -87,7 +95,8 @@ object KbPipeline {
         val scored = (bm25Index match {
           case Some(ix) => Bm25.scoreWithIndex(ix, spark, enhanced, cfg.bm25K1, cfg.bm25B)
           case None     => Bm25.scoreQuery(chunks, "doc_id", "text", enhanced, cfg.bm25K1, cfg.bm25B)
-        }).orderBy(col("score").desc, col("doc_id")).limit(cfg.bm25MaxResults)
+        }).select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(cfg.bm25MaxResults)
         val ktop = Bm25.topK(scored, cfg.queryTopK)
         // 3c. fusion: RRF default; legacy weighted merge behind the config
         //     switch (search.py:414-439 vs 350-411)

@@ -25,6 +25,15 @@ class KbPipelineSpec extends SparkSpec {
       .toSeq.toDF("doc_id", "embedding")
   }
 
+  test("e2e oracle's pinned enhanced-query literal matches live Enhancement") {
+    import graft.queries.EngineQueries
+    val live = spark.range(1)
+      .select(graft.query.Enhancement.enhance(lit(EngineQueries.E2eQueryText)))
+      .first().getString(0)
+    assert(live == EngineQueries.E2eEnhancedQuery,
+      s"enhancement drifted; update E2eEnhancedQuery to: $live")
+  }
+
   test("full query lifecycle returns ranked hits and formatted context") {
     val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3,
       queryContextScope = 1)
