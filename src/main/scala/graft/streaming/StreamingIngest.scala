@@ -58,6 +58,23 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming keep-first dedup: `dropDuplicatesWithinWatermark` on the key
+    * columns — dedup state is BOUNDED by the watermark horizon (grows with
+    * distinct keys per window, not with stream length), the property that
+    * makes exactly-once dedup viable on an unbounded 100 TB/day stream.
+    * Streaming keeps the first ARRIVAL per key within the horizon; the
+    * batch twin (the oracle-checked `stream_dedup` query) keeps the first
+    * EVENT-TIME row via a window — same operator family, the deterministic
+    * batch form is what an oracle can check.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else
+      events.dropDuplicates(keys)
+
   /** Watermarked sliding-window event counts: event-time windows of
     * `windowDur` sliding `slideDur`, late data beyond `watermark` dropped.
     * Works identically over a batch DataFrame (for the oracle-checked

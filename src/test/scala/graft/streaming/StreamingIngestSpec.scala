@@ -69,4 +69,41 @@ class StreamingIngestSpec extends SparkSpec {
     // plan carried a watermark (observable via lastProgress)
     assert(q.lastProgress != null)
   }
+
+  test("streaming dedup keeps one row per key within the watermark horizon") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts")
+    val out = StreamingIngest.dedupStream(df, "ts", Seq("user_id", "event_type"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:01:00")),
+        (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:02:00")), // dup in batch
+        (2L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:03:00")))
+      q.processAllAvailable()
+      input.addData( // dup arriving in a LATER microbatch, still in horizon
+        (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:05:00")),
+        (3L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:06:00")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("user_id", "event_type").as[(Long, String)].collect().sorted
+      assert(got.toSeq == Seq((1L, "click"), (2L, "view"), (3L, "click")),
+        s"cross-microbatch duplicate must be dropped, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("dedupStream batch form deduplicates by key") {
+    val batch = Seq(
+      (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:01:00")),
+      (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:02:00")),
+      (2L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:03:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = StreamingIngest.dedupStream(batch, "ts", Seq("user_id", "event_type"))
+    assert(got.count() == 2)
+  }
 }
