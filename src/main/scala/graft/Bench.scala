@@ -44,16 +44,24 @@ object Bench {
         .assigned.count()
     }
 
+    // a failed query records -1 (never a normal-looking elapsed time) and is
+    // excluded from the total — a regression that breaks a query must not
+    // read as a performance win
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val build = s"""{"warmup":$warmupSec,"bm25_index":$bm25Sec,"ivf_index":$ivfSec}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

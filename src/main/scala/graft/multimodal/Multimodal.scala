@@ -75,7 +75,10 @@ object Multimodal {
     * (media_id, frame_no, frame_b64).
     */
   def sampleFrames(media: DataFrame, frameSize: Int = 64, everyK: Int = 4): DataFrame = {
-    val lastFrame = greatest(ceil(col("byte_len").cast("double") / frameSize).cast("long") - 1L, lit(0L))
+    // byte count derived from the payload itself — callers only need
+    // (media_id, bytes), the original contract
+    val byteLen = length(col("bytes")).cast("double")
+    val lastFrame = greatest(ceil(byteLen / frameSize).cast("long") - 1L, lit(0L))
     media.select(col("media_id"), col("bytes"),
         explode(sequence(lit(0L), lastFrame)).as("frame_no"))
       .filter(col("frame_no") % everyK === 0)

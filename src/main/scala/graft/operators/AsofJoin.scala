@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * broadcast range join caps the right side. Equal timestamps: the right
   * row sorts BEFORE the left row (side 0 < 1), so `r.ts == l.ts` matches.
   *
+  * The fill carries ONE STRUCT of all value columns, not per-column fills:
+  * per-column `last(ignoreNulls)` would skip a NULL field and backfill it
+  * from an OLDER right row, blending fields of different rows — true as-of
+  * semantics (and SQL ASOF JOIN) take every field from the single latest
+  * row, nulls included.
+  *
   * Determinism contract: the right side must be unique per (key, ts) —
   * pre-aggregate it (e.g. max per timestamp) if it is not; otherwise which
   * same-timestamp row wins is partition-order-dependent.
@@ -26,27 +32,27 @@ object AsofJoin {
   /** @param left      rows to annotate (keeps ALL its columns)
     * @param right     lookup side: must contain `keyCol`, `tsCol`, and
     *                  `valueCols`; unique per (key, ts)
-    * @param valueCols right columns carried onto each left row, null when no
-    *                  right row is at-or-before the left timestamp
+    * @param valueCols right columns carried onto each left row as
+    *                  `asof_<name>`, all NULL when no right row is
+    *                  at-or-before the left timestamp
     */
   def asofLast(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
-    val markers = valueCols.map(c => s"_asof_$c")
-    val lTyped = valueCols.zip(markers).foldLeft(left.withColumn("_side", lit(1))) {
-      case (df, (c, m)) => df.withColumn(m, lit(null).cast(right.schema(c).dataType))
-    }
-    val r = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("_side")) ++
-        valueCols.zip(markers).map { case (c, m) => col(c).as(m) }: _*)
-    val unioned = lTyped.unionByName(r, allowMissingColumns = true)
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("_side"),
+      struct(valueCols.map(col): _*).as("_asof_row"))
+    // unionByName(allowMissingColumns) adds _asof_row to the left side as a
+    // typed NULL — exactly the marker the fill needs
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = markers.foldLeft(unioned) { (df, m) =>
-      df.withColumn(m, last(col(m), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1)
+    val filled = unioned
+      .withColumn("_asof_row", last(col("_asof_row"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .drop("_side")
-      .withColumnsRenamed(markers.zip(valueCols).map { case (m, c) => m -> s"asof_$c" }.toMap)
+    valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_asof_row.$c"))
+    }.drop("_asof_row")
   }
 }

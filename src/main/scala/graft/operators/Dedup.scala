@@ -172,15 +172,18 @@ object Dedup {
         g0.withColumn("_df", count(lit(1)).over(w))
           .filter(col("_df") <= maxDf).drop("_df")
       }
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = g.select(col("block"), col("ng"), col("doc_id").as("doc_a"))
-    val b = g.select(col("block"), col("ng"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("block", "ng"))
+    // set size carried ON each gram row via a window instead of a separate
+    // sizes aggregate: the gram subtree (clean + explode + df window) then
+    // feeds only the two join branches — whose identical shuffles collapse
+    // into one via ReuseExchange — not a third size-aggregation pass
+    val gs = g.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = gs.select(col("block"), col("ng"), col("doc_id").as("doc_a"), col("sz").as("na"))
+    val b = gs.select(col("block"), col("ng"), col("doc_id").as("doc_b"), col("sz").as("nb"))
+    a.join(b, Seq("block", "ng"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))

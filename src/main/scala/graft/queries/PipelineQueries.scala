@@ -564,10 +564,12 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
         .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
-      // order on RAW nanos (col ts), not the micros truncation — sub-micro
-      // differences must break ties identically to the oracle's ORDER BY ts
+      // order at MICRO precision + event_id — DuckDB reads the nanos parquet
+      // timestamps truncated to micros, so its ORDER BY ts cannot see
+      // sub-micro differences; ordering on raw nanos here would pick a
+      // different row whenever two events share a microsecond
       val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
       ev.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"),

@@ -72,8 +72,15 @@ object StreamingIngest {
     if (events.isStreaming)
       events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
-    else
-      events.dropDuplicates(keys)
+    else {
+      // batch twin keeps the first EVENT-TIME row deterministically —
+      // dropDuplicates would keep an arbitrary (partition-order-dependent)
+      // row and silently break the documented keep-first contract
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      events.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
 
   /** Watermarked sliding-window event counts: event-time windows of
     * `windowDur` sliding `slideDur`, late data beyond `watermark` dropped.

@@ -37,6 +37,20 @@ class AsofJoinSpec extends SparkSpec {
       Set("id", "k", "ts", "extra", "asof_price"))
   }
 
+  test("NULL fields of the latest right row are NOT backfilled from older rows") {
+    // true as-of semantics: every field comes from the single latest row —
+    // per-column ignoreNulls fills would blend (price from ts=1, qty from
+    // ts=2) into a row that never existed
+    val r = Seq(("a", 1L, Option(5.0), Option.empty[Long]),
+      ("a", 2L, Option.empty[Double], Option(7L)))
+      .toDF("k", "ts", "price", "qty")
+    val l = Seq((1L, "a", 3L)).toDF("id", "k", "ts")
+    val got = AsofJoin.asofLast(l, r, "k", "ts", Seq("price", "qty"))
+      .select("asof_price", "asof_qty").collect()(0)
+    assert(Option(got.get(0)).isEmpty, "price must be the latest row's NULL")
+    assert(got.getLong(1) == 7L)
+  }
+
   test("asofLast plans exactly ONE shuffle and no join operator") {
     val plan = AsofJoin.asofLast(left, right, "k", "ts", Seq("price"))
       .queryExecution.executedPlan.toString

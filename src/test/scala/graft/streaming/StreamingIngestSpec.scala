@@ -97,13 +97,16 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("dedupStream batch form deduplicates by key") {
+  test("dedupStream batch form keeps the FIRST event-time row per key") {
     val batch = Seq(
-      (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:01:00")),
       (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:02:00")),
+      (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:01:00")),
       (2L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:03:00")))
       .toDF("user_id", "event_type", "ts")
     val got = StreamingIngest.dedupStream(batch, "ts", Seq("user_id", "event_type"))
-    assert(got.count() == 2)
+      .select("user_id", "ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(got.size == 2)
+    assert(got(1L) == java.sql.Timestamp.valueOf("2026-01-01 00:01:00"),
+      "must keep the earliest event-time row, not an arbitrary one")
   }
 }
