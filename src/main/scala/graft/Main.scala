@@ -43,10 +43,16 @@ object Main {
     else KbConfig.load()
 
   def main(args: Array[String]): Unit = {
+    val spark = session()
+    try run(args, spark)
+    finally spark.stop()
+  }
+
+  /** Verb dispatch against a caller-owned session (main owns stop()). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     require(args.length >= 2, "usage: graft.Main <verb> <kbDir> [...]")
     val verb = args(0)
     val kb = args(1).stripSuffix("/")
-    val spark = session()
 
     verb match {
       case "database" =>
@@ -120,8 +126,37 @@ object Main {
         if (all.isEmpty) println("[graft] verify-indexes: healthy")
         else all.foreach(f => println(s"[graft] verify-indexes: $f"))
 
+      case "dedup" =>
+        // extension verb (training-pipeline suite): exact + MinHash-LSH +
+        // SimHash near-dup pair tables over the chunk table
+        import graft.operators.Dedup
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        Dedup.exactGroups(chunks, "doc_id", "text")
+          .filter(col("dup_id") =!= col("keep_id"))
+          .write.mode("overwrite").parquet(s"$kb/dedup/exact")
+        val sigs = Dedup.minhashSignatures(chunks, "doc_id", "text")
+        val cand = Dedup.lshCandidates(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+        Dedup.jaccardPairs(chunks, "doc_id", "text", cand)
+          .filter(col("jaccard") >= 0.7)
+          .write.mode("overwrite").parquet(s"$kb/dedup/minhash_lsh")
+        Dedup.simhashPairs(chunks, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$kb/dedup/simhash")
+        Seq("exact", "minhash_lsh", "simhash").foreach { d =>
+          println(s"[graft] dedup: ${spark.read.parquet(s"$kb/dedup/$d").count()} pairs -> $kb/dedup/$d")
+        }
+
+      case "knn" =>
+        // extension verb: exact top-k nearest chunks to a given doc_id
+        require(args.length >= 3, "knn <kbDir> <doc_id> [k]")
+        val k = if (args.length > 3) args(3).toInt else 10
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        val qv = emb.filter(col("doc_id") === args(2).toLong)
+          .select("embedding").head().getSeq[Float](0)
+        graft.operators.VectorSearch.bruteTopK(emb, "doc_id", "embedding", qv, k)
+          .collect().foreach(r => println(f"[graft] knn: ${r.getLong(0)} ${r.getDouble(1)}%.6f"))
+
       case other => sys.error(s"unknown verb $other")
     }
-    spark.stop()
   }
 }
