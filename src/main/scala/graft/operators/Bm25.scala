@@ -69,14 +69,40 @@ object Bm25 {
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  persist: Boolean = false): Index = {
+    val n = docs.count()
     val post = postings(docs, idCol, textCol)
     val p = if (persist) post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else post
     val lens = docLengths(p)
     val l = if (persist) lens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else lens
-    val idfDf = idf(p, docs.count())
+    val idfDf = idf(p, n)
     val i = if (persist) idfDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else idfDf
+    // corpus size rides in stats so an index can be incrementally MERGED
+    // later (idf needs N; avgdl consumers ignore the extra column)
     val stats = l.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+      .withColumn("n", lit(n))
     Index(p, l, i, stats)
+  }
+
+  /** Incremental index maintenance (S8 at 100 TB: never rebuild the whole
+    * postings table for a new batch of documents). New docs' postings are
+    * UNIONED onto the old postings — an append-only parquet write in
+    * practice — and only the term-level statistics (idf, avgdl) are
+    * recomputed, from the merged postings and the tracked corpus size.
+    * Equivalent to a full rebuild over old ∪ new (spec-asserted).
+    *
+    * Contract: `newDocs` ids are disjoint from the indexed corpus (route
+    * re-ingests through the S5 anti-join first).
+    */
+  def mergeIndex(old: Index, newDocs: DataFrame, idCol: String, textCol: String): Index = {
+    val newN = newDocs.count()
+    val oldN = old.stats.select(col("n")).head().getLong(0)
+    val post = old.postings.unionByName(postings(newDocs, idCol, textCol))
+    val lens = old.lengths.unionByName(
+      docLengths(postings(newDocs, idCol, textCol)))
+    val idfDf = idf(post, oldN + newN)
+    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+      .withColumn("n", lit(oldN + newN))
+    Index(post, lens, idfDf, stats)
   }
 
   /** S8 index persistence: the reference writes NPZ + JSON sidecars

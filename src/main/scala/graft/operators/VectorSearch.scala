@@ -135,6 +135,38 @@ object VectorSearch {
       (-best.getField("ncid")).as("cluster_id"))
   }
 
+  /** BATCHED IVF ANN: each query probes its own `nprobe` nearest centroids
+    * and scores ONLY the corpus rows of those clusters — the many-queries
+    * serving regime. Probe selection is a queries×centroids broadcast cross
+    * join (tiny); the corpus joins the probe set on `cluster_id`, so a
+    * corpus row is scored once per query probing its cluster (corpus ×
+    * nprobe/ncentroids × |Q| scored pairs instead of corpus × |Q|), then
+    * the bounded [[TopKAggregator]] keeps k rows per partition per query.
+    *
+    * @param assigned  (idCol, vecCol, cluster_id) — from [[buildIvf]] or
+    *                  [[seededIvfAssign]]
+    * @param centroids (cid INT, cv ARRAY<FLOAT>) — tiny
+    */
+  def ivfTopKBatch(assigned: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nprobe: Int): DataFrame = {
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("qv"), col("cid"),
+        cosine(col("cv"), col(qvecCol)).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster_id"))
+    val scored = assigned.join(broadcast(probes), "cluster_id")
+      .select(col("query_id"), col(idCol).as("doc_id"),
+        cosine(col(vecCol), col("qv")).as("score"))
+    TopK.explodeRanked(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("doc_id"), col("score")).as("tk")),
+      "tk", Seq("query_id"))
+  }
+
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
     * Centroid ranking is driver-side math over ncentroids vectors (tiny —
     * this mirrors FAISS's coarse quantizer step, nprobe default 32 at

@@ -399,6 +399,55 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ── Batched seeded-IVF ANN: 5 queries, each probing its own 2 nearest
+    //    clusters, bounded top-k aggregation — the ANN SERVING regime under
+    //    a full value oracle ─────────────────────────────────────────────────
+    QueryDef.sql("sim_knn_ivf_batch",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |              WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id IN (0, 100, 200, 300, 400)),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT doc_id, ev, cid FROM asg WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.query_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosineSql("c.cv", "q.qv")} DESC, c.cid) AS rn
+         |    FROM cent c CROSS JOIN q) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.doc_id, ${cosineSql("a.ev", "q.qv")} AS score
+         |  FROM a2 a JOIN probe p ON a.cid = p.cid
+         |  JOIN q ON q.query_id = p.query_id),
+         |rk AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val centSeq = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val assigned = graft.operators.VectorSearch.seededIvfAssign(
+        emb, "vec_id", "embedding", centSeq)
+      val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.VectorSearch.ivfTopKBatch(
+          assigned, "vec_id", "embedding", cents, queries, "qid", "qvec",
+          k = 10, nprobe = 2)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // ── Text analysis: token counting (F4) ────────────────────────────────
     QueryDef.sql("f4_token_counts",
       s"""SELECT doc_id,

@@ -104,6 +104,23 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("mergeIndex(old, newDocs) scores identically to a full rebuild") {
+    val oldDocs = corpus.take(3).toDF("doc_id", "text")
+    val newDocs = corpus.drop(3).toDF("doc_id", "text")
+    val allDocs = corpus.toDF("doc_id", "text")
+    val merged = Bm25.mergeIndex(
+      Bm25.buildIndex(oldDocs, "doc_id", "text"), newDocs, "doc_id", "text")
+    val rebuilt = Bm25.buildIndex(allDocs, "doc_id", "text")
+    def scores(ix: Bm25.Index): Map[Long, Double] =
+      Bm25.scoreWithIndex(ix, spark, "quick fox dog")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m = scores(merged); val r = scores(rebuilt)
+    assert(m.keySet == r.keySet)
+    m.foreach { case (d, s) => assert(math.abs(s - r(d)) < 1e-12, s"doc $d") }
+    // corpus size tracked through the merge
+    assert(merged.stats.select("n").head().getLong(0) == corpus.size.toLong)
+  }
+
   test("topK returns k best with deterministic tie-break") {
     val docs = corpus.toDF("doc_id", "text")
     val top2 = Bm25.topK(Bm25.scoreQuery(docs, "doc_id", "text", "quick fox"), 2)
