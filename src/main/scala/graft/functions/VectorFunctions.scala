@@ -63,6 +63,37 @@ object VectorFunctions {
     */
   def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
 
+  /** Symmetric int8 quantization: q_j = round(v_j · 127 / max|v|), the
+    * classic 4×-storage scalar quantization for embedding columns (FAISS
+    * SQ8 / IVFPQ territory re-expressed as a column transform). Cosine over
+    * quantized vectors needs NO dequantization — the per-vector scale
+    * cancels in dot/(|a||b|) — so [[cosineI8]] serves similarity search
+    * straight off the small column with pure integer dot products.
+    * All-zero vectors quantize to zeros.
+    */
+  def quantizeI8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    transform(v, x =>
+      when(mx > 0, round(x.cast("double") * 127.0 / mx).cast("tinyint"))
+        .otherwise(lit(0).cast("tinyint")))
+  }
+
+  /** Integer dot product of two int8-quantized vectors (exact 64-bit). */
+  def dotI8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over int8-quantized vectors: integer dot and norms, one double
+    * division at the end — scale-free and exactly reproducible by any SQL
+    * engine (integer math everywhere).
+    */
+  def cosineI8(a: Column, b: Column): Column = {
+    def nsq(c: Column): Column =
+      aggregate(c, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+    val denom = sqrt(nsq(a).cast("double")) * sqrt(nsq(b).cast("double"))
+    when(denom > 0, dotI8(a, b).cast("double") / denom).otherwise(lit(0.0))
+  }
+
   /** Per-token 60-bit hashes for SimHash: array of h1 + h2*2^30 where h1/h2
     * are the two polynomial hash families. Materialize this ONCE per row
     * (e.g. `.withColumn("th", tokenHashes60($"tokens"))`) and feed the column

@@ -399,6 +399,45 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ── Int8-quantized similarity search: 4x-smaller embedding column,
+    //    pure-integer cosine (scales cancel) — exact oracle parity since
+    //    quantization and scoring are integer math end-to-end ───────────────
+    QueryDef.sql("sim_knn_quantized", {
+      def qSql(v: String): String = {
+        val mx = s"list_max(list_transform($v, x -> abs(x::DOUBLE)))"
+        s"""CASE WHEN $mx > 0 THEN list_transform($v,
+           | x -> round(x::DOUBLE * 127.0 / $mx)::BIGINT)
+           | ELSE list_transform($v, x -> 0::BIGINT) END""".stripMargin.replaceAll("\n", "")
+      }
+      def dotI(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           | list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+           | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+      def nsqI(a: String): String =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           | list_transform($a, x -> x * x)), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+      val cosI = s"CASE WHEN sqrt(${nsqI("q")}::DOUBLE) * sqrt(${nsqI("(SELECT qq FROM qv)")}::DOUBLE) > 0 " +
+        s"THEN ${dotI("q", "(SELECT qq FROM qv)")}::DOUBLE / " +
+        s"(sqrt(${nsqI("q")}::DOUBLE) * sqrt(${nsqI("(SELECT qq FROM qv)")}::DOUBLE)) ELSE 0.0 END"
+      s"""WITH quant AS (
+         |  SELECT vec_id AS doc_id, ${qSql("embedding")} AS q FROM embeddings),
+         |qv AS (SELECT q AS qq FROM quant WHERE doc_id = 0),
+         |scored AS (SELECT doc_id, $cosI AS score FROM quant)
+         |SELECT doc_id, round(score, 6) AS score
+         |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val quant = emb.select(col("vec_id").as("doc_id"),
+        VectorFunctions.quantizeI8(col("embedding")).as("q"))
+      val qq = quant.filter(col("doc_id") === 0)
+        .select(col("q")).first().getSeq[Byte](0)
+      val qLit = array(qq.map(b => lit(b)): _*)
+      quant.select(col("doc_id"),
+          round(VectorFunctions.cosineI8(col("q"), qLit), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ── Batched seeded-IVF ANN: 5 queries, each probing its own 2 nearest
     //    clusters, bounded top-k aggregation — the ANN SERVING regime under
     //    a full value oracle ─────────────────────────────────────────────────

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = {
+    val rnd = new scala.util.Random(11)
+    (0 until 200).map(i =>
+      (i.toLong, Array.fill(32)((rnd.nextGaussian()).toFloat)))
+      .toDF("id", "v")
+  }
+
+  test("quantizeI8 bounds values to [-127, 127] and zeros stay zeros") {
+    val q = vecs.select(VectorFunctions.quantizeI8(col("v")).as("q"))
+      .select(explode(col("q")).as("x"))
+      .agg(min("x"), max("x")).collect()(0)
+    assert(q.getByte(0) >= -127 && q.getByte(1) <= 127)
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "v")
+      .select(VectorFunctions.quantizeI8(col("v")).as("q"))
+      .collect()(0).getSeq[Byte](0)
+    assert(z.forall(_ == 0))
+  }
+
+  test("int8 cosine recall@20 vs exact float cosine is high") {
+    val quant = vecs.select(col("id"), col("v"),
+      VectorFunctions.quantizeI8(col("v")).as("q"))
+    val qrow = quant.filter(col("id") === 0).collect()(0)
+    val fv = qrow.getSeq[Float](1)
+    val qv = qrow.getSeq[Byte](2)
+    val exact = quant.select(col("id"),
+        VectorFunctions.cosine(col("v"), VectorFunctions.vecLit(fv)).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val viaI8 = quant.select(col("id"),
+        VectorFunctions.cosineI8(col("q"), array(qv.map(b => lit(b)): _*)).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(viaI8).size.toDouble / 20.0
+    assert(recall >= 0.8, s"int8 recall@20 too low: $recall")
+  }
+}
