@@ -17,30 +17,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getName, name)
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", classOf[CosineF32]),
-      (args: Seq[Expression]) => CosineF32(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      info("graft_dot", classOf[DotF32]),
-      (args: Seq[Expression]) => DotF32(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("graft_polyhash"),
-      info("graft_polyhash", classOf[PolyHashExpr]),
-      (args: Seq[Expression]) => PolyHashExpr(args.head, 31L)))
-    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
-      info("graft_simhash60", classOf[SimHash60Expr]),
-      (args: Seq[Expression]) => SimHash60Expr(args.head)))
-    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
-      info("graft_minhash_sig", classOf[MinHashSigExpr]),
-      (args: Seq[Expression]) => {
-        def intArg(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_minhash_sig $what must be an integer literal, got $other")
-        }
-        MinHashSigExpr(args.head,
-          if (args.length > 1) intArg(args(1), "shingleN") else 3,
-          if (args.length > 2) intArg(args(2), "numHashes") else 16)
-      }))
-  }
+  private val classes: Map[String, Class[_]] = Map(
+    "graft_cosine" -> classOf[CosineF32], "graft_dot" -> classOf[DotF32],
+    "graft_polyhash" -> classOf[PolyHashExpr],
+    "graft_simhash60" -> classOf[SimHash60Expr],
+    "graft_minhash_sig" -> classOf[MinHashSigExpr])
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        info(name, classes(name)), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** The function builders, shared between the extensions hook and
+    * [[install]].
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> ((args: Seq[Expression]) => CosineF32(args(0), args(1))),
+    "graft_dot" -> ((args: Seq[Expression]) => DotF32(args(0), args(1))),
+    "graft_polyhash" -> ((args: Seq[Expression]) => PolyHashExpr(args.head, 31L)),
+    "graft_simhash60" -> ((args: Seq[Expression]) => SimHash60Expr(args.head)),
+    "graft_minhash_sig" -> ((args: Seq[Expression]) => {
+      def intArg(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sig $what must be an integer literal, got $other")
+      }
+      MinHashSigExpr(args.head,
+        if (args.length > 1) intArg(args(1), "shingleN") else 3,
+        if (args.length > 2) intArg(args(2), "numHashes") else 16)
+    }))
+
+  /** Register the graft SQL functions on an already-built session — the
+    * path for sessions not constructed with `withExtensions` (Verify,
+    * Bench, notebooks attaching to a shared session).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.graftshim.GraftShims.registerFunction(spark, name, b)
+    }
 }

@@ -178,6 +178,27 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── Pure-SQL surface: the graft codegen expressions reached through
+    //    spark.sql via registered functions (the JDBC/thrift-user path) —
+    //    value-checked against the same integer-math oracles ────────────────
+    QueryDef.sql("f_sql_surface",
+      s"""$minhashCte
+         |SELECT s.doc_id, ${polySql("d.text", 31)} AS ph,
+         |       array_to_string(s.sig, ',') AS sig
+         |FROM sigs s JOIN documents d ON d.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftExtensions.install(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_v")
+      s.sql(
+        """SELECT doc_id, ph, array_join(transform(sig, x -> cast(x AS string)), ',') AS sig
+          |FROM (
+          |  SELECT doc_id, graft_polyhash(text) AS ph,
+          |         graft_minhash_sig(filter(split(lower(text), '[^a-z0-9]+'),
+          |                                  t -> length(t) > 0)) AS sig
+          |  FROM graft_docs_v)
+          |WHERE size(sig) > 0 ORDER BY doc_id""".stripMargin)
+    },
+
     // ── SimHash near-dup pairs (Hamming ≤ 3 via quarter-bucket pigeonhole) ─
     QueryDef.sql("dedup_simhash",
       s"""$simhashCte,

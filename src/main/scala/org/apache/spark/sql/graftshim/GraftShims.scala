@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-BUILT session (sessionState is
+    * `private[sql]`): lets Verify/Bench/test sessions reach the graft SQL
+    * surface without rebuilding with `withExtensions`.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
