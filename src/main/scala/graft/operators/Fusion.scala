@@ -56,6 +56,26 @@ object Fusion {
       .agg(sum("contrib").as("rrf_score"))
   }
 
+  /** Batched weighted fusion: [[weighted]] with every window/join keyed by
+    * `query_id` — max-normalization is per query, the merge is per
+    * (query_id, doc_id). Inputs carry `(query_id, doc_id, score)`.
+    */
+  def weightedBatch(vector: DataFrame, keyword: DataFrame,
+                    vectorWeight: Double = 0.7, bm25Weight: Double = 0.3): DataFrame = {
+    val wSum = vectorWeight + bm25Weight
+    val (vw, kw) = if (wSum > 0) (vectorWeight / wSum, bm25Weight / wSum) else (0.5, 0.5)
+    val w = Window.partitionBy("query_id")
+    def normalized(df: DataFrame, out: String): DataFrame =
+      df.withColumn("mx", max(abs(col("score"))).over(w))
+        .select(col("query_id"), col("doc_id"),
+          (when(col("mx") > 0, col("score") / col("mx")).otherwise(lit(0.0))).as(out))
+    normalized(vector, "vscore")
+      .join(normalized(keyword, "kscore"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("vscore"), lit(0.0)) * vw +
+          coalesce(col("kscore"), lit(0.0)) * kw).as("score"))
+  }
+
   /** Legacy weighted fusion (`/root/reference/query/search.py:350-411`):
     * max-normalize each list's scores (A7), full-outer merge on doc_id,
     * weighted sum with missing scores as 0.

@@ -46,4 +46,23 @@ class FusionSpec extends SparkSpec {
     assert(math.abs(got(10L) - (vw * 1.0 + bw * (3.0 / 5.0))) < 1e-12)
     assert(math.abs(got(13L) - (bw * (4.0 / 5.0))) < 1e-12)
   }
+
+  test("weightedBatch equals per-query weighted fusion") {
+    val rnd = new scala.util.Random(3)
+    def mk = (for (q <- 0 until 3; d <- 0 until 8 if rnd.nextBoolean())
+      yield (q.toLong, d.toLong, rnd.nextDouble() * 10)).toDF("query_id", "doc_id", "score")
+    val vec = mk; val kw = mk
+    val batch = Fusion.weightedBatch(vec, kw, 0.6, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 3).foreach { q =>
+      val single = Fusion.weighted(
+          vec.filter(col("query_id") === q).drop("query_id"),
+          kw.filter(col("query_id") === q).drop("query_id"), 0.6, 0.4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(single.keySet == batch.keySet.filter(_._1 == q).map(_._2))
+      single.foreach { case (d, s) =>
+        assert(math.abs(batch((q.toLong, d)) - s) < 1e-12, s"q$q doc$d")
+      }
+    }
+  }
 }
