@@ -468,6 +468,86 @@ object EngineQueries {
         .orderBy("query_id", "doc_id")
     },
 
+    // ── Batched weighted fusion: per-query max-normalized merge of the
+    //    vector and BM25 top-20 lists for 3 queries in one DAG ──────────────
+    QueryDef.sql("j5_weighted_batch",
+      s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+         |            WHERE vec_id IN (0, 100, 200)),
+         |cos AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |        ${cosineSql("e.embedding", "q.v")} AS score
+         |        FROM embeddings e CROSS JOIN qv q),
+         |vtop AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, round(score, 6) AS score,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY round(score, 6) DESC, doc_id) AS rk
+         |    FROM cos) WHERE rk <= 20),
+         |tok AS (SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY 1),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5)
+         |          / (count(*) + 0.5) + 1.0) AS idf FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES (0, 'spark join filter window'),
+         |   (100, 'hash merge batch scan'), (200, 'sort table row value')),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf
+         |           FROM qtok GROUP BY 1, 2),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2 HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |ktop AS (
+         |  SELECT query_id, doc_id, score FROM (
+         |    SELECT query_id, doc_id, round(score, 4) AS score,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY round(score, 4) DESC, doc_id) AS rk
+         |    FROM kscores) WHERE rk <= 20),
+         |vn AS (SELECT query_id, doc_id,
+         |         CASE WHEN max(abs(score)) OVER (PARTITION BY query_id) > 0
+         |              THEN score / max(abs(score)) OVER (PARTITION BY query_id)
+         |              ELSE 0.0 END AS vscore FROM vtop),
+         |kn AS (SELECT query_id, doc_id,
+         |         CASE WHEN max(abs(score)) OVER (PARTITION BY query_id) > 0
+         |              THEN score / max(abs(score)) OVER (PARTITION BY query_id)
+         |              ELSE 0.0 END AS kscore FROM ktop)
+         |SELECT coalesce(vn.query_id, kn.query_id) AS query_id,
+         |       coalesce(vn.doc_id, kn.doc_id) AS doc_id,
+         |       round(coalesce(vscore, 0.0) * 0.7 + coalesce(kscore, 0.0) * 0.3, 6) AS score
+         |FROM vn FULL OUTER JOIN kn
+         |  ON vn.query_id = kn.query_id AND vn.doc_id = kn.doc_id
+         |ORDER BY query_id, doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id").isin(0, 100, 200))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val scored = emb.crossJoin(broadcast(qv))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
+      val vtop = graft.operators.TopK.explodeRanked(
+        scored.groupBy("query_id")
+          .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("tk")),
+        "tk", Seq("query_id")).drop("rank")
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      val qt = Seq((0L, "spark join filter window"),
+        (100L, "hash merge batch scan"), (200L, "sort table row value"))
+        .toDF("query_id", "qtext")
+      val ktop = graft.operators.TopK.explodeRanked(
+        Bm25.scoreBatch(ix, qt, "query_id", "qtext")
+          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+          .groupBy("query_id")
+          .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("tk")),
+        "tk", Seq("query_id")).drop("rank")
+      Fusion.weightedBatch(vtop, ktop, 0.7, 0.3)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "doc_id")
+    },
+
     // ── S3: file-type detection from filename (synthetic extensions) ──────
     QueryDef.sql("s3_file_type",
       """WITH files AS (
