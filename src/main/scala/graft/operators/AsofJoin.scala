@@ -38,6 +38,14 @@ object AsofJoin {
     */
   def asofLast(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_side", "_asof_row")
+    require(!reserved.exists(left.columns.contains),
+      s"left must not contain reserved columns ${reserved.mkString(", ")}")
+    require(!reserved.exists(right.columns.contains),
+      s"right must not contain reserved columns ${reserved.mkString(", ")}")
+    val collisions = valueCols.map(c => s"asof_$c").filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"output columns ${collisions.mkString(", ")} already exist on the left side")
     val l = left.withColumn("_side", lit(1))
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("_side"),
       struct(valueCols.map(col): _*).as("_asof_row"))

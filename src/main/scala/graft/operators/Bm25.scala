@@ -95,10 +95,14 @@ object Bm25 {
     */
   def mergeIndex(old: Index, newDocs: DataFrame, idCol: String, textCol: String): Index = {
     val newN = newDocs.count()
-    val oldN = old.stats.select(col("n")).head().getLong(0)
-    val post = old.postings.unionByName(postings(newDocs, idCol, textCol))
-    val lens = old.lengths.unionByName(
-      docLengths(postings(newDocs, idCol, textCol)))
+    // pre-`n` indexes persisted by an older writeIndex lack the stats
+    // column: fall back to counting lengths (one row per doc)
+    val oldN =
+      if (old.stats.columns.contains("n")) old.stats.select(col("n")).head().getLong(0)
+      else old.lengths.count()
+    val np = postings(newDocs, idCol, textCol)
+    val post = old.postings.unionByName(np)
+    val lens = old.lengths.unionByName(docLengths(np))
     val idfDf = idf(post, oldN + newN)
     val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
       .withColumn("n", lit(oldN + newN))

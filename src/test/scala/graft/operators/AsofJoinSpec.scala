@@ -80,4 +80,16 @@ class AsofJoinSpec extends SparkSpec {
       .map(x => x.getLong(0) -> Option(x.get(1))).toMap
     assert(got == naive)
   }
+
+  test("asofLast rejects reserved and colliding column names") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLast(left.withColumn("_side", lit(0)), right, "k", "ts", Seq("price"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLast(left, right.withColumn("_asof_row", lit(0)), "k", "ts", Seq("price"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLast(left.withColumn("asof_price", lit(0.0)), right, "k", "ts", Seq("price"))
+    }
+  }
 }

@@ -121,6 +121,22 @@ class Bm25Spec extends SparkSpec {
     assert(merged.stats.select("n").head().getLong(0) == corpus.size.toLong)
   }
 
+  test("mergeIndex accepts a legacy index whose stats lack the n column") {
+    val oldDocs = corpus.take(3).toDF("doc_id", "text")
+    val newDocs = corpus.drop(3).toDF("doc_id", "text")
+    val built = Bm25.buildIndex(oldDocs, "doc_id", "text")
+    val legacy = built.copy(stats = built.stats.drop("n"))
+    val merged = Bm25.mergeIndex(legacy, newDocs, "doc_id", "text")
+    val rebuilt = Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    assert(merged.stats.select("n").head().getLong(0) == corpus.size.toLong)
+    val m = Bm25.scoreWithIndex(merged, spark, "quick fox dog")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r = Bm25.scoreWithIndex(rebuilt, spark, "quick fox dog")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == r.keySet)
+    m.foreach { case (d, s) => assert(math.abs(s - r(d)) < 1e-12, s"doc $d") }
+  }
+
   test("topK returns k best with deterministic tie-break") {
     val docs = corpus.toDF("doc_id", "text")
     val top2 = Bm25.topK(Bm25.scoreQuery(docs, "doc_id", "text", "quick fox"), 2)
