@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scratch stage-level profiler (not part of the library surface). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[profile] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    secs("warmup") { spark.range(1000000).selectExpr("sum(id)").collect() }
+    val ix = operators.Bm25.cachedIndex(sfDir,
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    secs("index-materialize") {
+      ix.postings.count(); ix.lengths.count(); ix.idf.count(); ix.stats.count()
+    }
+
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    def chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+        (row_number().over(w) - 1).cast("int").as("sid"))
+    def emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+
+    // stage-by-stage
+    secs("enhance-job") {
+      spark.range(1).select(query.Enhancement.enhance(lit(queries.EngineQueries.E2eQueryText)).as("q")).first()
+    }
+    secs("enhance-job-2nd") {
+      spark.range(1).select(query.Enhancement.enhance(lit(queries.EngineQueries.E2eQueryText + " x")).as("q")).first()
+    }
+    secs("enhanceValue") {
+      query.Enhancement.enhanceValue(spark, queries.EngineQueries.E2eQueryText + " y")
+    }
+    secs("enhanceValue-2nd") {
+      query.Enhancement.enhanceValue(spark, queries.EngineQueries.E2eQueryText + " z")
+    }
+    val enhanced = spark.range(1)
+      .select(query.Enhancement.enhance(lit(queries.EngineQueries.E2eQueryText)).as("q")).first().getString(0)
+    val qvec = embed.Embedder.Deterministic(64).embedBatch(Seq(enhanced)).head.toSeq
+    secs("vtop") {
+      emb.select(col("doc_id"),
+          round(functions.VectorFunctions.cosine(col("embedding"),
+            functions.VectorFunctions.vecLit(qvec)), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20).count()
+    }
+    secs("bm25-scored") {
+      operators.Bm25.scoreWithIndex(ix, spark, enhanced)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(1000).count()
+    }
+    secs("full-pipeline-1st") {
+      pipeline.KbPipeline.query(spark, chunks, emb,
+        queries.EngineQueries.E2eQueryText, bm25Index = Some(ix)).hits.count()
+    }
+    secs("full-pipeline-2nd") {
+      pipeline.KbPipeline.query(spark, chunks, emb,
+        queries.EngineQueries.E2eQueryText, bm25Index = Some(ix)).hits.count()
+    }
+    // other slow ones
+    secs("hybrid_batch") { SparkEntry.queries("hybrid_batch")(spark, sfDir).count() }
+    secs("hybrid_batch-2nd") { SparkEntry.queries("hybrid_batch")(spark, sfDir).count() }
+    secs("j5_weighted_batch") { SparkEntry.queries("j5_weighted_batch")(spark, sfDir).count() }
+    secs("dedup_ngram_jaccard") { SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count() }
+    secs("dedup_ngram_jaccard-2nd") { SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count() }
+    locally {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(spark, sfDir)
+      val g0 = docs
+        .select(col("doc_id"), col("source").as("block"),
+          TextFunctions.cleanText(col("text")).as("_s"))
+        .select(col("doc_id"), col("block"),
+          explode(array_distinct(filter(
+            transform(sequence(lit(0), greatest(length(col("_s")) - 3, lit(0))),
+              i => col("_s").substr(i + 1, lit(3))),
+            gg => length(gg) === 3))).as("ng"))
+      secs("ngram-g0-count") { println("g0=" + g0.count()) }
+      secs("ngram-g0-count-2nd") { g0.count() }
+      val w = Window.partitionBy("block", "ng")
+      val g = g0.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= 20).drop("_df")
+      secs("ngram-g-count") { println("g=" + g.count()) }
+      val grouped = g.groupBy("block", "ng")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      secs("ngram-grouped") { println("grouped=" + grouped.count()) }
+      val pairs = grouped
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      secs("ngram-pairs") { println("pairs=" + pairs.count()) }
+    }
+    secs("m7_rerank") { SparkEntry.queries("m7_rerank")(spark, sfDir).count() }
+    secs("m7_rerank-2nd") { SparkEntry.queries("m7_rerank")(spark, sfDir).count() }
+    spark.stop()
+  }
+}

@@ -182,6 +182,47 @@ object HashAlgos {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct character n-gram hashes of a string in one pass: polynomial
+    * base-31 mod-1e9+7 hash of each length-n codepoint window, first-seen
+    * order. For cleaned ASCII text with n ≤ 4 the polynomial never wraps the
+    * modulus, so hash-distinctness IS string-distinctness (injective) — the
+    * DuckDB oracle's string-gram counts match exactly, not probabilistically.
+    * Strings shorter than n yield no grams (matches the
+    * `transform(sequence)+substr+filter(len=n)` column chain).
+    */
+  def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // codepoint array (cleaned text is BMP/ASCII; surrogate-safe anyway)
+    val cps = new Array[Int](len)
+    var ci = 0
+    var m = 0
+    while (ci < len) {
+      val cp = str.codePointAt(ci)
+      cps(m) = cp
+      m += 1
+      ci += Character.charCount(cp)
+    }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= m - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = (h * 31L + cps(i + j)) % P
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Dot product of two float arrays in sequential double accumulation —
     * same rounding as `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)`.
     * Assumes equal lengths and no null elements (embedding columns).
@@ -300,6 +341,21 @@ case class TokenizeExpr(child: Expression, bm25: Boolean)
     copy(child = newChild)
 }
 
+/** `char_ngram_hashes(str, n)` → ARRAY<LONG> of distinct gram hashes. */
+case class CharNgramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_ngram_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    HashAlgos.charNgramHashes(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.charNgramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashesExpr =
+    copy(child = newChild)
+}
+
 /** `dot_f32(a, b)` → DOUBLE. */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -340,6 +396,8 @@ object FastFunctions {
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 31L))
   def polyHash2(c: Column): Column =
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 131L))
+  def charNgramHashes(c: Column, n: Int): Column =
+    GraftShims.column(CharNgramHashesExpr(GraftShims.expression(c), n))
   def minhashSig(tokens: Column, shingleN: Int, numHashes: Int): Column =
     GraftShims.column(MinHashSigExpr(GraftShims.expression(tokens), shingleN, numHashes))
   def simhash60(tokens: Column): Column =

@@ -154,17 +154,22 @@ object Dedup {
                        blockCol: String, n: Int = 3,
                        threshold: Double = 0.5,
                        maxDf: Int = Int.MaxValue): DataFrame = {
-    // cleaned text is BOUND to a column before the gram lambda — an inline
-    // expression inside transform() is re-evaluated per gram index (the
-    // regex clean chain would run O(len) times per row)
+    // grams are built by ONE codegen expression pass (distinct n-gram
+    // hashes, FastFunctions.charNgramHashes): no per-gram string allocation
+    // and the downstream shuffle keys on a LONG, not a substring. For the
+    // cleaned [a-z0-9 ] alphabet at n ≤ 4 the hash is injective, so counts
+    // equal string-gram counts exactly (oracle-verified).
     val g0 = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-        TextFunctions.cleanText(col(textCol)).as("_s"))
-      .select(col("doc_id"), col("block"),
-        explode(array_distinct(filter(
-          transform(sequence(lit(0), greatest(length(col("_s")) - n, lit(0))),
-            i => col("_s").substr(i + 1, lit(n))),
-          gg => length(gg) === n))).as("ng"))
+        explode(FastFunctions.charNgramHashes(
+          TextFunctions.cleanText(col(textCol)), n)).as("ng"))
+    // Posting-list pair generation instead of a gram-keyed self-join: group
+    // docs per (block, gram) — the df cap runs as a window over the SAME
+    // (block, ng) partitioning the collect_list groupBy needs, so the gram
+    // subtree is evaluated once and shuffled once — and explode the i<j
+    // pairs from each sorted list (≤ maxDf ids, so ≤ maxDf² fanout).
+    // Replaces the doc-size window sort plus a sort-merge self-join over the
+    // full gram table with hash aggregations over bounded lists.
     val g =
       if (maxDf == Int.MaxValue) g0
       else {
@@ -172,18 +177,18 @@ object Dedup {
         g0.withColumn("_df", count(lit(1)).over(w))
           .filter(col("_df") <= maxDf).drop("_df")
       }
-    // set size carried ON each gram row via a window instead of a separate
-    // sizes aggregate: the gram subtree (clean + explode + df window) then
-    // feeds only the two join branches — whose identical shuffles collapse
-    // into one via ReuseExchange — not a third size-aggregation pass
-    val gs = g.withColumn("sz",
-      count(lit(1)).over(Window.partitionBy("doc_id")))
-    val a = gs.select(col("block"), col("ng"), col("doc_id").as("doc_a"), col("sz").as("na"))
-    val b = gs.select(col("block"), col("ng"), col("doc_id").as("doc_b"), col("sz").as("nb"))
-    a.join(b, Seq("block", "ng"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+    val grouped = g.groupBy("block", "ng")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))

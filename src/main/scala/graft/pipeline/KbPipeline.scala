@@ -66,9 +66,9 @@ object KbPipeline {
             categoryFilter: Seq[String] = Nil,
             bm25Index: Option[Bm25.Index] = None): QueryResult = {
 
-    // 1. enhancement (F6-F8) — one-row DataFrame pass, stays on driver
-    val enhanced = spark.range(1).select(Enhancement.enhance(lit(queryText)).as("q"))
-      .first().getString(0)
+    // 1. enhancement (F6-F8) — constant-folded on the driver (no job, no
+    //    codegen compile of the regex chain; Enhancement.enhanceValue)
+    val enhanced = Enhancement.enhanceValue(spark, queryText)
 
     // 2. query embedding (deterministic provider; a real provider is one
     //    Provider swap) — M1 on a single row

@@ -97,4 +97,26 @@ object Enhancement {
   def enhance(q: Column): Column =
     expandSynonyms(
       graft.functions.TextFunctions.tokenize(fixRepeatedLetters(lower(normalize(q)))))
+
+  /** Driver-side evaluation of [[enhance]] on a single string: the whole
+    * chain applied to a literal is foldable, so the optimizer's constant
+    * folding reduces it to a literal during analysis — no Spark job and no
+    * whole-stage codegen compile of the 30+-regex chain (which dominated
+    * single-query pipeline latency). Bit-identical to the column version by
+    * construction (same expression tree, spec-asserted).
+    */
+  def enhanceValue(spark: org.apache.spark.sql.SparkSession, q: String): String = {
+    val df = spark.range(1).select(enhance(lit(q)).as("q"))
+    val folded = df.queryExecution.optimizedPlan.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head
+    }
+    folded match {
+      case Some(e) if e.foldable =>
+        val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        if (v == null) null else v.toString
+      case _ => // defensive: fall back to the one-row job
+        df.first().getString(0)
+    }
+  }
 }

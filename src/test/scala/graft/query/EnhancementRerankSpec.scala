@@ -24,6 +24,15 @@ class EnhancementRerankSpec extends SparkSpec {
     assert(enhance1("the cat ran") == "the cat ran") // <4 chars / stopwords untouched
   }
 
+  test("enhanceValue (driver-side constant fold) == column enhance on every shape") {
+    val cases = Seq("what   is   happening??", "stop!!! now,,, please",
+      "goooood results", "soooo sloooow", "fast join", "the cat ran",
+      "fast spark join and filter queries", "", "a", "‘smart’ “quotes”  !!")
+    cases.foreach { s =>
+      assert(Enhancement.enhanceValue(spark, s) == enhance1(s), s"input: '$s'")
+    }
+  }
+
   test("rerankHead reorders only the head, tail keeps original order") {
     val hits = Seq(
       (1L, 10.0, "zz yy xx"),          // rank 1, no query overlap
