@@ -195,6 +195,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list — the "dup groups"
+    * closure a training pipeline runs on top of ANY pairwise dedup (near-dup
+    * similarity is not transitive; grouping needs the graph closure). Each
+    * node's component is the MINIMUM node id reachable from it.
+    *
+    * Min-label propagation: every iteration each node takes the min of its
+    * own label and its neighbors' labels — one shuffled join + one
+    * aggregation per iteration, converging in O(graph diameter) rounds (dup
+    * clusters are short-diameter in practice; GraphX's connectedComponents
+    * runs the same Pregel loop). Labels decrease monotonically, so the loop
+    * stops when the label SUM is unchanged — a one-job check that also
+    * materializes the iteration's persist. Each iteration's result is
+    * persisted and the previous unpersisted: the lineage never grows.
+    *
+    * At 100 TB scale the iteration count — not data volume — is the knob:
+    * skewed hub nodes are handled by AQE skew-join splitting, and the
+    * alternating large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce") drops in with the same loop shape if
+    * diameters grow.
+    *
+    * Each iteration is `localCheckpoint`ed: the join + union would otherwise
+    * DOUBLE the logical plan every round (the plan references the previous
+    * labels twice), blowing up analysis time long before data size matters.
+    * On a cluster swap in reliable `checkpoint()` for executor-loss safety.
+    *
+    * @return `(node, component)` for every node appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    // decimal sum: overflow-proof convergence metric at any id magnitude
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = prevSum.isEmpty // empty graph: nothing to do
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint(true) // materializes AND truncates lineage
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Rademacher (±1) hyperplane component for sign-LSH: pure integer hash of
     * (plane, component, seed) → parity. ±1 planes are a standard random
     * projection family (Achlioptas 2001), and being integer-hash-derived the

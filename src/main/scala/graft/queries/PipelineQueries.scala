@@ -217,6 +217,35 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── Duplicate-group closure: connected components over the SimHash
+    //    near-dup pairs (near-dup is not transitive — a training pipeline
+    //    keeps one doc per COMPONENT, not per pair). Oracle: DuckDB
+    //    recursive CTE computes min-reachable-id per node. ─────────────────
+    QueryDef.sql("dedup_components",
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |quarters AS (
+         |  SELECT doc_id, sig, q.q, (sig >> (q.q * 15)) & 32767 AS qh
+         |  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS q) q),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM quarters a JOIN quarters b
+         |    ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+         |SELECT node AS doc_id, min(lbl)::BIGINT AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     // ── Embedding near-dup: exact all-pairs baseline (cos ≥ 0.35) ─────────
     QueryDef.sql("dedup_embedding_exact",
       s"""WITH a AS (SELECT vec_id AS doc_a, embedding AS va FROM embeddings),

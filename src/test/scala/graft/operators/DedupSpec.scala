@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L && p._1 != 4L))
   }
 
+  test("connectedComponents: chains close transitively, components stay separate") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22, nodes only in pairs appear
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: empty input and long-chain convergence") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    // a 30-node path exercises many propagation rounds
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(got.size == 30 && got.values.forall(_ == 1L))
+  }
+
   test("embeddingDups finds planted high-cosine pairs inside LSH buckets") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
