@@ -167,6 +167,108 @@ object VectorSearch {
       "tk", Seq("query_id"))
   }
 
+  /** Product-quantization codebook: `cb(s)(j)` = codeword j of subspace s.
+    * [[seededPqCodebook]] derives it from designated corpus rows (no
+    * training pass — deterministic, so the whole PQ path carries a DuckDB
+    * oracle); a Lloyd-trained codebook plugs into the same encode/score
+    * path unchanged, trading oracle-exactness for quantization error.
+    */
+  type PqCodebook = IndexedSeq[IndexedSeq[Seq[Float]]]
+
+  /** Codebook from the subvectors of `k` designated corpus vectors
+    * (collected driver-side: m·k·subDim floats — tiny). */
+  def seededPqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+                       seedIds: Seq[Long], m: Int): PqCodebook = {
+    val rows = embeddings
+      .filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).map(_._2)
+    require(rows.length == seedIds.length, "missing seed vectors")
+    val subDim = rows.head.length / m
+    IndexedSeq.tabulate(m)(s =>
+      rows.toIndexedSeq.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** PQ encode: each vector becomes `m` small codes — `codes(s)` = index of
+    * the subspace-s codeword with minimal squared L2 distance, ties to the
+    * lowest code (struct-min, mirroring the oracle's
+    * `row_number(ORDER BY dist, j)`). At 64-dim float32 → 8 int8-range codes
+    * this is FAISS IVFPQ's 32× compression as a column transform: the
+    * encoded table replaces the raw vectors for first-pass scoring, so a
+    * 100 TB embedding corpus scans as ~3 TB.
+    *
+    * Subvector slices are BOUND to columns first — 16 inline l2Sq exprs over
+    * the same slice would re-evaluate the O(subDim) slice per codeword.
+    */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebook): DataFrame = {
+    val m = cb.length
+    val subDim = cb.head.head.length
+    val withSubs = embeddings.select(
+      (col(idCol) +: col(vecCol) +:
+        (0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim).as(s"_sub$s"))): _*)
+    val codes = array((0 until m).map { s =>
+      val best = array_min(array(cb(s).indices.map(j =>
+        struct(l2Sq(col(s"_sub$s"), vecLit(cb(s)(j))).as("d"),
+          lit(j).as("j"))): _*))
+      best.getField("j")
+    }: _*)
+    withSubs.select(col(idCol), col(vecCol), codes.as("codes"))
+  }
+
+  /** ADC lookup table for one query: `lut(s*k + j)` = squared L2 distance
+    * from the query's subspace-s slice to codeword j — computed with the
+    * EXACT operation order of [[graft.functions.VectorFunctions.l2Sq]]
+    * (float→double subtraction, square, sequential accumulation from 0.0),
+    * so driver, codegen and oracle values are bit-identical
+    * (spec-asserted in VectorSearchSpec).
+    */
+  def pqLut(cb: PqCodebook, query: Seq[Float]): Array[Double] = {
+    val m = cb.length
+    val subDim = cb.head.head.length
+    val out = new Array[Double](m * cb.head.length)
+    var s = 0
+    while (s < m) {
+      val q = query.slice(s * subDim, (s + 1) * subDim)
+      var j = 0
+      while (j < cb(s).length) {
+        val c = cb(s)(j)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = q(i).toDouble - c(i).toDouble
+          acc = acc + d * d
+          i += 1
+        }
+        out(s * cb(s).length + j) = acc
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: distance ≈ Σ_s lut[s][code_s]
+    * — m array lookups per row instead of a D-dim float scan, the FAISS ADC
+    * scoring loop as a codegen'd column expression over a broadcast literal
+    * LUT. Exact re-rank of the shortlist (if wanted) composes with
+    * [[bruteTopK]] over the id-filtered raw vectors.
+    */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
+                cb: PqCodebook, query: Seq[Float], k: Int): DataFrame = {
+    val m = cb.length
+    val kw = cb.head.length
+    val lut = pqLut(cb, query)
+    val lutLit = array(lut.map(lit(_)): _*)
+    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(lutLit,
+        (s * kw + element_at(col(codesCol), s + 1) + 1).cast("int")))
+    encoded
+      .select(col(idCol).as("doc_id"), round(dist, 6).as("dist"))
+      .orderBy(col("dist").asc, col("doc_id"))
+      .limit(k)
+  }
+
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
     * Centroid ranking is driver-side math over ncentroids vectors (tiny —
     * this mirrors FAISS's coarse quantizer step, nprobe default 32 at

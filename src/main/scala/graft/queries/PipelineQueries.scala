@@ -488,6 +488,52 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ── Product quantization: seeded codebooks (subvectors of vec_id<16),
+    //    8 subspaces × 16 codewords, argmin-L2 encode, ADC top-k over the
+    //    32×-compressed codes — FAISS IVFPQ's scoring loop as column
+    //    expressions, under a full value oracle ──────────────────────────────
+    QueryDef.sql("sim_knn_pq", {
+      def l2sqSql(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           | list_transform(list_zip($a, $b),
+           |   p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))),
+           | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+      s"""WITH cbj AS (
+         |  SELECT s.s, e.vec_id AS j,
+         |         list_slice(e.embedding, s.s*8 + 1, s.s*8 + 8) AS cv
+         |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 8)) AS s) s
+         |  WHERE e.vec_id < 16),
+         |qsub AS (
+         |  SELECT s.s, list_slice((SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |                         s.s*8 + 1, s.s*8 + 8) AS qv
+         |  FROM (SELECT unnest(range(0, 8)) AS s) s),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, c.s, c.j,
+         |         row_number() OVER (PARTITION BY e.vec_id, c.s
+         |           ORDER BY ${l2sqSql("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cv")} ASC, c.j) AS rn
+         |  FROM embeddings e CROSS JOIN cbj c),
+         |codes AS (SELECT doc_id, list(j ORDER BY s) AS codes
+         |          FROM asg WHERE rn = 1 GROUP BY doc_id),
+         |lut0 AS (SELECT c.s, c.j, ${l2sqSql("q.qv", "c.cv")} AS d
+         |         FROM cbj c JOIN qsub q USING (s)),
+         |lutArr AS (SELECT list(d ORDER BY s, j) AS lt FROM lut0),
+         |dists AS (
+         |  SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(range(0, 8), s -> lt[s*16 + codes[s + 1] + 1])),
+         |           (acc, x) -> acc + x) AS dist
+         |  FROM codes CROSS JOIN lutArr)
+         |SELECT doc_id, round(dist, 6) AS dist
+         |FROM dists ORDER BY round(dist, 6) ASC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.operators.VectorSearch.seededPqCodebook(
+        emb, "vec_id", "embedding", seedIds = 0L until 16L, m = 8)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val encoded = graft.operators.VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
+      graft.operators.VectorSearch.pqAdcTopK(encoded, "vec_id", "codes", cb, qv, k = 20)
+    },
+
     // ── Batched seeded-IVF ANN: 5 queries, each probing its own 2 nearest
     //    clusters, bounded top-k aggregation — the ANN SERVING regime under
     //    a full value oracle ─────────────────────────────────────────────────

@@ -76,4 +76,62 @@ class VectorSearchSpec extends SparkSpec {
     val recall = (oneProbe & exact).size.toDouble / 10
     assert(recall >= 0.3, s"1-probe recall $recall suspiciously low")
   }
+
+  test("PQ: driver LUT is bit-identical to the l2Sq column expression") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
+      seedIds = 1L to 8L, m = 4)
+    val lut = VectorSearch.pqLut(cb, query.toSeq)
+    // evaluate the SAME distances through the column function on one row
+    val subDim = 8
+    val exprVals = (for (s <- 0 until 4; j <- 0 until 8) yield
+      graft.functions.VectorFunctions.l2Sq(
+        graft.functions.VectorFunctions.vecLit(query.slice(s * subDim, (s + 1) * subDim).toSeq),
+        graft.functions.VectorFunctions.vecLit(cb(s)(j)))).toSeq
+    val got = spark.range(1).select(exprVals: _*).first().toSeq.map(_.asInstanceOf[Double])
+    assert(got == lut.toSeq, "expression math must equal driver math bit-for-bit")
+  }
+
+  test("PQ encode: codes are the argmin codeword, seeds encode to themselves") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
+      seedIds = 1L to 8L, m = 4)
+    val codes = VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 8)))
+    // a seed vector's subvectors are IN the codebook → distance 0 → itself
+    (1L to 8L).foreach { id =>
+      assert(codes(id) == Seq.fill(4)((id - 1).toInt), s"seed $id self-codes")
+    }
+    // local argmin check on a few rows
+    def l2(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    corpus.take(10).foreach { case (id, v) =>
+      val want = (0 until 4).map { s =>
+        val sub = v.slice(s * 8, (s + 1) * 8).toSeq
+        cb(s).zipWithIndex.map { case (c, j) => (l2(sub, c), j) }.min._2
+      }
+      assert(codes(id) == want, s"doc $id")
+    }
+  }
+
+  test("PQ ADC top-k approximates the exact L2 ranking") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
+      seedIds = 1L to 16L, m = 4)
+    val encoded = VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
+    val got = VectorSearch.pqAdcTopK(encoded, "vec_id", "codes", cb, query.toSeq, 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 20)
+    val exact = corpus.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - query(i).toDouble; acc += d * d; i += 1 }
+      (id, acc)
+    }.sortBy { case (id, d) => (d, id) }.take(20).map(_._1).toSet
+    val recall = (got & exact).size.toDouble / 20
+    assert(recall >= 0.4, s"ADC recall@20 $recall suspiciously low for 16 codewords")
+  }
 }
