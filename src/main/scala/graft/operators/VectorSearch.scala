@@ -204,8 +204,11 @@ object VectorSearch {
                cb: PqCodebook): DataFrame = {
     val m = cb.length
     val subDim = cb.head.head.length
+    // keeps every input column (cluster_id etc. — IVFPQ composes by
+    // encoding the IVF-assigned table) and appends `codes`
+    val orig = embeddings.columns.toSeq
     val withSubs = embeddings.select(
-      (col(idCol) +: col(vecCol) +:
+      (orig.map(col) ++
         (0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim).as(s"_sub$s"))): _*)
     val codes = array((0 until m).map { s =>
       val best = array_min(array(cb(s).indices.map(j =>
@@ -213,7 +216,7 @@ object VectorSearch {
           lit(j).as("j"))): _*))
       best.getField("j")
     }: _*)
-    withSubs.select(col(idCol), col(vecCol), codes.as("codes"))
+    withSubs.select((orig.map(col) :+ codes.as("codes")): _*)
   }
 
   /** ADC lookup table for one query: `lut(s*k + j)` = squared L2 distance

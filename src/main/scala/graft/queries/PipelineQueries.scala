@@ -534,6 +534,78 @@ object PipelineQueries {
       graft.operators.VectorSearch.pqAdcTopK(encoded, "vec_id", "codes", cb, qv, k = 20)
     },
 
+    // ── IVF + PQ compound index: coarse cluster probe (seeded IVF, nprobe=2)
+    //    then ADC scoring over PQ codes INSIDE the probed clusters only —
+    //    the FAISS IVFPQ regime: scan nprobe/ncentroids of the corpus and
+    //    read 8 code bytes per row instead of 256 vector bytes ──────────────
+    QueryDef.sql("sim_knn_ivfpq", {
+      def l2sqSql(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           | list_transform(list_zip($a, $b),
+           |   p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))),
+           | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |              WHERE vec_id < 8),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |iasg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |ia2 AS (SELECT doc_id, ev, cid FROM iasg WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (
+         |      ORDER BY ${cosineSql("cv", "(SELECT v FROM qv)")} DESC, cid) AS rn
+         |    FROM cent) WHERE rn <= 2),
+         |pr AS (SELECT doc_id, ev FROM ia2 WHERE cid IN (SELECT cid FROM probe)),
+         |cbj AS (
+         |  SELECT s.s, e.vec_id AS j,
+         |         list_slice(e.embedding, s.s*8 + 1, s.s*8 + 8) AS cv
+         |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 8)) AS s) s
+         |  WHERE e.vec_id < 16),
+         |qsub AS (
+         |  SELECT s.s, list_slice((SELECT v FROM qv), s.s*8 + 1, s.s*8 + 8) AS qv
+         |  FROM (SELECT unnest(range(0, 8)) AS s) s),
+         |pasg AS (
+         |  SELECT p.doc_id, c.s, c.j,
+         |         row_number() OVER (PARTITION BY p.doc_id, c.s
+         |           ORDER BY ${l2sqSql("list_slice(p.ev, c.s*8 + 1, c.s*8 + 8)", "c.cv")} ASC, c.j) AS rn
+         |  FROM pr p CROSS JOIN cbj c),
+         |codes AS (SELECT doc_id, list(j ORDER BY s) AS codes
+         |          FROM pasg WHERE rn = 1 GROUP BY doc_id),
+         |lut0 AS (SELECT c.s, c.j, ${l2sqSql("q.qv", "c.cv")} AS d
+         |         FROM cbj c JOIN qsub q USING (s)),
+         |lutArr AS (SELECT list(d ORDER BY s, j) AS lt FROM lut0),
+         |dists AS (
+         |  SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(range(0, 8), s -> lt[s*16 + codes[s + 1] + 1])),
+         |           (acc, x) -> acc + x) AS dist
+         |  FROM codes CROSS JOIN lutArr)
+         |SELECT doc_id, round(dist, 6) AS dist
+         |FROM dists ORDER BY round(dist, 6) ASC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centSeq = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val assigned = graft.operators.VectorSearch.seededIvfAssign(
+        emb, "vec_id", "embedding", centSeq)
+      // probe ranking through the same cosine expression as the oracle
+      val probeIds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qv)).as("cs"))
+        .orderBy(col("cs").desc, col("cid")).limit(2)
+        .select("cid").collect().map(_.getInt(0))
+      val pruned = assigned.filter(col("cluster_id").isin(probeIds.toIndexedSeq: _*))
+      val cb = graft.operators.VectorSearch.seededPqCodebook(
+        emb, "vec_id", "embedding", seedIds = 0L until 16L, m = 8)
+      val encoded = graft.operators.VectorSearch.pqEncode(pruned, "vec_id", "embedding", cb)
+      graft.operators.VectorSearch.pqAdcTopK(encoded, "vec_id", "codes", cb, qv, k = 20)
+    },
+
     // ── Batched seeded-IVF ANN: 5 queries, each probing its own 2 nearest
     //    clusters, bounded top-k aggregation — the ANN SERVING regime under
     //    a full value oracle ─────────────────────────────────────────────────
