@@ -732,6 +732,32 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // ── Stream-stream interval join (batch twin): clicks ⋈ views of the
+    //    same user within ±10 min — the watermark-bounded-state join shape;
+    //    streaming semantics in StreamingIngestSpec, values oracle-checked
+    //    here in MICROS on both engines ──────────────────────────────────────
+    QueryDef.sql("stream_interval_join",
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id AS user_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.us >= c.us - 600000000 AND v.us <= c.us + 600000000
+        |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("tsx"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("tsx"))
+      graft.streaming.StreamingIngest.intervalJoin(
+          clicks, views, "user_id", "tsx", lowerSec = 600, upperSec = 600)
+        .select(col("event_id").as("click_id"), col("r_event_id").as("view_id"),
+          col("user_id"))
+        .orderBy("click_id", "view_id")
+    },
+
     // ── Streaming-window semantics: hourly tumbling aggregation ───────────
     QueryDef.sql("stream_window_agg",
       """SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us, event_type,

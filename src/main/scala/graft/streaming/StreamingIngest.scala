@@ -82,6 +82,33 @@ object StreamingIngest {
         .filter(col("_rn") === 1).drop("_rn")
     }
 
+  /** Stream-stream interval join: rows match when keys are equal AND the
+    * right timestamp falls in `[left.ts - lowerSec, left.ts + upperSec]`.
+    * BOTH sides carry watermarks and the join condition bounds the time
+    * range — the two requirements Structured Streaming needs to EXPIRE join
+    * state (without them state grows with stream length; with them it is
+    * bounded by watermark + range, the only shape that survives an
+    * unbounded 100 TB/day pair of streams). Works identically on batch
+    * frames (the oracle-checked `stream_interval_join` query) — watermarks
+    * are no-ops in batch.
+    *
+    * The right side's columns are prefixed `r_` so self-joins (clicks ⋈
+    * views of the same events stream) need no caller-side renames.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lowerSec: Long, upperSec: Long,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(tsCol, watermark) else left
+    val rRenamed = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c"))
+    val r = if (rRenamed.isStreaming) rRenamed.withWatermark(s"r_$tsCol", watermark)
+            else rRenamed
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $upperSec SECONDS"))
+  }
+
   /** Watermarked sliding-window event counts: event-time windows of
     * `windowDur` sliding `slideDur`, late data beyond `watermark` dropped.
     * Works identically over a batch DataFrame (for the oracle-checked

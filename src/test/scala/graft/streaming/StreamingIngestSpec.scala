@@ -97,6 +97,37 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the time range, state is watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val vdf = views.toDF().toDF("user_id", "event_id", "ts")
+    val joined = StreamingIngest.intervalJoin(cdf, vdf, "user_id", "ts",
+      lowerSec = 600, upperSec = 600, watermark = "10 minutes")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData((1L, 100L, t("2026-01-01 00:10:00")),
+        (2L, 101L, t("2026-01-01 00:20:00")))
+      views.addData(
+        (1L, 200L, t("2026-01-01 00:05:00")), // 5 min before click 100 → match
+        (1L, 201L, t("2026-01-01 00:30:00")), // 20 min after → no match
+        (2L, 202L, t("2026-01-01 00:25:00")), // 5 min after click 101 → match
+        (3L, 203L, t("2026-01-01 00:10:00"))) // no click for user 3
+      q.processAllAvailable()
+      // a view arriving in a LATER microbatch still joins (state held)
+      views.addData((2L, 204L, t("2026-01-01 00:15:00"))) // 5 min before click 101
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 200L), (101L, 202L), (101L, 204L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupStream batch form keeps the FIRST event-time row per key") {
     val batch = Seq(
       (1L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:02:00")),
