@@ -732,6 +732,20 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // ── Heavy hitters: exact top-50 corpus vocabulary by term frequency —
+    //    the frequent-items op of a training pipeline's vocabulary audit.
+    //    One explode + one map-side-combined groupBy; the top-k is a
+    //    TakeOrdered heap, never a full sort of the vocabulary ──────────────
+    QueryDef.sql("a12_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest(${OracleSql.tokSql("text")}) AS term FROM documents),
+         |tf AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term)
+         |SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokenizeBm25(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(50)
+    },
+
     // ── Stream-stream interval join (batch twin): clicks ⋈ views of the
     //    same user within ±10 min — the watermark-bounded-state join shape;
     //    streaming semantics in StreamingIngestSpec, values oracle-checked
