@@ -105,6 +105,19 @@ object Profile {
     }
     secs("m7_rerank") { SparkEntry.queries("m7_rerank")(spark, sfDir).count() }
     secs("m7_rerank-2nd") { SparkEntry.queries("m7_rerank")(spark, sfDir).count() }
+    locally {
+      val docs = Tables.documents(spark, sfDir)
+      var pairs: org.apache.spark.sql.DataFrame = null
+      secs("cc-simhash-pairs") {
+        pairs = operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println("pairs=" + pairs.count())
+      }
+      secs("cc-loop") {
+        println("nodes=" + operators.Dedup.connectedComponents(pairs).count())
+      }
+      secs("cc-full") { SparkEntry.queries("dedup_components")(spark, sfDir).count() }
+    }
     spark.stop()
   }
 }

@@ -223,6 +223,52 @@ object HashAlgos {
     new GenericArrayData(out)
   }
 
+  /** PQ encode one vector against a flat codebook: for each subspace s,
+    * the index j minimizing squared L2 distance (float→double subtraction,
+    * square, sequential accumulation — the exact op order of
+    * `VectorFunctions.l2Sq` — ties to the lowest j, mirroring the oracle's
+    * `row_number(ORDER BY dist, j)`). `cb` is laid out
+    * `[(s*k + j) * subDim + i]`.
+    */
+  def pqEncode(vec: ArrayData, cb: Array[Float], m: Int, k: Int, subDim: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestD = Double.MaxValue
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * subDim
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = vec.getFloat(s * subDim + i).toDouble - cb(base + i).toDouble
+          acc = acc + d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC distance from PQ codes: Σ_s lut[s*k + codes[s]], sequential from
+    * 0.0 — identical association order to the oracle's list_reduce.
+    */
+  def pqAdcDist(codes: ArrayData, lut: Array[Double], k: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      acc = acc + lut(s * k + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Dot product of two float arrays in sequential double accumulation —
     * same rounding as `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)`.
     * Assumes equal lengths and no null elements (embedding columns).
@@ -356,6 +402,44 @@ case class CharNgramHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `pq_encode(vec)` → ARRAY<INT> of m codes (codebook rides as a reference
+  * object into codegen — no per-row literal tree).
+  */
+case class PqEncodeExpr(child: Expression, cb: Array[Float], m: Int, k: Int, subDim: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    HashAlgos.pqEncode(v.asInstanceOf[ArrayData], cb, m, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashAlgos.pqEncode($c, $cbRef, $m, $k, $subDim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `pq_adc_dist(codes)` → DOUBLE via a query-specific lookup table. */
+case class PqAdcDistExpr(child: Expression, lut: Array[Double], k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_dist"
+  override protected def nullSafeEval(codes: Any): Any =
+    HashAlgos.pqAdcDist(codes.asInstanceOf[ArrayData], lut, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqlut", lut, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashAlgos.pqAdcDist($c, $lutRef, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDistExpr =
+    copy(child = newChild)
+}
+
 /** `dot_f32(a, b)` → DOUBLE. */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -398,6 +482,10 @@ object FastFunctions {
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 131L))
   def charNgramHashes(c: Column, n: Int): Column =
     GraftShims.column(CharNgramHashesExpr(GraftShims.expression(c), n))
+  def pqEncode(vec: Column, cb: Array[Float], m: Int, k: Int, subDim: Int): Column =
+    GraftShims.column(PqEncodeExpr(GraftShims.expression(vec), cb, m, k, subDim))
+  def pqAdcDist(codes: Column, lut: Array[Double], k: Int): Column =
+    GraftShims.column(PqAdcDistExpr(GraftShims.expression(codes), lut, k))
   def minhashSig(tokens: Column, shingleN: Int, numHashes: Int): Column =
     GraftShims.column(MinHashSigExpr(GraftShims.expression(tokens), shingleN, numHashes))
   def simhash60(tokens: Column): Column =

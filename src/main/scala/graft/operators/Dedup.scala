@@ -200,6 +200,11 @@ object Dedup {
     * similarity is not transitive; grouping needs the graph closure). Each
     * node's component is the MINIMUM node id reachable from it.
     *
+    * Two execution paths, same result: edge lists under `driverEdgeLimit`
+    * run exact union-find on the driver (dup pairs are bounded by LSH/
+    * banding parameters, usually ≪ corpus — the broadcast-join economics);
+    * larger graphs run the distributed loop below.
+    *
     * Min-label propagation: every iteration each node takes the min of its
     * own label and its neighbors' labels — one shuffled join + one
     * aggregation per iteration, converging in O(graph diameter) rounds (dup
@@ -223,14 +228,52 @@ object Dedup {
     * @return `(node, component)` for every node appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 50,
+                          driverEdgeLimit: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Broadcast-style hybrid: dup-pair lists are usually MUCH smaller than
+    // the corpus (candidates ≪ n²); when the edge list fits on the driver,
+    // exact union-find there beats O(diameter) distributed rounds the same
+    // way a broadcast join beats a shuffle. The distributed loop below is
+    // the ≥ driverEdgeLimit scale path. Both compute min-reachable-id.
+    if (edges.count() <= driverEdgeLimit * 2) { // count post-doubling
+      val nodeType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+      val rows = pairs.select(col(aCol), col(bCol)).collect()
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      rows.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      edges.unpersist()
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+      val it = parent.keySet.iterator()
+      while (it.hasNext) {
+        val n = it.next()
+        out.add(org.apache.spark.sql.Row(n, find(n)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("component", nodeType)))
+      return pairs.sparkSession.createDataFrame(out, schema)
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the labelSum below
     // decimal sum: overflow-proof convergence metric at any id magnitude
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
@@ -240,9 +283,12 @@ object Dedup {
     while (!converged && it < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("component"))
+      // lazy checkpoint: the labelSum action below both materializes the
+      // checkpoint and computes the convergence metric — ONE job per
+      // iteration instead of checkpoint-job + sum-job
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint(true) // materializes AND truncates lineage
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum

@@ -200,12 +200,34 @@ object VectorSearch {
     * Subvector slices are BOUND to columns first — 16 inline l2Sq exprs over
     * the same slice would re-evaluate the O(subDim) slice per codeword.
     */
+  /** Flat `[(s*k + j) * subDim + i]` layout for the codegen expression. */
+  private def flatCb(cb: PqCodebook): Array[Float] = {
+    val subDim = cb.head.head.length
+    val k = cb.head.length
+    val out = new Array[Float](cb.length * k * subDim)
+    for (s <- cb.indices; j <- 0 until k; i <- 0 until subDim)
+      out((s * k + j) * subDim + i) = cb(s)(j)(i)
+    out
+  }
+
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
-               cb: PqCodebook): DataFrame = {
+               cb: PqCodebook): DataFrame =
+    // keeps every input column (cluster_id etc. — IVFPQ composes by
+    // encoding the IVF-assigned table) and appends `codes`; the encode is
+    // ONE codegen call per row (codebook rides as a reference object), not
+    // an m·k-leaf literal expression tree
+    embeddings.withColumn("codes",
+      graft.functions.FastFunctions.pqEncode(col(vecCol), flatCb(cb),
+        cb.length, cb.head.length, cb.head.head.length))
+
+  /** The struct-min / l2Sq column-function twin of [[pqEncode]] —
+    * spec-asserted identical to the codegen expression (and the shape the
+    * DuckDB oracle mirrors).
+    */
+  def pqEncodeSpec(embeddings: DataFrame, idCol: String, vecCol: String,
+                   cb: PqCodebook): DataFrame = {
     val m = cb.length
     val subDim = cb.head.head.length
-    // keeps every input column (cluster_id etc. — IVFPQ composes by
-    // encoding the IVF-assigned table) and appends `codes`
     val orig = embeddings.columns.toSeq
     val withSubs = embeddings.select(
       (orig.map(col) ++
@@ -259,13 +281,8 @@ object VectorSearch {
     */
   def pqAdcTopK(encoded: DataFrame, idCol: String, codesCol: String,
                 cb: PqCodebook, query: Seq[Float], k: Int): DataFrame = {
-    val m = cb.length
-    val kw = cb.head.length
     val lut = pqLut(cb, query)
-    val lutLit = array(lut.map(lit(_)): _*)
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc + element_at(lutLit,
-        (s * kw + element_at(col(codesCol), s + 1) + 1).cast("int")))
+    val dist = graft.functions.FastFunctions.pqAdcDist(col(codesCol), lut, cb.head.length)
     encoded
       .select(col(idCol).as("doc_id"), round(dist, 6).as("dist"))
       .orderBy(col("dist").asc, col("doc_id"))

@@ -55,18 +55,25 @@ class DedupSpec extends SparkSpec {
     // triangle 20-21-22, nodes only in pairs appear
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (default) and distributed loop path
+    // (driverEdgeLimit = 0) must agree exactly
+    val viaDriver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val viaLoop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == want)
+    assert(viaLoop == want)
   }
 
   test("connectedComponents: empty input and long-chain convergence") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
-    // a 30-node path exercises many propagation rounds
+    // a 30-node path exercises many propagation rounds in the DISTRIBUTED loop
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    val got = Dedup.connectedComponents(chain, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(got.size == 30 && got.values.forall(_ == 1L))
   }
 

@@ -118,6 +118,17 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("PQ codegen encode == struct-min column-function encode") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
+      seedIds = 1L to 8L, m = 4)
+    val fast = VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val spec = VectorSearch.pqEncodeSpec(emb, "vec_id", "embedding", cb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(fast == spec)
+  }
+
   test("PQ ADC top-k approximates the exact L2 ranking") {
     val emb = corpus.toDF("vec_id", "embedding")
     val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
