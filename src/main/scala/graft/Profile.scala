@@ -118,6 +118,18 @@ object Profile {
       }
       secs("cc-full") { SparkEntry.queries("dedup_components")(spark, sfDir).count() }
     }
+    locally {
+      val docs = Tables.documents(spark, sfDir)
+      val sigs = operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+      secs("lsh-sigs") { println("sigs=" + sigs.count()) }
+      val cand = operators.Dedup.lshCandidates(
+        operators.Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+      secs("lsh-cand") { println("cand=" + cand.count()) }
+      secs("lsh-jaccard") {
+        println("jac=" + operators.Dedup.jaccardPairs(docs, "doc_id", "text", cand).count())
+      }
+      secs("lsh-full") { SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count() }
+    }
     spark.stop()
   }
 }

@@ -143,6 +143,40 @@ object HashAlgos {
     sig
   }
 
+  /** Distinct word-shingles of a token array as strings, first-seen order —
+    * the exact shingle set [[minhashSig]] hashes and
+    * `TextFunctions.shingles + array_distinct` builds interpreted (short
+    * docs yield one shingle of all tokens; empty docs none).
+    */
+  def wordShingles(tokens: ArrayData, shingleN: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val nShingles = if (n < shingleN) 1 else n - shingleN + 1
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var j = s
+      val end = math.min(s + shingleN, n)
+      while (j < end) {
+        if (j > s) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      s += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   private val TokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
   private val StopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -402,6 +436,21 @@ case class CharNgramHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `word_shingles(tokens, n)` → ARRAY<STRING> of distinct shingles. */
+case class WordShinglesExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashAlgos.wordShingles(tokens.asInstanceOf[ArrayData], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.wordShingles($c, $shingleN)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
 /** `pq_encode(vec)` → ARRAY<INT> of m codes (codebook rides as a reference
   * object into codegen — no per-row literal tree).
   */
@@ -482,6 +531,8 @@ object FastFunctions {
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 131L))
   def charNgramHashes(c: Column, n: Int): Column =
     GraftShims.column(CharNgramHashesExpr(GraftShims.expression(c), n))
+  def wordShingles(tokens: Column, shingleN: Int): Column =
+    GraftShims.column(WordShinglesExpr(GraftShims.expression(tokens), shingleN))
   def pqEncode(vec: Column, cb: Array[Float], m: Int, k: Int, subDim: Int): Column =
     GraftShims.column(PqEncodeExpr(GraftShims.expression(vec), cb, m, k, subDim))
   def pqAdcDist(codes: Column, lut: Array[Double], k: Int): Column =

@@ -90,21 +90,24 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     // only CANDIDATE docs get re-shingled — at scale candidates ≪ corpus,
-    // so the expensive explode runs on the small semi-joined subset
+    // so the expensive shingling runs on the small semi-joined subset.
+    // Each doc keeps its distinct-shingle ARRAY; a pair's intersection is
+    // one array_intersect per pair (two broadcast-size joins) instead of a
+    // (pair × shingle) explode through a three-way join — the per-pair work
+    // is O(|A|+|B|) either way, but no shingle-keyed shuffle exists.
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
     val sh = docs.join(candDocs, idCol)
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(
-          TextFunctions.tokenize(col(textCol)), shingleN))).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        FastFunctions.wordShingles(
+          FastFunctions.tokenize(col(textCol)), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
+      .filter(col("inter") >= 1) // the explode form only emitted sharing pairs
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))

@@ -63,6 +63,17 @@ class HashExpressionsSpec extends SparkSpec {
     assert(math.abs(out(1) - 1.0) < 1e-12)
   }
 
+  test("fast wordShingles == array_distinct(HOF shingles) incl. sort-set equality") {
+    val df = (samples ++ Seq("one two", "one two three four five")).toDF("s")
+    val rows = df.select(
+      FastFunctions.wordShingles(TextFunctions.tokenize(col("s")), 3).as("fast"),
+      array_distinct(TextFunctions.shingles(
+        TextFunctions.tokenize(col("s")), 3)).as("spec")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch: $r")
+    }
+  }
+
   test("minhash signature: length, determinism, identity for equal docs") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon"),
