@@ -732,6 +732,67 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // ── Class prototypes: per-source embedding centroid in exact integer
+    //    micro-units (element-wise sum + count per position; float avg is
+    //    summation-order-dependent, micro-quantized sums are oracle-exact).
+    //    One posexplode + one map-side-combined groupBy — at 100 TB this is
+    //    the standard class-prototype / cluster-update shape ────────────────
+    QueryDef.sql("m11_class_centroids",
+      """WITH j AS (SELECT d.source, e.embedding
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |px AS (SELECT source, p.p AS pos,
+        |              round(embedding[p.p + 1]::DOUBLE * 1000000.0, 0)::BIGINT AS xm
+        |       FROM j, LATERAL (SELECT unnest(range(0, 64)) AS p) p)
+        |SELECT source, pos::INT AS pos, sum(xm)::BIGINT AS sum_micro,
+        |       count(*)::BIGINT AS n
+        |FROM px GROUP BY source, pos ORDER BY source, pos""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("source", "pos")
+        .agg(sum(round(col("x").cast("double") * 1000000.0, 0).cast("long")).as("sum_micro"),
+          count(lit(1)).as("n"))
+        .select(col("source"), col("pos").cast("int").as("pos"),
+          col("sum_micro"), col("n"))
+        .orderBy("source", "pos")
+    },
+
+    // ── Deterministic train/val/test split: hash-bucket assignment (stable
+    //    under reruns and corpus growth — the dataset-split op every
+    //    training pipeline needs; never random()) ───────────────────────────
+    QueryDef.sql("a13_hash_split",
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         ((doc_id * 2654435761) % 1000000007) % 10 AS b
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |       count(*)::BIGINT AS n
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("b", pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 10)
+        .groupBy(col("source"),
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test").as("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+
+    // ── Doc-length histogram: width-50 buckets over n_chars — the length
+    //    audit a corpus-quality pass runs before filtering ──────────────────
+    QueryDef.sql("a15_length_histogram",
+      """SELECT (n_chars // 50)::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").cast("long").as("min_chars"),
+          max("n_chars").cast("long").as("max_chars"))
+        .orderBy("bucket")
+    },
+
     // ── Heavy hitters: exact top-50 corpus vocabulary by term frequency —
     //    the frequent-items op of a training pipeline's vocabulary audit.
     //    One explode + one map-side-combined groupBy; the top-k is a
