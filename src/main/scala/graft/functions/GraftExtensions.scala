@@ -21,7 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_cosine" -> classOf[CosineF32], "graft_dot" -> classOf[DotF32],
     "graft_polyhash" -> classOf[PolyHashExpr],
     "graft_simhash60" -> classOf[SimHash60Expr],
-    "graft_minhash_sig" -> classOf[MinHashSigExpr])
+    "graft_minhash_sig" -> classOf[MinHashSigExpr],
+    "graft_char_ngrams" -> classOf[CharNgramHashesExpr],
+    "graft_word_shingles" -> classOf[WordShinglesExpr],
+    "graft_tokenize" -> classOf[TokenizeExpr],
+    "graft_tokenize_bm25" -> classOf[TokenizeExpr])
 
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.builders.foreach { case (name, builder) =>
@@ -49,7 +53,24 @@ object GraftExtensions {
       MinHashSigExpr(args.head,
         if (args.length > 1) intArg(args(1), "shingleN") else 3,
         if (args.length > 2) intArg(args(2), "numHashes") else 16)
-    }))
+    }),
+    "graft_char_ngrams" -> ((args: Seq[Expression]) =>
+      CharNgramHashesExpr(args.head, literalInt(args, 1, 3, "graft_char_ngrams n"))),
+    "graft_word_shingles" -> ((args: Seq[Expression]) =>
+      WordShinglesExpr(args.head, literalInt(args, 1, 3, "graft_word_shingles n"))),
+    "graft_tokenize" -> ((args: Seq[Expression]) =>
+      TokenizeExpr(args.head, bm25 = false)),
+    "graft_tokenize_bm25" -> ((args: Seq[Expression]) =>
+      TokenizeExpr(args.head, bm25 = true)))
+
+  private def literalInt(args: Seq[Expression], idx: Int, default: Int,
+                         what: String): Int =
+    if (args.length <= idx) default
+    else args(idx) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
 
   /** Register the graft SQL functions on an already-built session — the
     * path for sessions not constructed with `withExtensions` (Verify,

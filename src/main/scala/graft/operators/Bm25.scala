@@ -109,6 +109,27 @@ object Bm25 {
     Index(post, lens, idfDf, stats)
   }
 
+  /** Incremental index maintenance, delete side: drop a set of doc ids from
+    * the index without touching other postings — an anti-join on `doc_id`
+    * (at rest: partition/bucket-pruned rewrite of only the affected files)
+    * plus a stats/idf recompute from the surviving postings. Equivalent to a
+    * full rebuild over corpus ∖ removed (spec-asserted).
+    */
+  def removeDocs(old: Index, removeIds: DataFrame, idCol: String): Index = {
+    val rm = removeIds.select(col(idCol).as("doc_id"))
+    val post = old.postings.join(rm, Seq("doc_id"), "left_anti")
+    val lens = old.lengths.join(rm, Seq("doc_id"), "left_anti")
+    val oldN =
+      if (old.stats.columns.contains("n")) old.stats.select(col("n")).head().getLong(0)
+      else old.lengths.count()
+    val removedN = old.lengths.join(rm, Seq("doc_id"), "left_semi").count()
+    val n = oldN - removedN
+    val idfDf = idf(post, n)
+    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+      .withColumn("n", lit(n))
+    Index(post, lens, idfDf, stats)
+  }
+
   /** S8 index persistence: the reference writes NPZ + JSON sidecars
     * (`bm25_manager.py:71-112`); here the index IS tables — written as
     * parquet, postings bucketed by `term` when a catalog table name is

@@ -289,6 +289,25 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** PQ search with exact re-rank: ADC scores the WHOLE corpus from codes
+    * (cheap — m table lookups/row), keeps a `shortlist`-sized candidate set,
+    * then re-scores only those candidates with exact L2 over the raw
+    * vectors — FAISS's two-stage IVFPQ+refine recipe. At 100 TB the raw
+    * vector fetch is a semi-join against `shortlist` ids (bucket-pruned at
+    * rest), not a second corpus scan.
+    */
+  def pqTopKWithRerank(encoded: DataFrame, idCol: String, vecCol: String,
+                       codesCol: String, cb: PqCodebook, query: Seq[Float],
+                       k: Int, shortlist: Int): DataFrame = {
+    val cand = pqAdcTopK(encoded, idCol, codesCol, cb, query, shortlist)
+      .select(col("doc_id"))
+    encoded.join(cand, encoded(idCol) === cand("doc_id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        round(l2Sq(col(vecCol), vecLit(query)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("doc_id"))
+      .limit(k)
+  }
+
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.
     * Centroid ranking is driver-side math over ncentroids vectors (tiny —
     * this mirrors FAISS's coarse quantizer step, nprobe default 32 at

@@ -51,6 +51,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](2).length == 4)
   }
 
+  test("graft_tokenize / graft_word_shingles / graft_char_ngrams from SQL") {
+    val row = sqlSession.sql(
+      """SELECT graft_tokenize('The quick FOX') AS t,
+        |       graft_tokenize_bm25('The quick FOX') AS tb,
+        |       graft_word_shingles(array('a','b','c','d'), 3) AS ws,
+        |       graft_char_ngrams('abcd', 3) AS ng""".stripMargin)
+      .collect().head
+    assert(row.getSeq[String](0) == Seq("the", "quick", "fox"))
+    assert(row.getSeq[String](1) == Seq("quick", "fox"))
+    assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
+    assert(row.getSeq[Long](3).length == 2) // 'abc', 'bcd'
+  }
+
   test("unknown-typed input fails analysis with the expression name") {
     val e = intercept[Exception] {
       sqlSession.sql("SELECT graft_cosine(1, 2)").collect()

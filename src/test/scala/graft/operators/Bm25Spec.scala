@@ -137,6 +137,25 @@ class Bm25Spec extends SparkSpec {
     m.foreach { case (d, s) => assert(math.abs(s - r(d)) < 1e-12, s"doc $d") }
   }
 
+  test("removeDocs(ids) scores identically to a rebuild over the surviving corpus") {
+    val allDocs = corpus.toDF("doc_id", "text")
+    val removed = Seq(corpus.head._1, corpus.last._1)
+    val shrunk = Bm25.removeDocs(
+      Bm25.buildIndex(allDocs, "doc_id", "text"),
+      removed.toDF("doc_id"), "doc_id")
+    val rebuilt = Bm25.buildIndex(
+      corpus.filterNot(d => removed.contains(d._1)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(shrunk.stats.select("n").head().getLong(0) ==
+      (corpus.size - removed.size).toLong)
+    def scores(ix: Bm25.Index): Map[Long, Double] =
+      Bm25.scoreWithIndex(ix, spark, "quick fox dog")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m = scores(shrunk); val r = scores(rebuilt)
+    assert(m.keySet == r.keySet && !m.keySet.exists(removed.contains))
+    m.foreach { case (d, s) => assert(math.abs(s - r(d)) < 1e-12, s"doc $d") }
+  }
+
   test("topK returns k best with deterministic tie-break") {
     val docs = corpus.toDF("doc_id", "text")
     val top2 = Bm25.topK(Bm25.scoreQuery(docs, "doc_id", "text", "quick fox"), 2)

@@ -129,6 +129,31 @@ class VectorSearchSpec extends SparkSpec {
     assert(fast == spec)
   }
 
+  test("PQ shortlist + exact re-rank recovers the exact top-k") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
+      seedIds = 1L to 16L, m = 4)
+    val encoded = VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
+    // shortlist = whole corpus → re-rank IS the exact scan
+    val got = VectorSearch.pqTopKWithRerank(encoded, "vec_id", "embedding",
+        "codes", cb, query.toSeq, k = 10, shortlist = 100)
+      .select("doc_id").as[Long].collect().toSeq
+    val exact = corpus.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - query(i).toDouble; acc += d * d; i += 1 }
+      (id, math.rint(acc * 1e6) / 1e6)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(got == exact)
+    // modest shortlist still beats raw ADC ranking on recall
+    val adc = VectorSearch.pqAdcTopK(encoded, "vec_id", "codes", cb, query.toSeq, 10)
+      .select("doc_id").as[Long].collect().toSet
+    val rer = VectorSearch.pqTopKWithRerank(encoded, "vec_id", "embedding",
+        "codes", cb, query.toSeq, k = 10, shortlist = 30)
+      .select("doc_id").as[Long].collect().toSet
+    val exactSet = exact.toSet
+    assert((rer & exactSet).size >= (adc & exactSet).size)
+  }
+
   test("PQ ADC top-k approximates the exact L2 ranking") {
     val emb = corpus.toDF("vec_id", "embedding")
     val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
