@@ -298,6 +298,80 @@ object EngineQueries {
         .orderBy("final_rank")
     },
 
+    // ── BATCHED rerank: 3 queries through BM25 top-50 → per-query lexical
+    //    head rerank in ONE DAG — the last pipeline stage in batch form
+    //    (with hybrid_batch/j5 every stage now has a batched twin) ──────────
+    QueryDef.sql("m7_rerank_batch",
+      s"""WITH tok AS (SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY 1),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5)
+         |          / (count(*) + 0.5) + 1.0) AS idf FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES (0, 'spark join filter window'),
+         |   (100, 'hash merge batch scan'), (200, 'sort table row value')),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf
+         |           FROM qtok GROUP BY 1, 2),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2 HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |ranked AS (
+         |  SELECT query_id, doc_id, round(score, 4) AS score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(score, 4) DESC, doc_id) AS orig_rank
+         |  FROM kscores QUALIFY orig_rank <= 50),
+         |qtoks AS (SELECT query_id, list_distinct(${tokSql("qtext")}) AS qts FROM qt),
+         |dtok AS (SELECT doc_id, ${tokSql("text")} AS dt FROM documents),
+         |hd AS (
+         |  SELECT r.query_id, r.doc_id, r.score,
+         |         CASE WHEN len(list_distinct(list_concat(d.dt, q.qts))) > 0
+         |              THEN len(list_filter(list_distinct(d.dt), t -> list_contains(q.qts, t)))::DOUBLE
+         |                   / len(list_distinct(list_concat(d.dt, q.qts)))::DOUBLE
+         |              ELSE 0.0 END AS rerank_score
+         |  FROM ranked r JOIN qtoks q USING (query_id) JOIN dtok d USING (doc_id)
+         |  WHERE r.orig_rank <= 20),
+         |hd2 AS (SELECT query_id, doc_id, score, rerank_score,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY rerank_score DESC, doc_id) AS new_rank, 0 AS grp
+         |        FROM hd),
+         |tl AS (SELECT query_id, doc_id, score, NULL::DOUBLE AS rerank_score,
+         |              orig_rank AS new_rank, 1 AS grp
+         |       FROM ranked WHERE orig_rank > 20)
+         |SELECT query_id, doc_id, score,
+         |       round(coalesce(rerank_score, -1.0), 6) AS rerank_score,
+         |       (row_number() OVER (PARTITION BY query_id ORDER BY grp, new_rank))::BIGINT AS final_rank
+         |FROM (SELECT * FROM hd2 UNION ALL SELECT * FROM tl)
+         |ORDER BY query_id, final_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      val qt = Seq((0L, "spark join filter window"),
+        (100L, "hash merge batch scan"), (200L, "sort table row value"))
+        .toDF("query_id", "qtext")
+      val ranked = Bm25.scoreBatch(ix, qt, "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+        .withColumn("orig_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("orig_rank") <= 50).drop("orig_rank")
+      val withText = ranked
+        .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+        .join(broadcast(qt), "query_id")
+      Rerank.rerankHeadBatch(withText, "query_id", "score", 20,
+          Rerank.lexicalScoreCols(
+            array_distinct(graft.functions.TextFunctions.tokenizeBm25(col("qtext"))),
+            col("text")))
+        .select(col("query_id"), col("doc_id"), col("score"),
+          round(coalesce(col("rerank_score"), lit(-1.0)), 6).as("rerank_score"),
+          col("final_rank").cast("long").as("final_rank"))
+        .orderBy("query_id", "final_rank")
+    },
+
     // ── §3.1 flagship: the full retrieval lifecycle in one DAG ────────────
     // (enhance → deterministic query embed → vector kNN + BM25 → RRF →
     // lexical rerank → final hits), now under a FULL value-exact oracle:

@@ -32,6 +32,43 @@ object Rerank {
     when(union > 0, inter.cast("double") / union.cast("double")).otherwise(lit(0.0))
   }
 
+  /** [[lexicalScore]] with the query tokens as a COLUMN — the batched form
+    * where each row carries its own query (set semantics identical:
+    * intersect/union are distinct either way).
+    */
+  def lexicalScoreCols(queryToks: Column, doc: Column): Column = {
+    val d = array_distinct(TextFunctions.tokenizeBm25(doc))
+    val inter = size(array_intersect(d, queryToks))
+    val union = size(array_union(d, queryToks))
+    when(union > 0, inter.cast("double") / union.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Batched [[rerankHead]]: N queries in one DAG — every window is
+    * partitioned by `qidCol`, so ranking/rescoring shuffles once on
+    * query_id and nothing is global. Head size and tail semantics are
+    * per-query identical to the single-query form.
+    */
+  def rerankHeadBatch(hits: DataFrame, qidCol: String, scoreCol: String,
+                      topK: Int, scorer: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy(col(qidCol))
+    val ranked = hits.withColumn("orig_rank",
+      row_number().over(byQ.orderBy(col(scoreCol).desc, col("doc_id"))))
+    val head = ranked.filter(col("orig_rank") <= topK)
+      .withColumn("rerank_score", scorer)
+    val tail = ranked.filter(col("orig_rank") > topK)
+      .withColumn("rerank_score", lit(null).cast("double"))
+    val rescoredHead = head.withColumn("new_rank",
+      row_number().over(byQ.orderBy(col("rerank_score").desc, col("doc_id"))))
+    val keptTail = tail.withColumn("new_rank", col("orig_rank"))
+    rescoredHead.unionByName(keptTail)
+      .withColumn("final_rank",
+        row_number().over(byQ.orderBy(
+          when(col("new_rank") <= topK && col("rerank_score").isNotNull, lit(0)).otherwise(lit(1)),
+          col("new_rank"))))
+      .drop("orig_rank", "new_rank")
+  }
+
   /** T4 head/tail rerank: rows ranked ≤ topK by `orderCol` are re-scored
     * and reordered by (new score desc, doc_id); the tail keeps its original
     * order after the head. Returns the input columns + `rerank_score` +

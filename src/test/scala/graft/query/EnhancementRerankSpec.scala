@@ -33,6 +33,32 @@ class EnhancementRerankSpec extends SparkSpec {
     }
   }
 
+  test("rerankHeadBatch == per-query rerankHead") {
+    val rnd = new scala.util.Random(3)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val hits = (for (q <- Seq(1L, 2L); d <- 1L to 12L) yield
+      (q, d * 10 + q, rnd.nextInt(100).toDouble,
+        Seq.fill(3)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("query_id", "doc_id", "score", "text")
+    val queries = Map(1L -> "alpha beta", 2L -> "gamma zeta")
+    val qdf = queries.toSeq.toDF("query_id", "qtext")
+    val batch = Rerank.rerankHeadBatch(
+        hits.join(qdf, "query_id"), "query_id", "score", 5,
+        Rerank.lexicalScoreCols(
+          array_distinct(graft.functions.TextFunctions.tokenizeBm25(col("qtext"))),
+          col("text")))
+      .select("query_id", "doc_id", "final_rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    queries.foreach { case (q, qtext) =>
+      val single = Rerank.rerankHead(hits.filter(col("query_id") === q), "score", 5,
+          Rerank.lexicalScore(qtext, col("text")))
+        .select("doc_id", "final_rank").as[(Long, Int)].collect().toMap
+      single.foreach { case (d, rk) =>
+        assert(batch((q, d)) == rk, s"query $q doc $d")
+      }
+    }
+  }
+
   test("rerankHead reorders only the head, tail keeps original order") {
     val hits = Seq(
       (1L, 10.0, "zz yy xx"),          // rank 1, no query overlap
