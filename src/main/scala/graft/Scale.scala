@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness (not part of the library surface): replicates
+  * the sf0.1 tables K× with shifted ids / suffixed sources (more shards —
+  * the way real corpora grow) and times each operator family at 1× and K×.
+  * The claim under test: every pipeline is linear in corpus size with no
+  * quadratic pair blowup and no driver bottleneck. Results recorded in
+  * PLANS.md round-3.
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = "/tmp/graft_scale"
+    val kDocs = 20
+    val kEmb = 50
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+    }
+
+    // ── build the scaled tables once ────────────────────────────────────
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    (0 until kDocs).map(i => docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"),
+        concat(col("source"), lit(s"_$i")).as("source"), col("n_chars")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    (0 until kEmb).map(i => emb.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val bigDocs = spark.read.parquet(s"$base/documents.parquet")
+    val bigEmb = spark.read.parquet(s"$base/embeddings.parquet")
+    println(s"[scale] docs ${docs.count()} -> ${bigDocs.count()}, emb ${emb.count()} -> ${bigEmb.count()}")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    def queries50(e: DataFrame) = e.limit(50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+    def lshPipeline(d: DataFrame): Long = {
+      val sigs = operators.Dedup.minhashSignatures(d, "doc_id", "text")
+      val cand = operators.Dedup.lshCandidates(
+        operators.Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+      operators.Dedup.jaccardPairs(d, "doc_id", "text", cand)
+        .filter(col("jaccard") >= 0.5).count()
+    }
+    def ngram(d: DataFrame): Long =
+      operators.Dedup.charNgramJaccard(d, "doc_id", "text",
+        blockCol = "source", n = 3, threshold = 0.5, maxDf = 20).count()
+    def components(d: DataFrame): Long =
+      operators.Dedup.connectedComponents(
+        operators.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)).count()
+    def bm25batch(d: DataFrame): Long = {
+      val ix = operators.Bm25.buildIndex(d, "doc_id", "text", persist = true)
+      try {
+        val qt = d.limit(50).select(col("doc_id").as("query_id"),
+          col("text").as("qtext"))
+        operators.Bm25.scoreBatch(ix, qt, "query_id", "qtext").count()
+      } finally { ix.postings.unpersist(); ix.lengths.unpersist(); ix.idf.unpersist() }
+    }
+    def knn50(e: DataFrame): Long =
+      operators.VectorSearch.bruteTopKBatchAgg(e, "vec_id", "embedding",
+        queries50(e), "query_id", "qvec", 20).count()
+    def pq(e: DataFrame): Long = {
+      val seeds = e.limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val cb = operators.VectorSearch.seededPqCodebook(e, "vec_id", "embedding", seeds, m = 8)
+      val q = e.limit(1).select("embedding").first().getSeq[Float](0)
+      operators.VectorSearch.pqAdcTopK(
+        operators.VectorSearch.pqEncode(e, "vec_id", "embedding", cb),
+        "vec_id", "codes", cb, q, 20).count()
+    }
+
+    secs(s"lsh-dedup 1x")(lshPipeline(docs))
+    secs(s"lsh-dedup ${kDocs}x")(lshPipeline(bigDocs))
+    secs(s"ngram-jaccard 1x")(ngram(docs))
+    secs(s"ngram-jaccard ${kDocs}x")(ngram(bigDocs))
+    secs(s"simhash-components 1x")(components(docs))
+    secs(s"simhash-components ${kDocs}x")(components(bigDocs))
+    secs(s"bm25-build+batch50 1x")(bm25batch(docs))
+    secs(s"bm25-build+batch50 ${kDocs}x")(bm25batch(bigDocs))
+    secs(s"knn-batch50 1x")(knn50(emb))
+    secs(s"knn-batch50 ${kEmb}x")(knn50(bigEmb))
+    secs(s"pq-encode+adc 1x")(pq(emb))
+    secs(s"pq-encode+adc ${kEmb}x")(pq(bigEmb))
+    spark.stop()
+  }
+}
