@@ -156,6 +156,37 @@ object Main {
         graft.operators.VectorSearch.bruteTopK(emb, "doc_id", "embedding", qv, k)
           .collect().foreach(r => println(f"[graft] knn: ${r.getLong(0)} ${r.getDouble(1)}%.6f"))
 
+      case "components" =>
+        // extension verb: duplicate-GROUP closure over the stored dedup
+        // pair tables (run `dedup` first) — emits (node, component) so a
+        // keep-one-per-group policy is a min() filter away
+        import graft.operators.Dedup
+        val pairs = spark.read.parquet(s"$kb/dedup/minhash_lsh")
+          .select("doc_a", "doc_b")
+          .unionByName(spark.read.parquet(s"$kb/dedup/simhash")
+            .select("doc_a", "doc_b"))
+          .distinct()
+        Dedup.connectedComponents(pairs)
+          .write.mode("overwrite").parquet(s"$kb/dedup/components")
+        val comp = spark.read.parquet(s"$kb/dedup/components")
+        println(s"[graft] components: ${comp.count()} nodes in " +
+          s"${comp.select("component").distinct().count()} groups -> $kb/dedup/components")
+
+      case "pq" =>
+        // extension verb: build the PQ-encoded table (codes replace raw
+        // vectors for first-pass ANN scoring; 32x smaller at 64-dim f32)
+        import graft.operators.VectorSearch
+        val m = if (args.length > 2) args(2).toInt else 8
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        val seeds = emb.select("doc_id").orderBy("doc_id").limit(16)
+          .collect().map(_.getLong(0)).toSeq
+        val cb = VectorSearch.seededPqCodebook(emb, "doc_id", "embedding", seeds, m)
+        VectorSearch.pqEncode(emb, "doc_id", "embedding", cb)
+          .select("doc_id", "codes")
+          .write.mode("overwrite").parquet(s"$kb/pq_codes")
+        println(s"[graft] pq: ${spark.read.parquet(s"$kb/pq_codes").count()} " +
+          s"vectors encoded (m=$m, k=${seeds.length}) -> $kb/pq_codes")
+
       case other => sys.error(s"unknown verb $other")
     }
   }

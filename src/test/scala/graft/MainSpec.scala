@@ -41,6 +41,17 @@ class MainSpec extends SparkSpec {
     val firstId = emb.select("doc_id").orderBy("doc_id").head().getLong(0)
     Main.run(Array("knn", kb, firstId.toString, "3"), spark)
 
+    Main.run(Array("components", kb), spark)
+    val comp = spark.read.parquet(s"$kb/dedup/components")
+    assert(comp.count() > 0, "dup pairs must produce component assignments")
+    // identical a.txt/b.txt chunks land in one group: some component has >1 node
+    assert(comp.groupBy("component").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() > 0)
+
+    Main.run(Array("pq", kb), spark)
+    val codes = spark.read.parquet(s"$kb/pq_codes")
+    assert(codes.count() == emb.count(), "every vector must be PQ-encoded")
+
     Main.run(Array("query", kb, "fast spark joins and filters"), spark)
     assert(spark.read.parquet(s"$kb/logs").count() == 1, "query must be logged")
   }
