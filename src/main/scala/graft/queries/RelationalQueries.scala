@@ -124,6 +124,59 @@ object RelationalQueries {
         .orderBy("n_name")
     },
 
+    // ── q5-style local-supplier volume: six-table join with a cross-table
+    //    equality (c_nationkey = s_nationkey) — the deepest join shape in
+    //    the substrate; region/nation broadcast, fact-side joins shuffle ────
+    QueryDef.sql("q5_local_supplier",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ── q18-style large-volume orders: HAVING-filtered agg drives a
+    //    semi-join back onto the fact — the agg output (not the fact) is
+    //    the build side at any scale ─────────────────────────────────────────
+    QueryDef.sql("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 220)
+        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          sum("l_quantity").as("_raw_qty"))
+        .filter(col("_raw_qty") > 220).drop("_raw_qty")
+      big.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
     // ── T-family: top-k (SURVEY §2.6) ──────────────────────────────────────
     QueryDef.sql("t1_topk_orders",
       """SELECT o_orderkey, o_totalprice
