@@ -189,6 +189,34 @@ object VectorSearch {
       rows.toIndexedSeq.map(v => v.slice(s * subDim, (s + 1) * subDim)))
   }
 
+  /** Lloyd-TRAINED PQ codebooks: per subspace, MLlib KMeans over a sample
+    * of the corpus subvectors — the production-quality path (FAISS trains
+    * PQ codebooks the same way). Drop-in for [[seededPqCodebook]] in the
+    * same encode/score plumbing; being iteratively trained it is NOT
+    * SQL-oracle-reproducible, so its quality is recall-spec-asserted
+    * (VectorSearchSpec) while the seeded variant carries the value oracle.
+    */
+  def trainedPqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+                        m: Int, k: Int, seed: Long = 42L,
+                        sampleCap: Int = 10000): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = embeddings.count()
+    val sample =
+      (if (n > sampleCap) embeddings.sample(withReplacement = false, sampleCap.toDouble / n, seed)
+       else embeddings).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = sample.select(size(col(vecCol))).head().getInt(0)
+      val subDim = dim / m
+      IndexedSeq.tabulate(m) { s =>
+        val sub = sample.select(array_to_vector(
+          slice(col(vecCol), s * subDim + 1, subDim).cast("array<double>")).as("features"))
+        val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(20).fit(sub)
+        model.clusterCenters.toIndexedSeq.map(c => c.toArray.map(_.toFloat).toSeq)
+      }
+    } finally { sample.unpersist(); () }
+  }
+
   /** PQ encode: each vector becomes `m` small codes — `codes(s)` = index of
     * the subspace-s codeword with minimal squared L2 distance, ties to the
     * lowest code (struct-min, mirroring the oracle's

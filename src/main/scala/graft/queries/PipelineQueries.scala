@@ -732,6 +732,32 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // ── Stratified sampling: per-event-type fractions decided by a per-row
+    //    hash threshold — no shuffle, append-consistent, rand()-free (class
+    //    rebalancing for training sets) ──────────────────────────────────────
+    QueryDef.sql("t7_stratified_sample",
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |         (event_id * 2654435761) % 1000000007 AS draw,
+        |         CASE event_type
+        |           WHEN 'click' THEN floor(0.2 * 1000000007)::BIGINT
+        |           WHEN 'view' THEN floor(0.5 * 1000000007)::BIGINT
+        |           ELSE floor(0.05 * 1000000007)::BIGINT END AS thr
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id
+        |FROM s WHERE draw < thr
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+          Tables.events(s, dir), "event_type", "event_id",
+          Map("click" -> 0.2, "view" -> 0.5), defaultFraction = 0.05)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").cast("long").as("min_id"),
+          max("event_id").cast("long").as("max_id"))
+        .orderBy("event_type")
+    },
+
     // ── Class prototypes: per-source embedding centroid in exact integer
     //    micro-units (element-wise sum + count per position; float avg is
     //    summation-order-dependent, micro-quantized sums are oracle-exact).

@@ -154,6 +154,25 @@ class VectorSearchSpec extends SparkSpec {
     assert((rer & exactSet).size >= (adc & exactSet).size)
   }
 
+  test("trained PQ codebook beats or matches the seeded codebook on recall") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val exact = corpus.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - query(i).toDouble; acc += d * d; i += 1 }
+      (id, acc)
+    }.sortBy { case (id, d) => (d, id) }.take(20).map(_._1).toSet
+    def recall(cb: VectorSearch.PqCodebook): Double = {
+      val enc = VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
+      val got = VectorSearch.pqAdcTopK(enc, "vec_id", "codes", cb, query.toSeq, 20)
+        .select("doc_id").as[Long].collect().toSet
+      (got & exact).size.toDouble / 20
+    }
+    val seeded = recall(VectorSearch.seededPqCodebook(emb, "vec_id", "embedding", 1L to 16L, m = 4))
+    val trained = recall(VectorSearch.trainedPqCodebook(emb, "vec_id", "embedding", m = 4, k = 16))
+    assert(trained >= 0.5, s"trained recall@20 $trained")
+    assert(trained >= seeded - 0.1, s"trained $trained should not lose to seeded $seeded")
+  }
+
   test("PQ ADC top-k approximates the exact L2 ranking") {
     val emb = corpus.toDF("vec_id", "embedding")
     val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
