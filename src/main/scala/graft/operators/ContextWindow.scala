@@ -50,6 +50,24 @@ object ContextWindow {
     chunks.join(broadcast(want), Seq("sourcedoc", "sid"))
   }
 
+  /** BATCHED [[expandScoped]]: hits from N queries expand in one DAG, window
+    * dedup keyed by (query, sourcedoc, sid) so each query keeps its OWN
+    * context set (cross-query merging would leak one query's context into
+    * another's). A chunk row wanted by several queries is emitted once per
+    * query — the serving answer needs exactly that.
+    */
+  def expandScopedBatch(chunks: DataFrame, hits: DataFrame,
+                        qidCol: String): DataFrame = {
+    val want = hits
+      .select(col(qidCol), col("sourcedoc"), col("sid").as("hit_sid"), col("_scope"))
+      .withColumn("sid",
+        explode(sequence(greatest(col("hit_sid") - col("_scope"), lit(0)),
+          col("hit_sid") + col("_scope"))))
+      .groupBy(col(qidCol), col("sourcedoc"), col("sid"))
+      .agg(min("hit_sid").as("hit_sid"))
+    chunks.join(broadcast(want), Seq("sourcedoc", "sid"))
+  }
+
   /** W3 consecutive-run grouping for formatters
     * (`/root/reference/query/formatters.py:414-519`): assign a group id that
     * increments whenever sid != prev_sid + 1 within a sourcedoc — lag +

@@ -205,5 +205,42 @@ object KbQueries {
       ContextWindow.expand(chunks, hits, 2)
         .select(col("sourcedoc"), col("sid"), col("doc_id"), col("hit_sid"))
         .orderBy("sourcedoc", "sid")
+    },
+
+    // ── W2 batched: per-query context expansion in one DAG — dedup keyed by
+    //    (query, sourcedoc, sid); query 0's windows never merge with query
+    //    1's even when they overlap ────────────────────────────────────────
+    QueryDef.sql("w2_context_batch",
+      """WITH chunks AS (
+        |  SELECT doc_id, source AS sourcedoc,
+        |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid
+        |  FROM documents),
+        |hits AS (
+        |  SELECT 0 AS query_id, sourcedoc, sid FROM chunks WHERE doc_id IN (10, 137)
+        |  UNION ALL
+        |  SELECT 1 AS query_id, sourcedoc, sid FROM chunks WHERE doc_id IN (12, 256)),
+        |expanded AS (
+        |  SELECT query_id, sourcedoc, sid AS hit_sid,
+        |         unnest(range(greatest(sid - 2, 0), sid + 3))::INT AS ctx_sid
+        |  FROM hits),
+        |want AS (
+        |  SELECT query_id, sourcedoc, ctx_sid AS sid, min(hit_sid)::INT AS hit_sid
+        |  FROM expanded GROUP BY query_id, sourcedoc, ctx_sid)
+        |SELECT w.query_id, c.sourcedoc, c.sid, c.doc_id, w.hit_sid
+        |FROM chunks c JOIN want w USING (sourcedoc, sid)
+        |ORDER BY query_id, sourcedoc, sid""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      val hits = chunks.filter(col("doc_id").isin(10, 137))
+        .withColumn("query_id", lit(0))
+        .unionByName(chunks.filter(col("doc_id").isin(12, 256))
+          .withColumn("query_id", lit(1)))
+        .withColumn("_scope", lit(2))
+      ContextWindow.expandScopedBatch(chunks, hits, "query_id")
+        .select(col("query_id"), col("sourcedoc"), col("sid"),
+          col("doc_id"), col("hit_sid"))
+        .orderBy("query_id", "sourcedoc", "sid")
     })
 }
