@@ -140,4 +140,86 @@ object KbPipeline {
           graft.format.Formatters.blocks(context, "text"), cfg.referenceFormat),
         cfg.referenceFormat))
   }
+
+  /** The FULL §3.1 lifecycle for a BATCH of queries in ONE DataFrame DAG —
+    * the serving-throughput regime the reference cannot express (it loops
+    * queries through sequential engine hops). Every stage is the batched
+    * twin of [[query]]'s: per-query windows instead of global sorts, one
+    * broadcast of the (tiny) query set, one pass over the corpus for the
+    * vector side, one postings semi-join for BM25 — corpus work is shared
+    * across the whole batch. Per-query results are IDENTICAL to
+    * [[query]]'s (spec-asserted in KbPipelineSpec; same rounded rank keys).
+    *
+    * @return hits `(query_id, doc_id, score, text, sourcedoc, sid,
+    *         rerank_score, final_rank)`, ≤ topK rows per query
+    */
+  def queryBatch(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
+                 queries: Seq[(Long, String)], cfg: KbConfig = KbConfig(),
+                 bm25Index: Option[Bm25.Index] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("query_id")
+    // 1-2. enhancement + deterministic embedding: driver-side per query
+    //      (constant-folded; N queries are one small literal table)
+    val enhanced = queries.map { case (qid, q) => (qid, Enhancement.enhanceValue(spark, q)) }
+    val embedder = Embedder.Deterministic(cfg.vectorDimensions)
+    val qRows = enhanced.map { case (qid, e) =>
+      org.apache.spark.sql.Row(qid, e, embedder.embedBatch(Seq(e)).head)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qtext", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false))))
+    val qDf = spark.createDataFrame(qRows.asJava, qSchema)
+
+    // 3a. vector k-NN: one corpus pass scores all queries; rounded ranks
+    val vtop = embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
+      .select(col("query_id"), col("doc_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
+      .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("_rk") <= cfg.queryTopK).drop("_rk")
+
+    // 3b-3c. BM25 batch + fusion
+    val hits0 =
+      if (cfg.enableHybridSearch) {
+        val ix = bm25Index.getOrElse(
+          Bm25.buildIndex(chunks, "doc_id", "text", persist = true))
+        val scored = Bm25.scoreBatch(ix, qDf.select("query_id", "qtext"),
+            "query_id", "qtext", cfg.bm25K1, cfg.bm25B)
+          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+        val ktop = scored
+          .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("_rk") <= math.min(cfg.queryTopK, cfg.bm25MaxResults)).drop("_rk")
+        if (cfg.fusionMethod == "weighted")
+          Fusion.weightedBatch(vtop, ktop, cfg.vectorWeight, cfg.bm25Weight)
+        else
+          Fusion.rrfBatch(Seq(vtop, ktop)).withColumnRenamed("rrf_score", "score")
+      } else vtop
+
+    // 3e. rerank head per query with each query's OWN enhanced tokens
+    val withText = hits0.join(chunks.select(col("doc_id"), col("text"),
+        col("sourcedoc"), col("sid")), "doc_id")
+      .join(broadcast(qDf.select("query_id", "qtext")), "query_id")
+    val hits =
+      if (cfg.enableReranking)
+        Rerank.rerankHeadBatch(withText, "query_id", "score", cfg.rerankingTopK,
+            Rerank.lexicalScoreCols(
+              graft.functions.TextFunctions.tokenizeBm25(col("qtext")), col("text")))
+          .filter(col("final_rank") <= cfg.queryTopK)
+      else withText
+        .withColumn("final_rank", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("final_rank") <= cfg.queryTopK)
+    hits.select(col("query_id"), col("doc_id"), col("score"), col("text"),
+      col("sourcedoc"), col("sid"),
+      (if (cfg.enableReranking) col("rerank_score") else lit(null).cast("double")).as("rerank_score"),
+      col("final_rank"))
+  }
+
+  private implicit class SeqAsJava[A](private val s: Seq[A]) extends AnyVal {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
 }

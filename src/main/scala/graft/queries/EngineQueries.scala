@@ -38,6 +38,12 @@ object EngineQueries {
   val E2eEnhancedQuery: String =
     "(fast OR quick OR rapid) spark (join OR merge OR combine) and (filter OR predicate OR where) queries"
 
+  /** Second pinned pair for the BATCHED e2e oracle (same drift guard in
+    * KbPipelineSpec). */
+  val E2eQueryText2 = "window sort and document scan"
+  val E2eEnhancedQuery2: String =
+    "(window OR frame OR range) sort and (document OR text OR record) scan"
+
   /** DuckDB rendition of [[Enhancement.enhance]] on expr `q`. RE2 has no
     * pattern backreferences, so run-collapsing is a per-character chain in
     * BOTH engines (see [[Enhancement]]); backslashes here are single —
@@ -86,6 +92,85 @@ object EngineQueries {
   private def embedStrCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_join(transform(vec, v =>
       round(round(v.cast("double"), 6) * 1000000.0, 0).cast("long").cast("string")), ",")
+
+  /** The complete single-query lifecycle as one DuckDB SQL statement,
+    * parameterized by the PINNED enhanced-query literal (spec-asserted to
+    * equal live Enhancement output). Used directly by e2e_hybrid_query and
+    * twice (unioned) by e2e_hybrid_batch.
+    */
+  private def e2eCoreSql(enh: String): String = {
+    // raw (UNrounded) deterministic embedding: ((h%1000)-500)/500 as
+    // float32 — exact-integer double division rounded once to FLOAT,
+    // bit-identical to Embedder.Deterministic's float arithmetic
+    def embedRawSql(text: String, dims: Int): String =
+      s"""list_transform(range(0, $dims), j ->
+         | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
+         |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
+    val enhLit = s"'$enh'"
+    val qToks = enh.toLowerCase.split("[^a-z0-9]+")
+      .filter(t => t.length > 1 || t.matches("[0-9]"))
+      .filterNot(graft.functions.TextFunctions.EnglishStopwords.contains)
+      .distinct.map(t => s"'$t'").mkString("[", ",", "]")
+    val dt = s"list_distinct(${tokSql("text")})"
+    s"""WITH chunks AS (
+         |  SELECT doc_id, text, source AS sourcedoc,
+         |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY 1),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (
+         |  SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |  FROM post GROUP BY term),
+         |qt AS (SELECT term, count(*)::BIGINT AS qtf
+         |       FROM (SELECT unnest(${tokSql(enhLit)}) AS term) GROUP BY term),
+         |bm25 AS (
+         |  SELECT p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qt q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY p.doc_id
+         |  HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |kcand AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |          ORDER BY round(score, 4) DESC, doc_id LIMIT 1000),
+         |ktop AS (SELECT doc_id, score FROM kcand ORDER BY score DESC, doc_id LIMIT 50),
+         |qv AS (SELECT ${embedRawSql(enhLit, 64)} AS v),
+         |cos AS (SELECT vec_id AS doc_id,
+         |        ${cosineSql("embedding", "(SELECT v FROM qv)")} AS c FROM embeddings),
+         |vtop AS (SELECT doc_id, round(c, 6) AS score FROM cos
+         |         ORDER BY round(c, 6) DESC, doc_id LIMIT 50),
+         |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM vtop),
+         |krank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM ktop),
+         |rrf AS (SELECT doc_id, sum(1.0 / (60.0 + rk)) AS score
+         |        FROM (SELECT * FROM vrank UNION ALL SELECT * FROM krank)
+         |        GROUP BY doc_id),
+         |wt AS (SELECT r.doc_id, r.score, c.text, c.sourcedoc, c.sid
+         |       FROM rrf r JOIN chunks c USING (doc_id)),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS orig_rank FROM wt),
+         |hd AS (
+         |  SELECT doc_id, score, text, sourcedoc, sid,
+         |         CASE WHEN len(list_distinct(list_concat($dt, $qToks))) > 0
+         |              THEN len(list_filter($dt, t -> list_contains($qToks, t)))::DOUBLE
+         |                   / len(list_distinct(list_concat($dt, $qToks)))::DOUBLE
+         |              ELSE 0.0 END AS rerank_score
+         |  FROM ranked WHERE orig_rank <= 20),
+         |hd2 AS (SELECT doc_id, score, text, sourcedoc, sid, rerank_score,
+         |               row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS new_rank,
+         |               0 AS grp
+         |        FROM hd),
+         |tl AS (SELECT doc_id, score, text, sourcedoc, sid, NULL::DOUBLE AS rerank_score,
+         |              orig_rank AS new_rank, 1 AS grp
+         |       FROM ranked WHERE orig_rank > 20),
+         |fin AS (SELECT doc_id, score, text, sourcedoc, sid, rerank_score,
+         |               row_number() OVER (ORDER BY grp, new_rank) AS final_rank
+         |        FROM (SELECT * FROM hd2 UNION ALL SELECT * FROM tl))
+         |SELECT doc_id, score, text, sourcedoc, sid, rerank_score, final_rank::INT AS final_rank
+         |FROM fin ORDER BY final_rank LIMIT 50""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -379,80 +464,7 @@ object EngineQueries {
     // enhancement of the fixed query is a pinned literal
     // (KbPipelineSpec asserts it equals Enhancement.enhance), and the
     // deterministic embed is reproduced component-by-component in SQL.
-    QueryDef.sql("e2e_hybrid_query", {
-      // raw (UNrounded) deterministic embedding: ((h%1000)-500)/500 as
-      // float32 — exact-integer double division rounded once to FLOAT,
-      // bit-identical to Embedder.Deterministic's float arithmetic
-      def embedRawSql(text: String, dims: Int): String =
-        s"""list_transform(range(0, $dims), j ->
-           | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
-           |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
-      val enh = E2eEnhancedQuery
-      val enhLit = s"'$enh'"
-      val qToks = enh.toLowerCase.split("[^a-z0-9]+")
-        .filter(t => t.length > 1 || t.matches("[0-9]"))
-        .filterNot(graft.functions.TextFunctions.EnglishStopwords.contains)
-        .distinct.map(t => s"'$t'").mkString("[", ",", "]")
-      val dt = s"list_distinct(${tokSql("text")})"
-      s"""WITH chunks AS (
-         |  SELECT doc_id, text, source AS sourcedoc,
-         |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid
-         |  FROM documents),
-         |tok AS (SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
-         |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY 1),
-         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
-         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
-         |idf AS (
-         |  SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
-         |  FROM post GROUP BY term),
-         |qt AS (SELECT term, count(*)::BIGINT AS qtf
-         |       FROM (SELECT unnest(${tokSql(enhLit)}) AS term) GROUP BY term),
-         |bm25 AS (
-         |  SELECT p.doc_id,
-         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
-         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
-         |  FROM post p JOIN qt q USING (term) JOIN idf i USING (term)
-         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
-         |  GROUP BY p.doc_id
-         |  HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
-         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
-         |kcand AS (SELECT doc_id, round(score, 4) AS score FROM bm25
-         |          ORDER BY round(score, 4) DESC, doc_id LIMIT 1000),
-         |ktop AS (SELECT doc_id, score FROM kcand ORDER BY score DESC, doc_id LIMIT 50),
-         |qv AS (SELECT ${embedRawSql(enhLit, 64)} AS v),
-         |cos AS (SELECT vec_id AS doc_id,
-         |        ${cosineSql("embedding", "(SELECT v FROM qv)")} AS c FROM embeddings),
-         |vtop AS (SELECT doc_id, round(c, 6) AS score FROM cos
-         |         ORDER BY round(c, 6) DESC, doc_id LIMIT 50),
-         |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM vtop),
-         |krank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM ktop),
-         |rrf AS (SELECT doc_id, sum(1.0 / (60.0 + rk)) AS score
-         |        FROM (SELECT * FROM vrank UNION ALL SELECT * FROM krank)
-         |        GROUP BY doc_id),
-         |wt AS (SELECT r.doc_id, r.score, c.text, c.sourcedoc, c.sid
-         |       FROM rrf r JOIN chunks c USING (doc_id)),
-         |ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS orig_rank FROM wt),
-         |hd AS (
-         |  SELECT doc_id, score, text, sourcedoc, sid,
-         |         CASE WHEN len(list_distinct(list_concat($dt, $qToks))) > 0
-         |              THEN len(list_filter($dt, t -> list_contains($qToks, t)))::DOUBLE
-         |                   / len(list_distinct(list_concat($dt, $qToks)))::DOUBLE
-         |              ELSE 0.0 END AS rerank_score
-         |  FROM ranked WHERE orig_rank <= 20),
-         |hd2 AS (SELECT doc_id, score, text, sourcedoc, sid, rerank_score,
-         |               row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS new_rank,
-         |               0 AS grp
-         |        FROM hd),
-         |tl AS (SELECT doc_id, score, text, sourcedoc, sid, NULL::DOUBLE AS rerank_score,
-         |              orig_rank AS new_rank, 1 AS grp
-         |       FROM ranked WHERE orig_rank > 20),
-         |fin AS (SELECT doc_id, score, text, sourcedoc, sid, rerank_score,
-         |               row_number() OVER (ORDER BY grp, new_rank) AS final_rank
-         |        FROM (SELECT * FROM hd2 UNION ALL SELECT * FROM tl))
-         |SELECT doc_id, score, text, sourcedoc, sid, rerank_score, final_rank::INT AS final_rank
-         |FROM fin ORDER BY final_rank LIMIT 50""".stripMargin
-    }) { (s, dir) =>
+    QueryDef.sql("e2e_hybrid_query", e2eCoreSql(E2eEnhancedQuery)) { (s, dir) =>
       val w = Window.partitionBy("source").orderBy("doc_id")
       val chunks = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
@@ -461,6 +473,29 @@ object EngineQueries {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
         bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"))).hits
+    },
+
+    // ── The FULL lifecycle, BATCHED: two queries through KbPipeline
+    //    .queryBatch in one DAG, each value-exact against its own complete
+    //    SQL rendition (union of two e2eCoreSql instances) ──────────────────
+    QueryDef.sql("e2e_hybrid_batch",
+      s"""SELECT 1 AS query_id, f.* FROM (${e2eCoreSql(E2eEnhancedQuery)}) f
+         |UNION ALL
+         |SELECT 2 AS query_id, f.* FROM (${e2eCoreSql(E2eEnhancedQuery2)}) f
+         |ORDER BY query_id, final_rank""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      graft.pipeline.KbPipeline.queryBatch(s, chunks, emb,
+          Seq(1L -> E2eQueryText, 2L -> E2eQueryText2),
+          bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")))
+        .select(col("query_id"), col("doc_id"), col("score"), col("text"),
+          col("sourcedoc"), col("sid"), col("rerank_score"),
+          col("final_rank").cast("int").as("final_rank"))
+        .orderBy("query_id", "final_rank")
     },
 
     // ── BATCHED hybrid retrieval: N queries through ONE DAG (the Spark

@@ -32,6 +32,11 @@ class KbPipelineSpec extends SparkSpec {
       .first().getString(0)
     assert(live == EngineQueries.E2eEnhancedQuery,
       s"enhancement drifted; update E2eEnhancedQuery to: $live")
+    val live2 = spark.range(1)
+      .select(graft.query.Enhancement.enhance(lit(EngineQueries.E2eQueryText2)))
+      .first().getString(0)
+    assert(live2 == EngineQueries.E2eEnhancedQuery2,
+      s"enhancement drifted; update E2eEnhancedQuery2 to: $live2")
   }
 
   test("full query lifecycle returns ranked hits and formatted context") {
@@ -48,6 +53,29 @@ class KbPipelineSpec extends SparkSpec {
     // context includes neighbors of the hit chunk (scope 1)
     val ctx = res.context.select("doc_id").as[Long].collect().toSet
     assert(ctx.contains(2L), "sid neighbor of hit chunk missing from context")
+  }
+
+  test("queryBatch hits == per-query query() hits, column for column") {
+    val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3)
+    val qs = Seq(1L -> "fast spark joins  and filters!!",
+      2L -> "window functions rank rows", 3L -> "household pets")
+    val batch = KbPipeline.queryBatch(spark, corpus, embeddings, qs, cfg)
+      .select("query_id", "doc_id", "final_rank", "score", "rerank_score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), Option(r.get(4)))).toMap
+    qs.foreach { case (qid, q) =>
+      val single = KbPipeline.query(spark, corpus, embeddings, q, cfg)
+        .hits.select("doc_id", "final_rank", "score", "rerank_score")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), Option(r.get(3)))).toMap
+      assert(single.nonEmpty, s"query $qid returned nothing")
+      assert(single.keySet == batch.keySet.collect { case (`qid`, d) => d },
+        s"query $qid hit sets differ")
+      single.foreach { case (d, v) =>
+        assert(batch((qid, d)) == v, s"query $qid doc $d: ${batch((qid, d))} != $v")
+      }
+    }
   }
 
   test("hybrid off degrades to pure vector search; rerank off keeps fusion order") {
