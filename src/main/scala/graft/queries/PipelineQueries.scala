@@ -246,6 +246,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ── The dedup POLICY: corpus minus non-canonical dup-group members —
+    //    every doc outside any pair survives; inside a component only the
+    //    min-id representative does. This is the op that actually shrinks
+    //    a training corpus; components supply the closure ────────────────────
+    QueryDef.sql("dedup_keep_canonical",
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |quarters AS (
+         |  SELECT doc_id, sig, q.q, (sig >> (q.q * 15)) & 32767 AS qh
+         |  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS q) q),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM quarters a JOIN quarters b
+         |    ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.source
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+      val dropped = comp.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // ── Embedding near-dup: exact all-pairs baseline (cos ≥ 0.35) ─────────
     QueryDef.sql("dedup_embedding_exact",
       s"""WITH a AS (SELECT vec_id AS doc_a, embedding AS va FROM embeddings),
