@@ -198,6 +198,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Memoized SimHash near-dup pairs per corpus — the dedup-pair table is
+    * an index-like artifact (the CLI `dedup` verb persists it to parquet);
+    * queries that consume it (components, keep-canonical) share one
+    * computation per session+corpus, like [[Bm25.cachedIndex]].
+    */
+  private val simhashPairsCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  def cachedSimhashPairs(key: String, docs: => DataFrame, idCol: String,
+                         textCol: String, maxHamming: Int = 3): DataFrame = {
+    val d = docs
+    val perSession = simhashPairsCache.synchronized {
+      simhashPairsCache.computeIfAbsent(d.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$key|$maxHamming", _ =>
+      simhashPairs(d, idCol, textCol, maxHamming)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Connected components over an undirected pair list — the "dup groups"
     * closure a training pipeline runs on top of ANY pairwise dedup (near-dup
     * similarity is not transitive; grouping needs the graph closure). Each

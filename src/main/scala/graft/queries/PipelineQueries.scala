@@ -212,7 +212,7 @@ object PipelineQueries {
          |    ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming::INT AS hamming FROM pairs
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.cachedSimhashPairs(dir, Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("doc_a", "doc_b")
     },
@@ -239,7 +239,7 @@ object PipelineQueries {
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
          |SELECT node AS doc_id, min(lbl)::BIGINT AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      val pairs = Dedup.cachedSimhashPairs(dir, Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)
       Dedup.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("component"))
@@ -273,7 +273,7 @@ object PipelineQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val comp = Dedup.connectedComponents(
-        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+        Dedup.cachedSimhashPairs(dir, docs, "doc_id", "text", maxHamming = 3))
       val dropped = comp.filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
