@@ -285,6 +285,27 @@ object RelationalQueries {
         .limit(10)
     },
 
+    // ── W5: trailing 7-day revenue via a RANGE window frame over integer
+    //    epoch-seconds (identical frame semantics in both engines; revenue
+    //    carried as exact integer cents) ─────────────────────────────────────
+    QueryDef.sql("w5_trailing_revenue",
+      """WITH daily AS (
+        |  SELECT epoch(date_trunc('day', o_orderdate))::BIGINT AS day_s,
+        |         sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS daily_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day_s, daily_cents,
+        |       sum(daily_cents) OVER (ORDER BY day_s
+        |         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)::BIGINT AS trailing7_cents
+        |FROM daily ORDER BY day_s""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(unix_timestamp(date_trunc("day", col("o_orderdate"))).as("day_s"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("daily_cents"))
+      daily
+        .withColumn("trailing7_cents", sum("daily_cents").over(
+          Window.orderBy(col("day_s")).rangeBetween(-6 * 86400L, 0L)))
+        .orderBy("day_s")
+    },
+
     // ── TPC-H Q6 shape: forecast revenue (pure filter-aggregate, fully
     //    pushed to the scan) ────────────────────────────────────────────────
     QueryDef.sql("q6_forecast_revenue",
