@@ -85,6 +85,31 @@ object KbQueries {
         .orderBy("doc_id")
     },
 
+    // ── A16: corpus language audit — predicted-language histogram per
+    //    source crossed with the labeled lang column (the quality/compliance
+    //    pass a multilingual training pipeline runs before filtering) ───────
+    QueryDef.sql("a16_language_histogram", {
+      val scoredStructs = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"{'hits': len(list_filter($lst, m -> list_contains(toks, m))), 'lang': '$lang'}"
+        }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, source, lang, ${plainTokSql("text")} AS toks FROM documents),
+         |scored AS (SELECT doc_id, source, lang, list_max($scoredStructs) AS best FROM t)
+         |SELECT source, lang,
+         |       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+         |       count(*)::BIGINT AS n
+         |FROM scored GROUP BY source, lang, lang_pred
+         |ORDER BY source, lang, lang_pred""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextFunctions.languageId(TextFunctions.tokenize(col("text"))).as("lang_pred"))
+        .groupBy("source", "lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "lang", "lang_pred")
+    },
+
     // ── F12: JSON metadata extraction ─────────────────────────────────────
     QueryDef.sql("f12_json_extract",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
