@@ -854,6 +854,31 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // ── CDC upsert merge: updates (reversed text for doc_id%10=0) override,
+    //    inserts (shifted ids for doc_id%97=0) append — MERGE INTO matched/
+    //    not-matched semantics as one shuffled window (`operators.Merge`) ───
+    QueryDef.sql("m12_upsert_merge",
+      """WITH upd AS (
+        |  SELECT doc_id, reverse(text) AS text, source, 1 AS pri
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ins AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text, source, 1 AS pri
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |base AS (SELECT doc_id, text, source, 0 AS pri FROM documents),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins))
+        |SELECT doc_id, text, source FROM merged WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), reverse(col("text")).as("text"), col("source"))
+      val ins = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
+      graft.operators.Merge.upsert(docs, upd.unionByName(ins), Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // ── Heavy hitters: exact top-50 corpus vocabulary by term frequency —
     //    the frequent-items op of a training pipeline's vocabulary audit.
     //    One explode + one map-side-combined groupBy; the top-k is a
