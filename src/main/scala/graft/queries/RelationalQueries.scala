@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
 
 /** The relational substrate (SURVEY §2.2-2.7): scans, filters, joins,
   * aggregations, windows, top-k, set ops — exercised over the driver's
@@ -406,6 +407,283 @@ object RelationalQueries {
         .count()
         .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("cohort")
+    },
+
+    // ── TPC-H Q4 shape: late shipments per priority — EXISTS becomes a
+    //    left-semi join; the fact side is pre-filtered before the semi so
+    //    only qualifying lineitem keys ever shuffle ──────────────────────────
+    QueryDef.sql("q4_priority_late",
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ── TPC-H Q7 shape: cross-nation trade volume by year — the nation dims
+    //    broadcast twice under different aliases; the fact joins shuffle ────
+    QueryDef.sql("q7_nation_volume",
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |       year(l_shipdate)::INT AS l_year,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ((ns.n_name = 'CHINA' AND nc.n_name = 'INDIA')
+        |    OR (ns.n_name = 'INDIA' AND nc.n_name = 'CHINA'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+      val nc = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nc_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("ns_key"))
+        .join(broadcast(nc), col("c_nationkey") === col("nc_key"))
+        .filter((col("supp_nation") === "CHINA" && col("cust_nation") === "INDIA") ||
+          (col("supp_nation") === "INDIA" && col("cust_nation") === "CHINA"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ── TPC-H Q10 shape: returned-item revenue per customer, top 20 — agg
+    //    first, then TakeOrderedAndProject; the customer dim joins AFTER the
+    //    top-k so only 20 rows probe it ─────────────────────────────────────
+    QueryDef.sql("q10_returned_items",
+      """WITH ret AS (
+        |  SELECT o_custkey,
+        |         sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey
+        |  ORDER BY revenue_cents DESC, o_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, revenue_cents
+        |FROM ret JOIN customer ON c_custkey = o_custkey
+        |ORDER BY revenue_cents DESC, c_custkey""".stripMargin) { (s, dir) =>
+      val ret = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_custkey"))
+        .limit(20)
+      ret.join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+    },
+
+    // ── TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    //    one join; cents-exact integer sums make the ratio deterministic ────
+    QueryDef.sql("q14_promo_share",
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |         THEN round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT
+        |         ELSE 0 END)::DOUBLE
+        |       / sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::DOUBLE,
+        |       6) AS promo_share_pct,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+        |  AND l_shipdate < TIMESTAMP '2024-07-01'""".stripMargin) { (s, dir) =>
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2024-07-01").cast("timestamp"))
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L))).cast("double") /
+            sum(cents).cast("double"), 6).as("promo_share_pct"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ── TPC-H Q15 shape: top supplier(s) by revenue — the scalar max
+    //    subquery broadcasts one row back against the per-supplier agg ──────
+    QueryDef.sql("q15_top_supplier",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+        |    AND l_shipdate < TIMESTAMP '2024-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2024-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("total_cents"))
+      val top = rev.agg(max("total_cents").as("max_cents"))
+      rev.join(broadcast(top), col("total_cents") === col("max_cents"))
+        .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    },
+
+    // ── TPC-H Q16 shape: supplier diversity per part bucket — distinct agg
+    //    over the lineitem bridge (no partsupp table at this schema), with a
+    //    NOT-IN brand exclusion pushed to the part scan ──────────────────────
+    QueryDef.sql("q16_part_suppliers",
+      """SELECT p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_brand NOT IN ('Brand#1', 'Brand#2') AND p_size IN (1, 4, 9, 16, 25)
+        |GROUP BY p_type, p_size
+        |ORDER BY n_suppliers DESC, p_type, p_size""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(!col("p_brand").isin("Brand#1", "Brand#2") &&
+          col("p_size").isin(1, 4, 9, 16, 25))
+        .join(Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("n_suppliers"))
+        .orderBy(col("n_suppliers").desc, col("p_type"), col("p_size"))
+    },
+
+    // ── TPC-H Q19 shape: disjunctive join predicates — each OR branch pairs
+    //    brand with quantity/size bands; Catalyst extracts the common
+    //    l_partkey = p_partkey equi-condition so this stays a hash join with
+    //    a residual filter, never a nested loop ──────────────────────────────
+    QueryDef.sql("q19_disjunctive",
+      """SELECT sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#9" && col("p_size").between(10, 30) && col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(20, 50) && col("l_quantity").between(20, 50)))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n"))
+    },
+
+    // ── TPC-H Q22 shape: well-funded customers with no orders — scalar avg
+    //    subquery (broadcast 1 row) + left-anti join against orders ─────────
+    QueryDef.sql("q22_no_orders",
+      """WITH cutoff AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey,
+        |       count(*)::BIGINT AS n_customers,
+        |       sum(round(c_acctbal * 100, 0)::BIGINT)::BIGINT AS balance_cents
+        |FROM customer
+        |WHERE c_acctbal > (SELECT a FROM cutoff)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val cutoff = cust.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("a"))
+      cust
+        .join(broadcast(cutoff), col("c_acctbal") > col("a"))
+        .join(Tables.orders(s, dir).select("o_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100, 0).cast("long")).as("balance_cents"))
+        .orderBy("c_nationkey")
+    },
+
+    // ── W6: analytic-function breadth — ntile / percent_rank / cume_dist /
+    //    lead / first_value share ONE window sort (same partition+order key),
+    //    so the plan has a single exchange + sort for all five ───────────────
+    QueryDef.sql("w6_analytics",
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       lead(o_orderkey) OVER w AS next_key,
+        |       first_value(o_orderkey) OVER w AS top_key
+        |FROM orders
+        |WHERE o_totalprice > 250000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 250000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          lead("o_orderkey", 1).over(w).as("next_key"),
+          first("o_orderkey").over(w).as("top_key"))
+        .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
+    },
+
+    // ── A17: KMV distinct-count sketch — a DETERMINISTIC approximate
+    //    aggregate (shared polyHash ⇒ the oracle reproduces the estimate
+    //    exactly). Bounded k-long buffer per group with map-side combine:
+    //    each partition ships ≤ k values per group to the shuffle, where
+    //    count(DISTINCT) ships every distinct value ──────────────────────────
+    QueryDef.sql("a17_kmv_distinct", {
+      val k = 64
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |             ${OracleSql.polyHashSql("sha256('u' || user_id::VARCHAR)")} AS h
+         |      FROM du),
+         |ranked AS (SELECT event_type, h,
+         |                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |           FROM (SELECT DISTINCT event_type, h FROM h)),
+         |kept AS (SELECT event_type, count(*)::INT AS n_kept, max(h)::BIGINT AS kth_hash
+         |         FROM ranked WHERE rn <= $k GROUP BY 1),
+         |exact AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_n
+         |          FROM events GROUP BY 1),
+         |est AS (SELECT event_type, n_kept, kth_hash,
+         |               CASE WHEN n_kept < $k THEN n_kept::DOUBLE
+         |                    ELSE round(${k - 1} * 1000000007.0 / kth_hash::DOUBLE, 4)
+         |               END AS est
+         |        FROM kept)
+         |SELECT event_type, n_kept, kth_hash, est, exact_n,
+         |       round(abs(est - exact_n::DOUBLE) / exact_n::DOUBLE * 100, 2) AS err_pct
+         |FROM est JOIN exact USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+      val k = 64
+      val hashed = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          graft.operators.Sketches.uniformHash(
+            concat(lit("u"), col("user_id").cast("string"))).as("h"))
+      val sk = hashed.groupBy("event_type")
+        .agg(graft.operators.Sketches.kmv(k)(col("h")).as("sk"),
+          countDistinct("user_id").as("exact_n"))
+      sk.select(col("event_type"),
+          col("sk.n_kept").as("n_kept"), col("sk.kth_hash").as("kth_hash"),
+          graft.operators.Sketches.estimate(col("sk"), k).as("est"),
+          col("exact_n"))
+        .withColumn("err_pct",
+          round(abs(col("est") - col("exact_n").cast("double")) /
+            col("exact_n").cast("double") * 100, 2))
+        .orderBy("event_type")
     },
 
     // ── A: rollup (multi-level aggregation; SURVEY §2.4 "built-in") ───────
