@@ -66,6 +66,42 @@ object Multimodal {
       }
   }
 
+  /** Audio-shaped feature extraction: fixed-size sample WINDOWS per media
+    * row (the frame/hop structure every audio featurizer — RMS, peak,
+    * spectral stats per frame — runs on), computed as pure column
+    * expressions. The "decoder" is the deterministic stand-in for a PCM
+    * codec: each payload byte is one sample, its code point the amplitude
+    * (exact for ASCII payloads; a real codec drops into mapPartitions like
+    * [[extractFeatures]]). Per window: sample count, total energy (Σ code),
+    * peak (max code) — all exact integers, oracle-checkable.
+    *
+    * Scale shape: window explosion is map-side row multiplication (no
+    * shuffle), features are per-row expressions; the per-element `transform`
+    * works on a BOUND window column, never re-deriving the payload.
+    */
+  def windowFeatures(media: DataFrame, windowSize: Int = 128): DataFrame = {
+    val payload = decode(col("bytes"), "UTF-8")
+    val nWin = greatest(
+      ceil(length(col("payload")).cast("double") / windowSize).cast("long"), lit(1L))
+    val wins = media.select(col("media_id"), payload.as("payload"))
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), nWin - 1)).as("win_no"))
+      .select(col("media_id"), col("win_no"),
+        col("payload").substr((col("win_no") * windowSize + 1).cast("int"),
+          lit(windowSize)).as("w"))
+    // guard: sequence(1, 0) is DESCENDING [1, 0], not empty — an empty
+    // window must yield an empty code array
+    val codes = when(length(col("w")) > 0,
+      transform(sequence(lit(1), length(col("w"))),
+        i => ascii(col("w").substr(i, lit(1))).cast("long")))
+      .otherwise(typedLit(Seq.empty[Long]))
+    wins.select(col("media_id"), col("win_no"), codes.as("codes"))
+      .select(col("media_id"), col("win_no"),
+        size(col("codes")).as("n_samples"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("energy"),
+        coalesce(array_max(col("codes")), lit(0L)).as("peak"))
+  }
+
   /** Frame/sample selection stub: every k-th fixed-size byte window as a
     * "frame" — demonstrates the explode-to-frames shape (video → frames)
     * without a codec. Frames are cut arithmetically with

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{FastFunctions, TextFunctions, VectorFunctions}
@@ -41,6 +41,33 @@ object Dedup {
       TextFunctions.fingerprint(col(textCol)).as("fp"))
     val keep = fp.groupBy("fp").agg(min("dup_id").as("keep_id"))
     fp.join(keep, "fp").select("dup_id", "keep_id")
+  }
+
+  /** Blocked fuzzy matching: all pairs within a block whose edit distance
+    * is ≤ `maxDist` (SURVEY §2.9 M10 — the reference fuzzy-merges category
+    * labels driver-side with rapidfuzz ≥85; this is the same operation made
+    * distributed for corpus-sized string sets).
+    *
+    * Scale shape: the self-join is keyed on `blockKey` (caller-chosen:
+    * length band, first char, a token, a phonetic code…), so each side
+    * shuffles ONCE by block and the cross product exists only within
+    * blocks — the unblocked string self-join never materializes. The edit
+    * distance is Spark's THRESHOLDED levenshtein (codegen'd, O(maxDist·len)
+    * early-abort instead of O(len²) — returns -1 when the bound is
+    * exceeded, so the filter is `dist >= 0`).
+    *
+    * Returns one row per unordered pair: (id_a, id_b, s_a, s_b, dist) with
+    * id_a < id_b.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+                 blockKey: Column): DataFrame = {
+    val a = df.select(blockKey.as("bk"), col(idCol).as("id_a"), col(strCol).as("s_a"))
+    val b = df.select(blockKey.as("bk"), col(idCol).as("id_b"), col(strCol).as("s_b"))
+    a.join(b, "bk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .drop("bk")
   }
 
   /** MinHash signatures: for each of `numHashes` permutations

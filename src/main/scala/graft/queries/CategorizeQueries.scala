@@ -113,6 +113,27 @@ object CategorizeQueries {
       Categorize.dedupLabels(labels).orderBy("label")
     },
 
+    // ── M10 at corpus scale: blocked fuzzy matching over part names — the
+    //    self-join is keyed on the name's last word, so candidate pairs
+    //    exist only within blocks; Spark side uses the THRESHOLDED
+    //    levenshtein (O(maxDist·len) early-abort) ────────────────────────────
+    QueryDef.sql("m13_fuzzy_match",
+      """WITH names AS (SELECT p_name, min(p_partkey)::BIGINT AS pid
+        |               FROM part GROUP BY p_name),
+        |b AS (SELECT p_name, pid, string_split(p_name, ' ')[-1] AS bk FROM names)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |       levenshtein(a.p_name, c.p_name)::INT AS dist
+        |FROM b a JOIN b c ON a.bk = c.bk AND a.pid < c.pid
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val names = Tables.part(s, dir)
+        .groupBy("p_name").agg(min("p_partkey").as("pid"))
+      graft.operators.Dedup.fuzzyPairs(names, "pid", "p_name", maxDist = 3,
+          element_at(split(col("p_name"), " "), -1))
+        .select(col("s_a").as("name_a"), col("s_b").as("name_b"), col("dist"))
+        .orderBy("name_a", "name_b")
+    },
+
     // ── F15: JSON extraction/repair from LLM-ish output ───────────────────
     QueryDef.sql("f15_json_repair", {
       val samples = Seq(

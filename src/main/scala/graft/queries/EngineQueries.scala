@@ -457,6 +457,72 @@ object EngineQueries {
         .orderBy("query_id", "final_rank")
     },
 
+    // ── M8 BATCHED: extractive answer selection for 3 queries in one DAG —
+    //    BM25 top-10 supplies each query's context blocks; the answer is the
+    //    block with the highest |block ∩ query| / |block| token overlap
+    //    (AnswerGen.Extractive's ratio as a column expression; a real LLM
+    //    drops in as mapPartitions over the 3 winner rows) ──────────────────
+    QueryDef.sql("m8_answer_batch",
+      s"""WITH tok AS (SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY 1),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5)
+         |          / (count(*) + 0.5) + 1.0) AS idf FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES (0, 'spark join filter window'),
+         |   (100, 'hash merge batch scan'), (200, 'sort table row value')),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf
+         |           FROM qtok GROUP BY 1, 2),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY 1, 2 HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |ranked AS (
+         |  SELECT query_id, doc_id, round(score, 4) AS score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(score, 4) DESC, doc_id) AS orig_rank
+         |  FROM kscores QUALIFY orig_rank <= 10),
+         |qp AS (SELECT query_id, list_distinct(${plainTokSql("qtext")}) AS qts FROM qt),
+         |dtok AS (SELECT doc_id, list_distinct(${plainTokSql("text")}) AS dt, text
+         |         FROM documents),
+         |scored AS (
+         |  SELECT r.query_id, r.doc_id, r.score, d.text,
+         |         CASE WHEN len(d.dt) > 0
+         |              THEN len(list_filter(d.dt, t -> list_contains(q.qts, t)))::DOUBLE
+         |                   / len(d.dt)::DOUBLE
+         |              ELSE 0.0 END AS a_score
+         |  FROM ranked r JOIN qp q USING (query_id) JOIN dtok d USING (doc_id)),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY a_score DESC, doc_id) AS rn FROM scored)
+         |SELECT query_id, doc_id AS answer_doc, score,
+         |       round(a_score, 6) AS a_score, text AS answer
+         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      val qt = Seq((0L, "spark join filter window"),
+        (100L, "hash merge batch scan"), (200L, "sort table row value"))
+        .toDF("query_id", "qtext")
+      val ranked = Bm25.scoreBatch(ix, qt, "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+        .withColumn("orig_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("orig_rank") <= 10).drop("orig_rank")
+      val ctx = ranked
+        .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+        .join(broadcast(qt.select(col("query_id"),
+          array_distinct(TextFunctions.tokenize(col("qtext"))).as("qts"))), "query_id")
+      graft.query.AnswerGen.answerBatch(ctx, "query_id", "qts", "doc_id", "text")
+        .select(col("query_id"), col("doc_id").as("answer_doc"), col("score"),
+          round(col("a_score"), 6).as("a_score"), col("text").as("answer"))
+        .orderBy("query_id")
+    },
+
     // ── §3.1 flagship: the full retrieval lifecycle in one DAG ────────────
     // (enhance → deterministic query embed → vector kNN + BM25 → RRF →
     // lexical rerank → final hits), now under a FULL value-exact oracle:

@@ -1123,6 +1123,41 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ── Multimodal audio shape: per-window sample features (frame/hop
+    //    structure over a byte stream; codes ≡ codepoints for ASCII docs,
+    //    restriction shared with mm_features) ───────────────────────────────
+    QueryDef.sql("mm_audio_windows",
+      """WITH m AS (SELECT doc_id AS media_id, text AS payload FROM documents
+        |           WHERE octet_length(encode(text)) = len(text)),
+        |w AS (SELECT media_id, payload,
+        |             unnest(range(0, greatest(ceil(len(payload) / 128.0)::BIGINT, 1))) AS win_no
+        |      FROM m),
+        |s AS (SELECT media_id, win_no,
+        |             substr(payload, (win_no * 128 + 1)::INT, 128) AS w FROM w),
+        |c AS (SELECT media_id, win_no, len(w)::INT AS n_samples,
+        |             coalesce(list_aggregate(list_transform(string_split(w, ''),
+        |               ch -> ord(ch)::BIGINT), 'sum'), 0)::BIGINT AS energy,
+        |             coalesce(list_aggregate(list_transform(string_split(w, ''),
+        |               ch -> ord(ch)::BIGINT), 'max'), 0)::BIGINT AS peak
+        |      FROM s)
+        |SELECT media_id, win_no, n_samples, energy, peak,
+        |       CASE WHEN n_samples > 0
+        |            THEN round(energy::DOUBLE / n_samples::DOUBLE, 4) ELSE 0.0
+        |       END AS mean_code
+        |FROM c ORDER BY media_id, win_no""".stripMargin) { (s, dir) =>
+      Multimodal.windowFeatures(
+          Multimodal.asMediaTable(
+            Tables.documents(s, dir)
+              .filter(octet_length(col("text")) === length(col("text"))),
+            "doc_id", "text"),
+          windowSize = 128)
+        .withColumn("mean_code",
+          when(col("n_samples") > 0,
+            round(col("energy").cast("double") / col("n_samples").cast("double"), 4))
+            .otherwise(lit(0.0)))
+        .orderBy("media_id", "win_no")
+    },
+
     // ── Multimodal plumbing: binary columns + per-partition decode stub ───
     QueryDef.sql("mm_features",
       // parity by construction: decodeStub hashes UTF-8 BYTES, the oracle

@@ -1,5 +1,10 @@
 package graft.query
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
 /** LLM answer generation (SURVEY §2.9 M8; `/root/reference/query/llm.py:
   * 31-227`, templates `query/prompt_templates.py:8-148`).
   *
@@ -65,4 +70,40 @@ object AnswerGen {
   def answer(style: String, context: String, query: String,
              provider: ChatProvider = Extractive()): String =
     provider.complete(buildPrompt(style, context, query))
+
+  /** [[Extractive]]'s block score as a pure column expression:
+    * |tokens(block) ∩ qToks| / |tokens(block)| over distinct plain tokens —
+    * the same ratio `Extractive.complete` computes per paragraph.
+    */
+  def extractiveScore(qToks: Column, block: Column): Column = {
+    val d = array_distinct(TextFunctions.tokenize(block))
+    when(size(d) > 0,
+      size(array_intersect(d, qToks)).cast("double") / size(d).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Batched extractive QA: for N queries whose retrieved context blocks sit
+    * in one DataFrame, pick each query's best-overlap block in ONE DAG — the
+    * batch-QA twin of the driver-side [[answer]] (a real LLM drops in as a
+    * mapPartitions completion over the per-query winner rows, same shape as
+    * the reference's batch jobs).
+    *
+    * Scale shape: context sets are top-k-truncated upstream, so every window
+    * here ranks ≤ k rows per query — one shuffle on `qidCol`, nothing
+    * global. Ties break on ascending `docIdCol` (the DataFrame rendition of
+    * [[Extractive]]'s first-max-wins over doc-ordered blocks).
+    *
+    * @param ctx      (query_id, query-token array, doc_id, block text) rows
+    * @return one row per query: input columns + `a_score` (the winning
+    *         block's overlap ratio)
+    */
+  def answerBatch(ctx: DataFrame, qidCol: String, qToksCol: String,
+                  docIdCol: String, textCol: String): DataFrame = {
+    val byQ = Window.partitionBy(col(qidCol))
+    ctx.withColumn("a_score", extractiveScore(col(qToksCol), col(textCol)))
+      .withColumn("_rn", row_number().over(
+        byQ.orderBy(col("a_score").desc, col(docIdCol))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

@@ -88,4 +88,16 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(dups == Set((1L, 2L)), s"got $dups")
   }
+
+  test("fuzzyPairs: within-block pairs under the distance bound, cross-block never") {
+    val df = Seq(
+      (1L, "cold widget"), (2L, "bold widget"), (3L, "small widget"),
+      (4L, "cold rod"), (5L, "gold rod"))
+      .toDF("id", "name")
+    val bk = element_at(split(col("name"), " "), -1)
+    val pairs = Dedup.fuzzyPairs(df, "id", "name", maxDist = 2, bk)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // (1,2) dist 1; (4,5) dist 1; (1,3)/(2,3) dist > 2; widget↔rod blocked apart
+    assert(pairs == Set((1L, 2L, 1), (4L, 5L, 1)), s"got $pairs")
+  }
 }

@@ -4,6 +4,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class AnswerGenSpec extends AnyFunSuite {
 
+  test("answerBatch picks the same block Extractive picks, per query") {
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val blocks = Seq(
+      1L -> "spark runs joins with hash exchanges",
+      2L -> "cats sleep most of the day",
+      3L -> "parquet stores columns together")
+    val queries = Seq(10L -> "how do cats spend the day",
+      20L -> "how does spark run joins")
+    val ctx = for ((qid, q) <- queries; (did, text) <- blocks)
+      yield (qid, q, did, text)
+    val df = ctx.toDF("query_id", "qtext", "doc_id", "text")
+      .withColumn("qts", array_distinct(
+        graft.functions.TextFunctions.tokenize(col("qtext"))))
+    val got = AnswerGen.answerBatch(df, "query_id", "qts", "doc_id", "text")
+      .select("query_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    queries.foreach { case (qid, q) =>
+      // raw prompt whose paragraphs are exactly the blocks (a template
+      // would glue its header into the first paragraph and skew its score)
+      val expected = AnswerGen.Extractive().complete(
+        blocks.map(_._2).mkString("\n\n") + s"\n\nQuestion: $q\nAnswer:")
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
   test("buildPrompt substitutes context/query for every style; role prepends") {
     AnswerGen.Templates.keys.foreach { style =>
       val p = AnswerGen.buildPrompt(style, "CTX", "QRY")
