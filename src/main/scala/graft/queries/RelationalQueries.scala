@@ -263,20 +263,25 @@ object RelationalQueries {
         .orderBy("grp", "custkey")
     },
 
-    // ── TPC-H Q3 shape: shipping priority (date filters + join + agg + topk)
+    // ── TPC-H Q3 shape: shipping priority — segment-filtered customer dim
+    //    broadcasts as a semi-join; date filters push to both fact scans ────
     QueryDef.sql("q3_shipping_priority",
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       epoch_us(o_orderdate)::BIGINT AS orderdate_us
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE o_orderdate < TIMESTAMP '2024-06-01'
-        |  AND l_shipdate > TIMESTAMP '2024-06-01'
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
-        .filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .join(broadcast(Tables.customer(s, dir)
+            .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
         .join(Tables.lineitem(s, dir)
-            .filter(col("l_shipdate") > lit("2024-06-01").cast("timestamp")),
+            .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -313,13 +318,13 @@ object RelationalQueries {
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       count(*)::BIGINT AS n
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-        |  AND l_shipdate < TIMESTAMP '2025-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.09
         |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("2025-01-01").cast("timestamp") &&
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n"))
@@ -442,8 +447,8 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ns ON s_nationkey = ns.n_nationkey
         |JOIN nation nc ON c_nationkey = nc.n_nationkey
-        |WHERE ((ns.n_name = 'CHINA' AND nc.n_name = 'INDIA')
-        |    OR (ns.n_name = 'INDIA' AND nc.n_name = 'CHINA'))
+        |WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
       val ns = Tables.nation(s, dir)
         .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
@@ -455,8 +460,8 @@ object RelationalQueries {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(ns), col("s_nationkey") === col("ns_key"))
         .join(broadcast(nc), col("c_nationkey") === col("nc_key"))
-        .filter((col("supp_nation") === "CHINA" && col("cust_nation") === "INDIA") ||
-          (col("supp_nation") === "INDIA" && col("cust_nation") === "CHINA"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("int").as("l_year"))
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
@@ -503,13 +508,13 @@ object RelationalQueries {
         |       6) AS promo_share_pct,
         |       count(*)::BIGINT AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-        |  AND l_shipdate < TIMESTAMP '2024-07-01'""".stripMargin) { (s, dir) =>
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin) { (s, dir) =>
       val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
         .cast("long")
       Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("2024-07-01").cast("timestamp"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
         .join(Tables.part(s, dir).select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .agg(
@@ -526,16 +531,16 @@ object RelationalQueries {
         |  SELECT l_suppkey,
         |         sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS total_cents
         |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-        |    AND l_shipdate < TIMESTAMP '2024-04-01'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, total_cents
         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
         |WHERE total_cents = (SELECT max(total_cents) FROM rev)
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
       val rev = Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("2024-04-01").cast("timestamp"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
           .cast("long")).as("total_cents"))
