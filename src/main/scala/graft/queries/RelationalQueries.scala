@@ -267,14 +267,14 @@ object RelationalQueries {
     //    broadcasts as a semi-join; date filters push to both fact scans ────
     QueryDef.sql("q3_shipping_priority",
       """SELECT l_orderkey,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
         |       epoch_us(o_orderdate)::BIGINT AS orderdate_us
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |  AND o_orderdate < TIMESTAMP '1998-06-01'
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
         .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
         .join(broadcast(Tables.customer(s, dir)
@@ -284,10 +284,11 @@ object RelationalQueries {
             .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .select(col("l_orderkey"), col("revenue"),
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .select(col("l_orderkey"), col("revenue_cents"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
         .limit(10)
     },
 
