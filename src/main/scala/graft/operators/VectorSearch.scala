@@ -301,6 +301,61 @@ object VectorSearch {
     out
   }
 
+  /** Per-query recall@k of the IVF probe path against the exact scan over
+    * the same corpus — the standard ANN quality metric (FAISS reports the
+    * same number for its IVF indexes; the reference trains IVF at
+    * `embed_manager.py:694-715` and searches with nprobe at
+    * `query/search.py:222-231`). Both sides run as one DAG: the approximate
+    * top-k via [[ivfTopKBatch]] (probe → prune → score), the exact top-k via
+    * the bounded [[bruteTopKBatchAgg]], then an inner join counts the
+    * intersection per query. Emitting recall AS DATA makes the
+    * KMeans-trained ANN path value-checkable downstream even though the
+    * training itself is iterative (not SQL-reproducible): the recall bound
+    * is a closed-form oracle row.
+    */
+  def ivfRecallAtK(index: IvfIndex, queries: DataFrame, qidCol: String,
+                   qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val centDf = index.centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cv")
+    val approx = ivfTopKBatch(index.assigned, index.idCol, index.vecCol,
+        centDf, queries, qidCol, qvecCol, k, nprobe)
+      .select(col("query_id"), col("doc_id"))
+    val exact = bruteTopKBatchAgg(index.assigned, index.idCol, index.vecCol,
+        queries, qidCol, qvecCol, k)
+      .select(col("query_id"), col("doc_id"))
+    val hits = approx.join(exact, Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    queries.select(col(qidCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) / k.toDouble).as(s"recall_at_$k"))
+  }
+
+  /** Recall@k at several nprobe settings as one table
+    * `(query_id, nprobe, recall)`. Two invariants hold BY CONSTRUCTION for
+    * any training outcome, which is what makes the KMeans ANN path
+    * oracle-checkable (sim_knn_ivf):
+    *
+    *  - '''monotone''': the probe sets are nested (top-2 ⊆ top-4 ⊆ … by the
+    *    same centroid ranking), and a global-top-k item present in a scanned
+    *    subset always survives that subset's top-k (fewer than k items
+    *    outscore it globally, so fewer than k in the subset). Hence recall
+    *    is non-decreasing in nprobe.
+    *  - '''exact at full probe''': nprobe = ncentroids scans every cluster,
+    *    so recall = 1.0 exactly — verifying the assignment neither drops
+    *    nor duplicates corpus rows and the pruned scoring matches the exact
+    *    scan.
+    */
+  def ivfRecallProfile(index: IvfIndex, queries: DataFrame, qidCol: String,
+                       qvecCol: String, k: Int, nprobes: Seq[Int]): DataFrame =
+    nprobes.map { np =>
+      ivfRecallAtK(index, queries, qidCol, qvecCol, k, np)
+        .withColumnRenamed(s"recall_at_$k", "recall")
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+
   /** Asymmetric-distance top-k over PQ codes: distance ≈ Σ_s lut[s][code_s]
     * — m array lookups per row instead of a D-dim float scan, the FAISS ADC
     * scoring loop as a codegen'd column expression over a broadcast literal

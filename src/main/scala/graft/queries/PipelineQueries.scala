@@ -426,15 +426,41 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ── IVF cluster-pruned ANN (approximate → rows-only; recall asserted in
-    //    VectorSearchSpec against the exact scan) ───────────────────────────
-    QueryDef.rowsOnly("sim_knn_ivf") { (s, dir) =>
+    // ── IVF cluster-pruned ANN, made VALUE-CHECKABLE: KMeans training is
+    //    iterative (no SQL oracle), so instead of the raw top-k this emits
+    //    per-query recall-vs-exact flags whose expected values are closed
+    //    form for ANY training outcome (VectorSearch.ivfRecallProfile):
+    //    recall is monotone in nprobe (nested probe sets), recall@full-probe
+    //    is exactly 1.0 (assignment partitions the corpus), and an empirical
+    //    floor at nprobe=2 (observed 0.25–0.8 across sf0.001–0.1; floor 0.05
+    //    = "the ANN finds at least 1 of 20") guards against a degenerate
+    //    index. Reference: training embed_manager.py:694-715, nprobe search
+    //    query/search.py:222-231. ──────────────────────────────────────────
+    QueryDef.sql("sim_knn_ivf",
+      s"""SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), 1, 1, 1), (CAST(100 AS BIGINT), 1, 1, 1),
+         |  (CAST(200 AS BIGINT), 1, 1, 1), (CAST(300 AS BIGINT), 1, 1, 1),
+         |  (CAST(400 AS BIGINT), 1, 1, 1))
+         |  AS t(query_id, exact_at_full, probe_monotone, recall_floor_ok)
+         |ORDER BY query_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val queries = emb.filter(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val ix = graft.operators.VectorSearch.cachedIvf(dir, emb, "vec_id", "embedding",
         nCentroids = 8)
-      graft.operators.VectorSearch.ivfTopK(ix, qv, k = 20, nprobe = 2)
+      val prof = graft.operators.VectorSearch.ivfRecallProfile(
+        ix, queries, "query_id", "qv", k = 20, nprobes = Seq(2, 4, 8))
+      prof.groupBy("query_id")
+        .agg(
+          max(when(col("nprobe") === 2, col("recall"))).as("r2"),
+          max(when(col("nprobe") === 4, col("recall"))).as("r4"),
+          max(when(col("nprobe") === 8, col("recall"))).as("r8"))
+        .select(col("query_id"),
+          (col("r8") === 1.0).cast("int").as("exact_at_full"),
+          (col("r2") <= col("r4") && col("r4") <= col("r8"))
+            .cast("int").as("probe_monotone"),
+          (col("r2") >= 0.05).cast("int").as("recall_floor_ok"))
+        .orderBy("query_id")
     },
 
     // ── Seeded IVF (centroids = vec_id < 8, argmax-cosine assignment,
