@@ -147,14 +147,36 @@ object Main {
         }
 
       case "knn" =>
-        // extension verb: exact top-k nearest chunks to a given doc_id
+        // extension verb: top-k nearest chunks to a given doc_id. The index
+        // strategy is auto-selected by corpus size/dim exactly as the
+        // reference does per search (embed_manager.py:163-213): flat = exact
+        // scan; ivf/ivfpq = cluster-probed scan (nprobe = ncentroids/4,
+        // ≥1 — the reference's default nprobe heuristic regime).
         require(args.length >= 3, "knn <kbDir> <doc_id> [k]")
+        import graft.operators.VectorSearch
+        import VectorSearch.IndexStrategy._
         val k = if (args.length > 3) args(3).toInt else 10
         val emb = spark.read.parquet(s"$kb/embeddings")
+        val n = emb.count()
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val strategy = VectorSearch.chooseIndex(n, dim)
         val qv = emb.filter(col("doc_id") === args(2).toLong)
           .select("embedding").head().getSeq[Float](0)
-        graft.operators.VectorSearch.bruteTopK(emb, "doc_id", "embedding", qv, k)
-          .collect().foreach(r => println(f"[graft] knn: ${r.getLong(0)} ${r.getDouble(1)}%.6f"))
+        println(s"[graft] knn: strategy=${strategy.kind} (n=$n dim=$dim)")
+        val hits = strategy match {
+          case Flat(_) =>
+            VectorSearch.bruteTopK(emb, "doc_id", "embedding", qv, k)
+          case Ivf(nc) =>
+            VectorSearch.ivfTopK(
+              VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc),
+              qv, k, nprobe = math.max(1, nc / 4))
+          case IvfPq(nc, _) => // PQ codes are an at-rest artifact (`pq` verb);
+            // the interactive verb probes IVF clusters with exact scoring
+            VectorSearch.ivfTopK(
+              VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc),
+              qv, k, nprobe = math.max(1, nc / 4))
+        }
+        hits.collect().foreach(r => println(f"[graft] knn: ${r.getLong(0)} ${r.getDouble(1)}%.6f"))
 
       case "components" =>
         // extension verb: duplicate-GROUP closure over the stored dedup
@@ -174,10 +196,20 @@ object Main {
 
       case "pq" =>
         // extension verb: build the PQ-encoded table (codes replace raw
-        // vectors for first-pass ANN scoring; 32x smaller at 64-dim f32)
+        // vectors for first-pass ANN scoring; 32x smaller at 64-dim f32).
+        // m defaults to the auto-selection policy's subquantizer count for
+        // this corpus (chooseIndex), overridable as arg 2.
         import graft.operators.VectorSearch
-        val m = if (args.length > 2) args(2).toInt else 8
         val emb = spark.read.parquet(s"$kb/embeddings")
+        val m =
+          if (args.length > 2) args(2).toInt
+          else {
+            val dim = emb.select(size(col("embedding"))).head().getInt(0)
+            VectorSearch.chooseIndex(emb.count(), dim) match {
+              case VectorSearch.IndexStrategy.IvfPq(_, sub) => sub
+              case _ => math.max(1, math.min(16, dim / 8)) // small corpus: denser codes
+            }
+          }
         val seeds = emb.select("doc_id").orderBy("doc_id").limit(16)
           .collect().map(_.getLong(0)).toSeq
         val cb = VectorSearch.seededPqCodebook(emb, "doc_id", "embedding", seeds, m)

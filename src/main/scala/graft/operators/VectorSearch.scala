@@ -30,6 +30,52 @@ import graft.functions.VectorFunctions._
   */
 object VectorSearch {
 
+  /** Outcome of the index auto-selection policy ([[chooseIndex]]). */
+  sealed abstract class IndexStrategy { def kind: String }
+  object IndexStrategy {
+    /** Exact scan — small corpora and high-dim vectors (where IVF training
+      * degrades and the reference also falls back to flat). */
+    final case class Flat(highDim: Boolean) extends IndexStrategy { val kind = "flat" }
+    /** Cluster-pruned exact scoring ([[buildIvf]] / [[ivfTopKBatch]]). */
+    final case class Ivf(nCentroids: Int) extends IndexStrategy { val kind = "ivf" }
+    /** Cluster pruning + PQ-compressed first-pass scoring ([[pqEncode]] /
+      * [[pqAdcTopK]] inside probed clusters). */
+    final case class IvfPq(nCentroids: Int, subquantizers: Int) extends IndexStrategy { val kind = "ivfpq" }
+  }
+
+  /** ANN index auto-selection by corpus size and dimensionality — the
+    * reference picks a FAISS index the same way
+    * (`/root/reference/embedding/embed_manager.py:163-213`: high-dim > 1536
+    * forces flat; < 1000 vectors flat; < 100k IVF with
+    * ncentroids = min(4·√n, 256); ≥ 100k IVFPQ with ncentroids capped at
+    * 2·256 and min(16, dim/64) subquantizers). The sibling policy at
+    * `embedding/index.py:53-92` uses 10k/100k breaks and an HNSW rung for
+    * the largest tier; HNSW's graph walk has no efficient DataFrame
+    * expression and IVF/IVFPQ covers that regime at cluster scale via
+    * partition pruning, so this engine deliberately maps the HNSW tier to
+    * IVFPQ (recorded in COVERAGE.md).
+    *
+    * All thresholds are overridable — the reference reads the same five
+    * knobs from KB config.
+    */
+  def chooseIndex(n: Long, dim: Int,
+                  highDimThreshold: Int = 1536,
+                  smallThreshold: Int = 1000,
+                  mediumThreshold: Int = 100000,
+                  centroidMultiplier: Int = 4,
+                  maxCentroids: Int = 256): IndexStrategy = {
+    import IndexStrategy._
+    def centroids(cap: Int): Int =
+      math.min((centroidMultiplier * math.sqrt(n.toDouble)).toInt, cap)
+    if (dim > highDimThreshold) Flat(highDim = true)
+    else if (n < smallThreshold) Flat(highDim = false)
+    else if (n < mediumThreshold) Ivf(centroids(maxCentroids))
+    else IvfPq(centroids(maxCentroids * 2),
+      // the reference computes min(16, dim/64), which is 0 below 64 dims —
+      // clamp to ≥1 so PQ stays well-formed for narrow embeddings
+      math.max(1, math.min(16, dim / 64)))
+  }
+
   /** Exact top-k for one literal query vector. */
   def bruteTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Float], k: Int): DataFrame =

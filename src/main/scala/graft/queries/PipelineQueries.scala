@@ -426,6 +426,37 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── ANN index auto-selection policy (embed_manager.py:163-213) across
+    //    the size/dim tiers: flat < 1000, IVF < 100k (ncentroids = 4·√n cap
+    //    256), IVFPQ ≥ 100k (cap 512, min(16, dim/64) subquantizers, ≥ 1),
+    //    high-dim > 1536 forces flat. Pure policy function → closed-form
+    //    oracle. ─────────────────────────────────────────────────────────────
+    QueryDef.sql("f_index_select",
+      s"""SELECT * FROM (VALUES
+         |  (CAST(500 AS BIGINT), 64, 'flat', 0, 0),
+         |  (CAST(2500 AS BIGINT), 64, 'ivf', 200, 0),
+         |  (CAST(50000 AS BIGINT), 64, 'ivf', 256, 0),
+         |  (CAST(500000 AS BIGINT), 64, 'ivfpq', 512, 1),
+         |  (CAST(200000 AS BIGINT), 1024, 'ivfpq', 512, 16),
+         |  (CAST(500000 AS BIGINT), 2048, 'flat', 0, 0))
+         |  AS t(n, dim, strategy, ncentroids, subquantizers)
+         |ORDER BY n, dim""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.operators.VectorSearch
+      import VectorSearch.IndexStrategy._
+      Seq((500L, 64), (2500L, 64), (50000L, 64), (500000L, 64),
+          (200000L, 1024), (500000L, 2048))
+        .map { case (n, dim) =>
+          VectorSearch.chooseIndex(n, dim) match {
+            case Flat(_) => (n, dim, "flat", 0, 0)
+            case Ivf(nc) => (n, dim, "ivf", nc, 0)
+            case IvfPq(nc, m) => (n, dim, "ivfpq", nc, m)
+          }
+        }
+        .toDF("n", "dim", "strategy", "ncentroids", "subquantizers")
+        .orderBy("n", "dim")
+    },
+
     // ── IVF cluster-pruned ANN, made VALUE-CHECKABLE: KMeans training is
     //    iterative (no SQL oracle), so instead of the raw top-k this emits
     //    per-query recall-vs-exact flags whose expected values are closed

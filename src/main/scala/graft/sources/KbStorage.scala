@@ -38,6 +38,37 @@ object KbStorage {
       .partitionBy("cluster_id")
       .parquet(path)
 
+  /** Auto-selected embeddings layout: apply
+    * [[graft.operators.VectorSearch.chooseIndex]] to the corpus and write
+    * the layout the chosen strategy needs — flat parquet for small/high-dim
+    * corpora, `cluster_id`-partitioned for IVF, and cluster-partitioned plus
+    * a `codes` column (PQ first-pass scoring) for IVFPQ. Returns the chosen
+    * strategy so callers (CLI `knn`/`pq` verbs) can route queries the same
+    * way. Mirrors `embed_manager.py:163-213`, where every index build runs
+    * through the same size-based selection.
+    */
+  def writeEmbeddingsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                          path: String): graft.operators.VectorSearch.IndexStrategy = {
+    import graft.operators.VectorSearch
+    import VectorSearch.IndexStrategy._
+    val n = emb.count()
+    val dim = if (n == 0) 0 else emb.select(size(col(vecCol))).head().getInt(0)
+    val strategy = VectorSearch.chooseIndex(n, dim)
+    strategy match {
+      case Flat(_) =>
+        emb.write.mode("overwrite").parquet(path)
+      case Ivf(nc) =>
+        writeEmbeddingsIvf(
+          VectorSearch.buildIvf(emb, idCol, vecCol, nc).assigned, path)
+      case IvfPq(nc, m) =>
+        val assigned = VectorSearch.buildIvf(emb, idCol, vecCol, nc).assigned
+        val cb = VectorSearch.trainedPqCodebook(emb, idCol, vecCol, m, k = 256)
+        writeEmbeddingsIvf(
+          VectorSearch.pqEncode(assigned, idCol, vecCol, cb), path)
+    }
+    strategy
+  }
+
   /** Read the pruned probe set: only the nprobe cluster partitions are
     * scanned (PartitionFilters in the plan — verified in KbStorageSpec).
     */

@@ -61,6 +61,36 @@ class VectorSearchSpec extends SparkSpec {
       plan.toLowerCase.contains("partial"), plan.take(1000))
   }
 
+  test("chooseIndex matches the reference's size/dim thresholds") {
+    import VectorSearch.IndexStrategy._
+    // embed_manager.py:163-213: <1000 flat; <100k IVF 4·√n cap 256;
+    // ≥100k IVFPQ cap 512, min(16, dim/64) subquantizers; dim>1536 flat
+    assert(VectorSearch.chooseIndex(999, 64) == Flat(highDim = false))
+    assert(VectorSearch.chooseIndex(1000, 64) ==
+      Ivf(math.min((4 * math.sqrt(1000)).toInt, 256)))
+    assert(VectorSearch.chooseIndex(2500, 64) == Ivf(200))
+    assert(VectorSearch.chooseIndex(99999, 64) == Ivf(256))
+    assert(VectorSearch.chooseIndex(100000, 64) == IvfPq(512, 1))
+    assert(VectorSearch.chooseIndex(100000, 1024) == IvfPq(512, 16))
+    assert(VectorSearch.chooseIndex(100000, 4096) == Flat(highDim = true))
+    assert(VectorSearch.chooseIndex(500, 2000) == Flat(highDim = true))
+    // subquantizers clamp to >=1 below 64 dims (the reference's dim//64
+    // would be 0 there)
+    assert(VectorSearch.chooseIndex(100000, 32) == IvfPq(512, 1))
+  }
+
+  test("ivfRecallProfile: monotone in nprobe, exact at full probe") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val index = VectorSearch.buildIvf(emb, "vec_id", "embedding", nCentroids = 4)
+    val queries = Seq((1L, query)).toDF("query_id", "qvec")
+    val prof = VectorSearch.ivfRecallProfile(index, queries, "query_id", "qvec",
+        k = 10, nprobes = Seq(1, 2, 4))
+      .select("nprobe", "recall").as[(Int, Double)].collect().toMap
+    assert(prof(1) <= prof(2) && prof(2) <= prof(4),
+      s"recall not monotone: $prof")
+    assert(prof(4) == 1.0, s"full probe must be exact: $prof")
+  }
+
   test("IVF with all clusters probed is exact; fewer probes trade recall") {
     val emb = corpus.toDF("vec_id", "embedding")
     val index = VectorSearch.buildIvf(emb, "vec_id", "embedding", nCentroids = 4)

@@ -63,6 +63,31 @@ class KbStorageSpec extends SparkSpec {
       "scan touched non-probed cluster files")
   }
 
+  test("writeEmbeddingsAuto: small corpus lands flat, IVF tier lands cluster-partitioned") {
+    val rnd = new scala.util.Random(11)
+    // flat tier (< 1000 vectors): no cluster_id partitioning
+    val flatDir = Files.createTempDirectory("graft_auto_flat").toString + "/emb"
+    val small = (1L to 50L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val flatStrategy = KbStorage.writeEmbeddingsAuto(small, "vec_id", "embedding", flatDir)
+    assert(flatStrategy == graft.operators.VectorSearch.IndexStrategy.Flat(highDim = false))
+    assert(spark.read.parquet(flatDir).count() == 50)
+    assert(!new java.io.File(flatDir).listFiles().exists(_.getName.startsWith("cluster_id=")))
+
+    // IVF tier (>= 1000): written partitioned by cluster assignment, with
+    // the policy's centroid count, and no row lost or duplicated
+    val ivfDir = Files.createTempDirectory("graft_auto_ivf").toString + "/emb"
+    val medium = (1L to 1200L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val ivfStrategy = KbStorage.writeEmbeddingsAuto(medium, "vec_id", "embedding", ivfDir)
+    val expectedNc = math.min((4 * math.sqrt(1200)).toInt, 256)
+    assert(ivfStrategy == graft.operators.VectorSearch.IndexStrategy.Ivf(expectedNc))
+    assert(new java.io.File(ivfDir).listFiles().exists(_.getName.startsWith("cluster_id=")))
+    val stored = spark.read.parquet(ivfDir)
+    assert(stored.count() == 1200)
+    assert(stored.select("vec_id").distinct().count() == 1200)
+  }
+
   test("query log appends rows; context files concatenate") {
     val dir = Files.createTempDirectory("graft_log").toString + "/log"
     KbStorage.logQuery(spark, dir, "kb1", "q?", "a.", 12L)
