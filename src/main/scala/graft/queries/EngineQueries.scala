@@ -29,6 +29,19 @@ object EngineQueries {
 
   private def sqlQuote(s: String): String = s.replace("'", "''")
 
+  /** Spelling-correction fixtures: a distance-1 typo of corpus words, known
+    * words (untouched), short tokens (skipped), a transposition (distance 2
+    * — deliberately NOT corrected), and gibberish (no candidate). The
+    * expected corrections are COMPUTED identically by both engines from the
+    * corpus vocabulary, so no pinned answers are needed.
+    */
+  private val SpellSamples: Seq[(Int, String)] = Seq(
+    1 -> "spak join filtr window",
+    2 -> "the quick brown fox",
+    3 -> "ab cd efg",
+    4 -> "window windwo",
+    5 -> "zzzzqqq spark")
+
   /** `Enhancement.enhance("fast spark join and filter queries")`, pinned as
     * a literal so the e2e oracle SQL can embed it. KbPipelineSpec asserts
     * the live enhancement still produces exactly this string — any drift in
@@ -183,6 +196,54 @@ object EngineQueries {
       import s.implicits._
       EnhanceSamples.toDF("qid", "q")
         .select(col("qid"), Enhancement.enhance(col("q")).as("enhanced"))
+        .orderBy("qid")
+    },
+
+    // ── F8: vocabulary spelling correction (SymSpell deletes-hash against
+    //    the corpus vocabulary; enhancement.py:129-175,267-319). Fully
+    //    deterministic: candidate = levenshtein-1 vocab word via shared
+    //    deletion keys, best by (df DESC, word); known/short/no-candidate
+    //    tokens pass through. Both engines compute the SAME vocab from
+    //    `documents`, so the oracle needs no pinned corpus knowledge. ──────
+    QueryDef.sql("f8_spell_correct", {
+      val samples = SpellSamples.map { case (i, s) => s"($i, '${sqlQuote(s)}')" }.mkString(", ")
+      def keysSql(w: String): String =
+        s"""list_distinct(list_prepend($w,
+           | list_transform(range(1, len($w) + 1),
+           |   i -> substr($w, 1, i - 1) || substr($w, i + 1))))""".stripMargin.replaceAll("\n", "")
+      s"""WITH samples(qid, q) AS (VALUES $samples),
+         |vocab AS (
+         |  SELECT word, count(*)::BIGINT AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS word
+         |    FROM documents) GROUP BY word),
+         |toks AS (
+         |  SELECT qid, unnest(range(0, len(l))) AS pos, unnest(l) AS tok
+         |  FROM (SELECT qid, ${plainTokSql("q")} AS l FROM samples)),
+         |unknown AS (
+         |  SELECT qid, pos, tok FROM toks
+         |  WHERE len(tok) > 2 AND tok NOT IN (SELECT word FROM vocab)),
+         |ukeys AS (SELECT qid, pos, tok, unnest(${keysSql("tok")}) AS key FROM unknown),
+         |vkeys AS (SELECT word, df, unnest(${keysSql("word")}) AS key FROM vocab),
+         |cand AS (
+         |  SELECT DISTINCT qid, pos, tok, word, df
+         |  FROM ukeys JOIN vkeys USING (key)
+         |  WHERE levenshtein(tok, word) = 1),
+         |best AS (
+         |  SELECT qid, pos, word AS best FROM (
+         |    SELECT qid, pos, word,
+         |           row_number() OVER (PARTITION BY qid, pos
+         |                              ORDER BY df DESC, word) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |corrected AS (
+         |  SELECT t.qid, t.pos, coalesce(b.best, t.tok) AS ctok
+         |  FROM toks t LEFT JOIN best b ON t.qid = b.qid AND t.pos = b.pos)
+         |SELECT qid, coalesce(string_agg(ctok, ' ' ORDER BY pos), '') AS corrected
+         |FROM corrected GROUP BY qid ORDER BY qid""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val vocab = graft.query.Spelling.vocabulary(Tables.documents(s, dir), "text")
+      graft.query.Spelling.correctQueries(
+          SpellSamples.toDF("qid", "q"), "qid", "q", vocab)
         .orderBy("qid")
     },
 

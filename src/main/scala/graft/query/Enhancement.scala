@@ -98,6 +98,25 @@ object Enhancement {
     expandSynonyms(
       graft.functions.TextFunctions.tokenize(fixRepeatedLetters(lower(normalize(q)))))
 
+  /** Full enhancement over a query BATCH with vocabulary spelling
+    * correction in the reference's pipeline position
+    * (`enhancement.py:404-444`: normalize → spelling → synonyms):
+    * normalize → repeated-letter fix → tokenize → [[Spelling]] correction
+    * against the corpus vocabulary → synonym expansion. Returns
+    * `(qidCol, enhanced)`. The no-vocab chain stays the pure column
+    * expression [[enhance]].
+    */
+  def enhanceBatch(queries: org.apache.spark.sql.DataFrame, qidCol: String,
+                   textCol: String,
+                   vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val normalized = queries.select(col(qidCol),
+      fixRepeatedLetters(lower(normalize(col(textCol)))).as("_norm"))
+    val corrected = Spelling.correctQueries(normalized, qidCol, "_norm", vocab)
+    corrected.select(col(qidCol),
+      expandSynonyms(graft.functions.TextFunctions.tokenize(col("corrected")))
+        .as("enhanced"))
+  }
+
   /** Driver-side evaluation of [[enhance]] on a single string: the whole
     * chain applied to a literal is foldable, so the optimizer's constant
     * folding reduces it to a literal during analysis — no Spark job and no

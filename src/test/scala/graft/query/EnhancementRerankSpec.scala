@@ -33,6 +33,43 @@ class EnhancementRerankSpec extends SparkSpec {
     }
   }
 
+  test("spelling correction: typo corrected, known/short/no-candidate untouched") {
+    // vocab: "spark" in 3 docs, "sparse" in 1 — the df tie-break must pick
+    // "spark" for the distance-1 typo "spak" (both are distance 1)
+    val docs = Seq(
+      (1L, "spark filter window"), (2L, "spark join"), (3L, "spark merge"),
+      (4L, "sparse matrix"))
+      .toDF("doc_id", "text")
+    val vocab = Spelling.vocabulary(docs, "text")
+    val got = Spelling.correctQueries(
+        Seq((1, "spak filter ab zzzqqq")).toDF("qid", "q"), "qid", "q", vocab)
+      .select("corrected").as[String].first()
+    //  spak -> spark (df 3 beats sparse df 1); filter known -> untouched;
+    //  ab short -> skipped; zzzqqq no candidate -> untouched
+    assert(got == "spark filter ab zzzqqq")
+  }
+
+  test("spelling correction: deletion and insertion typos both correct") {
+    val docs = Seq((1L, "window filter")).toDF("doc_id", "text")
+    val vocab = Spelling.vocabulary(docs, "text")
+    val got = Spelling.correctQueries(
+        Seq((1, "windoww ilter")).toDF("qid", "q"), "qid", "q", vocab)
+      .select("corrected").as[String].first()
+    assert(got == "window filter") // extra char dropped, missing char restored
+  }
+
+  test("enhanceBatch composes spelling correction with synonym expansion") {
+    val docs = Seq((1L, "fast spark window")).toDF("doc_id", "text")
+    val vocab = Spelling.vocabulary(docs, "text")
+    val got = Enhancement.enhanceBatch(
+        Seq((1, "fsat   spark windw??")).toDF("qid", "q"), "qid", "q", vocab)
+      .select("enhanced").as[String].first()
+    // fsat -> fast (distance-1 "substitution pair" via shared deletes is
+    // NOT possible here: levenshtein(fsat, fast)=2 transposition — so fsat
+    // stays; windw -> window corrects, then expands via the synonym table
+    assert(got == "fsat spark (window OR frame OR range)")
+  }
+
   test("rerankHeadBatch == per-query rerankHead") {
     val rnd = new scala.util.Random(3)
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
