@@ -18,7 +18,12 @@ import graft.pipeline.{KbPipeline, Tuning}
   *   runMain graft.Main query    <kbDir> "<query text>" [cfg.ini]
   *   runMain graft.Main optimize <kbDir>
   *   runMain graft.Main verify-indexes <kbDir>
+  *   runMain graft.Main categorize <kbDir>
+  *   runMain graft.Main convert-encoding <inputGlob> <outDir>
+  *   runMain graft.Main edit <kbDir> [<key> <value>]
   * }}}
+  * plus extension verbs dedup / components / knn / pq (training-pipeline
+  * suite).
   */
 object Main {
 
@@ -36,17 +41,32 @@ object Main {
     s
   }
 
-  private def loadCfg(args: Array[String], idx: Int): KbConfig =
-    if (args.length > idx)
-      KbConfig.load(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(args(idx)))))
+  /** Explicit cfg path beats the KB's own `config.ini` (written by the
+    * `edit` verb) beats defaults — the reference resolves its `.cfg` the
+    * same way (nearest config wins).
+    */
+  private def loadCfg(args: Array[String], idx: Int, kb: String = ""): KbConfig = {
+    def readFile(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    if (args.length > idx) KbConfig.load(readFile(args(idx)))
+    else if (kb.nonEmpty && new java.io.File(s"$kb/config.ini").exists())
+      KbConfig.load(readFile(s"$kb/config.ini"))
     else KbConfig.load()
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = session()
     try run(args, spark)
     finally spark.stop()
   }
+
+  /** Dimensionality of an existing embeddings table, if any (M6 probe —
+    * one row, not a scan).
+    */
+  private def storedDims(spark: SparkSession, path: String): Option[Int] =
+    if (!new java.io.File(path).exists()) None
+    else spark.read.parquet(path).select(size(col("embedding")))
+      .take(1).headOption.map(_.getInt(0))
 
   /** Verb dispatch against a caller-owned session (main owns stop()). */
   def run(args: Array[String], spark: SparkSession): Unit = {
@@ -57,7 +77,7 @@ object Main {
     verb match {
       case "database" =>
         require(args.length >= 3, "database <kbDir> <inputGlob> [cfg.ini]")
-        val cfg = loadCfg(args, 3)
+        val cfg = loadCfg(args, 3, kb)
         val chunks = graft.ingest.Ingest.ingestFiles(spark, args(2),
             chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
           .withColumn("doc_id",
@@ -67,7 +87,21 @@ object Main {
         println(s"[graft] database: ${spark.read.parquet(s"$kb/chunks").count()} chunks -> $kb/chunks")
 
       case "embed" =>
-        val cfg = loadCfg(args, 2)
+        val cfg0 = loadCfg(args, 2, kb)
+        // M6 dims auto-sync (embed_manager.py:748-756): an existing
+        // embeddings table is the source of truth for dimensionality — a
+        // stale config value is corrected IN the config file (not just in
+        // memory), so every later verb sees the synced value.
+        val cfg = storedDims(spark, s"$kb/embeddings") match {
+          case Some(d) if d != cfg0.vectorDimensions =>
+            println(s"[graft] embed: WARNING config vector_dimensions=" +
+              s"${cfg0.vectorDimensions} updated to match stored embeddings dims=$d")
+            val fixed = cfg0.copy(vectorDimensions = d)
+            java.nio.file.Files.write(java.nio.file.Paths.get(s"$kb/config.ini"),
+              KbConfig.renderIni(fixed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            fixed
+          case _ => cfg0
+        }
         val chunks = spark.read.parquet(s"$kb/chunks")
         val cachePath = s"$kb/cache"
         val cache =
@@ -92,10 +126,20 @@ object Main {
 
       case "query" =>
         require(args.length >= 3, "query <kbDir> \"<text>\" [cfg.ini]")
-        val cfg = loadCfg(args, 3)
+        val cfg0 = loadCfg(args, 3, kb)
         val chunks = spark.read.parquet(s"$kb/chunks")
           .withColumnRenamed("chunk_text", "text")
         val emb = spark.read.parquet(s"$kb/embeddings")
+        // M6 verify-at-load: the query vector must match the stored corpus
+        // dims or the cosine is meaningless — warn and use the stored value
+        // (embed_manager.py:616-626 probes the same way)
+        val cfg = storedDims(spark, s"$kb/embeddings") match {
+          case Some(d) if d != cfg0.vectorDimensions =>
+            println(s"[graft] query: WARNING config vector_dimensions=" +
+              s"${cfg0.vectorDimensions} != stored embeddings dims=$d; using $d")
+            cfg0.copy(vectorDimensions = d)
+          case _ => cfg0
+        }
         val ix =
           if (new java.io.File(s"$kb/bm25").exists())
             Some(graft.operators.Bm25.readIndex(spark, s"$kb/bm25"))
@@ -218,6 +262,70 @@ object Main {
           .write.mode("overwrite").parquet(s"$kb/pq_codes")
         println(s"[graft] pq: ${spark.read.parquet(s"$kb/pq_codes").count()} " +
           s"vectors encoded (m=$m, k=${seeds.length}) -> $kb/pq_codes")
+
+      case "categorize" =>
+        // reference `customkb categorize` (customkb.py:620-625 →
+        // categorize_manager.process_categorize): sample chunks per
+        // sourcedoc, categorize, fuzzy-dedup the label set, import back
+        import graft.categorize.Categorize
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        val cats = Categorize.keywordCategorize(
+          Categorize.sampleChunks(chunks), "text")
+        // canonicalize near-duplicate labels (rapidfuzz>=85 analogue)
+        val labels = cats.select(explode(col("categories")).as("label")).distinct()
+        val canonMap = Categorize.dedupLabels(labels).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap // label set is tiny
+        val entries = canonMap.toSeq.sortBy(_._1).map { case (l, c) =>
+          struct(lit(l).as("k"), lit(c).as("v"))
+        }
+        val m = map_from_entries(array(entries: _*))
+        val canonical = cats.select(col("sourcedoc"),
+          element_at(m, col("primary_category")).as("primary_category"),
+          array_distinct(sort_array(transform(col("categories"),
+            c => element_at(m, c)))).as("categories"))
+        canonical.write.mode("overwrite").parquet(s"$kb/categories")
+        Categorize.importCategories(chunks, canonical)
+          .write.mode("overwrite").parquet(s"$kb/chunks_categorized")
+        println(s"[graft] categorize: ${spark.read.parquet(s"$kb/categories").count()} " +
+          s"sourcedocs categorized -> $kb/categories, $kb/chunks_categorized")
+
+      case "convert-encoding" =>
+        // reference `customkb convert-encoding` (customkb.py:451-472):
+        // batch-convert possibly-legacy-encoded files to UTF-8.
+        // usage: convert-encoding <inputGlob> <outDir>
+        require(args.length >= 3, "convert-encoding <inputGlob> <outDir>")
+        val outDir = args(2)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val n = graft.sources.KbStorage.convertEncoding(spark, args(1), outDir)
+        println(s"[graft] convert-encoding: $n files -> $outDir")
+
+      case "edit" =>
+        // reference `customkb edit` (customkb.py:69-131) opens the .cfg in
+        // $EDITOR; headless analogue: print the effective config, or set a
+        // known key and round-trip the canonical INI to <kb>/config.ini
+        // (query/database/embed then pick it up via loadCfg).
+        // usage: edit <kbDir> [<key> <value>]
+        val cfgPath = java.nio.file.Paths.get(s"$kb/config.ini")
+        val existing =
+          if (java.nio.file.Files.exists(cfgPath))
+            new String(java.nio.file.Files.readAllBytes(cfgPath))
+          else ""
+        if (args.length >= 4) {
+          val (key, value) = (args(2).toLowerCase, args(3))
+          require(KbConfig.KnownKeys.contains(key),
+            s"unknown config key '$key' (known: ${KbConfig.KnownKeys.mkString(", ")})")
+          // parseIni keeps the LAST occurrence, so appending the override and
+          // re-rendering canonicalizes the file with the new value applied —
+          // and load() validates the value's type before anything is written
+          val updated = KbConfig.load(existing + s"\n$key = $value", env = Map.empty)
+          java.nio.file.Files.write(cfgPath,
+            KbConfig.renderIni(updated).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"[graft] edit: $key = $value -> $cfgPath")
+        } else {
+          val effective = KbConfig.load(existing, env = Map.empty)
+          println(KbConfig.renderIni(effective))
+        }
 
       case other => sys.error(s"unknown verb $other")
     }

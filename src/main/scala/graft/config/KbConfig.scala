@@ -41,6 +41,59 @@ final case class KbConfig(
 
 object KbConfig {
 
+  /** Known keys grouped into the reference's section layout
+    * (`config/models.py:45-211` — DEFAULT / ALGORITHMS / PERFORMANCE plus
+    * formatting), used by [[renderIni]] and the CLI `edit` verb.
+    */
+  val Sections: Seq[(String, Seq[String])] = Seq(
+    "DEFAULT" -> Seq("vector_model", "vector_dimensions", "db_min_tokens",
+      "db_max_tokens", "query_model", "query_top_k", "query_context_scope"),
+    "ALGORITHMS" -> Seq("similarity_threshold", "low_similarity_scope_factor",
+      "enable_hybrid_search", "fusion_method", "vector_weight", "bm25_weight",
+      "bm25_k1", "bm25_b", "bm25_max_results", "enable_reranking",
+      "reranking_top_k", "ivf_nprobe"),
+    "PERFORMANCE" -> Seq("embedding_batch_size", "api_max_retries"),
+    "FORMATTING" -> Seq("reference_format"))
+
+  /** All known keys, in section order. */
+  val KnownKeys: Seq[String] = Sections.flatMap(_._2)
+
+  /** Key → current value, for rendering. */
+  def toMap(c: KbConfig): Map[String, String] = Map(
+    "vector_model" -> c.vectorModel,
+    "vector_dimensions" -> c.vectorDimensions.toString,
+    "db_min_tokens" -> c.dbMinTokens.toString,
+    "db_max_tokens" -> c.dbMaxTokens.toString,
+    "query_model" -> c.queryModel,
+    "query_top_k" -> c.queryTopK.toString,
+    "query_context_scope" -> c.queryContextScope.toString,
+    "similarity_threshold" -> c.similarityThreshold.toString,
+    "low_similarity_scope_factor" -> c.lowSimilarityScopeFactor.toString,
+    "enable_hybrid_search" -> c.enableHybridSearch.toString,
+    "fusion_method" -> c.fusionMethod,
+    "vector_weight" -> c.vectorWeight.toString,
+    "bm25_weight" -> c.bm25Weight.toString,
+    "bm25_k1" -> c.bm25K1.toString,
+    "bm25_b" -> c.bm25B.toString,
+    "bm25_max_results" -> c.bm25MaxResults.toString,
+    "enable_reranking" -> c.enableReranking.toString,
+    "reranking_top_k" -> c.rerankingTopK.toString,
+    "ivf_nprobe" -> c.ivfNprobe.toString,
+    "embedding_batch_size" -> c.embeddingBatchSize.toString,
+    "api_max_retries" -> c.apiMaxRetries.toString,
+    "reference_format" -> c.referenceFormat)
+
+  /** Render as the canonical INI — the inverse of [[load]]
+    * (`load(renderIni(c), env = Map.empty) == c`, spec-asserted), so the
+    * CLI `edit` verb round-trips config files losslessly.
+    */
+  def renderIni(c: KbConfig): String = {
+    val m = toMap(c)
+    Sections.map { case (sec, keys) =>
+      s"[$sec]\n" + keys.map(k => s"$k = ${m(k)}").mkString("\n")
+    }.mkString("\n\n") + "\n"
+  }
+
   /** Parse a minimal INI: `[section]` headers, `key = value` lines, `#`/`;`
     * comments. Section names are flattened — the reference's five sections
     * share one key namespace in practice (config_manager.py:254-266).

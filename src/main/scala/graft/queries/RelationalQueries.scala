@@ -12,7 +12,13 @@ import graft.functions.TextFunctions
   * Determinism rules applied throughout:
   *  - every output is ORDER BY'd on a unique key in BOTH engines;
   *  - no raw double aggregates: sums/avgs are rounded (floating partial-agg
-  *    order differs between engines AND between Spark runs);
+  *    order differs between engines AND between Spark runs). Money/value
+  *    sums go further and use the exact-cents idiom —
+  *    `sum(round(x * 100, 0)::BIGINT)` — so the aggregate is integer math
+  *    and NO partition/merge order can flip a digit. The per-row
+  *    round-half parity between Spark (HALF_UP) and DuckDB (C++
+  *    half-away-from-zero) holds because every |x·100| here is < 2^52,
+  *    where x.5 is exactly representable in a double;
   *  - counts are BIGINT both sides (DuckDB `count(*)` is BIGINT; its
   *    `sum(int)` is HUGEINT, so oracles cast).
   */
@@ -23,9 +29,9 @@ object RelationalQueries {
     // ── A-family: aggregation (SURVEY §2.4) ────────────────────────────────
     QueryDef.sql("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       sum(round(l_quantity * 100, 0)::BIGINT)::BIGINT AS sum_qty_cents,
+        |       sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_price_cents,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS sum_disc_price_cents,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS n
         |FROM lineitem
@@ -34,9 +40,10 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qty_cents"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_price_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("sum_disc_price_cents"),
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -45,7 +52,7 @@ object RelationalQueries {
     QueryDef.sql("a4_event_type_stats",
       """SELECT event_type,
         |       count(*) AS n,
-        |       round(sum(value), 2) AS sum_value,
+        |       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents,
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY event_type
@@ -53,7 +60,7 @@ object RelationalQueries {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 2).as("sum_value"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"),
           countDistinct("user_id").as("n_users"))
         .orderBy("event_type")
     },
@@ -104,7 +111,7 @@ object RelationalQueries {
 
     QueryDef.sql("j_star_revenue",
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -120,7 +127,8 @@ object RelationalQueries {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -130,7 +138,7 @@ object RelationalQueries {
     //    the substrate; region/nation broadcast, fact-side joins shuffle ────
     QueryDef.sql("q5_local_supplier",
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
         |       count(*) AS n_items
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
@@ -149,7 +157,8 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name").isin("ASIA", "EUROPE"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -316,7 +325,7 @@ object RelationalQueries {
     // ── TPC-H Q6 shape: forecast revenue (pure filter-aggregate, fully
     //    pushed to the scan) ────────────────────────────────────────────────
     QueryDef.sql("q6_forecast_revenue",
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT sum(round(l_extendedprice * l_discount * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
         |       count(*)::BIGINT AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -327,7 +336,8 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100, 0)
+            .cast("long")).as("revenue_cents"),
           count(lit(1)).as("n"))
     },
 

@@ -73,6 +73,17 @@ object Rerank {
     * and reordered by (new score desc, doc_id); the tail keeps its original
     * order after the head. Returns the input columns + `rerank_score` +
     * `final_rank`.
+    *
+    * ==Contract: bounded, single-query input==
+    * This form ranks with GLOBAL windows (`Window.orderBy`, no partition
+    * key), which execute on one partition — correct and cheap ONLY because
+    * every caller feeds a top-k-truncated single-query hit set
+    * (KbPipeline.query caps at `bm25MaxResults` + `queryTopK` rows before
+    * reranking; the reference's own rerank sees ≤ top-k hits,
+    * `rerank_manager.py:216-220`). Feeding an untruncated scored corpus
+    * would serialize it through one task. For MULTIPLE queries — or
+    * anything unbounded — use [[rerankHeadBatch]], whose windows partition
+    * by query id (spec-asserted: no global window in its plan).
     */
   def rerankHead(hits: DataFrame, scoreCol: String, topK: Int,
                  scorer: Column): DataFrame = {

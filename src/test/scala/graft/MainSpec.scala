@@ -55,4 +55,89 @@ class MainSpec extends SparkSpec {
     Main.run(Array("query", kb, "fast spark joins and filters"), spark)
     assert(spark.read.parquet(s"$kb/logs").count() == 1, "query must be logged")
   }
+
+  test("CLI verbs: categorize writes canonical labels and imports them back") {
+    val in = Files.createTempDirectory("graft_cat_in").toString
+    val kb = Files.createTempDirectory("graft_cat_kb").toString
+    val pad = (1 to 150).map(i => s"word$i").mkString(" ")
+    Files.write(Paths.get(in, "engine.txt"),
+      s"query join filter window spark sql $pad".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "disk.txt"),
+      s"parquet columnar disk file format cache $pad".getBytes(StandardCharsets.UTF_8))
+    Main.run(Array("database", kb, s"$in/*.txt"), spark)
+    Main.run(Array("categorize", kb), spark)
+
+    val cats = spark.read.parquet(s"$kb/categories")
+    val byDoc = cats.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def cat(suffix: String): String =
+      byDoc.collectFirst { case (doc, c) if doc.endsWith(suffix) => c }
+        .getOrElse(fail(s"no sourcedoc ending in $suffix: ${byDoc.keys}"))
+    assert(cat("engine.txt") == "query-engine", byDoc.toString)
+    assert(cat("disk.txt") == "storage", byDoc.toString)
+    val imported = spark.read.parquet(s"$kb/chunks_categorized")
+    assert(imported.columns.contains("primary_category"))
+    assert(imported.count() == spark.read.parquet(s"$kb/chunks").count(),
+      "import-back must keep every chunk row")
+  }
+
+  test("CLI verbs: convert-encoding rewrites legacy files as UTF-8") {
+    val in = Files.createTempDirectory("graft_enc_in").toString
+    val out = Files.createTempDirectory("graft_enc_out").toString + "/converted"
+    Files.write(Paths.get(in, "legacy.txt"),
+      "résumé café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    Main.run(Array("convert-encoding", s"$in/*.txt", out), spark)
+    val got = new String(Files.readAllBytes(Paths.get(out, "legacy.txt")),
+      StandardCharsets.UTF_8)
+    assert(got == "résumé café")
+  }
+
+  test("CLI verbs: edit round-trips config.ini and query-side loadCfg honors it") {
+    val kb = Files.createTempDirectory("graft_edit_kb").toString
+    // set on a KB with no config yet: canonical INI written with the change
+    Main.run(Array("edit", kb, "query_top_k", "25"), spark)
+    val ini = new String(Files.readAllBytes(Paths.get(s"$kb/config.ini")))
+    assert(ini.contains("[DEFAULT]") && ini.contains("query_top_k = 25"), ini)
+    // second edit preserves the first (round-trip, not reset)
+    Main.run(Array("edit", kb, "bm25_k1", "1.5"), spark)
+    val cfg = graft.config.KbConfig.load(
+      new String(Files.readAllBytes(Paths.get(s"$kb/config.ini"))), env = Map.empty)
+    assert(cfg.queryTopK == 25 && cfg.bm25K1 == 1.5)
+    // unknown keys are rejected before anything is written
+    intercept[IllegalArgumentException] {
+      Main.run(Array("edit", kb, "no_such_key", "1"), spark)
+    }
+  }
+
+  test("M6: stale vector_dimensions config is auto-synced from stored embeddings") {
+    val in = Files.createTempDirectory("graft_dims_in").toString
+    val kb = Files.createTempDirectory("graft_dims_kb").toString
+    val pad = (1 to 150).map(i => s"word$i").mkString(" ")
+    Files.write(Paths.get(in, "a.txt"),
+      s"spark filters and joins $pad".getBytes(StandardCharsets.UTF_8))
+    Main.run(Array("database", kb, s"$in/*.txt"), spark)
+    Main.run(Array("embed", kb), spark) // default 64-dim embeddings on disk
+
+    // make the config stale: claims 32 while the stored table is 64-dim
+    Main.run(Array("edit", kb, "vector_dimensions", "32"), spark)
+    // re-embed: the stored table wins, and the FILE is corrected (reference
+    // auto-sync, embed_manager.py:748-756)
+    Main.run(Array("embed", kb), spark)
+    val cfg = graft.config.KbConfig.load(
+      new String(Files.readAllBytes(Paths.get(s"$kb/config.ini"))), env = Map.empty)
+    assert(cfg.vectorDimensions == 64, s"config must be synced, got $cfg")
+    val dims = spark.read.parquet(s"$kb/embeddings")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    assert(dims == 64, "stored embeddings keep their true dims")
+    // query-side verify-at-load runs against the synced config without error
+    Main.run(Array("query", kb, "spark filters"), spark)
+  }
+
+  test("KbConfig.renderIni round-trips through load") {
+    import graft.config.KbConfig
+    val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,
+      fusionMethod = "weighted")
+    assert(KbConfig.load(KbConfig.renderIni(c), env = Map.empty) == c)
+    assert(KbConfig.load(KbConfig.renderIni(KbConfig()), env = Map.empty) == KbConfig())
+  }
 }

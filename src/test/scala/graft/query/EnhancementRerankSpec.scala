@@ -96,6 +96,25 @@ class EnhancementRerankSpec extends SparkSpec {
     }
   }
 
+  test("rerankHeadBatch plans NO global window: every window partitions by query id") {
+    val hits = (for (q <- Seq(1L, 2L); d <- 1L to 5L) yield
+      (q, d, d.toDouble, "alpha beta")).toDF("query_id", "doc_id", "score", "text")
+    val out = Rerank.rerankHeadBatch(hits, "query_id", "score", 3,
+      Rerank.lexicalScore("alpha", col("text")))
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.references.exists(_.name == "query_id")),
+        s"global window in batch rerank plan: $w")
+    }
+    // the single-query form is the one with global windows — its contract
+    // (scaladoc) is bounded input; the multi-query path must use the batch
+    // twin, which KbPipeline.queryBatch does (KbPipelineSpec parity test)
+  }
+
   test("rerankHead reorders only the head, tail keeps original order") {
     val hits = Seq(
       (1L, 10.0, "zz yy xx"),          // rank 1, no query overlap
