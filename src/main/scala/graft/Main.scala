@@ -144,8 +144,24 @@ object Main {
           if (new java.io.File(s"$kb/bm25").exists())
             Some(graft.operators.Bm25.readIndex(spark, s"$kb/bm25"))
           else None
+        // ANN opt-in (config `index_type` = ivf/auto): build/reuse the IVF
+        // index sized by the auto-selection policy; "exact" (default)
+        // keeps the full-scan vector stage
+        val ivfIx =
+          if (cfg.indexType == "exact") None
+          else {
+            import graft.operators.VectorSearch
+            VectorSearch.chooseIndex(emb.count(), cfg.vectorDimensions) match {
+              case VectorSearch.IndexStrategy.Ivf(nc) =>
+                Some(VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
+              case VectorSearch.IndexStrategy.IvfPq(nc, _) =>
+                Some(VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
+              case _ => None // small/high-dim corpus: exact is the policy
+            }
+          }
         val t0 = System.nanoTime()
-        val res = KbPipeline.query(spark, chunks, emb, args(2), cfg, bm25Index = ix)
+        val res = KbPipeline.query(spark, chunks, emb, args(2), cfg,
+          bm25Index = ix, ivfIndex = ivfIx)
         println(res.formatted)
         graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
           answer = "", latencyMs = (System.nanoTime() - t0) / 1000000)

@@ -33,6 +33,12 @@ final case class KbConfig(
     enableReranking: Boolean = true,
     rerankingTopK: Int = 20,                  // rerank_manager.py:216-220
     ivfNprobe: Int = 32,                      // models.py:189
+    // vector-stage strategy (reference `faiss_index_type`, index.py:51):
+    // "exact" scans the full corpus; "ivf"/"auto" probe a supplied IVF
+    // index. Default "exact" is a DELIBERATE divergence from the
+    // reference's 'auto' — it keeps the whole pipeline value-oracle-exact;
+    // ANN is an explicit opt-in (COVERAGE.md).
+    indexType: String = "exact",
     // [PERFORMANCE] — replaced by Spark conf at scale; kept for parity
     embeddingBatchSize: Int = 100,
     apiMaxRetries: Int = 20,                  // models.py:77-82
@@ -51,7 +57,7 @@ object KbConfig {
     "ALGORITHMS" -> Seq("similarity_threshold", "low_similarity_scope_factor",
       "enable_hybrid_search", "fusion_method", "vector_weight", "bm25_weight",
       "bm25_k1", "bm25_b", "bm25_max_results", "enable_reranking",
-      "reranking_top_k", "ivf_nprobe"),
+      "reranking_top_k", "ivf_nprobe", "index_type"),
     "PERFORMANCE" -> Seq("embedding_batch_size", "api_max_retries"),
     "FORMATTING" -> Seq("reference_format"))
 
@@ -79,6 +85,7 @@ object KbConfig {
     "enable_reranking" -> c.enableReranking.toString,
     "reranking_top_k" -> c.rerankingTopK.toString,
     "ivf_nprobe" -> c.ivfNprobe.toString,
+    "index_type" -> c.indexType,
     "embedding_batch_size" -> c.embeddingBatchSize.toString,
     "api_max_retries" -> c.apiMaxRetries.toString,
     "reference_format" -> c.referenceFormat)
@@ -142,6 +149,7 @@ object KbConfig {
       enableReranking = b("enable_reranking", c.enableReranking),
       rerankingTopK = i("reranking_top_k", c.rerankingTopK),
       ivfNprobe = i("ivf_nprobe", c.ivfNprobe),
+      indexType = s("index_type", c.indexType),
       embeddingBatchSize = i("embedding_batch_size", c.embeddingBatchSize),
       apiMaxRetries = i("api_max_retries", c.apiMaxRetries),
       referenceFormat = s("reference_format", c.referenceFormat))

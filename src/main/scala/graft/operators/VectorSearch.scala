@@ -442,18 +442,32 @@ object VectorSearch {
     * this mirrors FAISS's coarse quantizer step, nprobe default 32 at
     * `/root/reference/config/models.py:189`).
     */
-  def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int, nprobe: Int): DataFrame =
+    bruteTopK(probeScan(index, query, nprobe), index.idCol, index.vecCol, query, k)
+
+  /** The nprobe nearest cluster ids for a query — driver-side math over
+    * ncentroids vectors (tiny; FAISS's coarse quantizer step).
+    */
+  def probeClusters(index: IvfIndex, query: Seq[Float], nprobe: Int): Seq[Int] = {
     val qa = query.toArray
     def cos(c: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < c.length) { d += c(i) * qa(i); na += c(i) * c(i); nb += qa(i) * qa(i); i += 1 }
       if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
     }
-    val probe = index.centroids.zipWithIndex
+    index.centroids.zipWithIndex
       .map { case (c, i) => (i, cos(c)) }
       .sortBy { case (i, s) => (-s, i) }
-      .take(nprobe).map(_._1)
-    bruteTopK(index.assigned.filter(col("cluster_id").isin(probe: _*)),
-      index.idCol, index.vecCol, query, k)
+      .take(nprobe).map(_._1).toSeq
   }
+
+  /** The corpus restricted to a query's probed clusters — partition-pruned
+    * at rest when `assigned` is stored partitioned by `cluster_id`. Callers
+    * score it with whatever ranking they need ([[ivfTopK]] uses
+    * [[bruteTopK]]; KbPipeline applies its rounded-rank scoring so the IVF
+    * path keeps the pipeline's determinism contract).
+    */
+  def probeScan(index: IvfIndex, query: Seq[Float], nprobe: Int): DataFrame =
+    index.assigned.filter(
+      col("cluster_id").isin(probeClusters(index, query, nprobe): _*))
 }

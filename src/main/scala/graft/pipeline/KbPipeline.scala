@@ -61,10 +61,19 @@ object KbPipeline {
     *                        these categories (exact `array_contains`, the
     *                        deliberate upgrade over the reference's LIKE)
     */
+  /** @param ivfIndex  optional IVF index over the same embeddings; used for
+    *                   the vector stage iff `cfg.indexType != "exact"` —
+    *                   the probed scan replaces the full corpus scan
+    *                   (partition-pruned at rest), scored with the SAME
+    *                   rounded ranking, so exactness is the only thing
+    *                   traded (reference `faiss_index_type`, index.py:51;
+    *                   nprobe from `cfg.ivfNprobe`)
+    */
   def query(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
             queryText: String, cfg: KbConfig = KbConfig(),
             categoryFilter: Seq[String] = Nil,
-            bm25Index: Option[Bm25.Index] = None): QueryResult = {
+            bm25Index: Option[Bm25.Index] = None,
+            ivfIndex: Option[VectorSearch.IvfIndex] = None): QueryResult = {
 
     // 1. enhancement (F6-F8) — constant-folded on the driver (no job, no
     //    codegen compile of the regex chain; Enhancement.enhanceValue)
@@ -81,7 +90,15 @@ object KbPipeline {
     //     would cascade through fusion ranks — the same determinism choice
     //     the standalone t1/t2/j3 queries make, and what lets the WHOLE
     //     pipeline carry a value-exact DuckDB oracle (e2e_hybrid_query).
-    val vtop = embeddings
+    //     ANN opt-in: with an IVF index and indexType != "exact", the scan
+    //     narrows to the probed clusters; ranking stays the rounded form
+    val vectorSide = ivfIndex match {
+      case Some(ix) if cfg.indexType != "exact" =>
+        VectorSearch.probeScan(ix, qvec, cfg.ivfNprobe)
+          .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding"))
+      case _ => embeddings
+    }
+    val vtop = vectorSide
       .select(col("doc_id"),
         round(graft.functions.VectorFunctions.cosine(col("embedding"),
           graft.functions.VectorFunctions.vecLit(qvec)), 6).as("score"))
@@ -155,7 +172,8 @@ object KbPipeline {
     */
   def queryBatch(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
                  queries: Seq[(Long, String)], cfg: KbConfig = KbConfig(),
-                 bm25Index: Option[Bm25.Index] = None): DataFrame = {
+                 bm25Index: Option[Bm25.Index] = None,
+                 ivfIndex: Option[VectorSearch.IvfIndex] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
     // 1-2. enhancement + deterministic embedding: driver-side per query
@@ -172,10 +190,31 @@ object KbPipeline {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false))))
     val qDf = spark.createDataFrame(qRows.asJava, qSchema)
 
-    // 3a. vector k-NN: one corpus pass scores all queries; rounded ranks
-    val vtop = embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
-      .select(col("query_id"), col("doc_id"),
-        round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
+    // 3a. vector k-NN: one corpus pass scores all queries; rounded ranks.
+    //     ANN opt-in (indexType != "exact" + an IVF index): each query
+    //     probes its own cfg.ivfNprobe clusters — corpus rows join the
+    //     broadcast probe set on cluster_id instead of cross-joining every
+    //     query, the ivfTopKBatch shape with the pipeline's rounded ranking
+    val vectorScored = ivfIndex match {
+      case Some(ix) if cfg.indexType != "exact" =>
+        import spark.implicits._
+        val centDf = ix.centroids.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cv")
+        val probes = qDf.select("query_id", "qvec").crossJoin(broadcast(centDf))
+          .select(col("query_id"), col("qvec"), col("cid"),
+            graft.functions.VectorFunctions.cosine(col("cv"), col("qvec")).as("cs"))
+          .withColumn("_prn", row_number().over(byQ.orderBy(col("cs").desc, col("cid"))))
+          .filter(col("_prn") <= cfg.ivfNprobe)
+          .select(col("query_id"), col("qvec"), col("cid").as("cluster_id"))
+        ix.assigned.join(broadcast(probes), "cluster_id")
+          .select(col("query_id"), col(ix.idCol).as("doc_id"),
+            round(graft.functions.VectorFunctions.cosine(col(ix.vecCol), col("qvec")), 6).as("score"))
+      case _ =>
+        embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
+          .select(col("query_id"), col("doc_id"),
+            round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
+    }
+    val vtop = vectorScored
       .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
       .filter(col("_rk") <= cfg.queryTopK).drop("_rk")
 

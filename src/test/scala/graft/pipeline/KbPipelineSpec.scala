@@ -55,6 +55,40 @@ class KbPipelineSpec extends SparkSpec {
     assert(ctx.contains(2L), "sid neighbor of hit chunk missing from context")
   }
 
+  test("IVF vector stage (index_type=ivf, full probe) == exact pipeline, single and batch") {
+    import graft.operators.VectorSearch
+    val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3)
+    val ivfCfg = cfg.copy(indexType = "ivf", ivfNprobe = 2) // == ncentroids
+    val index = VectorSearch.buildIvf(embeddings, "doc_id", "embedding", nCentroids = 2)
+    val q = "fast spark joins  and filters!!"
+
+    val exact = KbPipeline.query(spark, corpus, embeddings, q, cfg)
+      .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
+    val viaIvf = KbPipeline.query(spark, corpus, embeddings, q, ivfCfg,
+        ivfIndex = Some(index))
+      .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
+    assert(viaIvf == exact, "full-probe IVF must equal the exact pipeline")
+
+    val qs = Seq(1L -> q, 2L -> "window functions rank rows")
+    val exactB = KbPipeline.queryBatch(spark, corpus, embeddings, qs, cfg)
+      .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
+    val viaIvfB = KbPipeline.queryBatch(spark, corpus, embeddings, qs, ivfCfg,
+        ivfIndex = Some(index))
+      .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaIvfB == exactB, "full-probe IVF batch must equal the exact batch")
+
+    // narrow probe still returns k rows per query (approximation trades
+    // recall, not result shape); indexType="exact" ignores a supplied index
+    val narrow = KbPipeline.query(spark, corpus, embeddings, q,
+        ivfCfg.copy(ivfNprobe = 1), ivfIndex = Some(index))
+      .hits.select("doc_id").as[Long].collect()
+    assert(narrow.nonEmpty && narrow.length <= 5)
+    val ignored = KbPipeline.query(spark, corpus, embeddings, q,
+        cfg, ivfIndex = Some(index)) // indexType defaults to "exact"
+      .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
+    assert(ignored == exact)
+  }
+
   test("queryBatch hits == per-query query() hits, column for column") {
     val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3)
     val qs = Seq(1L -> "fast spark joins  and filters!!",
