@@ -979,7 +979,8 @@ object PipelineQueries {
     // ── Streaming-window semantics: hourly tumbling aggregation ───────────
     QueryDef.sql("stream_window_agg",
       """SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us, event_type,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |       count(*) AS n,
+        |       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin) { (s, dir) =>
       // Batch form of the Structured Streaming tumbling-window aggregation
@@ -989,7 +990,8 @@ object PipelineQueries {
         .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
         .groupBy(unix_micros(date_trunc("hour", col("tsx"))).as("hour_us"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
         .orderBy("hour_us", "event_type")
     },
 
@@ -1036,17 +1038,19 @@ object PipelineQueries {
         |                          ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM flagged)
         |SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start_us,
-        |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+        |       count(*)::BIGINT AS n_events,
+        |       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 20)
         .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
       ev.groupBy(col("user_id"), session_window(col("tsx"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("session_start_us"),
-          col("n_events"), col("sum_value"))
+          col("n_events"), col("sum_value_cents"))
         .orderBy("user_id", "session_start_us")
     },
 
@@ -1112,14 +1116,19 @@ object PipelineQueries {
     // ── A11: skew-salted aggregation (two-phase groupBy; equals the direct
     //    aggregate — the oracle IS the direct form) ─────────────────────────
     QueryDef.sql("a11_salted_agg",
-      """SELECT event_type, round(sum(value), 2) AS sum_value,
+      """SELECT event_type,
+        |       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents,
         |       count(*)::BIGINT AS count_one
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // value pre-rounded to integer cents BEFORE the two-phase salted sum:
+      // the partial/final aggregation is then integer math, so the salted
+      // association order provably cannot diverge from the direct oracle
       graft.operators.Skew.saltedAgg(
-          Tables.events(s, dir).withColumn("one", lit(1L)),
-          "event_type", buckets = 16, Map("value" -> "sum", "one" -> "count"))
-        .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
-          col("count_one"))
+          Tables.events(s, dir)
+            .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
+            .withColumn("one", lit(1L)),
+          "event_type", buckets = 16, Map("value_cents" -> "sum", "one" -> "count"))
+        .select(col("event_type"), col("sum_value_cents"), col("count_one"))
         .orderBy("event_type")
     },
 

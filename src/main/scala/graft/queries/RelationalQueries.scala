@@ -168,22 +168,24 @@ object RelationalQueries {
     //    the build side at any scale ─────────────────────────────────────────
     QueryDef.sql("q18_large_orders",
       """WITH big AS (
-        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  SELECT l_orderkey, sum(round(l_quantity * 100, 0)::BIGINT)::BIGINT AS sum_qty_cents
         |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 220)
-        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, sum_qty_cents
         |FROM big
         |JOIN orders   ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // HAVING keeps the raw sum: quantity is integer-valued, so the double
+      // sum is exact and the predicate deterministic either way
       val big = Tables.lineitem(s, dir)
         .groupBy("l_orderkey")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qty_cents"),
           sum("l_quantity").as("_raw_qty"))
         .filter(col("_raw_qty") > 220).drop("_raw_qty")
       big.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
         .select(col("c_name"), col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty_cents"))
         .orderBy("o_orderkey")
     },
 
@@ -222,8 +224,8 @@ object RelationalQueries {
 
     QueryDef.sql("w3_running_sum",
       """SELECT user_id, event_id,
-        |       round(sum(value) OVER (PARTITION BY user_id
-        |                              ORDER BY ts, event_id), 2) AS running
+        |       sum(round(value * 100, 0)::BIGINT) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id)::BIGINT AS running_cents
         |FROM events
         |WHERE user_id < 50
         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
@@ -231,8 +233,9 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.events(s, dir)
         .filter(col("user_id") < 50)
-        .withColumn("running", round(sum("value").over(w), 2))
-        .select("user_id", "event_id", "running")
+        .withColumn("running_cents",
+          sum(round(col("value") * 100, 0).cast("long")).over(w))
+        .select("user_id", "event_id", "running_cents")
         .orderBy("user_id", "event_id")
     },
 
@@ -395,16 +398,18 @@ object RelationalQueries {
     QueryDef.sql("a9_cube",
       """SELECT coalesce(event_type, 'ALL') AS etype,
         |       coalesce((user_id % 10)::VARCHAR, 'ALL') AS cohort,
-        |       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |       count(*)::BIGINT AS n,
+        |       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events
         |GROUP BY CUBE (event_type, user_id % 10)
         |ORDER BY etype, cohort""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .cube(col("event_type"), (col("user_id") % 10).as("cohort0"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
         .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
           coalesce(col("cohort0").cast("string"), lit("ALL")).as("cohort"),
-          col("n"), col("sum_value"))
+          col("n"), col("sum_value_cents"))
         .orderBy("etype", "cohort")
     },
 
@@ -706,7 +711,7 @@ object RelationalQueries {
     QueryDef.sql("a8_rollup_revenue",
       """SELECT coalesce(r_name, 'ALL') AS region,
         |       coalesce(n_name, 'ALL') AS nation,
-        |       round(sum(c_acctbal), 2) AS balance,
+        |       sum(round(c_acctbal * 100, 0)::BIGINT)::BIGINT AS balance_cents,
         |       count(*)::BIGINT AS customers
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -717,11 +722,11 @@ object RelationalQueries {
         .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
         .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(round(sum("c_acctbal"), 2).as("balance"),
+        .agg(sum(round(col("c_acctbal") * 100, 0).cast("long")).as("balance_cents"),
           count(lit(1)).as("customers"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
-          col("balance"), col("customers"))
+          col("balance_cents"), col("customers"))
         .orderBy("region", "nation")
     })
 }
