@@ -77,6 +77,28 @@ object CategorizeQueries {
         .orderBy("sourcedoc")
     },
 
+    // ── P3: category predicate — exact array membership (the deliberate
+    //    upgrade over the reference's LIKE-substring, SURVEY §7 risk 6):
+    //    documents restricted to sourcedocs whose derived categories overlap
+    //    the filter set, the KbPipeline categoryFilter semantics ────────────
+    QueryDef.sql("p3_category_filter",
+      s"""$catsCte
+         |SELECT d.doc_id, d.source
+         |FROM documents d
+         |JOIN (SELECT sourcedoc FROM cats
+         |      WHERE list_has_any(categories, ['query-engine', 'storage'])) k
+         |  ON d.source = k.sourcedoc
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val keep = catsDf(s, dir)
+        .filter(arrays_overlap(col("categories"),
+          lit(Array("query-engine", "storage"))))
+        .select(col("sourcedoc"))
+      val docs = Tables.documents(s, dir)
+      docs.join(keep, docs("source") === keep("sourcedoc"))
+        .select(docs("doc_id"), docs("source"))
+        .orderBy("doc_id")
+    },
+
     // ── A4: article counts per category ───────────────────────────────────
     QueryDef.sql("a4_category_counts",
       s"""$catsCte,

@@ -247,6 +247,86 @@ object EngineQueries {
         .orderBy("qid")
     },
 
+    // ── S4: filename sanitization (shell-metacharacter replacement,
+    //    db_manager sanitize; exercised over real source names + crafted
+    //    nasty literals) ─────────────────────────────────────────────────────
+    QueryDef.sql("s4_sanitize_names",
+      "WITH names(id, raw) AS (\n" +
+        "  SELECT doc_id, source FROM documents\n" +
+        "  UNION ALL\n" +
+        "  SELECT * FROM (VALUES (CAST(1000001 AS BIGINT), 'evil<file>.txt'),\n" +
+        "                        (CAST(1000002 AS BIGINT), 'a&b;c`d$e|f.md')) t(id, raw))\n" +
+        "SELECT id, regexp_replace(raw, '[<>|&;`$]', '_', 'g') AS clean\n" +
+        "FROM names ORDER BY id") { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("source").as("raw"))
+      val nasty = Seq((1000001L, "evil<file>.txt"), (1000002L, "a&b;c`d$e|f.md"))
+        .toDF("id", "raw")
+      docs.unionByName(nasty)
+        .select(col("id"), graft.ingest.Ingest.sanitizeName(col("raw")).as("clean"))
+        .orderBy("id")
+    },
+
+    // ── F5: metadata extraction (heading, section-type classifier, counts —
+    //    db_manager.py:168-237) flattened to scalar columns ─────────────────
+    QueryDef.sql("f5_metadata", {
+      val sectionCase =
+        """CASE WHEN regexp_matches(text, '```') THEN 'code_block'
+          |     WHEN regexp_matches(text, '(?m)^\s*[\|\+][-\|\+ ]+') THEN 'table'
+          |     WHEN regexp_matches(text, '(?m)^\s*[-\*]\s') THEN 'list'
+          |     WHEN regexp_matches(text, '(?m)^\s*\d+[\.\)]\s') THEN 'numbered_list'
+          |     ELSE 'prose' END""".stripMargin.replaceAll("\n", " ")
+      s"""SELECT doc_id,
+         |       trim(regexp_extract(substr(text, 1, 200), '^#*\\s*([^\\n]{0,120})', 1)) AS heading,
+         |       $sectionCase AS section_type,
+         |       length(text)::INT AS char_length,
+         |       len(${plainTokSql("text")})::INT AS word_count
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ingest.Ingest.extractMetadata(col("text")).as("m"))
+        .select(col("doc_id"), col("m.heading").as("heading"),
+          col("m.section_type").as("section_type"),
+          col("m.char_length").as("char_length"),
+          col("m.word_count").as("word_count"))
+        .orderBy("doc_id")
+    },
+
+    // ── U4: order-preserving token dedup (first occurrence wins in BOTH
+    //    engines: Spark array_distinct keeps first-seen order; the oracle
+    //    filters on list_position == index) ──────────────────────────────────
+    QueryDef.sql("u4_dedup_tokens",
+      s"""SELECT doc_id,
+         |       array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), ' ') AS deduped
+         |FROM (SELECT doc_id, ${plainTokSql("text")} AS l FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(TextFunctions.dedupTokens(
+            TextFunctions.tokenize(col("text"))), " ").as("deduped"))
+        .orderBy("doc_id")
+    },
+
+    // ── F17: XML escaping (entity-order parity: & first, then < > " ') ────
+    QueryDef.sql("f17_xml_escape", {
+      val samples = Seq(
+        1 -> "a<b & c>\"d\" 'e'", 2 -> "plain text, no entities", 3 -> "&&<<>>''")
+      val vals = samples.map { case (i, t) => s"($i, '${sqlQuote(t)}')" }.mkString(", ")
+      s"""WITH samples(id, txt) AS (VALUES $vals)
+         |SELECT id,
+         |       replace(replace(replace(replace(replace(txt,
+         |         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+         |         '"', '&quot;'), '''', '&apos;') AS escaped
+         |FROM samples ORDER BY id""".stripMargin
+    }) { (s, _) =>
+      import s.implicits._
+      Seq((1, "a<b & c>\"d\" 'e'"), (2, "plain text, no entities"), (3, "&&<<>>''"))
+        .toDF("id", "txt")
+        .select(col("id"), graft.format.Formatters.xmlEscape(col("txt")).as("escaped"))
+        .orderBy("id")
+    },
+
     // ── F2: enhanced clean (URL/email preservation + punctuation-keeping) ─
     QueryDef.sql("f2_enhanced_clean", {
       val samples = Seq(
