@@ -137,6 +137,47 @@ object Embedder {
   def probeDims(provider: Provider): Int =
     provider.embedBatch(Seq("dimension probe")).head.length
 
+  /** Per-model request token limits (`embed_manager.py:239-247`). */
+  val ModelTokenLimits: Map[String, Int] = Map(
+    "text-embedding-3-small" -> 8191,
+    "text-embedding-3-large" -> 8191,
+    "text-embedding-ada-002" -> 8191,
+    "gemini-embedding-001" -> 30720)
+
+  /** M2 batch planning (`embed_manager.py:216-257`): estimate tokens per
+    * chunk from a sample (whitespace words × a 1.3 multiplier), divide the
+    * model's request token limit, cap by `maxBatchSize` (and the 100-item
+    * hard limit for gemini models), floor at 1. Here the batch size feeds
+    * [[embedPartitions]]'s per-task grouping — partition sizing stays the
+    * macro knob, this sizes the provider calls inside each task.
+    */
+  def optimalBatchSize(sampleTexts: Seq[String], model: String,
+                      maxBatchSize: Int, tokenMultiplier: Double = 1.3): Int = {
+    if (sampleTexts.isEmpty) math.max(1, maxBatchSize)
+    else {
+      val avgTokens = sampleTexts
+        .map(t => t.split("\\s+").count(_.nonEmpty) * tokenMultiplier)
+        .sum / sampleTexts.size
+      val limit = ModelTokenLimits.getOrElse(model, 8191)
+      val byTokens =
+        if (avgTokens > 0) math.min(maxBatchSize, (limit / avgTokens).toInt)
+        else maxBatchSize
+      val capped =
+        if (model.startsWith("gemini-")) math.min(byTokens, 100) else byTokens
+      math.max(1, capped)
+    }
+  }
+
+  /** [[optimalBatchSize]] over a chunk table: samples the first
+    * `sampleSize` rows (the reference samples `chunks[:10]`) — one tiny
+    * collect, not a scan.
+    */
+  def planBatchSize(df: DataFrame, textCol: String, model: String,
+                    maxBatchSize: Int, sampleSize: Int = 10): Int =
+    optimalBatchSize(
+      df.select(textCol).limit(sampleSize).collect().map(_.getString(0)).toSeq,
+      model, maxBatchSize)
+
   /** M3 retry with exponential backoff + jitter
     * (`/root/reference/embedding/embed_manager.py:296-333`: backoff
     * min(tries², 30s) + proportional jitter). Wraps any provider; runs

@@ -38,11 +38,15 @@ object KbPipeline {
     * wrapped in the retry/backoff policy (M3), batch size from config (M2).
     */
   def embed(chunks: DataFrame, textCol: String, cache: DataFrame,
-            cfg: KbConfig = KbConfig()): Embedder.CacheResult =
-    Embedder.embedWithCache(chunks, textCol, cache,
-      Embedder.Retrying(Embedder.Deterministic(cfg.vectorDimensions),
-        maxRetries = cfg.apiMaxRetries),
-      batchSize = cfg.embeddingBatchSize)
+            cfg: KbConfig = KbConfig()): Embedder.CacheResult = {
+    val provider = Embedder.Retrying(Embedder.Deterministic(cfg.vectorDimensions),
+      maxRetries = cfg.apiMaxRetries)
+    // M2: provider-call batch sized from a token-count sample, capped by
+    // the configured maximum (embed_manager.py:216-257)
+    val planned = Embedder.planBatchSize(chunks, textCol, provider.model,
+      maxBatchSize = cfg.embeddingBatchSize)
+    Embedder.embedWithCache(chunks, textCol, cache, provider, batchSize = planned)
+  }
 
   /** Search-hit schema: (doc_id, score, rank). `formatted` is lazy: the
     * driver-side context assembly (a collect) runs only when the caller

@@ -115,6 +115,26 @@ class KbStorageSpec extends SparkSpec {
     assert(rewritten == "café")
   }
 
+  test("M2 batch planner matches the reference's token-limit arithmetic") {
+    import graft.embed.Embedder
+    val tenWords = Seq.fill(8)((1 to 10).map(i => s"w$i").mkString(" "))
+    // avg tokens = 10 * 1.3 = 13; 8191/13 = 630 -> capped by maxBatchSize
+    assert(Embedder.optimalBatchSize(tenWords, "text-embedding-3-small", 100) == 100)
+    assert(Embedder.optimalBatchSize(tenWords, "text-embedding-3-small", 1000) == 630)
+    // gemini: higher token limit but a 100-item hard cap
+    assert(Embedder.optimalBatchSize(tenWords, "gemini-embedding-001", 1000) == 100)
+    // unknown model falls back to the 8191 limit
+    assert(Embedder.optimalBatchSize(tenWords, "deterministic-64", 1000) == 630)
+    // huge chunks floor at 1 per batch
+    val huge = Seq((1 to 20000).map(i => s"w$i").mkString(" "))
+    assert(Embedder.optimalBatchSize(huge, "text-embedding-3-small", 100) == 1)
+    // empty sample: fall back to the configured max
+    assert(Embedder.optimalBatchSize(Nil, "text-embedding-3-small", 64) == 64)
+    // DataFrame wrapper samples rows
+    val df = tenWords.toDF("text")
+    assert(Embedder.planBatchSize(df, "text", "text-embedding-3-small", 1000) == 630)
+  }
+
   test("Retrying provider: backs off then succeeds; deterministic jitter") {
     import graft.embed.Embedder
     var calls = 0
