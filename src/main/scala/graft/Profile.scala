@@ -103,6 +103,29 @@ object Profile {
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       secs("ngram-pairs") { println("pairs=" + pairs.count()) }
     }
+    locally {
+      val emb = Tables.embeddings(spark, sfDir)
+      val quant = emb.select(col("vec_id").as("doc_id"),
+        functions.VectorFunctions.quantizeI8(col("embedding")).as("q"))
+      var qq: Seq[Byte] = null
+      secs("i8-first") { qq = quant.filter(col("doc_id") === 0)
+        .select(col("q")).first().getSeq[Byte](0) }
+      secs("i8-first-2nd") { quant.filter(col("doc_id") === 0)
+        .select(col("q")).first() }
+      val qLit = array(qq.map(b => lit(b)): _*)
+      secs("i8-scan") {
+        quant.select(col("doc_id"),
+            round(functions.VectorFunctions.cosineI8(col("q"), qLit), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20).count()
+      }
+      secs("i8-scan-2nd") {
+        quant.select(col("doc_id"),
+            round(functions.VectorFunctions.cosineI8(col("q"), qLit), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20).count()
+      }
+      secs("i8-full") { SparkEntry.queries("sim_knn_quantized")(spark, sfDir).count() }
+      secs("i8-full-2nd") { SparkEntry.queries("sim_knn_quantized")(spark, sfDir).count() }
+    }
     secs("m7_rerank") { SparkEntry.queries("m7_rerank")(spark, sfDir).count() }
     secs("m7_rerank-2nd") { SparkEntry.queries("m7_rerank")(spark, sfDir).count() }
     locally {

@@ -318,6 +318,60 @@ object HashAlgos {
     acc
   }
 
+  /** Symmetric int8 quantization q_j = round(v_j·127/max|v|), rounding
+    * half AWAY FROM ZERO on the binary double — identical to Spark's
+    * `round(x, 0)` (HALF_UP over the shortest decimal repr) and DuckDB's
+    * `round` (std::round) while |x| < 2^52, trivially true at |x| ≤ 127
+    * (the same parity invariant PLANS.md records for the cents idiom).
+    * All-zero vectors quantize to all zeros.
+    */
+  def quantizeI8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx > 0) {
+      i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble * 127.0 / mx
+        // x - floor(x) is exact for |x| ≤ 127 (Sterbenz), so the .5
+        // comparison is on the true binary value — no floor(x+0.5) drift
+        val r =
+          if (x >= 0) { val f = math.floor(x); if (x - f >= 0.5) f + 1.0 else f }
+          else { val c = math.ceil(x); if (c - x >= 0.5) c - 1.0 else c }
+        out(i) = r.toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine over int8-quantized vectors: 64-bit-exact integer dot and
+    * norms, one double division at the end; 0.0 for zero-norm inputs.
+    */
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom > 0) dot.toDouble / denom else 0.0
+  }
+
   /** Cosine similarity with the column-fn's exact float→double→sqrt order:
     * denom = sqrt(Σa²)·sqrt(Σb²); 0.0 when denom is not > 0.
     */
@@ -519,6 +573,36 @@ case class CosineF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `quantize_i8(vec)` → ARRAY<TINYINT>: symmetric int8 quantization. */
+case class QuantizeI8Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_quantize_i8"
+  override protected def nullSafeEval(v: Any): Any =
+    HashAlgos.quantizeI8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.quantizeI8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8Expr =
+    copy(child = newChild)
+}
+
+/** `cosine_i8(a, b)` → DOUBLE over int8-quantized vectors. */
+case class CosineI8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require2(prettyName, left.dataType, right.dataType, ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_i8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashAlgos.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashAlgos.cosineI8($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineI8Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the codegen expressions. */
 object FastFunctions {
   def tokenize(c: Column): Column =
@@ -545,4 +629,8 @@ object FastFunctions {
     GraftShims.column(DotF32(GraftShims.expression(a), GraftShims.expression(b)))
   def cosine(a: Column, b: Column): Column =
     GraftShims.column(CosineF32(GraftShims.expression(a), GraftShims.expression(b)))
+  def quantizeI8(v: Column): Column =
+    GraftShims.column(QuantizeI8Expr(GraftShims.expression(v)))
+  def cosineI8(a: Column, b: Column): Column =
+    GraftShims.column(CosineI8Expr(GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -71,7 +71,12 @@ object VectorFunctions {
     * straight off the small column with pure integer dot products.
     * All-zero vectors quantize to zeros.
     */
-  def quantizeI8(v: Column): Column = {
+  def quantizeI8(v: Column): Column = FastFunctions.quantizeI8(v)
+
+  /** Spec version of [[quantizeI8]]: the same round-half-away math as
+    * interpreted HOFs (QuantizeSpec asserts fast == spec).
+    */
+  def quantizeI8Spec(v: Column): Column = {
     val mx = array_max(transform(v, x => abs(x.cast("double"))))
     transform(v, x =>
       when(mx > 0, round(x.cast("double") * 127.0 / mx).cast("tinyint"))
@@ -87,7 +92,10 @@ object VectorFunctions {
     * division at the end — scale-free and exactly reproducible by any SQL
     * engine (integer math everywhere).
     */
-  def cosineI8(a: Column, b: Column): Column = {
+  def cosineI8(a: Column, b: Column): Column = FastFunctions.cosineI8(a, b)
+
+  /** Spec version of [[cosineI8]] — interpreted HOFs, same integer math. */
+  def cosineI8Spec(a: Column, b: Column): Column = {
     def nsq(c: Column): Column =
       aggregate(c, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
     val denom = sqrt(nsq(a).cast("double")) * sqrt(nsq(b).cast("double"))
