@@ -84,6 +84,32 @@ object Scale {
         "vec_id", "codes", cb, q, 20).count()
     }
 
+    // round-8 operators: SymSpell vocab join, int8 quantized scan, IVF batch
+    def spell(d: DataFrame): Long = {
+      val vocab = query.Spelling.vocabulary(d, "text")
+      val qs = d.limit(50).select(col("doc_id").as("qid"),
+        concat(substring(col("text"), 1, 60), lit(" spakr qurey")).as("text"))
+      query.Spelling.correctQueries(qs, "qid", "text", vocab).count()
+    }
+    def i8knn(e: DataFrame): Long = {
+      val quant = e.select(col("vec_id"),
+        functions.VectorFunctions.quantizeI8(col("embedding")).as("q"))
+      val qv = quant.filter(col("vec_id") === 0).select("q").first().getSeq[Byte](0)
+      quant.select(col("vec_id"),
+          functions.VectorFunctions.cosineI8(col("q"),
+            array(qv.map(b => lit(b)): _*)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(20).count()
+    }
+    def ivfBatch(e: DataFrame): Long = {
+      import spark.implicits._
+      val cents = e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).toSeq
+      val assigned = operators.VectorSearch.seededIvfAssign(e, "vec_id", "embedding", cents)
+      val centDf = cents.toDF("cid", "cv")
+      operators.VectorSearch.ivfTopKBatch(assigned, "vec_id", "embedding",
+        centDf, queries50(e), "query_id", "qvec", k = 20, nprobe = 2).count()
+    }
+
     secs(s"lsh-dedup 1x")(lshPipeline(docs))
     secs(s"lsh-dedup ${kDocs}x")(lshPipeline(bigDocs))
     secs(s"ngram-jaccard 1x")(ngram(docs))
@@ -96,6 +122,12 @@ object Scale {
     secs(s"knn-batch50 ${kEmb}x")(knn50(bigEmb))
     secs(s"pq-encode+adc 1x")(pq(emb))
     secs(s"pq-encode+adc ${kEmb}x")(pq(bigEmb))
+    secs(s"spell-correct50 1x")(spell(docs))
+    secs(s"spell-correct50 ${kDocs}x")(spell(bigDocs))
+    secs(s"i8-quantized-knn 1x")(i8knn(emb))
+    secs(s"i8-quantized-knn ${kEmb}x")(i8knn(bigEmb))
+    secs(s"ivf-batch50 1x")(ivfBatch(emb))
+    secs(s"ivf-batch50 ${kEmb}x")(ivfBatch(bigEmb))
     spark.stop()
   }
 }
