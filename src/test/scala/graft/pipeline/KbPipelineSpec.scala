@@ -39,6 +39,17 @@ class KbPipelineSpec extends SparkSpec {
       s"enhancement drifted; update E2eEnhancedQuery2 to: $live2")
   }
 
+  test("all 20 pinned batch enhancements match live Enhancement output") {
+    import graft.queries.EngineQueries
+    val texts = EngineQueries.E2eBatch20.map(_._1)
+    val lives = spark.createDataset(texts)(org.apache.spark.sql.Encoders.STRING)
+      .select(graft.query.Enhancement.enhance(col("value")))
+      .collect().map(_.getString(0))
+    EngineQueries.E2eBatch20.zip(lives).foreach { case ((t, pinned), live) =>
+      assert(live == pinned, s"enhancement drifted for '$t'; update pin to: $live")
+    }
+  }
+
   test("full query lifecycle returns ranked hits and formatted context") {
     val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3,
       queryContextScope = 1)
