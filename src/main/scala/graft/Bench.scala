@@ -53,6 +53,10 @@ object Bench {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", nCentroids = 8)
         .assigned.count()
     }
+    val graphSec = secs {
+      operators.VectorSearch.cachedGraph(sfDir,
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", k = 8).count()
+    }
 
     // Per query: reps runs, report min (graded) and max (noise indicator).
     // A failed query records -1 (never a normal-looking elapsed time) and is
@@ -74,7 +78,7 @@ object Bench {
     val qsMax = jmap(results.map { case (k, _, mx) => (k, mx) })
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val build = s"""{"warmup":$warmupSec,"bm25_index":$bm25Sec,"ivf_index":$ivfSec}"""
+    val build = s"""{"warmup":$warmupSec,"bm25_index":$bm25Sec,"ivf_index":$ivfSec,"graph_index":$graphSec}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"build":$build,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

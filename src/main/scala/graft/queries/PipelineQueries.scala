@@ -5,7 +5,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.ingest.Chunker
 import graft.multimodal.Multimodal
-import graft.operators.Dedup
+import graft.operators.{Dedup, VectorSearch}
 
 /** Training-data pipeline queries (builder-prompt extensions): dedup suite
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
@@ -343,6 +343,96 @@ object PipelineQueries {
         threshold = 0.2, numPlanes = 4)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ── Graph ANN (HNSW batch analogue): deterministic small-world k-NN
+    //    graph (sign-LSH locals + hash-block long links) + 3-hop beam
+    //    search, every hop unrolled into the oracle — value-exact ─────────
+    QueryDef.sql("sim_knn_graph", {
+      // sign of rademacherPlane(p, j, seed): seed rides as seed*97
+      def signSql(p: String, j: String, seed: Long): String =
+        s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + ${seed * 97L}) % 1000000007) % 2 = 0 " +
+          "THEN 1.0 ELSE -1.0 END)"
+      def bucketSql(seed: Long): String = {
+        val dotPlane =
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+             | list_transform(range(0, len(v)),
+             |                j -> v[j + 1]::DOUBLE * ${signSql("p", "j", seed)})),
+             | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+        s"""list_reduce(list_prepend(0::BIGINT,
+           | list_transform(range(0, 4), p ->
+           |   CASE WHEN $dotPlane >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+      }
+      // one beam-search hop: candidates = frontier ∪ its graph neighbors,
+      // rescore, keep the best 48 per query
+      def hop(prev: String, i: Int): String =
+        s"""c$i AS (SELECT query_id, doc_id FROM $prev
+           | UNION SELECT f.query_id, e.dst AS doc_id
+           |        FROM $prev f JOIN edges e ON f.doc_id = e.doc_id),
+           |f${i}s AS (SELECT c.query_id, c.doc_id,
+           |          ${cosineSql("emb.v", "q.qv")} AS score
+           |          FROM c$i c JOIN emb ON emb.id = c.doc_id
+           |          JOIN q ON q.query_id = c.query_id),
+           |f$i AS (SELECT query_id, doc_id, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY score DESC, doc_id) AS rk FROM f${i}s) WHERE rk <= 48)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM emb),
+         |sg AS (SELECT id, v, ${bucketSql(42L)} AS b0, ${bucketSql(43L)} AS b1,
+         |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
+         |         % (SELECT nblocks FROM nb) AS bg
+         |       FROM emb),
+         |lcand AS (SELECT a.id AS src, b.id AS dst FROM sg a JOIN sg b
+         |            ON a.b0 = b.b0 AND a.id <> b.id
+         |          UNION
+         |          SELECT a.id, b.id FROM sg a JOIN sg b
+         |            ON a.b1 = b.b1 AND a.id <> b.id),
+         |lcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+         |         FROM lcand c JOIN emb va ON c.src = va.id
+         |         JOIN emb vb ON c.dst = vb.id),
+         |ltop AS (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |         ORDER BY cs DESC, dst) AS rk FROM lcos) WHERE rk <= 8),
+         |gcand AS (SELECT a.id AS src, b.id AS dst FROM sg a JOIN sg b
+         |            ON a.bg = b.bg AND a.id <> b.id),
+         |gcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+         |         FROM gcand c JOIN emb va ON c.src = va.id
+         |         JOIN emb vb ON c.dst = vb.id),
+         |gtop AS (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |         ORDER BY cs DESC, dst) AS rk FROM gcos) WHERE rk <= 4),
+         |e0 AS (SELECT src, dst FROM ltop UNION SELECT src, dst FROM gtop),
+         |edges AS (SELECT src AS doc_id, dst FROM e0
+         |          UNION SELECT dst, src FROM e0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id IN (1, 101, 201)),
+         |ent(doc_id) AS (VALUES (0::BIGINT), (100::BIGINT), (200::BIGINT), (300::BIGINT)),
+         |f0s AS (SELECT q.query_id, ent.doc_id,
+         |        ${cosineSql("emb.v", "q.qv")} AS score
+         |        FROM q CROSS JOIN ent JOIN emb ON emb.id = ent.doc_id),
+         |f0 AS (SELECT query_id, doc_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, doc_id) AS rk FROM f0s) WHERE rk <= 48),
+         |${hop("f0", 1)},
+         |${hop("f1", 2)},
+         |${hop("f2", 3)}
+         |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+         |FROM (SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank FROM f3)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val g = VectorSearch.cachedGraph(dir, emb, "vec_id", "embedding", k = 8)
+      val queries = emb.filter(col("vec_id").isin(1L, 101L, 201L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10, beam = 48, hops = 3,
+          entryIds = Seq(0L, 100L, 200L, 300L))
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
     },
 
     // ── Batched k-NN similarity search (5 queries × top-5) ────────────────

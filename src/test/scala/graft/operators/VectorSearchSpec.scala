@@ -219,4 +219,76 @@ class VectorSearchSpec extends SparkSpec {
     val recall = (got & exact).size.toDouble / 20
     assert(recall >= 0.4, s"ADC recall@20 $recall suspiciously low for 16 codewords")
   }
+
+  // ── graph ANN (HNSW batch analogue) ─────────────────────────────────────
+
+  private def graphCorpus = {
+    val r = new scala.util.Random(17)
+    (0L until 400L).map(i => i -> randVec(r, 32)).toDF("vec_id", "embedding")
+  }
+
+  test("knnGraph: no self-edges, ranked neighbors per (node, kind), deterministic") {
+    val g = VectorSearch.knnGraph(graphCorpus, "vec_id", "embedding", k = 8)
+    val rows = g.select("src", "dst", "kind", "rnk").as[(Long, Long, String, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s, d, _, _) => s != d })
+    assert(rows.map(_._3).toSet == Set("l", "g"))
+    rows.groupBy(r => (r._1, r._3)).foreach { case ((s, kind), es) =>
+      val cap = if (kind == "l") 8 else 4
+      val rks = es.map(_._4).sorted
+      assert(rks.length <= cap && rks.toSeq == (1 to rks.length),
+        s"bad ranks for ($s, $kind)")
+    }
+    val again = VectorSearch.knnGraph(graphCorpus, "vec_id", "embedding", k = 8)
+      .select("src", "dst", "kind", "rnk").as[(Long, Long, String, Int)].collect()
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("knnGraph neighbors are ranked by descending cosine within each kind") {
+    val g = VectorSearch.knnGraph(graphCorpus, "vec_id", "embedding", k = 8)
+    val bad = g.withColumn("prev", lag("cos", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src", "kind").orderBy("rnk")))
+      .filter(col("prev").isNotNull && col("prev") < col("cos")).count()
+    assert(bad == 0)
+  }
+
+  test("graphSearch: beam search over the knn graph recovers most of the exact top-k") {
+    val emb = graphCorpus
+    val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
+    val queries = emb.filter(col("vec_id").isin(3L, 77L, 212L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, beam = 48, hops = 3,
+        entryIds = Seq(0L, 100L, 200L, 300L))
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = VectorSearch.bruteTopKBatch(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", 10)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      (got.getOrElse(q, Set.empty) & want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    // calibrated: 0.97-1.0 measured on this seed at beam=48/hops=3; the
+    // long-range hash-block links are what make this reachable — the
+    // sign-LSH local edges alone plateau at ~0.3 (disconnected components)
+    assert(mean >= 0.8, s"graph-ANN mean recall@10 too low: $recalls")
+    got.keySet.foreach(q => assert(got(q).contains(q), s"query $q did not reach itself"))
+  }
+
+  test("graphSearch respects beam >= k and returns ranked rows") {
+    val emb = graphCorpus
+    val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
+    val queries = emb.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    intercept[IllegalArgumentException] {
+      VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, beam = 5, hops = 1, entryIds = Seq(0L))
+    }
+    val res = VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, beam = 16, hops = 2,
+        entryIds = Seq(0L, 100L))
+      .select("rank").as[Int].collect().sorted.toSeq
+    assert(res == (1 to res.length))
+  }
 }
