@@ -122,12 +122,24 @@ object Scale {
     secs(s"knn-batch50 ${kEmb}x")(knn50(bigEmb))
     secs(s"pq-encode+adc 1x")(pq(emb))
     secs(s"pq-encode+adc ${kEmb}x")(pq(bigEmb))
+    def graphAnn(e: DataFrame): Long = {
+      val n = e.count()
+      val planes = operators.VectorSearch.graphPlanesFor(n)
+      val g = operators.VectorSearch.knnGraph(e, "vec_id", "embedding",
+        k = 8, numPlanes = planes).localCheckpoint(true)
+      operators.VectorSearch.graphSearch(g, e, "vec_id", "embedding",
+        queries50(e), "query_id", "qvec", k = 20, beam = 48, hops = 3,
+        entryIds = Seq(0L, 100L, 200L, 300L)).count()
+    }
+
     secs(s"spell-correct50 1x")(spell(docs))
     secs(s"spell-correct50 ${kDocs}x")(spell(bigDocs))
     secs(s"i8-quantized-knn 1x")(i8knn(emb))
     secs(s"i8-quantized-knn ${kEmb}x")(i8knn(bigEmb))
     secs(s"ivf-batch50 1x")(ivfBatch(emb))
     secs(s"ivf-batch50 ${kEmb}x")(ivfBatch(bigEmb))
+    secs(s"graph-build+search50 1x")(graphAnn(emb))
+    secs(s"graph-build+search50 ${kEmb}x")(graphAnn(bigEmb))
     spark.stop()
   }
 }

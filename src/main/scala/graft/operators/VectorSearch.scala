@@ -529,6 +529,15 @@ object VectorSearch {
     pmod((id * lit(2654435761L) + lit(seed) * lit(131L)) % lit(1000000007L),
       lit(nBlocks.toLong))
 
+  /** Plane count for [[knnGraph]] sized to the corpus: enough sign-LSH
+    * planes that expected bucket size ≈ `targetBucket`, so the per-bucket
+    * self-joins stay bounded as n grows (numPlanes = ⌈log2(n/targetBucket)⌉
+    * — the same corpus-sized-policy spirit as [[chooseIndex]]).
+    */
+  def graphPlanesFor(n: Long, targetBucket: Int = 64): Int =
+    math.min(20, math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
   /** Deterministic k-NN graph with small-world links (the HNSW layer-0
     * batch analogue). Two edge types, both from keyed self-joins (never
     * all-pairs), both exact-cosine-ranked per source:
@@ -556,7 +565,7 @@ object VectorSearch {
   def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
                k: Int, numPlanes: Int = 4, reps: Int = 2,
                kLong: Int = 4, blockSize: Int = 32,
-               seed: Long = 42L): DataFrame = {
+               bucketWindow: Int = 16, seed: Long = 42L): DataFrame = {
     val head = embeddings.select(size(col(vecCol))).take(1)
     if (head.isEmpty)
       return embeddings.select(col(idCol).as("src"), col(idCol).as("dst"),
@@ -570,15 +579,37 @@ object VectorSearch {
         (0 until reps).map(r =>
           signBucket(col(vecCol), dim, numPlanes, seed + r).as(s"_b$r")) :+
         longBlock(col(idCol), nBlocks, seed).as("_bg"): _*)
+    // Sorted-neighborhood pairing within a bucket: rank members by id and
+    // pair each node with the `bucketWindow` ranks above it (then
+    // symmetrize). All-pairs within a bucket is quadratic in bucket size,
+    // and bucket sizes are NOT bounded by plane count when the corpus has
+    // duplicate-heavy regions (exact copies share every geometric bucket —
+    // measured: a 50×-replicated corpus made the all-pairs build ~100×
+    // slower). The window caps candidate volume at n·bucketWindow·reps for
+    // ANY duplication level — the same bounded-blocking idea as
+    // charNgramJaccard's df cap, but degrading gracefully instead of
+    // dropping the block. The explode keeps the join equi-keyed.
     def pairsOn(bucketCol: String): DataFrame = {
-      val a = withBuckets.select(col("_id").as("src"), col(bucketCol).as("_bk"))
-      val b = withBuckets.select(col("_id").as("dst"), col(bucketCol).as("_bk"))
-      a.join(b, Seq("_bk")).filter(col("src") =!= col("dst"))
+      val ranked = withBuckets.select(col("_id"), col(bucketCol).as("_bk"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_bk").orderBy("_id")))
+      val up = ranked.select(col("_id").as("src"), col("_bk"),
+          explode(sequence(col("_rn") + 1, col("_rn") + bucketWindow)).as("_rn"))
+        .join(ranked.select(col("_id").as("dst"), col("_bk"), col("_rn")),
+          Seq("_bk", "_rn"))
         .select("src", "dst")
+      up.unionByName(up.select(col("dst").as("src"), col("src").as("dst")))
     }
     val localCand = (0 until reps).map(r => pairsOn(s"_b$r"))
       .reduce(_ unionByName _).distinct()
-    val longCand = pairsOn("_bg").distinct()
+    // long blocks are sized (~blockSize members), so all-pairs stays
+    // bounded there by construction
+    val longCand = {
+      val a = withBuckets.select(col("_id").as("src"), col("_bg"))
+      val b = withBuckets.select(col("_id").as("dst"), col("_bg"))
+      a.join(b, Seq("_bg")).filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+    }
     val va = embeddings.select(col(idCol).as("src"), col(vecCol).as("_va"))
     val vb = embeddings.select(col(idCol).as("dst"), col(vecCol).as("_vb"))
     def ranked(cand: DataFrame, kind: String, kk: Int): DataFrame =

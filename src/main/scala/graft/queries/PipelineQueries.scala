@@ -383,11 +383,16 @@ object PipelineQueries {
          |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
          |         % (SELECT nblocks FROM nb) AS bg
          |       FROM emb),
-         |lcand AS (SELECT a.id AS src, b.id AS dst FROM sg a JOIN sg b
-         |            ON a.b0 = b.b0 AND a.id <> b.id
-         |          UNION
-         |          SELECT a.id, b.id FROM sg a JOIN sg b
-         |            ON a.b1 = b.b1 AND a.id <> b.id),
+         |lrn0 AS (SELECT id, b0 AS bk,
+         |         row_number() OVER (PARTITION BY b0 ORDER BY id) AS rn FROM sg),
+         |lup0 AS (SELECT a.id AS src, b.id AS dst FROM lrn0 a JOIN lrn0 b
+         |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
+         |lrn1 AS (SELECT id, b1 AS bk,
+         |         row_number() OVER (PARTITION BY b1 ORDER BY id) AS rn FROM sg),
+         |lup1 AS (SELECT a.id AS src, b.id AS dst FROM lrn1 a JOIN lrn1 b
+         |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
+         |lcand AS (SELECT src, dst FROM lup0 UNION SELECT dst, src FROM lup0
+         |          UNION SELECT src, dst FROM lup1 UNION SELECT dst, src FROM lup1),
          |lcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
          |         FROM lcand c JOIN emb va ON c.src = va.id
          |         JOIN emb vb ON c.dst = vb.id),
