@@ -23,6 +23,12 @@ import graft.functions.VectorFunctions._
   *    re-rank inside. This is FAISS IVFFlat's exact recall/latency trade
   *    re-expressed as parquet partition pruning — at 100 TB the scan touches
   *    nprobe/ncentroids of the data.
+  *  - '''PQ / IVFPQ''' ([[pqEncode]]/[[pqAdcTopK]]): 32× compressed codes
+  *    scored via a broadcast ADC lookup table, exact re-rank on the
+  *    shortlist.
+  *  - '''Graph''' ([[knnGraph]]/[[graphSearch]]): the HNSW rung as its
+  *    batch analogue — a built-once small-world neighbor graph plus
+  *    fixed-hop beam search over a query batch.
   *
   * Batched queries use [[bruteTopKBatch]]: a broadcast join of the query set
   * against the corpus with a per-query `row_number` window — one shuffle of

@@ -276,6 +276,38 @@ class VectorSearchSpec extends SparkSpec {
     got.keySet.foreach(q => assert(got(q).contains(q), s"query $q did not reach itself"))
   }
 
+  test("graphPlanesFor sizes plane count to expected bucket ~targetBucket") {
+    assert(VectorSearch.graphPlanesFor(0) == 1)
+    assert(VectorSearch.graphPlanesFor(64) == 1)
+    assert(VectorSearch.graphPlanesFor(2000) == 5)
+    assert(VectorSearch.graphPlanesFor(100000) == 11)
+    assert(VectorSearch.graphPlanesFor(Long.MaxValue) == 20) // capped
+  }
+
+  test("graphSearch degenerate inputs: absent entries yield empty, tiny corpus works") {
+    val emb = graphCorpus
+    val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
+    val queries = emb.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // entry ids not present in the corpus: the walk has nowhere to start —
+    // empty result, no crash (HNSW with an absent entry point would fail
+    // harder; the join-shape degrades to zero rows)
+    val absent = VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, beam = 16, hops = 2,
+      entryIds = Seq(999999L))
+    assert(absent.count() == 0)
+    // 2-node corpus: graph may have few/no sign-bucket pairs, but the
+    // hash-block long links still connect it
+    val tiny = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val tg = VectorSearch.knnGraph(tiny, "vec_id", "embedding", k = 2)
+    val tq = tiny.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = VectorSearch.graphSearch(tg, tiny, "vec_id", "embedding",
+      tq, "query_id", "qvec", k = 2, beam = 4, hops = 1, entryIds = Seq(0L))
+    assert(res.count() == 2) // reaches both nodes via the long link
+  }
+
   test("graphSearch respects beam >= k and returns ranked rows") {
     val emb = graphCorpus
     val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
