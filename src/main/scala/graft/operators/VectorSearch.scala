@@ -511,7 +511,7 @@ object VectorSearch {
     // leaf keeps per-query analysis O(search plan), not O(build plan).
     // Cluster deployments would write the graph to storage instead
     // (reliable checkpoint), same economics as any index.
-    perSession.computeIfAbsent(key, _ =>
+    perSession.computeIfAbsent(s"$key|k=$k", _ =>
       knnGraph(e, idCol, vecCol, k).localCheckpoint(true))
   }
 
@@ -529,7 +529,9 @@ object VectorSearch {
 
   /** Geometry-independent block id for long-range graph links: an integer
     * hash of the node id into ~n/blockSize blocks. Same formula in the
-    * DuckDB oracle.
+    * DuckDB oracle. Contract: ids non-negative and < ~2^31 so the product
+    * stays in BIGINT range cross-engine (Spark wraps on Long overflow,
+    * DuckDB errors) — true of every id column this engine produces.
     */
   def longBlock(id: Column, nBlocks: Int, seed: Long): Column =
     pmod((id * lit(2654435761L) + lit(seed) * lit(131L)) % lit(1000000007L),
