@@ -630,6 +630,65 @@ object VectorSearch {
     ranked(localCand, "l", k).unionByName(ranked(longCand, "g", kLong))
   }
 
+  /** NN-Descent refinement (Dong et al., WWW'11 — the standard distributed
+    * kNN-graph improvement): each round proposes every node's
+    * neighbors-of-neighbors as new local-edge candidates — "a neighbor of
+    * my neighbor is likely my neighbor" — rescores with exact cosine, and
+    * keeps the best `k` per node. Local edges (`kind='l'`) improve
+    * monotonically (the old edges stay in the candidate set — a structural
+    * invariant the spec asserts per node); long links (`kind='g'`) pass
+    * through untouched, preserving navigability. Deterministic: same
+    * cosine ranking and doc-id tie-breaks as [[knnGraph]].
+    *
+    * When to use it — measured, not assumed: refinement is for when the
+    * kNN GRAPH ITSELF is the deliverable (neighbor lists for dedup,
+    * recommendations, clustering features) — there, closer neighbors are
+    * strictly better and the per-node improvement invariant is the goal.
+    * For SEARCH navigability it can hurt: tightening every node's edges
+    * to its k closest prunes the medium-range links beam search climbs
+    * through (measured on a 20-cluster corpus: recall@10 0.67 → 0.47 at
+    * beam=16-24, recovering to 1.0 only at beam=48; flat 0.97 on uniform
+    * random) — the same effect HNSW counters with its diversity-selection
+    * heuristic. Serve searches from the UNREFINED small-world graph; the
+    * spec asserts the edge-quality invariant and search non-regression at
+    * the generous-beam operating point.
+    *
+    * 100 TB shape: each round is two id-keyed self-joins over the edge
+    * list (≤ n·k² candidate rows before the distinct, k² per node —
+    * bounded by construction, no corpus-sized state), one vector re-join,
+    * one per-src window. Lineage is truncated per round (iterative
+    * DataFrame loop, same as connectedComponents).
+    */
+  def refineGraph(graph: DataFrame, embeddings: DataFrame, idCol: String,
+                  vecCol: String, k: Int, rounds: Int = 1): DataFrame = {
+    val longEdges = graph.filter(col("kind") === "g")
+    val va = embeddings.select(col(idCol).as("src"), col(vecCol).as("_va"))
+    val vb = embeddings.select(col(idCol).as("dst"), col(vecCol).as("_vb"))
+    var local = graph.filter(col("kind") === "l")
+      .select("src", "dst").localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val und = local.unionByName(
+        local.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val twoHop = und.select(col("src"), col("dst").as("_mid"))
+        .join(und.select(col("src").as("_mid"), col("dst")), "_mid")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val cand = und.unionByName(twoHop).distinct()
+      local = cand.join(va, "src").join(vb, "dst")
+        .select(col("src"), col("dst"), cosine(col("_va"), col("_vb")).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rnk") <= k)
+        .select("src", "dst").localCheckpoint(true)
+    }
+    local.join(va, "src").join(vb, "dst")
+      .select(col("src"), col("dst"), cosine(col("_va"), col("_vb")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .select(col("src"), col("dst"), col("cos"), lit("l").as("kind"), col("rnk"))
+      .unionByName(longEdges)
+  }
+
   /** Batched greedy beam search over a [[knnGraph]] — HNSW's search loop
     * unrolled to `hops` iterations of: expand the per-query pool by its
     * members' graph neighbors, rescore, keep the best `beam`. The pool is

@@ -308,6 +308,51 @@ class VectorSearchSpec extends SparkSpec {
     assert(res.count() == 2) // reaches both nodes via the long link
   }
 
+  test("refineGraph: NN-Descent round weakly improves every node's neighbor quality") {
+    val emb = graphCorpus
+    val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
+    val r = VectorSearch.refineGraph(g, emb, "vec_id", "embedding", k = 8, rounds = 1)
+    // long links pass through untouched
+    val gLong = g.filter(col("kind") === "g").select("src", "dst", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val rLong = r.filter(col("kind") === "g").select("src", "dst", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gLong == rLong)
+    // per-node total cosine of kept local edges is non-decreasing: the old
+    // edges are always in the refinement candidate set
+    def quality(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kind") === "l").groupBy("src")
+        .agg(sum("cos").as("q"), count(lit(1)).as("cnt"))
+        .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val qg = quality(g)
+    val qr = quality(r)
+    qg.foreach { case (src, (qOld, cntOld)) =>
+      val (qNew, cntNew) = qr(src)
+      assert(cntNew >= cntOld, s"node $src lost edges")
+      if (cntNew == cntOld)
+        assert(qNew >= qOld - 1e-9, s"node $src got worse: $qOld -> $qNew")
+    }
+    // and search recall over the refined graph does not regress
+    val queries = emb.filter(col("vec_id").isin(3L, 77L, 212L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def recall(graph: org.apache.spark.sql.DataFrame): Double = {
+      val got = VectorSearch.graphSearch(graph, emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10, beam = 48, hops = 3,
+          entryIds = Seq(0L, 100L, 200L, 300L))
+        .select("query_id", "doc_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = VectorSearch.bruteTopKBatch(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", 10)
+        .select("query_id", "doc_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, w) => (got.getOrElse(q, Set.empty[Long]) & w).size.toDouble / w.size }
+      rs.sum / rs.size
+    }
+    val base = recall(g)
+    val refined = recall(r)
+    assert(refined >= base - 0.1, s"refined recall regressed: $base -> $refined")
+  }
+
   test("graphSearch respects beam >= k and returns ranked rows") {
     val emb = graphCorpus
     val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
