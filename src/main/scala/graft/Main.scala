@@ -22,8 +22,8 @@ import graft.pipeline.{KbPipeline, Tuning}
   *   runMain graft.Main convert-encoding <inputGlob> <outDir>
   *   runMain graft.Main edit <kbDir> [<key> <value>]
   * }}}
-  * plus extension verbs dedup / components / knn / pq (training-pipeline
-  * suite).
+  * plus extension verbs dedup / components / knn / graph / pq
+  * (training-pipeline suite).
   */
 object Main {
 
@@ -237,6 +237,30 @@ object Main {
               qv, k, nprobe = math.max(1, nc / 4))
         }
         hits.collect().foreach(r => println(f"[graft] knn: ${r.getLong(0)} ${r.getDouble(1)}%.6f"))
+
+      case "graph" =>
+        // extension verb: graph-ANN top-k (the HNSW-analogue rung) — build
+        // (or reuse) the small-world k-NN graph over the KB's embeddings,
+        // then beam-search from fixed entry points. Entries are the k
+        // lowest doc ids (deterministic; HNSW uses its top-layer entry the
+        // same way: a fixed, query-independent starting set).
+        require(args.length >= 3, "graph <kbDir> <doc_id> [k]")
+        import graft.operators.VectorSearch
+        val k = if (args.length > 3) args(3).toInt else 10
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        val n = emb.count()
+        val g = VectorSearch.cachedGraph(s"$kb/embeddings", emb, "doc_id", "embedding",
+          k = 8)
+        val entries = emb.select("doc_id").orderBy("doc_id")
+          .limit(4).collect().map(_.getLong(0)).toSeq
+        val queries = emb.filter(col("doc_id") === args(2).toLong)
+          .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+        println(s"[graft] graph: n=$n edges=${g.count()} entries=${entries.mkString(",")}")
+        VectorSearch.graphSearch(g, emb, "doc_id", "embedding",
+            queries, "query_id", "qvec", k = k, beam = math.max(48, 2 * k),
+            hops = 3, entryIds = entries)
+          .collect().foreach(r =>
+            println(f"[graft] graph: ${r.getLong(1)} ${r.getDouble(2)}%.6f rank=${r.getInt(3)}"))
 
       case "components" =>
         // extension verb: duplicate-GROUP closure over the stored dedup

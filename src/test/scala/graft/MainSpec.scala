@@ -40,6 +40,7 @@ class MainSpec extends SparkSpec {
 
     val firstId = emb.select("doc_id").orderBy("doc_id").head().getLong(0)
     Main.run(Array("knn", kb, firstId.toString, "3"), spark)
+    Main.run(Array("graph", kb, firstId.toString, "3"), spark)
 
     Main.run(Array("components", kb), spark)
     val comp = spark.read.parquet(s"$kb/dedup/components")
