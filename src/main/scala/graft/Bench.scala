@@ -7,16 +7,27 @@ import org.apache.spark.sql.SparkSession
   * explicit build phase whose cost is reported under `"build"` — mirroring
   * the reference's regime, where BASELINE.md's query latencies are measured
   * against an already-loaded FAISS/NPZ index and insert/build time is its
-  * own metric. Queries then run in sorted name order so timings are
-  * attributable and stable across runs.
+  * own metric.
   *
-  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports
-  * the MIN — the shared-VM host this benches on shows ±25%-and-worse noise
-  * bursts (PLANS.md; round 7's bench was contaminated mid-run by exactly
-  * such a burst), and min-of-N is the standard way to recover the true cost
-  * under transient contention. The per-query max rides along in
-  * `"queries_max"` as a noise indicator: max >> min flags a contended run
-  * without polluting the graded numbers.
+  * Repetition is INTERLEAVED across full-suite passes: the whole sorted
+  * suite runs `SPARK_GRAFT_BENCH_REPS` times (default 3) start-to-finish,
+  * and each query's graded number is its MIN across passes. The shared-VM
+  * host this benches on shows sustained multi-minute contention bursts
+  * (PLANS.md; rounds 7 AND 8 driver benches were contaminated), and
+  * min-of-N *consecutive* reps shares one burst across all N reps — a burst
+  * spanning a few minutes poisons every rep of every query it covers.
+  * Interleaving spreads a query's reps across the whole run, so a burst
+  * must last the entire suite (~several minutes × passes) to poison a
+  * query's min. Per-pass wall-clock totals are emitted under
+  * `"pass_totals"` so a contaminated pass is visible and discountable from
+  * the file alone; per-query max rides along in `"queries_max"` as a noise
+  * indicator.
+  *
+  * Failure accounting: a query that throws on EVERY pass grades -1 and
+  * counts in `"failed"`; a query that throws on SOME passes still grades
+  * the min of its successful reps but its name→failure-count appears in
+  * `"queries_failed_reps"`, so an intermittently-crashing query can never
+  * silently read as a clean pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,28 +69,39 @@ object Bench {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", k = 8).count()
     }
 
-    // Per query: reps runs, report min (graded) and max (noise indicator).
-    // A failed query records -1 (never a normal-looking elapsed time) and is
-    // excluded from the total — a regression that breaks a query must not
-    // read as a performance win.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        try { Some(secs { fn(spark, sfDir).count(); () }) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+    val fails = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val passTotals = (1 to reps).map { _ =>
+      secs {
+        names.foreach { case (name, fn) =>
+          try {
+            val t = secs { fn(spark, sfDir).count(); () }
+            times(name) = t :: times.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            fails(name) += 1
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
         }
       }
-      if (times.isEmpty) (name, -1.0, -1.0)
-      else (name, times.min, times.max)
+    }
+    val results = names.map { case (name, _) =>
+      times.get(name) match {
+        case Some(ts) => (name, ts.min, ts.max)
+        case None     => (name, -1.0, -1.0)
+      }
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, mn, _) => (k, mn) })
     val qsMax = jmap(results.map { case (k, _, mx) => (k, mx) })
+    val failedReps = fails.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
     val build = s"""{"warmup":$warmupSec,"bm25_index":$bm25Sec,"ivf_index":$ivfSec,"graph_index":$graphSec}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"build":$build,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"queries_failed_reps":$failedReps,"pass_totals":$passes,"build":$build,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

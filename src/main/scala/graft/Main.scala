@@ -68,6 +68,26 @@ object Main {
     else spark.read.parquet(path).select(size(col("embedding")))
       .take(1).headOption.map(_.getInt(0))
 
+  /** M6: rewrite ONLY the `vector_dimensions` key in an existing KB
+    * config.ini, preserving every other line verbatim — the reference's
+    * `_update_cfg_value` (`embed_manager.py:748-756`) updates the single
+    * key and returns without writing when no config file exists.
+    */
+  private[graft] def syncDimsKey(path: String, dims: Int): Unit = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) return
+    val text = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keyLine = "(?m)^\\s*vector_dimensions\\s*=.*$".r
+    val updated =
+      if (keyLine.findFirstIn(text).isDefined)
+        keyLine.replaceAllIn(text, s"vector_dimensions = $dims")
+      else text.stripLineEnd + s"\nvector_dimensions = $dims\n"
+    java.nio.file.Files.write(f,
+      updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** Verb dispatch against a caller-owned session (main owns stop()). */
   def run(args: Array[String], spark: SparkSession): Unit = {
     require(args.length >= 2, "usage: graft.Main <verb> <kbDir> [...]")
@@ -90,16 +110,18 @@ object Main {
         val cfg0 = loadCfg(args, 2, kb)
         // M6 dims auto-sync (embed_manager.py:748-756): an existing
         // embeddings table is the source of truth for dimensionality — a
-        // stale config value is corrected IN the config file (not just in
-        // memory), so every later verb sees the synced value.
+        // stale config value is corrected IN the KB's config file (not just
+        // in memory), so every later verb sees the synced value. Like the
+        // reference's _update_cfg_value, ONLY the vector_dimensions key is
+        // rewritten (an explicitly-passed one-off cfg must not be persisted
+        // as the KB's config) and the write is skipped when the KB has no
+        // config.ini of its own.
         val cfg = storedDims(spark, s"$kb/embeddings") match {
           case Some(d) if d != cfg0.vectorDimensions =>
             println(s"[graft] embed: WARNING config vector_dimensions=" +
               s"${cfg0.vectorDimensions} updated to match stored embeddings dims=$d")
-            val fixed = cfg0.copy(vectorDimensions = d)
-            java.nio.file.Files.write(java.nio.file.Paths.get(s"$kb/config.ini"),
-              KbConfig.renderIni(fixed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            fixed
+            syncDimsKey(s"$kb/config.ini", d)
+            cfg0.copy(vectorDimensions = d)
           case _ => cfg0
         }
         val chunks = spark.read.parquet(s"$kb/chunks")
@@ -144,24 +166,25 @@ object Main {
           if (new java.io.File(s"$kb/bm25").exists())
             Some(graft.operators.Bm25.readIndex(spark, s"$kb/bm25"))
           else None
-        // ANN opt-in (config `index_type` = ivf/auto): build/reuse the IVF
-        // index sized by the auto-selection policy; "exact" (default)
-        // keeps the full-scan vector stage
-        val ivfIx =
-          if (cfg.indexType == "exact") None
-          else {
-            import graft.operators.VectorSearch
-            VectorSearch.chooseIndex(emb.count(), cfg.vectorDimensions) match {
-              case VectorSearch.IndexStrategy.Ivf(nc) =>
-                Some(VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
-              case VectorSearch.IndexStrategy.IvfPq(nc, _) =>
-                Some(VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
-              case _ => None // small/high-dim corpus: exact is the policy
-            }
+        // ANN opt-in (config `index_type` = ivf/auto): build/reuse the
+        // serving index for whatever tier the auto-selection policy picks —
+        // the policy output IS the serving index (query/search.py:207-231);
+        // "exact" (default) keeps the full-scan vector stage
+        val serving = {
+          import graft.operators.VectorSearch
+          if (cfg.indexType == "exact") VectorSearch.Serving.Flat
+          else VectorSearch.chooseIndex(emb.count(), cfg.vectorDimensions) match {
+            case VectorSearch.IndexStrategy.Ivf(nc) =>
+              VectorSearch.Serving.Ivf(
+                VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
+            case pq: VectorSearch.IndexStrategy.IvfPq =>
+              VectorSearch.buildServing(emb, "doc_id", "embedding", pq)
+            case _ => VectorSearch.Serving.Flat // small/high-dim: exact IS the policy
           }
+        }
         val t0 = System.nanoTime()
         val res = KbPipeline.query(spark, chunks, emb, args(2), cfg,
-          bm25Index = ix, ivfIndex = ivfIx)
+          bm25Index = ix, serving = serving)
         println(res.formatted)
         graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
           answer = "", latencyMs = (System.nanoTime() - t0) / 1000000)
@@ -249,8 +272,12 @@ object Main {
         val k = if (args.length > 3) args(3).toInt else 10
         val emb = spark.read.parquet(s"$kb/embeddings")
         val n = emb.count()
+        // corpus-sized plane count (graphPlanesFor: expected bucket size ≈
+        // 64) — a fixed 16-bucket default degrades local-edge quality on
+        // large KBs even though the sorted-neighborhood window keeps the
+        // build bounded
         val g = VectorSearch.cachedGraph(s"$kb/embeddings", emb, "doc_id", "embedding",
-          k = 8)
+          k = 8, numPlanes = VectorSearch.graphPlanesFor(n))
         val entries = emb.select("doc_id").orderBy("doc_id")
           .limit(4).collect().map(_.getLong(0)).toSeq
         val queries = emb.filter(col("doc_id") === args(2).toLong)

@@ -86,11 +86,79 @@ object TextFunctions {
   val UrlRegex = "https?://[^\\s]+"
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** Deterministic entity patterns (F5's `entities`, F2's preserved spans)
+    * — the regex/gazetteer re-expression of the reference's spaCy NER
+    * (`/root/reference/database/db_manager.py:168-237` builds
+    * `{label: [texts]}` from `doc.ents` over `text[:500]`;
+    * `utils/text_utils.py:105-186` shields PERSON/ORG/GPE/... spans from
+    * cleaning). Divergences, by design: pattern classes instead of a
+    * learned model (honorific-anchored capitalized spans, corporate-suffix
+    * spans, a small GPE gazetteer, date/number shapes); entity lists
+    * sorted alphabetically instead of first-appearance order
+    * (engine-neutral determinism); a span can match several labels (spaCy
+    * assigns exactly one); CARDINAL matches any digit run, including date
+    * components. All RE2-safe (no lookaround/backreference) → the same
+    * pattern strings run in the DuckDB oracle.
+    */
+  val PersonRegex = "\\b(?:Dr|Mrs|Mr|Ms|Prof)\\.? [A-Z][a-z]+(?: [A-Z][a-z]+)*\\b"
+  val OrgRegex =
+    "\\b[A-Z][A-Za-z&]*(?: [A-Z][A-Za-z&]*){0,3} (?:Inc|Corporation|Corp|Ltd|LLC|Company|Foundation|Institute|University)\\b"
+  val GpeGazetteer: Seq[String] = Seq(
+    "United States", "United Kingdom", "New York", "Los Angeles",
+    "San Francisco", "London", "Paris", "Tokyo", "Berlin", "Beijing",
+    "Sydney", "Toronto", "Chicago", "Germany", "France", "Japan", "China",
+    "India", "Brazil", "Canada")
+  def GpeRegex: String = "\\b(?:" + GpeGazetteer.mkString("|") + ")\\b"
+  val DateRegex = "\\b\\d{4}-\\d{2}-\\d{2}\\b"
+  val CardinalRegex = "\\b\\d+\\b"
+  /** Labels in canonical (alphabetical) order, paired with their patterns. */
+  def EntityPatterns: Seq[(String, String)] = Seq(
+    "CARDINAL" -> CardinalRegex, "DATE" -> DateRegex, "GPE" -> GpeRegex,
+    "ORG" -> OrgRegex, "PERSON" -> PersonRegex)
+
+  private def entityMatches(text: Column, re: String): Column =
+    array_sort(array_distinct(regexp_extract_all(text, lit(re), lit(0))))
+
+  /** F5 entity extraction: `MAP<label, ARRAY<span>>` over the first `limit`
+    * chars (the reference's `entity_extraction_limit`, default 500) — only
+    * labels with matches appear, mirroring the reference's
+    * "add only if entities were found".
+    */
+  def extractEntities(text: Column, limit: Int = 500): Column = {
+    val head = substring(text, 1, limit)
+    map_filter(
+      map_from_arrays(
+        array(EntityPatterns.map { case (l, _) => lit(l) }: _*),
+        array(EntityPatterns.map { case (_, re) => entityMatches(head, re) }: _*)),
+      (_, v) => size(v) > 0)
+  }
+
+  /** Canonical string form of an entities map for cross-engine compare:
+    * sorted labels, each `LABEL:span1|span2`, joined by `;`. (The driver's
+    * comparator cannot sort map columns — same economics as embedStrSql.)
+    */
+  def entitiesCanonical(m: Column): Column =
+    array_join(transform(array_sort(map_keys(m)),
+      k => concat(k, lit(":"), array_join(element_at(m, k), "|"))), ";")
+
   def enhancedCleanText(c: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(c, UrlRegex, " "), EmailRegex, " ")
+    // F2 entity preservation (text_utils.py:131-142,178-180): the spans the
+    // reference shields with placeholders and restores LOWERCASED are
+    // appended (lowercased) like URLs/emails — in-place numbered
+    // placeholders don't exist in column algebra (documented divergence);
+    // only the reference's preserved label set (person/org/place), not
+    // date/number shapes
+    val ents = transform(
+      array_sort(array_distinct(concat(
+        regexp_extract_all(stripped, lit(PersonRegex), lit(0)),
+        regexp_extract_all(stripped, lit(OrgRegex), lit(0)),
+        regexp_extract_all(stripped, lit(GpeRegex), lit(0))))),
+      e => lower(e))
     val preserved = concat_ws(" ",
       regexp_extract_all(c, lit(UrlRegex), lit(0)),
-      regexp_extract_all(regexp_replace(c, UrlRegex, " "), lit(EmailRegex), lit(0)))
-    val stripped = regexp_replace(regexp_replace(c, UrlRegex, " "), EmailRegex, " ")
+      regexp_extract_all(regexp_replace(c, UrlRegex, " "), lit(EmailRegex), lit(0)),
+      ents)
     val noHtml = regexp_replace(lower(stripped), "<[^>]*>", " ")
     val kept = regexp_replace(noHtml, "[^a-z0-9.!?:;\\- ]+", " ")
     val toks = filter(split(kept, "\\s+"), t =>

@@ -73,8 +73,11 @@ object Ingest {
 
   /** F5 metadata extraction (`/root/reference/database/db_manager.py:
     * 168-237`): heading from the first line, section-type classifier,
-    * char/word counts. (NER is a model dependency; the struct leaves an
-    * `entities` slot as an empty map with the right type.)
+    * char/word counts, and `entities {label: [spans]}` over the first 500
+    * chars via the deterministic regex/gazetteer NER
+    * ([[TextFunctions.extractEntities]] — the spaCy re-expression; only
+    * labels with matches appear, mirroring the reference's "add only if
+    * entities were found").
     */
   def extractMetadata(text: Column): Column =
     struct(
@@ -86,8 +89,7 @@ object Ingest {
         .otherwise("prose").as("section_type"),
       length(text).as("char_length"),
       TextFunctions.wordCount(text).as("word_count"),
-      map_from_arrays(array().cast("array<string>"),
-        array().cast("array<array<string>>")).as("entities"))
+      TextFunctions.extractEntities(text).as("entities"))
 
   /** S5 incremental-ingest skip: files already in the registry are dropped
     * (left-anti join on the content hash — stronger than the reference's

@@ -82,6 +82,55 @@ object VectorSearch {
       math.max(1, math.min(16, dim / 64)))
   }
 
+  /** Serving-time artifacts for a chosen [[IndexStrategy]] — what
+    * `KbPipeline.query`/`queryBatch` dispatch their vector stage on. The
+    * reference's policy output IS its serving index
+    * (`/root/reference/query/search.py:207-231`: whatever
+    * `embed_manager` picked is what search loads and probes), so the
+    * auto-selection policy must be able to SERVE every tier it can select.
+    * [[buildServing]] is the production constructor (KMeans IVF,
+    * Lloyd-trained PQ codebooks); oracle queries construct `Serving` values
+    * from the seeded deterministic twins instead, which is what lets the
+    * ANN-served e2e pipeline carry a value-exact DuckDB oracle.
+    */
+  sealed trait Serving
+  object Serving {
+    /** Exact full-scan vector stage (the `Flat` policy tier). */
+    case object Flat extends Serving
+    /** Cluster-pruned exact scoring; nprobe comes from config at query
+      * time (reference `ivf_nprobe`, `config/models.py:189`). */
+    final case class Ivf(index: IvfIndex) extends Serving
+    /** Coarse probe → ADC shortlist over PQ codes → exact re-rank of the
+      * shortlist (FAISS's IVFPQ+refine recipe). `encoded` is
+      * `index.assigned` plus the `codes` column ([[pqEncode]]). */
+    final case class IvfPq(index: IvfIndex, cb: PqCodebook, encoded: DataFrame,
+                           shortlist: Int = 100) extends Serving
+    /** Beam search over a [[knnGraph]] — the HNSW-tier batch analogue. */
+    final case class Graph(graph: DataFrame, beam: Int = 64, hops: Int = 3,
+                           entryIds: Seq[Long] = Seq(0L)) extends Serving
+  }
+
+  /** Build the serving artifacts for a [[chooseIndex]] outcome — the
+    * production path (KMeans coarse quantizer, Lloyd-trained PQ). The
+    * reference does exactly this handoff: the index the policy picks is
+    * built by `embed_manager` and then loaded by search
+    * (`embed_manager.py:163-213` → `query/search.py:207-231`).
+    *
+    * @param pqCodewords codewords per subspace (FAISS default 256; smaller
+    *                    corpora train better with fewer)
+    */
+  def buildServing(embeddings: DataFrame, idCol: String, vecCol: String,
+                   strategy: IndexStrategy, shortlist: Int = 100,
+                   pqCodewords: Int = 16): Serving = strategy match {
+    case IndexStrategy.Flat(_) => Serving.Flat
+    case IndexStrategy.Ivf(nc) =>
+      Serving.Ivf(buildIvf(embeddings, idCol, vecCol, nc))
+    case IndexStrategy.IvfPq(nc, m) =>
+      val ix = buildIvf(embeddings, idCol, vecCol, nc)
+      val cb = trainedPqCodebook(embeddings, idCol, vecCol, m, pqCodewords)
+      Serving.IvfPq(ix, cb, pqEncode(ix.assigned, idCol, vecCol, cb), shortlist)
+  }
+
   /** Exact top-k for one literal query vector. */
   def bruteTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Float], k: Int): DataFrame =
@@ -467,6 +516,25 @@ object VectorSearch {
       .take(nprobe).map(_._1).toSeq
   }
 
+  /** Top-`nprobe` centroid ids ranked through the SAME cosine Expression
+    * the cluster scan uses — driver-side float math ([[probeClusters]])
+    * can diverge from the codegen expression in the last bit, and a probe
+    * flip would change which clusters get scanned. The seeded oracle
+    * queries (sim_knn_ivf_seeded / sim_knn_ivfpq) rank probes this way for
+    * exactness; serving paths that carry a value oracle must too. One tiny
+    * local job over ncentroids rows.
+    */
+  def probeIdsExact(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Float]], query: Seq[Float],
+                    nprobe: Int): Seq[Int] = {
+    import spark.implicits._
+    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "cv")
+      .select(col("cid"), cosine(col("cv"), vecLit(query)).as("cs"))
+      .orderBy(col("cs").desc, col("cid")).limit(nprobe)
+      .select("cid").collect().map(_.getInt(0)).toIndexedSeq
+  }
+
   /** The corpus restricted to a query's probed clusters — partition-pruned
     * at rest when `assigned` is stored partitioned by `cluster_id`. Callers
     * score it with whatever ranking they need ([[ivfTopK]] uses
@@ -499,7 +567,7 @@ object VectorSearch {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   def cachedGraph(key: String, embeddings: => DataFrame, idCol: String,
-                  vecCol: String, k: Int): DataFrame = {
+                  vecCol: String, k: Int, numPlanes: Int = 4): DataFrame = {
     val e = embeddings // weak session keying: see Bm25.cachedIndex
     val perSession = graphCache.synchronized {
       graphCache.computeIfAbsent(e.sparkSession,
@@ -511,8 +579,8 @@ object VectorSearch {
     // leaf keeps per-query analysis O(search plan), not O(build plan).
     // Cluster deployments would write the graph to storage instead
     // (reliable checkpoint), same economics as any index.
-    perSession.computeIfAbsent(s"$key|k=$k", _ =>
-      knnGraph(e, idCol, vecCol, k).localCheckpoint(true))
+    perSession.computeIfAbsent(s"$key|k=$k|p=$numPlanes", _ =>
+      knnGraph(e, idCol, vecCol, k, numPlanes = numPlanes).localCheckpoint(true))
   }
 
   /** Sign-LSH bucket of a vector over `numPlanes` hash-derived ±1

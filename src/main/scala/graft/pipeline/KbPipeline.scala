@@ -39,7 +39,12 @@ object KbPipeline {
     */
   def embed(chunks: DataFrame, textCol: String, cache: DataFrame,
             cfg: KbConfig = KbConfig()): Embedder.CacheResult = {
-    val provider = Embedder.Retrying(Embedder.Deterministic(cfg.vectorDimensions),
+    // provider routing through the model registry: `vector_model` resolves
+    // canonical/alias/partial exactly like the reference's
+    // get_canonical_model (model_manager.py:24-85); unknown names fail here,
+    // at config time
+    val provider = Embedder.Retrying(
+      graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
       maxRetries = cfg.apiMaxRetries)
     // M2: provider-call batch sized from a token-count sample, capped by
     // the configured maximum (embed_manager.py:216-257)
@@ -65,19 +70,21 @@ object KbPipeline {
     *                        these categories (exact `array_contains`, the
     *                        deliberate upgrade over the reference's LIKE)
     */
-  /** @param ivfIndex  optional IVF index over the same embeddings; used for
-    *                   the vector stage iff `cfg.indexType != "exact"` —
-    *                   the probed scan replaces the full corpus scan
-    *                   (partition-pruned at rest), scored with the SAME
-    *                   rounded ranking, so exactness is the only thing
-    *                   traded (reference `faiss_index_type`, index.py:51;
-    *                   nprobe from `cfg.ivfNprobe`)
+  /** @param serving  the vector-stage serving index — the artifacts for
+    *                  whatever tier [[VectorSearch.chooseIndex]] selected
+    *                  (flat scan / IVF probe / IVFPQ ADC+re-rank / graph
+    *                  beam), honored iff `cfg.indexType != "exact"` (the
+    *                  reference's policy output IS its serving index,
+    *                  `query/search.py:207-231`; `index_type=exact` is the
+    *                  kill-switch back to the full scan). Every tier keeps
+    *                  the SAME rounded ranking contract, so exactness is
+    *                  the only thing traded (nprobe from `cfg.ivfNprobe`).
     */
   def query(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
             queryText: String, cfg: KbConfig = KbConfig(),
             categoryFilter: Seq[String] = Nil,
             bm25Index: Option[Bm25.Index] = None,
-            ivfIndex: Option[VectorSearch.IvfIndex] = None): QueryResult = {
+            serving: VectorSearch.Serving = VectorSearch.Serving.Flat): QueryResult = {
 
     // 1. enhancement (F6-F8) — constant-folded on the driver (no job, no
     //    codegen compile of the regex chain; Enhancement.enhanceValue)
@@ -94,19 +101,43 @@ object KbPipeline {
     //     would cascade through fusion ranks — the same determinism choice
     //     the standalone t1/t2/j3 queries make, and what lets the WHOLE
     //     pipeline carry a value-exact DuckDB oracle (e2e_hybrid_query).
-    //     ANN opt-in: with an IVF index and indexType != "exact", the scan
-    //     narrows to the probed clusters; ranking stays the rounded form
-    val vectorSide = ivfIndex match {
-      case Some(ix) if cfg.indexType != "exact" =>
-        VectorSearch.probeScan(ix, qvec, cfg.ivfNprobe)
-          .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding"))
-      case _ => embeddings
-    }
-    val vtop = vectorSide
+    //     ANN opt-in: with a serving index and indexType != "exact", the
+    //     vector stage dispatches on the policy's tier; ranking stays the
+    //     rounded form in every branch
+    import graft.functions.VectorFunctions.{cosine, vecLit}
+    def exactTop(side: DataFrame): DataFrame = side
       .select(col("doc_id"),
-        round(graft.functions.VectorFunctions.cosine(col("embedding"),
-          graft.functions.VectorFunctions.vecLit(qvec)), 6).as("score"))
+        round(cosine(col("embedding"), vecLit(qvec)), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
+    val effServing =
+      if (cfg.indexType == "exact") VectorSearch.Serving.Flat else serving
+    val vtop = effServing match {
+      case VectorSearch.Serving.Flat => exactTop(embeddings)
+      case VectorSearch.Serving.Ivf(ix) =>
+        // probed scan replaces the full corpus scan (partition-pruned at
+        // rest when `assigned` is stored by cluster_id)
+        exactTop(VectorSearch.probeScan(ix, qvec, cfg.ivfNprobe)
+          .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding")))
+      case VectorSearch.Serving.IvfPq(ix, cb, encoded, shortlist) =>
+        // FAISS IVFPQ+refine: probe (expression-ranked — probeIdsExact),
+        // ADC-score only the probed clusters' CODES (m int lookups/row,
+        // not a dim-float scan), exact re-rank of the shortlist
+        val probes = VectorSearch.probeIdsExact(spark, ix.centroids, qvec, cfg.ivfNprobe)
+        val enc = encoded.filter(col("cluster_id").isin(probes: _*))
+          .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding"), col("codes"))
+        val short = VectorSearch.pqAdcTopK(enc, "doc_id", "codes", cb, qvec, shortlist)
+          .select("doc_id")
+        exactTop(enc.join(short, Seq("doc_id"), "left_semi"))
+      case VectorSearch.Serving.Graph(g, beam, hops, entries) =>
+        // HNSW-analogue beam search; graphSearch's output already carries
+        // the rounded-6dp score contract
+        import spark.implicits._
+        val qDf = Seq((0L, qvec)).toDF("query_id", "qvec")
+        VectorSearch.graphSearch(g, embeddings, "doc_id", "embedding",
+            qDf, "query_id", "qvec", k = cfg.queryTopK,
+            beam = math.max(beam, cfg.queryTopK), hops = hops, entryIds = entries)
+          .select(col("doc_id"), col("score"))
+    }
 
     // 3b. BM25 (A2/T2) — skipped when hybrid disabled (the reference's
     //     low-memory tier does the same, README.md:454-459); k1/b and the
@@ -177,15 +208,18 @@ object KbPipeline {
   def queryBatch(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
                  queries: Seq[(Long, String)], cfg: KbConfig = KbConfig(),
                  bm25Index: Option[Bm25.Index] = None,
-                 ivfIndex: Option[VectorSearch.IvfIndex] = None): DataFrame = {
+                 serving: VectorSearch.Serving = VectorSearch.Serving.Flat): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
     // 1-2. enhancement + deterministic embedding: driver-side per query
     //      (constant-folded; N queries are one small literal table)
-    val enhanced = queries.map { case (qid, q) => (qid, Enhancement.enhanceValue(spark, q)) }
     val embedder = Embedder.Deterministic(cfg.vectorDimensions)
-    val qRows = enhanced.map { case (qid, e) =>
-      org.apache.spark.sql.Row(qid, e, embedder.embedBatch(Seq(e)).head)
+    val qData = queries.map { case (qid, q) =>
+      val e = Enhancement.enhanceValue(spark, q)
+      (qid, e, embedder.embedBatch(Seq(e)).head)
+    }
+    val qRows = qData.map { case (qid, e, qv) =>
+      org.apache.spark.sql.Row(qid, e, qv)
     }
     val qSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
@@ -195,32 +229,71 @@ object KbPipeline {
     val qDf = spark.createDataFrame(qRows.asJava, qSchema)
 
     // 3a. vector k-NN: one corpus pass scores all queries; rounded ranks.
-    //     ANN opt-in (indexType != "exact" + an IVF index): each query
-    //     probes its own cfg.ivfNprobe clusters — corpus rows join the
-    //     broadcast probe set on cluster_id instead of cross-joining every
-    //     query, the ivfTopKBatch shape with the pipeline's rounded ranking
-    val vectorScored = ivfIndex match {
-      case Some(ix) if cfg.indexType != "exact" =>
-        import spark.implicits._
-        val centDf = ix.centroids.toIndexedSeq.zipWithIndex
-          .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cv")
-        val probes = qDf.select("query_id", "qvec").crossJoin(broadcast(centDf))
-          .select(col("query_id"), col("qvec"), col("cid"),
-            graft.functions.VectorFunctions.cosine(col("cv"), col("qvec")).as("cs"))
-          .withColumn("_prn", row_number().over(byQ.orderBy(col("cs").desc, col("cid"))))
-          .filter(col("_prn") <= cfg.ivfNprobe)
-          .select(col("query_id"), col("qvec"), col("cid").as("cluster_id"))
-        ix.assigned.join(broadcast(probes), "cluster_id")
-          .select(col("query_id"), col(ix.idCol).as("doc_id"),
-            round(graft.functions.VectorFunctions.cosine(col(ix.vecCol), col("qvec")), 6).as("score"))
-      case _ =>
-        embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
-          .select(col("query_id"), col("doc_id"),
-            round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
-    }
-    val vtop = vectorScored
+    //     ANN opt-in (indexType != "exact" + a serving index): the vector
+    //     stage dispatches on the policy's tier, every branch keyed so
+    //     corpus rows join a BROADCAST per-query probe/frontier set instead
+    //     of cross-joining every query against the whole corpus
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine
+    def topPerQuery(scored: DataFrame): DataFrame = scored
       .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
       .filter(col("_rk") <= cfg.queryTopK).drop("_rk")
+    def centroidProbes(centroids: Array[Array[Float]]): DataFrame = {
+      val centDf = centroids.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cv")
+      qDf.select("query_id", "qvec").crossJoin(broadcast(centDf))
+        .select(col("query_id"), col("qvec"), col("cid"),
+          cosine(col("cv"), col("qvec")).as("cs"))
+        .withColumn("_prn", row_number().over(byQ.orderBy(col("cs").desc, col("cid"))))
+        .filter(col("_prn") <= cfg.ivfNprobe)
+        .select(col("query_id"), col("qvec"), col("cid").as("cluster_id"))
+    }
+    val effServing =
+      if (cfg.indexType == "exact") VectorSearch.Serving.Flat else serving
+    val vtop = effServing match {
+      case VectorSearch.Serving.Flat =>
+        topPerQuery(embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
+          .select(col("query_id"), col("doc_id"),
+            round(cosine(col("embedding"), col("qvec")), 6).as("score")))
+      case VectorSearch.Serving.Ivf(ix) =>
+        // the ivfTopKBatch shape with the pipeline's rounded ranking
+        topPerQuery(ix.assigned.join(broadcast(centroidProbes(ix.centroids)), "cluster_id")
+          .select(col("query_id"), col(ix.idCol).as("doc_id"),
+            round(cosine(col(ix.vecCol), col("qvec")), 6).as("score")))
+      case VectorSearch.Serving.IvfPq(ix, cb, encoded, shortlist) =>
+        // per-query ADC over the probed clusters' codes: each query's LUT
+        // (m·k doubles, computed driver-side like its embedding) rides the
+        // broadcast probe set; dist = ordered fold over the code array —
+        // the same sequential double accumulation as pqAdcTopK's codegen
+        // expression and the DuckDB oracle
+        val m = cb.length
+        val cw = cb.head.length
+        val luts = qData.map { case (qid, _, qv) =>
+          (qid, VectorSearch.pqLut(cb, qv.toSeq).toSeq) }.toDF("query_id", "_lut")
+        val probes = centroidProbes(ix.centroids).join(luts, "query_id")
+        val enc = encoded.select(col(ix.idCol).as("doc_id"),
+          col(ix.vecCol).as("embedding"), col("cluster_id"), col("codes"))
+        val dist = aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("_lut"), s * cw + c + 1)),
+          lit(0.0), (acc, x) => acc + x)
+        val short = enc.join(broadcast(probes), "cluster_id")
+          .select(col("query_id"), col("doc_id"), round(dist, 6).as("_dist"))
+          .withColumn("_srk", row_number().over(byQ.orderBy(col("_dist").asc, col("doc_id"))))
+          .filter(col("_srk") <= shortlist)
+          .select("query_id", "doc_id")
+        topPerQuery(short
+          .join(enc.select("doc_id", "embedding"), "doc_id")
+          .join(broadcast(qDf.select("query_id", "qvec")), "query_id")
+          .select(col("query_id"), col("doc_id"),
+            round(cosine(col("embedding"), col("qvec")), 6).as("score")))
+      case VectorSearch.Serving.Graph(g, beam, hops, entries) =>
+        VectorSearch.graphSearch(g, embeddings, "doc_id", "embedding",
+            qDf.select("query_id", "qvec"), "query_id", "qvec",
+            k = cfg.queryTopK, beam = math.max(beam, cfg.queryTopK),
+            hops = hops, entryIds = entries)
+          .select(col("query_id"), col("doc_id"), col("score"))
+    }
 
     // 3b-3c. BM25 batch + fusion
     val hits0 =

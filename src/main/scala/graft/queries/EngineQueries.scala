@@ -29,6 +29,17 @@ object EngineQueries {
 
   private def sqlQuote(s: String): String = s.replace("'", "''")
 
+  /** Entity-bearing fixtures for the deterministic NER (F5/F2): honorific
+    * persons, corporate-suffix orgs, gazetteer places, dates, numbers, and
+    * a no-entity row. Same literals live in the oracle VALUES list.
+    */
+  private val EntitySamples: Seq[(Int, String)] = Seq(
+    1 -> "Dr. Alice Johnson and Mrs. Carol Danvers met Mr Bob Smith in New York on 2024-03-15.",
+    2 -> "Acme Corp and Globex Corporation shipped 42 crates to Berlin and the United Kingdom.",
+    3 -> "no entities in this lowercase sentence at all",
+    4 -> "Stanford University partnered with Wayne Foundation in San Francisco; see 1999-12-31 and 7 items.",
+    5 -> "Prof. Xavier visited Tokyo, London and Paris with 1000 students on 2020-01-02.")
+
   /** Spelling-correction fixtures: a distance-1 typo of corpus words, known
     * words (untouched), short tokens (skipped), a transposition (distance 2
     * — deliberately NOT corrected), and gibberish (no candidate). The
@@ -40,7 +51,10 @@ object EngineQueries {
     2 -> "the quick brown fox",
     3 -> "ab cd efg",
     4 -> "window windwo",
-    5 -> "zzzzqqq spark")
+    5 -> "zzzzqqq spark",
+    // tokenizes to NOTHING — exercises the keep-empty contract (the
+    // correction keeps the query as an empty string rather than dropping it)
+    6 -> "?!,, ... !!")
 
   /** `Enhancement.enhance("fast spark join and filter queries")`, pinned as
     * a literal so the e2e oracle SQL can embed it. KbPipelineSpec asserts
@@ -138,8 +152,16 @@ object EngineQueries {
     * parameterized by the PINNED enhanced-query literal (spec-asserted to
     * equal live Enhancement output). Used directly by e2e_hybrid_query and
     * twice (unioned) by e2e_hybrid_batch.
+    *
+    * @param vectorStage  the vector-stage CTE block — must define
+    *                     `vtop(doc_id, score)` (score rounded 6dp), may
+    *                     define extra `vx_`-prefixed CTEs, and sees the
+    *                     query embedding as `(SELECT v FROM qv)`. Empty →
+    *                     the exact full-scan stage; the ANN-served e2e
+    *                     entries (e2e_hybrid_ivfpq / e2e_hybrid_graph)
+    *                     splice in their seeded index's SQL rendition.
     */
-  private def e2eCoreSql(enh: String): String = {
+  private def e2eCoreSql(enh: String, vectorStage: String = ""): String = {
     // raw (UNrounded) deterministic embedding: ((h%1000)-500)/500 as
     // float32 — exact-integer double division rounded once to FLOAT,
     // bit-identical to Embedder.Deterministic's float arithmetic
@@ -180,10 +202,11 @@ object EngineQueries {
          |          ORDER BY round(score, 4) DESC, doc_id LIMIT 1000),
          |ktop AS (SELECT doc_id, score FROM kcand ORDER BY score DESC, doc_id LIMIT 50),
          |qv AS (SELECT ${embedRawSql(enhLit, 64)} AS v),
-         |cos AS (SELECT vec_id AS doc_id,
-         |        ${cosineSql("embedding", "(SELECT v FROM qv)")} AS c FROM embeddings),
-         |vtop AS (SELECT doc_id, round(c, 6) AS score FROM cos
-         |         ORDER BY round(c, 6) DESC, doc_id LIMIT 50),
+         |${if (vectorStage.nonEmpty) vectorStage
+           else s"""cos AS (SELECT vec_id AS doc_id,
+             |        ${cosineSql("embedding", "(SELECT v FROM qv)")} AS c FROM embeddings),
+             |vtop AS (SELECT doc_id, round(c, 6) AS score FROM cos
+             |         ORDER BY round(c, 6) DESC, doc_id LIMIT 50),""".stripMargin}
          |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM vtop),
          |krank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM ktop),
          |rrf AS (SELECT doc_id, sum(1.0 / (60.0 + rk)) AS score
@@ -211,6 +234,160 @@ object EngineQueries {
          |        FROM (SELECT * FROM hd2 UNION ALL SELECT * FROM tl))
          |SELECT doc_id, score, text, sourcedoc, sid, rerank_score, final_rank::INT AS final_rank
          |FROM fin ORDER BY final_rank LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB rendition of [[graft.functions.TextFunctions.entitiesCanonical]]
+    * ∘ [[graft.functions.TextFunctions.extractEntities]]: per label (already
+    * alphabetical in EntityPatterns) the sorted-distinct regex matches as
+    * `LABEL:a|b`, labels with no matches dropped (NULL → concat_ws skips),
+    * joined by `;`. Same pattern strings as the Spark side — RE2-safe.
+    */
+  private def entitiesCanonicalSql(textExpr: String): String = {
+    val parts = graft.functions.TextFunctions.EntityPatterns.map { case (label, re) =>
+      val l = s"list_sort(list_distinct(regexp_extract_all($textExpr, '$re')))"
+      s"CASE WHEN len($l) > 0 THEN '$label:' || array_to_string($l, '|') END"
+    }
+    s"concat_ws(';', ${parts.mkString(", ")})"
+  }
+
+  /** IVFPQ-served vector stage for [[e2eCoreSql]]: seeded coarse quantizer
+    * (centroids = vec_id < 8, nprobe 2), seeded PQ codebook (subvectors of
+    * vec_id < 16, 8 subspaces × 16 codewords), ADC shortlist 100, exact
+    * re-rank — the FAISS IVFPQ+refine regime KbPipeline.query dispatches
+    * under `Serving.IvfPq`. Same CTE text as sim_knn_ivfpq with the corpus
+    * query vector swapped for the pipeline's deterministic query embedding.
+    */
+  private def e2eIvfPqVectorSql: String = {
+    def l2sqSql(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         | list_transform(list_zip($a, $b),
+         |   p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))),
+         | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", "")
+    s"""vx_cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |            WHERE vec_id < 8),
+       |vx_iasg AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN vx_cent c),
+       |vx_a2 AS (SELECT doc_id, ev, cid FROM vx_iasg WHERE rn = 1),
+       |vx_probe AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (
+       |      ORDER BY ${cosineSql("cv", "(SELECT v FROM qv)")} DESC, cid) AS rn
+       |    FROM vx_cent) WHERE rn <= 2),
+       |vx_pr AS (SELECT doc_id, ev FROM vx_a2
+       |          WHERE cid IN (SELECT cid FROM vx_probe)),
+       |vx_cbj AS (
+       |  SELECT s.s, e.vec_id AS j,
+       |         list_slice(e.embedding, s.s*8 + 1, s.s*8 + 8) AS cv
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 8)) AS s) s
+       |  WHERE e.vec_id < 16),
+       |vx_qsub AS (
+       |  SELECT s.s, list_slice((SELECT v FROM qv), s.s*8 + 1, s.s*8 + 8) AS qs
+       |  FROM (SELECT unnest(range(0, 8)) AS s) s),
+       |vx_pasg AS (
+       |  SELECT p.doc_id, c.s, c.j,
+       |         row_number() OVER (PARTITION BY p.doc_id, c.s
+       |           ORDER BY ${l2sqSql("list_slice(p.ev, c.s*8 + 1, c.s*8 + 8)", "c.cv")} ASC, c.j) AS rn
+       |  FROM vx_pr p CROSS JOIN vx_cbj c),
+       |vx_codes AS (SELECT doc_id, list(j ORDER BY s) AS codes
+       |             FROM vx_pasg WHERE rn = 1 GROUP BY doc_id),
+       |vx_lut0 AS (SELECT c.s, c.j, ${l2sqSql("q.qs", "c.cv")} AS d
+       |            FROM vx_cbj c JOIN vx_qsub q USING (s)),
+       |vx_lutArr AS (SELECT list(d ORDER BY s, j) AS lt FROM vx_lut0),
+       |vx_dists AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE,
+       |           list_transform(range(0, 8), s -> lt[s*16 + codes[s + 1] + 1])),
+       |           (acc, x) -> acc + x) AS dist
+       |  FROM vx_codes CROSS JOIN vx_lutArr),
+       |vx_short AS (SELECT doc_id FROM vx_dists
+       |             ORDER BY round(dist, 6) ASC, doc_id LIMIT 100),
+       |vx_rr AS (SELECT p.doc_id, ${cosineSql("p.ev", "(SELECT v FROM qv)")} AS c
+       |          FROM vx_pr p JOIN vx_short s ON p.doc_id = s.doc_id),
+       |vtop AS (SELECT doc_id, round(c, 6) AS score FROM vx_rr
+       |         ORDER BY round(c, 6) DESC, doc_id LIMIT 50),""".stripMargin
+  }
+
+  /** Graph-served vector stage for [[e2eCoreSql]]: the sim_knn_graph
+    * build+search rendition (deterministic small-world kNN graph + 3-hop
+    * beam search, beam 64 ≥ topK 50) with the corpus query vector swapped
+    * for the pipeline's deterministic query embedding — what
+    * KbPipeline.query dispatches under `Serving.Graph`.
+    */
+  private def e2eGraphVectorSql: String = {
+    def signSql(p: String, j: String, seed: Long): String =
+      s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + ${seed * 97L}) % 1000000007) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END)"
+    def bucketSql(seed: Long): String = {
+      val dotPlane =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           | list_transform(range(0, len(v)),
+           |                j -> v[j + 1]::DOUBLE * ${signSql("p", "j", seed)})),
+           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+      s"""list_reduce(list_prepend(0::BIGINT,
+         | list_transform(range(0, 4), p ->
+         |   CASE WHEN $dotPlane >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+         | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+    }
+    def hop(prev: String, i: Int): String =
+      s"""vx_c$i AS (SELECT query_id, doc_id FROM $prev
+         | UNION SELECT f.query_id, e.dst AS doc_id
+         |        FROM $prev f JOIN vx_edges e ON f.doc_id = e.doc_id),
+         |vx_f${i}s AS (SELECT c.query_id, c.doc_id,
+         |          ${cosineSql("emb.v", "q.gqv")} AS score
+         |          FROM vx_c$i c JOIN vx_emb emb ON emb.id = c.doc_id
+         |          JOIN vx_q q ON q.query_id = c.query_id),
+         |vx_f$i AS (SELECT query_id, doc_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, doc_id) AS rk FROM vx_f${i}s) WHERE rk <= 64)""".stripMargin
+    s"""vx_emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |vx_nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM vx_emb),
+       |vx_sg AS (SELECT id, v, ${bucketSql(42L)} AS b0, ${bucketSql(43L)} AS b1,
+       |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
+       |         % (SELECT nblocks FROM vx_nb) AS bg
+       |       FROM vx_emb),
+       |vx_lrn0 AS (SELECT id, b0 AS bk,
+       |         row_number() OVER (PARTITION BY b0 ORDER BY id) AS rn FROM vx_sg),
+       |vx_lup0 AS (SELECT a.id AS src, b.id AS dst FROM vx_lrn0 a JOIN vx_lrn0 b
+       |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
+       |vx_lrn1 AS (SELECT id, b1 AS bk,
+       |         row_number() OVER (PARTITION BY b1 ORDER BY id) AS rn FROM vx_sg),
+       |vx_lup1 AS (SELECT a.id AS src, b.id AS dst FROM vx_lrn1 a JOIN vx_lrn1 b
+       |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
+       |vx_lcand AS (SELECT src, dst FROM vx_lup0 UNION SELECT dst, src FROM vx_lup0
+       |          UNION SELECT src, dst FROM vx_lup1 UNION SELECT dst, src FROM vx_lup1),
+       |vx_lcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+       |         FROM vx_lcand c JOIN vx_emb va ON c.src = va.id
+       |         JOIN vx_emb vb ON c.dst = vb.id),
+       |vx_ltop AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |         ORDER BY cs DESC, dst) AS rk FROM vx_lcos) WHERE rk <= 8),
+       |vx_gcand AS (SELECT a.id AS src, b.id AS dst FROM vx_sg a JOIN vx_sg b
+       |            ON a.bg = b.bg AND a.id <> b.id),
+       |vx_gcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+       |         FROM vx_gcand c JOIN vx_emb va ON c.src = va.id
+       |         JOIN vx_emb vb ON c.dst = vb.id),
+       |vx_gtop AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |         ORDER BY cs DESC, dst) AS rk FROM vx_gcos) WHERE rk <= 4),
+       |vx_e0 AS (SELECT src, dst FROM vx_ltop UNION SELECT src, dst FROM vx_gtop),
+       |vx_edges AS (SELECT src AS doc_id, dst FROM vx_e0
+       |          UNION SELECT dst, src FROM vx_e0),
+       |vx_q AS (SELECT 0 AS query_id, (SELECT v FROM qv) AS gqv),
+       |vx_ent(doc_id) AS (VALUES (0::BIGINT), (100::BIGINT), (200::BIGINT), (300::BIGINT)),
+       |vx_f0s AS (SELECT q.query_id, vx_ent.doc_id,
+       |        ${cosineSql("emb.v", "q.gqv")} AS score
+       |        FROM vx_q q CROSS JOIN vx_ent JOIN vx_emb emb ON emb.id = vx_ent.doc_id),
+       |vx_f0 AS (SELECT query_id, doc_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, doc_id) AS rk FROM vx_f0s) WHERE rk <= 64),
+       |${hop("vx_f0", 1)},
+       |${hop("vx_f1", 2)},
+       |${hop("vx_f2", 3)},
+       |vtop AS (SELECT doc_id, round(score, 6) AS score FROM (
+       |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |  FROM vx_f3) WHERE rk <= 50),""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -264,9 +441,12 @@ object EngineQueries {
          |    FROM cand) WHERE rn = 1),
          |corrected AS (
          |  SELECT t.qid, t.pos, coalesce(b.best, t.tok) AS ctok
-         |  FROM toks t LEFT JOIN best b ON t.qid = b.qid AND t.pos = b.pos)
-         |SELECT qid, coalesce(string_agg(ctok, ' ' ORDER BY pos), '') AS corrected
-         |FROM corrected GROUP BY qid ORDER BY qid""".stripMargin
+         |  FROM toks t LEFT JOIN best b ON t.qid = b.qid AND t.pos = b.pos),
+         |cagg AS (
+         |  SELECT qid, string_agg(ctok, ' ' ORDER BY pos) AS corrected
+         |  FROM corrected GROUP BY qid)
+         |SELECT s.qid, coalesce(a.corrected, '') AS corrected
+         |FROM samples s LEFT JOIN cagg a USING (qid) ORDER BY s.qid""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
       val vocab = graft.query.Spelling.vocabulary(Tables.documents(s, dir), "text")
@@ -309,7 +489,8 @@ object EngineQueries {
          |       trim(regexp_extract(substr(text, 1, 200), '^#*\\s*([^\\n]{0,120})', 1)) AS heading,
          |       $sectionCase AS section_type,
          |       length(text)::INT AS char_length,
-         |       len(${plainTokSql("text")})::INT AS word_count
+         |       len(${plainTokSql("text")})::INT AS word_count,
+         |       ${entitiesCanonicalSql("substr(text, 1, 500)")} AS entities
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       Tables.documents(s, dir)
@@ -317,8 +498,27 @@ object EngineQueries {
         .select(col("doc_id"), col("m.heading").as("heading"),
           col("m.section_type").as("section_type"),
           col("m.char_length").as("char_length"),
-          col("m.word_count").as("word_count"))
+          col("m.word_count").as("word_count"),
+          TextFunctions.entitiesCanonical(col("m.entities")).as("entities"))
         .orderBy("doc_id")
+    },
+
+    // ── F5 entities on entity-bearing fixtures: the deterministic
+    //    regex/gazetteer NER (spaCy re-expression, db_manager.py:168-237)
+    //    value-exact per pattern class — the corpus text is lowercase
+    //    synthetic, so the capitalized-span classes need literal fixtures
+    //    to actually fire ────────────────────────────────────────────────
+    QueryDef.sql("f5_entities", {
+      val vals = EntitySamples.map { case (i, t) => s"($i, '${sqlQuote(t)}')" }.mkString(", ")
+      s"""WITH samples(id, txt) AS (VALUES $vals)
+         |SELECT id, ${entitiesCanonicalSql("substr(txt, 1, 500)")} AS entities
+         |FROM samples ORDER BY id""".stripMargin
+    }) { (s, _) =>
+      import s.implicits._
+      EntitySamples.toDF("id", "txt")
+        .select(col("id"), TextFunctions.entitiesCanonical(
+          TextFunctions.extractEntities(col("txt"))).as("entities"))
+        .orderBy("id")
     },
 
     // ── U4: order-preserving token dedup (first occurrence wins in BOTH
@@ -355,23 +555,34 @@ object EngineQueries {
         .orderBy("id")
     },
 
-    // ── F2: enhanced clean (URL/email preservation + punctuation-keeping) ─
+    // ── F2: enhanced clean (URL/email preservation + punctuation-keeping +
+    //    entity-span preservation via the deterministic NER patterns) ───────
     QueryDef.sql("f2_enhanced_clean", {
       val samples = Seq(
         1 -> "Check https://example.com/page?q=1 for <b>DETAILS</b>; email me@corp.io today!",
         2 -> "The quick BROWN fox... with numbers 42 & symbols #hash",
-        3 -> "no specials here at all")
+        3 -> "no specials here at all",
+        4 -> "Dr. Alice Johnson from Acme Corp visited New York via https://acme.example.com quickly!")
       val vals = samples.map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }.mkString(", ")
       val urlRe = "https?://[^\\s]+"
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      import graft.functions.TextFunctions.{PersonRegex, OrgRegex, GpeRegex}
       val stop = graft.functions.TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH raw(id, txt) AS (VALUES $vals),
-         |pres AS (
+         |strip AS (
          |  SELECT id, txt,
-         |    trim(coalesce(array_to_string(regexp_extract_all(txt, '$urlRe'), ' '), '') || ' ' ||
-         |         coalesce(array_to_string(regexp_extract_all(regexp_replace(txt, '$urlRe', ' ', 'g'), '$emailRe'), ' '), '')) AS kept_refs,
          |    regexp_replace(regexp_replace(txt, '$urlRe', ' ', 'g'), '$emailRe', ' ', 'g') AS stripped
          |  FROM raw),
+         |pres AS (
+         |  SELECT id, stripped,
+         |    concat_ws(' ',
+         |      nullif(array_to_string(regexp_extract_all(txt, '$urlRe'), ' '), ''),
+         |      nullif(array_to_string(regexp_extract_all(regexp_replace(txt, '$urlRe', ' ', 'g'), '$emailRe'), ' '), ''),
+         |      nullif(array_to_string(list_transform(list_sort(list_distinct(
+         |        regexp_extract_all(stripped, '$PersonRegex') ||
+         |        regexp_extract_all(stripped, '$OrgRegex') ||
+         |        regexp_extract_all(stripped, '$GpeRegex'))), x -> lower(x)), ' '), '')) AS kept_refs
+         |  FROM strip),
          |cleaned AS (
          |  SELECT id, kept_refs,
          |    list_filter(string_split_regex(
@@ -387,7 +598,8 @@ object EngineQueries {
       Seq(
         (1, "Check https://example.com/page?q=1 for <b>DETAILS</b>; email me@corp.io today!"),
         (2, "The quick BROWN fox... with numbers 42 & symbols #hash"),
-        (3, "no specials here at all"))
+        (3, "no specials here at all"),
+        (4, "Dr. Alice Johnson from Acme Corp visited New York via https://acme.example.com quickly!"))
         .toDF("id", "txt")
         .select(col("id"),
           graft.functions.TextFunctions.enhancedCleanText(col("txt")).as("cleaned"))
@@ -756,6 +968,60 @@ object EngineQueries {
           col("sourcedoc"), col("sid"), col("rerank_score"),
           col("final_rank").cast("int").as("final_rank"))
         .orderBy("query_id", "final_rank")
+    },
+
+    // ── The flagship lifecycle SERVED BY THE IVFPQ TIER: same pipeline,
+    //    vector stage dispatched through Serving.IvfPq (seeded coarse
+    //    quantizer nprobe=2 + seeded PQ codebook + ADC shortlist + exact
+    //    re-rank) — proves the chooseIndex policy's largest tier actually
+    //    serves the e2e hybrid path, value-exact (search.py:207-231: the
+    //    policy output IS the serving index) ───────────────────────────────
+    QueryDef.sql("e2e_hybrid_ivfpq",
+      e2eCoreSql(E2eEnhancedQuery, e2eIvfPqVectorSql)) { (s, dir) =>
+      import graft.operators.VectorSearch
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val centSeq = emb.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val assigned = VectorSearch.seededIvfAssign(emb, "doc_id", "embedding", centSeq)
+      val cb = VectorSearch.seededPqCodebook(emb, "doc_id", "embedding",
+        seedIds = 0L until 16L, m = 8)
+      val ivfIx = VectorSearch.IvfIndex(assigned,
+        centSeq.map(_._2.toArray).toArray, "doc_id", "embedding")
+      val serving = VectorSearch.Serving.IvfPq(ivfIx, cb,
+        VectorSearch.pqEncode(assigned, "doc_id", "embedding", cb), shortlist = 100)
+      graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
+        graft.config.KbConfig(indexType = "ivfpq", ivfNprobe = 2),
+        bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
+        serving = serving).hits
+    },
+
+    // ── The flagship lifecycle SERVED BY THE GRAPH TIER: vector stage
+    //    dispatched through Serving.Graph (deterministic small-world kNN
+    //    graph + 3-hop beam search, beam 64 ≥ topK 50) — the HNSW-analogue
+    //    rung serving the e2e hybrid path, value-exact ─────────────────────
+    QueryDef.sql("e2e_hybrid_graph",
+      e2eCoreSql(E2eEnhancedQuery, e2eGraphVectorSql)) { (s, dir) =>
+      import graft.operators.VectorSearch
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val g = VectorSearch.cachedGraph(dir, Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8)
+      val serving = VectorSearch.Serving.Graph(g, beam = 64, hops = 3,
+        entryIds = Seq(0L, 100L, 200L, 300L))
+      graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
+        graft.config.KbConfig(indexType = "graph"),
+        bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
+        serving = serving).hits
     },
 
     // ── BATCHED hybrid retrieval: N queries through ONE DAG (the Spark

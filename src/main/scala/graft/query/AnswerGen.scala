@@ -71,6 +71,19 @@ object AnswerGen {
              provider: ChatProvider = Extractive()): String =
     provider.complete(buildPrompt(style, context, query))
 
+  /** ChatProvider for a configured `query_model` value: `"none"` keeps
+    * answer generation off (the reference's same sentinel); anything else
+    * resolves through [[graft.models.ModelRegistry]] — alias/partial
+    * accepted, unknown names error at config time (`model_manager.py:
+    * 24-85` → routing `llm.py:60-89`). Execution lands on the
+    * deterministic [[Extractive]] provider (real HTTP providers are a
+    * documented exclusion); the resolved routing string is reported so
+    * callers log the model the reference would have called.
+    */
+  def providerFor(model: String): (String, ChatProvider) =
+    if (model == "none") ("none", Extractive())
+    else (graft.models.ModelRegistry.routed(model), Extractive())
+
   /** [[Extractive]]'s block score as a pure column expression:
     * |tokens(block) ∩ qToks| / |tokens(block)| over distinct plain tokens —
     * the same ratio `Extractive.complete` computes per paragraph.

@@ -134,6 +134,28 @@ class MainSpec extends SparkSpec {
     Main.run(Array("query", kb, "spark filters"), spark)
   }
 
+  test("M6 sync scope: only vector_dimensions is rewritten; no KB config -> no write") {
+    val kb = Files.createTempDirectory("graft_dims_scope").toString
+    // like the reference's _update_cfg_value: returns without creating a
+    // file when the KB has no config.ini
+    Main.syncDimsKey(s"$kb/config.ini", 64)
+    assert(!Files.exists(Paths.get(s"$kb/config.ini")),
+      "sync must not create a config where none existed")
+    // an existing config keeps every other line byte-identical — an
+    // explicitly-passed one-off cfg is never persisted wholesale
+    val ini = "[DEFAULT]\nvector_model = deterministic-64\n" +
+      "vector_dimensions = 32\nquery_top_k = 7\n# a user comment\n"
+    Files.write(Paths.get(s"$kb/config.ini"),
+      ini.getBytes(StandardCharsets.UTF_8))
+    Main.syncDimsKey(s"$kb/config.ini", 64)
+    val out = new String(Files.readAllBytes(Paths.get(s"$kb/config.ini")),
+      StandardCharsets.UTF_8)
+    assert(out.contains("vector_dimensions = 64"), out)
+    assert(out.contains("query_top_k = 7") && out.contains("# a user comment"),
+      "other lines must survive verbatim")
+    assert(!out.contains("vector_dimensions = 32"))
+  }
+
   test("KbConfig.renderIni round-trips through load") {
     import graft.config.KbConfig
     val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,

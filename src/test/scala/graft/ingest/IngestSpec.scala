@@ -61,6 +61,30 @@ class IngestSpec extends SparkSpec {
     assert(redone.length == 1 && redone.head.endsWith("plain.txt"))
   }
 
+  test("extractMetadata extracts entities via the deterministic NER (F5)") {
+    import graft.functions.TextFunctions
+    val text = "Dr. Alice Johnson of Acme Corp flew to New York and Tokyo " +
+      "on 2024-03-15 with 42 crates."
+    val m = Seq(text).toDF("text")
+      .select(Ingest.extractMetadata(col("text")).as("m"))
+      .select(TextFunctions.entitiesCanonical(col("m.entities")))
+      .as[String].first()
+    assert(m == "CARDINAL:03|15|2024|42;DATE:2024-03-15;GPE:New York|Tokyo;" +
+      "ORG:Acme Corp;PERSON:Dr. Alice Johnson", m)
+    // lowercase text (the corpus shape): no label fires -> empty map, the
+    // reference's "add only if entities were found"
+    val none = Seq("plain lowercase words with no entities").toDF("text")
+      .select(Ingest.extractMetadata(col("text")).as("m"))
+      .select(size(map_keys(col("m.entities")))).as[Int].first()
+    assert(none == 0)
+    // the 500-char limit: an entity past it is not extracted
+    val far = ("x " * 260) + "Acme Corp"
+    val clipped = Seq(far).toDF("text")
+      .select(Ingest.extractMetadata(col("text")).as("m"))
+      .select(size(map_keys(col("m.entities")))).as[Int].first()
+    assert(clipped == 0, "entity beyond entity_extraction_limit must not appear")
+  }
+
   test("sanitizeName strips shell metacharacters") {
     val got = Seq("dir/bad<file>|name&x;y`z$.txt").toDF("p")
       .select(Ingest.sanitizeName(col("p"))).as[String].first()

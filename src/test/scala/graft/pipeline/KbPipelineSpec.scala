@@ -76,7 +76,7 @@ class KbPipelineSpec extends SparkSpec {
     val exact = KbPipeline.query(spark, corpus, embeddings, q, cfg)
       .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
     val viaIvf = KbPipeline.query(spark, corpus, embeddings, q, ivfCfg,
-        ivfIndex = Some(index))
+        serving = VectorSearch.Serving.Ivf(index))
       .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
     assert(viaIvf == exact, "full-probe IVF must equal the exact pipeline")
 
@@ -84,20 +84,80 @@ class KbPipelineSpec extends SparkSpec {
     val exactB = KbPipeline.queryBatch(spark, corpus, embeddings, qs, cfg)
       .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
     val viaIvfB = KbPipeline.queryBatch(spark, corpus, embeddings, qs, ivfCfg,
-        ivfIndex = Some(index))
+        serving = VectorSearch.Serving.Ivf(index))
       .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
     assert(viaIvfB == exactB, "full-probe IVF batch must equal the exact batch")
 
     // narrow probe still returns k rows per query (approximation trades
     // recall, not result shape); indexType="exact" ignores a supplied index
     val narrow = KbPipeline.query(spark, corpus, embeddings, q,
-        ivfCfg.copy(ivfNprobe = 1), ivfIndex = Some(index))
+        ivfCfg.copy(ivfNprobe = 1), serving = VectorSearch.Serving.Ivf(index))
       .hits.select("doc_id").as[Long].collect()
     assert(narrow.nonEmpty && narrow.length <= 5)
     val ignored = KbPipeline.query(spark, corpus, embeddings, q,
-        cfg, ivfIndex = Some(index)) // indexType defaults to "exact"
+        cfg, serving = VectorSearch.Serving.Ivf(index)) // indexType defaults to "exact"
       .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
     assert(ignored == exact)
+  }
+
+  test("serving dispatch: IvfPq and Graph tiers serve the e2e path (plan shape + full-coverage == exact)") {
+    import graft.operators.VectorSearch
+    import VectorSearch.Serving
+    val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3)
+    val q = "fast spark joins  and filters!!"
+    val exact = KbPipeline.query(spark, corpus, embeddings, q, cfg)
+      .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
+
+    // IVFPQ: seeded 2-centroid coarse quantizer, 2×(4-codeword) codebook.
+    // Full probe + shortlist covering the whole corpus → the exact re-rank
+    // sees every row, so hits MUST equal the exact pipeline.
+    val centSeq = embeddings.filter(col("doc_id") <= 2)
+      .select(col("doc_id"), col("embedding")).collect()
+      .map(r => ((r.getLong(0) - 1).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val assigned = VectorSearch.seededIvfAssign(embeddings, "doc_id", "embedding", centSeq)
+    val cb = VectorSearch.seededPqCodebook(embeddings, "doc_id", "embedding",
+      seedIds = 1L to 4L, m = 2)
+    val ivfIx = VectorSearch.IvfIndex(assigned,
+      centSeq.map(_._2.toArray).toArray, "doc_id", "embedding")
+    val pqServing = Serving.IvfPq(ivfIx, cb,
+      VectorSearch.pqEncode(assigned, "doc_id", "embedding", cb), shortlist = 10)
+    val pqCfg = cfg.copy(indexType = "ivfpq", ivfNprobe = 2)
+    val viaPq = KbPipeline.query(spark, corpus, embeddings, q, pqCfg, serving = pqServing)
+    assert(viaPq.hits.queryExecution.analyzed.toString.contains("codes"),
+      "IvfPq serving must route the vector stage through the PQ codes column")
+    assert(viaPq.hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet == exact,
+      "full-probe full-shortlist IVFPQ must equal the exact pipeline")
+
+    // Graph: 5 nodes → one long-link block (blockSize 32) makes the graph
+    // complete, so one hop at beam ≥ corpus reaches every node → == exact.
+    val g = VectorSearch.knnGraph(embeddings, "doc_id", "embedding", k = 3)
+    val gServing = Serving.Graph(g, beam = 8, hops = 2, entryIds = Seq(1L))
+    val viaGraph = KbPipeline.query(spark, corpus, embeddings, q,
+      cfg.copy(indexType = "graph"), serving = gServing)
+    assert(viaGraph.hits.queryExecution.analyzed.toString.contains("dst"),
+      "Graph serving must route the vector stage through the graph edges")
+    assert(viaGraph.hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet == exact,
+      "full-beam complete-graph search must equal the exact pipeline")
+
+    // batch == single under both ANN tiers (the parity contract the Flat
+    // tier already carries below)
+    val qs = Seq(1L -> q, 2L -> "window functions rank rows")
+    Seq(("ivfpq", pqCfg, pqServing), ("graph", cfg.copy(indexType = "graph"), gServing))
+      .foreach { case (tier, c, srv) =>
+        val batch = KbPipeline.queryBatch(spark, corpus, embeddings, qs, c, serving = srv)
+          .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
+        val singles = qs.flatMap { case (qid, qq) =>
+          KbPipeline.query(spark, corpus, embeddings, qq, c, serving = srv)
+            .hits.select("doc_id", "final_rank").as[(Long, Int)].collect()
+            .map { case (d, r) => (qid, d, r) }
+        }.toSet
+        assert(batch == singles, s"$tier: batch hits != per-query single hits")
+      }
+
+    // indexType="exact" ignores ANY supplied serving index
+    val killed = KbPipeline.query(spark, corpus, embeddings, q, cfg, serving = pqServing)
+      .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
+    assert(killed == exact)
   }
 
   test("queryBatch hits == per-query query() hits, column for column") {

@@ -70,6 +70,31 @@ class EnhancementRerankSpec extends SparkSpec {
     assert(got == "fsat spark (window OR frame OR range)")
   }
 
+  test("enhanced clean preserves entity spans like URLs (F2 NER preservation)") {
+    import graft.functions.TextFunctions
+    val got = Seq("Dr. Alice Johnson from Acme Corp visited New York via " +
+        "https://acme.example.com quickly!").toDF("txt")
+      .select(TextFunctions.enhancedCleanText(col("txt"))).as[String].first()
+    // cleaned body first, then preserved refs: URL, then entity spans
+    // (sorted, lowercased — the reference restores entities lowercased,
+    // text_utils.py:178-180)
+    assert(got.contains("https://acme.example.com"), got)
+    assert(got.endsWith("acme corp dr. alice johnson new york"), got)
+    // no-entity text: behavior unchanged (no trailing junk, no separator)
+    val plain = Seq("The quick BROWN fox!").toDF("txt")
+      .select(TextFunctions.enhancedCleanText(col("txt"))).as[String].first()
+    assert(plain == "quick brown fox!", plain)
+  }
+
+  test("spelling correction keeps empty-tokenizing queries as empty strings") {
+    val docs = Seq((1L, "spark filter window")).toDF("doc_id", "text")
+    val vocab = Spelling.vocabulary(docs, "text")
+    val out = Spelling.correctQueries(
+        Seq((1, "?!,, ... !!"), (2, "spark")).toDF("qid", "q"), "qid", "q", vocab)
+      .orderBy("qid").select("corrected").as[String].collect()
+    assert(out.toSeq == Seq("", "spark"), out.toSeq.toString)
+  }
+
   test("rerankHeadBatch == per-query rerankHead") {
     val rnd = new scala.util.Random(3)
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
