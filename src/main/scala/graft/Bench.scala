@@ -40,6 +40,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-coalesce scans of CACHED plans: the persisted index
+      // tables (BM25 postings/idf, IVF assignment) are tiny per partition
+      // at bench scale, and without this flag every per-query index scan
+      // schedules shuffle.partitions tasks of pure overhead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -69,7 +74,11 @@ object Bench {
         Tables.embeddings(spark, sfDir), "vec_id", "embedding", k = 8).count()
     }
 
+    // optional local-iteration filter (regex over names); the driver sets
+    // no filter, so its runs always cover the full sorted suite
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
     val times = scala.collection.mutable.Map[String, List[Double]]()
     val fails = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val passTotals = (1 to reps).map { _ =>

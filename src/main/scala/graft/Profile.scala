@@ -14,6 +14,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -29,10 +31,7 @@ object Profile {
       ix.postings.count(); ix.lengths.count(); ix.idf.count(); ix.stats.count()
     }
 
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    def chunks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
-        (row_number().over(w) - 1).cast("int").as("sid"))
+    def chunks = Tables.chunksWithSid(spark, sfDir)
     def emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
 
@@ -63,6 +62,33 @@ object Profile {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(1000).count()
     }
+    // sub-steps of the warm single-query BM25 path
+    locally {
+      val terms = functions.TextFunctions.tokenizeBm25Value(spark, enhanced)
+      secs("bm25-tokens-fold") {
+        functions.TextFunctions.tokenizeBm25Value(spark, enhanced)
+      }
+      secs("bm25-idf-filter") {
+        ix.idf.filter(col("term").isin(terms.distinct: _*)).count()
+      }
+      secs("bm25-postings-filter") {
+        ix.postings.filter(col("term").isin(terms.distinct: _*)).count()
+      }
+      secs("bm25-post-x-lengths") {
+        ix.postings.filter(col("term").isin(terms.distinct: _*))
+          .join(ix.lengths, "doc_id").count()
+      }
+      secs("bm25-scored-2nd") {
+        operators.Bm25.scoreWithIndex(ix, spark, enhanced)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(1000).count()
+      }
+      secs("bm25-scored-3rd") {
+        operators.Bm25.scoreWithIndex(ix, spark, enhanced)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(1000).count()
+      }
+    }
     secs("full-pipeline-1st") {
       pipeline.KbPipeline.query(spark, chunks, emb,
         queries.EngineQueries.E2eQueryText, bm25Index = Some(ix)).hits.count()
@@ -70,6 +96,30 @@ object Profile {
     secs("full-pipeline-2nd") {
       pipeline.KbPipeline.query(spark, chunks, emb,
         queries.EngineQueries.E2eQueryText, bm25Index = Some(ix)).hits.count()
+    }
+    locally {
+      // job/stage census of the warm single-query path
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+          val i = s.stageInfo
+          val ms = (for { a <- i.completionTime; b <- i.submissionTime } yield a - b).getOrElse(-1L)
+          println(f"[profile]   stage ${i.stageId}%3d tasks=${i.numTasks}%3d ${ms}%5d ms  ${i.name.take(90)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      secs("full-pipeline-3rd") {
+        pipeline.KbPipeline.query(spark, chunks, emb,
+          queries.EngineQueries.E2eQueryText, bm25Index = Some(ix)).hits.count()
+      }
+      spark.sparkContext.removeSparkListener(l)
+      println(s"[profile] full-pipeline-3rd jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     // other slow ones
     secs("hybrid_batch") { SparkEntry.queries("hybrid_batch")(spark, sfDir).count() }

@@ -22,6 +22,32 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "documents")
+
+  /** The canonical chunk table the e2e pipeline serves from: documents with
+    * the (sourcedoc, sid) addressing derived ONCE and persisted — in a real
+    * KB this is the STORED `chunks/` table (`Main` materializes doc_id/sid
+    * at `database` time; `/root/reference`'s SQLite schema stores sid the
+    * same way), so deriving it per query would charge serving for ingest
+    * work. Memoized per (session, dir) like the other serving indexes.
+    */
+  private val chunksCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  def chunksWithSid(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = chunksCache.synchronized {
+      chunksCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+          (row_number().over(w) - 1).cast("int").as("sid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame =

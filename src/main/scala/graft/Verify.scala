@@ -21,6 +21,11 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 reads those as
       // LongType nanos under this legacy flag (else PARQUET_TYPE_ILLEGAL).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-coalesce scans of CACHED plans: the persisted index
+      // tables (BM25 postings/idf, IVF assignment) are tiny per partition
+      // at bench scale, and without this flag every per-query index scan
+      // schedules shuffle.partitions tasks of pure overhead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

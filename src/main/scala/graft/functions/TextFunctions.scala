@@ -66,6 +66,34 @@ object TextFunctions {
     */
   def tokenizeBm25(c: Column): Column = FastFunctions.tokenizeBm25(c)
 
+  /** Driver-side constant fold of [[tokenizeBm25]] over a literal string —
+    * the `Enhancement.enhanceValue` idiom: Catalyst folds the expression,
+    * so tokenizing a query costs no Spark job and no one-row codegen. Falls
+    * back to the one-row job if the plan didn't fold.
+    */
+  def tokenizeBm25Value(spark: org.apache.spark.sql.SparkSession,
+                        s: String): Seq[String] = {
+    // optimized plan: folds to a Literal here, and RuntimeReplaceable
+    // expressions (none today, but the enhance chain has them) only become
+    // evaluable after the optimizer — same rationale as enhanceValue
+    val df = spark.range(1).select(tokenizeBm25(lit(s)).as("t"))
+    val resolved = df.queryExecution.optimizedPlan.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head
+    }
+    resolved.filter(_.references.isEmpty)
+      .flatMap(e => scala.util.Try(e.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty)).toOption)
+      .map {
+        case null => Nil
+        case v => v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      }
+      .getOrElse(df.first().getSeq[String](0)) // defensive: the one-row job
+  }
+
   /** Spec version of [[tokenizeBm25]]. */
   def tokenizeBm25Spec(c: Column): Column = {
     val toks = tokenizeSpec(c)

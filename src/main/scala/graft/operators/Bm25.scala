@@ -65,12 +65,25 @@ object Bm25 {
     * written as parquet bucketed by `term`.
     */
   final case class Index(postings: DataFrame, lengths: DataFrame,
-                         idf: DataFrame, stats: DataFrame)
+                         idf: DataFrame, stats: DataFrame) {
+    /** The one-row corpus stats, snapshotted on the driver ONCE per index —
+      * serving queries inline `avgdl` as a literal instead of re-running
+      * the stats aggregation (or a 1-row broadcast build) per query. The
+      * reference holds the same scalar in memory with its loaded index.
+      */
+    lazy val avgdl: Double = stats.select(col("avgdl")).head().getDouble(0)
+  }
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  persist: Boolean = false): Index = {
     val n = docs.count()
-    val post = postings(docs, idCol, textCol)
+    val post0 = postings(docs, idCol, textCol)
+    // denormalize doc_len INTO the postings rows (one build-time join):
+    // per-(doc,term) scoring needs (tf, doc_len), and carrying doc_len in
+    // the row removes a corpus-sized lengths join from EVERY query — pay
+    // 8 bytes/posting at rest instead of a shuffle per query (the same
+    // build-vs-serve trade the reference's dense NPZ index makes)
+    val post = post0.join(docLengths(post0), "doc_id")
     val p = if (persist) post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else post
     val lens = docLengths(p)
     val l = if (persist) lens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else lens
@@ -100,9 +113,11 @@ object Bm25 {
     val oldN =
       if (old.stats.columns.contains("n")) old.stats.select(col("n")).head().getLong(0)
       else old.lengths.count()
-    val np = postings(newDocs, idCol, textCol)
-    val post = old.postings.unionByName(np)
-    val lens = old.lengths.unionByName(docLengths(np))
+    val np0 = postings(newDocs, idCol, textCol)
+    val npLens = docLengths(np0)
+    val np = np0.join(npLens, "doc_id")
+    val post = withDocLen(old).unionByName(np)
+    val lens = old.lengths.unionByName(npLens)
     val idfDf = idf(post, oldN + newN)
     val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
       .withColumn("n", lit(oldN + newN))
@@ -178,18 +193,35 @@ object Bm25 {
   /** Score a single query string against a prebuilt index. */
   def scoreWithIndex(ix: Index, spark: org.apache.spark.sql.SparkSession,
                      query: String, k1: Double = K1, b: Double = B): DataFrame = {
-    val qTerms = TextFunctions.tokenizeBm25(lit(query))
-    val qDf = spark.range(1).select(explode(qTerms).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("qtf"))
-    val qStats = ix.idf.select("term", "idf").join(broadcast(qDf), "term")
-    ix.postings
-      .join(broadcast(qStats), "term")                 // prune to query terms
-      .join(ix.lengths, "doc_id")
-      .crossJoin(broadcast(ix.stats))
+    import spark.implicits._
+    // query term frequencies fold on the DRIVER (no job, no one-row
+    // shuffle): the query side becomes a LocalRelation, and the literal
+    // term list doubles as an `isin` pushdown predicate on idf AND postings
+    // — with term-bucketed postings at rest this is the bucket-pruned scan,
+    // and on the single-query serving path it removes three tiny
+    // shuffle/broadcast jobs of pure fixed overhead
+    val terms = TextFunctions.tokenizeBm25Value(spark, query)
+    val termSet = terms.distinct
+    val qDf = terms.groupBy(identity).map { case (t, ts) => (t, ts.size.toLong) }
+      .toSeq.sortBy(_._1).toDF("term", "qtf")
+    val qStats = ix.idf.select("term", "idf")
+      .filter(col("term").isin(termSet: _*))
+      .join(broadcast(qDf), "term")
+    withDocLen(ix)
+      .filter(col("term").isin(termSet: _*))           // prune to query terms
+      .join(broadcast(qStats), "term")
       .groupBy("doc_id")
-      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"), k1, b)).as("score"))
+      .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), lit(ix.avgdl), col("idf"), k1, b)).as("score"))
       .filter(col("score") > 0)
   }
+
+  /** Postings with a `doc_len` column: denormalized indexes carry it in the
+    * row (no join); indexes persisted before the denormalization fall back
+    * to the lengths join.
+    */
+  private def withDocLen(ix: Index): DataFrame =
+    if (ix.postings.columns.contains("doc_len")) ix.postings
+    else ix.postings.join(ix.lengths, "doc_id")
 
   /** Score a single query string against a corpus; returns
     * `(doc_id, score)` for docs with positive score (P4 filter,
@@ -244,9 +276,8 @@ object Bm25 {
         explode(TextFunctions.tokenizeBm25(col(qtextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
     val qStats = qTerms.join(ix.idf.select("term", "idf"), "term")
-    ix.postings
+    withDocLen(ix)
       .join(broadcast(qStats), "term")
-      .join(ix.lengths, "doc_id")
       .crossJoin(broadcast(ix.stats))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), col("avgdl"), col("idf"), k1, b)).as("score"))

@@ -22,6 +22,12 @@ object Fusion {
   /** Assign 1-based ranks to a scored list `(doc_id, score)`, highest score
     * first, doc_id tie-break for determinism (W1,
     * `/root/reference/query/search.py:335-340`).
+    *
+    * CONTRACT (rerankHead-style, GlobalWindowContractSpec): the global
+    * `Window.orderBy` is safe ONLY because callers pass a top-k-truncated
+    * list (≤ queryTopK/bm25MaxResults rows — KbPipeline truncates before
+    * fusing, search.py does the same). The batched twin ([[rrfBatch]])
+    * partitions by query_id; corpus-sized inputs belong there.
     */
   def ranked(scored: DataFrame, scoreCol: String): DataFrame =
     scored.withColumn("rank",

@@ -148,8 +148,12 @@ object KbPipeline {
           case Some(ix) => Bm25.scoreWithIndex(ix, spark, enhanced, cfg.bm25K1, cfg.bm25B)
           case None     => Bm25.scoreQuery(chunks, "doc_id", "text", enhanced, cfg.bm25K1, cfg.bm25B)
         }).select(col("doc_id"), round(col("score"), 4).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(cfg.bm25MaxResults)
-        val ktop = Bm25.topK(scored, cfg.queryTopK)
+        // top-min(candidateCap, k) in ONE TakeOrdered: both boundaries sort
+        // by the same (rounded score, doc_id) key, so the top-k of the
+        // top-cap equals the top-k directly — the cap→top-k two-step would
+        // cost a second ordering stage for identical rows
+        val ktop = scored.orderBy(col("score").desc, col("doc_id"))
+          .limit(math.min(cfg.bm25MaxResults, cfg.queryTopK))
         // 3c. fusion: RRF default; legacy weighted merge behind the config
         //     switch (search.py:414-439 vs 350-411)
         if (cfg.fusionMethod == "weighted")
@@ -166,8 +170,11 @@ object KbPipeline {
             lit(categoryFilter.toArray)))
           .select(col("doc_id")), "doc_id")
 
-    // 3e. rerank head (M7/T4) with the deterministic lexical scorer
-    val withText = hits1.join(chunks.select(col("doc_id"), col("text"),
+    // 3e. rerank head (M7/T4) with the deterministic lexical scorer. The
+    // hit set is ≤ 2·topK rows — BROADCAST it against the corpus text
+    // fetch so chunks never shuffles (the planner can't know hits1 is tiny
+    // from the plan alone)
+    val withText = broadcast(hits1).join(chunks.select(col("doc_id"), col("text"),
       col("sourcedoc"), col("sid")), "doc_id")
     val hits =
       if (cfg.enableReranking)

@@ -912,10 +912,7 @@ object EngineQueries {
     // (KbPipelineSpec asserts it equals Enhancement.enhance), and the
     // deterministic embed is reproduced component-by-component in SQL.
     QueryDef.sql("e2e_hybrid_query", e2eCoreSql(E2eEnhancedQuery)) { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
-          (row_number().over(w) - 1).cast("int").as("sid"))
+      val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
@@ -930,10 +927,7 @@ object EngineQueries {
          |UNION ALL
          |SELECT 2 AS query_id, f.* FROM (${e2eCoreSql(E2eEnhancedQuery2)}) f
          |ORDER BY query_id, final_rank""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
-          (row_number().over(w) - 1).cast("int").as("sid"))
+      val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.queryBatch(s, chunks, emb,
@@ -955,10 +949,7 @@ object EngineQueries {
       E2eBatch20.zipWithIndex.map { case ((_, enh), i) =>
         s"SELECT ${i + 1} AS query_id, f.* FROM (${e2eCoreSql(enh)}) f"
       }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id, final_rank")) { (s, dir) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
-          (row_number().over(w) - 1).cast("int").as("sid"))
+      val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.queryBatch(s, chunks, emb,
@@ -979,10 +970,7 @@ object EngineQueries {
     QueryDef.sql("e2e_hybrid_ivfpq",
       e2eCoreSql(E2eEnhancedQuery, e2eIvfPqVectorSql)) { (s, dir) =>
       import graft.operators.VectorSearch
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
-          (row_number().over(w) - 1).cast("int").as("sid"))
+      val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val centSeq = emb.filter(col("doc_id") < 8)
@@ -1008,10 +996,7 @@ object EngineQueries {
     QueryDef.sql("e2e_hybrid_graph",
       e2eCoreSql(E2eEnhancedQuery, e2eGraphVectorSql)) { (s, dir) =>
       import graft.operators.VectorSearch
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
-          (row_number().over(w) - 1).cast("int").as("sid"))
+      val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val g = VectorSearch.cachedGraph(dir, Tables.embeddings(s, dir),

@@ -1179,6 +1179,9 @@ object PipelineQueries {
     // ── W4: time-series gap fill — hourly grid per user, value
     //    forward-filled from the latest event at-or-before each grid point
     //    (sequence-explode grid + the AsofJoin operator; ASOF oracle) ───────
+    // CONTRACT: no global window here — the as-of fill partitions by
+    // user_id (AsofJoin.asofLast); the trailing orderBy is output ordering
+    // only. The per-user hourly grid is bounded by the tracked time span.
     QueryDef.sql("w4_gap_fill",
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, round(max(value), 2) AS v

@@ -306,7 +306,14 @@ object RelationalQueries {
 
     // ── W5: trailing 7-day revenue via a RANGE window frame over integer
     //    epoch-seconds (identical frame semantics in both engines; revenue
-    //    carried as exact integer cents) ─────────────────────────────────────
+    //    carried as exact integer cents).
+    //    CONTRACT (rerankHead-style, GlobalWindowContractSpec): the global
+    //    `Window.orderBy` runs on the POST-AGGREGATION daily grid — one row
+    //    per calendar day, so cardinality is bounded by the date span
+    //    (thousands of rows at ANY corpus scale), never by corpus size.
+    //    Feeding event-grain rows through this frame would single-partition
+    //    the corpus; at that grain, partition by a coarse time key (e.g.
+    //    month) with a boundary-overlap merge instead. ──────────────────────
     QueryDef.sql("w5_trailing_revenue",
       """WITH daily AS (
         |  SELECT epoch(date_trunc('day', o_orderdate))::BIGINT AS day_s,

@@ -117,25 +117,30 @@ object Enhancement {
         .as("enhanced"))
   }
 
-  /** Driver-side evaluation of [[enhance]] on a single string: the whole
-    * chain applied to a literal is foldable, so the optimizer's constant
-    * folding reduces it to a literal during analysis — no Spark job and no
+  /** Driver-side evaluation of [[enhance]] on a single string. Applied to
+    * a literal the whole chain is REFERENCE-free, so the resolved
+    * expression evaluates directly on the driver — no Spark job and no
     * whole-stage codegen compile of the 30+-regex chain (which dominated
-    * single-query pipeline latency). Bit-identical to the column version by
-    * construction (same expression tree, spec-asserted).
+    * single-query pipeline latency). `foldable` alone is not the right
+    * gate: the synonym-expansion step is a higher-order function whose
+    * lambda makes the tree non-foldable, yet interpreted eval is fine —
+    * gating on foldable silently sent every call down the one-row-job
+    * fallback (measured: a 32-task job per query). Bit-identical to the
+    * column version by construction (same expression tree, spec-asserted).
     */
   def enhanceValue(spark: org.apache.spark.sql.SparkSession, q: String): String = {
+    // OPTIMIZED plan, not analyzed: RuntimeReplaceable expressions (e.g.
+    // map_contains_key in the synonym step) only become evaluable after the
+    // optimizer's ReplaceExpressions rule
     val df = spark.range(1).select(enhance(lit(q)).as("q"))
-    val folded = df.queryExecution.optimizedPlan.collectFirst {
+    val resolved = df.queryExecution.optimizedPlan.collectFirst {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
         p.projectList.head
     }
-    folded match {
-      case Some(e) if e.foldable =>
-        val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        if (v == null) null else v.toString
-      case _ => // defensive: fall back to the one-row job
-        df.first().getString(0)
-    }
+    resolved.filter(_.references.isEmpty)
+      .flatMap(e => scala.util.Try(e.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty)).toOption)
+      .map(v => if (v == null) null else v.toString)
+      .getOrElse(df.first().getString(0)) // defensive: the one-row job
   }
 }

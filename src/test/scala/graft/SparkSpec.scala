@@ -22,6 +22,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-coalesce scans of CACHED plans: the persisted index
+      // tables (BM25 postings/idf, IVF assignment) are tiny per partition
+      // at bench scale, and without this flag every per-query index scan
+      // schedules shuffle.partitions tasks of pure overhead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
