@@ -137,6 +137,30 @@ object Scale {
         entryIds = Seq(0L, 100L, 200L, 300L)).count()
     }
 
+    // the flagship serving composite: 20 full query lifecycles (enhance →
+    // embed → vector + BM25 → RRF → rerank) in one DAG, including the BM25
+    // index build (same build+serve attribution as the bm25 row). Corpus =
+    // docs and embeddings replicated at the SAME factor so every embedding
+    // id resolves to a chunk row.
+    def e2e20(d: DataFrame, e: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val chunks = d.select(col("doc_id"), col("text"),
+        col("source").as("sourcedoc"),
+        (row_number().over(w) - 1).cast("int").as("sid"))
+      val emb2 = e.select(col("vec_id").as("doc_id"), col("embedding"))
+      val ix = operators.Bm25.buildIndex(chunks, "doc_id", "text", persist = true)
+      try {
+        val qs = queries.EngineQueries.E2eBatch20.zipWithIndex
+          .map { case ((t, _), i) => (i + 1).toLong -> t }
+        pipeline.KbPipeline.queryBatch(spark, chunks, emb2, qs,
+          bm25Index = Some(ix)).count()
+      } finally { ix.postings.unpersist(); ix.lengths.unpersist(); ix.idf.unpersist() }
+    }
+    secs(s"e2e-hybrid-batch20 1x")(e2e20(docs, emb))
+    secs(s"e2e-hybrid-batch20 ${kDocs}x")(
+      e2e20(bigDocs, bigEmb.filter(col("vec_id") < kDocs.toLong * 10000000L)))
+
     secs(s"spell-correct50 1x")(spell(docs))
     secs(s"spell-correct50 ${kDocs}x")(spell(bigDocs))
     secs(s"i8-quantized-knn 1x")(i8knn(emb))

@@ -111,6 +111,22 @@ object CategorizeQueries {
         .orderBy(col("n").desc, col("category"))
     },
 
+    // ── M11: import-back — attach the derived categorization to every
+    //    chunk row of its sourcedoc (broadcast left join replacing the
+    //    reference's per-row UPDATE loop, categorize/import_to_db.py);
+    //    uncategorized docs keep NULL columns ────────────────────────────
+    QueryDef.sql("m11_import",
+      s"""$catsCte
+         |SELECT d.doc_id, d.source AS sourcedoc, c.primary_category,
+         |       array_to_string(c.categories, ',') AS categories
+         |FROM documents d LEFT JOIN cats c ON d.source = c.sourcedoc
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Categorize.importCategories(Tables.chunksWithSid(s, dir), catsDf(s, dir))
+        .select(col("doc_id"), col("sourcedoc"), col("primary_category"),
+          array_join(col("categories"), ",").as("categories"))
+        .orderBy("doc_id")
+    },
+
     // ── M10: fuzzy category-label dedup via edit similarity ───────────────
     QueryDef.sql("m10_category_dedup", {
       val labels = Seq("Data Processing", "data processing", "data-processing",
