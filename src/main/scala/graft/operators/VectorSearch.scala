@@ -757,6 +757,19 @@ object VectorSearch {
       .unionByName(longEdges)
   }
 
+  /** Symmetrized distinct edge list of a graph, memoized per graph
+    * DataFrame INSTANCE (weak keys — [[cachedGraph]] hands out one instance
+    * per corpus, so repeated searches reuse the materialized table; a fresh
+    * spec graph just pays its own one-time derivation).
+    */
+  private val edgeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+  private def undirectedEdges(graph: DataFrame): DataFrame =
+    edgeCache.computeIfAbsent(graph, g =>
+      g.select(col("src").as("doc_id"), col("dst"))
+        .unionByName(g.select(col("dst").as("doc_id"), col("src").as("dst")))
+        .distinct().localCheckpoint(true))
+
   /** Batched greedy beam search over a [[knnGraph]] — HNSW's search loop
     * unrolled to `hops` iterations of: expand the per-query pool by its
     * members' graph neighbors, rescore, keep the best `beam`. The pool is
@@ -791,10 +804,13 @@ object VectorSearch {
       q.select(col("query_id")).crossJoin(entries)), beam)
     // expansion follows links in BOTH directions — the undirected reading
     // HNSW gives its neighbor lists (insertion adds reverse links); without
-    // it, nodes that rank nobody's top-k are unreachable
-    val edges = graph.select(col("src").as("doc_id"), col("dst"))
-      .unionByName(graph.select(col("dst").as("doc_id"), col("src").as("dst")))
-      .distinct()
+    // it, nodes that rank nobody's top-k are unreachable. The symmetrized
+    // distinct edge list is derived ONCE per graph instance and checkpointed
+    // ([[undirectedEdges]]): every hop of every search over a cached graph
+    // joins a materialized edge table instead of re-running the
+    // union+distinct shuffle — an index derivative, same economics as the
+    // graph itself
+    val edges = undirectedEdges(graph)
     (1 to hops).foreach { _ =>
       val cand = frontier.select("query_id", "doc_id")
         .unionByName(frontier.select("query_id", "doc_id")

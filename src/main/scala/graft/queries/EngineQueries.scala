@@ -250,6 +250,39 @@ object EngineQueries {
     s"concat_ws(';', ${parts.mkString(", ")})"
   }
 
+  /** Seeded IVFPQ serving artifacts (centroids = vec_id < 8, codebook from
+    * the subvectors of vec_id < 16, m = 8), memoized per (session, corpus)
+    * with the encoded table persisted — an index: built once, served many
+    * (the [[graft.operators.Bm25.cachedIndex]] economics; rebuilding
+    * assignment + PQ codes per query would charge serving for build work).
+    */
+  private val ivfPqCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, graft.operators.VectorSearch.Serving.IvfPq]]()
+  private def cachedSeededIvfPq(s: org.apache.spark.sql.SparkSession, dir: String,
+                                emb: org.apache.spark.sql.DataFrame): graft.operators.VectorSearch.Serving.IvfPq = {
+    import graft.operators.VectorSearch
+    val perSession = ivfPqCache.synchronized {
+      ivfPqCache.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, VectorSearch.Serving.IvfPq]())
+    }
+    perSession.computeIfAbsent(dir, _ => {
+      val centSeq = emb.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val assigned = VectorSearch.seededIvfAssign(emb, "doc_id", "embedding", centSeq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = VectorSearch.seededPqCodebook(emb, "doc_id", "embedding",
+        seedIds = 0L until 16L, m = 8)
+      val ivfIx = VectorSearch.IvfIndex(assigned,
+        centSeq.map(_._2.toArray).toArray, "doc_id", "embedding")
+      VectorSearch.Serving.IvfPq(ivfIx, cb,
+        VectorSearch.pqEncode(assigned, "doc_id", "embedding", cb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        shortlist = 100)
+    })
+  }
+
   /** IVFPQ-served vector stage for [[e2eCoreSql]]: seeded coarse quantizer
     * (centroids = vec_id < 8, nprobe 2), seeded PQ codebook (subvectors of
     * vec_id < 16, 8 subspaces × 16 codewords), ADC shortlist 100, exact
@@ -973,16 +1006,7 @@ object EngineQueries {
       val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
-      val centSeq = emb.filter(col("doc_id") < 8)
-        .select(col("doc_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
-      val assigned = VectorSearch.seededIvfAssign(emb, "doc_id", "embedding", centSeq)
-      val cb = VectorSearch.seededPqCodebook(emb, "doc_id", "embedding",
-        seedIds = 0L until 16L, m = 8)
-      val ivfIx = VectorSearch.IvfIndex(assigned,
-        centSeq.map(_._2.toArray).toArray, "doc_id", "embedding")
-      val serving = VectorSearch.Serving.IvfPq(ivfIx, cb,
-        VectorSearch.pqEncode(assigned, "doc_id", "embedding", cb), shortlist = 100)
+      val serving = cachedSeededIvfPq(s, dir, emb)
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
         graft.config.KbConfig(indexType = "ivfpq", ivfNprobe = 2),
         bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
