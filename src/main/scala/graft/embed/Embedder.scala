@@ -178,6 +178,31 @@ object Embedder {
       df.select(textCol).limit(sampleSize).collect().map(_.getString(0)).toSeq,
       model, maxBatchSize)
 
+  /** Column twin of [[optimalBatchSize]] (M2), for planning batch sizes for
+    * MANY models/corpora in one job instead of one driver collect each:
+    * given the sample's summed whitespace word count and row count, apply
+    * the same `limit / (mean words × 1.3)` formula, the gemini 100-item cap
+    * and the ≥1 floor. Association order is sum-then-multiply (the driver
+    * version averages per-text products; equal on every fixture — see
+    * EmbedderPlanSpec — though not bit-guaranteed for adversarial counts
+    * straddling an integer quotient).
+    */
+  def batchSizeCol(model: Column, tokenLimit: Column, sumWordCounts: Column,
+                   nSample: Column, maxBatchSize: Int): Column = {
+    val avgTokens = sumWordCounts.cast("double") * lit(1.3) / nSample.cast("double")
+    val byTokens = when(avgTokens > 0,
+      least(lit(maxBatchSize), floor(tokenLimit.cast("double") / avgTokens).cast("int")))
+      .otherwise(lit(maxBatchSize))
+    val capped = when(model.startsWith("gemini-"), least(byTokens, lit(100)))
+      .otherwise(byTokens)
+    greatest(lit(1), capped)
+  }
+
+  /** Whitespace word count matching [[optimalBatchSize]]'s
+    * `split("\\s+").count(_.nonEmpty)`. */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
   /** M3 retry with exponential backoff + jitter
     * (`/root/reference/embedding/embed_manager.py:296-333`: backoff
     * min(tries², 30s) + proportional jitter). Wraps any provider; runs

@@ -287,6 +287,46 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** F13 language code↔name map (`/root/reference/utils/text_utils.py:20-36`):
+    * the 12 ISO-639-1 codes the reference's NLTK stopword path supports.
+    */
+  val LanguageCodes: Map[String, String] = Map(
+    "zh" -> "chinese", "da" -> "danish", "nl" -> "dutch", "en" -> "english",
+    "fi" -> "finnish", "fr" -> "french", "de" -> "german",
+    "id" -> "indonesian", "it" -> "italian", "pt" -> "portuguese",
+    "es" -> "spanish", "sv" -> "swedish")
+
+  /** Reverse map, full name → ISO code (`text_utils.py:35-36`). */
+  val LanguageNamesToCodes: Map[String, String] = LanguageCodes.map(_.swap)
+
+  /** F13 `get_iso_code` (`text_utils.py:39-56`): accepts either an ISO code
+    * or a full name; unknown input raises, matching the reference's
+    * ValueError. Driver-side (config parsing), hence the exception — the
+    * column twin [[languageIso]] yields NULL instead.
+    */
+  def isoCode(language: String): String =
+    if (LanguageCodes.contains(language)) language
+    else LanguageNamesToCodes.getOrElse(language, throw new IllegalArgumentException(
+      s"Unrecognized language: '$language'. Use ISO 639-1 code (e.g., 'en') or full name (e.g., 'english')."))
+
+  /** F13 `get_full_language_name` (`text_utils.py:59-74`). */
+  def fullLanguageName(iso: String): String =
+    LanguageCodes.getOrElse(iso, throw new IllegalArgumentException(
+      s"Unrecognized ISO code: '$iso'"))
+
+  private def mapLit(m: Map[String, String]): Column =
+    map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** Column twin of [[fullLanguageName]]: ISO code → full name, NULL for
+    * unknown codes (a batch pipeline flags bad rows; it does not abort the
+    * job the way the reference's per-call ValueError does — hence
+    * `try_element_at`, since ANSI mode makes plain `element_at` throw).
+    */
+  def languageName(code: Column): Column = try_element_at(mapLit(LanguageCodes), code)
+
+  /** Column twin of the name→code direction of [[isoCode]]. */
+  def languageIso(name: Column): Column = try_element_at(mapLit(LanguageNamesToCodes), name)
+
   /** Text quality score in [0,1]: blend of length band, stopword presence,
     * alpha ratio, and mean word length band — the classic cheap heuristics a
     * pretraining pipeline applies before expensive model scoring. All

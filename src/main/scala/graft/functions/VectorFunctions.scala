@@ -58,6 +58,15 @@ object VectorFunctions {
     * (`/root/reference/query/search.py:245-258`). */
   def l2ToSimilarity(dist: Column): Column = lit(1.0) / (lit(1.0) + dist)
 
+  /** F11 rerank score→distance
+    * (`/root/reference/embedding/rerank_manager.py:321-328`): the inverse of
+    * [[l2ToSimilarity]] with an epsilon guard, `1/(score+1e-6) − 1`, used to
+    * re-enter "lower is better" space when mixing reranked hits back into
+    * distance-sorted lists.
+    */
+  def scoreToDistance(score: Column): Column =
+    lit(1.0) / (score + lit(1e-6)) - lit(1.0)
+
   /** A literal query vector as a Column (broadcast as a constant into
     * codegen — no join needed for single-query scoring).
     */

@@ -649,6 +649,45 @@ object EngineQueries {
         .orderBy("doc_id")
     },
 
+    // ── M2: batch-size planning (embed_manager.py:216-257) as a column
+    //    twin — one job plans provider batch sizes for every model over the
+    //    same 10-row sample the reference takes (chunks[:10]); the driver
+    //    path is Embedder.planBatchSize, spec-matched to this twin ──────────
+    QueryDef.sql("m2_batch_plan", {
+      val models = Seq(
+        ("custom-embed-unknown", 8191),
+        ("gemini-embedding-001", 30720),
+        ("text-embedding-3-large", 8191),
+        ("text-embedding-3-small", 8191),
+        ("text-embedding-ada-002", 8191))
+      val vals = models.map { case (m, l) => s"('$m', $l)" }.mkString(", ")
+      s"""WITH sample AS (
+         |  SELECT len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS wc
+         |  FROM documents ORDER BY doc_id LIMIT 10),
+         |stats AS (SELECT sum(wc)::BIGINT AS sw, count(*)::BIGINT AS n FROM sample),
+         |models(model, token_limit) AS (VALUES $vals)
+         |SELECT model, token_limit,
+         |       greatest(1, CASE WHEN model LIKE 'gemini-%'
+         |         THEN least(least(500, floor(token_limit::DOUBLE / (sw::DOUBLE * 1.3 / n::DOUBLE))::INT), 100)
+         |         ELSE least(500, floor(token_limit::DOUBLE / (sw::DOUBLE * 1.3 / n::DOUBLE))::INT) END) AS batch_size
+         |FROM models, stats ORDER BY model""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val stats = Tables.documents(s, dir)
+        .orderBy("doc_id").limit(10)
+        .select(Embedder.wordCount(col("text")).as("wc"))
+        .agg(sum(col("wc")).as("sw"), count(lit(1)).as("n"))
+      val models = Embedder.ModelTokenLimits.toSeq
+        .:+("custom-embed-unknown" -> 8191)
+        .sortBy(_._1)
+        .toDF("model", "token_limit")
+      models.crossJoin(broadcast(stats))
+        .select(col("model"), col("token_limit"),
+          Embedder.batchSizeCol(col("model"), col("token_limit"),
+            col("sw"), col("n"), 500).as("batch_size"))
+        .orderBy("model")
+    },
+
     // ── M5/J5/P1: cache-aware embedding (mapPartitions provider + anti-join)
     QueryDef.sql("m5_embed_cache",
       // Values must equal a direct embed of every row — the cache join only

@@ -171,6 +171,64 @@ object KbQueries {
         .limit(20)
     },
 
+    // ── F11: rerank score→distance inverse transform over the top-k hits
+    //    (rerank_manager.py:321-328; scores here are the cosine top-20 —
+    //    positive, so the 1e-6 guard never divides near zero) ───────────────
+    QueryDef.sql("f11_score_distance",
+      s"""$cosCte
+         |SELECT doc_id, round(score, 6) AS score,
+         |       round(1.0 / (round(score, 6) + 0.000001) - 1.0, 6) AS distance
+         |FROM cos
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      VectorSearch.bruteTopK(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          round(VectorFunctions.scoreToDistance(round(col("score"), 6)), 6).as("distance"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ── F13: language code↔name maps (text_utils.py:20-74) exercised both
+    //    directions over the F14-predicted language histogram; 'und' (not a
+    //    reference code) takes the unknown→NULL path of the column twins ────
+    QueryDef.sql("f13_language_map", {
+      val scoredStructs = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"{'hits': len(list_filter($lst, m -> list_contains(toks, m))), 'lang': '$lang'}"
+        }.mkString("[", ", ", "]")
+      val nameCase = TextFunctions.LanguageCodes.toSeq.sortBy(_._1)
+        .map { case (c, n) => s"WHEN '$c' THEN '$n'" }.mkString(" ")
+      val isoCase = TextFunctions.LanguageNamesToCodes.toSeq.sortBy(_._1)
+        .map { case (n, c) => s"WHEN '$n' THEN '$c'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |scored AS (SELECT doc_id, list_max($scoredStructs) AS best FROM t),
+         |pred AS (SELECT doc_id,
+         |           CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+         |         FROM scored),
+         |named AS (SELECT lang_pred,
+         |            CASE lang_pred $nameCase ELSE NULL END AS lang_name
+         |          FROM pred)
+         |SELECT lang_pred, coalesce(lang_name, '?') AS lang_name,
+         |       coalesce(CASE lang_name $isoCase ELSE NULL END, '?') AS iso_roundtrip,
+         |       count(*)::BIGINT AS n
+         |FROM named GROUP BY lang_pred, lang_name ORDER BY lang_pred""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextFunctions.languageId(TextFunctions.tokenize(col("text"))).as("lang_pred"))
+        .withColumn("lang_name", TextFunctions.languageName(col("lang_pred")))
+        .groupBy("lang_pred", "lang_name")
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang_pred"),
+          coalesce(col("lang_name"), lit("?")).as("lang_name"),
+          coalesce(TextFunctions.languageIso(col("lang_name")), lit("?")).as("iso_roundtrip"),
+          col("n"))
+        .orderBy("lang_pred")
+    },
+
     // ── J3/A3: RRF hybrid fusion of vector + BM25 ranked lists ────────────
     QueryDef.sql("j3_rrf_hybrid",
       s"""$bm25Cte,
