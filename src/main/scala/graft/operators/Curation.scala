@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a pretraining data pipeline runs between dedup
+  * and training: sequence packing, benchmark-contamination checks, PII
+  * scrubbing. None exist in the reference (it stops at retrieval); they are
+  * the natural extensions of its chunk/clean/dedup stages to the
+  * training-data regime, and every one is a deterministic, oracle-checkable
+  * DataFrame shape.
+  */
+object Curation {
+
+  /** GPT-style concat-and-chunk sequence packing: chunks are concatenated
+    * in deterministic `(shard, id)` order and the token stream is split
+    * every `budget` tokens; each chunk is assigned the bin its FIRST token
+    * lands in, plus its offset inside that bin. One window per shard —
+    * a running token sum, integer math only.
+    *
+    * 100 TB shape: the window partitions by shard (source file), so packing
+    * parallelizes per shard and never globally sorts the corpus; a shard's
+    * running sum is the only sequential state, exactly like the writers in
+    * tokenizer pipelines. Bins never span shards (the standard choice — it
+    * keeps shard boundaries as document boundaries).
+    */
+  def packTokenBins(docs: DataFrame, shardCol: String, idCol: String,
+                    tokenCount: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", tokenCount.cast("long"))
+      .withColumn("_cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", floor((col("_cum") - col("n_tok")).cast("double") / lit(budget)))
+      .withColumn("bin_offset", (col("_cum") - col("n_tok")) % lit(budget.toLong))
+      .drop("_cum")
+  }
+
+  /** Benchmark-contamination check: word `n`-gram overlap between every
+    * corpus document and every benchmark item. Returns one row per
+    * (doc, benchmark item) pair sharing at least one distinct n-gram:
+    * the overlap count, the contaminated fraction of the doc's n-grams,
+    * and a flag at `threshold`.
+    *
+    * 100 TB shape: the benchmark side is tiny (eval sets are thousands of
+    * rows) — broadcast, so the corpus-side shingle explode never shuffles;
+    * the only shuffle is the final (doc_id, bench_id) count. The corpus is
+    * scanned once.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchIdCol: String,
+                    benchTextCol: String, n: Int,
+                    threshold: Double): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, out: String) = df
+      .select(col(id), explode(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokenize(col(text)), n))).as(out))
+    val docGrams = grams(docs, idCol, textCol, "gram")
+    val docTotals = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val benchGrams = grams(benchmark, benchIdCol, benchTextCol, "gram")
+    docGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(idCol, benchIdCol)
+      .agg(count(lit(1)).as("overlap"))
+      .join(docTotals, idCol)
+      .withColumn("ratio",
+        round(col("overlap").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated", col("ratio") >= threshold)
+      .drop("n_grams")
+  }
+
+  /** PII patterns: (name, RE2-safe regex, placeholder), applied in this
+    * order — longest/most-specific first so a card number is never half
+    * eaten by the phone pattern. The regex strings contain no single
+    * quotes and no constructs outside the RE2 subset, so the SAME pattern
+    * string runs in DuckDB for the oracle.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("card", "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b", "[CARD]"),
+    ("phone", "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Scrub PII: apply every pattern's replacement in [[PiiPatterns]] order
+    * and count matches per type STAGE-WISE (each type counted on the text
+    * after the previous types were replaced, so a card number is not also
+    * counted as two phone fragments). Returns (scrubbed, count-per-type in
+    * pattern order). Pure column expressions — codegen, no UDF.
+    */
+  def scrubPii(text: Column): (Column, Seq[(String, Column)]) = {
+    val (scrubbed, counts) =
+      PiiPatterns.foldLeft((text, Vector.empty[(String, Column)])) {
+        case ((t, acc), (name, re, ph)) =>
+          val cnt = size(regexp_extract_all(t, lit(re), lit(0)))
+          (regexp_replace(t, re, ph), acc :+ (name -> cnt))
+      }
+    (scrubbed, counts)
+  }
+}

@@ -56,6 +56,17 @@ object EngineQueries {
     // correction keeps the query as an empty string rather than dropping it)
     6 -> "?!,, ... !!")
 
+  /** PII fixture rows (the synthetic corpus contains no PII, deliberately):
+    * planted email/phone/card/SSN/IP plus clean and adversarial-adjacency
+    * rows — card-vs-phone precedence, dotted-number-vs-IP.
+    */
+  private val PiiFixture: Seq[(Int, String)] = Seq(
+    1 -> "Contact john.doe@example.com or call (555) 123-4567 now",
+    2 -> "SSN 123-45-6789 card 4111-1111-1111-1111 server 10.0.0.1",
+    3 -> "no pii at all here",
+    4 -> "edge: 1234 5678 9012 3456 and 999.999.999.999 and a@b.co",
+    5 -> "phones 555.123.4567 and 555 123 4567; ref 12-34 stays")
+
   /** `Enhancement.enhance("fast spark join and filter queries")`, pinned as
     * a literal so the e2e oracle SQL can embed it. KbPipelineSpec asserts
     * the live enhancement still produces exactly this string — any drift in
@@ -636,6 +647,44 @@ object EngineQueries {
         .toDF("id", "txt")
         .select(col("id"),
           graft.functions.TextFunctions.enhancedCleanText(col("txt")).as("cleaned"))
+        .orderBy("id")
+    },
+
+    // ── PII scrubbing: staged regex redaction + per-type counts (counts
+    //    taken stage-wise so a card number is never re-counted as phone
+    //    fragments); same RE2-safe pattern strings run in DuckDB ────────────
+    QueryDef.sql("f_pii_scrub", {
+      val fixture = PiiFixture.map { case (i, t) => s"($i, '${sqlQuote(t)}')" }.mkString(", ")
+      // chain one CTE per pattern: sN counts pattern N on the (N-1)-scrubbed
+      // text, then applies its replacement
+      val stages = graft.operators.Curation.PiiPatterns.zipWithIndex
+        .map { case ((name, re, ph), i) =>
+          val prev = if (i == 0) "raw" else s"s${i - 1}"
+          val prevTxt = if (i == 0) "txt" else s"t${i - 1}"
+          val carried = graft.operators.Curation.PiiPatterns.take(i)
+            .map { case (n, _, _) => s"n_$n" } match {
+            case Nil => ""
+            case cs  => cs.mkString(", ", ", ", "")
+          }
+          s"""s$i AS (
+             |  SELECT id$carried,
+             |         len(regexp_extract_all($prevTxt, '$re')) AS n_$name,
+             |         regexp_replace($prevTxt, '$re', '$ph', 'g') AS t$i
+             |  FROM $prev)""".stripMargin
+        }.mkString(",\n")
+      val last = graft.operators.Curation.PiiPatterns.size - 1
+      val counts = graft.operators.Curation.PiiPatterns
+        .map { case (n, _, _) => s"n_$n" }.mkString(", ")
+      s"""WITH raw(id, txt) AS (VALUES $fixture),
+         |$stages
+         |SELECT id, t$last AS scrubbed, $counts
+         |FROM s$last ORDER BY id""".stripMargin
+    }) { (s, _) =>
+      import s.implicits._
+      val (scrubbed, counts) = graft.operators.Curation.scrubPii(col("txt"))
+      PiiFixture.toDF("id", "txt")
+        .select(col("id") +: scrubbed.as("scrubbed") +:
+          counts.map { case (n, c) => c.as(s"n_$n") }: _*)
         .orderBy("id")
     },
 

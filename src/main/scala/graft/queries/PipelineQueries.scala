@@ -5,7 +5,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.ingest.Chunker
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, VectorSearch}
+import graft.operators.{Curation, Dedup, VectorSearch}
 
 /** Training-data pipeline queries (builder-prompt extensions): dedup suite
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
@@ -853,6 +853,59 @@ object PipelineQueries {
           TextFunctions.wordCount(col("text")).as("n_ws"),
           TextFunctions.approxTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // ── Sequence packing: concat-and-chunk token bins per source shard —
+    //    the step that turns a cleaned corpus into fixed-budget training
+    //    sequences; one per-shard running-sum window, integer math ──────────
+    QueryDef.sql("pack_token_bins",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(${plainTokSql("text")})::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tok,
+         |       floor((cum - n_tok)::DOUBLE / 512)::BIGINT AS bin_id,
+         |       ((cum - n_tok) % 512)::BIGINT AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.packTokenBins(Tables.documents(s, dir), "source", "doc_id",
+          TextFunctions.wordCount(col("text")), 512)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("bin_id"), col("bin_offset"))
+        .orderBy("doc_id")
+    },
+
+    // ── Benchmark-contamination check: word n-gram overlap of every corpus
+    //    doc against a (broadcast) benchmark set — here the benchmark is
+    //    seeded from two corpus docs, so exact leaks score ratio 1 and
+    //    partial overlaps grade below the flag threshold. n=3 suits this
+    //    synthetic small-vocabulary corpus; production pipelines use 8-13 ───
+    QueryDef.sql("contamination_ngram",
+      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |dg AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 3)})) AS gram
+         |  FROM t),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM dg GROUP BY doc_id),
+         |bench AS (SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id IN (3, 57)),
+         |ov AS (
+         |  SELECT d.doc_id, b.bench_id, count(*)::BIGINT AS overlap
+         |  FROM dg d JOIN bench b USING (gram) GROUP BY d.doc_id, b.bench_id)
+         |SELECT o.doc_id, o.bench_id, o.overlap,
+         |       round(o.overlap::DOUBLE / t.n_grams, 6) AS ratio,
+         |       (round(o.overlap::DOUBLE / t.n_grams, 6) >= 0.8)::INT AS contaminated
+         |FROM ov o JOIN tot t USING (doc_id)
+         |ORDER BY doc_id, bench_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id").isin(3, 57))
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Curation.contamination(docs, "doc_id", "text", bench, "bench_id", "text",
+          n = 3, threshold = 0.8)
+        .select(col("doc_id"), col("bench_id"), col("overlap"), col("ratio"),
+          col("contaminated").cast("int").as("contaminated"))
+        .orderBy("doc_id", "bench_id")
     },
 
     // ── Text analysis: quality scoring ────────────────────────────────────

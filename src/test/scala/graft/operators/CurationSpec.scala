@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  test("packTokenBins: concat-and-chunk per shard, integer offsets") {
+    import spark.implicits._
+    // shard a: token counts 300, 300, 500 → cum-starts 0, 300, 600
+    //   budget 512 → bins 0, 0, 1; offsets 0, 300, 88
+    // shard b: 600, 10 → bins 0, 1; offsets 0, 88
+    val docs = Seq(
+      ("a", 1L, 300), ("a", 2L, 300), ("a", 3L, 500),
+      ("b", 4L, 600), ("b", 5L, 10))
+      .toDF("source", "doc_id", "cnt")
+    val out = Curation.packTokenBins(docs, "source", "doc_id", col("cnt"), 512)
+      .select("doc_id", "bin_id", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L),
+      (4L, 0L, 0L), (5L, 1L, 88L)))
+  }
+
+  test("packTokenBins: a chunk landing exactly on the budget starts the next bin") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, 512), ("a", 2L, 1)).toDF("source", "doc_id", "cnt")
+    val out = Curation.packTokenBins(docs, "source", "doc_id", col("cnt"), 512)
+      .select("doc_id", "bin_id", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0L, 0L), (2L, 1L, 0L)))
+  }
+
+  test("contamination: exact leak flags at ratio 1.0, partial overlap graded, disjoint absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // exact leak of bench 10
+      (2L, "alpha beta gamma other words here no"), // shares 1 of its 5 trigrams
+      (3L, "entirely different vocabulary rows"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bench_id", "text")
+    val out = Curation.contamination(docs, "doc_id", "text", bench, "bench_id",
+        "text", n = 3, threshold = 0.8)
+      .select("doc_id", "overlap", "ratio", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0) == (1L, 4L, 1.0, true))
+    assert(out(1)._2 == 1L && out(1)._3 == 0.2 && !out(1)._4)
+  }
+
+  test("scrubPii: staged redaction with stage-wise counts") {
+    import spark.implicits._
+    val (scrubbed, counts) = Curation.scrubPii(col("txt"))
+    val rows = Seq(
+      (1, "Contact john.doe@example.com or call (555) 123-4567 now"),
+      (2, "SSN 123-45-6789 card 4111-1111-1111-1111 server 10.0.0.1"),
+      (3, "no pii at all here"))
+      .toDF("id", "txt")
+      .select(col("id") +: scrubbed.as("scrubbed") +:
+        counts.map { case (n, c) => c.as(s"n_$n") }: _*)
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "Contact [EMAIL] or call [PHONE] now")
+    assert(rows(0).getInt(2) == 1 && rows(0).getInt(4) == 1) // n_email, n_phone
+    // card counted as card (not as phone fragments), ssn and ip intact
+    assert(rows(1).getString(1) == "SSN [SSN] card [CARD] server [IP]")
+    assert(rows(1).getInt(3) == 1 && rows(1).getInt(4) == 0 &&
+      rows(1).getInt(5) == 1 && rows(1).getInt(6) == 1)
+    assert(rows(2).getString(1) == "no pii at all here" &&
+      (2 to 6).forall(rows(2).getInt(_) == 0))
+  }
+}
