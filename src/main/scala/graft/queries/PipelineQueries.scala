@@ -45,6 +45,62 @@ object PipelineQueries {
     s"CASE WHEN sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)}) > 0 " +
       s"THEN ${dotSql(a, b)} / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})) ELSE 0.0 END"
 
+  /** sign of rademacherPlane(p, j, seed): seed rides as seed*97. */
+  private def signSql(p: String, j: String, seed: Long): String =
+    s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + ${seed * 97L}) % 1000000007) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END)"
+
+  private def bucketSql(seed: Long): String = {
+    val dotPlane =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         | list_transform(range(0, len(v)),
+         |                j -> v[j + 1]::DOUBLE * ${signSql("p", "j", seed)})),
+         | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+    s"""list_reduce(list_prepend(0::BIGINT,
+       | list_transform(range(0, 4), p ->
+       |   CASE WHEN $dotPlane >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+       | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** The deterministic small-world kNN-graph build (VectorSearch.knnGraph
+    * defaults: numPlanes=4 two seeds, k=8 locals via 16-row sorted
+    * neighborhoods, kLong=4 via hash blocks) as oracle CTEs, ending at the
+    * DIRECTED edge list `e0`. Shared by sim_knn_graph (which appends beam
+    * search) and sim_knn_refine (which appends one NN-Descent round).
+    */
+  private val graphBuildCtes: String =
+    s"""emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM emb),
+       |sg AS (SELECT id, v, ${bucketSql(42L)} AS b0, ${bucketSql(43L)} AS b1,
+       |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
+       |         % (SELECT nblocks FROM nb) AS bg
+       |       FROM emb),
+       |lrn0 AS (SELECT id, b0 AS bk,
+       |         row_number() OVER (PARTITION BY b0 ORDER BY id) AS rn FROM sg),
+       |lup0 AS (SELECT a.id AS src, b.id AS dst FROM lrn0 a JOIN lrn0 b
+       |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
+       |lrn1 AS (SELECT id, b1 AS bk,
+       |         row_number() OVER (PARTITION BY b1 ORDER BY id) AS rn FROM sg),
+       |lup1 AS (SELECT a.id AS src, b.id AS dst FROM lrn1 a JOIN lrn1 b
+       |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
+       |lcand AS (SELECT src, dst FROM lup0 UNION SELECT dst, src FROM lup0
+       |          UNION SELECT src, dst FROM lup1 UNION SELECT dst, src FROM lup1),
+       |lcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+       |         FROM lcand c JOIN emb va ON c.src = va.id
+       |         JOIN emb vb ON c.dst = vb.id),
+       |ltop AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |         ORDER BY cs DESC, dst) AS rk FROM lcos) WHERE rk <= 8),
+       |gcand AS (SELECT a.id AS src, b.id AS dst FROM sg a JOIN sg b
+       |            ON a.bg = b.bg AND a.id <> b.id),
+       |gcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+       |         FROM gcand c JOIN emb va ON c.src = va.id
+       |         JOIN emb vb ON c.dst = vb.id),
+       |gtop AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |         ORDER BY cs DESC, dst) AS rk FROM gcos) WHERE rk <= 4),
+       |e0 AS (SELECT src, dst FROM ltop UNION SELECT src, dst FROM gtop)""".stripMargin
+
   /** MinHash signature pipeline CTEs (16 hashes over distinct 3-shingles). */
   private val minhashCte: String =
     s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
@@ -349,21 +405,6 @@ object PipelineQueries {
     //    graph (sign-LSH locals + hash-block long links) + 3-hop beam
     //    search, every hop unrolled into the oracle — value-exact ─────────
     QueryDef.sql("sim_knn_graph", {
-      // sign of rademacherPlane(p, j, seed): seed rides as seed*97
-      def signSql(p: String, j: String, seed: Long): String =
-        s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + ${seed * 97L}) % 1000000007) % 2 = 0 " +
-          "THEN 1.0 ELSE -1.0 END)"
-      def bucketSql(seed: Long): String = {
-        val dotPlane =
-          s"""list_reduce(list_prepend(0.0::DOUBLE,
-             | list_transform(range(0, len(v)),
-             |                j -> v[j + 1]::DOUBLE * ${signSql("p", "j", seed)})),
-             | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
-        s"""list_reduce(list_prepend(0::BIGINT,
-           | list_transform(range(0, 4), p ->
-           |   CASE WHEN $dotPlane >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
-           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
-      }
       // one beam-search hop: candidates = frontier ∪ its graph neighbors,
       // rescore, keep the best 48 per query
       def hop(prev: String, i: Int): String =
@@ -377,37 +418,7 @@ object PipelineQueries {
            |f$i AS (SELECT query_id, doc_id, score FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |            ORDER BY score DESC, doc_id) AS rk FROM f${i}s) WHERE rk <= 48)""".stripMargin
-      s"""WITH emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         |nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM emb),
-         |sg AS (SELECT id, v, ${bucketSql(42L)} AS b0, ${bucketSql(43L)} AS b1,
-         |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
-         |         % (SELECT nblocks FROM nb) AS bg
-         |       FROM emb),
-         |lrn0 AS (SELECT id, b0 AS bk,
-         |         row_number() OVER (PARTITION BY b0 ORDER BY id) AS rn FROM sg),
-         |lup0 AS (SELECT a.id AS src, b.id AS dst FROM lrn0 a JOIN lrn0 b
-         |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
-         |lrn1 AS (SELECT id, b1 AS bk,
-         |         row_number() OVER (PARTITION BY b1 ORDER BY id) AS rn FROM sg),
-         |lup1 AS (SELECT a.id AS src, b.id AS dst FROM lrn1 a JOIN lrn1 b
-         |         ON a.bk = b.bk AND b.rn > a.rn AND b.rn <= a.rn + 16),
-         |lcand AS (SELECT src, dst FROM lup0 UNION SELECT dst, src FROM lup0
-         |          UNION SELECT src, dst FROM lup1 UNION SELECT dst, src FROM lup1),
-         |lcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
-         |         FROM lcand c JOIN emb va ON c.src = va.id
-         |         JOIN emb vb ON c.dst = vb.id),
-         |ltop AS (SELECT src, dst FROM (
-         |  SELECT src, dst, row_number() OVER (PARTITION BY src
-         |         ORDER BY cs DESC, dst) AS rk FROM lcos) WHERE rk <= 8),
-         |gcand AS (SELECT a.id AS src, b.id AS dst FROM sg a JOIN sg b
-         |            ON a.bg = b.bg AND a.id <> b.id),
-         |gcos AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
-         |         FROM gcand c JOIN emb va ON c.src = va.id
-         |         JOIN emb vb ON c.dst = vb.id),
-         |gtop AS (SELECT src, dst FROM (
-         |  SELECT src, dst, row_number() OVER (PARTITION BY src
-         |         ORDER BY cs DESC, dst) AS rk FROM gcos) WHERE rk <= 4),
-         |e0 AS (SELECT src, dst FROM ltop UNION SELECT src, dst FROM gtop),
+      s"""WITH $graphBuildCtes,
          |edges AS (SELECT src AS doc_id, dst FROM e0
          |          UNION SELECT dst, src FROM e0),
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -438,6 +449,34 @@ object PipelineQueries {
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // ── NN-Descent refinement, made VALUE-EXACT: one round over the
+    //    deterministic build — undirected local edges ∪ their two-hop
+    //    closure, exact-cosine rescore, keep-8 per node (Dong et al. WWW'11;
+    //    VectorSearch.refineGraph). Output bounded to src < 40 ──────────────
+    QueryDef.sql("sim_knn_refine",
+      s"""WITH $graphBuildCtes,
+         |und AS (SELECT src, dst FROM ltop UNION SELECT dst, src FROM ltop),
+         |two AS (SELECT a.src, b.dst FROM und a JOIN und b ON a.dst = b.src
+         |        WHERE a.src <> b.dst),
+         |cand AS (SELECT src, dst FROM und UNION SELECT src, dst FROM two),
+         |rsc AS (SELECT c.src, c.dst, ${cosineSql("va.v", "vb.v")} AS cs
+         |        FROM cand c JOIN emb va ON c.src = va.id
+         |        JOIN emb vb ON c.dst = vb.id),
+         |ref AS (SELECT src, dst, cs FROM (
+         |  SELECT src, dst, cs, row_number() OVER (PARTITION BY src
+         |         ORDER BY cs DESC, dst) AS rk FROM rsc) WHERE rk <= 8)
+         |SELECT src, dst, round(cs, 6) AS cos,
+         |       (row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst))::INT AS rnk
+         |FROM ref WHERE src < 40 ORDER BY src, rnk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val g = VectorSearch.cachedGraph(dir, emb, "vec_id", "embedding", k = 8)
+      VectorSearch.refineGraph(g, emb, "vec_id", "embedding", k = 8, rounds = 1)
+        .filter(col("kind") === "l" && col("src") < 40)
+        .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("src", "rnk")
     },
 
     // ── Batched k-NN similarity search (5 queries × top-5) ────────────────
