@@ -22,7 +22,7 @@ import graft.pipeline.{KbPipeline, Tuning}
   *   runMain graft.Main convert-encoding <inputGlob> <outDir>
   *   runMain graft.Main edit <kbDir> [<key> <value>]
   * }}}
-  * plus extension verbs dedup / components / knn / graph / pq
+  * plus extension verbs dedup / components / knn / graph / pq / curate
   * (training-pipeline suite).
   */
 object Main {
@@ -232,6 +232,39 @@ object Main {
           .write.mode("overwrite").parquet(s"$kb/dedup/simhash")
         Seq("exact", "minhash_lsh", "simhash").foreach { d =>
           println(s"[graft] dedup: ${spark.read.parquet(s"$kb/dedup/$d").count()} pairs -> $kb/dedup/$d")
+        }
+
+      case "curate" =>
+        // extension verb (training-pipeline suite): sequence packing + PII
+        // scrub over the chunk table, plus an optional benchmark-
+        // contamination check against a glob of benchmark files.
+        // usage: curate <kbDir> [benchGlob]
+        import graft.operators.Curation
+        import graft.functions.TextFunctions
+        val chunks = spark.read.parquet(s"$kb/chunks")
+        Curation.packTokenBins(chunks, "sourcedoc", "doc_id",
+            TextFunctions.wordCount(col("chunk_text")), budget = 2048)
+          .select("doc_id", "sourcedoc", "n_tok", "bin_id", "bin_offset")
+          .write.mode("overwrite").parquet(s"$kb/curate/bins")
+        val (scrubbed, counts) = Curation.scrubPii(col("chunk_text"))
+        chunks.select(col("doc_id") +: scrubbed.as("chunk_text") +:
+            counts.map { case (n, c) => c.as(s"n_$n") }: _*)
+          .write.mode("overwrite").parquet(s"$kb/curate/scrubbed")
+        println(s"[graft] curate: ${spark.read.parquet(s"$kb/curate/bins").count()} chunks " +
+          s"packed -> $kb/curate/bins; scrubbed -> $kb/curate/scrubbed")
+        if (args.length >= 3) {
+          // one benchmark item per file; ids are the (deterministic) file
+          // names, and the benchmark side stays broadcast-small by contract
+          val bench = spark.read.option("wholetext", "true").text(args(2))
+            .select(input_file_name().as("bench_id"), col("value").as("text"))
+          Curation.contamination(
+              chunks.select(col("doc_id"), col("chunk_text").as("text")),
+              "doc_id", "text", bench, "bench_id", "text",
+              n = 8, threshold = 0.5)
+            .write.mode("overwrite").parquet(s"$kb/curate/contamination")
+          val flagged = spark.read.parquet(s"$kb/curate/contamination")
+            .filter(col("contaminated")).count()
+          println(s"[graft] curate: $flagged contaminated chunk-benchmark pairs -> $kb/curate/contamination")
         }
 
       case "knn" =>

@@ -161,6 +161,32 @@ object Scale {
     secs(s"e2e-hybrid-batch20 ${kDocs}x")(
       e2e20(bigDocs, bigEmb.filter(col("vec_id") < kDocs.toLong * 10000000L)))
 
+    // round-9 curation operators: packing is one per-shard window (shards
+    // multiply with the corpus — the partition count grows, not the
+    // partition size), contamination holds the benchmark side FIXED while
+    // the corpus grows (the production shape), PII scrub is a pure
+    // column-expression scan
+    def packing(d: DataFrame): Long =
+      operators.Curation.packTokenBins(d, "source", "doc_id",
+          functions.TextFunctions.wordCount(col("text")), 512)
+        .agg(max("bin_id")).first().getLong(0)
+    def contamination(d: DataFrame): Long = {
+      val bench = d.filter(col("doc_id").isin(3, 57))
+        .select(col("doc_id").as("bench_id"), col("text"))
+      operators.Curation.contamination(d, "doc_id", "text",
+        bench, "bench_id", "text", n = 3, threshold = 0.8).count()
+    }
+    def pii(d: DataFrame): Long = {
+      val (scrubbed, _) = operators.Curation.scrubPii(col("text"))
+      d.select(length(scrubbed).as("l")).agg(sum("l")).first().getLong(0)
+    }
+    secs(s"pack-token-bins 1x")(packing(docs))
+    secs(s"pack-token-bins ${kDocs}x")(packing(bigDocs))
+    secs(s"contamination-ngram 1x")(contamination(docs))
+    secs(s"contamination-ngram ${kDocs}x")(contamination(bigDocs))
+    secs(s"pii-scrub 1x")(pii(docs))
+    secs(s"pii-scrub ${kDocs}x")(pii(bigDocs))
+
     secs(s"spell-correct50 1x")(spell(docs))
     secs(s"spell-correct50 ${kDocs}x")(spell(bigDocs))
     secs(s"i8-quantized-knn 1x")(i8knn(emb))

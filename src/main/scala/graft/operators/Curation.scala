@@ -57,12 +57,22 @@ object Curation {
       .select(col(id), explode(array_distinct(
         TextFunctions.shingles(TextFunctions.tokenize(col(text)), n))).as(out))
     val docGrams = grams(docs, idCol, textCol, "gram")
-    val docTotals = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val benchGrams = grams(benchmark, benchIdCol, benchTextCol, "gram")
-    docGrams
+    // the overlap table is benchmark-bounded (≤ |bench docs| rows per
+    // contaminated doc) — materialize it once so the totals pass below
+    // reuses it instead of re-running the corpus scan
+    val overlap = docGrams
       .join(broadcast(benchGrams), "gram")
       .groupBy(idCol, benchIdCol)
       .agg(count(lit(1)).as("overlap"))
+      .localCheckpoint(true)
+    // denominators only for docs that overlap at all — the candidate set is
+    // benchmark-bounded, so this re-scan shuffles candidate grams instead of
+    // the whole corpus's (the Jaccard-verify pattern)
+    val docTotals = docGrams
+      .join(broadcast(overlap.select(idCol).distinct()), Seq(idCol), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    overlap
       .join(docTotals, idCol)
       .withColumn("ratio",
         round(col("overlap").cast("double") / col("n_grams"), 6))

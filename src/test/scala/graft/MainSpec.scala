@@ -53,6 +53,16 @@ class MainSpec extends SparkSpec {
     val codes = spark.read.parquet(s"$kb/pq_codes")
     assert(codes.count() == emb.count(), "every vector must be PQ-encoded")
 
+    // curate with a.txt as the "benchmark": its (identical) b.txt chunks
+    // must flag as contaminated
+    Main.run(Array("curate", kb, s"$in/a.txt"), spark)
+    val bins = spark.read.parquet(s"$kb/curate/bins")
+    assert(bins.count() == spark.read.parquet(s"$kb/chunks").count())
+    assert(spark.read.parquet(s"$kb/curate/scrubbed").count() == bins.count())
+    assert(spark.read.parquet(s"$kb/curate/contamination")
+      .filter(org.apache.spark.sql.functions.col("contaminated")).count() > 0,
+      "chunks of a file identical to the benchmark must flag as contaminated")
+
     Main.run(Array("query", kb, "fast spark joins and filters"), spark)
     assert(spark.read.parquet(s"$kb/logs").count() == 1, "query must be logged")
   }
