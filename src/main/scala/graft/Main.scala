@@ -93,8 +93,30 @@ object Main {
     ()
   }
 
+  private[graft] val Version = "0.9.0"
+
+  private[graft] val Usage: String =
+    """usage: graft.Main <verb> ...
+      |  database <kbDir> <inputGlob> [cfg.ini]   ingest + chunk
+      |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
+      |  bm25     <kbDir>                         build the BM25 index
+      |  query    <kbDir> "<text>" [cfg.ini]      hybrid retrieval
+      |  optimize <kbDir>                         storage layout tuning
+      |  verify-indexes <kbDir>                   index consistency checks
+      |  categorize <kbDir>                       LLM-shaped categorization
+      |  convert-encoding <inputGlob> <outDir>    legacy files -> UTF-8
+      |  edit <kbDir> [<key> <value>]             show/set config.ini
+      |  dedup | components | knn | graph | pq | curate   training-pipeline suite
+      |  help | version""".stripMargin
+
   /** Verb dispatch against a caller-owned session (main owns stop()). */
   def run(args: Array[String], spark: SparkSession): Unit = {
+    // reference `customkb help` / `customkb version` (customkb.py:422-429):
+    // the two verbs that take no KB directory
+    if (args.headOption.contains("version")) {
+      println(s"graft $Version (Spark ${spark.version})"); return
+    }
+    if (args.headOption.contains("help")) { println(Usage); return }
     require(args.length >= 2, "usage: graft.Main <verb> <kbDir> [...]")
     val verb = args(0)
     val kb = args(1).stripSuffix("/")

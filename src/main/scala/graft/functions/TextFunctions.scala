@@ -327,6 +327,20 @@ object TextFunctions {
   /** Column twin of the name→code direction of [[isoCode]]. */
   def languageIso(name: Column): Column = try_element_at(mapLit(LanguageNamesToCodes), name)
 
+  /** Repetition ratio in [0,1] (Rae et al.'s Gopher-style boilerplate
+    * signal): 1 − distinct/total word n-grams. 0 = no repeated n-gram;
+    * near 1 = the document is one phrase repeated. Docs shorter than n
+    * grams score 0. Pure column expression over [[shingles]].
+    */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    // NOT FastFunctions.wordShingles: that returns the DISTINCT shingle
+    // set, and the denominator here must count repeats
+    val grams = shingles(FastFunctions.tokenize(c), n)
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Text quality score in [0,1]: blend of length band, stopword presence,
     * alpha ratio, and mean word length band — the classic cheap heuristics a
     * pretraining pipeline applies before expensive model scoring. All

