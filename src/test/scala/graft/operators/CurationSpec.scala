@@ -49,6 +49,43 @@ class CurationSpec extends SparkSpec {
     assert(out(1)._2 == 1L && out(1)._3 == 0.2 && !out(1)._4)
   }
 
+  test("plan shapes: packing windows are shard-partitioned; contamination broadcasts the benchmark side") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (s"s${i % 4}", i.toLong, "alpha beta gamma delta"))
+      .toDF("source", "doc_id", "text")
+    val packed = Curation.packTokenBins(docs, "source", "doc_id", lit(5), 512)
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      "packing must never run a global (partition-less) window")
+    val bench = docs.filter(col("doc_id") <= 2)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val plan = Curation.contamination(docs, "doc_id", "text", bench, "bench_id",
+        "text", n = 3, threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs path")
+  }
+
+  test("repetitionRatio: repeats score high, unique text scores 0, short text 0") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val out = Seq(
+      (1, Seq.fill(10)("buy cheap stuff now").mkString(" ")), // boilerplate
+      (2, "every word here is fully unique today"),
+      (3, "ab"))
+      .toDF("id", "txt")
+      .select(col("id"),
+        round(TextFunctions.repetitionRatio(col("txt"), 3), 4).as("r3"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // 40 tokens → 38 trigrams; 4-periodic phrase → 4 distinct → 1 - 4/38
+    assert(out(0)._2 == 0.8947)
+    assert(out(1)._2 == 0.0)
+    assert(out(2)._2 == 0.0)
+  }
+
   test("scrubPii: staged redaction with stage-wise counts") {
     import spark.implicits._
     val (scrubbed, counts) = Curation.scrubPii(col("txt"))
