@@ -21,6 +21,30 @@ class CurationSpec extends SparkSpec {
       (4L, 0L, 0L), (5L, 1L, 88L)))
   }
 
+  test("packTokenBins invariants over a seeded corpus grid (property sweep)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (budget <- Seq(64, 128, 512)) {
+      val docs = (1 to 200).map { i =>
+        (s"shard${rng.nextInt(5)}", i.toLong, rng.nextInt(200))
+      }.toDF("source", "doc_id", "cnt")
+      val out = Curation.packTokenBins(docs, "source", "doc_id", col("cnt"), budget)
+        .select("source", "doc_id", "n_tok", "bin_id", "bin_offset")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // re-derive the concat-and-chunk closed form sequentially per shard:
+      // bin = cum/budget and offset = cum%budget at each chunk's first token
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).foreach { case (_, _, n, bin, off) =>
+          assert(bin == cum / budget && off == cum % budget)
+          cum += n
+        }
+      }
+      assert(out.forall(r => r._5 >= 0 && r._5 < budget))
+    }
+  }
+
   test("packTokenBins: a chunk landing exactly on the budget starts the next bin") {
     import spark.implicits._
     val docs = Seq(("a", 1L, 512), ("a", 2L, 1)).toDF("source", "doc_id", "cnt")
