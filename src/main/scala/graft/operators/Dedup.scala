@@ -109,6 +109,24 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Candidate pairs BETWEEN two corpora — incremental-ingest dedup, the
+    * daily batch checked against the existing lake. Keyed on
+    * (band, band_hash) exactly like [[lshCandidates]]; the existing side
+    * becomes `doc_a`, the incoming side `doc_b`. 100 TB shape: the lake's
+    * bucket table is a STORED index (built once, appended per ingest), so
+    * each run computes signatures only for the incoming batch and the join
+    * shuffles the batch to the lake's bucket partitioning — the lake itself
+    * is never re-shingled, and no within-corpus pairs are emitted.
+    */
+  def lshCandidatesAcross(existingBuckets: DataFrame,
+                          incomingBuckets: DataFrame): DataFrame =
+    existingBuckets
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(incomingBuckets
+        .select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
+
   /** Exact n-gram Jaccard similarity for candidate pairs: explode each
     * side's distinct shingles, count intersections with a join keyed on
     * (candidate pair, shingle), then |A∩B| / (|A|+|B|-|A∩B|). Only

@@ -195,6 +195,47 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── Incremental-ingest dedup: the "daily batch" (doc_id ≥ 400) LSH-
+    //    checked against the "existing lake" (doc_id < 400) — across-corpus
+    //    candidates only, batch-side signatures only at 100 TB ──────────────
+    QueryDef.sql("dedup_incremental",
+      s"""$minhashCte,
+         |buckets AS (
+         |  SELECT doc_id, b.band,
+         |         ${polySql("array_to_string(list_slice(sig, b.band*4 + 1, b.band*4 + 4), '_')", 31)} AS band_hash
+         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash
+         |   AND a.doc_id < 400 AND b.doc_id >= 400),
+         |shx AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 3)})) AS shingle
+         |  FROM t),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shx GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+         |  FROM cand c
+         |  JOIN shx a ON a.doc_id = c.doc_a
+         |  JOIN shx b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") < 400)
+      val incoming = docs.filter(col("doc_id") >= 400)
+      val cand = Dedup.lshCandidatesAcross(
+        Dedup.lshBuckets(Dedup.minhashSignatures(existing, "doc_id", "text"), 4, 4),
+        Dedup.lshBuckets(Dedup.minhashSignatures(incoming, "doc_id", "text"), 4, 4))
+      Dedup.jaccardPairs(docs, "doc_id", "text", cand)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ── Char-trigram Jaccard near-dup, blocked by source, ultra-common
     //    grams dropped by a per-block df cap (exact Jaccard over rare-gram
     //    sets; word-shingle Jaccard is the LSH verify) ───────────────────────

@@ -43,6 +43,24 @@ class DedupSpec extends SparkSpec {
     verified.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("lshCandidatesAcross: only cross-corpus pairs, lake side as doc_a") {
+    // lake = docs 1-3 (1 and 2 are dups of each other), batch = a dup of 1
+    // plus an unrelated doc
+    val batch = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "Nothing like anything else in the lake whatsoever columnar or not"))
+      .toDF("doc_id", "text")
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBuckets(Dedup.minhashSignatures(d, "doc_id", "text"), 4, 4)
+    val cand = Dedup.lshCandidatesAcross(buckets(docs), buckets(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 10L)), "the planted cross-corpus dup must surface")
+    assert(cand.forall { case (a, b) => a <= 5L && b >= 10L },
+      "candidates must pair lake docs with batch docs only — " +
+        "within-corpus pairs never materialize")
+    assert(!cand.exists(_._2 == 11L), "unrelated batch doc shares no band")
+  }
+
   test("simhashPairs finds near-dups within the Hamming budget, not unrelated docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
