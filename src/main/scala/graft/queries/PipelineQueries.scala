@@ -343,6 +343,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ── Quality-aware dedup policy: within each SimHash dup component keep
+    //    the HIGHEST-quality member (rounded score, id tie-break) — the
+    //    production alternative to keep-min-id when near-dups differ in
+    //    cleanliness; composes components ∘ quality, both already ⊕ ─────────
+    QueryDef.sql("dedup_keep_best", {
+      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |quarters AS (
+         |  SELECT doc_id, sig, q.q, (sig >> (q.q * 15)) & 32767 AS qh
+         |  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS q) q),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM quarters a JOIN quarters b
+         |    ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |qt AS (
+         |  SELECT doc_id, text, ${plainTokSql("text")} AS toks,
+         |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
+         |  FROM documents),
+         |qm AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_score,
+         |    CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
+         |         THEN 1.0 ELSE 0.0 END AS stop_score,
+         |    CASE WHEN len(text) > 0 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN len(toks) > 0 THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END AS mean_word
+         |  FROM qt),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round((len_score + stop_score +
+         |                (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |                alpha_ratio) / 4.0, 4) AS quality
+         |  FROM qm),
+         |ranked AS (
+         |  SELECT c.component, c.node AS doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY c.component
+         |                            ORDER BY q.quality DESC, c.node) AS rk
+         |  FROM comp c JOIN qual q ON q.doc_id = c.node)
+         |SELECT component, doc_id AS best_id, quality
+         |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.cachedSimhashPairs(dir, docs, "doc_id", "text", maxHamming = 3))
+      val qual = docs.select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("quality").desc, col("doc_id"))
+      comp.select(col("node").as("doc_id"), col("component"))
+        .join(qual, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("doc_id").as("best_id"), col("quality"))
+        .orderBy("component")
+    },
+
     // ── The dedup POLICY: corpus minus non-canonical dup-group members —
     //    every doc outside any pair survives; inside a component only the
     //    min-id representative does. This is the op that actually shrinks
