@@ -236,6 +236,27 @@ object VectorSearch {
       (-best.getField("ncid")).as("cluster_id"))
   }
 
+  /** Incremental index append — FAISS `add()` as a table operation: assign
+    * ONLY the new batch to the EXISTING centroids (no retrain) and union
+    * with the stored assignment. Assignment is per-vector independent, so
+    * append-after-build ≡ bulk build over the union for ANY batch split —
+    * the property sim_knn_ivf_append's oracle checks value-exactly. At
+    * rest the stored assignment is a cluster_id-partitioned table and the
+    * append is a partition-wise insert of batch rows; existing data is
+    * never re-read. Uses the cosine assignment rule ([[seededIvfAssign]]);
+    * a KMeans-built index assigns by Euclidean distance at build time, so
+    * append there is nearest-by-cosine — equivalent for normalized
+    * embeddings, documented divergence otherwise.
+    */
+  def appendIvf(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+    val cents = index.centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+    index.copy(assigned = index.assigned.unionByName(
+      seededIvfAssign(newVectors, index.idCol, index.vecCol, cents)
+        .withColumn("cluster_id", col("cluster_id").cast(
+          index.assigned.schema("cluster_id").dataType))))
+  }
+
   /** BATCHED IVF ANN: each query probes its own `nprobe` nearest centroids
     * and scores ONLY the corpus rows of those clusters — the many-queries
     * serving regime. Probe selection is a queries×centroids broadcast cross

@@ -780,6 +780,57 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ── Incremental IVF append (FAISS add()): base corpus assigned, the
+    //    "new batch" (vec_id ≥ 400) appended to the EXISTING centroids via
+    //    VectorSearch.appendIvf — the oracle assigns over the WHOLE table,
+    //    so the check is append-after-build ≡ bulk build, value-exact ───────
+    QueryDef.sql("sim_knn_ivf_append",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |              WHERE vec_id < 8),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 200),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT doc_id, ev, cid FROM asg WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (
+         |      ORDER BY ${cosineSql("cv", "(SELECT v FROM qv)")} DESC, cid) AS rn
+         |    FROM cent) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT doc_id, ${cosineSql("ev", "(SELECT v FROM qv)")} AS score
+         |  FROM a2 WHERE cid IN (SELECT cid FROM probe))
+         |SELECT doc_id, round(score, 6) AS score
+         |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.VectorSearch
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      val qv = emb.filter(col("vec_id") === 200)
+        .select(col("embedding")).first().getSeq[Float](0)
+      // build over the base only, then APPEND the new batch
+      val base = VectorSearch.IvfIndex(
+        VectorSearch.seededIvfAssign(emb.filter(col("vec_id") < 400),
+          "vec_id", "embedding", cents),
+        cents.map(_._2.toArray).toArray, "vec_id", "embedding")
+      val appended = VectorSearch.appendIvf(base, emb.filter(col("vec_id") >= 400))
+      val probeIds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qv)).as("cs"))
+        .orderBy(col("cs").desc, col("cid")).limit(2)
+        .select("cid").collect().map(_.getInt(0))
+      appended.assigned.filter(col("cluster_id").isin(probeIds.toIndexedSeq: _*))
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qv)).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ── Int8-quantized similarity search: 4x-smaller embedding column,
     //    pure-integer cosine (scales cancel) — exact oracle parity since
     //    quantization and scoring are integer math end-to-end ───────────────

@@ -28,6 +28,24 @@ class VectorSearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("appendIvf: append-after-build equals bulk assignment for any split") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cents = corpus.take(4).zipWithIndex
+      .map { case ((_, v), i) => (i, v.toSeq) }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cluster_id").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val bulk = rows(VectorSearch.seededIvfAssign(emb, "vec_id", "embedding", cents))
+    for (split <- Seq(1L, 50L, 100L)) {
+      val base = VectorSearch.IvfIndex(
+        VectorSearch.seededIvfAssign(emb.filter(col("vec_id") <= split),
+          "vec_id", "embedding", cents),
+        cents.map(_._2.toArray).toArray, "vec_id", "embedding")
+      val appended = VectorSearch.appendIvf(base, emb.filter(col("vec_id") > split))
+      assert(rows(appended.assigned) == bulk, s"split at $split")
+    }
+  }
+
   test("bruteTopKBatch returns per-query exact top-k") {
     val emb = corpus.toDF("vec_id", "embedding")
     val q2 = randVec(rnd, 32)
