@@ -1313,6 +1313,67 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("term")).limit(50)
     },
 
+    // ── Corpus datasheet: the per-source audit table a training pipeline
+    //    publishes before a run — doc/token counts, mean quality (exact
+    //    integer micro-units, the m11 idiom), language mix, boilerplate
+    //    flags. One scan, one groupBy; all derived signals already ⊕ ────────
+    QueryDef.sql("a18_corpus_datasheet", {
+      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      val scoredStructs = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"{'hits': len(list_filter($lst, m -> list_contains(toks, m))), 'lang': '$lang'}"
+        }.mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT source, text, ${plainTokSql("text")} AS toks,
+         |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
+         |  FROM documents),
+         |sc AS (SELECT source, text, toks, alpha,
+         |              list_max($scoredStructs) AS best FROM t),
+         |base AS (
+         |  SELECT source, len(toks)::BIGINT AS n_tok,
+         |    round((
+         |      (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
+         |            THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN (CASE WHEN len(toks) > 0 THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
+         |                 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN len(text) > 0 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END)
+         |    ) / 4.0, 4) AS quality,
+         |    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang,
+         |    round(CASE WHEN len(${shinglesSql("toks", 3)}) > 0
+         |      THEN 1.0 - len(list_distinct(${shinglesSql("toks", 3)}))::DOUBLE
+         |               / len(${shinglesSql("toks", 3)})::DOUBLE
+         |      ELSE 0.0 END, 6) AS rep
+         |  FROM sc)
+         |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+         |       round(sum(n_tok)::DOUBLE / count(*)::DOUBLE, 2) AS mean_tokens,
+         |       round(sum(round(quality * 10000.0, 0)::BIGINT)::DOUBLE / 10000.0
+         |             / count(*)::DOUBLE, 4) AS mean_quality,
+         |       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |       sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_und,
+         |       sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate
+         |FROM base GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextFunctions.wordCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.languageId(TextFunctions.tokenize(col("text"))).as("lang"),
+          round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("rep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(sum("n_tok").cast("double") / count(lit(1)).cast("double"), 2)
+            .as("mean_tokens"),
+          round(sum(round(col("quality") * 10000.0, 0).cast("long")).cast("double")
+            / 10000.0 / count(lit(1)).cast("double"), 4).as("mean_quality"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("lang") === "und", 1L).otherwise(0L)).as("n_und"),
+          sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_boilerplate"))
+        .orderBy("source")
+    },
+
     // ── Stream-stream interval join (batch twin): clicks ⋈ views of the
     //    same user within ±10 min — the watermark-bounded-state join shape;
     //    streaming semantics in StreamingIngestSpec, values oracle-checked
