@@ -662,7 +662,44 @@ object VectorSearch {
   def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
                k: Int, numPlanes: Int = 4, reps: Int = 2,
                kLong: Int = 4, blockSize: Int = 32,
-               bucketWindow: Int = 16, seed: Long = 42L): DataFrame = {
+               bucketWindow: Int = 16, seed: Long = 42L): DataFrame =
+    graphEdges(embeddings, idCol, vecCol, k, numPlanes, reps, kLong,
+      blockSize, bucketWindow, seed, onlySrc = None)
+
+  /** Incremental graph append — the HNSW-insert batch analogue: compute
+    * local+long edges FOR the new nodes with the same buckets, sorted-
+    * neighborhood windows and hash blocks a bulk [[knnGraph]] over the
+    * union uses, and leave every existing node's edge list untouched.
+    * Searches read edges undirected ([[graphSearch]]'s symmetrized
+    * expansion), so the new→old edges make appended nodes reachable
+    * without rewriting old lists — HNSW's own insert contract (the new
+    * element links out; reverse traversal comes from the undirected
+    * reading). Deliberately NOT equal to a bulk rebuild, which would also
+    * re-rank OLD lists against the arrivals; the trade is that only
+    * O(|batch|·window·reps + |batch|·blockSize) candidate pairs are scored
+    * per append (the bucket-rank windows still scan the corpus id/bucket
+    * columns — at rest that bucket table is a stored index derivative,
+    * like the IVF assignment, so a real deployment windows only the
+    * affected buckets).
+    *
+    * @param embeddings the UNION corpus (existing ∪ new) — bucket ranks and
+    *                   block sizing must see all nodes
+    * @param newIds     one-column DataFrame of the appended node ids
+    */
+  def appendGraph(graph: DataFrame, embeddings: DataFrame, idCol: String,
+                  vecCol: String, newIds: DataFrame, k: Int,
+                  numPlanes: Int = 4, reps: Int = 2, kLong: Int = 4,
+                  blockSize: Int = 32, bucketWindow: Int = 16,
+                  seed: Long = 42L): DataFrame =
+    graph.unionByName(graphEdges(embeddings, idCol, vecCol, k, numPlanes,
+      reps, kLong, blockSize, bucketWindow, seed,
+      onlySrc = Some(newIds.select(col(newIds.columns.head).as("src")))))
+
+  private def graphEdges(embeddings: DataFrame, idCol: String, vecCol: String,
+                         k: Int, numPlanes: Int, reps: Int,
+                         kLong: Int, blockSize: Int,
+                         bucketWindow: Int, seed: Long,
+                         onlySrc: Option[DataFrame]): DataFrame = {
     val head = embeddings.select(size(col(vecCol))).take(1)
     if (head.isEmpty)
       return embeddings.select(col(idCol).as("src"), col(idCol).as("dst"),
@@ -709,6 +746,11 @@ object VectorSearch {
     }
     val va = embeddings.select(col(idCol).as("src"), col(vecCol).as("_va"))
     val vb = embeddings.select(col(idCol).as("dst"), col(vecCol).as("_vb"))
+    // append path: keep only candidate pairs whose SOURCE is an appended
+    // node — the filter sits BEFORE the vector joins and cosine scoring,
+    // so the expensive work is batch-bounded (None = bulk build, no-op)
+    def restrict(cand: DataFrame): DataFrame =
+      onlySrc.fold(cand)(ids => cand.join(broadcast(ids), Seq("src"), "left_semi"))
     def ranked(cand: DataFrame, kind: String, kk: Int): DataFrame =
       cand.join(va, "src").join(vb, "dst")
         .select(col("src"), col("dst"), cosine(col("_va"), col("_vb")).as("cos"))
@@ -716,7 +758,8 @@ object VectorSearch {
           Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
         .filter(col("rnk") <= kk)
         .select(col("src"), col("dst"), col("cos"), lit(kind).as("kind"), col("rnk"))
-    ranked(localCand, "l", k).unionByName(ranked(longCand, "g", kLong))
+    ranked(restrict(localCand), "l", k)
+      .unionByName(ranked(restrict(longCand), "g", kLong))
   }
 
   /** NN-Descent refinement (Dong et al., WWW'11 — the standard distributed

@@ -28,6 +28,29 @@ class VectorSearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("appendGraph: new nodes link out and are searchable; old lists untouched") {
+    val base = corpus.take(80).toDF("vec_id", "embedding")
+    val all = corpus.toDF("vec_id", "embedding")
+    val g0 = VectorSearch.knnGraph(base, "vec_id", "embedding", k = 8)
+    val newIds = (81L to 100L).toDF("vec_id")
+    val g1 = VectorSearch.appendGraph(g0, all, "vec_id", "embedding", newIds, k = 8)
+    def edgeSet(g: org.apache.spark.sql.DataFrame) = g
+      .select(col("src"), col("dst"), col("kind"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(edgeSet(g1.filter(col("src") <= 80L)) == edgeSet(g0),
+      "existing nodes' edge lists must be byte-identical after append")
+    assert(g1.filter(col("src") > 80L).select("src").distinct().count() == 20,
+      "every appended node must link out")
+    // an appended node is reachable by search: querying with node 90's own
+    // vector must surface doc 90 (cosine 1.0 = guaranteed rank 1 if reached)
+    val q = Seq((0L, corpus(89)._2)).toDF("query_id", "qvec")
+    val hits = VectorSearch.graphSearch(g1, all, "vec_id", "embedding",
+        q, "query_id", "qvec", k = 10, beam = 48, hops = 3,
+        entryIds = Seq(1L, 20L, 40L, 60L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.contains(90L), s"appended node must be searchable; got $hits")
+  }
+
   test("appendIvf: append-after-build equals bulk assignment for any split") {
     val emb = corpus.toDF("vec_id", "embedding")
     val cents = corpus.take(4).zipWithIndex
