@@ -122,8 +122,10 @@ object Dedup {
                           incomingBuckets: DataFrame): DataFrame =
     existingBuckets
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-      .join(incomingBuckets
-        .select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+      // the incoming batch is small BY CONTRACT (a daily batch vs the
+      // lake) — broadcast it so the lake's bucket table never shuffles
+      .join(broadcast(incomingBuckets
+        .select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))),
         Seq("band", "band_hash"))
       .select("doc_a", "doc_b").distinct()
 
