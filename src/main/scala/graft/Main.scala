@@ -205,7 +205,9 @@ object Main {
               VectorSearch.Serving.Ivf(
                 VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
             case pq: VectorSearch.IndexStrategy.IvfPq =>
-              VectorSearch.buildServing(emb, "doc_id", "embedding", pq)
+              // memoized like cachedIvf/cachedGraph: KMeans + Lloyd PQ
+              // training is a build-time cost, never a per-query one
+              VectorSearch.cachedServing(s"$kb/embeddings", emb, "doc_id", "embedding", pq)
             case _ => VectorSearch.Serving.Flat // small/high-dim: exact IS the policy
           }
         }

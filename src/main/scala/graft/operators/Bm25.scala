@@ -83,10 +83,13 @@ object Bm25 {
     // the row removes a corpus-sized lengths join from EVERY query — pay
     // 8 bytes/posting at rest instead of a shuffle per query (the same
     // build-vs-serve trade the reference's dense NPZ index makes)
-    val post = post0.join(docLengths(post0), "doc_id")
-    val p = if (persist) post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else post
-    val lens = docLengths(p)
+    // ONE lengths aggregation, reused for both the denormalizing join and
+    // Index.lengths — docLengths over the joined result would re-run the
+    // corpus-wide aggregation at build time for identical rows
+    val lens = docLengths(post0)
     val l = if (persist) lens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else lens
+    val post = post0.join(l, "doc_id")
+    val p = if (persist) post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else post
     val idfDf = idf(p, n)
     val i = if (persist) idfDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else idfDf
     // corpus size rides in stats so an index can be incrementally MERGED

@@ -53,6 +53,13 @@ object Curation {
                     benchmark: DataFrame, benchIdCol: String,
                     benchTextCol: String, n: Int,
                     threshold: Double): DataFrame = {
+    // the output carries BOTH id columns, and the grouped join below keys
+    // on them by name — identical names would be ambiguous at group time
+    // and indistinguishable in the result
+    require(idCol != benchIdCol,
+      s"contamination: corpus and benchmark id columns must have distinct " +
+        s"names (both were '$idCol') — rename one side, e.g. " +
+        s"benchmark.withColumnRenamed(\"$benchIdCol\", \"bench_id\")")
     // codegen tokenize+shingle expressions (spec-twinned to the HOF forms;
     // wordShingles returns the DISTINCT shingle set by contract) — the
     // corpus-side explode is the hot path, no interpreted lambdas in it.

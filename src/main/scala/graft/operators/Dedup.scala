@@ -119,15 +119,26 @@ object Dedup {
     * is never re-shingled, and no within-corpus pairs are emitted.
     */
   def lshCandidatesAcross(existingBuckets: DataFrame,
-                          incomingBuckets: DataFrame): DataFrame =
-    existingBuckets
+                          incomingBuckets: DataFrame,
+                          broadcastRowLimit: Long = 2000000L): DataFrame = {
+    val lake = existingBuckets
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-      // the incoming batch is small BY CONTRACT (a daily batch vs the
-      // lake) — broadcast it so the lake's bucket table never shuffles
-      .join(broadcast(incomingBuckets
-        .select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))),
-        Seq("band", "band_hash"))
+    val batch = incomingBuckets
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    // The incoming batch is usually small (a daily batch vs the lake), and
+    // broadcasting it means the lake's bucket table never shuffles. But the
+    // contract is checked, not trusted: a backfill-sized "batch" above the
+    // row limit degrades to a plain shuffled join on (band, band_hash)
+    // instead of OOMing executors — the same hybrid as the union-find
+    // driverEdgeLimit in [[connectedComponents]]. The count recomputes the
+    // batch's buckets once; on the broadcast path that side is small by
+    // definition, and on the fallback path one extra pass is the price of
+    // not dying.
+    val probe =
+      if (batch.count() <= broadcastRowLimit) broadcast(batch) else batch
+    lake.join(probe, Seq("band", "band_hash"))
       .select("doc_a", "doc_b").distinct()
+  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: explode each
     * side's distinct shingles, count intersections with a join keyed on

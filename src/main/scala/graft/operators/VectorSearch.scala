@@ -131,6 +131,36 @@ object VectorSearch {
       Serving.IvfPq(ix, cb, pqEncode(ix.assigned, idCol, vecCol, cb), shortlist)
   }
 
+  /** Memoized [[buildServing]] per corpus — build-once/serve-many for the
+    * IvfPq tier, exactly like [[cachedIvf]]/[[cachedGraph]]: a CLI query
+    * must never pay KMeans + Lloyd codebook training per invocation. The
+    * probed table (`encoded`) is persisted; IVF/Flat outcomes delegate to
+    * the existing per-tier caches.
+    */
+  private val servingCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Serving]]()
+  def cachedServing(key: String, embeddings: => DataFrame, idCol: String,
+                    vecCol: String, strategy: IndexStrategy,
+                    shortlist: Int = 100, pqCodewords: Int = 16): Serving =
+    strategy match {
+      case IndexStrategy.Flat(_) => Serving.Flat
+      case IndexStrategy.Ivf(nc) =>
+        Serving.Ivf(cachedIvf(key, embeddings, idCol, vecCol, nc))
+      case _ =>
+        val e = embeddings // weak session keying: see Bm25.cachedIndex
+        val perSession = servingCache.synchronized {
+          servingCache.computeIfAbsent(e.sparkSession,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, Serving]())
+        }
+        perSession.computeIfAbsent(key, _ =>
+          buildServing(e, idCol, vecCol, strategy, shortlist, pqCodewords) match {
+            case Serving.IvfPq(ix, cb, encoded, sl) => Serving.IvfPq(ix, cb,
+              encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), sl)
+            case other => other
+          })
+    }
+
   /** Exact top-k for one literal query vector. */
   def bruteTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Float], k: Int): DataFrame =

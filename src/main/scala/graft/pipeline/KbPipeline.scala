@@ -90,9 +90,13 @@ object KbPipeline {
     //    codegen compile of the regex chain; Enhancement.enhanceValue)
     val enhanced = Enhancement.enhanceValue(spark, queryText)
 
-    // 2. query embedding (deterministic provider; a real provider is one
-    //    Provider swap) — M1 on a single row
-    val qvec = Embedder.Deterministic(cfg.vectorDimensions)
+    // 2. query embedding — the SAME registry resolution as embed(), so the
+    //    query vector always matches the corpus vectors' dims (a registry
+    //    model whose declared dims differ from config, e.g.
+    //    vector_model=embed-small → 1536-d, would otherwise silently score
+    //    garbage against a Deterministic(cfg.vectorDimensions) query vector)
+    val qvec = graft.models.ModelRegistry
+      .embedderFor(cfg.vectorModel, cfg.vectorDimensions)
       .embedBatch(Seq(enhanced)).head.toSeq
 
     // 3a. vector k-NN (T1). Every top-k boundary in the pipeline ranks on a
@@ -218,9 +222,11 @@ object KbPipeline {
                  serving: VectorSearch.Serving = VectorSearch.Serving.Flat): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
-    // 1-2. enhancement + deterministic embedding: driver-side per query
-    //      (constant-folded; N queries are one small literal table)
-    val embedder = Embedder.Deterministic(cfg.vectorDimensions)
+    // 1-2. enhancement + embedding: driver-side per query (constant-folded;
+    //      N queries are one small literal table). Registry-resolved like
+    //      embed() and query() so query/corpus dims always agree.
+    val embedder = graft.models.ModelRegistry
+      .embedderFor(cfg.vectorModel, cfg.vectorDimensions)
     val qData = queries.map { case (qid, q) =>
       val e = Enhancement.enhanceValue(spark, q)
       (qid, e, embedder.embedBatch(Seq(e)).head)

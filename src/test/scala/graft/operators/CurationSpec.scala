@@ -73,6 +73,16 @@ class CurationSpec extends SparkSpec {
     assert(out(1)._2 == 1L && out(1)._3 == 0.2 && !out(1)._4)
   }
 
+  test("contamination rejects identical id column names with a clear message") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Curation.contamination(docs, "doc_id", "text", docs, "doc_id",
+        "text", n = 3, threshold = 0.8)
+    }
+    assert(err.getMessage.contains("distinct"))
+  }
+
   test("plan shapes: packing windows are shard-partitioned; contamination broadcasts the benchmark side") {
     import spark.implicits._
     val docs = (1 to 100).map(i => (s"s${i % 4}", i.toLong, "alpha beta gamma delta"))

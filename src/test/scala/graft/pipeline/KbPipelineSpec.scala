@@ -183,6 +183,29 @@ class KbPipelineSpec extends SparkSpec {
     }
   }
 
+  test("registry model dims: query vector matches embed()-written corpus vectors") {
+    // vector_model=embed-small declares 1536 dims in the registry while
+    // config says 64 — the embed() corpus and the query() vector must BOTH
+    // resolve through the registry (1536-d), or cosine scores garbage
+    val cfg = KbConfig(vectorModel = "embed-small", vectorDimensions = 64,
+      queryTopK = 3, rerankingTopK = 3)
+    val emptyCache = Seq.empty[(String, Seq[Float])].toDF("content_key", "embedding")
+    val embedded = KbPipeline.embed(
+        corpus.withColumnRenamed("text", "chunk_text"), "chunk_text", emptyCache, cfg)
+      .embedded.select(col("doc_id"), col("embedding"))
+    val dims = embedded.select(size(col("embedding"))).as[Int].collect().toSet
+    assert(dims == Set(1536), s"registry dims must win at embed time, got $dims")
+    val res = KbPipeline.query(spark, corpus, embedded, "household pets", cfg)
+    val hits = res.hits.select("doc_id", "score").as[(Long, Double)].collect()
+    assert(hits.nonEmpty && hits.forall(h => !h._2.isNaN),
+      s"query embedder must match corpus dims, got $hits")
+    // end-to-end sanity with 1536-d vectors live in the DAG: querying a
+    // corpus sentence still ranks its own chunk first (BM25 + rerank)
+    val self = KbPipeline.query(spark, corpus, embedded,
+      corpus.filter(col("doc_id") === 5L).select("text").as[String].head(), cfg)
+    assert(self.hits.orderBy("final_rank").select("doc_id").as[Long].collect().head == 5L)
+  }
+
   test("hybrid off degrades to pure vector search; rerank off keeps fusion order") {
     val cfg = KbConfig(vectorDimensions = 16, enableHybridSearch = false,
       enableReranking = false, queryTopK = 3)
