@@ -195,6 +195,183 @@ object Scale {
     secs(s"ivf-batch50 ${kEmb}x")(ivfBatch(bigEmb))
     secs(s"graph-build+search50 1x")(graphAnn(emb))
     secs(s"graph-build+search50 ${kEmb}x")(graphAnn(bigEmb))
+
+    // ── round-10: the incremental rung — the daily-ingest regime. The lake
+    //    GROWS (1× vs K×) while the batch stays FIXED; each index's stored
+    //    artifacts (LSH bucket table, IVF assignment, graph edge lists) are
+    //    built once and attributed to their own build rows, so the
+    //    incremental rows time ONLY what a daily run pays: batch
+    //    signatures/assignments/edges + the probe against the stored index.
+    //    The claim: incremental cost tracks BATCH size, not lake size. ────
+    import org.apache.spark.storage.StorageLevel
+    val batchDocs = docs.limit(500).select(
+        (col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      .localCheckpoint(true) // fixed 500-doc batch, all planted dups of lake texts
+    val batchVecs = emb.limit(1000).select(
+        (col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+      .localCheckpoint(true) // fixed 1000-vector batch
+
+    // incremental dedup: stored bucket table per lake; the timed step
+    // re-shingles ONLY the batch, probes the stored buckets (guarded
+    // broadcast), and Jaccard-verifies candidates only
+    def storedBuckets(d: DataFrame): DataFrame =
+      operators.Dedup.lshBuckets(
+          operators.Dedup.minhashSignatures(d, "doc_id", "text"),
+          bands = 4, rowsPerBand = 4)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def incDedup(lake: DataFrame, lakeB: DataFrame): Long = {
+      val bb = operators.Dedup.lshBuckets(
+        operators.Dedup.minhashSignatures(batchDocs, "doc_id", "text"),
+        bands = 4, rowsPerBand = 4)
+      val cand = operators.Dedup.lshCandidatesAcross(lakeB, bb)
+      operators.Dedup.jaccardPairs(
+          lake.select("doc_id", "text").unionByName(batchDocs),
+          "doc_id", "text", cand)
+        .filter(col("jaccard") >= 0.5).count()
+    }
+    val lakeB1 = storedBuckets(docs)
+    val lakeB20 = storedBuckets(bigDocs)
+    secs(s"dedup-incr-index-build 1x")(lakeB1.count())
+    secs(s"dedup-incr-index-build ${kDocs}x")(lakeB20.count())
+    secs(s"dedup-incremental 1x")(incDedup(docs, lakeB1))
+    secs(s"dedup-incremental ${kDocs}x")(incDedup(bigDocs, lakeB20))
+
+    // incremental IVF: stored seeded assignment per lake (FAISS add()
+    // semantics — centroids frozen, no retrain); append-assign row = the
+    // batch's assignment alone, append+search row = the appended index
+    // serving 50 queries (probed clusters only)
+    def ivfLake(e: DataFrame): (operators.VectorSearch.IvfIndex, DataFrame) = {
+      import spark.implicits._
+      val cents = e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val assigned = operators.VectorSearch.seededIvfAssign(e, "vec_id", "embedding", cents)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (operators.VectorSearch.IvfIndex(assigned,
+        cents.map(_._2.toArray).toArray, "vec_id", "embedding"),
+        cents.toDF("cid", "cv"))
+    }
+    def ivfAppendAssign(lakeIx: operators.VectorSearch.IvfIndex): Long =
+      operators.VectorSearch.appendIvf(lakeIx, batchVecs)
+        .assigned.filter(col("vec_id") >= 900000000L).count()
+    def ivfAppendSearch(lakeIx: operators.VectorSearch.IvfIndex,
+                        centDf: DataFrame, e: DataFrame): Long = {
+      val appended = operators.VectorSearch.appendIvf(lakeIx, batchVecs)
+      operators.VectorSearch.ivfTopKBatch(appended.assigned, "vec_id", "embedding",
+        centDf, queries50(e), "query_id", "qvec", k = 20, nprobe = 2).count()
+    }
+    val (ivf1, cent1) = ivfLake(emb)
+    val (ivf50, cent50) = ivfLake(bigEmb)
+    secs(s"ivf-lake-assign-build 1x")(ivf1.assigned.count())
+    secs(s"ivf-lake-assign-build ${kEmb}x")(ivf50.assigned.count())
+    secs(s"ivf-append-assign 1x")(ivfAppendAssign(ivf1))
+    secs(s"ivf-append-assign ${kEmb}x")(ivfAppendAssign(ivf50))
+    secs(s"ivf-append+search50 1x")(ivfAppendSearch(ivf1, cent1, emb))
+    secs(s"ivf-append+search50 ${kEmb}x")(ivfAppendSearch(ivf50, cent50, bigEmb))
+
+    // incremental graph: stored edge lists per lake (HNSW-insert batch
+    // analogue — old lists untouched); append-edges row = new nodes' edges
+    // only (one bucketing scan over the union, batch-bounded scoring),
+    // append+search row = 50 queries over the appended graph
+    def graphLake(e: DataFrame): (DataFrame, Int) = {
+      val planes = operators.VectorSearch.graphPlanesFor(e.count())
+      (operators.VectorSearch.knnGraph(e, "vec_id", "embedding",
+        k = 8, numPlanes = planes).localCheckpoint(true), planes)
+    }
+    def graphAppendEdges(g: DataFrame, e: DataFrame, planes: Int): Long =
+      operators.VectorSearch.appendGraph(g,
+        e.select("vec_id", "embedding").unionByName(batchVecs),
+        "vec_id", "embedding", batchVecs.select("vec_id"), k = 8,
+        numPlanes = planes).filter(col("src") >= 900000000L).count()
+    def graphAppendSearch(g: DataFrame, e: DataFrame, planes: Int): Long = {
+      val all = e.select("vec_id", "embedding").unionByName(batchVecs)
+      val g2 = operators.VectorSearch.appendGraph(g, all, "vec_id", "embedding",
+        batchVecs.select("vec_id"), k = 8, numPlanes = planes)
+      operators.VectorSearch.graphSearch(g2, all, "vec_id", "embedding",
+        queries50(batchVecs), "query_id", "qvec", k = 20, beam = 48, hops = 3,
+        entryIds = Seq(0L, 100L, 200L, 300L)).count()
+    }
+    // localCheckpoint(true) is EAGER — build the lakes inside their timed
+    // rows so the build cost is attributed, not the count
+    var g1: DataFrame = null; var planes1 = 0
+    var g50: DataFrame = null; var planes50 = 0
+    secs(s"graph-lake-build 1x") {
+      val (g, p) = graphLake(emb); g1 = g; planes1 = p; g1.count()
+    }
+    secs(s"graph-lake-build ${kEmb}x") {
+      val (g, p) = graphLake(bigEmb); g50 = g; planes50 = p; g50.count()
+    }
+    secs(s"graph-append-edges 1x")(graphAppendEdges(g1, emb, planes1))
+    secs(s"graph-append-edges ${kEmb}x")(graphAppendEdges(g50, bigEmb, planes50))
+    secs(s"graph-append+search50 1x")(graphAppendSearch(g1, emb, planes1))
+    secs(s"graph-append+search50 ${kEmb}x")(graphAppendSearch(g50, bigEmb, planes50))
+
+    // ── round-10: ANN serving tiers under the FULL e2e lifecycle — flat vs
+    //    IVFPQ vs graph at 1× and 20× corpus, single query, index builds
+    //    attributed to build rows. Expectation: flat grows with the corpus
+    //    (full scan), IVFPQ scans only probed clusters' codes, graph only
+    //    the beam frontier. ─────────────────────────────────────────────
+    val bigEmbCap = bigEmb.filter(col("vec_id") < kDocs.toLong * 10000000L)
+    def mkChunks(d: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      d.select(col("doc_id"), col("text"), col("source").as("sourcedoc"),
+        (row_number().over(w) - 1).cast("int").as("sid"))
+        .localCheckpoint(true)
+    }
+    def embById(e: DataFrame): DataFrame =
+      e.select(col("vec_id").as("doc_id"), col("embedding"))
+    def seededPqServing(e2: DataFrame): operators.VectorSearch.Serving.IvfPq = {
+      import operators.VectorSearch
+      val centSeq = e2.filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val assigned = VectorSearch.seededIvfAssign(e2, "doc_id", "embedding", centSeq)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cb = VectorSearch.seededPqCodebook(e2, "doc_id", "embedding",
+        seedIds = 0L until 16L, m = 8)
+      VectorSearch.Serving.IvfPq(
+        VectorSearch.IvfIndex(assigned, centSeq.map(_._2.toArray).toArray,
+          "doc_id", "embedding"), cb,
+        VectorSearch.pqEncode(assigned, "doc_id", "embedding", cb)
+          .persist(StorageLevel.MEMORY_AND_DISK), shortlist = 100)
+    }
+    def e2eServe(chunks: DataFrame, e2: DataFrame, ix: operators.Bm25.Index,
+                 cfg: graft.config.KbConfig,
+                 serving: operators.VectorSearch.Serving): Long =
+      pipeline.KbPipeline.query(spark, chunks, e2,
+        queries.EngineQueries.E2eQueryText, cfg,
+        bm25Index = Some(ix), serving = serving).hits.count()
+
+    for ((label, d, e) <- Seq(("1x", docs, emb), (s"${kDocs}x", bigDocs, bigEmbCap))) {
+      import operators.VectorSearch
+      val chunks = mkChunks(d)
+      val e2 = embById(e)
+      var bm: operators.Bm25.Index = null
+      secs(s"e2e-bm25-build $label") {
+        bm = operators.Bm25.buildIndex(chunks, "doc_id", "text", persist = true)
+        bm.postings.count() + bm.idf.count()
+      }
+      var pqS: VectorSearch.Serving.IvfPq = null
+      secs(s"e2e-ivfpq-build $label") {
+        pqS = seededPqServing(e2); pqS.encoded.count()
+      }
+      var gS: VectorSearch.Serving.Graph = null
+      secs(s"e2e-graph-build $label") {
+        val g = VectorSearch.knnGraph(e2, "doc_id", "embedding", k = 8,
+          numPlanes = VectorSearch.graphPlanesFor(e2.count())).localCheckpoint(true)
+        gS = VectorSearch.Serving.Graph(g, beam = 64, hops = 3,
+          entryIds = Seq(0L, 100L, 200L, 300L))
+        g.count()
+      }
+      val base = graft.config.KbConfig()
+      secs(s"e2e-serve-flat $label")(
+        e2eServe(chunks, e2, bm, base, VectorSearch.Serving.Flat))
+      secs(s"e2e-serve-ivfpq $label")(
+        e2eServe(chunks, e2, bm, base.copy(indexType = "ivfpq", ivfNprobe = 2), pqS))
+      secs(s"e2e-serve-graph $label")(
+        e2eServe(chunks, e2, bm, base.copy(indexType = "graph"), gS))
+      bm.postings.unpersist(); bm.lengths.unpersist(); bm.idf.unpersist()
+    }
     spark.stop()
   }
 }

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * running per-partition so one executor batches many blobs through one
   * decoder instance (`mapPartitions`, the JVM analogue of `mapInPandas`).
   *
-  * The actual image/audio codecs are NOT in this container, so [[decodeStub]]
-  * is a clearly-marked deterministic fake; the Spark-side plumbing — schema,
-  * batch shape, per-partition execution, metadata extraction — is real and
-  * tested. Swap `decodeStub` for a JNI/ONNX decoder per executor in
-  * production.
+  * Audio is decoded for REAL: [[decodeWav]] is a full WAV/RIFF PCM parser
+  * (pure byte layout, no native codec needed) with [[wavFeatures]] as its
+  * mapPartitions operator, oracle-proved round-trip (mm_wav_decode).
+  * Compressed image/video codecs are NOT in this container, so
+  * [[decodeStub]] remains a clearly-marked deterministic fake for those
+  * modalities; the Spark-side plumbing — schema, batch shape,
+  * per-partition execution, metadata extraction — is real and tested.
+  * Swap `decodeStub` for a JNI/ONNX decoder per executor in production.
   */
 object Multimodal {
 
@@ -64,6 +67,123 @@ object Multimodal {
         rows.map(r => MediaFeatures(r.media_id, r.modality, r.byte_len,
           decodeStub(r.bytes)))
       }
+  }
+
+  // ── Real audio decode: WAV/RIFF PCM (round 10) ─────────────────────────
+  // One genuinely-decoded format replaces the "codecs aren't in this
+  // container" blanket: WAV PCM is a pure byte-layout format (RIFF chunk
+  // walk + little-endian samples), so the decoder is deterministic JVM code
+  // with no native dependency — the same role libsndfile's PCM path plays.
+  // Image/video codecs stay behind [[decodeStub]] (recorded in COVERAGE.md).
+
+  /** Decoded PCM audio: header fields + interleaved integer samples
+    * (8-bit WAV is unsigned, normalized here to signed −128..127; 16-bit is
+    * signed −32768..32767 as stored).
+    */
+  final case class WavPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                          samples: Array[Int])
+
+  /** Encode 16-bit PCM samples as a WAV file (RIFF header + fmt + data,
+    * little-endian) — the writer half of the round-trip the decode oracle
+    * proves. Interleaved samples, `channels` declared in the header.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** Decode a WAV/RIFF PCM payload: walk the chunk list (chunks are
+    * word-aligned — odd sizes carry a pad byte), read `fmt ` (PCM only,
+    * 8- or 16-bit), then `data`. Unknown chunks (LIST, fact, …) are
+    * skipped, like every conforming reader. Throws IllegalArgumentException
+    * on non-RIFF/non-PCM payloads — decode failures must be loud, not
+    * zero-filled.
+    */
+  def decodeWav(bytes: Array[Byte]): WavPcm = {
+    require(bytes.length >= 12, s"WAV too short: ${bytes.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF container")
+    buf.getInt // riff size (trust actual buffer bounds, not the header)
+    require(fourCC() == "WAVE", "RIFF is not WAVE")
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var data: Array[Byte] = null
+    while (buf.remaining() >= 8 && data == null) {
+      val id = fourCC(); val sz = buf.getInt
+      require(sz >= 0 && sz <= buf.remaining(), s"chunk '$id' overruns payload")
+      id match {
+        case "fmt " =>
+          val fmtStart = buf.position()
+          val audioFormat = buf.getShort & 0xffff
+          require(audioFormat == 1, s"only PCM supported, got format $audioFormat")
+          channels = buf.getShort & 0xffff
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          bits = buf.getShort & 0xffff
+          require(bits == 8 || bits == 16, s"only 8/16-bit PCM, got $bits")
+          buf.position(fmtStart + sz + (sz & 1)) // skip fmt extensions + pad
+        case "data" =>
+          data = new Array[Byte](sz); buf.get(data)
+        case _ =>
+          buf.position(buf.position() + sz + (sz & 1)) // skip + word-align pad
+      }
+    }
+    require(bits > 0, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    val samples =
+      if (bits == 8) data.map(b => (b & 0xff) - 128) // 8-bit WAV is unsigned
+      else {
+        val n = data.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        out
+      }
+    WavPcm(sampleRate, channels, bits, samples)
+  }
+
+  /** Decode WAV payloads per partition and emit exact integer features:
+    * header fields + sample count + Σ|sample| + max |sample| — the
+    * [[extractFeatures]] shape with a REAL decoder in the mapPartitions
+    * seat. One decoder walk per blob, no shuffle.
+    */
+  def wavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "bytes", "byte_len").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val w = decodeWav(r.bytes)
+          var energy = 0L; var peak = 0L
+          var i = 0
+          while (i < w.samples.length) {
+            val a = math.abs(w.samples(i).toLong)
+            energy += a; if (a > peak) peak = a
+            i += 1
+          }
+          (r.media_id, w.sampleRate, w.channels, w.bitsPerSample,
+            w.samples.length.toLong, energy, peak)
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "bits", "n_samples",
+        "energy", "peak")
   }
 
   /** Audio-shaped feature extraction: fixed-size sample WINDOWS per media

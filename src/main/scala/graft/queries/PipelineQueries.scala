@@ -1679,5 +1679,44 @@ object PipelineQueries {
           array_join(transform(col("features"), f => f.cast("long").cast("string")), ",")
             .as("features"))
         .orderBy("media_id")
+    },
+
+    // ── Multimodal REAL decode: WAV/RIFF 16-bit PCM, round-trip proved.
+    //    Per doc a deterministic sample train is synthesized, packed as a
+    //    real WAV file (RIFF+fmt+data, little-endian) and DECODED back by
+    //    the chunk-walking parser inside mapPartitions; the oracle
+    //    recomputes header fields and exact integer sample stats from the
+    //    same formula — any byte-layout bug (endianness, chunk offsets,
+    //    sign handling) breaks value-exactness ──────────────────────────────
+    QueryDef.sql("mm_wav_decode",
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |         unnest(range(0, 50 + doc_id % 50)) AS i
+        |  FROM documents),
+        |v AS (SELECT media_id,
+        |             ((media_id * 7919 + i * 104729) % 65536) - 32768 AS v
+        |      FROM s)
+        |SELECT media_id,
+        |       (8000 + (media_id % 8) * 1000)::INT AS sample_rate,
+        |       (1 + media_id % 2)::INT AS channels,
+        |       16::INT AS bits,
+        |       (50 + media_id % 50)::BIGINT AS n_samples,
+        |       sum(abs(v))::BIGINT AS energy,
+        |       max(abs(v))::BIGINT AS peak
+        |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val n = (50 + id % 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+          (id, "audio",
+            Multimodal.encodeWavPcm16((8000 + (id % 8) * 1000).toInt,
+              (1 + id % 2).toInt, samples),
+            44L + 2L * n)
+        }
+        .toDF("media_id", "modality", "bytes", "byte_len")
+      Multimodal.wavFeatures(media).orderBy("media_id")
     })
 }

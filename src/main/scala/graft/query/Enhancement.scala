@@ -53,7 +53,17 @@ object Enhancement {
     collapseRuns(q, "abcdefghijklmnopqrstuvwxyz", min = 3, keep = 2)
 
   /** Static synonym map (stand-in for WordNet synsets; structure mirrors
-    * `enhancement.py:178-264`). Keys are query words ≥4 chars.
+    * `enhancement.py:178-264`). Keys are query words ≥4 chars. The first
+    * seven entries are the original fixture set and are PINNED — the e2e
+    * oracle queries embed their expansions as literals (EngineQueries
+    * `E2eEnhancedQuery`/`E2eBatch20`), so changing them breaks value-exact
+    * pins. The rest is a breadth enrichment in the spirit of public
+    * thesauri (WordNet-style synsets, authored here): common query/tech
+    * vocabulary, 2 synonyms per head word like the reference's ≤3-synset
+    * cap. Every key is chosen to NOT collide with any token of the pinned
+    * e2e query texts, so existing oracle pins are untouched; the f6_enhance
+    * oracle SQL is GENERATED from this map and stays in lockstep by
+    * construction.
     */
   val Synonyms: Map[String, Seq[String]] = Map(
     "query" -> Seq("search", "lookup"),
@@ -62,7 +72,90 @@ object Enhancement {
     "filter" -> Seq("predicate", "where"),
     "window" -> Seq("frame", "range"),
     "error" -> Seq("fault", "failure"),
-    "document" -> Seq("text", "record"))
+    "document" -> Seq("text", "record"),
+    // ── enrichment (round 10): general/technical head words ──
+    "begin" -> Seq("start", "commence"),
+    "broken" -> Seq("damaged", "faulty"),
+    "build" -> Seq("construct", "assemble"),
+    "cache" -> Seq("buffer", "store"),
+    "change" -> Seq("modify", "alter"),
+    "check" -> Seq("verify", "inspect"),
+    "choose" -> Seq("select", "pick"),
+    "clean" -> Seq("scrub", "sanitize"),
+    "close" -> Seq("shut", "terminate"),
+    "column" -> Seq("field", "attribute"),
+    "compute" -> Seq("calculate", "evaluate"),
+    "connect" -> Seq("link", "attach"),
+    "copy" -> Seq("duplicate", "replicate"),
+    "correct" -> Seq("right", "accurate"),
+    "count" -> Seq("tally", "total"),
+    "crash" -> Seq("failure", "abort"),
+    "create" -> Seq("make", "build"),
+    "debug" -> Seq("troubleshoot", "diagnose"),
+    "delete" -> Seq("remove", "erase"),
+    "describe" -> Seq("explain", "detail"),
+    "disk" -> Seq("storage", "drive"),
+    "display" -> Seq("show", "render"),
+    "empty" -> Seq("blank", "void"),
+    "enable" -> Seq("activate", "allow"),
+    "execute" -> Seq("run", "perform"),
+    "explain" -> Seq("describe", "clarify"),
+    "export" -> Seq("extract", "dump"),
+    "fetch" -> Seq("retrieve", "obtain"),
+    "find" -> Seq("locate", "discover"),
+    "group" -> Seq("cluster", "bucket"),
+    "huge" -> Seq("enormous", "massive"),
+    "import" -> Seq("load", "ingest"),
+    "improve" -> Seq("enhance", "optimize"),
+    "increase" -> Seq("grow", "raise"),
+    "index" -> Seq("catalog", "register"),
+    "insert" -> Seq("add", "append"),
+    "install" -> Seq("setup", "deploy"),
+    "latency" -> Seq("delay", "lag"),
+    "limit" -> Seq("bound", "cap"),
+    "list" -> Seq("enumerate", "itemize"),
+    "load" -> Seq("ingest", "read"),
+    "machine" -> Seq("host", "server"),
+    "memory" -> Seq("ram", "heap"),
+    "method" -> Seq("technique", "procedure"),
+    "missing" -> Seq("absent", "lost"),
+    "modify" -> Seq("change", "alter"),
+    "number" -> Seq("count", "quantity"),
+    "optimize" -> Seq("tune", "improve"),
+    "order" -> Seq("sequence", "arrange"),
+    "parse" -> Seq("analyze", "interpret"),
+    "partition" -> Seq("shard", "segment"),
+    "primary" -> Seq("main", "principal"),
+    "problem" -> Seq("issue", "trouble"),
+    "process" -> Seq("handle", "execute"),
+    "read" -> Seq("load", "retrieve"),
+    "reduce" -> Seq("shrink", "decrease"),
+    "remove" -> Seq("delete", "erase"),
+    "rename" -> Seq("relabel", "retitle"),
+    "replace" -> Seq("substitute", "swap"),
+    "response" -> Seq("reply", "answer"),
+    "schema" -> Seq("structure", "layout"),
+    "script" -> Seq("program", "code"),
+    "server" -> Seq("host", "machine"),
+    "setup" -> Seq("install", "configure"),
+    "show" -> Seq("display", "present"),
+    "size" -> Seq("magnitude", "dimension"),
+    "slow" -> Seq("sluggish", "laggy"),
+    "speed" -> Seq("velocity", "pace"),
+    "start" -> Seq("begin", "launch"),
+    "stop" -> Seq("halt", "cease"),
+    "storage" -> Seq("disk", "repository"),
+    "stream" -> Seq("flow", "feed"),
+    "string" -> Seq("text", "characters"),
+    "total" -> Seq("sum", "aggregate"),
+    "transform" -> Seq("convert", "translate"),
+    "update" -> Seq("modify", "revise"),
+    "upload" -> Seq("send", "transfer"),
+    "usage" -> Seq("utilization", "consumption"),
+    "verify" -> Seq("confirm", "validate"),
+    "wait" -> Seq("pause", "delay"),
+    "write" -> Seq("save", "store"),
+    "wrong" -> Seq("incorrect", "erroneous"))
 
   /** 33-word stop set the reference skips during expansion
     * (`enhancement.py:86-95` — abridged to the same spirit).

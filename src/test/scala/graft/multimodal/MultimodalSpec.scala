@@ -37,4 +37,50 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Long, Long)].collect()
     assert(rows.toSeq == Seq((0L, 0, 0L, 0L)))
   }
+
+  test("WAV decode: 16-bit round trip is sample-exact incl. negative and edge values") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = Multimodal.encodeWavPcm16(44100, 2, samples)
+    val got = Multimodal.decodeWav(wav)
+    assert(got.sampleRate == 44100 && got.channels == 2 && got.bitsPerSample == 16)
+    assert(got.samples.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("WAV decode: unknown chunks are skipped, odd sizes word-aligned, 8-bit unsigned normalized") {
+    // hand-packed file: RIFF [LIST(5 bytes + pad)] [fmt 8-bit] [data 3 bytes]
+    val bb = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(0); cc("WAVE") // riff size field untrusted by parser
+    cc("LIST"); bb.putInt(5); bb.put(Array[Byte](1, 2, 3, 4, 5)); bb.put(0.toByte) // odd size + pad
+    cc("fmt "); bb.putInt(16); bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+    bb.putInt(8000); bb.putShort(1); bb.putShort(8)
+    cc("data"); bb.putInt(3); bb.put(Array[Byte](0, 128.toByte, 255.toByte))
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val got = Multimodal.decodeWav(bytes)
+    assert(got.sampleRate == 8000 && got.channels == 1 && got.bitsPerSample == 8)
+    // 8-bit WAV is unsigned 0..255, normalized to signed: 0→-128, 128→0, 255→127
+    assert(got.samples.toSeq == Seq(-128, 0, 127))
+  }
+
+  test("WAV decode: non-RIFF and non-PCM payloads fail loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not a wav file at all".getBytes("US-ASCII"))
+    }
+    // float-format WAV (format tag 3) must be rejected, not misread
+    val wav = Multimodal.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    wav(20) = 3 // audioFormat lives at offset 20 in the canonical layout
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(wav) }
+  }
+
+  test("wavFeatures: distributed decode emits exact integer stats") {
+    val rows = Seq(1L, 2L).map { id =>
+      val samples = Array.tabulate(10)(i => (i * 1000 * (if (i % 2 == 0) 1 else -1)).toShort)
+      (id, "audio", Multimodal.encodeWavPcm16(16000, 1, samples), 64L)
+    }.toDF("media_id", "modality", "bytes", "byte_len")
+    val got = Multimodal.wavFeatures(rows)
+      .select("media_id", "sample_rate", "n_samples", "energy", "peak")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val energy = (0 until 10).map(i => math.abs(i * 1000L)).sum
+    assert(got == Set((1L, 16000, 10L, energy, 9000L), (2L, 16000, 10L, energy, 9000L)))
+  }
 }

@@ -11,7 +11,7 @@ class EnhancementRerankSpec extends SparkSpec {
 
   test("normalization collapses whitespace and punctuation runs") {
     assert(enhance1("what   is   happening??") == "what is happening")
-    assert(enhance1("stop!!! now,,, please") == "stop now please")
+    assert(enhance1("wow!!! now,,, please") == "wow now please")
   }
 
   test("repeated-letter heuristic: goooood -> good survives tokenization") {
@@ -22,6 +22,34 @@ class EnhancementRerankSpec extends SparkSpec {
   test("synonym expansion emits (word OR syn...) only for dictionary words >= 4 chars") {
     assert(enhance1("fast join") == "(fast OR quick OR rapid) (join OR merge OR combine)")
     assert(enhance1("the cat ran") == "the cat ran") // <4 chars / stopwords untouched
+  }
+
+  test("enriched synonym map: breadth on fixture vocabulary, pinned entries and e2e texts untouched") {
+    import graft.queries.EngineQueries
+    // breadth: the round-10 enrichment takes the map well past the original
+    // seven fixture entries
+    assert(Enhancement.Synonyms.size >= 80, s"got ${Enhancement.Synonyms.size}")
+    // the original seven are PINNED — e2e oracle SQL embeds their expansions
+    assert(Enhancement.Synonyms("query") == Seq("search", "lookup"))
+    assert(Enhancement.Synonyms("fast") == Seq("quick", "rapid"))
+    assert(Enhancement.Synonyms("join") == Seq("merge", "combine"))
+    assert(Enhancement.Synonyms("filter") == Seq("predicate", "where"))
+    assert(Enhancement.Synonyms("window") == Seq("frame", "range"))
+    assert(Enhancement.Synonyms("error") == Seq("fault", "failure"))
+    assert(Enhancement.Synonyms("document") == Seq("text", "record"))
+    // no NEW key may appear as a token of any pinned e2e query text — that
+    // would silently change the pinned enhanced literals the oracles embed
+    val pinnedTokens = (EngineQueries.E2eBatch20.map(_._1) ++
+      Seq(EngineQueries.E2eQueryText, EngineQueries.E2eQueryText2))
+      .flatMap(_.split("\\s+")).toSet
+    val original = Set("query", "fast", "join", "filter", "window", "error", "document")
+    val collisions = Enhancement.Synonyms.keySet.diff(original).intersect(pinnedTokens)
+    assert(collisions.isEmpty, s"new synonym keys collide with pinned e2e texts: $collisions")
+    // expansion breadth on a fixture vocabulary
+    assert(enhance1("delete the broken index") ==
+      "(delete OR remove OR erase) the (broken OR damaged OR faulty) (index OR catalog OR register)")
+    assert(enhance1("verify schema update") ==
+      "(verify OR confirm OR validate) (schema OR structure OR layout) (update OR modify OR revise)")
   }
 
   test("enhanceValue (driver-side constant fold) == column enhance on every shape") {
