@@ -221,19 +221,49 @@ object Enhancement {
     * fallback (measured: a 32-task job per query). Bit-identical to the
     * column version by construction (same expression tree, spec-asserted).
     */
-  def enhanceValue(spark: org.apache.spark.sql.SparkSession, q: String): String = {
-    // OPTIMIZED plan, not analyzed: RuntimeReplaceable expressions (e.g.
-    // map_contains_key in the synonym step) only become evaluable after the
-    // optimizer's ReplaceExpressions rule
-    val df = spark.range(1).select(enhance(lit(q)).as("q"))
-    val resolved = df.queryExecution.optimizedPlan.collectFirst {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        p.projectList.head
+  /** The enhancement chain, analyzed ONCE per session against a real input
+    * ATTRIBUTE (not a literal) and bound for interpreted eval. The
+    * per-call plan round trip was cheap with the 7-entry fixture map but
+    * became ~100 ms/call once the synonym map grew to ~90 entries —
+    * analysis + optimization re-walked the 30-regex + map-literal tree for
+    * every query, and queryBatch paid it per query. Building against an
+    * attribute means nothing query-specific is baked in: one resolved
+    * tree, reused for every call, with the regex expressions' compiled
+    * pattern caches persisting across evals. RuntimeReplaceable nodes
+    * (e.g. map_contains_key) are swapped for their replacements — the
+    * one ReplaceExpressions step eval needs — before binding.
+    */
+  private val enhanceExprCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.expressions.Expression]()
+
+  private def boundEnhanceExpr(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    enhanceExprCache.synchronized {
+      enhanceExprCache.computeIfAbsent(spark, { s =>
+        import org.apache.spark.sql.catalyst.expressions._
+        import s.implicits._
+        val analyzed = Seq("").toDF("q").select(enhance(col("q")).as("e"))
+          .queryExecution.analyzed
+        val proj = analyzed.collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+        }.getOrElse(sys.error("enhance plan did not analyze to a Project"))
+        val replaced = proj.projectList.head.transformUp {
+          case r: RuntimeReplaceable => r.replacement
+        }
+        BindReferences.bindReference(replaced, proj.child.output)
+      })
     }
-    resolved.filter(_.references.isEmpty)
-      .flatMap(e => scala.util.Try(e.eval(
-        org.apache.spark.sql.catalyst.InternalRow.empty)).toOption)
-      .map(v => if (v == null) null else v.toString)
-      .getOrElse(df.first().getString(0)) // defensive: the one-row job
+
+  def enhanceValue(spark: org.apache.spark.sql.SparkSession, q: String): String = {
+    val expr = boundEnhanceExpr(spark)
+    // synchronized: RegExpReplace caches its last compiled pattern in the
+    // (shared) tree; driver-side callers are effectively single-threaded,
+    // this keeps concurrent use safe anyway
+    val out = expr.synchronized {
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(q)))
+    }
+    if (out == null) null else out.toString
   }
 }
