@@ -66,32 +66,44 @@ object TextFunctions {
     */
   def tokenizeBm25(c: Column): Column = FastFunctions.tokenizeBm25(c)
 
-  /** Driver-side constant fold of [[tokenizeBm25]] over a literal string —
-    * the `Enhancement.enhanceValue` idiom: Catalyst folds the expression,
-    * so tokenizing a query costs no Spark job and no one-row codegen. Falls
-    * back to the one-row job if the plan didn't fold.
+  /** Driver-side evaluation of [[tokenizeBm25]] on a single string — the
+    * `Enhancement.enhanceValue` idiom: the expression is analyzed ONCE per
+    * session against an input attribute, RuntimeReplaceable nodes replaced,
+    * and the bound tree reused for every call (interpreted eval, no Spark
+    * job, no per-call plan round trip).
     */
+  private val tokenizeExprCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.expressions.Expression]()
+
   def tokenizeBm25Value(spark: org.apache.spark.sql.SparkSession,
                         s: String): Seq[String] = {
-    // optimized plan: folds to a Literal here, and RuntimeReplaceable
-    // expressions (none today, but the enhance chain has them) only become
-    // evaluable after the optimizer — same rationale as enhanceValue
-    val df = spark.range(1).select(tokenizeBm25(lit(s)).as("t"))
-    val resolved = df.queryExecution.optimizedPlan.collectFirst {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        p.projectList.head
+    import org.apache.spark.sql.catalyst.expressions._
+    val expr = tokenizeExprCache.synchronized {
+      tokenizeExprCache.computeIfAbsent(spark, { sess =>
+        import sess.implicits._
+        val analyzed = Seq("").toDF("q").select(tokenizeBm25(col("q")).as("t"))
+          .queryExecution.analyzed
+        val proj = analyzed.collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+        }.getOrElse(sys.error("tokenizeBm25 plan did not analyze to a Project"))
+        val replaced = proj.projectList.head.transformUp {
+          case r: RuntimeReplaceable => r.replacement
+        }
+        BindReferences.bindReference(replaced, proj.child.output)
+      })
     }
-    resolved.filter(_.references.isEmpty)
-      .flatMap(e => scala.util.Try(e.eval(
-        org.apache.spark.sql.catalyst.InternalRow.empty)).toOption)
-      .map {
-        case null => Nil
-        case v => v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toArray[org.apache.spark.unsafe.types.UTF8String](
-            org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq
-      }
-      .getOrElse(df.first().getSeq[String](0)) // defensive: the one-row job
+    val out = expr.synchronized {
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    }
+    out match {
+      case null => Nil
+      case v => v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    }
   }
 
   /** Spec version of [[tokenizeBm25]]. */
