@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN quality-evidence harness (not part of the library surface):
+  * measures recall@k against exact ground truth for each serving tier
+  * across its quality knob — nprobe for IVF, shortlist for IVFPQ, beam for
+  * the graph — at 1× and 50× corpus (sf0.1 embeddings replicated, the
+  * Scale protocol). The engine's ANN claim is "same ranking contract,
+  * exactness is the only thing traded"; this prints the measured trade so
+  * PLANS.md can carry numbers instead of an assertion.
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb1 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val kRep = 50
+    val embN = (0 until kRep).map(i => emb1.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _).localCheckpoint(true)
+
+    val k = 10
+    def queries(e: DataFrame) = e.limit(50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .localCheckpoint(true)
+
+    def topSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "doc_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    def recall(got: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        got.get(q).map(g => (g intersect t).size.toDouble / t.size).getOrElse(0.0) }
+      per.sum / per.size
+    }
+
+    for ((label, e) <- Seq("1x" -> emb1.localCheckpoint(true), s"${kRep}x" -> embN)) {
+      val qs = queries(e)
+      val n = e.count()
+      val truth = topSet(operators.VectorSearch.bruteTopKBatchAgg(
+        e, "vec_id", "embedding", qs, "query_id", "qvec", k))
+      println(f"[recall] $label corpus n=$n ground truth = exact top-$k, 50 queries")
+
+      // IVF: seeded 8-centroid assignment, sweep nprobe
+      val cents = e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val assigned = operators.VectorSearch
+        .seededIvfAssign(e, "vec_id", "embedding", cents).localCheckpoint(true)
+      val centDf = cents.toDF("cid", "cv").localCheckpoint(true)
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val t0 = System.nanoTime()
+        val got = topSet(operators.VectorSearch.ivfTopKBatch(assigned, "vec_id",
+          "embedding", centDf, qs, "query_id", "qvec", k, nprobe))
+        println(f"[recall] $label ivf       nprobe=$nprobe%-3d recall@$k=${recall(got, truth)}%.3f  (${(System.nanoTime()-t0)/1e9}%.2f s)")
+      }
+
+      // IVFPQ: nprobe=4, m=8 seeded codebook, sweep the ADC shortlist that
+      // feeds the exact re-rank
+      val cb = operators.VectorSearch.seededPqCodebook(e, "vec_id", "embedding",
+        seedIds = 0L until 16L, m = 8)
+      val encoded = operators.VectorSearch.pqEncode(assigned, "vec_id", "embedding", cb)
+        .localCheckpoint(true)
+      for (shortlist <- Seq(20, 50, 100)) {
+        val t0 = System.nanoTime()
+        val probeIds = qs.select("query_id", "qvec").collect().map { r =>
+          (r.getLong(0), r.getSeq[Float](1))
+        }
+        // per-query: probe nprobe=4 clusters, ADC-shortlist, exact re-rank
+        val got = probeIds.map { case (qid, qv) =>
+          val probes = operators.VectorSearch.probeIdsExact(spark,
+            cents.map(_._2.toArray).toArray, qv.toSeq, 4)
+          val enc = encoded.filter(col("cluster_id").isin(probes: _*))
+          val short = operators.VectorSearch.pqAdcTopK(enc, "vec_id", "codes",
+            cb, qv.toSeq, shortlist).select(col("doc_id").as("vec_id"))
+          val ids = operators.VectorSearch.bruteTopK(
+              enc.join(short, Seq("vec_id"), "left_semi"),
+              "vec_id", "embedding", qv.toSeq, k)
+            .select("doc_id").as[Long].collect().toSet
+          qid -> ids
+        }.toMap
+        println(f"[recall] $label ivfpq     short=$shortlist%-4d recall@$k=${recall(got, truth)}%.3f  (${(System.nanoTime()-t0)/1e9}%.2f s, nprobe=4)")
+      }
+
+      // Graph: corpus-sized planes, sweep beam at hops=3
+      val g = operators.VectorSearch.knnGraph(e, "vec_id", "embedding", k = 8,
+        numPlanes = operators.VectorSearch.graphPlanesFor(n)).localCheckpoint(true)
+      for (beam <- Seq(16, 32, 48, 64)) {
+        val t0 = System.nanoTime()
+        val got = topSet(operators.VectorSearch.graphSearch(g, e, "vec_id",
+          "embedding", qs, "query_id", "qvec", k, beam = beam, hops = 3,
+          entryIds = Seq(0L, 100L, 200L, 300L)))
+        println(f"[recall] $label graph     beam=$beam%-4d recall@$k=${recall(got, truth)}%.3f  (${(System.nanoTime()-t0)/1e9}%.2f s)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -19,6 +19,30 @@ class VectorSearchSpec extends SparkSpec {
   private val corpus = (1L to 100L).map(i => i -> randVec(rnd, 32))
   private val query = randVec(rnd, 32)
 
+  test("cachedServing memoizes IvfPq artifacts per key; Flat/Ivf delegate per tier") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val pq = VectorSearch.IndexStrategy.IvfPq(nCentroids = 2, subquantizers = 4)
+    val first = VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding", pq)
+    val second = VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding", pq)
+    // same INSTANCE: the KMeans + Lloyd training ran once for the key
+    assert(first eq second, "IvfPq serving must be memoized per (session, key)")
+    first match {
+      case VectorSearch.Serving.IvfPq(_, _, encoded, _) =>
+        assert(encoded.storageLevel.useMemory || encoded.storageLevel.useDisk,
+          "probed table must be persisted")
+      case other => fail(s"expected IvfPq serving, got $other")
+    }
+    val other = VectorSearch.cachedServing("spec_kb_b", emb, "vec_id", "embedding", pq)
+    assert(!(first eq other), "distinct keys build distinct artifacts")
+    assert(VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
+      VectorSearch.IndexStrategy.Flat(highDim = false)) == VectorSearch.Serving.Flat)
+    VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
+      VectorSearch.IndexStrategy.Ivf(2)) match {
+      case VectorSearch.Serving.Ivf(_) => ()
+      case o => fail(s"expected Ivf serving, got $o")
+    }
+  }
+
   test("bruteTopK matches a local exact scan") {
     val emb = corpus.toDF("vec_id", "embedding")
     val got = VectorSearch.bruteTopK(emb, "vec_id", "embedding", query.toSeq, 10)
