@@ -103,6 +103,20 @@ object RecallSweep {
           entryIds = Seq(0L, 100L, 200L, 300L)))
         println(f"[recall] $label graph     beam=$beam%-4d recall@$k=${recall(got, truth)}%.3f  (${(System.nanoTime()-t0)/1e9}%.2f s)")
       }
+
+      // Deduped graph (the duplicate-saturation fix): graph over UNIQUE
+      // vectors, copies expanded after search. At 1x the corpus is already
+      // unique so only the replicated corpus is informative.
+      if (label != "1x") {
+        for (beam <- Seq(32, 48, 64)) {
+          val t0 = System.nanoTime()
+          val got = topSet(operators.VectorSearch.graphSearchDeduped(e,
+            "vec_id", "embedding", qs, "query_id", "qvec", k, kGraph = 8,
+            numPlanes = operators.VectorSearch.graphPlanesFor(n / kRep),
+            beam = beam, hops = 3, nEntries = 4))
+          println(f"[recall] $label graphDedup beam=$beam%-4d recall@$k=${recall(got, truth)}%.3f  (${(System.nanoTime()-t0)/1e9}%.2f s)")
+        }
+      }
     }
     spark.stop()
   }

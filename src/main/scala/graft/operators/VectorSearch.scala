@@ -919,4 +919,48 @@ object VectorSearch {
       .select(col("query_id"), col("doc_id"),
         round(col("score"), 6).as("score"), col("rank"))
   }
+
+  /** Graph search over the DISTINCT-vector sub-corpus, copies expanded
+    * back afterward — the duplicate-saturation fix the round-10 recall
+    * sweep motivated (tools/recall_r10.txt): on a 50×-replicated corpus
+    * plain [[graphSearch]] recall@10 collapses to ~0.08 because identical
+    * copies saturate every bucket's sorted-neighborhood window, while the
+    * graph over UNIQUES keeps its small-world structure (and is duplication
+    * times smaller to build). HNSW deployments do the same thing one layer
+    * up (dedup before indexing); here it is part of the operator.
+    *
+    * Semantics: representatives are min-id per exact vector value; the
+    * top-k representative hits expand to ALL their copies and the final
+    * top-k re-ranks by (rounded score, id) — identical copies carry
+    * identical scores, so this equals exact search's ordering contract on
+    * the expanded corpus. Correct for k because every representative
+    * expands to ≥1 row.
+    *
+    * 100 TB shape: the group-by-vector and the copy-expansion join shuffle
+    * on the vector value / rep id (the exact-dedup shapes); the graph is
+    * built and searched over the (smaller) unique corpus.
+    */
+  def graphSearchDeduped(embeddings: DataFrame, idCol: String, vecCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, kGraph: Int = 8, numPlanes: Int = 4,
+                         beam: Int = 48, hops: Int = 3,
+                         nEntries: Int = 4): DataFrame = {
+    val reps = embeddings.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(vecCol))
+    val mapping = embeddings.select(col(idCol).as("_dup"), col(vecCol))
+      .join(reps.select(col(idCol).as("_rep"), col(vecCol)), vecCol)
+      .select("_rep", "_dup")
+    val g = knnGraph(reps, idCol, vecCol, k = kGraph, numPlanes = numPlanes)
+    val entries = reps.select(col(idCol).cast("long")).orderBy(col(idCol))
+      .limit(nEntries).collect().map(_.getLong(0)).toSeq
+    val repHits = graphSearch(g, reps, idCol, vecCol, queries, qidCol, qvecCol,
+      k, beam = math.max(beam, k), hops = hops, entryIds = entries)
+    repHits.select(col("query_id"), col("doc_id").as("_rep"), col("score"))
+      .join(mapping, "_rep")
+      .select(col("query_id"), col("_dup").as("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -68,8 +68,15 @@ object PipelineQueries {
     * DIRECTED edge list `e0`. Shared by sim_knn_graph (which appends beam
     * search) and sim_knn_refine (which appends one NN-Descent round).
     */
-  private val graphBuildCtes: String =
-    s"""emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+  private val graphBuildCtes: String = graphBuildCtesOver(
+    "SELECT vec_id AS id, embedding AS v FROM embeddings")
+
+  /** [[graphBuildCtes]] parameterized over the `emb` source — the unique-
+    * vector variant (sim_knn_graph_unique) builds the SAME graph over the
+    * deduped sub-corpus.
+    */
+  private def graphBuildCtesOver(embSrc: String): String =
+    s"""emb AS ($embSrc),
        |nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM emb),
        |sg AS (SELECT id, v, ${bucketSql(42L)} AS b0, ${bucketSql(43L)} AS b1,
        |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
@@ -551,6 +558,71 @@ object PipelineQueries {
       VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 10, beam = 48, hops = 3,
           entryIds = Seq(0L, 100L, 200L, 300L))
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ── Graph ANN over the UNIQUE-vector sub-corpus with copy expansion
+    //    (VectorSearch.graphSearchDeduped): the corpus is doubled with
+    //    shifted-id exact copies, the graph is built over representatives
+    //    (min id per vector value), beam search runs over reps, and hits
+    //    expand to every copy re-ranked by (rounded score, id). The
+    //    duplicate-saturation fix the round-10 recall sweep motivated —
+    //    value-exact, including the expansion ─────────────────────────────
+    QueryDef.sql("sim_knn_graph_unique", {
+      def hop(prev: String, i: Int): String =
+        s"""c$i AS (SELECT query_id, doc_id FROM $prev
+           | UNION SELECT f.query_id, e.dst AS doc_id
+           |        FROM $prev f JOIN edges e ON f.doc_id = e.doc_id),
+           |f${i}s AS (SELECT c.query_id, c.doc_id,
+           |          ${cosineSql("emb.v", "q.qv")} AS score
+           |          FROM c$i c JOIN emb ON emb.id = c.doc_id
+           |          JOIN q ON q.query_id = c.query_id),
+           |f$i AS (SELECT query_id, doc_id, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY score DESC, doc_id) AS rk FROM f${i}s) WHERE rk <= 48)""".stripMargin
+      s"""WITH emb0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |             UNION ALL
+         |             SELECT vec_id + 1000000, embedding FROM embeddings),
+         |dupmap AS (SELECT min(id) OVER (PARTITION BY v) AS rep, id AS dup
+         |           FROM emb0),
+         |${graphBuildCtesOver("SELECT min(id) AS id, v FROM emb0 GROUP BY v")},
+         |edges AS (SELECT src AS doc_id, dst FROM e0
+         |          UNION SELECT dst, src FROM e0),
+         |q AS (SELECT id AS query_id, v AS qv FROM emb0
+         |      WHERE id IN (1, 101, 201)),
+         |ent AS (SELECT id AS doc_id FROM emb ORDER BY id LIMIT 4),
+         |f0s AS (SELECT q.query_id, ent.doc_id,
+         |        ${cosineSql("emb.v", "q.qv")} AS score
+         |        FROM q CROSS JOIN ent JOIN emb ON emb.id = ent.doc_id),
+         |f0 AS (SELECT query_id, doc_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, doc_id) AS rk FROM f0s) WHERE rk <= 48),
+         |${hop("f0", 1)},
+         |${hop("f1", 2)},
+         |${hop("f2", 3)},
+         |rep10 AS (SELECT query_id, doc_id, round(score, 6) AS score
+         |FROM (SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank FROM f3)
+         |WHERE rank <= 10),
+         |expd AS (SELECT r.query_id, m.dup AS doc_id, r.score
+         |         FROM rep10 r JOIN dupmap m ON m.rep = r.doc_id)
+         |SELECT query_id, doc_id, score, rank::INT AS rank
+         |FROM (SELECT query_id, doc_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank FROM expd)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val emb0 = emb.unionByName(emb.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      val queries = emb.filter(col("vec_id").isin(1L, 101L, 201L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.graphSearchDeduped(emb0, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10, kGraph = 8, numPlanes = 4,
+          beam = 48, hops = 3, nEntries = 4)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank")
