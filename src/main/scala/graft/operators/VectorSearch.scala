@@ -939,21 +939,52 @@ object VectorSearch {
     * 100 TB shape: the group-by-vector and the copy-expansion join shuffle
     * on the vector value / rep id (the exact-dedup shapes); the graph is
     * built and searched over the (smaller) unique corpus.
+    *
+    * `cacheKey` opts into build-once serve-many economics: reps, the
+    * copy-expansion mapping, the reps graph, and the entry points are
+    * memoized per (session, key) — same pattern as [[cachedGraph]] /
+    * [[cachedServing]]. Without it every call re-derives the index
+    * (correct, but the build dominates serving).
     */
+  private val dedupServeCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Seq[Long])]]()
   def graphSearchDeduped(embeddings: DataFrame, idCol: String, vecCol: String,
                          queries: DataFrame, qidCol: String, qvecCol: String,
                          k: Int, kGraph: Int = 8, numPlanes: Int = 4,
                          beam: Int = 48, hops: Int = 3,
-                         nEntries: Int = 4): DataFrame = {
-    val reps = embeddings.groupBy(col(vecCol))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), col(vecCol))
-    val mapping = embeddings.select(col(idCol).as("_dup"), col(vecCol))
-      .join(reps.select(col(idCol).as("_rep"), col(vecCol)), vecCol)
-      .select("_rep", "_dup")
-    val g = knnGraph(reps, idCol, vecCol, k = kGraph, numPlanes = numPlanes)
-    val entries = reps.select(col(idCol).cast("long")).orderBy(col(idCol))
-      .limit(nEntries).collect().map(_.getLong(0)).toSeq
+                         nEntries: Int = 4,
+                         cacheKey: Option[String] = None): DataFrame = {
+    def build(): (DataFrame, DataFrame, Seq[Long]) = {
+      val reps0 = embeddings.groupBy(col(vecCol))
+        .agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col(vecCol))
+      val mapping0 = embeddings.select(col(idCol).as("_dup"), col(vecCol))
+        .join(reps0.select(col(idCol).as("_rep"), col(vecCol)), vecCol)
+        .select("_rep", "_dup")
+      // checkpoint when memoized: reps is re-joined every hop and mapping
+      // once per query — lineage truncation is what makes reuse cheap
+      val (r, m) = if (cacheKey.isDefined)
+        (reps0.localCheckpoint(true), mapping0.localCheckpoint(true))
+      else (reps0, mapping0)
+      val ent = r.select(col(idCol).cast("long")).orderBy(col(idCol))
+        .limit(nEntries).collect().map(_.getLong(0)).toSeq
+      (r, m, ent)
+    }
+    val (reps, mapping, entries) = cacheKey match {
+      case Some(k0) =>
+        val perSession = dedupServeCache.synchronized {
+          dedupServeCache.computeIfAbsent(embeddings.sparkSession,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Seq[Long])]())
+        }
+        perSession.computeIfAbsent(s"$k0|e=$nEntries", _ => build())
+      case None => build()
+    }
+    val g = cacheKey match {
+      case Some(k0) => cachedGraph(s"$k0|dedup", reps, idCol, vecCol,
+        k = kGraph, numPlanes = numPlanes)
+      case None => knnGraph(reps, idCol, vecCol, k = kGraph, numPlanes = numPlanes)
+    }
     val repHits = graphSearch(g, reps, idCol, vecCol, queries, qidCol, qvecCol,
       k, beam = math.max(beam, k), hops = hops, entryIds = entries)
     repHits.select(col("query_id"), col("doc_id").as("_rep"), col("score"))

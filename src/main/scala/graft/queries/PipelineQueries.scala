@@ -622,7 +622,8 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       VectorSearch.graphSearchDeduped(emb0, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 10, kGraph = 8, numPlanes = 4,
-          beam = 48, hops = 3, nEntries = 4)
+          beam = 48, hops = 3, nEntries = 4,
+          cacheKey = Some(s"$dir|unique2x"))
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank")

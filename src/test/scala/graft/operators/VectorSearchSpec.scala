@@ -375,6 +375,15 @@ class VectorSearchSpec extends SparkSpec {
     // measured 1.0 on this seed: the 400-unique graph is the one the plain
     // recall spec already proves out; expansion preserves exact ordering
     assert(mean >= 0.8, s"deduped graph-ANN recall too low on duplicates: $recalls")
+    // memoized serving path (cacheKey) is value-identical to the fresh
+    // build, on the first call and on reuse
+    def keyed() = VectorSearch.graphSearchDeduped(rep, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, kGraph = 8, numPlanes = 4,
+        beam = 48, hops = 3, nEntries = 4, cacheKey = Some("spec_dedup_serve"))
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val fresh = rows.map(r => (r._1, r._2, r._4)).toSet
+    assert(keyed() == fresh, "cached dedup serving diverged from fresh build")
+    assert(keyed() == fresh, "cache reuse diverged")
   }
 
   test("graphPlanesFor sizes plane count to expected bucket ~targetBucket") {
