@@ -195,6 +195,21 @@ object Scale {
     secs(s"ivf-batch50 ${kEmb}x")(ivfBatch(bigEmb))
     secs(s"graph-build+search50 1x")(graphAnn(emb))
     secs(s"graph-build+search50 ${kEmb}x")(graphAnn(bigEmb))
+    // duplicate-robust graph variant: the Scale corpus is EXACT replication,
+    // the regime where plain graphSearch recall collapses to ~0.08
+    // (tools/recall_r10.txt) — graphSearchDeduped builds/searches over the
+    // unique sub-corpus (kEmb× smaller here) and expands copies, recall
+    // 0.86. The timed block includes the unique-count probe, the dedup
+    // shuffles, and the fresh index build (no cacheKey) — the worst case.
+    def graphDedup(e: DataFrame): Long = {
+      val nUniq = e.select("embedding").distinct().count()
+      operators.VectorSearch.graphSearchDeduped(e, "vec_id", "embedding",
+        queries50(e), "query_id", "qvec", k = 20, kGraph = 8,
+        numPlanes = operators.VectorSearch.graphPlanesFor(nUniq),
+        beam = 48, hops = 3, nEntries = 4).count()
+    }
+    secs(s"graphdedup-build+search50 1x")(graphDedup(emb))
+    secs(s"graphdedup-build+search50 ${kEmb}x")(graphDedup(bigEmb))
 
     // ── round-10: the incremental rung — the daily-ingest regime. The lake
     //    GROWS (1× vs K×) while the batch stays FIXED; each index's stored
