@@ -386,6 +386,27 @@ class VectorSearchSpec extends SparkSpec {
     assert(keyed() == fresh, "cache reuse diverged")
   }
 
+  test("graphSearchDeduped degenerate: fully-collapsed corpus and empty queries") {
+    // the operator's own extreme: EVERY row is one vector value -> one
+    // representative, an edgeless 1-node graph, and the walk still finds it;
+    // expansion then surfaces k copies with identical scores
+    val one = Array(1f, 2f, 3f)
+    val all = (1L to 20L).map(i => i -> one).toDF("vec_id", "embedding")
+    val q = Seq((7L, one)).toDF("query_id", "qvec")
+    val res = VectorSearch.graphSearchDeduped(all, "vec_id", "embedding",
+        q, "query_id", "qvec", k = 5, kGraph = 4, numPlanes = 2,
+        beam = 8, hops = 2, nEntries = 2)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(res.map(_._1).toSeq == (1L to 5L), s"expected lowest-id copies, got ${res.toSeq}")
+    assert(res.map(_._2).distinct.length == 1 && res.head._2 == 1.0)
+    // empty query set -> empty result, no crash
+    val none = VectorSearch.graphSearchDeduped(all, "vec_id", "embedding",
+      q.filter(lit(false)), "query_id", "qvec", k = 5, kGraph = 4,
+      numPlanes = 2, beam = 8, hops = 2, nEntries = 2)
+    assert(none.count() == 0)
+  }
+
   test("graphPlanesFor sizes plane count to expected bucket ~targetBucket") {
     assert(VectorSearch.graphPlanesFor(0) == 1)
     assert(VectorSearch.graphPlanesFor(64) == 1)
