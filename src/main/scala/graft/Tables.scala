@@ -64,6 +64,28 @@ object Tables {
     apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
+  /** The events stream table with `ts` normalized to BIGINT epoch-NANOS.
+    *
+    * The physical parquet type has shifted across driver-generated datasets
+    * (TIMESTAMP(NANOS) — read as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong` — vs TIMESTAMP(MICROS) — read
+    * as TIMESTAMP_NTZ). Every event-time consumer in this library does
+    * integer micro/nano arithmetic (`ts div 1000`), so this accessor pins
+    * ONE canonical representation at the scan boundary instead of making
+    * each query probe the type. Sessions run in UTC (every entry point sets
+    * `spark.sql.session.timeZone`), so the NTZ→timestamp cast is
+    * epoch-exact. DuckDB oracles are unaffected: `epoch_us(ts)` reads both
+    * physical types identically (micros carry no sub-micro bits; nanos
+    * were already truncated to micros on the oracle side).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.LongType
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // already nanos (legacy nanosAsLong read)
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
 }
