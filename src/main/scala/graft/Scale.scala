@@ -385,7 +385,12 @@ object Scale {
         e2eServe(chunks, e2, bm, base.copy(indexType = "ivfpq", ivfNprobe = 2), pqS))
       secs(s"e2e-serve-graph $label")(
         e2eServe(chunks, e2, bm, base.copy(indexType = "graph"), gS))
+      // drop EVERY iteration-scoped artifact, not just BM25 — the 1x
+      // serving caches (persisted IvfPq assignment/codes, checkpointed
+      // graph) must not occupy executor storage while the 20x rows run
       bm.postings.unpersist(); bm.lengths.unpersist(); bm.idf.unpersist()
+      pqS.index.assigned.unpersist(); pqS.encoded.unpersist()
+      gS.graph.unpersist()
     }
     spark.stop()
   }

@@ -87,8 +87,14 @@ object TextFunctions {
         val proj = analyzed.collectFirst {
           case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
         }.getOrElse(sys.error("tokenizeBm25 plan did not analyze to a Project"))
-        val replaced = proj.projectList.head.transformUp {
-          case r: RuntimeReplaceable => r.replacement
+        // to fixpoint with transformDown — see Enhancement.boundEnhanceExpr
+        var replaced: Expression = proj.projectList.head
+        var prev: Expression = null
+        while (prev ne replaced) {
+          prev = replaced
+          replaced = replaced.transformDown {
+            case r: RuntimeReplaceable => r.replacement
+          }
         }
         BindReferences.bindReference(replaced, proj.child.output)
       })

@@ -135,11 +135,14 @@ object Multimodal {
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort & 0xffff
           require(bits == 8 || bits == 16, s"only 8/16-bit PCM, got $bits")
-          buf.position(fmtStart + sz + (sz & 1)) // skip fmt extensions + pad
+          // skip fmt extensions + word-align pad; clamp — a trailing
+          // odd-sized chunk may legally omit its pad byte in the wild
+          buf.position(math.min(fmtStart + sz + (sz & 1), buf.limit()))
         case "data" =>
           data = new Array[Byte](sz); buf.get(data)
         case _ =>
-          buf.position(buf.position() + sz + (sz & 1)) // skip + word-align pad
+          // skip + word-align pad; clamped like the fmt skip
+          buf.position(math.min(buf.position() + sz + (sz & 1), buf.limit()))
       }
     }
     require(bits > 0, "missing fmt chunk")

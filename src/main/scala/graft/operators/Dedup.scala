@@ -130,12 +130,16 @@ object Dedup {
     // contract is checked, not trusted: a backfill-sized "batch" above the
     // row limit degrades to a plain shuffled join on (band, band_hash)
     // instead of OOMing executors — the same hybrid as the union-find
-    // driverEdgeLimit in [[connectedComponents]]. The count recomputes the
-    // batch's buckets once; on the broadcast path that side is small by
-    // definition, and on the fallback path one extra pass is the price of
-    // not dying.
+    // driverEdgeLimit in [[connectedComponents]]. The batch pipeline is
+    // persisted BEFORE the guard count, so on the broadcast path the
+    // shingle/minhash work runs exactly once (count materializes the cache,
+    // the join reads it); on the fallback path the cache is dropped right
+    // away — a backfill-sized bucket table shouldn't squat in executor
+    // storage, and one recompute is the price of not dying.
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe =
-      if (batch.count() <= broadcastRowLimit) broadcast(batch) else batch
+      if (batch.count() <= broadcastRowLimit) broadcast(batch)
+      else { batch.unpersist(); batch }
     lake.join(probe, Seq("band", "band_hash"))
       .select("doc_a", "doc_b").distinct()
   }

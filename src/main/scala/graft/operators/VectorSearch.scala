@@ -147,13 +147,19 @@ object VectorSearch {
       case IndexStrategy.Flat(_) => Serving.Flat
       case IndexStrategy.Ivf(nc) =>
         Serving.Ivf(cachedIvf(key, embeddings, idCol, vecCol, nc))
-      case _ =>
+      case IndexStrategy.IvfPq(nc, m) =>
         val e = embeddings // weak session keying: see Bm25.cachedIndex
         val perSession = servingCache.synchronized {
           servingCache.computeIfAbsent(e.sparkSession,
             _ => new java.util.concurrent.ConcurrentHashMap[String, Serving]())
         }
-        perSession.computeIfAbsent(key, _ =>
+        // every build parameter is part of the cache key — a re-ingested
+        // corpus whose chooseIndex outcome changes (more centroids /
+        // subquantizers) or a caller with a different shortlist must never
+        // be served another configuration's stale centroids/codebook
+        // (cachedGraph keys on |k=..|p=.. for the same reason)
+        val cacheKey = s"$key|nc=$nc|m=$m|sl=$shortlist|cw=$pqCodewords"
+        perSession.computeIfAbsent(cacheKey, _ =>
           buildServing(e, idCol, vecCol, strategy, shortlist, pqCodewords) match {
             case Serving.IvfPq(ix, cb, encoded, sl) => Serving.IvfPq(ix, cb,
               encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), sl)

@@ -90,13 +90,16 @@ object KbPipeline {
     //    codegen compile of the regex chain; Enhancement.enhanceValue)
     val enhanced = Enhancement.enhanceValue(spark, queryText)
 
-    // 2. query embedding — the SAME registry resolution as embed(), so the
-    //    query vector always matches the corpus vectors' dims (a registry
-    //    model whose declared dims differ from config, e.g.
-    //    vector_model=embed-small → 1536-d, would otherwise silently score
-    //    garbage against a Deterministic(cfg.vectorDimensions) query vector)
-    val qvec = graft.models.ModelRegistry
-      .embedderFor(cfg.vectorModel, cfg.vectorDimensions)
+    // 2. query embedding — the SAME registry resolution AND retry policy as
+    //    embed(), so the query vector always matches the corpus vectors'
+    //    dims (a registry model whose declared dims differ from config,
+    //    e.g. vector_model=embed-small → 1536-d, would otherwise silently
+    //    score garbage against a Deterministic(cfg.vectorDimensions) query
+    //    vector) and a transient provider failure retries instead of
+    //    aborting the query
+    val qvec = Embedder.Retrying(
+        graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
+        maxRetries = cfg.apiMaxRetries)
       .embedBatch(Seq(enhanced)).head.toSeq
 
     // 3a. vector k-NN (T1). Every top-k boundary in the pipeline ranks on a
@@ -223,10 +226,12 @@ object KbPipeline {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
     // 1-2. enhancement + embedding: driver-side per query (constant-folded;
-    //      N queries are one small literal table). Registry-resolved like
-    //      embed() and query() so query/corpus dims always agree.
-    val embedder = graft.models.ModelRegistry
-      .embedderFor(cfg.vectorModel, cfg.vectorDimensions)
+    //      N queries are one small literal table). Registry-resolved AND
+    //      retry-wrapped like embed() and query() so query/corpus dims
+    //      always agree and transient provider failures don't abort the batch.
+    val embedder = Embedder.Retrying(
+      graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
+      maxRetries = cfg.apiMaxRetries)
     val qData = queries.map { case (qid, q) =>
       val e = Enhancement.enhanceValue(spark, q)
       (qid, e, embedder.embedBatch(Seq(e)).head)

@@ -248,8 +248,17 @@ object Enhancement {
         val proj = analyzed.collectFirst {
           case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
         }.getOrElse(sys.error("enhance plan did not analyze to a Project"))
-        val replaced = proj.projectList.head.transformUp {
-          case r: RuntimeReplaceable => r.replacement
+        // to fixpoint with transformDown (Spark's own ReplaceExpressions
+        // traversal): a replacement subtree can itself contain
+        // RuntimeReplaceable nodes, which a single transformUp pass would
+        // leave unreplaced — and an unreplaced node throws on eval
+        var replaced: Expression = proj.projectList.head
+        var prev: Expression = null
+        while (prev ne replaced) {
+          prev = replaced
+          replaced = replaced.transformDown {
+            case r: RuntimeReplaceable => r.replacement
+          }
         }
         BindReferences.bindReference(replaced, proj.child.output)
       })

@@ -62,6 +62,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got.samples.toSeq == Seq(-128, 0, 127))
   }
 
+  test("WAV decode: odd-sized unpadded chunk at EOF fails with the decoder's message") {
+    // files in the wild end with odd-sized tag chunks (LIST/INFO) omitting
+    // the RIFF-mandated pad byte; the chunk-skip clamps to the buffer so a
+    // dataless file dies on the decoder's descriptive require, not a bare
+    // ByteBuffer position exception
+    val bb = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(0); cc("WAVE")
+    cc("fmt "); bb.putInt(16); bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+    bb.putInt(8000); bb.putShort(1); bb.putShort(8)
+    cc("LIST"); bb.putInt(3); bb.put(Array[Byte](7, 8, 9)) // odd, NO pad, at EOF
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val err = intercept[IllegalArgumentException] { Multimodal.decodeWav(bytes) }
+    assert(Option(err.getMessage).exists(_.contains("missing data chunk")),
+      s"want the decoder's own diagnostic, got: ${err.getMessage}")
+  }
+
   test("WAV decode: non-RIFF and non-PCM payloads fail loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWav("not a wav file at all".getBytes("US-ASCII"))

@@ -34,6 +34,17 @@ class VectorSearchSpec extends SparkSpec {
     }
     val other = VectorSearch.cachedServing("spec_kb_b", emb, "vec_id", "embedding", pq)
     assert(!(first eq other), "distinct keys build distinct artifacts")
+    // build parameters are part of the cache key: a changed chooseIndex
+    // outcome or shortlist must rebuild, never serve stale artifacts
+    val morecents = VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
+      VectorSearch.IndexStrategy.IvfPq(nCentroids = 4, subquantizers = 4))
+    assert(!(first eq morecents), "different strategy params must rebuild")
+    val widershort = VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
+      pq, shortlist = 50)
+    assert(!(first eq widershort), "different shortlist must rebuild")
+    (widershort: @unchecked) match {
+      case VectorSearch.Serving.IvfPq(_, _, _, sl) => assert(sl == 50)
+    }
     assert(VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
       VectorSearch.IndexStrategy.Flat(highDim = false)) == VectorSearch.Serving.Flat)
     VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
