@@ -130,16 +130,17 @@ object Dedup {
     // contract is checked, not trusted: a backfill-sized "batch" above the
     // row limit degrades to a plain shuffled join on (band, band_hash)
     // instead of OOMing executors — the same hybrid as the union-find
-    // driverEdgeLimit in [[connectedComponents]]. The batch pipeline is
-    // persisted BEFORE the guard count, so on the broadcast path the
-    // shingle/minhash work runs exactly once (count materializes the cache,
-    // the join reads it); on the fallback path the cache is dropped right
-    // away — a backfill-sized bucket table shouldn't squat in executor
-    // storage, and one recompute is the price of not dying.
-    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driverEdgeLimit in [[connectedComponents]]. The guard count runs
+    // under a LIMIT of rowLimit+1, so deciding costs at most one bounded
+    // pass — it never materializes a backfill-sized table (persisting
+    // before counting would spill exactly the table the guard refuses to
+    // broadcast), and nothing is left cached per call (this operator runs
+    // once per ingest in a long-lived session). The small-batch double
+    // compute this keeps is one cheap shingling pass over a daily batch.
+    val guardCount = batch.limit(
+      (broadcastRowLimit + 1).min(Int.MaxValue.toLong).toInt).count()
     val probe =
-      if (batch.count() <= broadcastRowLimit) broadcast(batch)
-      else { batch.unpersist(); batch }
+      if (guardCount <= broadcastRowLimit) broadcast(batch) else batch
     lake.join(probe, Seq("band", "band_hash"))
       .select("doc_a", "doc_b").distinct()
   }

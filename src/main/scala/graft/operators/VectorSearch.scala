@@ -153,18 +153,25 @@ object VectorSearch {
           servingCache.computeIfAbsent(e.sparkSession,
             _ => new java.util.concurrent.ConcurrentHashMap[String, Serving]())
         }
-        // every build parameter is part of the cache key — a re-ingested
+        // every BUILD parameter is part of the cache key — a re-ingested
         // corpus whose chooseIndex outcome changes (more centroids /
-        // subquantizers) or a caller with a different shortlist must never
-        // be served another configuration's stale centroids/codebook
-        // (cachedGraph keys on |k=..|p=.. for the same reason)
-        val cacheKey = s"$key|nc=$nc|m=$m|sl=$shortlist|cw=$pqCodewords"
-        perSession.computeIfAbsent(cacheKey, _ =>
+        // subquantizers) must never be served another configuration's stale
+        // centroids/codebook (cachedGraph keys on |k=..|p=.. for the same
+        // reason). `shortlist` is a SERVING knob, not a build input: two
+        // callers differing only in shortlist share one trained index and
+        // one persisted encoded table via copy.
+        val cacheKey = s"$key|nc=$nc|m=$m|cw=$pqCodewords"
+        val cached = perSession.computeIfAbsent(cacheKey, _ =>
           buildServing(e, idCol, vecCol, strategy, shortlist, pqCodewords) match {
             case Serving.IvfPq(ix, cb, encoded, sl) => Serving.IvfPq(ix, cb,
               encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), sl)
             case other => other
           })
+        cached match {
+          case s: Serving.IvfPq if s.shortlist != shortlist =>
+            s.copy(shortlist = shortlist)
+          case other => other
+        }
     }
 
   /** Exact top-k for one literal query vector. */
@@ -249,7 +256,10 @@ object VectorSearch {
       ivfCache.computeIfAbsent(e.sparkSession,
         _ => new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]())
     }
-    perSession.computeIfAbsent(key, _ => {
+    // nCentroids is part of the key (like cachedGraph's |k=..|p=..): a
+    // re-ingested corpus whose chooseIndex outcome changes must rebuild,
+    // never serve another configuration's stale centroids/assignment
+    perSession.computeIfAbsent(s"$key|nc=$nCentroids", _ => {
       val ix = buildIvf(e, idCol, vecCol, nCentroids)
       ix.copy(assigned = ix.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })

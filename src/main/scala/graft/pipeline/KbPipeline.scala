@@ -19,6 +19,20 @@ import graft.query.{Enhancement, Rerank}
   */
 object KbPipeline {
 
+  /** The ONE registry-resolution + retry-policy construction shared by
+    * corpus embedding ([[embed]]) and query-time embedding
+    * ([[query]]/[[queryBatch]]): query vectors must come from the same
+    * provider (same dims) under the same transient-failure policy as the
+    * corpus vectors they score against, and that sameness should be
+    * structural, not three copies kept in sync by comment. Permanent
+    * provider failures do pay the full backoff schedule
+    * (`cfg.apiMaxRetries`) — the knob interactive callers tune down.
+    */
+  private def retryingEmbedder(cfg: KbConfig): Embedder.Retrying =
+    Embedder.Retrying(
+      graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
+      maxRetries = cfg.apiMaxRetries)
+
   /** §3.2 `database` verb: chunk raw documents into the canonical chunk
     * table (SURVEY §1.2 `docs` analogue).
     */
@@ -43,9 +57,7 @@ object KbPipeline {
     // canonical/alias/partial exactly like the reference's
     // get_canonical_model (model_manager.py:24-85); unknown names fail here,
     // at config time
-    val provider = Embedder.Retrying(
-      graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
-      maxRetries = cfg.apiMaxRetries)
+    val provider = retryingEmbedder(cfg)
     // M2: provider-call batch sized from a token-count sample, capped by
     // the configured maximum (embed_manager.py:216-257)
     val planned = Embedder.planBatchSize(chunks, textCol, provider.model,
@@ -97,10 +109,7 @@ object KbPipeline {
     //    score garbage against a Deterministic(cfg.vectorDimensions) query
     //    vector) and a transient provider failure retries instead of
     //    aborting the query
-    val qvec = Embedder.Retrying(
-        graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
-        maxRetries = cfg.apiMaxRetries)
-      .embedBatch(Seq(enhanced)).head.toSeq
+    val qvec = retryingEmbedder(cfg).embedBatch(Seq(enhanced)).head.toSeq
 
     // 3a. vector k-NN (T1). Every top-k boundary in the pipeline ranks on a
     //     ROUNDED score (cosine 6dp, BM25 4dp): raw float sums are
@@ -228,13 +237,15 @@ object KbPipeline {
     // 1-2. enhancement + embedding: driver-side per query (constant-folded;
     //      N queries are one small literal table). Registry-resolved AND
     //      retry-wrapped like embed() and query() so query/corpus dims
-    //      always agree and transient provider failures don't abort the batch.
-    val embedder = Embedder.Retrying(
-      graft.models.ModelRegistry.embedderFor(cfg.vectorModel, cfg.vectorDimensions),
-      maxRetries = cfg.apiMaxRetries)
-    val qData = queries.map { case (qid, q) =>
-      val e = Enhancement.enhanceValue(spark, q)
-      (qid, e, embedder.embedBatch(Seq(e)).head)
+    //      always agree and transient provider failures don't abort the
+    //      batch. ONE provider call for the whole batch — the provider
+    //      contract is batch-shaped, so N queries must not pay N
+    //      round-trips (each with its own retry/backoff exposure).
+    val enhancedTexts = queries.map { case (_, q) =>
+      Enhancement.enhanceValue(spark, q) }
+    val qVecs = retryingEmbedder(cfg).embedBatch(enhancedTexts)
+    val qData = queries.zip(enhancedTexts).zip(qVecs).map {
+      case (((qid, _), e), qv) => (qid, e, qv)
     }
     val qRows = qData.map { case (qid, e, qv) =>
       org.apache.spark.sql.Row(qid, e, qv)

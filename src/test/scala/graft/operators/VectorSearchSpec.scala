@@ -34,17 +34,26 @@ class VectorSearchSpec extends SparkSpec {
     }
     val other = VectorSearch.cachedServing("spec_kb_b", emb, "vec_id", "embedding", pq)
     assert(!(first eq other), "distinct keys build distinct artifacts")
-    // build parameters are part of the cache key: a changed chooseIndex
-    // outcome or shortlist must rebuild, never serve stale artifacts
+    // BUILD parameters are part of the cache key: a changed chooseIndex
+    // outcome must rebuild, never serve stale artifacts
     val morecents = VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
       VectorSearch.IndexStrategy.IvfPq(nCentroids = 4, subquantizers = 4))
     assert(!(first eq morecents), "different strategy params must rebuild")
+    // ... but shortlist is a SERVING knob: same trained artifacts, new value
     val widershort = VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
       pq, shortlist = 50)
-    assert(!(first eq widershort), "different shortlist must rebuild")
-    (widershort: @unchecked) match {
-      case VectorSearch.Serving.IvfPq(_, _, _, sl) => assert(sl == 50)
+    ((first, widershort): @unchecked) match {
+      case (VectorSearch.Serving.IvfPq(ix0, cb0, enc0, _),
+            VectorSearch.Serving.IvfPq(ix1, cb1, enc1, sl1)) =>
+        assert(sl1 == 50)
+        assert((ix0 eq ix1) && (cb0 eq cb1) && (enc0 eq enc1),
+          "a shortlist-only change must reuse the trained index, codebook and encoded table")
     }
+    // cachedIvf keys on nCentroids the same way
+    val ivf2 = VectorSearch.cachedIvf("spec_kb_a", emb, "vec_id", "embedding", 2)
+    val ivf4 = VectorSearch.cachedIvf("spec_kb_a", emb, "vec_id", "embedding", 4)
+    assert(!(ivf2 eq ivf4), "changed nCentroids must rebuild the IVF index")
+    assert(ivf4.centroids.length == 4 && ivf2.centroids.length == 2)
     assert(VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
       VectorSearch.IndexStrategy.Flat(highDim = false)) == VectorSearch.Serving.Flat)
     VectorSearch.cachedServing("spec_kb_a", emb, "vec_id", "embedding",
