@@ -119,7 +119,11 @@ object Embedder {
   def embedWithCache(df: DataFrame, textCol: String, cache: DataFrame,
                      provider: Provider, batchSize: Int = 256): CacheResult = {
     val keyed = df.withColumn("content_key", contentKey(col(textCol)))
+    // null-text rows can never match the key join (null = nothing) — drop
+    // them from the miss set EXPLICITLY so they don't burn a provider call
+    // before silently vanishing from the inner-joined output anyway
     val misses = keyed.select("content_key", textCol).dropDuplicates("content_key")
+      .filter(col("content_key").isNotNull)
       .join(cache.select("content_key"), Seq("content_key"), "left_anti")
     // persist: `fresh` is consumed by BOTH the result join and newCacheRows —
     // without it each action re-runs the provider (2x API calls/billing, and
@@ -127,7 +131,12 @@ object Embedder {
     val fresh = embedPartitions(misses, textCol, provider, batchSize)
       .select(col("content_key"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lookup = cache.select("content_key", "embedding").unionByName(fresh)
+    // dedup the cache side of the lookup: two concurrent runs can both
+    // append the same key, and a duplicated cache row must not fan out
+    // every later chunk with that key (vectors per key are identical —
+    // content-keyed — so keeping either copy is correct)
+    val lookup = cache.select("content_key", "embedding")
+      .dropDuplicates("content_key").unionByName(fresh)
     CacheResult(keyed.join(lookup, "content_key"), fresh)
   }
 
@@ -203,11 +212,23 @@ object Embedder {
   def wordCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
+  /** A provider error that retrying cannot fix (bad credentials, payload
+    * over the model limit, malformed request): [[Retrying]] rethrows it
+    * immediately instead of sleeping through the full backoff schedule.
+    * Real HTTP providers wrap their permanent-status responses (4xx minus
+    * 429) in this; transient failures (timeouts, 429, 5xx) stay plain.
+    */
+  final class NonRetryableException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
   /** M3 retry with exponential backoff + jitter
     * (`/root/reference/embedding/embed_manager.py:296-333`: backoff
     * min(tries², 30s) + proportional jitter). Wraps any provider; runs
     * INSIDE the executor task, complementing Spark's own task-level retry.
     * Jitter is seeded per batch so retries are deterministic in tests.
+    * [[NonRetryableException]] and thread interrupts fail fast — a
+    * permanent misconfiguration must not cost the full backoff schedule
+    * per task before surfacing.
     */
   final case class Retrying(inner: Provider, maxRetries: Int = 20,
                             sleeper: Long => Unit = Thread.sleep) extends Provider {
@@ -218,6 +239,8 @@ object Embedder {
       while (true) {
         try return inner.embedBatch(texts)
         catch {
+          case e: NonRetryableException => throw e
+          case e: InterruptedException => throw e
           case e: Exception if tries < maxRetries =>
             tries += 1
             val base = math.min(tries.toLong * tries, 30L) * 1000

@@ -72,33 +72,9 @@ object TextFunctions {
     * and the bound tree reused for every call (interpreted eval, no Spark
     * job, no per-call plan round trip).
     */
-  private val tokenizeExprCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.expressions.Expression]()
-
   def tokenizeBm25Value(spark: org.apache.spark.sql.SparkSession,
                         s: String): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    val expr = tokenizeExprCache.synchronized {
-      tokenizeExprCache.computeIfAbsent(spark, { sess =>
-        import sess.implicits._
-        val analyzed = Seq("").toDF("q").select(tokenizeBm25(col("q")).as("t"))
-          .queryExecution.analyzed
-        val proj = analyzed.collectFirst {
-          case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
-        }.getOrElse(sys.error("tokenizeBm25 plan did not analyze to a Project"))
-        // to fixpoint with transformDown — see Enhancement.boundEnhanceExpr
-        var replaced: Expression = proj.projectList.head
-        var prev: Expression = null
-        while (prev ne replaced) {
-          prev = replaced
-          replaced = replaced.transformDown {
-            case r: RuntimeReplaceable => r.replacement
-          }
-        }
-        BindReferences.bindReference(replaced, proj.child.output)
-      })
-    }
+    val expr = BindOnce(spark, "tokenizeBm25")(tokenizeBm25)
     val out = expr.synchronized {
       expr.eval(org.apache.spark.sql.catalyst.InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(s)))

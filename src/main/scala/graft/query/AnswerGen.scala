@@ -51,13 +51,25 @@ object AnswerGen {
     */
   final case class Extractive() extends ChatProvider {
     def complete(prompt: String): String = {
-      val q = "Question: (.*)".r.findFirstMatchIn(prompt).map(_.group(1))
+      // recover the question from ANY of the 7 templates' framing (each
+      // anchors the {query} substitution differently) — falling through to
+      // the last line only for unknown prompt shapes. Parsing just the
+      // "default" style would score the other styles on template prose.
+      val qPatterns = Seq(
+        "Question: (.*)".r, "Q: (.*)".r, "Answer briefly: (.*)".r,
+        "scholarly answer to: (.*)".r, "So, about \"(.*)\":".r,
+        "Analyze and answer: (.*)".r, "Respond imaginatively to: (.*)".r)
+      val q = qPatterns.iterator
+        .flatMap(_.findFirstMatchIn(prompt).map(_.group(1))).nextOption()
         .getOrElse(prompt.linesIterator.toSeq.lastOption.getOrElse(""))
       val qToks = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
       // candidate blocks = context paragraphs; the paragraph holding the
-      // question itself is not an answer
+      // question itself is not an answer. Only UNSUBSTITUTED template
+      // placeholders disqualify a block — context routinely contains code
+      // and JSON (Ingest.fileType admits .py/.json/...), and a brace alone
+      // must not exclude the best-overlap block
       val blocks = prompt.split("\n\n")
-        .filterNot(_.contains("{"))
+        .filterNot(b => "\\{(context|query)\\}".r.findFirstIn(b).isDefined)
         .filterNot(b => q.nonEmpty && b.contains(q))
       if (blocks.isEmpty) ""
       else blocks.maxBy { b =>

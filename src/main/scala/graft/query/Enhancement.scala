@@ -222,50 +222,15 @@ object Enhancement {
     * column version by construction (same expression tree, spec-asserted).
     */
   /** The enhancement chain, analyzed ONCE per session against a real input
-    * ATTRIBUTE (not a literal) and bound for interpreted eval. The
-    * per-call plan round trip was cheap with the 7-entry fixture map but
-    * became ~100 ms/call once the synonym map grew to ~90 entries —
-    * analysis + optimization re-walked the 30-regex + map-literal tree for
-    * every query, and queryBatch paid it per query. Building against an
-    * attribute means nothing query-specific is baked in: one resolved
-    * tree, reused for every call, with the regex expressions' compiled
-    * pattern caches persisting across evals. RuntimeReplaceable nodes
-    * (e.g. map_contains_key) are swapped for their replacements — the
-    * one ReplaceExpressions step eval needs — before binding.
+    * ATTRIBUTE (not a literal) and bound for interpreted eval via
+    * [[graft.functions.BindOnce]]. The per-call plan round trip was cheap
+    * with the 7-entry fixture map but became ~100 ms/call once the synonym
+    * map grew to ~90 entries — analysis + optimization re-walked the
+    * 30-regex + map-literal tree for every query, and queryBatch paid it
+    * per query.
     */
-  private val enhanceExprCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.expressions.Expression]()
-
-  private def boundEnhanceExpr(spark: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.catalyst.expressions.Expression =
-    enhanceExprCache.synchronized {
-      enhanceExprCache.computeIfAbsent(spark, { s =>
-        import org.apache.spark.sql.catalyst.expressions._
-        import s.implicits._
-        val analyzed = Seq("").toDF("q").select(enhance(col("q")).as("e"))
-          .queryExecution.analyzed
-        val proj = analyzed.collectFirst {
-          case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
-        }.getOrElse(sys.error("enhance plan did not analyze to a Project"))
-        // to fixpoint with transformDown (Spark's own ReplaceExpressions
-        // traversal): a replacement subtree can itself contain
-        // RuntimeReplaceable nodes, which a single transformUp pass would
-        // leave unreplaced — and an unreplaced node throws on eval
-        var replaced: Expression = proj.projectList.head
-        var prev: Expression = null
-        while (prev ne replaced) {
-          prev = replaced
-          replaced = replaced.transformDown {
-            case r: RuntimeReplaceable => r.replacement
-          }
-        }
-        BindReferences.bindReference(replaced, proj.child.output)
-      })
-    }
-
   def enhanceValue(spark: org.apache.spark.sql.SparkSession, q: String): String = {
-    val expr = boundEnhanceExpr(spark)
+    val expr = graft.functions.BindOnce(spark, "enhance")(enhance)
     // synchronized: RegExpReplace caches its last compiled pattern in the
     // (shared) tree; driver-side callers are effectively single-threaded,
     // this keeps concurrent use safe anyway

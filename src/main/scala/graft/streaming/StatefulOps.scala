@@ -45,9 +45,13 @@ object StatefulOps {
       .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout())(updateUser)
   }
 
-  /** Start the stateful query: update-mode rows appended to parquet via
+  /** Start the stateful query: update-mode rows written to parquet via
     * foreachBatch (the memory sink cannot recover from a checkpoint; a
-    * foreachBatch sink can — each micro-batch appends its updated keys).
+    * foreachBatch sink can). Each micro-batch OVERWRITES its own
+    * `batch_id=N` partition directory — foreachBatch is at-least-once, so
+    * a batch replayed after a partial write must replace its earlier
+    * attempt, not append duplicate rows next to it; overwrite-by-batch-id
+    * is the standard idempotent-sink recipe for exactly-once output.
     */
   def startRunningTotals(events: DataFrame, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -55,8 +59,7 @@ object StatefulOps {
     import spark.implicits._
     runningUserTotals(events.as[UserEvent]).writeStream
       .foreachBatch { (batch: Dataset[UserTotals], batchId: Long) =>
-        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)

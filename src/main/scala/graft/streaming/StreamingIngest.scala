@@ -68,16 +68,21 @@ object StreamingIngest {
     * batch form is what an oracle can check.
     */
   def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
-                  watermark: String = "30 minutes"): DataFrame =
+                  watermark: String = "30 minutes",
+                  tieBreak: Seq[String] = Nil): DataFrame =
     if (events.isStreaming)
       events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else {
       // batch twin keeps the first EVENT-TIME row deterministically —
       // dropDuplicates would keep an arbitrary (partition-order-dependent)
-      // row and silently break the documented keep-first contract
+      // row and silently break the documented keep-first contract. Rows
+      // that tie on the timestamp ITSELF need `tieBreak` (e.g. an event id)
+      // to stay deterministic — the oracle-checked stream_dedup query
+      // orders by (micros, event_id) for exactly this reason.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+        .partitionBy(keys.map(col): _*)
+        .orderBy((tsCol +: tieBreak).map(col): _*)
       events.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     }

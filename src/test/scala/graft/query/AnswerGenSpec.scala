@@ -49,4 +49,22 @@ class AnswerGenSpec extends AnyFunSuite {
     val ans = AnswerGen.answer("default", context, "how do cats spend the day")
     assert(ans.contains("cats sleep"), s"got: $ans")
   }
+
+  test("extractive provider recovers the question from EVERY template style") {
+    val context =
+      "spark runs joins with hash exchanges\n\ncats sleep most of the day\n\nparquet stores columns together"
+    AnswerGen.Templates.keys.foreach { style =>
+      val ans = AnswerGen.answer(style, context, "how do cats spend the day")
+      assert(ans.contains("cats sleep"),
+        s"style $style scored on template prose, not the question: got '$ans'")
+    }
+  }
+
+  test("extractive provider does not exclude code/JSON blocks over a brace") {
+    // only unsubstituted {context}/{query} placeholders disqualify a block
+    val context =
+      "unrelated prose about storage\n\ndef cats_sleep(): return {\"cats\": \"sleep all day\"}"
+    val ans = AnswerGen.answer("default", context, "how do cats sleep")
+    assert(ans.contains("cats_sleep"), s"brace block wrongly excluded: got '$ans'")
+  }
 }

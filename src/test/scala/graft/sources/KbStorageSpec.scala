@@ -152,4 +152,42 @@ class KbStorageSpec extends SparkSpec {
     assert(calls == 3 && got.head.length == 4)
     assert(sleeps.size == 2 && sleeps(0) < sleeps(1), s"backoff must grow: $sleeps")
   }
+
+  test("Retrying provider: NonRetryableException fails fast, no backoff") {
+    import graft.embed.Embedder
+    var calls = 0
+    val broken = new Embedder.Provider {
+      val model = "broken"; val dims = 4
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        calls += 1
+        throw new Embedder.NonRetryableException("bad credentials")
+      }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    intercept[Embedder.NonRetryableException] {
+      Embedder.Retrying(broken, maxRetries = 5, sleeper = sleeps.append(_))
+        .embedBatch(Seq("x"))
+    }
+    assert(calls == 1 && sleeps.isEmpty,
+      s"permanent failure must not retry: calls=$calls sleeps=$sleeps")
+  }
+
+  test("embedWithCache: duplicated cache keys don't fan out; null text excluded from misses") {
+    import graft.embed.Embedder
+    val cacheVec = Embedder.Deterministic(4).embedBatch(Seq("alpha")).head
+    // the same content_key appended twice (two concurrent historical runs)
+    val dupCache = Seq("alpha", "alpha").toDF("t")
+      .select(Embedder.contentKey(col("t")).as("content_key"))
+      .withColumn("embedding", typedLit(cacheVec.toSeq))
+      .drop("t")
+    val df = Seq(Some("alpha"), Some("beta"), None).toDF("text")
+    val res = Embedder.embedWithCache(df, "text", dupCache, Embedder.Deterministic(4))
+    val out = res.embedded.select("text").as[String].collect()
+    assert(out.count(_ == "alpha") == 1, s"dup cache row fanned out: ${out.toSeq}")
+    assert(out.toSet == Set("alpha", "beta"), "null-text row must not surface")
+    // the null-text row must not reach the provider either: newCacheRows
+    // holds exactly the one real miss
+    assert(res.newCacheRows.count() == 1)
+    res.unpersist()
+  }
 }

@@ -140,4 +140,15 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got(1L) == java.sql.Timestamp.valueOf("2026-01-01 00:01:00"),
       "must keep the earliest event-time row, not an arbitrary one")
   }
+
+  test("dedupStream batch form: equal event-times resolve by the tieBreak column") {
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    val batch = Seq((1L, "click", t, 7L), (1L, "click", t, 3L), (1L, "click", t, 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .repartition(8) // scramble partition order so an arbitrary-pick shows
+    val got = StreamingIngest.dedupStream(batch, "ts", Seq("user_id", "event_type"),
+        tieBreak = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(3L), s"tieBreak must pick the lowest event_id: $got")
+  }
 }
