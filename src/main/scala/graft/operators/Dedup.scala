@@ -137,10 +137,15 @@ object Dedup {
     // broadcast), and nothing is left cached per call (this operator runs
     // once per ingest in a long-lived session). The small-batch double
     // compute this keeps is one cheap shingling pass over a daily batch.
-    val guardCount = batch.limit(
-      (broadcastRowLimit + 1).min(Int.MaxValue.toLong).toInt).count()
+    // The limit is clamped to [0, Int.MaxValue-2] BEFORE the +1 so a
+    // Long.MaxValue caller can't overflow into limit(negative), and a
+    // limit at/above Int.MaxValue can't truncate the probe while still
+    // choosing broadcast — past ~2³¹ rows `limit` can't count anyway, and
+    // a table that size must take the shuffled path.
+    val effLimit = broadcastRowLimit.max(0L).min(Int.MaxValue.toLong - 2L)
+    val guardCount = batch.limit((effLimit + 1).toInt).count()
     val probe =
-      if (guardCount <= broadcastRowLimit) broadcast(batch) else batch
+      if (guardCount <= effLimit) broadcast(batch) else batch
     lake.join(probe, Seq("band", "band_hash"))
       .select("doc_a", "doc_b").distinct()
   }

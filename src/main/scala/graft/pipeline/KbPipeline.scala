@@ -238,12 +238,20 @@ object KbPipeline {
     //      N queries are one small literal table). Registry-resolved AND
     //      retry-wrapped like embed() and query() so query/corpus dims
     //      always agree and transient provider failures don't abort the
-    //      batch. ONE provider call for the whole batch — the provider
-    //      contract is batch-shaped, so N queries must not pay N
-    //      round-trips (each with its own retry/backoff exposure).
+    //      batch. Provider calls are batch-shaped but still subject to the
+    //      SAME token-based batch planning as the corpus path (M2): a large
+    //      query batch is split into provider-sized calls instead of one
+    //      unbounded payload, and an empty batch issues no call at all.
     val enhancedTexts = queries.map { case (_, q) =>
       Enhancement.enhanceValue(spark, q) }
-    val qVecs = retryingEmbedder(cfg).embedBatch(enhancedTexts)
+    val qVecs =
+      if (enhancedTexts.isEmpty) Seq.empty[Array[Float]]
+      else {
+        val emb = retryingEmbedder(cfg)
+        val bs = Embedder.optimalBatchSize(enhancedTexts.take(10),
+          emb.model, cfg.embeddingBatchSize)
+        enhancedTexts.grouped(bs).flatMap(emb.embedBatch).toSeq
+      }
     val qData = queries.zip(enhancedTexts).zip(qVecs).map {
       case (((qid, _), e), qv) => (qid, e, qv)
     }

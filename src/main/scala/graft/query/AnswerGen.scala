@@ -53,14 +53,19 @@ object AnswerGen {
     def complete(prompt: String): String = {
       // recover the question from ANY of the 7 templates' framing (each
       // anchors the {query} substitution differently) — falling through to
-      // the last line only for unknown prompt shapes. Parsing just the
-      // "default" style would score the other styles on template prose.
+      // the last line only for unknown prompt shapes. Every template puts
+      // the query framing AFTER the context block, so the LAST match in
+      // the prompt wins: context prose that itself contains "Question:" or
+      // "Q:" must not shadow the real query framing.
       val qPatterns = Seq(
         "Question: (.*)".r, "Q: (.*)".r, "Answer briefly: (.*)".r,
         "scholarly answer to: (.*)".r, "So, about \"(.*)\":".r,
         "Analyze and answer: (.*)".r, "Respond imaginatively to: (.*)".r)
-      val q = qPatterns.iterator
-        .flatMap(_.findFirstMatchIn(prompt).map(_.group(1))).nextOption()
+      val q = qPatterns.zipWithIndex
+        .flatMap { case (p, i) =>
+          p.findAllMatchIn(prompt).map(m => (m.start, -i, m.group(1))) }
+        .sortBy(t => (t._1, t._2))
+        .lastOption.map(_._3)
         .getOrElse(prompt.linesIterator.toSeq.lastOption.getOrElse(""))
       val qToks = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
       // candidate blocks = context paragraphs; the paragraph holding the

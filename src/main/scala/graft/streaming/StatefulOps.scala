@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming operators (builder prompt: "`KeyValueGrouped
@@ -66,4 +67,15 @@ object StatefulOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  /** Read the [[startRunningTotals]] sink. `batch_id` is a PARTITION
+    * DIRECTORY, not a data column, so schema inference would type it
+    * IntegerType for small ids and LongType past 2³¹ — this reader pins
+    * the sink contract to LongType (the type of foreachBatch's batchId)
+    * regardless of the ids present. External readers should do the same
+    * (or read single batch directories and ignore the column).
+    */
+  def readRunningTotals(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(outDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
 }

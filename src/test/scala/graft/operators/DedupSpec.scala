@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpec {
       "oversized batch must not carry a broadcast hint")
   }
 
+  test("lshCandidatesAcross: extreme broadcastRowLimit values neither throw nor change output") {
+    val batch = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBuckets(Dedup.minhashSignatures(d, "doc_id", "text"), 4, 4)
+    val collect = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = collect(Dedup.lshCandidatesAcross(buckets(docs), buckets(batch)))
+    // Long.MaxValue must not overflow into limit(negative); a negative
+    // limit must clamp to the always-shuffle path, not throw
+    val viaMax = Dedup.lshCandidatesAcross(buckets(docs), buckets(batch),
+      broadcastRowLimit = Long.MaxValue)
+    val viaNeg = Dedup.lshCandidatesAcross(buckets(docs), buckets(batch),
+      broadcastRowLimit = -1L)
+    assert(collect(viaMax) == base && collect(viaNeg) == base)
+    assert(!viaNeg.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "negative limit must take the shuffled path")
+  }
+
   test("simhashPairs finds near-dups within the Hamming budget, not unrelated docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

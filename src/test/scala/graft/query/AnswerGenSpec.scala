@@ -60,6 +60,21 @@ class AnswerGenSpec extends AnyFunSuite {
     }
   }
 
+  test("context prose containing 'Question:' does not shadow the real framing") {
+    // templates put the query framing AFTER the context, so the LAST
+    // pattern match in the prompt must win — a context block quoting
+    // "Question: ..." or "Q: ..." prose would otherwise hijack parsing
+    // for every non-default style
+    val context =
+      "An FAQ entry said Question: do fish fly south in winter\n\n" +
+        "cats sleep most of the day\n\nQ: what is parquet anyway"
+    AnswerGen.Templates.keys.foreach { style =>
+      val ans = AnswerGen.answer(style, context, "how do cats spend the day")
+      assert(ans.contains("cats sleep"),
+        s"style $style parsed a context-quoted question: got '$ans'")
+    }
+  }
+
   test("extractive provider does not exclude code/JSON blocks over a brace") {
     // only unsubstituted {context}/{query} placeholders disqualify a block
     val context =

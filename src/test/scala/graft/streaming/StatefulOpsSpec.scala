@@ -37,6 +37,14 @@ class StatefulOpsSpec extends SparkSpec {
     assert(r2.contains((3L, (1L, 2.5))))
     // update mode: run 2 emits only touched keys -> u2 appears exactly once
     assert(r2.count(_._1 == 2L) == 1, "untouched key must not re-emit in update mode")
+
+    // sink contract: batch_id is a partition directory that inference would
+    // type IntegerType; the canonical reader pins it LongType
+    val read = StatefulOps.readRunningTotals(spark, out)
+    assert(read.schema("batch_id").dataType
+      == org.apache.spark.sql.types.LongType)
+    assert(read.select("batch_id").distinct().count() >= 2,
+      "reader must see every batch partition")
   }
 
   test("the same logic runs in batch (groupByKey + the state fn degenerate)") {
