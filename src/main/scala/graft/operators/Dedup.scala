@@ -118,9 +118,17 @@ object Dedup {
     * shuffles the batch to the lake's bucket partitioning — the lake itself
     * is never re-shingled, and no within-corpus pairs are emitted.
     */
+  /** @param knownBatchRows the incoming bucket table's exact row count, if
+    *        the caller already knows it (an ingest pipeline knows its batch
+    *        size, and bucket rows are exactly nDocs × bands) — skips the
+    *        guard's bounded counting pass, which otherwise re-shingles the
+    *        batch once. A wrong value only flips the broadcast/shuffle
+    *        choice, never the output (both paths are spec-proved identical).
+    */
   def lshCandidatesAcross(existingBuckets: DataFrame,
                           incomingBuckets: DataFrame,
-                          broadcastRowLimit: Long = 2000000L): DataFrame = {
+                          broadcastRowLimit: Long = 2000000L,
+                          knownBatchRows: Option[Long] = None): DataFrame = {
     val lake = existingBuckets
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val batch = incomingBuckets
@@ -143,7 +151,8 @@ object Dedup {
     // choosing broadcast — past ~2³¹ rows `limit` can't count anyway, and
     // a table that size must take the shuffled path.
     val effLimit = broadcastRowLimit.max(0L).min(Int.MaxValue.toLong - 2L)
-    val guardCount = batch.limit((effLimit + 1).toInt).count()
+    val guardCount = knownBatchRows.getOrElse(
+      batch.limit((effLimit + 1).toInt).count())
     val probe =
       if (guardCount <= effLimit) broadcast(batch) else batch
     lake.join(probe, Seq("band", "band_hash"))

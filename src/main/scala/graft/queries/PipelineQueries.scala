@@ -235,9 +235,14 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val existing = docs.filter(col("doc_id") < 400)
       val incoming = docs.filter(col("doc_id") >= 400)
+      // the ingest pipeline KNOWS its batch size — a pruned doc_id-only
+      // parquet count is far cheaper than the guard's re-shingling pass
+      // (bucket rows = nDocs × bands exactly)
+      val nIncoming = incoming.select("doc_id").count()
       val cand = Dedup.lshCandidatesAcross(
         Dedup.lshBuckets(Dedup.minhashSignatures(existing, "doc_id", "text"), 4, 4),
-        Dedup.lshBuckets(Dedup.minhashSignatures(incoming, "doc_id", "text"), 4, 4))
+        Dedup.lshBuckets(Dedup.minhashSignatures(incoming, "doc_id", "text"), 4, 4),
+        knownBatchRows = Some(nIncoming * 4))
       Dedup.jaccardPairs(docs, "doc_id", "text", cand)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -103,6 +103,16 @@ class DedupSpec extends SparkSpec {
     assert(collect(viaMax) == base && collect(viaNeg) == base)
     assert(!viaNeg.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "negative limit must take the shuffled path")
+    // knownBatchRows skips the guard count but must not change output;
+    // an over-limit claim routes to the shuffled path, an in-limit claim
+    // keeps the broadcast hint
+    val viaKnown = Dedup.lshCandidatesAcross(buckets(docs), buckets(batch),
+      knownBatchRows = Some(4L))
+    val viaKnownBig = Dedup.lshCandidatesAcross(buckets(docs), buckets(batch),
+      knownBatchRows = Some(Long.MaxValue))
+    assert(collect(viaKnown) == base && collect(viaKnownBig) == base)
+    assert(viaKnown.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!viaKnownBig.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
   test("simhashPairs finds near-dups within the Hamming budget, not unrelated docs") {
