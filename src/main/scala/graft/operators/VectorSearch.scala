@@ -105,9 +105,22 @@ object VectorSearch {
       * `index.assigned` plus the `codes` column ([[pqEncode]]). */
     final case class IvfPq(index: IvfIndex, cb: PqCodebook, encoded: DataFrame,
                            shortlist: Int = 100) extends Serving
-    /** Beam search over a [[knnGraph]] — the HNSW-tier batch analogue. */
+    /** Beam search over a [[knnGraph]] — the HNSW-tier batch analogue.
+      * NOTE: plain graph search is recall-fragile on duplicate-heavy
+      * corpora (recall ~0.08 at 50× duplication, tools/recall_r10.txt);
+      * prefer [[GraphDeduped]] unless the corpus is known-unique. */
     final case class Graph(graph: DataFrame, beam: Int = 64, hops: Int = 3,
                            entryIds: Seq[Long] = Seq(0L)) extends Serving
+    /** Duplicate-robust graph tier — the DEFAULT graph serving choice:
+      * [[graphSearchDeduped]] builds/searches the kNN graph over the
+      * distinct-vector sub-corpus (memoized under `cacheKey`) and expands
+      * hits to every copy, holding recall ~0.86 where plain [[Graph]]
+      * collapses to ~0.08 on duplicate-saturated corpora. Entry points
+      * are the `nEntries` smallest representative ids. */
+    final case class GraphDeduped(cacheKey: String, kGraph: Int = 8,
+                                  numPlanes: Int = 4, beam: Int = 64,
+                                  hops: Int = 3, nEntries: Int = 4)
+      extends Serving
   }
 
   /** Build the serving artifacts for a [[chooseIndex]] outcome — the

@@ -153,6 +153,16 @@ object KbPipeline {
             qDf, "query_id", "qvec", k = cfg.queryTopK,
             beam = math.max(beam, cfg.queryTopK), hops = hops, entryIds = entries)
           .select(col("doc_id"), col("score"))
+      case VectorSearch.Serving.GraphDeduped(ck, kg, planes, beam, hops, nEnt) =>
+        // duplicate-robust graph tier: search the unique-vector graph,
+        // expand hits to copies (same rounded-6dp contract)
+        import spark.implicits._
+        val qDf = Seq((0L, qvec)).toDF("query_id", "qvec")
+        VectorSearch.graphSearchDeduped(embeddings, "doc_id", "embedding",
+            qDf, "query_id", "qvec", k = cfg.queryTopK, kGraph = kg,
+            numPlanes = planes, beam = beam, hops = hops, nEntries = nEnt,
+            cacheKey = Some(ck))
+          .select(col("doc_id"), col("score"))
     }
 
     // 3b. BM25 (A2/T2) — skipped when hybrid disabled (the reference's
@@ -329,6 +339,12 @@ object KbPipeline {
             qDf.select("query_id", "qvec"), "query_id", "qvec",
             k = cfg.queryTopK, beam = math.max(beam, cfg.queryTopK),
             hops = hops, entryIds = entries)
+          .select(col("query_id"), col("doc_id"), col("score"))
+      case VectorSearch.Serving.GraphDeduped(ck, kg, planes, beam, hops, nEnt) =>
+        VectorSearch.graphSearchDeduped(embeddings, "doc_id", "embedding",
+            qDf.select("query_id", "qvec"), "query_id", "qvec",
+            k = cfg.queryTopK, kGraph = kg, numPlanes = planes,
+            beam = beam, hops = hops, nEntries = nEnt, cacheKey = Some(ck))
           .select(col("query_id"), col("doc_id"), col("score"))
     }
 

@@ -358,8 +358,15 @@ object EngineQueries {
     * beam search, beam 64 ≥ topK 50) with the corpus query vector swapped
     * for the pipeline's deterministic query embedding — what
     * KbPipeline.query dispatches under `Serving.Graph`.
+    *
+    * `deduped = true` renders the DUPLICATE-ROBUST tier instead
+    * (`Serving.GraphDeduped` → [[graft.operators.VectorSearch
+    * .graphSearchDeduped]]): the graph is built over representatives (min
+    * id per distinct vector value), entry points are the 4 smallest rep
+    * ids, and the rep top-50 expands to every copy before the final
+    * (rounded score, id) top-50.
     */
-  private def e2eGraphVectorSql: String = {
+  private def e2eGraphVectorSql(deduped: Boolean = false): String = {
     def signSql(p: String, j: String, seed: Long): String =
       s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + ${seed * 97L}) % 1000000007) % 2 = 0 " +
         "THEN 1.0 ELSE -1.0 END)"
@@ -385,12 +392,23 @@ object EngineQueries {
          |vx_f$i AS (SELECT query_id, doc_id, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |            ORDER BY score DESC, doc_id) AS rk FROM vx_f${i}s) WHERE rk <= 64)""".stripMargin
+    val src = if (deduped) "vx_reps" else "vx_emb"
+    val dedupCtes =
+      if (deduped)
+        """vx_dupmap AS (SELECT min(id) OVER (PARTITION BY v) AS rep, id AS dup
+          |           FROM vx_emb),
+          |vx_reps AS (SELECT min(id) AS id, v FROM vx_emb GROUP BY v),
+          |""".stripMargin
+      else ""
+    val entSql =
+      if (deduped) s"vx_ent AS (SELECT id AS doc_id FROM vx_reps ORDER BY id LIMIT 4)"
+      else "vx_ent(doc_id) AS (VALUES (0::BIGINT), (100::BIGINT), (200::BIGINT), (300::BIGINT))"
     s"""vx_emb AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-       |vx_nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM vx_emb),
+       |${dedupCtes}vx_nb AS (SELECT greatest(1, count(*) // 32) AS nblocks FROM $src),
        |vx_sg AS (SELECT id, v, ${bucketSql(42L)} AS b0, ${bucketSql(43L)} AS b1,
        |       ((id * 2654435761 + ${42L * 131L}) % 1000000007)
        |         % (SELECT nblocks FROM vx_nb) AS bg
-       |       FROM vx_emb),
+       |       FROM $src),
        |vx_lrn0 AS (SELECT id, b0 AS bk,
        |         row_number() OVER (PARTITION BY b0 ORDER BY id) AS rn FROM vx_sg),
        |vx_lup0 AS (SELECT a.id AS src, b.id AS dst FROM vx_lrn0 a JOIN vx_lrn0 b
@@ -419,7 +437,7 @@ object EngineQueries {
        |vx_edges AS (SELECT src AS doc_id, dst FROM vx_e0
        |          UNION SELECT dst, src FROM vx_e0),
        |vx_q AS (SELECT 0 AS query_id, (SELECT v FROM qv) AS gqv),
-       |vx_ent(doc_id) AS (VALUES (0::BIGINT), (100::BIGINT), (200::BIGINT), (300::BIGINT)),
+       |$entSql,
        |vx_f0s AS (SELECT q.query_id, vx_ent.doc_id,
        |        ${cosineSql("emb.v", "q.gqv")} AS score
        |        FROM vx_q q CROSS JOIN vx_ent JOIN vx_emb emb ON emb.id = vx_ent.doc_id),
@@ -429,9 +447,19 @@ object EngineQueries {
        |${hop("vx_f0", 1)},
        |${hop("vx_f1", 2)},
        |${hop("vx_f2", 3)},
-       |vtop AS (SELECT doc_id, round(score, 6) AS score FROM (
-       |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-       |  FROM vx_f3) WHERE rk <= 50),""".stripMargin
+       |${if (deduped)
+           """vx_rep50 AS (SELECT doc_id, round(score, 6) AS score FROM (
+             |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM vx_f3) WHERE rk <= 50),
+             |vx_expd AS (SELECT m.dup AS doc_id, r.score
+             |            FROM vx_rep50 r JOIN vx_dupmap m ON m.rep = r.doc_id),
+             |vtop AS (SELECT doc_id, score FROM (
+             |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM vx_expd) WHERE rk <= 50),""".stripMargin
+         else
+           """vtop AS (SELECT doc_id, round(score, 6) AS score FROM (
+             |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM vx_f3) WHERE rk <= 50),""".stripMargin}""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1106,15 +1134,16 @@ object EngineQueries {
     //    graph + 3-hop beam search, beam 64 ≥ topK 50) — the HNSW-analogue
     //    rung serving the e2e hybrid path, value-exact ─────────────────────
     QueryDef.sql("e2e_hybrid_graph",
-      e2eCoreSql(E2eEnhancedQuery, e2eGraphVectorSql)) { (s, dir) =>
+      e2eCoreSql(E2eEnhancedQuery, e2eGraphVectorSql(deduped = true))) { (s, dir) =>
       import graft.operators.VectorSearch
       val chunks = Tables.chunksWithSid(s, dir)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
-      val g = VectorSearch.cachedGraph(dir, Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 8)
-      val serving = VectorSearch.Serving.Graph(g, beam = 64, hops = 3,
-        entryIds = Seq(0L, 100L, 200L, 300L))
+      // the DEFAULT graph tier is the duplicate-robust one: unique-vector
+      // graph + copy expansion (recall 0.86 vs 0.08 on 50×-duplicated
+      // corpora, tools/recall_r10.txt), memoized under the corpus key
+      val serving = VectorSearch.Serving.GraphDeduped(
+        cacheKey = s"$dir|e2e-dedup", beam = 64)
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
         graft.config.KbConfig(indexType = "graph"),
         bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),

@@ -139,10 +139,23 @@ class KbPipelineSpec extends SparkSpec {
     assert(viaGraph.hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet == exact,
       "full-beam complete-graph search must equal the exact pipeline")
 
-    // batch == single under both ANN tiers (the parity contract the Flat
-    // tier already carries below)
+    // GraphDeduped — the duplicate-robust DEFAULT graph tier: reps graph +
+    // copy expansion. Full coverage on the tiny corpus → == exact, and the
+    // plan must route through the representative-expansion join.
+    val gdServing = Serving.GraphDeduped(cacheKey = "spec|gd", kGraph = 3,
+      beam = 8, hops = 2, nEntries = 2)
+    val viaGd = KbPipeline.query(spark, corpus, embeddings, q,
+      cfg.copy(indexType = "graph"), serving = gdServing)
+    assert(viaGd.hits.queryExecution.analyzed.toString.contains("_rep"),
+      "GraphDeduped serving must route through the representative expansion")
+    assert(viaGd.hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet == exact,
+      "full-coverage deduped graph search must equal the exact pipeline")
+
+    // batch == single under all three ANN tiers (the parity contract the
+    // Flat tier already carries below)
     val qs = Seq(1L -> q, 2L -> "window functions rank rows")
-    Seq(("ivfpq", pqCfg, pqServing), ("graph", cfg.copy(indexType = "graph"), gServing))
+    Seq(("ivfpq", pqCfg, pqServing), ("graph", cfg.copy(indexType = "graph"), gServing),
+        ("graphdedup", cfg.copy(indexType = "graph"), gdServing))
       .foreach { case (tier, c, srv) =>
         val batch = KbPipeline.queryBatch(spark, corpus, embeddings, qs, c, serving = srv)
           .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
