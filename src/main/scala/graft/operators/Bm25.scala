@@ -72,6 +72,41 @@ object Bm25 {
       * reference holds the same scalar in memory with its loaded index.
       */
     lazy val avgdl: Double = stats.select(col("avgdl")).head().getDouble(0)
+
+    /** Term-bucket count of an at-rest bucketed index (None for in-memory
+      * or pre-bucketing indexes). Snapshotted once like [[avgdl]].
+      */
+    lazy val termBuckets: Option[Int] =
+      if (stats.columns.contains("term_buckets") &&
+          postings.columns.contains("term_bucket"))
+        Some(stats.select(col("term_buckets")).head().getInt(0)).filter(_ > 0)
+      else None
+  }
+
+  /** Default term-bucket count for at-rest postings. At 100 TB each bucket
+    * is a partition directory; a query's handful of terms touches a handful
+    * of directories out of 64 — the NPZ-loads-only-term-arrays regime
+    * (`/root/reference/embedding/bm25_manager.py:115-211`) as file-level
+    * partition pruning.
+    */
+  val DefaultTermBuckets = 64
+
+  /** Bucket expression for a term column — crc32 over the UTF-8 bytes, mod
+    * n. CRC32 (not Spark's murmur `hash`) so the driver twin below is
+    * bit-identical by construction: a divergent twin would silently prune a
+    * needed posting.
+    */
+  def termBucket(term: Column, n: Int): Column =
+    pmod(crc32(term.cast("binary")), lit(n.toLong)).cast("int")
+
+  /** Driver twin of [[termBucket]], for turning a query's (driver-held)
+    * term list into a partition-pruning `isin` literal with no Spark job.
+    * Twin≡expression is spec-asserted over the full test vocabulary.
+    */
+  def termBucketValue(term: String, n: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % n).toInt
   }
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
@@ -150,10 +185,14 @@ object Bm25 {
 
   /** S8 index persistence: the reference writes NPZ + JSON sidecars
     * (`bm25_manager.py:71-112`); here the index IS tables — written as
-    * parquet, postings bucketed by `term` when a catalog table name is
-    * given (bucket pruning at probe time), plain paths otherwise.
+    * parquet with postings PARTITIONED by `term_bucket` (crc32(term) mod
+    * `termBuckets`), so a query's semi-join scans only its terms' bucket
+    * directories (PartitionFilters in the served plan — Bm25Spec asserts
+    * it). `termBuckets = 0` writes flat postings (the pre-r11 layout; reads
+    * of either layout keep working).
     */
-  def writeIndex(ix: Index, dir: String): Unit = {
+  def writeIndex(ix: Index, dir: String,
+                 termBuckets: Int = DefaultTermBuckets): Unit = {
     // lengths/idf/stats all derive from postings: persist it for the span
     // of the four writes or the full corpus aggregation re-runs per sink
     val alreadyPersisted =
@@ -161,10 +200,16 @@ object Bm25 {
     val post = if (alreadyPersisted) ix.postings
       else ix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      post.write.mode("overwrite").parquet(s"$dir/postings")
+      if (termBuckets > 0)
+        post.withColumn("term_bucket", termBucket(col("term"), termBuckets))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$dir/postings")
+      else
+        post.write.mode("overwrite").parquet(s"$dir/postings")
       ix.lengths.write.mode("overwrite").parquet(s"$dir/lengths")
       ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
-      ix.stats.write.mode("overwrite").parquet(s"$dir/stats")
+      ix.stats.withColumn("term_buckets", lit(termBuckets))
+        .write.mode("overwrite").parquet(s"$dir/stats")
     } finally if (!alreadyPersisted) post.unpersist()
   }
 
@@ -210,7 +255,7 @@ object Bm25 {
     val qStats = ix.idf.select("term", "idf")
       .filter(col("term").isin(termSet: _*))
       .join(broadcast(qDf), "term")
-    withDocLen(ix)
+    prunedPostings(ix, termSet)
       .filter(col("term").isin(termSet: _*))           // prune to query terms
       .join(broadcast(qStats), "term")
       .groupBy("doc_id")
@@ -225,6 +270,21 @@ object Bm25 {
   private def withDocLen(ix: Index): DataFrame =
     if (ix.postings.columns.contains("doc_len")) ix.postings
     else ix.postings.join(ix.lengths, "doc_id")
+
+  /** [[withDocLen]] plus the at-rest partition prune: when the index is
+    * term-bucketed on disk, restrict the scan to the query terms' bucket
+    * directories via a literal `term_bucket IN (…)` — file-level
+    * PartitionFilters, no job to plan it (buckets computed driver-side by
+    * the crc32 twin). Semantically a no-op: every removed row would have
+    * been dropped by the `term` equi-join anyway (identity spec-asserted).
+    */
+  private def prunedPostings(ix: Index, termSet: Seq[String]): DataFrame =
+    ix.termBuckets match {
+      case Some(n) =>
+        val buckets = termSet.map(termBucketValue(_, n)).distinct
+        withDocLen(ix).filter(col("term_bucket").isin(buckets: _*))
+      case None => withDocLen(ix)
+    }
 
   /** Score a single query string against a corpus; returns
     * `(doc_id, score)` for docs with positive score (P4 filter,
@@ -274,12 +334,17 @@ object Bm25 {
     */
   def scoreBatch(ix: Index, queries: DataFrame,
                  qidCol: String, qtextCol: String,
-                 k1: Double = K1, b: Double = B): DataFrame = {
+                 k1: Double = K1, b: Double = B,
+                 knownTerms: Option[Seq[String]] = None): DataFrame = {
     val qTerms = queries.select(col(qidCol).as("query_id"),
         explode(TextFunctions.tokenizeBm25(col(qtextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
     val qStats = qTerms.join(ix.idf.select("term", "idf"), "term")
-    withDocLen(ix)
+    // callers holding the query strings driver-side (the pipeline batch
+    // path does) pass their tokenized union so a bucketed at-rest index
+    // partition-prunes exactly like the single-query path; without it the
+    // batch scans all buckets (the term equi-join still bounds the work)
+    knownTerms.fold(withDocLen(ix))(ts => prunedPostings(ix, ts))
       .join(broadcast(qStats), "term")
       .crossJoin(broadcast(ix.stats))
       .groupBy("query_id", "doc_id")

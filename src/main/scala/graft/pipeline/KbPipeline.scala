@@ -353,8 +353,13 @@ object KbPipeline {
       if (cfg.enableHybridSearch) {
         val ix = bm25Index.getOrElse(
           Bm25.buildIndex(chunks, "doc_id", "text", persist = true))
+        // the enhanced query strings are driver-held: their tokenized union
+        // lets a term-bucketed at-rest index partition-prune the postings
+        // scan for the whole batch (no-op for in-memory indexes)
+        val batchTerms = Some(enhancedTexts.flatMap(t =>
+          graft.functions.TextFunctions.tokenizeBm25Value(spark, t)).distinct)
         val scored = Bm25.scoreBatch(ix, qDf.select("query_id", "qtext"),
-            "query_id", "qtext", cfg.bm25K1, cfg.bm25B)
+            "query_id", "qtext", cfg.bm25K1, cfg.bm25B, knownTerms = batchTerms)
           .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
         val ktop = scored
           .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))

@@ -1330,5 +1330,85 @@ object EngineQueries {
         .select(col("doc_id"), path.as("path"),
           graft.ingest.Ingest.fileType(path).as("file_type"))
         .orderBy("doc_id")
+    },
+
+    // ── S2: the encoding-detect decode chain (utils/text_utils.py:339-422:
+    //    UTF-8 strict → windows-1252 → latin-1 → UTF-8-replace), proved
+    //    value-exact by round-trip: each document is ENCODED with a
+    //    doc_id-chosen charset — cp1252 with a suffix whose 'ï' byte (0xEF
+    //    followed by ASCII) is guaranteed-invalid UTF-8, multi-byte UTF-8,
+    //    or plain bytes — and the chain must recover the original string.
+    //    The oracle only knows the expected TEXT; any mis-detection (e.g.
+    //    decoding the cp1252 branch as UTF-8-replace) hash-mismatches ──────
+    QueryDef.sql("s2_decode_chain",
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN text || ' naïve café©'
+        |    WHEN 1 THEN text || ' — résumé…'
+        |    ELSE text END AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val enc = udf { (text: String, mode: Int) =>
+        mode match {
+          case 0 => (text + " naïve café©").getBytes("windows-1252")
+          case 1 => (text + " — résumé…").getBytes("UTF-8")
+          case _ => text.getBytes("UTF-8")
+        }
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          enc(col("text"), (col("doc_id") % 3).cast("int")).as("raw"))
+        .select(col("doc_id"),
+          graft.ingest.Ingest.decodeText(col("raw")).as("decoded"))
+        .orderBy("doc_id")
+    },
+
+    // ── S9: query-log sink round-trip (query/processing.py:134-146):
+    //    two append batches into the at-rest parquet log, then a read-back
+    //    that must reproduce every logged row value-exactly. The log dir is
+    //    cleared first so the check is idempotent across bench passes ───────
+    QueryDef.sql("s9_query_log",
+      """SELECT '2026-01-01T00:00:00Z' AS ts, 'kb_main' AS kb,
+        |       substr(text, 1, 40) AS query,
+        |       'answer:' || doc_id::VARCHAR AS answer,
+        |       n_chars AS latency_ms
+        |FROM documents WHERE doc_id < 6 ORDER BY answer""".stripMargin) { (s, dir) =>
+      val logDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s9_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      if (logDir.exists()) rmrf(logDir)
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 6)
+        .select(col("doc_id"),
+          lit("2026-01-01T00:00:00Z").as("ts"), lit("kb_main").as("kb"),
+          substring(col("text"), 1, 40).as("query"),
+          concat(lit("answer:"), col("doc_id").cast("string")).as("answer"),
+          col("n_chars").as("latency_ms"))
+      graft.sources.KbStorage.logQueries(
+        base.filter(col("doc_id") < 3).drop("doc_id"), logDir.getPath)
+      graft.sources.KbStorage.logQueries(
+        base.filter(col("doc_id") >= 3).drop("doc_id"), logDir.getPath)
+      s.read.parquet(logDir.getPath).orderBy("answer")
+    },
+
+    // ── M6: embedding-dimension probe + config sync (embed_manager.py:
+    //    616-626): probe the registry-resolved provider by actually
+    //    embedding a sample and measuring the vector, then reconcile against
+    //    the at-rest corpus — the reference's "model dims changed?" check.
+    //    The oracle pins the provider's contract dims (64); a provider whose
+    //    probe disagrees with its registry entry hash-mismatches ────────────
+    QueryDef.sql("m6_dims_sync",
+      """SELECT len(embedding)::INT AS corpus_dim, count(*)::BIGINT AS n_vecs,
+        |       64 AS probed_dim, len(embedding)::INT = 64 AS dims_match
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val provider = graft.models.ModelRegistry.embedderFor("deterministic", 64)
+      val probed = Embedder.probeDims(provider)
+      Tables.embeddings(s, dir)
+        .groupBy(size(col("embedding")).as("corpus_dim"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("probed_dim", lit(probed))
+        .withColumn("dims_match", col("corpus_dim") === col("probed_dim"))
+        .orderBy("corpus_dim")
     })
 }

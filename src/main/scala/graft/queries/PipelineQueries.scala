@@ -17,6 +17,27 @@ import graft.operators.{Curation, Dedup, VectorSearch}
 object PipelineQueries {
 
   // ── DuckDB SQL fragment builders (lockstep with graft.functions) ────────
+  /** The chunker's value-exact oracle — shared by s_chunker (the operator)
+    * and s6_chunk_sink (the same values through the bucketed-table sink).
+    */
+  private lazy val chunkerOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, greatest(len(toks) - ${Chunker.DefaultOverlap}, 1),
+       |                      ${Chunker.DefaultSize - Chunker.DefaultOverlap})) AS s
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id AS sourcedoc_id,
+       |         (s // ${Chunker.DefaultSize - Chunker.DefaultOverlap})::INT AS sid,
+       |         array_to_string(list_slice(toks, s + 1, s + ${Chunker.DefaultSize}), ' ') AS chunk_text
+       |  FROM starts)
+       |SELECT sourcedoc_id, sid, chunk_text,
+       |       len(${plainTokSql("chunk_text")})::INT AS token_count
+       |FROM ch ORDER BY sourcedoc_id, sid""".stripMargin
+
   private def plainTokSql(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
 
@@ -1229,24 +1250,29 @@ object PipelineQueries {
     },
 
     // ── Chunker: token-window chunking with overlap (UDTF-shaped) ─────────
-    QueryDef.sql("s_chunker",
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
-         |  FROM documents),
-         |starts AS (
-         |  SELECT doc_id, toks,
-         |         unnest(range(0, greatest(len(toks) - ${Chunker.DefaultOverlap}, 1),
-         |                      ${Chunker.DefaultSize - Chunker.DefaultOverlap})) AS s
-         |  FROM t),
-         |ch AS (
-         |  SELECT doc_id AS sourcedoc_id,
-         |         (s // ${Chunker.DefaultSize - Chunker.DefaultOverlap})::INT AS sid,
-         |         array_to_string(list_slice(toks, s + 1, s + ${Chunker.DefaultSize}), ' ') AS chunk_text
-         |  FROM starts)
-         |SELECT sourcedoc_id, sid, chunk_text,
-         |       len(${plainTokSql("chunk_text")})::INT AS token_count
-         |FROM ch ORDER BY sourcedoc_id, sid""".stripMargin) { (s, dir) =>
+    QueryDef.sql("s_chunker", chunkerOracle) { (s, dir) =>
       Chunker.chunkDocuments(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("sourcedoc_id", "sid")
+    },
+
+    // ── S6: chunk-table sink round-trip (db_manager.py:413-676's batched
+    //    chunk inserts; here the bucketed at-rest layout KbStorage.writeChunks
+    //    gives the context join): chunk → write the bucketed table → read it
+    //    back from storage. The oracle is the CHUNKER's — so the sink must be
+    //    a value-exact identity on every column through the bucketed
+    //    parquet + catalog round trip ────────────────────────────────────────
+    QueryDef.sql("s6_chunk_sink", chunkerOracle) { (s, dir) =>
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"graft_s6_chunks_$suffix"
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s6_chunks_$suffix").getPath
+      val chunks = Chunker.chunkDocuments(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("sourcedoc_id", "sourcedoc")
+      graft.sources.KbStorage.writeChunks(chunks, table, buckets = 8,
+        path = Some(path))
+      s.table(table)
+        .withColumnRenamed("sourcedoc", "sourcedoc_id")
+        .select("sourcedoc_id", "sid", "chunk_text", "token_count")
         .orderBy("sourcedoc_id", "sid")
     },
 

@@ -23,12 +23,14 @@ object KbStorage {
     * requires the table catalog (`saveAsTable`); plain parquet paths lose
     * bucket metadata.
     */
-  def writeChunks(chunks: DataFrame, table: String, buckets: Int = 32): Unit =
-    chunks.write.mode("overwrite")
+  def writeChunks(chunks: DataFrame, table: String, buckets: Int = 32,
+                  path: Option[String] = None): Unit = {
+    val w = chunks.write.mode("overwrite")
       .bucketBy(buckets, "sourcedoc")
       .sortBy("sourcedoc", "sid")
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Write embeddings partitioned by IVF cluster for partition-pruned ANN
     * probes.
@@ -83,6 +85,14 @@ object KbStorage {
       .toDF("ts", "kb", "query", "answer", "latency_ms")
       .write.mode("append").parquet(path)
   }
+
+  /** S9 batch query-log sink: append a whole DataFrame of answered-query
+    * rows in one job (the per-row [[logQuery]] is the interactive-CLI shape;
+    * a batch run logs its queries as one append). Append-only parquet — the
+    * same at-rest contract, exercised by the s9_query_log oracle.
+    */
+  def logQueries(rows: DataFrame, path: String): Unit =
+    rows.write.mode("append").parquet(path)
 
   /** S11 context-file source (`/root/reference/query/processing.py:30-52`):
     * small files read driver-side, prepended verbatim to the prompt context.

@@ -163,4 +163,67 @@ class Bm25Spec extends SparkSpec {
     val all = naiveScores("quick fox").toSeq.sortBy { case (id, s) => (-s, id) }
     assert(top2.toSeq == all.take(2).map(_._1))
   }
+
+  test("termBucketValue is bit-identical to the termBucket expression over the whole vocabulary") {
+    val docs = corpus.toDF("doc_id", "text")
+    val vocab = Bm25.postings(docs, "doc_id", "text")
+      .select("term").distinct().as[String].collect().toSeq
+    assert(vocab.nonEmpty)
+    for (n <- Seq(4, 64)) {
+      val expr = docs.sparkSession.createDataset(vocab)
+        .select(col("value"), Bm25.termBucket(col("value"), n).as("b"))
+        .as[(String, Int)].collect().toMap
+      vocab.foreach { t =>
+        assert(Bm25.termBucketValue(t, n) == expr(t), s"term=$t n=$n")
+      }
+    }
+  }
+
+  test("term-bucketed at-rest index prunes partitions yet scores identically") {
+    val docs = corpus.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_bkt").toString
+    Bm25.writeIndex(Bm25.buildIndex(docs, "doc_id", "text"), dir, termBuckets = 4)
+    val stored = Bm25.readIndex(spark, dir)
+    assert(stored.termBuckets.contains(4))
+    val mem = Bm25.buildIndex(docs, "doc_id", "text")
+    val q = "quick fox"
+    val got = Bm25.scoreWithIndex(stored, spark, q)
+    val plan = got.queryExecution.executedPlan.toString
+    // the postings scan must carry the query terms' bucket partition filter
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(plan.split("PartitionFilters").exists(s =>
+      s.take(400).contains("term_bucket")), plan.take(1500))
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val memMap = Bm25.scoreWithIndex(mem, spark, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotMap.keySet == memMap.keySet)
+    gotMap.foreach { case (id, s) => assert(math.abs(s - memMap(id)) < 1e-9) }
+    // flat-layout (termBuckets=0) indexes keep reading and never prune
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_bm25_flat").toString
+    Bm25.writeIndex(mem, flatDir, termBuckets = 0)
+    val flat = Bm25.readIndex(spark, flatDir)
+    assert(flat.termBuckets.isEmpty)
+    assert(Bm25.scoreWithIndex(flat, spark, q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap.keySet == memMap.keySet)
+  }
+
+  test("scoreBatch with knownTerms prunes the stored scan and matches the unpruned batch") {
+    val docs = corpus.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_bkb").toString
+    Bm25.writeIndex(Bm25.buildIndex(docs, "doc_id", "text"), dir, termBuckets = 4)
+    val stored = Bm25.readIndex(spark, dir)
+    val queries = Seq((1L, "quick fox"), (2L, "lorem spark")).toDF("query_id", "qtext")
+    val terms = Seq("quick", "fox", "lorem", "spark")
+    val pruned = Bm25.scoreBatch(stored, queries, "query_id", "qtext",
+      knownTerms = Some(terms))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(plan.split("PartitionFilters").exists(s =>
+      s.take(400).contains("term_bucket")), plan.take(1500))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(key(pruned) ==
+      key(Bm25.scoreBatch(stored, queries, "query_id", "qtext")))
+  }
 }
