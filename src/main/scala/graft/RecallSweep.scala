@@ -46,6 +46,41 @@ object RecallSweep {
       per.sum / per.size
     }
 
+    // ── r11: recall-target auto-sizing (VectorSearch.tuneServing) on a
+    //    CLUSTERED fixture. PLANS.md's round-10 reading #1: the random sf
+    //    corpus is every ANN family's worst case and real embedding corpora
+    //    cluster — the tuner's contract is "reach the target on clustered
+    //    data with measured, auto-chosen knobs" ─────────────────────────────
+    {
+      import operators.VectorSearch
+      val rnd = new scala.util.Random(11)
+      val centers = (0 until 20).map(_ => Array.fill(32)(rnd.nextFloat() - 0.5f))
+      val clustered = (0L until 2000L).map { i =>
+        i -> centers((i % 20).toInt).map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+      val nC = clustered.count()
+      val target = 0.9
+      val tiers: Seq[(String, VectorSearch.Serving)] = Seq(
+        "ivf" -> VectorSearch.buildServing(clustered, "vec_id", "embedding",
+          VectorSearch.IndexStrategy.Ivf(16)),
+        "ivfpq" -> VectorSearch.buildServing(clustered, "vec_id", "embedding",
+          VectorSearch.IndexStrategy.IvfPq(16, 8)),
+        "graph" -> {
+          val g = VectorSearch.knnGraph(clustered, "vec_id", "embedding", k = 8,
+            numPlanes = VectorSearch.graphPlanesFor(nC)).localCheckpoint(true)
+          // one entry per cluster (round-robin ids): entry coverage is part
+          // of the graph serving config, mirroring graphSearchDeduped's
+          // smallest-representative-ids convention
+          VectorSearch.Serving.Graph(g, 64, 3, (0L until 20L).toSeq)
+        })
+      for ((name, srv) <- tiers) {
+        val t0 = System.nanoTime()
+        val (_, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+          srv, k = k, recallTarget = target)
+        println(f"[recall] clustered(n=$nC) auto $name%-6s target=$target%.2f -> nprobe=${knobs.nprobe} short=${knobs.shortlist} beam=${knobs.beam} recall@$k=${knobs.measuredRecall}%.3f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      }
+    }
+
     for ((label, e) <- Seq("1x" -> emb1.localCheckpoint(true), s"${kRep}x" -> embN)) {
       val qs = queries(e)
       val n = e.count()

@@ -161,6 +161,56 @@ object Scale {
     secs(s"e2e-hybrid-batch20 ${kDocs}x")(
       e2e20(bigDocs, bigEmb.filter(col("vec_id") < kDocs.toLong * 10000000L)))
 
+    // ── r11: BM25 served from the term-bucketed AT-REST index ───────────
+    // The round-10 caveat was that e2e serving growth is dominated by the
+    // shared BM25 build (2.5× at 20×). Splitting the rows: store-write is
+    // the one-time linear indexing cost; the SCORE stage against the
+    // stored index partition-prunes to the query terms' buckets, so its
+    // growth tracks matching postings, not corpus bytes. The -flat row is
+    // the same query against an unbucketed store (the pruning A/B).
+    def bm25StoreWrite(d: DataFrame, path: String, buckets: Int): Unit = {
+      val ix = operators.Bm25.buildIndex(d, "doc_id", "text", persist = true)
+      try operators.Bm25.writeIndex(ix, path, termBuckets = buckets)
+      finally { ix.postings.unpersist(); ix.lengths.unpersist(); ix.idf.unpersist() }
+    }
+    val scaleQ = "fast query plan table scan"
+    def bm25StoredProbe(path: String): operators.Bm25.Index = {
+      val ix = operators.Bm25.readIndex(spark, path)
+      ix.avgdl; ix.termBuckets // snapshot outside the timed score stage
+      ix
+    }
+    secs(s"bm25-store-write 1x")(bm25StoreWrite(docs, s"$base/bm25_1x", operators.Bm25.DefaultTermBuckets))
+    secs(s"bm25-store-write ${kDocs}x")(bm25StoreWrite(bigDocs, s"$base/bm25_${kDocs}x", operators.Bm25.DefaultTermBuckets))
+    secs(s"bm25-store-write-flat ${kDocs}x")(bm25StoreWrite(bigDocs, s"$base/bm25_flat_${kDocs}x", 0))
+    val ix1 = bm25StoredProbe(s"$base/bm25_1x")
+    val ixK = bm25StoredProbe(s"$base/bm25_${kDocs}x")
+    val ixFlatK = bm25StoredProbe(s"$base/bm25_flat_${kDocs}x")
+    secs(s"bm25-stored-score-1q 1x")(
+      operators.Bm25.scoreWithIndex(ix1, spark, scaleQ).count())
+    secs(s"bm25-stored-score-1q ${kDocs}x")(
+      operators.Bm25.scoreWithIndex(ixK, spark, scaleQ).count())
+    secs(s"bm25-stored-score-1q-flat ${kDocs}x")(
+      operators.Bm25.scoreWithIndex(ixFlatK, spark, scaleQ).count())
+
+    // e2e batch20 with the SHARED build replaced by the stored bucketed
+    // index: serving reads pruned postings; the linear build cost moved to
+    // the one-time store-write rows above
+    def e2e20Stored(d: DataFrame, e: DataFrame, ix: operators.Bm25.Index): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val chunks = d.select(col("doc_id"), col("text"),
+        col("source").as("sourcedoc"),
+        (row_number().over(w) - 1).cast("int").as("sid"))
+      val emb2 = e.select(col("vec_id").as("doc_id"), col("embedding"))
+      val qs = queries.EngineQueries.E2eBatch20.zipWithIndex
+        .map { case ((t, _), i) => (i + 1).toLong -> t }
+      pipeline.KbPipeline.queryBatch(spark, chunks, emb2, qs,
+        bm25Index = Some(ix)).count()
+    }
+    secs(s"e2e-batch20-stored 1x")(e2e20Stored(docs, emb, ix1))
+    secs(s"e2e-batch20-stored ${kDocs}x")(e2e20Stored(bigDocs,
+      bigEmb.filter(col("vec_id") < kDocs.toLong * 10000000L), ixK))
+
     // round-9 curation operators: packing is one per-shard window (shards
     // multiply with the corpus — the partition count grows, not the
     // partition size), contamination holds the benchmark side FIXED while

@@ -144,6 +144,132 @@ object VectorSearch {
       Serving.IvfPq(ix, cb, pqEncode(ix.assigned, idCol, vecCol, cb), shortlist)
   }
 
+  /** Measured outcome of [[tuneServing]]: the chosen quality knobs and the
+    * recall@k they achieved on the calibration sample. Knobs that don't
+    * apply to the tuned tier are 0.
+    */
+  final case class TunedKnobs(nprobe: Int, shortlist: Int, beam: Int,
+                              measuredRecall: Double)
+
+  /** Auto-size a tier's quality knobs (IVF `nprobe`, IVFPQ ADC `shortlist`,
+    * graph `beam`) to a recall TARGET by calibration, not guesswork: a
+    * deterministic hash-ordered sample of corpus vectors becomes the query
+    * set, exact ground truth is computed once ([[bruteTopKBatchAgg]]), and
+    * the tier's quality ladder is walked cheapest-first until the sampled
+    * recall@k reaches the target (ladder exhausted → the best step found).
+    * The round-10 sweep showed static defaults sit low on unclustered
+    * corpora (IVFPQ 0.29-0.53 at shortlist 20-100, graph 0.24-0.62 at
+    * beams 16-64, tools/recall_r10.txt) — the curve SHAPE is corpus
+    * geometry, so the knob must be measured per corpus. The reference
+    * exposes nprobe as a static config (`query/search.py:222-231`,
+    * `faiss_nprobe`); this measures what that knob should be.
+    *
+    * One-off build-time cost: `nSample` queries × ladder steps, each a
+    * small pruned search; ground truth is one batched exact pass. Returns
+    * the serving value with the chosen knobs applied (nprobe is a
+    * query-time knob — [[Serving.Ivf]] is returned unchanged and the
+    * caller sets `ivfNprobe` from the result).
+    */
+  def tuneServing(embeddings: DataFrame, idCol: String, vecCol: String,
+                  serving: Serving, k: Int = 10, recallTarget: Double = 0.9,
+                  nSample: Int = 16): (Serving, TunedKnobs) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qs = embeddings
+      .orderBy(pmod(col(idCol) * 2654435761L, lit(1000000007L)), col(idCol))
+      .limit(nSample)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
+      .localCheckpoint(true)
+    def topSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id").cast("long"), col("doc_id").cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    lazy val truth = topSet(bruteTopKBatchAgg(
+      embeddings, idCol, vecCol, qs, "query_id", "qvec", k))
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      if (truth.isEmpty) 1.0
+      else truth.map { case (q, t) =>
+        got.get(q).map(g => (g intersect t).size.toDouble / t.size)
+          .getOrElse(0.0) }.sum / truth.size
+    // cheapest-first walk with early exit at the target
+    def walk[A](steps: Seq[A])(eval: A => Double): (A, Double) = {
+      var best = (steps.head, -1.0)
+      val it = steps.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val s = it.next()
+        val r = eval(s)
+        if (r > best._2) best = (s, r)
+        if (r >= recallTarget) done = true
+      }
+      best
+    }
+    def doubling(from: Int, to: Int): Seq[Int] =
+      (Iterator.iterate(from)(_ * 2).takeWhile(_ < to).toSeq :+ to).distinct
+    def beamLadder(k: Int): Seq[Int] = {
+      val l = Seq(16, 32, 48, 64, 96, 128).filter(_ >= k)
+      if (l.isEmpty) Seq(k) else l
+    }
+    serving match {
+      case Serving.Flat => (serving, TunedKnobs(0, 0, 0, 1.0))
+      case Serving.Ivf(ix) =>
+        val centDf = ix.centroids.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cv")
+          .localCheckpoint(true)
+        val (np, r) = walk(doubling(1, ix.centroids.length)) { np =>
+          recallOf(topSet(ivfTopKBatch(ix.assigned, ix.idCol, ix.vecCol,
+            centDf, qs, "query_id", "qvec", k, np)))
+        }
+        (serving, TunedKnobs(np, 0, 0, r))
+      case Serving.IvfPq(ix, cb, encoded, _) =>
+        // shortlist grows first (ADC re-rank is the cheap stage), then the
+        // coarse probe widens (more bytes scanned) — increasing-cost order
+        val sample = qs.select("query_id", "qvec").collect()
+          .map(row => (row.getLong(0), row.getSeq[Float](1).toSeq))
+        val steps = for {
+          np <- doubling(math.min(4, ix.centroids.length), ix.centroids.length)
+          sl <- Seq(2 * k, 5 * k, 10 * k, 20 * k)
+        } yield (np, sl)
+        def eval(np: Int, sl: Int): Double = recallOf(sample.map {
+          case (qid, qv) =>
+            val probes = probeIdsExact(spark, ix.centroids, qv, np)
+            val enc = encoded.filter(col("cluster_id").isin(probes: _*))
+            val short = pqAdcTopK(enc, ix.idCol, "codes", cb, qv, sl)
+              .select(col("doc_id").as(ix.idCol))
+            qid -> bruteTopK(enc.join(short, Seq(ix.idCol), "left_semi"),
+                ix.idCol, ix.vecCol, qv, k)
+              .select(col("doc_id").cast("long")).as[Long].collect().toSet
+        }.toMap)
+        val ((np, sl), r) = walk(steps) { case (np, sl) => eval(np, sl) }
+        (Serving.IvfPq(ix, cb, encoded, sl), TunedKnobs(np, sl, 0, r))
+      case Serving.Graph(g, _, hops, entries) =>
+        val (beam, r) = walk(beamLadder(k)) { b =>
+          recallOf(topSet(graphSearch(g, embeddings, idCol, vecCol,
+            qs, "query_id", "qvec", k, b, hops, entries)))
+        }
+        (Serving.Graph(g, beam, hops, entries), TunedKnobs(0, 0, beam, r))
+      case Serving.GraphDeduped(ck, kg, planes, _, hops, nEnt) =>
+        // the memoized build under `ck` is shared across ladder steps
+        val (beam, r) = walk(beamLadder(k)) { b =>
+          recallOf(topSet(graphSearchDeduped(embeddings, idCol, vecCol,
+            qs, "query_id", "qvec", k, kg, planes, b, hops, nEnt, Some(ck))))
+        }
+        (Serving.GraphDeduped(ck, kg, planes, beam, hops, nEnt),
+          TunedKnobs(0, 0, beam, r))
+    }
+  }
+
+  /** [[buildServing]] + [[tuneServing]]: build the chosen tier, then
+    * calibrate its quality knobs to `recallTarget` on the corpus itself.
+    */
+  def buildServingTuned(embeddings: DataFrame, idCol: String, vecCol: String,
+                        strategy: IndexStrategy, recallTarget: Double,
+                        k: Int = 10, nSample: Int = 16,
+                        pqCodewords: Int = 16): (Serving, TunedKnobs) =
+    tuneServing(embeddings, idCol, vecCol,
+      buildServing(embeddings, idCol, vecCol, strategy, pqCodewords = pqCodewords),
+      k, recallTarget, nSample)
+
   /** Memoized [[buildServing]] per corpus — build-once/serve-many for the
     * IvfPq tier, exactly like [[cachedIvf]]/[[cachedGraph]]: a CLI query
     * must never pay KMeans + Lloyd codebook training per invocation. The

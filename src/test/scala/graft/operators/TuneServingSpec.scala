@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall-target auto-sizing ([[VectorSearch.tuneServing]]): on a
+  * clustered fixture (the geometry PLANS.md documents as the expected
+  * operating point) the tuner must reach the target with measured,
+  * auto-chosen knobs for every tier — and cheaper targets must never pick
+  * more expensive knobs than stricter ones.
+  */
+class TuneServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 well-separated clusters of 50 points each (seeded, deterministic)
+  private val clustered = {
+    val rnd = new scala.util.Random(23)
+    val centers = (0 until 8).map(_ => Array.fill(16)(rnd.nextFloat() - 0.5f))
+    (0L until 400L).map { i =>
+      i -> centers((i % 8).toInt).map(v => v + (rnd.nextFloat() - 0.5f) * 0.08f).toSeq
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+  }
+
+  test("Flat tier is exact by definition: no knobs, recall 1.0") {
+    val (srv, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      VectorSearch.Serving.Flat, k = 10, recallTarget = 0.9, nSample = 8)
+    assert(srv == VectorSearch.Serving.Flat)
+    assert(knobs.measuredRecall == 1.0)
+  }
+
+  test("IVF tier: tuned nprobe reaches the target on the clustered fixture, monotone in the target") {
+    val srv = VectorSearch.buildServing(clustered, "vec_id", "embedding",
+      VectorSearch.IndexStrategy.Ivf(8))
+    val (_, strict) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      srv, k = 10, recallTarget = 0.95, nSample = 8)
+    assert(strict.measuredRecall >= 0.95,
+      s"tuned nprobe=${strict.nprobe} only reached ${strict.measuredRecall}")
+    assert(strict.nprobe >= 1 && strict.nprobe <= 8)
+    val (_, loose) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      srv, k = 10, recallTarget = 0.3, nSample = 8)
+    assert(loose.nprobe <= strict.nprobe,
+      s"looser target picked a costlier knob: ${loose.nprobe} > ${strict.nprobe}")
+  }
+
+  test("IVFPQ tier: tuned (nprobe, shortlist) reaches the target and is applied to the returned serving") {
+    val srv = VectorSearch.buildServing(clustered, "vec_id", "embedding",
+      VectorSearch.IndexStrategy.IvfPq(8, 4))
+    val (tuned, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      srv, k = 10, recallTarget = 0.9, nSample = 8)
+    assert(knobs.measuredRecall >= 0.9,
+      s"tuned (nprobe=${knobs.nprobe}, short=${knobs.shortlist}) only reached ${knobs.measuredRecall}")
+    tuned match {
+      case VectorSearch.Serving.IvfPq(_, _, _, sl) => assert(sl == knobs.shortlist)
+      case other => fail(s"expected IvfPq serving back, got $other")
+    }
+  }
+
+  test("graph tier: tuned beam reaches the target and is applied to the returned serving") {
+    val g = VectorSearch.knnGraph(clustered, "vec_id", "embedding", k = 8)
+      .localCheckpoint(true)
+    // entries must cover the corpus's regions (the smallest-ids convention
+    // graphSearchDeduped uses); this fixture assigns clusters round-robin,
+    // so ids 0-7 are one entry per cluster
+    val srv = VectorSearch.Serving.Graph(g, beam = 64, hops = 3,
+      entryIds = (0L until 8L).toSeq)
+    val (tuned, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      srv, k = 10, recallTarget = 0.9, nSample = 8)
+    assert(knobs.measuredRecall >= 0.9,
+      s"tuned beam=${knobs.beam} only reached ${knobs.measuredRecall}")
+    tuned match {
+      case VectorSearch.Serving.Graph(_, b, _, _) => assert(b == knobs.beam)
+      case other => fail(s"expected Graph serving back, got $other")
+    }
+  }
+
+  test("buildServingTuned composes policy choice, build, and calibration") {
+    val strategy = VectorSearch.chooseIndex(400L, 16)
+    val (_, knobs) = VectorSearch.buildServingTuned(clustered, "vec_id",
+      "embedding", strategy, recallTarget = 0.9, k = 10, nSample = 8)
+    assert(knobs.measuredRecall >= 0.9, s"$strategy tuned to $knobs")
+  }
+}
