@@ -122,6 +122,17 @@ object Profile {
       spark.sparkContext.removeSparkListener(l)
       println(s"[profile] full-pipeline-3rd jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
+    locally {
+      // split the warm floor into PLAN vs EXECUTE: a re-count of the SAME
+      // DataFrame reuses its analyzed/optimized plan (queryExecution is a
+      // lazy val), so the delta vs a fresh build is pure Catalyst planning
+      val df = pipeline.KbPipeline.query(spark, chunks, emb,
+        queries.EngineQueries.E2eQueryText, bm25Index = Some(ix)).hits
+      secs("plan-only") { df.queryExecution.executedPlan; () }
+      secs("samedf-count-1st") { df.count(); () }
+      secs("samedf-count-2nd") { df.count(); () }
+      secs("samedf-count-3rd") { df.count(); () }
+    }
     // other slow ones
     secs("hybrid_batch") { SparkEntry.queries("hybrid_batch")(spark, sfDir).count() }
     secs("hybrid_batch-2nd") { SparkEntry.queries("hybrid_batch")(spark, sfDir).count() }
