@@ -78,16 +78,23 @@ object Main {
     * `_update_cfg_value` (`embed_manager.py:748-756`) updates the single
     * key and returns without writing when no config file exists.
     */
-  private[graft] def syncDimsKey(path: String, dims: Int): Unit = {
+  private[graft] def syncDimsKey(path: String, dims: Int): Unit =
+    syncCfgKey(path, "vector_dimensions", dims.toString)
+
+  /** Rewrite ONE key in an existing KB config.ini, preserving every other
+    * line verbatim (the reference's `_update_cfg_value`); no-op when the KB
+    * has no config file of its own.
+    */
+  private[graft] def syncCfgKey(path: String, key: String, value: String): Unit = {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) return
     val text = new String(java.nio.file.Files.readAllBytes(f),
       java.nio.charset.StandardCharsets.UTF_8)
-    val keyLine = "(?m)^\\s*vector_dimensions\\s*=.*$".r
+    val keyLine = s"(?m)^\\s*$key\\s*=.*$$".r
     val updated =
       if (keyLine.findFirstIn(text).isDefined)
-        keyLine.replaceAllIn(text, s"vector_dimensions = $dims")
-      else text.stripLineEnd + s"\nvector_dimensions = $dims\n"
+        keyLine.replaceAllIn(text, s"$key = $value")
+      else text.stripLineEnd + s"\n$key = $value\n"
     java.nio.file.Files.write(f,
       updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
@@ -101,6 +108,7 @@ object Main {
       |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
       |  bm25     <kbDir>                         build the BM25 index
       |  query    <kbDir> "<text>" [cfg.ini]      hybrid retrieval
+      |  tune     <kbDir> [target] [cfg.ini]      calibrate ANN knobs to a recall target
       |  optimize <kbDir>                         storage layout tuning
       |  verify-indexes <kbDir>                   index consistency checks
       |  categorize <kbDir>                       LLM-shaped categorization
@@ -206,8 +214,10 @@ object Main {
                 VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
             case pq: VectorSearch.IndexStrategy.IvfPq =>
               // memoized like cachedIvf/cachedGraph: KMeans + Lloyd PQ
-              // training is a build-time cost, never a per-query one
-              VectorSearch.cachedServing(s"$kb/embeddings", emb, "doc_id", "embedding", pq)
+              // training is a build-time cost, never a per-query one;
+              // the shortlist is the config's (tuned by the `tune` verb)
+              VectorSearch.cachedServing(s"$kb/embeddings", emb, "doc_id", "embedding",
+                pq, shortlist = cfg.pqShortlist)
             case _ => VectorSearch.Serving.Flat // small/high-dim: exact IS the policy
           }
         }
@@ -217,6 +227,43 @@ object Main {
         println(res.formatted)
         graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
           answer = "", latencyMs = (System.nanoTime() - t0) / 1000000)
+
+      case "tune" =>
+        // Serving-knob calibration (VectorSearch.tuneServing): measure the
+        // cheapest (nprobe, shortlist) reaching the recall target on THIS
+        // corpus and persist them into the KB's config — the reference
+        // carries the same knob statically (`faiss_nprobe`,
+        // query/search.py:222-231); here it is measured, once, at build
+        // time. Tier comes from the same policy the query verb serves.
+        val cfg = loadCfg(args, 3, kb)
+        val target = args.lift(2).flatMap(a => scala.util.Try(a.toDouble).toOption)
+          .orElse(Option(cfg.recallTarget).filter(_ > 0)).getOrElse(0.9)
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        import graft.operators.VectorSearch
+        val strategy = VectorSearch.chooseIndex(emb.count(), cfg.vectorDimensions)
+        strategy match {
+          case VectorSearch.IndexStrategy.Flat(_) =>
+            println(s"[graft] tune: policy tier is flat (exact) - nothing to tune")
+          case _ =>
+            val serving = strategy match {
+              case VectorSearch.IndexStrategy.Ivf(nc) =>
+                VectorSearch.Serving.Ivf(
+                  VectorSearch.cachedIvf(s"$kb/embeddings", emb, "doc_id", "embedding", nc))
+              case pq: VectorSearch.IndexStrategy.IvfPq =>
+                VectorSearch.cachedServing(s"$kb/embeddings", emb, "doc_id", "embedding",
+                  pq, shortlist = cfg.pqShortlist)
+              case _ => VectorSearch.Serving.Flat
+            }
+            val (_, knobs) = VectorSearch.tuneServing(emb, "doc_id", "embedding",
+              serving, k = cfg.queryTopK.min(20), recallTarget = target)
+            println(f"[graft] tune: tier=${strategy.kind} target=$target%.2f -> " +
+              f"nprobe=${knobs.nprobe} shortlist=${knobs.shortlist} " +
+              f"measured recall=${knobs.measuredRecall}%.3f")
+            if (knobs.nprobe > 0)
+              syncCfgKey(s"$kb/config.ini", "ivf_nprobe", knobs.nprobe.toString)
+            if (knobs.shortlist > 0)
+              syncCfgKey(s"$kb/config.ini", "pq_shortlist", knobs.shortlist.toString)
+        }
 
       case "optimize" =>
         val bytes = new java.io.File(s"$kb/chunks").listFiles()

@@ -33,6 +33,12 @@ final case class KbConfig(
     enableReranking: Boolean = true,
     rerankingTopK: Int = 20,                  // rerank_manager.py:216-220
     ivfNprobe: Int = 32,                      // models.py:189
+    // IVFPQ ADC shortlist fed to the exact re-rank; tuned per corpus by
+    // the `tune` verb (VectorSearch.tuneServing) — our extension, the
+    // reference's analogue knob is the static faiss_nprobe
+    pqShortlist: Int = 100,
+    // recall@k target for serving-knob calibration (0 = tuning off)
+    recallTarget: Double = 0.0,
     // vector-stage strategy (reference `faiss_index_type`, index.py:51):
     // "exact" scans the full corpus; "ivf"/"auto" probe a supplied IVF
     // index. Default "exact" is a DELIBERATE divergence from the
@@ -57,7 +63,8 @@ object KbConfig {
     "ALGORITHMS" -> Seq("similarity_threshold", "low_similarity_scope_factor",
       "enable_hybrid_search", "fusion_method", "vector_weight", "bm25_weight",
       "bm25_k1", "bm25_b", "bm25_max_results", "enable_reranking",
-      "reranking_top_k", "ivf_nprobe", "index_type"),
+      "reranking_top_k", "ivf_nprobe", "pq_shortlist", "recall_target",
+      "index_type"),
     "PERFORMANCE" -> Seq("embedding_batch_size", "api_max_retries"),
     "FORMATTING" -> Seq("reference_format"))
 
@@ -85,6 +92,8 @@ object KbConfig {
     "enable_reranking" -> c.enableReranking.toString,
     "reranking_top_k" -> c.rerankingTopK.toString,
     "ivf_nprobe" -> c.ivfNprobe.toString,
+    "pq_shortlist" -> c.pqShortlist.toString,
+    "recall_target" -> c.recallTarget.toString,
     "index_type" -> c.indexType,
     "embedding_batch_size" -> c.embeddingBatchSize.toString,
     "api_max_retries" -> c.apiMaxRetries.toString,
@@ -149,6 +158,8 @@ object KbConfig {
       enableReranking = b("enable_reranking", c.enableReranking),
       rerankingTopK = i("reranking_top_k", c.rerankingTopK),
       ivfNprobe = i("ivf_nprobe", c.ivfNprobe),
+      pqShortlist = i("pq_shortlist", c.pqShortlist),
+      recallTarget = f("recall_target", c.recallTarget),
       indexType = s("index_type", c.indexType),
       embeddingBatchSize = i("embedding_batch_size", c.embeddingBatchSize),
       apiMaxRetries = i("api_max_retries", c.apiMaxRetries),

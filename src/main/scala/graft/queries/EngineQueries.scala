@@ -1392,6 +1392,83 @@ object EngineQueries {
       s.read.parquet(logDir.getPath).orderBy("answer")
     },
 
+    // ── S1: binaryFile glob scan (db_manager.py:240-410's os.walk+glob):
+    //    deterministic fixture files are materialized from the documents
+    //    table, scanned back through the production scanFiles path, and
+    //    (name, byte length, decoded text) must round-trip value-exactly ──
+    QueryDef.sql("s1_glob_scan",
+      """SELECT 'doc' || doc_id::VARCHAR || '.txt' AS name,
+        |       strlen(text)::BIGINT AS length, text
+        |FROM documents WHERE doc_id < 20 ORDER BY name""".stripMargin) { (s, dir) =>
+      val inDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s1_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      inDir.mkdirs()
+      Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            inDir.toPath.resolve(s"doc${r.getLong(0)}.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.ingest.Ingest.scanFiles(s, s"${inDir.getPath}/*.txt")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"),
+          graft.ingest.Ingest.decodeText(col("content")).as("text"))
+        .orderBy("name")
+    },
+
+    // ── S10: encoding-converter job (utils/encoding_converter.py): legacy
+    //    cp1252 files (suffix crafted invalid-UTF-8, as in s2) are batch-
+    //    converted to UTF-8 on disk; the converted files re-read under
+    //    STRICT UTF-8 must yield the original text — a mis-converted byte
+    //    stream fails the strict decode or hash-mismatches ─────────────────
+    QueryDef.sql("s10_convert_encoding",
+      """SELECT 'leg' || doc_id::VARCHAR || '.txt' AS name,
+        |       text || ' naïve café©' AS text
+        |FROM documents WHERE doc_id < 8 ORDER BY name""".stripMargin) { (s, dir) =>
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val inDir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_s10_in_$suffix")
+      val outDir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_s10_out_$suffix")
+      inDir.mkdirs(); outDir.mkdirs()
+      Tables.documents(s, dir).filter(col("doc_id") < 8)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            inDir.toPath.resolve(s"leg${r.getLong(0)}.txt"),
+            (r.getString(1) + " naïve café©").getBytes("windows-1252"))
+        }
+      graft.sources.KbStorage.convertEncoding(s, s"${inDir.getPath}/*.txt",
+        outDir.getPath)
+      val strictUtf8 = udf { (bytes: Array[Byte]) =>
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      }
+      graft.ingest.Ingest.scanFiles(s, s"${outDir.getPath}/*.txt")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          strictUtf8(col("content")).as("text"))
+        .orderBy("name")
+    },
+
+    // ── S11: context-file source (query/processing.py:30-52): two context
+    //    files prepended to the prompt, read driver-side in caller order
+    //    and joined blank-line-separated ────────────────────────────────────
+    QueryDef.sql("s11_context_files",
+      """SELECT string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS ctx
+        |FROM documents WHERE doc_id IN (0, 1)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ctxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_s11_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      ctxDir.mkdirs()
+      val paths = Tables.documents(s, dir).filter(col("doc_id") < 2)
+        .select("doc_id", "text").orderBy("doc_id").collect().map { r =>
+          val p = ctxDir.toPath.resolve(s"ctx${r.getLong(0)}.txt")
+          java.nio.file.Files.write(p,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          p.toString
+        }
+      Seq(graft.sources.KbStorage.readContextFiles(paths.toIndexedSeq))
+        .toDF("ctx")
+    },
+
     // ── M6: embedding-dimension probe + config sync (embed_manager.py:
     //    616-626): probe the registry-resolved provider by actually
     //    embedding a sample and measuring the vector, then reconcile against

@@ -173,6 +173,32 @@ class MainSpec extends SparkSpec {
     assert(!out.contains("vector_dimensions = 32"))
   }
 
+  test("CLI tune verb calibrates ivf_nprobe into the KB config") {
+    val kb = Files.createTempDirectory("graft_cli_tune").toString
+    // a clustered 1200-vector corpus: big enough for the policy to pick the
+    // IVF tier (smallThreshold = 1000), clustered so a small nprobe reaches
+    // the target — the regime where measuring the knob beats the default
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 8).map(_ => Array.fill(16)(rnd.nextFloat() - 0.5f))
+    import spark.implicits._
+    (0L until 1200L).map { i =>
+      i -> centers((i % 8).toInt).map(v => v + (rnd.nextFloat() - 0.5f) * 0.08f).toSeq
+    }.toDF("doc_id", "embedding").write.parquet(s"$kb/embeddings")
+    Files.write(Paths.get(kb, "config.ini"),
+      "[DEFAULT]\nvector_dimensions = 16\n".getBytes(StandardCharsets.UTF_8))
+    Main.run(Array("tune", kb, "0.9"), spark)
+    val ini = new String(Files.readAllBytes(Paths.get(kb, "config.ini")),
+      StandardCharsets.UTF_8)
+    val np = "(?m)^ivf_nprobe = (\\d+)$".r.findFirstMatchIn(ini)
+      .map(_.group(1).toInt)
+    assert(np.isDefined, s"tune must persist ivf_nprobe:\n$ini")
+    assert(np.get >= 1 && np.get <= 256, s"implausible tuned nprobe: $np")
+    // vector_dimensions untouched; config loads back with the tuned knob
+    assert(ini.contains("vector_dimensions = 16"), ini)
+    val cfg = graft.config.KbConfig.load(ini, env = Map.empty)
+    assert(cfg.ivfNprobe == np.get)
+  }
+
   test("KbConfig.renderIni round-trips through load") {
     import graft.config.KbConfig
     val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,
