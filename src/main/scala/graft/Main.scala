@@ -107,7 +107,7 @@ object Main {
       |  database <kbDir> <inputGlob> [cfg.ini]   ingest + chunk
       |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
       |  bm25     <kbDir>                         build the BM25 index
-      |  query    <kbDir> "<text>" [cfg.ini]      hybrid retrieval
+      |  query    <kbDir> "<text>" [cfg.ini] [--context-only]   hybrid retrieval (+answer)
       |  tune     <kbDir> [target] [cfg.ini]      calibrate ANN knobs to a recall target
       |  optimize <kbDir>                         storage layout tuning
       |  verify-indexes <kbDir>                   index consistency checks
@@ -182,8 +182,9 @@ object Main {
         println(s"[graft] bm25: index -> $kb/bm25")
 
       case "query" =>
-        require(args.length >= 3, "query <kbDir> \"<text>\" [cfg.ini]")
-        val cfg0 = loadCfg(args, 3, kb)
+        require(args.length >= 3, "query <kbDir> \"<text>\" [cfg.ini] [--context-only]")
+        // flags are not positional: strip them before the cfg-path lookup
+        val cfg0 = loadCfg(args.filterNot(_.startsWith("--")), 3, kb)
         val chunks = spark.read.parquet(s"$kb/chunks")
           .withColumnRenamed("chunk_text", "text")
         val emb = spark.read.parquet(s"$kb/embeddings")
@@ -224,9 +225,30 @@ object Main {
         val t0 = System.nanoTime()
         val res = KbPipeline.query(spark, chunks, emb, args(2), cfg,
           bm25Index = ix, serving = serving)
-        println(res.formatted)
-        graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
-          answer = "", latencyMs = (System.nanoTime() - t0) / 1000000)
+        // The reference's query flow returns the built context when
+        // `--context-only` is passed and otherwise generates the answer
+        // from it (`query/processing.py:262-285`). query_model = "none"
+        // (our default) is the same answer-generation kill switch the
+        // reference honors; any other configured model resolves through
+        // the registry and lands on the extractive provider (recorded
+        // exclusion), with the routed model name reported as the
+        // reference would have called it.
+        val contextOnly =
+          args.contains("--context-only") || cfg.queryModel == "none"
+        if (contextOnly) {
+          println(res.formatted)
+          graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
+            answer = "", latencyMs = (System.nanoTime() - t0) / 1000000)
+        } else {
+          val (routed, provider) =
+            graft.query.AnswerGen.providerFor(cfg.queryModel)
+          val ans = graft.query.AnswerGen.answer("default", res.formatted,
+            args(2), provider)
+          println(s"[graft] answer (routed model: $routed):")
+          println(ans)
+          graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
+            answer = ans, latencyMs = (System.nanoTime() - t0) / 1000000)
+        }
 
       case "tune" =>
         // Serving-knob calibration (VectorSearch.tuneServing): measure the

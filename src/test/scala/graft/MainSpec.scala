@@ -65,6 +65,23 @@ class MainSpec extends SparkSpec {
 
     Main.run(Array("query", kb, "fast spark joins and filters"), spark)
     assert(spark.read.parquet(s"$kb/logs").count() == 1, "query must be logged")
+
+    // with a configured query_model the verb GENERATES the answer from the
+    // built context (processing.py:262-285; extractive provider stands in)
+    // and logs it; --context-only restores the context-only return
+    Files.write(Paths.get(kb, "config.ini"),
+      "[DEFAULT]\nquery_model = sonnet\n".getBytes(StandardCharsets.UTF_8))
+    Main.run(Array("query", kb, "fast spark joins and filters"), spark)
+    val logs = spark.read.parquet(s"$kb/logs")
+    assert(logs.count() == 2, "second query must append to the log")
+    assert(logs.filter(org.apache.spark.sql.functions.length(
+      org.apache.spark.sql.functions.col("answer")) > 0).count() == 1,
+      "the model-configured query must log a generated answer")
+    Main.run(Array("query", kb, "fast spark joins and filters",
+      "--context-only"), spark)
+    assert(spark.read.parquet(s"$kb/logs")
+      .filter(org.apache.spark.sql.functions.col("answer") === "").count() == 2,
+      "--context-only must log an empty answer even with a model configured")
   }
 
   test("CLI verbs: categorize writes canonical labels and imports them back") {
