@@ -104,7 +104,7 @@ object Main {
 
   private[graft] val Usage: String =
     """usage: graft.Main <verb> ...
-      |  database <kbDir> <inputGlob> [cfg.ini]   ingest + chunk
+      |  database <kbDir> <inputGlob> [cfg.ini] [--force]   ingest + chunk (incremental)
       |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
       |  bm25     <kbDir>                         build the BM25 index
       |  query    <kbDir> "<text>" [cfg.ini] [--context-only]   hybrid retrieval (+answer)
@@ -131,15 +131,58 @@ object Main {
 
     verb match {
       case "database" =>
-        require(args.length >= 3, "database <kbDir> <inputGlob> [cfg.ini]")
-        val cfg = loadCfg(args, 3, kb)
-        val chunks = graft.ingest.Ingest.ingestFiles(spark, args(2),
+        require(args.length >= 3, "database <kbDir> <inputGlob> [cfg.ini] [--force]")
+        val pos = args.filterNot(_.startsWith("--"))
+        val force = args.contains("--force")
+        val cfg = loadCfg(pos, 3, kb)
+        // Incremental by default, like the reference (db_manager.py:349-374:
+        // files already in file_metadata are skipped unless --force): the
+        // registry is the S5 anti-join input keyed on CONTENT hash, so a
+        // changed file re-ingests and a renamed-but-identical one doesn't.
+        // --force drops registry + chunks and rebuilds from scratch
+        // (test_end_to_end.py:208's force-reprocess contract).
+        val registryPath = s"$kb/registry"
+        val chunksPath = s"$kb/chunks"
+        val incremental = !force &&
+          new java.io.File(registryPath).exists() &&
+          new java.io.File(chunksPath).exists()
+        if (!incremental) {
+          val chunks = graft.ingest.Ingest.ingestFiles(spark, pos(2),
+              chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
+            .withColumn("doc_id",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("sourcedoc", "sid")).cast("long"))
+          chunks.write.mode("overwrite").parquet(chunksPath)
+          // overwrite-in-place invalidates any cached file listing for the
+          // path in this session (stale listings throw FILE_NOT_EXIST)
+          spark.catalog.refreshByPath(chunksPath)
+          spark.read.parquet(chunksPath).select("file_hash").distinct()
+            .write.mode("overwrite").parquet(registryPath)
+          spark.catalog.refreshByPath(registryPath)
+          println(s"[graft] database: ${spark.read.parquet(chunksPath).count()} chunks -> $chunksPath" +
+            (if (force) " (forced rebuild)" else ""))
+        } else {
+          val registry = spark.read.parquet(registryPath)
+          val fresh = graft.ingest.Ingest.ingestFiles(spark, pos(2),
+            registry = Some(registry),
             chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
-          .withColumn("doc_id",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy("sourcedoc", "sid")).cast("long"))
-        chunks.write.mode("overwrite").parquet(s"$kb/chunks")
-        println(s"[graft] database: ${spark.read.parquet(s"$kb/chunks").count()} chunks -> $kb/chunks")
+          val maxId = spark.read.parquet(chunksPath)
+            .agg(max("doc_id")).head().getLong(0)
+          val newChunks = fresh.withColumn("doc_id",
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("sourcedoc", "sid")) + lit(maxId)).cast("long"))
+            .localCheckpoint(true) // one scan for count + both appends
+          val nNew = newChunks.count()
+          if (nNew == 0) println(s"[graft] database: no new files (registry skip); --force to reprocess")
+          else {
+            newChunks.write.mode("append").parquet(chunksPath)
+            spark.catalog.refreshByPath(chunksPath)
+            newChunks.select("file_hash").distinct()
+              .write.mode("append").parquet(registryPath)
+            spark.catalog.refreshByPath(registryPath)
+            println(s"[graft] database: +$nNew chunks (incremental) -> $chunksPath")
+          }
+        }
 
       case "embed" =>
         val cfg0 = loadCfg(args, 2, kb)
@@ -242,8 +285,16 @@ object Main {
         } else {
           val (routed, provider) =
             graft.query.AnswerGen.providerFor(cfg.queryModel)
-          val ans = graft.query.AnswerGen.answer("default", res.formatted,
-            args(2), provider)
+          // --style=<template> / --role=<system role> mirror the reference's
+          // prompt_template / role query args (processing.py:268,319)
+          val style = args.collectFirst {
+            case a if a.startsWith("--style=") => a.drop("--style=".length)
+          }.getOrElse("default")
+          val role = args.collectFirst {
+            case a if a.startsWith("--role=") => a.drop("--role=".length)
+          }
+          val ans = provider.complete(graft.query.AnswerGen.buildPrompt(
+            style, res.formatted, args(2), role))
           println(s"[graft] answer (routed model: $routed):")
           println(ans)
           graft.sources.KbStorage.logQuery(spark, s"$kb/logs", kb, args(2),
