@@ -225,6 +225,227 @@ object Multimodal {
         coalesce(array_max(col("codes")), lit(0L)).as("peak"))
   }
 
+  // ── Real image decode: PNG (round 11) ──────────────────────────────────
+  // Same move as the WAV rung: PNG needs no native codec library — the
+  // container is a CRC32-guarded chunk walk, the compression is zlib (JDK
+  // `Inflater`), and the five scanline filters are integer arithmetic.
+  // The decoder below is a conforming reader for non-interlaced
+  // 8-bit-per-channel images (gray / gray+alpha / RGB / RGBA) — the shapes
+  // a training-data pipeline actually emits. Palette, 16-bit and interlaced
+  // PNGs are rejected loudly; JPEG/H.264 stay behind [[decodeStub]]
+  // (COVERAGE.md records the split).
+
+  /** Decoded image: 8-bit samples row-major, channel-interleaved, 0..255. */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+                            pixels: Array[Int])
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // colorType ↔ channel count for the supported 8-bit shapes
+  private val ChannelsToColorType = Map(1 -> 0, 2 -> 4, 3 -> 2, 4 -> 6)
+  private val ColorTypeToChannels = ChannelsToColorType.map(_.swap)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit image as a real PNG (signature, IHDR, zlib'd IDAT,
+    * IEND; CRC32 per chunk). Each scanline uses filter `row % 5`, so a
+    * round-trip through [[decodePng]] proves every filter's inverse, and
+    * IDAT is split into ≤1024-byte chunks to prove the reader's multi-IDAT
+    * concatenation. `pixels` is row-major channel-interleaved 0..255.
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixels: Array[Int]): Array[Byte] = {
+    require(ChannelsToColorType.contains(channels), s"channels=$channels")
+    require(pixels.length == width * height * channels,
+      s"pixel count ${pixels.length} != $width*$height*$channels")
+    val bpp = channels // bytes per pixel at bit depth 8
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val prev = new Array[Int](stride) // unfiltered previous scanline
+    val cur = new Array[Int](stride)
+    var row = 0
+    while (row < height) {
+      var i = 0
+      while (i < stride) { cur(i) = pixels(row * stride + i) & 0xff; i += 1 }
+      val f = row % 5
+      val base = row * (1 + stride)
+      raw(base) = f.toByte
+      i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val upLeft = if (i >= bpp) prev(i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(base + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      row += 1
+    }
+    // zlib-compress the filtered scanlines
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val zBuf = new Array[Byte](4096)
+    while (!deflater.finished()) zOut.write(zBuf, 0, deflater.deflate(zBuf))
+    deflater.end()
+    val idat = zOut.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(ChannelsToColorType(channels).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    var off = 0
+    while (off < idat.length || off == 0) {
+      val n = math.min(1024, idat.length - off)
+      chunk("IDAT", java.util.Arrays.copyOfRange(idat, off, off + n))
+      off += math.max(n, 1)
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload: verify the 8-byte signature, walk the chunk list
+    * verifying each CRC32, parse IHDR (8-bit, colorTypes 0/2/4/6,
+    * non-interlaced only), concatenate ALL IDAT chunks before inflating
+    * (the zlib stream may span chunks), then invert the per-scanline filter
+    * (None/Sub/Up/Average/Paeth). Loud IllegalArgumentException on
+    * malformed bytes or unsupported shapes — never zero-filled output.
+    */
+  def decodePng(bytes: Array[Byte]): PngImage = {
+    require(bytes.length >= PngSig.length + 12, s"PNG too short: ${bytes.length}")
+    require(java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), PngSig), "bad PNG signature")
+    val buf = java.nio.ByteBuffer.wrap(bytes).position(8)
+    var width = -1; var height = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(buf.remaining() >= 12, "truncated chunk header")
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining() - 8, s"chunk overruns payload: $len")
+      val typ = new Array[Byte](4); buf.get(typ)
+      val data = new Array[Byte](len); buf.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      val stored = buf.getInt
+      require(crc.getValue.toInt == stored,
+        s"CRC mismatch in ${new String(typ, "US-ASCII")} chunk")
+      new String(typ, "US-ASCII") match {
+        case "IHDR" =>
+          val h = java.nio.ByteBuffer.wrap(data)
+          width = h.getInt; height = h.getInt
+          val bitDepth = h.get() & 0xff
+          val colorType = h.get() & 0xff
+          val compression = h.get() & 0xff; val filterMethod = h.get() & 0xff
+          val interlace = h.get() & 0xff
+          require(bitDepth == 8, s"only 8-bit PNGs supported, got $bitDepth")
+          require(ColorTypeToChannels.contains(colorType),
+            s"unsupported color type $colorType (palette/unknown)")
+          require(compression == 0 && filterMethod == 0, "nonstandard methods")
+          require(interlace == 0, "interlaced PNGs not supported")
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          channels = ColorTypeToChannels(colorType)
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => // ancillary chunk (tEXt, pHYs, …): skip, like every reader
+      }
+    }
+    require(channels > 0, "missing IHDR")
+    require(idat.size() > 0, "missing IDAT")
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || !inflater.needsInput(), "truncated zlib stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"inflated $got bytes, expected ${raw.length}")
+    val bpp = channels
+    val pixels = new Array[Int](height * stride)
+    var row = 0
+    while (row < height) {
+      val base = row * (1 + stride)
+      val f = raw(base) & 0xff
+      require(f <= 4, s"unknown filter type $f on row $row")
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val left = if (i >= bpp) pixels(row * stride + i - bpp) else 0
+        val up = if (row > 0) pixels((row - 1) * stride + i) else 0
+        val upLeft = if (row > 0 && i >= bpp) pixels((row - 1) * stride + i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        pixels(row * stride + i) = (x + pred) & 0xff
+        i += 1
+      }
+      row += 1
+    }
+    PngImage(width, height, channels, pixels)
+  }
+
+  /** Decode PNG payloads per partition and emit exact integer features:
+    * header fields + pixel count, Σ value, max value, and the
+    * position-weighted Σ value·(i+1) (order-sensitive — a filter-inverse
+    * bug that permutes or shifts samples breaks it even when the plain sum
+    * survives). The [[extractFeatures]] mapPartitions shape with a REAL
+    * decoder in the seat; one chunk walk + inflate per blob, no shuffle.
+    */
+  def pngFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "bytes", "byte_len").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = decodePng(r.bytes)
+          var sum = 0L; var wsum = 0L; var mx = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i).toLong
+            sum += v; wsum += v * (i + 1); if (v > mx) mx = v
+            i += 1
+          }
+          (r.media_id, img.width, img.height, img.channels,
+            img.pixels.length.toLong, sum, mx, wsum)
+        }
+      }
+      .toDF("media_id", "width", "height", "channels", "n_px",
+        "px_sum", "px_max", "px_wsum")
+  }
+
   /** Frame/sample selection stub: every k-th fixed-size byte window as a
     * "frame" — demonstrates the explode-to-frames shape (video → frames)
     * without a codec. Frames are cut arithmetically with

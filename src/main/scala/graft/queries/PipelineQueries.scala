@@ -1822,5 +1822,45 @@ object PipelineQueries {
         }
         .toDF("media_id", "modality", "bytes", "byte_len")
       Multimodal.wavFeatures(media).orderBy("media_id")
+    },
+
+    // ── Multimodal REAL decode: PNG, round-trip proved (round 11). Per doc
+    //    a deterministic pixel train is synthesized, packed as a real PNG
+    //    (CRC32'd chunks, zlib IDAT split at 1 KiB, scanline filter row%5 —
+    //    every filter type in play) and DECODED back by the chunk-walking
+    //    inflating parser inside mapPartitions; the oracle recomputes exact
+    //    integer pixel stats from the same formula. px_wsum is
+    //    position-weighted, so a filter-inverse bug that shifts or permutes
+    //    samples breaks value-exactness even when the plain sum survives ──
+    QueryDef.sql("mm_png_decode",
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         (6 + doc_id % 7)::INT AS width,
+        |         (5 + doc_id % 6)::INT AS height,
+        |         (1 + doc_id % 4)::INT AS channels
+        |  FROM documents),
+        |p AS (
+        |  SELECT media_id, width, height, channels,
+        |         unnest(range(0, width * height * channels)) AS i
+        |  FROM d),
+        |v AS (SELECT media_id, width, height, channels, i,
+        |             (media_id * 31 + i * 97) % 256 AS v
+        |      FROM p)
+        |SELECT media_id, width, height, channels,
+        |       count(*)::BIGINT AS n_px, sum(v)::BIGINT AS px_sum,
+        |       max(v)::BIGINT AS px_max, sum(v * (i + 1))::BIGINT AS px_wsum
+        |FROM v GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (6 + id % 7).toInt; val h = (5 + id % 6).toInt
+          val c = (1 + id % 4).toInt
+          val pixels = Array.tabulate(w * h * c)(i => ((id * 31 + i * 97L) % 256).toInt)
+          val png = Multimodal.encodePng(w, h, c, pixels)
+          (id, "image", png, png.length.toLong)
+        }
+        .toDF("media_id", "modality", "bytes", "byte_len")
+      Multimodal.pngFeatures(media).orderBy("media_id")
     })
 }

@@ -100,4 +100,105 @@ class MultimodalSpec extends SparkSpec {
     val energy = (0 until 10).map(i => math.abs(i * 1000L)).sum
     assert(got == Set((1L, 16000, 10L, energy, 9000L), (2L, 16000, 10L, energy, 9000L)))
   }
+
+  // ── PNG: real decode (round 11) ──────────────────────────────────────────
+
+  private def px(w: Int, h: Int, c: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h * c)(i => ((seed * 31 + i * 97) % 256).toInt)
+
+  test("PNG: round trip is pixel-exact for gray/gray+alpha/RGB/RGBA across all 5 filters") {
+    for (c <- 1 to 4) {
+      val (w, h) = (11, 7) // height ≥ 5 → encoder uses every filter type
+      val pixels = px(w, h, c, seed = 40 + c)
+      val img = Multimodal.decodePng(Multimodal.encodePng(w, h, c, pixels))
+      assert(img.width == w && img.height == h && img.channels == c)
+      assert(img.pixels.toSeq == pixels.toSeq, s"channels=$c")
+    }
+  }
+
+  test("PNG: zlib stream spanning multiple IDAT chunks decodes (incompressible payload)") {
+    // pseudo-random pixels don't compress below the 1024-byte IDAT split
+    val rnd = new scala.util.Random(42)
+    val (w, h, c) = (40, 30, 3)
+    val pixels = Array.fill(w * h * c)(rnd.nextInt(256))
+    val bytes = Multimodal.encodePng(w, h, c, pixels)
+    // count IDAT chunks to prove the multi-chunk path is actually exercised
+    def countIdat(b: Array[Byte]): Int = {
+      val buf = java.nio.ByteBuffer.wrap(b).position(8)
+      var n = 0
+      while (buf.remaining() >= 12) {
+        val len = buf.getInt
+        val typ = new Array[Byte](4); buf.get(typ)
+        if (new String(typ, "US-ASCII") == "IDAT") n += 1
+        buf.position(buf.position() + len + 4)
+      }
+      n
+    }
+    assert(countIdat(bytes) > 1, "fixture must split IDAT")
+    assert(Multimodal.decodePng(bytes).pixels.toSeq == pixels.toSeq)
+  }
+
+  test("PNG: corrupted chunk CRC, bad signature, and palette color type fail loudly") {
+    val good = Multimodal.encodePng(4, 4, 1, px(4, 4, 1, 3))
+    val corrupt = good.clone()
+    corrupt(20) = (corrupt(20) ^ 0x1).toByte // inside IHDR data → CRC mismatch
+    val e1 = intercept[IllegalArgumentException] { Multimodal.decodePng(corrupt) }
+    assert(Option(e1.getMessage).exists(_.contains("CRC")))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("definitely not a png".getBytes("US-ASCII"))
+    }
+    // rewrite IHDR with color type 3 (palette) and a fixed-up CRC: must be
+    // rejected as unsupported, not misdecoded
+    val pal = good.clone()
+    pal(8 + 8 + 9) = 3 // colorType byte inside IHDR data
+    val crc = new java.util.zip.CRC32()
+    crc.update(pal, 8 + 4, 4 + 13)
+    java.nio.ByteBuffer.wrap(pal).putInt(8 + 8 + 13, crc.getValue.toInt)
+    val e2 = intercept[IllegalArgumentException] { Multimodal.decodePng(pal) }
+    assert(Option(e2.getMessage).exists(_.contains("color type")))
+  }
+
+  test("PNG: conformance against javax.imageio as an independent peer, both directions") {
+    // our writer → ImageIO reader
+    val (w, h) = (9, 6)
+    val rgb = px(w, h, 3, seed = 77)
+    val viaImageIo = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(w, h, 3, rgb)))
+    assert(viaImageIo.getWidth == w && viaImageIo.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = viaImageIo.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff) ==
+        ((rgb(base), rgb(base + 1), rgb(base + 2))), s"($x,$y)")
+    }
+    // ImageIO writer → our reader
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      bi.setRGB(x, y, (rgb(base) << 16) | (rgb(base + 1) << 8) | rgb(base + 2))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", out))
+    val img = Multimodal.decodePng(out.toByteArray)
+    assert(img.width == w && img.height == h && img.channels == 3)
+    assert(img.pixels.toSeq == rgb.toSeq)
+  }
+
+  test("pngFeatures: distributed decode emits exact integer stats") {
+    val rows = Seq(1L, 2L).map { id =>
+      val c = 1 + (id % 4).toInt
+      val pixels = px(5, 5, c, seed = id)
+      (id, "image", Multimodal.encodePng(5, 5, c, pixels), 0L)
+    }.toDF("media_id", "modality", "bytes", "byte_len")
+    val got = Multimodal.pngFeatures(rows)
+      .select("media_id", "width", "height", "channels", "n_px", "px_sum", "px_max", "px_wsum")
+      .as[(Long, Int, Int, Int, Long, Long, Long, Long)].collect().toSet
+    val want = Seq(1L, 2L).map { id =>
+      val c = 1 + (id % 4).toInt
+      val p = px(5, 5, c, seed = id)
+      (id, 5, 5, c, p.length.toLong, p.map(_.toLong).sum, p.map(_.toLong).max,
+        p.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+    }.toSet
+    assert(got == want)
+  }
 }
