@@ -23,13 +23,21 @@ import org.apache.spark.sql.functions._
 final case class ScoredDoc(doc_id: Long, score: Double)
 final case class TopKBuf(items: Seq[ScoredDoc])
 
-class TopKAggregator(k: Int) extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
+class TopKAggregator(k: Int, distinct: Boolean = false)
+    extends Aggregator[ScoredDoc, TopKBuf, TopKBuf] {
 
   private def better(a: ScoredDoc, b: ScoredDoc): Boolean =
     a.score > b.score || (a.score == b.score && a.doc_id < b.doc_id)
 
   private def insert(b: TopKBuf, in: ScoredDoc): TopKBuf =
     if (b.items.length >= k && better(b.items.last, in)) b // bounded: fast reject
+    // distinct mode: a doc_id already buffered carries the same score (the
+    // score is a function of the (group, doc) pair), so dropping the
+    // duplicate here equals a pre-aggregation `.distinct()` — without its
+    // extra shuffle. The fast-reject above can never wrongly drop a dup
+    // whose twin is buffered: the twin sorts no worse than `last`, so `in`
+    // (same key) cannot be strictly worse than `last`.
+    else if (distinct && b.items.exists(_.doc_id == in.doc_id)) b
     else {
       val (before, after) = b.items.span(it => better(it, in))
       TopKBuf(((before :+ in) ++ after).take(k))
@@ -48,6 +56,17 @@ object TopK {
   /** Column function: `topK(k)(doc_id, score)` usable in `groupBy().agg`. */
   def topK(k: Int): (Column, Column) => Column = { (docId, score) =>
     udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])(docId, score)
+  }
+
+  /** Duplicate-dropping variant: input rows repeating a doc_id within a
+    * group (each carrying the same score) occupy ONE buffer slot — fuses a
+    * pre-aggregation `.distinct()` into the bounded agg, removing that
+    * shuffle entirely. The graph-search hop step is the consumer: frontier
+    * ∪ expanded-neighbors repeats candidates reached via several edges.
+    */
+  def topKDistinct(k: Int): (Column, Column) => Column = { (docId, score) =>
+    udaf(new TopKAggregator(k, distinct = true),
+      Encoders.product[ScoredDoc])(docId, score)
   }
 
   /** Explode an aggregated top-k struct back to (rank, doc_id, score) rows. */

@@ -1038,19 +1038,26 @@ object VectorSearch {
     val spark = embeddings.sparkSession
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"))
     val emb = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("_dv"))
-    val byQ = Window.partitionBy("query_id")
     def scored(cand: DataFrame): DataFrame =
       cand.join(emb, "doc_id").join(broadcast(q), "query_id")
         .select(col("query_id"), col("doc_id"),
           cosine(col("_dv"), col("_qv")).as("score"))
-    def topBeam(f: DataFrame, n: Int): DataFrame =
-      f.withColumn("_rk", row_number().over(
-          byQ.orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("_rk") <= n).drop("_rk")
+    // Each hop is ONE bounded aggregation: [[TopK.topKDistinct]] fuses the
+    // candidate `.distinct()` and the row_number window (a shuffle plus a
+    // per-group sort) into a map-side-combined partial top-beam — per hop,
+    // at most `beam` rows per query per partition reach the exchange
+    // instead of the full edge fanout, and the sort disappears. Output is
+    // identical to the window formulation: the buffer order is the same
+    // (score desc, doc_id asc) key, and a candidate reached via several
+    // edges carries one score, so dedup-in-buffer equals pre-distinct.
+    def topBeam(cand: DataFrame, n: Int): DataFrame =
+      TopK.explodeRanked(
+        scored(cand).groupBy("query_id")
+          .agg(TopK.topKDistinct(n)(col("doc_id"), col("score")).as("_tk")),
+        "_tk", Seq("query_id"))
     import spark.implicits._
     val entries = entryIds.toDF("doc_id")
-    var frontier = topBeam(scored(
-      q.select(col("query_id")).crossJoin(entries)), beam)
+    var frontier = topBeam(q.select(col("query_id")).crossJoin(entries), beam)
     // expansion follows links in BOTH directions — the undirected reading
     // HNSW gives its neighbor lists (insertion adds reverse links); without
     // it, nodes that rank nobody's top-k are unreachable. The symmetrized
@@ -1065,12 +1072,11 @@ object VectorSearch {
         .unionByName(frontier.select("query_id", "doc_id")
           .join(edges, "doc_id")
           .select(col("query_id"), col("dst").as("doc_id")))
-        .distinct()
-      frontier = topBeam(scored(cand), beam)
+      frontier = topBeam(cand, beam)
     }
-    topBeam(frontier, k)
-      .withColumn("rank", row_number().over(
-        byQ.orderBy(col("score").desc, col("doc_id"))))
+    // the last hop's explode order IS the final ordering (score desc,
+    // doc_id asc), so top-k is a filter on its rank — no extra pass
+    frontier.filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         round(col("score"), 6).as("score"), col("rank"))
   }
@@ -1142,11 +1148,15 @@ object VectorSearch {
     }
     val repHits = graphSearch(g, reps, idCol, vecCol, queries, qidCol, qvecCol,
       k, beam = math.max(beam, k), hops = hops, entryIds = entries)
-    repHits.select(col("query_id"), col("doc_id").as("_rep"), col("score"))
-      .join(mapping, "_rep")
-      .select(col("query_id"), col("_dup").as("doc_id"), col("score"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+    // copy expansion can fan k rep hits out to k × duplication rows; the
+    // bounded aggregator keeps only k per query per partition ahead of the
+    // exchange (same order key as the row_number window it replaces)
+    TopK.explodeRanked(
+      repHits.select(col("query_id"), col("doc_id").as("_rep"), col("score"))
+        .join(mapping, "_rep")
+        .select(col("query_id"), col("_dup").as("doc_id"), col("score"))
+        .groupBy("query_id")
+        .agg(TopK.topK(k)(col("doc_id"), col("score")).as("_tk")),
+      "_tk", Seq("query_id"))
   }
 }
