@@ -424,13 +424,17 @@ object Multimodal {
     * survives). The [[extractFeatures]] mapPartitions shape with a REAL
     * decoder in the seat; one chunk walk + inflate per blob, no shuffle.
     */
-  def pngFeatures(media: DataFrame): DataFrame = {
+  def pngFeatures(media: DataFrame): DataFrame =
+    decodedImageFeatures(media, decodePng)
+
+  private def decodedImageFeatures(media: DataFrame,
+                                   decoder: Array[Byte] => PngImage): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "modality", "bytes", "byte_len").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val img = decodePng(r.bytes)
+          val img = decoder(r.bytes)
           var sum = 0L; var wsum = 0L; var mx = 0L
           var i = 0
           while (i < img.pixels.length) {
@@ -445,6 +449,79 @@ object Multimodal {
       .toDF("media_id", "width", "height", "channels", "n_px",
         "px_sum", "px_max", "px_wsum")
   }
+
+  // ── ImageIO-backed decode: JPEG/BMP/GIF via the JDK's bundled readers ──
+  // The JDK ships image codecs of its own (javax.imageio: JPEG, PNG, BMP,
+  // GIF — present in every Java SE runtime, headless-safe), so "no native
+  // codec libraries in the container" does not excuse JPEG either: the
+  // decoder below puts ImageIO in the same mapPartitions seat. Decoded
+  // output is normalized to 8-bit RGB. Only video (demux + H.264) remains
+  // behind [[decodeStub]].
+
+  /** Encode an 8-bit RGB image as a 24-bit uncompressed BMP (BITMAPFILE- +
+    * BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes) — pure
+    * closed-form byte layout, the writer half of the oracle round-trip
+    * that [[decodeImage]] (ImageIO's INDEPENDENT reader) must invert
+    * pixel-exactly. `pixels` is row-major RGB-interleaved 0..255.
+    */
+  def encodeBmp24(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"pixel count ${pixels.length} != $width*$height*3")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // positive height → bottom-up
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(dataSize) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var row = height - 1 // bottom-up storage order
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val base = (row * width + x) * 3
+        buf.put(pixels(base + 2).toByte) // B
+          .put(pixels(base + 1).toByte)  // G
+          .put(pixels(base).toByte)      // R
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      row -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode any ImageIO-supported payload (JPEG, BMP, GIF, PNG) to 8-bit
+    * RGB. Loud IllegalArgumentException when no reader claims the bytes —
+    * never zero-filled output. Returns channels=3 always (ImageIO's
+    * color-model conversion normalizes gray/palette sources).
+    */
+  def decodeImage(bytes: Array[Byte]): PngImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"no ImageIO reader recognizes this ${bytes.length}-byte payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pixels = new Array[Int](w * h * 3)
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < argb.length) {
+      val v = argb(i)
+      pixels(3 * i) = (v >> 16) & 0xff
+      pixels(3 * i + 1) = (v >> 8) & 0xff
+      pixels(3 * i + 2) = v & 0xff
+      i += 1
+    }
+    PngImage(w, h, 3, pixels)
+  }
+
+  /** [[pngFeatures]]'s stats through the ImageIO decoder — one reader
+    * dispatch per blob inside mapPartitions, JPEG/BMP/GIF accepted.
+    */
+  def imageFeatures(media: DataFrame): DataFrame =
+    decodedImageFeatures(media, decodeImage)
 
   /** Frame/sample selection stub: every k-th fixed-size byte window as a
     * "frame" — demonstrates the explode-to-frames shape (video → frames)

@@ -1862,5 +1862,43 @@ object PipelineQueries {
         }
         .toDF("media_id", "modality", "bytes", "byte_len")
       Multimodal.pngFeatures(media).orderBy("media_id")
+    },
+
+    // ── Multimodal REAL decode via the JDK's OWN codecs (ImageIO — the
+    //    JPEG/BMP/GIF readers every Java SE runtime ships): per doc a
+    //    deterministic pixel train is packed as closed-form 24-bit BMP
+    //    bytes (bottom-up BGR rows, 4-byte padding — widths cycle through
+    //    every padding residue) and decoded back DISTRIBUTED by ImageIO in
+    //    the mapPartitions seat; the oracle recomputes exact integer pixel
+    //    stats from the same formula. Proves the production JPEG-capable
+    //    decoder seat with value-exactness, using an independent reader ──
+    QueryDef.sql("mm_bmp_decode",
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         (4 + doc_id % 8)::INT AS width,
+        |         (3 + doc_id % 5)::INT AS height
+        |  FROM documents),
+        |p AS (
+        |  SELECT media_id, width, height,
+        |         unnest(range(0, width * height * 3)) AS i
+        |  FROM d),
+        |v AS (SELECT media_id, width, height, i,
+        |             (media_id * 37 + i * 101) % 256 AS v
+        |      FROM p)
+        |SELECT media_id, width, height, 3::INT AS channels,
+        |       count(*)::BIGINT AS n_px, sum(v)::BIGINT AS px_sum,
+        |       max(v)::BIGINT AS px_max, sum(v * (i + 1))::BIGINT AS px_wsum
+        |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (4 + id % 8).toInt; val h = (3 + id % 5).toInt
+          val pixels = Array.tabulate(w * h * 3)(i => ((id * 37 + i * 101L) % 256).toInt)
+          val bmp = Multimodal.encodeBmp24(w, h, pixels)
+          (id, "image", bmp, bmp.length.toLong)
+        }
+        .toDF("media_id", "modality", "bytes", "byte_len")
+      Multimodal.imageFeatures(media).orderBy("media_id")
     })
 }

@@ -184,6 +184,63 @@ class MultimodalSpec extends SparkSpec {
     assert(img.pixels.toSeq == rgb.toSeq)
   }
 
+  // ── ImageIO-backed decode (round 11): JPEG/BMP/GIF via JDK codecs ───────
+
+  test("BMP: closed-form encodeBmp24 bytes decode pixel-exact under ImageIO, incl. row padding") {
+    for (w <- Seq(4, 5, 6, 7)) { // rowBytes % 4 = 0,3,2,1 — every pad width
+      val h = 5
+      val pixels = px(w, h, 3, seed = 50 + w)
+      val img = Multimodal.decodeImage(Multimodal.encodeBmp24(w, h, pixels))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      assert(img.pixels.toSeq == pixels.toSeq, s"w=$w")
+    }
+  }
+
+  test("JPEG: JDK codec round trip — dims exact, smooth gradient recovered within lossy tolerance") {
+    val (w, h) = (32, 24)
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | 128)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", out))
+    val img = Multimodal.decodeImage(out.toByteArray)
+    assert(img.width == w && img.height == h && img.channels == 3)
+    val mae = (0 until h).flatMap { y => (0 until w).flatMap { x =>
+      val base = (y * w + x) * 3
+      Seq(math.abs(img.pixels(base) - x * 8),
+        math.abs(img.pixels(base + 1) - y * 10),
+        math.abs(img.pixels(base + 2) - 128))
+    }}.sum.toDouble / (w * h * 3)
+    assert(mae < 8.0, s"JPEG mean abs error $mae too high for a smooth gradient")
+  }
+
+  test("decodeImage: dispatches our PNG bytes too, and fails loudly on garbage") {
+    val pixels = px(6, 5, 3, seed = 9)
+    val img = Multimodal.decodeImage(Multimodal.encodePng(6, 5, 3, pixels))
+    assert(img.pixels.toSeq == pixels.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("not an image of any kind".getBytes("US-ASCII"))
+    }
+    assert(Option(e.getMessage).exists(_.contains("no ImageIO reader")))
+  }
+
+  test("imageFeatures: distributed ImageIO decode emits exact integer stats over BMP payloads") {
+    val rows = Seq(1L, 2L).map { id =>
+      val pixels = px(6, 4, 3, seed = id)
+      val bmp = Multimodal.encodeBmp24(6, 4, pixels)
+      (id, "image", bmp, bmp.length.toLong)
+    }.toDF("media_id", "modality", "bytes", "byte_len")
+    val got = Multimodal.imageFeatures(rows)
+      .select("media_id", "width", "height", "n_px", "px_sum", "px_wsum")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSet
+    val want = Seq(1L, 2L).map { id =>
+      val p = px(6, 4, 3, seed = id)
+      (id, 6, 4, p.length.toLong, p.map(_.toLong).sum,
+        p.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+    }.toSet
+    assert(got == want)
+  }
+
   test("pngFeatures: distributed decode emits exact integer stats") {
     val rows = Seq(1L, 2L).map { id =>
       val c = 1 + (id % 4).toInt
