@@ -1900,5 +1900,51 @@ object PipelineQueries {
         }
         .toDF("media_id", "modality", "bytes", "byte_len")
       Multimodal.imageFeatures(media).orderBy("media_id")
+    },
+
+    // ── Multimodal REAL video demux+decode: DIB-in-AVI. Per doc a
+    //    deterministic multi-frame clip is packed as a real AVI container
+    //    (RIFF hdrl/movi/idx1, uncompressed bottom-up BGR '00db' frames
+    //    with row padding) and demuxed back by the RIFF-walking parser in
+    //    mapPartitions, sampling every 2nd frame — the sampleFrames
+    //    contract with a REAL demuxer; the oracle recomputes exact integer
+    //    pixel stats per sampled frame from the same formula ──────────────
+    QueryDef.sql("mm_avi_frames",
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         (4 + doc_id % 6)::INT AS width,
+        |         (3 + doc_id % 4)::INT AS height,
+        |         (2 + doc_id % 3)::INT AS nframes
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, width, height,
+        |         unnest(range(0, nframes)) AS frame_no
+        |  FROM d),
+        |sf AS (SELECT * FROM f WHERE frame_no % 2 = 0),
+        |p AS (
+        |  SELECT media_id, frame_no, width, height,
+        |         unnest(range(0, width * height * 3)) AS i
+        |  FROM sf),
+        |v AS (SELECT media_id, frame_no, width, height, i,
+        |             (media_id * 41 + frame_no * 13 + i * 103) % 256 AS v
+        |      FROM p)
+        |SELECT media_id, frame_no::BIGINT AS frame_no, width, height,
+        |       count(*)::BIGINT AS n_px, sum(v)::BIGINT AS px_sum,
+        |       max(v)::BIGINT AS px_max, sum(v * (i + 1))::BIGINT AS px_wsum
+        |FROM v GROUP BY 1, 2, 3, 4 ORDER BY media_id, frame_no""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (4 + id % 6).toInt; val h = (3 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h * 3)(i => ((id * 41 + f * 13 + i * 103L) % 256).toInt))
+          val avi = Multimodal.encodeAviDib(w, h, 8, frames)
+          (id, "video", avi, avi.length.toLong)
+        }
+        .toDF("media_id", "modality", "bytes", "byte_len")
+      Multimodal.videoFrameFeatures(media, everyK = 2)
+        .orderBy("media_id", "frame_no")
     })
 }

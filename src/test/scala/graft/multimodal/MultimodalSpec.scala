@@ -241,6 +241,70 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ── AVI: real video demux + frame decode (round 11) ─────────────────────
+
+  test("AVI: DIB profile round trip — every frame pixel-exact, dims and fps recovered") {
+    val (w, h) = (7, 5) // rowBytes = 21 → 3 pad bytes per row
+    val frames = (0 until 4).map(f => px(w, h, 3, seed = 60 + f))
+    val v = Multimodal.decodeAvi(Multimodal.encodeAviDib(w, h, 12, frames))
+    assert(v.width == w && v.height == h && v.fps == 12.0)
+    assert(v.frames.length == 4)
+    frames.zip(v.frames).foreach { case (want, got) =>
+      assert(got.channels == 3 && got.pixels.toSeq == want.toSeq)
+    }
+  }
+
+  test("AVI: MJPEG profile — '00dc' JPEG frames decode via ImageIO within lossy tolerance") {
+    val (w, h) = (32, 16)
+    val jpegs = (0 until 3).map { f =>
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, ((x * 8) << 16) | ((y * 15) << 8) | (f * 60))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpg", out))
+      out.toByteArray
+    }
+    val v = Multimodal.decodeAvi(Multimodal.encodeAviMjpeg(w, h, 25, jpegs))
+    assert(v.width == w && v.height == h && v.fps == 25.0 && v.frames.length == 3)
+    v.frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width == w && img.height == h)
+      val mae = (0 until h).flatMap { y => (0 until w).flatMap { x =>
+        val base = (y * w + x) * 3
+        Seq(math.abs(img.pixels(base) - x * 8),
+          math.abs(img.pixels(base + 1) - y * 15),
+          math.abs(img.pixels(base + 2) - f * 60))
+      }}.sum.toDouble / (w * h * 3)
+      assert(mae < 8.0, s"frame $f MAE $mae")
+    }
+  }
+
+  test("AVI: non-AVI payloads fail loudly, WAV is not misread as video") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAvi("definitely not an avi".getBytes("US-ASCII"))
+    }
+    val wav = Multimodal.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeAvi(wav) }
+    assert(Option(e.getMessage).exists(_.contains("not AVI")))
+  }
+
+  test("videoFrameFeatures: distributed demux samples every k-th frame with exact stats") {
+    val (w, h) = (6, 4)
+    val mkFrames = (id: Long) => (0 until 5).map(f => px(w, h, 3, seed = id * 10 + f))
+    val rows = Seq(1L, 2L).map { id =>
+      val avi = Multimodal.encodeAviDib(w, h, 10, mkFrames(id))
+      (id, "video", avi, avi.length.toLong)
+    }.toDF("media_id", "modality", "bytes", "byte_len")
+    val got = Multimodal.videoFrameFeatures(rows, everyK = 2)
+      .select("media_id", "frame_no", "n_px", "px_sum", "px_wsum")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = (for { id <- Seq(1L, 2L); f <- Seq(0, 2, 4) } yield {
+      val p = mkFrames(id)(f)
+      (id, f.toLong, p.length.toLong, p.map(_.toLong).sum,
+        p.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+    }).toSet
+    assert(got == want)
+  }
+
   test("pngFeatures: distributed decode emits exact integer stats") {
     val rows = Seq(1L, 2L).map { id =>
       val c = 1 + (id % 4).toInt
