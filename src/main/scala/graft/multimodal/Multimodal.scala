@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * running per-partition so one executor batches many blobs through one
   * decoder instance (`mapPartitions`, the JVM analogue of `mapInPandas`).
   *
-  * Audio is decoded for REAL: [[decodeWav]] is a full WAV/RIFF PCM parser
-  * (pure byte layout, no native codec needed) with [[wavFeatures]] as its
-  * mapPartitions operator, oracle-proved round-trip (mm_wav_decode).
-  * Compressed image/video codecs are NOT in this container, so
-  * [[decodeStub]] remains a clearly-marked deterministic fake for those
-  * modalities; the Spark-side plumbing — schema, batch shape,
-  * per-partition execution, metadata extraction — is real and tested.
-  * Swap `decodeStub` for a JNI/ONNX decoder per executor in production.
+  * Audio, images and intra-frame video are decoded for REAL, each with an
+  * oracle-proved round trip: [[decodeWav]] (full WAV/RIFF PCM parser,
+  * mm_wav_decode), [[decodePng]] (own chunk-walk + JDK-zlib +
+  * filter-inverse reader, mm_png_decode, cross-validated against
+  * `javax.imageio`), [[decodeImage]] (the JDK's bundled ImageIO codecs —
+  * JPEG/BMP/GIF/PNG — mm_bmp_decode), and [[decodeAvi]] +
+  * [[videoFrameFeatures]] (AVI demux with uncompressed-DIB and MJPEG
+  * frame decode, mm_avi_frames). Only native-codec formats (H.264 et al.)
+  * keep [[decodeStub]], a clearly-marked deterministic fake; a JNI
+  * decoder drops into the same mapPartitions seats in production.
   */
 object Multimodal {
 
