@@ -392,6 +392,28 @@ object HashAlgos {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom > 0) dot / denom else 0.0
   }
+
+  /** [[cosineF32]] over plain arrays — the SAME operation order, so a
+    * driver/executor-side caller (e.g. the in-memory graph serving path)
+    * is bit-identical to the column expression.
+    */
+  def cosineF32(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
 }
 
 /** Input-type validation shared by the graft expressions (ExpectsInputTypes

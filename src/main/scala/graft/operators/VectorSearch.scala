@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.HashAlgos
 import graft.functions.VectorFunctions._
 
 /** Vector k-NN over an embeddings table (SURVEY §2.6 T1, §4 ANN ladder).
@@ -1029,12 +1030,132 @@ object VectorSearch {
     * Scale shape: the frontier is ≤ beam rows per query (broadcast side);
     * each hop is one join keyed on the graph's `src` plus one id-keyed
     * score join — corpus-sized state never accumulates per query.
+    *
+    * Serving shape: when the indexed corpus fits under `inMemoryLimit`
+    * rows (LIMIT-bounded count, the [[graft.operators.Dedup]] broadcast-
+    * guard pattern), vectors + adjacency are broadcast ONCE and the whole
+    * beam search runs inside a single mapPartitions over the queries —
+    * the reference's in-process HNSW serving regime, one stage instead of
+    * ~2 exchanges per hop. The in-memory loop replays the distributed
+    * semantics operation-for-operation (same [[HashAlgos.cosineF32]]
+    * arithmetic order, same (score desc, id asc) beam selection, same
+    * HALF_UP 6dp rounding), so results are identical on either path
+    * (spec-proved); `inMemoryLimit = 0` forces the distributed plan.
+    * Above the limit — the 100 TB regime — nothing changes: hop joins
+    * against the partitioned edge table. `cacheKey` memoizes the
+    * broadcast per session so build-once serve-many callers skip the
+    * re-collect.
     */
   def graphSearch(graph: DataFrame, embeddings: DataFrame, idCol: String,
                   vecCol: String, queries: DataFrame, qidCol: String,
                   qvecCol: String, k: Int, beam: Int, hops: Int,
-                  entryIds: Seq[Long]): DataFrame = {
+                  entryIds: Seq[Long], inMemoryLimit: Int = 200000,
+                  cacheKey: Option[String] = None): DataFrame = {
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    graphSearchInMemory(graph, embeddings, idCol, vecCol, queries, qidCol,
+      qvecCol, k, beam, hops, entryIds, inMemoryLimit, cacheKey)
+      .getOrElse(graphSearchDistributed(graph, embeddings, idCol, vecCol,
+        queries, qidCol, qvecCol, k, beam, hops, entryIds))
+  }
+
+  /** The broadcast one-stage serving path; None when the corpus exceeds
+    * the limit or the id/vector column types don't fit the fast path.
+    */
+  private type InMemGraph =
+    org.apache.spark.broadcast.Broadcast[(Map[Long, Array[Float]], Map[Long, Array[Long]])]
+  private val inMemGraphCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Option[InMemGraph]]]()
+  private def graphSearchInMemory(graph: DataFrame, embeddings: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  queries: DataFrame, qidCol: String,
+                                  qvecCol: String, k: Int, beam: Int,
+                                  hops: Int, entryIds: Seq[Long],
+                                  inMemoryLimit: Int,
+                                  cacheKey: Option[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    if (inMemoryLimit <= 0) return None
+    def isLongArrayF32(df: DataFrame, id: String, vec: String): Boolean =
+      df.schema(id).dataType == LongType &&
+        (df.schema(vec).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+    if (!isLongArrayF32(embeddings, idCol, vecCol) ||
+        !isLongArrayF32(queries, qidCol, qvecCol)) return None
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def build(): Option[InMemGraph] = {
+      val emb = embeddings.select(col(idCol), col(vecCol))
+      if (emb.limit(inMemoryLimit + 1).count() > inMemoryLimit) None
+      else {
+        val vectors = emb.as[(Long, Array[Float])].collect().toMap
+        val adj = undirectedEdges(graph)
+          .select(col("doc_id").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2) }
+        Some(spark.sparkContext.broadcast((vectors, adj)))
+      }
+    }
+    val built = cacheKey match {
+      case Some(k0) =>
+        val perSession = inMemGraphCache.synchronized {
+          inMemGraphCache.computeIfAbsent(spark,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InMemGraph]]())
+        }
+        perSession.computeIfAbsent(s"$k0|lim=$inMemoryLimit", _ => build())
+      case None => build()
+    }
+    built.map { bc =>
+      val entrySeq = entryIds.distinct
+      val (kk, bb, hh) = (k, beam, hops)
+      queries.select(col(qidCol), col(qvecCol)).as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val (vecs, edges) = bc.value
+          // the distributed path's exact order — primitive-comparison
+          // semantics like TopKAggregator.better (score desc, id asc;
+          // -0.0 == 0.0 ties break by id, unlike java.lang.Double.compare)
+          val ord = new Ordering[(Long, Double)] {
+            def compare(a: (Long, Double), b: (Long, Double)): Int =
+              if (a._2 > b._2) -1
+              else if (b._2 > a._2) 1
+              else java.lang.Long.compare(a._1, b._1)
+          }
+          rows.flatMap { case (qid, qv) =>
+            var frontier = entrySeq.flatMap(id => vecs.get(id).map(v =>
+              id -> HashAlgos.cosineF32(v, qv))).sorted(ord).take(bb)
+            var hop = 0
+            while (hop < hh) {
+              val seen = new java.util.HashSet[Long]()
+              val cand = Seq.newBuilder[(Long, Double)]
+              frontier.foreach { case (id, s) =>
+                if (seen.add(id)) cand += (id -> s) // score already known
+              }
+              frontier.foreach { case (id, _) =>
+                edges.getOrElse(id, Array.emptyLongArray).foreach { nb =>
+                  if (seen.add(nb))
+                    vecs.get(nb).foreach(v => cand += (nb -> HashAlgos.cosineF32(v, qv)))
+                }
+              }
+              frontier = cand.result().sorted(ord).take(bb)
+              hop += 1
+            }
+            frontier.take(kk).zipWithIndex.map { case ((id, s), i) =>
+              (qid, id,
+                BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                i + 1)
+            }
+          }
+        }
+        .toDF("query_id", "doc_id", "score", "rank")
+    }
+  }
+
+  private def graphSearchDistributed(graph: DataFrame, embeddings: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     queries: DataFrame, qidCol: String,
+                                     qvecCol: String, k: Int, beam: Int,
+                                     hops: Int, entryIds: Seq[Long]): DataFrame = {
     val spark = embeddings.sparkSession
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("_qv"))
     val emb = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("_dv"))
@@ -1147,7 +1268,8 @@ object VectorSearch {
       case None => knnGraph(reps, idCol, vecCol, k = kGraph, numPlanes = numPlanes)
     }
     val repHits = graphSearch(g, reps, idCol, vecCol, queries, qidCol, qvecCol,
-      k, beam = math.max(beam, k), hops = hops, entryIds = entries)
+      k, beam = math.max(beam, k), hops = hops, entryIds = entries,
+      cacheKey = cacheKey.map(k0 => s"$k0|dedup-mem"))
     // copy expansion can fan k rep hits out to k × duplication rows; the
     // bounded aggregator keeps only k per query per partition ahead of the
     // exchange (same order key as the row_number window it replaces)

@@ -361,6 +361,20 @@ class VectorSearchSpec extends SparkSpec {
     got.keySet.foreach(q => assert(got(q).contains(q), s"query $q did not reach itself"))
   }
 
+  test("graphSearch: in-memory broadcast serving equals the distributed hop-join path row-for-row") {
+    val emb = graphCorpus
+    val g = VectorSearch.knnGraph(emb, "vec_id", "embedding", k = 8)
+    val queries = emb.filter(col("vec_id").isin(3L, 77L, 212L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def run(limit: Int) = VectorSearch.graphSearch(g, emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10, beam = 48, hops = 3,
+        entryIds = Seq(0L, 100L, 200L, 300L), inMemoryLimit = limit)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // default limit → broadcast one-stage path; 0 → distributed hop joins
+    assert(run(200000) == run(0))
+  }
+
   test("graphSearchDeduped: duplicate-saturated corpus keeps exact-grade recall") {
     // 5x exact replication: the regime where plain graphSearch collapses
     // (recall ~0.08 at 50x, tools/recall_r10.txt) because identical copies
