@@ -79,6 +79,9 @@ object Scale {
     }
     def knn50(e: DataFrame): Long =
       operators.VectorSearch.bruteTopKBatchAgg(e, "vec_id", "embedding",
+        queries50(e), "query_id", "qvec", 20, inMemoryLimit = 0).count()
+    def knn50InProc(e: DataFrame): Long =
+      operators.VectorSearch.bruteTopKBatchAgg(e, "vec_id", "embedding",
         queries50(e), "query_id", "qvec", 20).count()
     def pq(e: DataFrame): Long = {
       val seeds = e.limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq

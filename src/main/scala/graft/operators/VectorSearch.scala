@@ -314,30 +314,187 @@ object VectorSearch {
         }
     }
 
-  /** Exact top-k for one literal query vector. */
+  /** (id BIGINT, vec ARRAY&lt;FLOAT&gt;) — the schema the in-memory serving
+    * fast paths require; anything else falls through to the distributed
+    * plan unchanged.
+    */
+  private def isLongArrayF32(df: DataFrame, id: String, vec: String): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    df.schema(id).dataType == LongType &&
+      (df.schema(vec).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+  }
+
+  /** Guarded in-memory corpus for the flat-tier serving fast path: when the
+    * embeddings table fits under `inMemoryLimit` rows (LIMIT-bounded count,
+    * the [[graft.operators.Dedup]] broadcast-guard pattern), its (id, vec)
+    * pairs are collected ONCE and broadcast — the reference's in-process
+    * FAISS `IndexFlat` serving regime (`embed_manager.py:163-213` picks
+    * flat exactly when the corpus is small). `cacheKey` memoizes per
+    * session so build-once serve-many callers skip the re-collect; above
+    * the limit — the 100 TB regime — `None`, and callers keep their
+    * distributed plan unchanged.
+    */
+  private type InMemCorpus =
+    org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]
+  private val inMemCorpusCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Option[InMemCorpus]]]()
+  private def corpusInMemory(embeddings: DataFrame, idCol: String,
+                             vecCol: String, inMemoryLimit: Int,
+                             cacheKey: Option[String]): Option[InMemCorpus] = {
+    if (inMemoryLimit <= 0) return None
+    if (!isLongArrayF32(embeddings, idCol, vecCol)) return None
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def build(): Option[InMemCorpus] = {
+      val emb = embeddings.select(col(idCol), col(vecCol))
+      if (emb.limit(inMemoryLimit + 1).count() > inMemoryLimit) None
+      else Some(spark.sparkContext.broadcast(emb.as[(Long, Array[Float])].collect()))
+    }
+    cacheKey match {
+      case Some(k0) =>
+        val perSession = inMemCorpusCache.synchronized {
+          inMemCorpusCache.computeIfAbsent(spark,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InMemCorpus]]())
+        }
+        perSession.computeIfAbsent(s"$k0|lim=$inMemoryLimit", _ => build())
+      case None => build()
+    }
+  }
+
+  /** Replay the [[TopKAggregator]] over an in-memory corpus for one query —
+    * the SAME insertion/ordering semantics (score desc, doc_id asc,
+    * primitive comparisons) and the SAME [[HashAlgos.cosineF32]] arithmetic
+    * order as the distributed paths, so either path is bit-identical.
+    */
+  private def topKOverCorpus(corpus: Array[(Long, Array[Float])],
+                             qv: Array[Float], k: Int): Seq[ScoredDoc] = {
+    val agg = new TopKAggregator(k)
+    var b = agg.zero
+    var i = 0
+    while (i < corpus.length) {
+      val (id, v) = corpus(i)
+      b = agg.reduce(b, ScoredDoc(id, HashAlgos.cosineF32(v, qv)))
+      i += 1
+    }
+    b.items
+  }
+
+  /** Exact top-k for one literal query vector.
+    *
+    * Serving shape: under `inMemoryLimit` rows (see [[corpusInMemory]]) the
+    * scan + heap run driver-side over the memoized broadcast value and the
+    * result is a LocalRelation — with a `cacheKey` a warm single-vector
+    * search issues ZERO scan jobs, the reference's in-process `IndexFlat`
+    * latency regime (BASELINE.md's 1.24 ms/query is FAISS in-process; the
+    * distributed plan pays a per-job scheduling floor ~100× that). Results
+    * are identical on either path (spec-proved); `inMemoryLimit = 0`
+    * forces the distributed `TakeOrderedAndProject` plan, which is also
+    * what any corpus above the limit uses — at 100 TB nothing changes.
+    */
   def bruteTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-                query: Seq[Float], k: Int): DataFrame =
-    embeddings
-      .select(col(idCol).as("doc_id"),
-        cosine(col(vecCol), vecLit(query)).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+                query: Seq[Float], k: Int, inMemoryLimit: Int = 200000,
+                cacheKey: Option[String] = None): DataFrame =
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey) match {
+      case Some(bc) =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        topKOverCorpus(bc.value, query.toArray, k)
+          .map(sd => (sd.doc_id, sd.score)).toDF("doc_id", "score")
+      case None =>
+        embeddings
+          .select(col(idCol).as("doc_id"),
+            cosine(col(vecCol), vecLit(query)).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(k)
+    }
+
+  /** The one-stage in-memory batch path shared by [[bruteTopKBatch]] and
+    * [[bruteTopKBatchAgg]]: one mapPartitions over the (distributed) query
+    * set against the broadcast corpus. None when the corpus exceeds the
+    * limit or the column types don't fit the fast path.
+    */
+  private def bruteTopKBatchInMemory(embeddings: DataFrame, idCol: String,
+                                     vecCol: String, queries: DataFrame,
+                                     qidCol: String, qvecCol: String, k: Int,
+                                     inMemoryLimit: Int,
+                                     cacheKey: Option[String]): Option[DataFrame] = {
+    if (!isLongArrayF32(queries, qidCol, qvecCol)) return None
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val kk = k
+      // a DRIVER-BUILT small query batch (a Seq.toDF of embedded query
+      // vectors — the pipeline's serving shape) constant-folds to a
+      // LocalRelation, recognizable from the optimized plan with NO job;
+      // answering it driver-side makes the whole search ZERO jobs and the
+      // result a LocalRelation — true in-process serving latency. Query
+      // sets that live in storage (or are large) keep the one-stage
+      // distributed mapPartitions — probing the cluster for them would
+      // cost more jobs than it saves.
+      val qLimit = 1024
+      val localRows: Option[Seq[(Long, Array[Float])]] =
+        queries.select(col(qidCol), col(qvecCol))
+          .queryExecution.optimizedPlan match {
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+              if lr.data.length <= qLimit =>
+            scala.util.Try(lr.data.map { r =>
+              (r.getLong(0), r.getArray(1).toFloatArray())
+            }).toOption
+          case _ => None
+        }
+      localRows match {
+        case Some(qRows) =>
+          qRows.flatMap { case (qid, qv) =>
+            topKOverCorpus(bc.value, qv, kk).zipWithIndex.map {
+              case (sd, i) => (qid, sd.doc_id, sd.score, i + 1)
+            }
+          }.toDF("query_id", "doc_id", "score", "rank")
+        case None =>
+          queries.select(col(qidCol), col(qvecCol)).as[(Long, Array[Float])]
+            .mapPartitions { rows =>
+              val corpus = bc.value
+              rows.flatMap { case (qid, qv) =>
+                topKOverCorpus(corpus, qv, kk).iterator.zipWithIndex.map {
+                  case (sd, i) => (qid, sd.doc_id, sd.score, i + 1)
+                }
+              }
+            }
+            .toDF("query_id", "doc_id", "score", "rank")
+      }
+    }
+  }
 
   /** Exact top-k for a batch of queries `(query_id, qvec)`.
     * Broadcast the (small) query set; per-partition partial top-k via the
     * rank window happens after one shuffle on query_id.
+    *
+    * Serving shape: under `inMemoryLimit` corpus rows the whole batch runs
+    * as ONE mapPartitions over the queries against the broadcast corpus
+    * ([[corpusInMemory]]) — the reference's in-process flat-index regime
+    * (50 queries × top-20 in ~62 ms, BASELINE.md), which the multi-stage
+    * distributed plan can never reach through its per-stage scheduling
+    * floor. Identical results on either path (spec-proved);
+    * `inMemoryLimit = 0` forces the distributed plan, which corpora above
+    * the limit use unconditionally — the 100 TB path is unchanged.
     */
   def bruteTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int): DataFrame = {
-    val scored = embeddings.crossJoin(broadcast(queries))
-      .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
-        cosine(col(vecCol), col(qvecCol)).as("score"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-  }
+                     k: Int, inMemoryLimit: Int = 200000,
+                     cacheKey: Option[String] = None): DataFrame =
+    bruteTopKBatchInMemory(embeddings, idCol, vecCol, queries, qidCol,
+      qvecCol, k, inMemoryLimit, cacheKey).getOrElse {
+      val scored = embeddings.crossJoin(broadcast(queries))
+        .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
+          cosine(col(vecCol), col(qvecCol)).as("score"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= k)
+    }
 
   /** Batched exact top-k via the bounded [[TopKAggregator]] — same results
     * as [[bruteTopKBatch]], but only k rows per partition per query reach
@@ -346,15 +503,18 @@ object VectorSearch {
     */
   def bruteTopKBatchAgg(embeddings: DataFrame, idCol: String, vecCol: String,
                         queries: DataFrame, qidCol: String, qvecCol: String,
-                        k: Int): DataFrame = {
-    val scored = embeddings.crossJoin(broadcast(queries))
-      .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
-        cosine(col(vecCol), col(qvecCol)).as("score"))
-    TopK.explodeRanked(
-      scored.groupBy("query_id")
-        .agg(TopK.topK(k)(col("doc_id"), col("score")).as("tk")),
-      "tk", Seq("query_id"))
-  }
+                        k: Int, inMemoryLimit: Int = 200000,
+                        cacheKey: Option[String] = None): DataFrame =
+    bruteTopKBatchInMemory(embeddings, idCol, vecCol, queries, qidCol,
+      qvecCol, k, inMemoryLimit, cacheKey).getOrElse {
+      val scored = embeddings.crossJoin(broadcast(queries))
+        .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
+          cosine(col(vecCol), col(qvecCol)).as("score"))
+      TopK.explodeRanked(
+        scored.groupBy("query_id")
+          .agg(TopK.topK(k)(col("doc_id"), col("score")).as("tk")),
+        "tk", Seq("query_id"))
+    }
 
   /** IVF-style index: centroids + cluster assignment.
     *
@@ -1073,14 +1233,7 @@ object VectorSearch {
                                   hops: Int, entryIds: Seq[Long],
                                   inMemoryLimit: Int,
                                   cacheKey: Option[String]): Option[DataFrame] = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
     if (inMemoryLimit <= 0) return None
-    def isLongArrayF32(df: DataFrame, id: String, vec: String): Boolean =
-      df.schema(id).dataType == LongType &&
-        (df.schema(vec).dataType match {
-          case ArrayType(FloatType, _) => true
-          case _ => false
-        })
     if (!isLongArrayF32(embeddings, idCol, vecCol) ||
         !isLongArrayF32(queries, qidCol, qvecCol)) return None
     val spark = embeddings.sparkSession

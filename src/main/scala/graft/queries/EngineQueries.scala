@@ -806,7 +806,8 @@ object EngineQueries {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
-      val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500)
+      val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500,
+        cacheKey = Some(dir))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(50)
       val ktop = Bm25.topK(

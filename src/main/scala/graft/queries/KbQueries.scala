@@ -165,7 +165,8 @@ object KbQueries {
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
       VectorSearch.bruteTopK(
-        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500)
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500,
+        cacheKey = Some(dir))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(round(col("score"), 6).desc, col("doc_id"))
         .limit(20)
@@ -184,7 +185,8 @@ object KbQueries {
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
       VectorSearch.bruteTopK(
-        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500)
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500,
+        cacheKey = Some(dir))
         .select(col("doc_id"), round(col("score"), 6).as("score"),
           round(VectorFunctions.scoreToDistance(round(col("score"), 6)), 6).as("distance"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -252,7 +254,8 @@ object KbQueries {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
-      val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500)
+      val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500,
+        cacheKey = Some(dir))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(round(col("score"), 6).desc, col("doc_id")).limit(50)
       val ktop = Bm25.topK(

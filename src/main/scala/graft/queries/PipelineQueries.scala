@@ -703,7 +703,8 @@ object PipelineQueries {
       val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       graft.operators.VectorSearch.bruteTopKBatch(
-          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5)
+          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5,
+          cacheKey = Some(dir))
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score"), col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank")
@@ -729,7 +730,8 @@ object PipelineQueries {
       val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       graft.operators.VectorSearch.bruteTopKBatchAgg(
-          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5)
+          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5,
+          cacheKey = Some(dir))
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
@@ -758,7 +760,8 @@ object PipelineQueries {
       val queries = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       graft.operators.VectorSearch.bruteTopKBatchAgg(
-          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 20)
+          emb, "vec_id", "embedding", queries, "query_id", "qv", k = 20,
+          cacheKey = Some(dir))
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")

@@ -131,17 +131,20 @@ class VectorSearchSpec extends SparkSpec {
     val emb = corpus.toDF("vec_id", "embedding")
     val q2 = randVec(rnd, 32)
     val queries = Seq((1L, query), (2L, q2)).toDF("query_id", "qvec")
+    // inMemoryLimit = 0 forces the DISTRIBUTED formulations this spec
+    // compares (the in-memory serving path has its own identity spec)
     val viaAgg = VectorSearch.bruteTopKBatchAgg(emb, "vec_id", "embedding",
-        queries, "query_id", "qvec", 7)
+        queries, "query_id", "qvec", 7, inMemoryLimit = 0)
       .select("query_id", "rank", "doc_id").as[(Long, Int, Long)].collect().toSet
     val viaWindow = VectorSearch.bruteTopKBatch(emb, "vec_id", "embedding",
-        queries, "query_id", "qvec", 7)
+        queries, "query_id", "qvec", 7, inMemoryLimit = 0)
       .select("query_id", "rank", "doc_id").as[(Long, Int, Long)].collect().toSet
     assert(viaAgg == viaWindow)
     // the plan must do partial (map-side) aggregation — only k rows per
     // partition reach the shuffle
     val plan = VectorSearch.bruteTopKBatchAgg(emb, "vec_id", "embedding",
-      queries, "query_id", "qvec", 7).queryExecution.executedPlan.toString
+      queries, "query_id", "qvec", 7, inMemoryLimit = 0)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("partial_topkaggregator") ||
       plan.toLowerCase.contains("partial"), plan.take(1000))
   }
@@ -373,6 +376,51 @@ class VectorSearchSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
     // default limit → broadcast one-stage path; 0 → distributed hop joins
     assert(run(200000) == run(0))
+  }
+
+  test("bruteTopKBatch/Agg: in-memory broadcast serving equals the distributed plans row-for-row") {
+    // duplicate vectors (id+5000 copies) force score ties so the
+    // (score desc, doc_id asc) tie-break is exercised on both paths
+    val emb = graphCorpus.unionByName(graphCorpus.select(
+      (col("vec_id") + lit(5000L)).as("vec_id"), col("embedding")))
+    val queries = graphCorpus.filter(col("vec_id").isin(3L, 77L, 212L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val inMemW = collectSorted(VectorSearch.bruteTopKBatch(
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10))
+    val distW = collectSorted(VectorSearch.bruteTopKBatch(
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10,
+      inMemoryLimit = 0))
+    assert(inMemW == distW)
+    val inMemA = collectSorted(VectorSearch.bruteTopKBatchAgg(
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10))
+    val distA = collectSorted(VectorSearch.bruteTopKBatchAgg(
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10,
+      inMemoryLimit = 0))
+    assert(inMemA == distA)
+    assert(inMemW == inMemA) // window and agg formulations agree too
+    // a driver-built (LocalRelation) query batch takes the zero-job
+    // driver-side shortcut — results must be identical to every other path
+    val qLocal = queries.as[(Long, Array[Float])].collect().toSeq
+      .toDF("query_id", "qvec")
+    val inMemL = collectSorted(VectorSearch.bruteTopKBatchAgg(
+      emb, "vec_id", "embedding", qLocal, "query_id", "qvec", 10))
+    assert(inMemL == distA)
+  }
+
+  test("bruteTopK: in-memory single-query serving equals the distributed TakeOrdered plan") {
+    val emb = graphCorpus.unionByName(graphCorpus.select(
+      (col("vec_id") + lit(5000L)).as("vec_id"), col("embedding")))
+    val qv = graphCorpus.filter(col("vec_id") === 3L)
+      .select("embedding").as[Array[Float]].head().toSeq
+    def run(limit: Int) = VectorSearch.bruteTopK(
+        emb, "vec_id", "embedding", qv, 10, inMemoryLimit = limit)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(run(200000) == run(0))
+    // a corpus over the limit falls back to the distributed plan
+    assert(run(5) == run(0))
   }
 
   test("graphSearchDeduped: duplicate-saturated corpus keeps exact-grade recall") {
