@@ -267,7 +267,8 @@ object Main {
         }
         val t0 = System.nanoTime()
         val res = KbPipeline.query(spark, chunks, emb, args(2), cfg,
-          bm25Index = ix, serving = serving)
+          bm25Index = ix, serving = serving,
+          corpusKey = Some(s"$kb/embeddings"))
         // The reference's query flow returns the built context when
         // `--context-only` is passed and otherwise generates the answer
         // from it (`query/processing.py:262-285`). query_model = "none"

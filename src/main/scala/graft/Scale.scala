@@ -128,6 +128,10 @@ object Scale {
     secs(s"bm25-build+batch50 ${kDocs}x")(bm25batch(bigDocs))
     secs(s"knn-batch50 1x")(knn50(emb))
     secs(s"knn-batch50 ${kEmb}x")(knn50(bigEmb))
+    // the guarded in-process flat tier (under the 200k-row broadcast
+    // limit at both scales here; above it the row equals the plain one)
+    secs(s"knn-batch50-inproc 1x")(knn50InProc(emb))
+    secs(s"knn-batch50-inproc ${kEmb}x")(knn50InProc(bigEmb))
     secs(s"pq-encode+adc 1x")(pq(emb))
     secs(s"pq-encode+adc ${kEmb}x")(pq(bigEmb))
     def graphAnn(e: DataFrame): Long = {
@@ -188,12 +192,19 @@ object Scale {
     val ix1 = bm25StoredProbe(s"$base/bm25_1x")
     val ixK = bm25StoredProbe(s"$base/bm25_${kDocs}x")
     val ixFlatK = bm25StoredProbe(s"$base/bm25_flat_${kDocs}x")
+    // inProcessLimit = 0: these rows are the DISTRIBUTED pruned-scan scale
+    // evidence (the 100 TB path); the -inproc rows measure the guarded
+    // in-process serving tier the same stored index takes by default
     secs(s"bm25-stored-score-1q 1x")(
-      operators.Bm25.scoreWithIndex(ix1, spark, scaleQ).count())
+      operators.Bm25.scoreWithIndex(ix1, spark, scaleQ, inProcessLimit = 0).count())
     secs(s"bm25-stored-score-1q ${kDocs}x")(
-      operators.Bm25.scoreWithIndex(ixK, spark, scaleQ).count())
+      operators.Bm25.scoreWithIndex(ixK, spark, scaleQ, inProcessLimit = 0).count())
     secs(s"bm25-stored-score-1q-flat ${kDocs}x")(
-      operators.Bm25.scoreWithIndex(ixFlatK, spark, scaleQ).count())
+      operators.Bm25.scoreWithIndex(ixFlatK, spark, scaleQ, inProcessLimit = 0).count())
+    secs(s"bm25-stored-score-1q-inproc 1x")(
+      operators.Bm25.scoreWithIndex(ix1, spark, scaleQ).count())
+    secs(s"bm25-stored-score-1q-inproc ${kDocs}x")(
+      operators.Bm25.scoreWithIndex(ixK, spark, scaleQ).count())
 
     // e2e batch20 with the SHARED build replaced by the stored bucketed
     // index: serving reads pruned postings; the linear build cost moved to

@@ -65,7 +65,8 @@ object Bm25 {
     * written as parquet bucketed by `term`.
     */
   final case class Index(postings: DataFrame, lengths: DataFrame,
-                         idf: DataFrame, stats: DataFrame) {
+                         idf: DataFrame, stats: DataFrame,
+                         cacheKey: Option[String] = None) {
     /** The one-row corpus stats, snapshotted on the driver ONCE per index —
       * serving queries inline `avgdl` as a literal instead of re-running
       * the stats aggregation (or a 1-row broadcast build) per query. The
@@ -218,7 +219,11 @@ object Bm25 {
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/lengths"),
       spark.read.parquet(s"$dir/idf"),
-      spark.read.parquet(s"$dir/stats"))
+      spark.read.parquet(s"$dir/stats"),
+      // a stored index has a natural identity — the serving fast path
+      // ([[indexInProcess]]) memoizes its in-memory term arrays under it,
+      // the reference's load-NPZ-arrays-once regime
+      cacheKey = Some(s"stored:$dir"))
 
   /** Memoized per-corpus index — the "load the persisted index" path the
     * reference takes on every query. Keyed by corpus identity (sf dir).
@@ -235,13 +240,105 @@ object Bm25 {
       indexCache.computeIfAbsent(d.sparkSession,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Index]())
     }
-    perSession.computeIfAbsent(key, _ => buildIndex(d, idCol, textCol, persist = true))
+    perSession.computeIfAbsent(key, _ =>
+      buildIndex(d, idCol, textCol, persist = true).copy(cacheKey = Some(key)))
   }
 
-  /** Score a single query string against a prebuilt index. */
+  /** Driver-side snapshot of a keyed index for IN-PROCESS query scoring —
+    * the reference's serving shape exactly: `bm25_manager.py:115-211` loads
+    * the NPZ term arrays into process memory once and scores queries
+    * against them with no I/O. Guarded by a LIMIT-bounded postings count
+    * (the [[graft.operators.Dedup]] broadcast-guard pattern) and memoized
+    * per (session, cacheKey); an unkeyed index, an over-limit index, or a
+    * non-integral doc_id never takes the fast path — at 100 TB the
+    * bucket-pruned distributed scan is unchanged.
+    */
+  private final case class InProcIndex(
+    postings: Map[String, Array[(Long, Long, Long)]], // term -> (doc_id, tf, doc_len)
+    idf: Map[String, Double], avgdl: Double)
+  private val inProcCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Option[InProcIndex]]]()
+  private def indexInProcess(ix: Index, spark: org.apache.spark.sql.SparkSession,
+                             limit: Int): Option[InProcIndex] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (limit <= 0) return None
+    ix.cacheKey.flatMap { k0 =>
+      def integral(df: DataFrame, c: String): Boolean =
+        df.schema(c).dataType == LongType || df.schema(c).dataType == IntegerType
+      if (!integral(ix.postings, "doc_id")) return None
+      def build(): Option[InProcIndex] = {
+        val post = withDocLen(ix)
+        if (post.limit(limit + 1).count() > limit) None
+        else {
+          import spark.implicits._
+          val rows = post.select(col("term"),
+              col("doc_id").cast("long"), col("tf").cast("long"),
+              col("doc_len").cast("long"))
+            .as[(String, Long, Long, Long)].collect()
+          val byTerm = rows.groupBy(_._1).map { case (t, xs) =>
+            t -> xs.map(x => (x._2, x._3, x._4)) }
+          val idfM = ix.idf.select(col("term"), col("idf").cast("double"))
+            .as[(String, Double)].collect().toMap
+          Some(InProcIndex(byTerm, idfM, ix.avgdl))
+        }
+      }
+      val perSession = inProcCache.synchronized {
+        inProcCache.computeIfAbsent(spark,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InProcIndex]]())
+      }
+      perSession.computeIfAbsent(s"$k0|lim=$limit", _ => build())
+    }
+  }
+
+  /** Driver replay of the distributed scoring sum for one tokenized query
+    * over the in-process index: same [[termScore]] arithmetic (operation
+    * for operation), deterministic term-ascending accumulation order. Raw
+    * double sums can differ from the shuffle plan's accumulation order in
+    * the last bits — within the pipeline's rounded-ranking contract, which
+    * exists precisely because distributed sum order is itself run-dependent
+    * (every consumer ranks on `round(score, 4)`; spec + oracle-asserted).
+    */
+  private def scoreInProcess(ip: InProcIndex, terms: Seq[String],
+                             k1: Double, b: Double): Seq[(Long, Double)] = {
+    val acc = new java.util.HashMap[Long, Double]()
+    terms.groupBy(identity).toSeq.sortBy(_._1).foreach { case (t, ts) =>
+      val qtf = ts.size.toLong
+      (ip.postings.get(t), ip.idf.get(t)) match {
+        case (Some(posts), Some(idfV)) =>
+          var i = 0
+          while (i < posts.length) {
+            val (docId, tf, docLen) = posts(i)
+            val s = qtf * (idfV * (tf * (k1 + 1.0)) /
+              (tf + k1 * ((1.0 - b) + b * docLen.toDouble / ip.avgdl)))
+            acc.merge(docId, s, (x, y) => x + y)
+            i += 1
+          }
+        case _ => ()
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq.filter(_._2 > 0).sortBy(_._1)
+  }
+
+  /** Score a single query string against a prebuilt index.
+    *
+    * Serving shape: a KEYED index under `inProcessLimit` postings rows
+    * scores entirely in process ([[indexInProcess]]) and returns a
+    * LocalRelation — zero jobs warm, the reference's loaded-NPZ regime.
+    * `inProcessLimit = 0` (or an unkeyed/over-limit index) keeps the
+    * bucket-pruned distributed scan unchanged.
+    */
   def scoreWithIndex(ix: Index, spark: org.apache.spark.sql.SparkSession,
-                     query: String, k1: Double = K1, b: Double = B): DataFrame = {
+                     query: String, k1: Double = K1, b: Double = B,
+                     inProcessLimit: Int = 2000000): DataFrame = {
     import spark.implicits._
+    indexInProcess(ix, spark, inProcessLimit) match {
+      case Some(ip) =>
+        return scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, query),
+          k1, b).toDF("doc_id", "score")
+      case None => ()
+    }
     // query term frequencies fold on the DRIVER (no job, no one-row
     // shuffle): the query side becomes a LocalRelation, and the literal
     // term list doubles as an `isin` pushdown predicate on idf AND postings
@@ -336,6 +433,13 @@ object Bm25 {
                  qidCol: String, qtextCol: String,
                  k1: Double = K1, b: Double = B,
                  knownTerms: Option[Seq[String]] = None): DataFrame = {
+    // NOTE deliberately NOT routed through [[indexInProcess]]: batch
+    // scoring emits |docs|x|queries|-scale rows, and a driver-side replay
+    // would hand downstream operators one giant single-partition
+    // LocalRelation — measured 16% SLOWER on the 20-query e2e composite
+    // than the shared distributed DAG (same-session A/B, sf0.1). The
+    // single-query path ([[scoreWithIndex]]) is where in-process serving
+    // wins; the batch regime is exactly what the distributed plan is for.
     val qTerms = queries.select(col(qidCol).as("query_id"),
         explode(TextFunctions.tokenizeBm25(col(qtextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))

@@ -468,6 +468,41 @@ object VectorSearch {
     }
   }
 
+  /** Driver-side exact top-k over the guarded in-memory corpus with the
+    * PIPELINE's ranking contract: scores rounded (HALF_UP, `scale` dp —
+    * identical to Spark's `round(col, scale)`) BEFORE ranking, ties to the
+    * lowest doc_id — the determinism contract every KbPipeline top-k
+    * boundary uses. Query vectors are already driver-held in the pipeline
+    * (they come from the query embedder), so a hit on the memoized corpus
+    * broadcast answers the whole vector stage with ZERO jobs and hands
+    * downstream joins a LocalRelation — the reference's in-process
+    * SQLite+FAISS serving shape (`query/search.py:207-231`). None above
+    * the limit (or on a non-(BIGINT, ARRAY&lt;FLOAT&gt;) corpus): callers
+    * keep their distributed plan — at 100 TB nothing changes.
+    */
+  def roundedTopKInProcess(embeddings: DataFrame, idCol: String, vecCol: String,
+                           queries: Seq[(Long, Array[Float])], k: Int,
+                           scale: Int, inMemoryLimit: Int = 200000,
+                           cacheKey: Option[String] = None): Option[DataFrame] =
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val corpus = bc.value
+      queries.flatMap { case (qid, qv) =>
+        val agg = new TopKAggregator(k)
+        var b = agg.zero
+        var i = 0
+        while (i < corpus.length) {
+          val (id, v) = corpus(i)
+          b = agg.reduce(b, ScoredDoc(id,
+            BigDecimal(HashAlgos.cosineF32(v, qv))
+              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          i += 1
+        }
+        b.items.map(sd => (qid, sd.doc_id, sd.score))
+      }.toDF("query_id", "doc_id", "score")
+    }
+
   /** Exact top-k for a batch of queries `(query_id, qvec)`.
     * Broadcast the (small) query set; per-partition partial top-k via the
     * rank window happens after one shuffle on query_id.

@@ -96,7 +96,8 @@ object KbPipeline {
             queryText: String, cfg: KbConfig = KbConfig(),
             categoryFilter: Seq[String] = Nil,
             bm25Index: Option[Bm25.Index] = None,
-            serving: VectorSearch.Serving = VectorSearch.Serving.Flat): QueryResult = {
+            serving: VectorSearch.Serving = VectorSearch.Serving.Flat,
+            corpusKey: Option[String] = None): QueryResult = {
 
     // 1. enhancement (F6-F8) — constant-folded on the driver (no job, no
     //    codegen compile of the regex chain; Enhancement.enhanceValue)
@@ -128,7 +129,16 @@ object KbPipeline {
     val effServing =
       if (cfg.indexType == "exact") VectorSearch.Serving.Flat else serving
     val vtop = effServing match {
-      case VectorSearch.Serving.Flat => exactTop(embeddings)
+      case VectorSearch.Serving.Flat =>
+        // with a corpus key the flat tier serves IN-PROCESS when the
+        // corpus fits the guarded broadcast (VectorSearch.corpusInMemory):
+        // zero jobs for the vector stage, identical rounded ranking
+        // (spec-proved); keyless or over-limit callers keep the scan plan
+        corpusKey.flatMap(ck =>
+          VectorSearch.roundedTopKInProcess(embeddings, "doc_id", "embedding",
+            Seq((0L, qvec.toArray)), cfg.queryTopK, scale = 6,
+            cacheKey = Some(ck)).map(_.select(col("doc_id"), col("score"))))
+          .getOrElse(exactTop(embeddings))
       case VectorSearch.Serving.Ivf(ix) =>
         // probed scan replaces the full corpus scan (partition-pruned at
         // rest when `assigned` is stored by cluster_id)
@@ -241,7 +251,8 @@ object KbPipeline {
   def queryBatch(spark: SparkSession, chunks: DataFrame, embeddings: DataFrame,
                  queries: Seq[(Long, String)], cfg: KbConfig = KbConfig(),
                  bm25Index: Option[Bm25.Index] = None,
-                 serving: VectorSearch.Serving = VectorSearch.Serving.Flat): DataFrame = {
+                 serving: VectorSearch.Serving = VectorSearch.Serving.Flat,
+                 corpusKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
     // 1-2. enhancement + embedding: driver-side per query (constant-folded;
@@ -299,9 +310,17 @@ object KbPipeline {
       if (cfg.indexType == "exact") VectorSearch.Serving.Flat else serving
     val vtop = effServing match {
       case VectorSearch.Serving.Flat =>
-        topPerQuery(embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
-          .select(col("query_id"), col("doc_id"),
-            round(cosine(col("embedding"), col("qvec")), 6).as("score")))
+        // in-process flat serving when keyed and under the broadcast guard
+        // (query vectors are already driver-held): zero vector-stage jobs,
+        // identical rounded ranking — see query()'s Flat branch
+        corpusKey.flatMap(ck =>
+          VectorSearch.roundedTopKInProcess(embeddings, "doc_id", "embedding",
+            qData.map { case (qid, _, qv) => (qid, qv) }, cfg.queryTopK,
+            scale = 6, cacheKey = Some(ck)))
+          .getOrElse(
+            topPerQuery(embeddings.crossJoin(broadcast(qDf.select("query_id", "qvec")))
+              .select(col("query_id"), col("doc_id"),
+                round(cosine(col("embedding"), col("qvec")), 6).as("score"))))
       case VectorSearch.Serving.Ivf(ix) =>
         // the ivfTopKBatch shape with the pipeline's rounded ranking
         topPerQuery(ix.assigned.join(broadcast(centroidProbes(ix.centroids)), "cluster_id")

@@ -1066,7 +1066,8 @@ object EngineQueries {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
-        bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"))).hits
+        bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
+        corpusKey = Some(dir)).hits
     },
 
     // ── The FULL lifecycle, BATCHED: two queries through KbPipeline
@@ -1082,7 +1083,8 @@ object EngineQueries {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.queryBatch(s, chunks, emb,
           Seq(1L -> E2eQueryText, 2L -> E2eQueryText2),
-          bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")))
+          bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
+          corpusKey = Some(dir))
         .select(col("query_id"), col("doc_id"), col("score"), col("text"),
           col("sourcedoc"), col("sid"), col("rerank_score"),
           col("final_rank").cast("int").as("final_rank"))
@@ -1104,7 +1106,8 @@ object EngineQueries {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.pipeline.KbPipeline.queryBatch(s, chunks, emb,
           E2eBatch20.zipWithIndex.map { case ((t, _), i) => (i + 1).toLong -> t },
-          bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")))
+          bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
+          corpusKey = Some(dir))
         .select(col("query_id"), col("doc_id"), col("score"), col("text"),
           col("sourcedoc"), col("sid"), col("rerank_score"),
           col("final_rank").cast("int").as("final_rank"))

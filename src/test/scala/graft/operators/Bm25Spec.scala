@@ -187,7 +187,10 @@ class Bm25Spec extends SparkSpec {
     assert(stored.termBuckets.contains(4))
     val mem = Bm25.buildIndex(docs, "doc_id", "text")
     val q = "quick fox"
-    val got = Bm25.scoreWithIndex(stored, spark, q)
+    // inProcessLimit = 0 forces the DISTRIBUTED pruned scan whose plan
+    // shape this test asserts (the in-process path has its own identity
+    // test below)
+    val got = Bm25.scoreWithIndex(stored, spark, q, inProcessLimit = 0)
     val plan = got.queryExecution.executedPlan.toString
     // the postings scan must carry the query terms' bucket partition filter
     assert(plan.contains("PartitionFilters"), plan.take(1500))
@@ -198,6 +201,15 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(gotMap.keySet == memMap.keySet)
     gotMap.foreach { case (id, s) => assert(math.abs(s - memMap(id)) < 1e-9) }
+    // the stored index is KEYED, so the default limit serves IN PROCESS:
+    // same docs, same scores (to the rounded contract), LocalRelation plan
+    val inProc = Bm25.scoreWithIndex(stored, spark, q)
+    assert(inProc.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      inProc.queryExecution.optimizedPlan.toString.take(500))
+    val ipMap = inProc.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ipMap.keySet == gotMap.keySet)
+    ipMap.foreach { case (id, s) => assert(math.abs(s - gotMap(id)) < 1e-9) }
     // flat-layout (termBuckets=0) indexes keep reading and never prune
     val flatDir = java.nio.file.Files.createTempDirectory("graft_bm25_flat").toString
     Bm25.writeIndex(mem, flatDir, termBuckets = 0)

@@ -202,6 +202,29 @@ class KbPipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpusKey in-process flat serving == keyless distributed pipeline, single and batch") {
+    val cfg = KbConfig(vectorDimensions = 16, queryTopK = 5, rerankingTopK = 3)
+    val qs = Seq(1L -> "fast spark joins  and filters!!",
+      2L -> "window functions rank rows", 3L -> "household pets")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "final_rank", "score", "rerank_score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        Option(r.get(4)))).sortBy(t => (t._1, t._3)).toSeq
+    val keyed = rows(KbPipeline.queryBatch(spark, corpus, embeddings, qs, cfg,
+      corpusKey = Some("spec|inproc-flat")))
+    val keyless = rows(KbPipeline.queryBatch(spark, corpus, embeddings, qs, cfg))
+    assert(keyed == keyless)
+    val s1 = KbPipeline.query(spark, corpus, embeddings, qs.head._2, cfg,
+        corpusKey = Some("spec|inproc-flat"))
+      .hits.select("doc_id", "final_rank", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._2).toSeq
+    val s0 = KbPipeline.query(spark, corpus, embeddings, qs.head._2, cfg)
+      .hits.select("doc_id", "final_rank", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._2).toSeq
+    assert(s1 == s0)
+  }
+
   test("registry model dims: query vector matches embed()-written corpus vectors") {
     // vector_model=embed-small declares 1536 dims in the registry while
     // config says 64 — the embed() corpus and the query() vector must BOTH
