@@ -423,49 +423,52 @@ object VectorSearch {
                                      inMemoryLimit: Int,
                                      cacheKey: Option[String]): Option[DataFrame] = {
     if (!isLongArrayF32(queries, qidCol, qvecCol)) return None
-    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
-      val spark = embeddings.sparkSession
-      import spark.implicits._
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).flatMap { bc =>
       val kk = k
-      // a DRIVER-BUILT small query batch (a Seq.toDF of embedded query
-      // vectors — the pipeline's serving shape) constant-folds to a
-      // LocalRelation, recognizable from the optimized plan with NO job;
-      // answering it driver-side makes the whole search ZERO jobs and the
-      // result a LocalRelation — true in-process serving latency. Query
-      // sets that live in storage (or are large) keep the one-stage
-      // distributed mapPartitions — probing the cluster for them would
-      // cost more jobs than it saves.
-      val qLimit = 1024
-      val localRows: Option[Seq[(Long, Array[Float])]] =
-        queries.select(col(qidCol), col(qvecCol))
-          .queryExecution.optimizedPlan match {
-          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-              if lr.data.length <= qLimit =>
-            scala.util.Try(lr.data.map { r =>
-              (r.getLong(0), r.getArray(1).toFloatArray())
-            }).toOption
-          case _ => None
+      searchQuerySet(queries, qidCol, qvecCol) { (qid, qv) =>
+        topKOverCorpus(bc.value, qv, kk).iterator.zipWithIndex.map {
+          case (sd, i) => (qid, sd.doc_id, sd.score, i + 1)
         }
-      localRows match {
-        case Some(qRows) =>
-          qRows.flatMap { case (qid, qv) =>
-            topKOverCorpus(bc.value, qv, kk).zipWithIndex.map {
-              case (sd, i) => (qid, sd.doc_id, sd.score, i + 1)
-            }
-          }.toDF("query_id", "doc_id", "score", "rank")
-        case None =>
-          queries.select(col(qidCol), col(qvecCol)).as[(Long, Array[Float])]
-            .mapPartitions { rows =>
-              val corpus = bc.value
-              rows.flatMap { case (qid, qv) =>
-                topKOverCorpus(corpus, qv, kk).iterator.zipWithIndex.map {
-                  case (sd, i) => (qid, sd.doc_id, sd.score, i + 1)
-                }
-              }
-            }
-            .toDF("query_id", "doc_id", "score", "rank")
       }
     }
+  }
+
+  /** Run a per-query in-memory search function over a query set, choosing
+    * the cheapest execution shape: a DRIVER-BUILT small query batch (a
+    * Seq.toDF of embedded query vectors — the pipeline's serving shape)
+    * constant-folds to a LocalRelation, recognizable from the optimized
+    * plan with NO job; answering it driver-side makes the whole search
+    * ZERO jobs and the result a LocalRelation — true in-process serving
+    * latency. Query sets that live in storage (or are large) run one fused
+    * scan+search mapPartitions stage — collecting them first would cost
+    * more jobs than it saves (measured: CollectLimit's incremental scan
+    * added a job per call). `search` must only touch broadcast values, so
+    * the same closure is correct on the driver and inside the stage.
+    */
+  private def searchQuerySet(queries: DataFrame, qidCol: String, qvecCol: String)
+                            (search: (Long, Array[Float]) => Iterator[(Long, Long, Double, Int)]): Option[DataFrame] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sel = queries.select(col(qidCol), col(qvecCol))
+    val qLimit = 1024
+    val localRows: Option[Seq[(Long, Array[Float])]] =
+      sel.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if lr.data.length <= qLimit =>
+          scala.util.Try(lr.data.map { r =>
+            (r.getLong(0), r.getArray(1).toFloatArray())
+          }).toOption
+        case _ => None
+      }
+    Some(localRows match {
+      case Some(qRows) =>
+        qRows.flatMap { case (qid, qv) => search(qid, qv) }
+          .toDF("query_id", "doc_id", "score", "rank")
+      case None =>
+        sel.as[(Long, Array[Float])]
+          .mapPartitions(_.flatMap { case (qid, qv) => search(qid, qv) })
+          .toDF("query_id", "doc_id", "score", "rank")
+    })
   }
 
   /** Driver-side exact top-k over the guarded in-memory corpus with the
@@ -558,7 +561,116 @@ object VectorSearch {
     * @param centroids local centroid vectors (ncentroids × dim), tiny
     */
   final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Float]],
-                            idCol: String, vecCol: String)
+                            idCol: String, vecCol: String,
+                            cacheKey: Option[String] = None)
+
+  /** Guarded in-memory IVF corpus for the serving fast path: the cluster
+    * assignment collected ONCE (LIMIT-bounded count, memoized per
+    * (session, key)) and grouped by cluster_id — FAISS IVFFlat's resident
+    * serving layout. None over the limit or off-schema; the partition-
+    * pruned distributed scan is the 100 TB path either way.
+    */
+  private type InMemIvf = org.apache.spark.broadcast.Broadcast[
+    (Array[(Int, Array[Float])], Map[Int, Array[(Long, Array[Float])]])]
+  private val inMemIvfCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Option[InMemIvf]]]()
+  private def ivfInMemory(assigned: DataFrame, idCol: String, vecCol: String,
+                          cents: => Array[(Int, Array[Float])],
+                          inMemoryLimit: Int,
+                          cacheKey: Option[String]): Option[InMemIvf] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (inMemoryLimit <= 0) return None
+    if (!isLongArrayF32(assigned, idCol, vecCol)) return None
+    val cidType = assigned.schema("cluster_id").dataType
+    if (cidType != IntegerType && cidType != LongType) return None
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    def build(): Option[InMemIvf] = {
+      val a = assigned.select(col(idCol), col(vecCol),
+        col("cluster_id").cast("int"))
+      if (a.limit(inMemoryLimit + 1).count() > inMemoryLimit) None
+      else {
+        val byCluster = a.as[(Long, Array[Float], Int)].collect()
+          .groupBy(_._3).map { case (cid, xs) => cid -> xs.map(x => (x._1, x._2)) }
+        Some(spark.sparkContext.broadcast((cents, byCluster)))
+      }
+    }
+    cacheKey match {
+      case Some(k0) =>
+        val perSession = inMemIvfCache.synchronized {
+          inMemIvfCache.computeIfAbsent(spark,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InMemIvf]]())
+        }
+        perSession.computeIfAbsent(s"$k0|lim=$inMemoryLimit", _ => build())
+      case None => build()
+    }
+  }
+
+  /** Probe selection over driver-held (cid, centroid) pairs — the SAME
+    * ranking as the distributed probe windows (raw cosine desc, centroid
+    * id asc, primitive comparisons), zero jobs.
+    */
+  private def probeInMemory(cents: Array[(Int, Array[Float])], qv: Array[Float],
+                            nprobe: Int): Seq[Int] = {
+    val ord = new Ordering[(Int, Double)] {
+      def compare(a: (Int, Double), b: (Int, Double)): Int =
+        if (a._2 > b._2) -1
+        else if (b._2 > a._2) 1
+        else Integer.compare(a._1, b._1)
+    }
+    cents.toIndexedSeq
+      .map { case (cid, cv) => (cid, HashAlgos.cosineF32(cv, qv)) }
+      .sorted(ord).take(nprobe).map(_._1)
+  }
+
+  /** [[probeInMemory]] over a plain centroid array (cid = position) — the
+    * driver twin of the batch probe windows' expression ranking (the
+    * `cosine` expression and [[HashAlgos.cosineF32]] share one arithmetic
+    * order). NOTE: [[probeClusters]] ranks with float-accumulation cosine
+    * — a single-query pipeline caller must keep using it for exact parity
+    * with [[probeScan]]; this twin is for the expression-ranked paths.
+    */
+  def probeIdsInMemory(centroids: Array[Array[Float]], qv: Array[Float],
+                       nprobe: Int): Seq[Int] =
+    probeInMemory(centroids.zipWithIndex.map { case (cv, cid) => (cid, cv) },
+      qv, nprobe)
+
+  /** Driver-side IVF top-k with the PIPELINE's rounded ranking contract
+    * (HALF_UP `scale` dp before ranking) — the Serving.Ivf analogue of
+    * [[roundedTopKInProcess]]. Each query carries ITS OWN probe list so
+    * the caller keeps the probe ranking of the distributed path it
+    * replaces ([[probeClusters]] for the single-query pipeline,
+    * [[probeIdsInMemory]] for the expression-ranked batch). Requires a
+    * KEYED index ([[cachedIvf]]) so the assignment collect is build-once;
+    * None otherwise.
+    */
+  def roundedIvfTopKInProcess(ix: IvfIndex,
+                              queries: Seq[(Long, Array[Float], Seq[Int])],
+                              k: Int, scale: Int,
+                              inMemoryLimit: Int = 200000): Option[DataFrame] =
+    ix.cacheKey.flatMap(_ =>
+      ivfInMemory(ix.assigned, ix.idCol, ix.vecCol,
+        ix.centroids.zipWithIndex.map { case (cv, cid) => (cid, cv) },
+        inMemoryLimit, ix.cacheKey))
+      .map { bc =>
+        val spark = ix.assigned.sparkSession
+        import spark.implicits._
+        queries.flatMap { case (qid, qv, probes) =>
+          val (_, clusters) = bc.value
+          val agg = new TopKAggregator(k)
+          var b = agg.zero
+          probes.foreach { cid =>
+            clusters.getOrElse(cid, Array.empty[(Long, Array[Float])]).foreach {
+              case (id, v) =>
+                b = agg.reduce(b, ScoredDoc(id,
+                  BigDecimal(HashAlgos.cosineF32(v, qv))
+                    .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            }
+          }
+          b.items.map(sd => (qid, sd.doc_id, sd.score))
+        }.toDF("query_id", "doc_id", "score")
+      }
 
   /** Build an IVF index with MLlib KMeans fit on a sample (the reference
     * trains on ≤10k vectors, `embed_manager.py:694-715`; ncentroids ≈ 4·√n
@@ -596,7 +708,11 @@ object VectorSearch {
     // never serve another configuration's stale centroids/assignment
     perSession.computeIfAbsent(s"$key|nc=$nCentroids", _ => {
       val ix = buildIvf(e, idCol, vecCol, nCentroids)
-      ix.copy(assigned = ix.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ix.copy(
+        assigned = ix.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        // keyed index → the in-process serving rung can memoize its
+        // cluster-grouped collect ([[ivfInMemory]])
+        cacheKey = Some(s"$key|nc=$nCentroids"))
     })
   }
 
@@ -653,7 +769,41 @@ object VectorSearch {
   def ivfTopKBatch(assigned: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame,
                    queries: DataFrame, qidCol: String, qvecCol: String,
-                   k: Int, nprobe: Int): DataFrame = {
+                   k: Int, nprobe: Int, inMemoryLimit: Int = 200000,
+                   cacheKey: Option[String] = None): DataFrame = {
+    // keyed + under the guard: probe and score in process over the
+    // memoized cluster-grouped broadcast — same probe ranking (raw cosine
+    // desc, cid asc) and TopKAggregator order as the distributed plan
+    // below (spec-proved identical); over the limit or keyless, the
+    // partition-pruned distributed plan is unchanged
+    if (cacheKey.isDefined && isLongArrayF32(queries, qidCol, qvecCol)) {
+      val inMem = for {
+        cents <- scala.util.Try {
+          import assigned.sparkSession.implicits._
+          centroids.select(col("cid").cast("int"), col("cv"))
+            .as[(Int, Array[Float])].collect()
+        }.toOption
+        bc <- ivfInMemory(assigned, idCol, vecCol, cents, inMemoryLimit, cacheKey)
+        df <- searchQuerySet(queries, qidCol, qvecCol) { (qid, qv) =>
+          val (cs, clusters) = bc.value
+          val agg = new TopKAggregator(k)
+          var b = agg.zero
+          probeInMemory(cs, qv, nprobe).foreach { cid =>
+            clusters.getOrElse(cid, Array.empty[(Long, Array[Float])]).foreach {
+              case (id, v) =>
+                b = agg.reduce(b, ScoredDoc(id, HashAlgos.cosineF32(v, qv)))
+            }
+          }
+          b.items.iterator.zipWithIndex.map { case (sd, i) =>
+            (qid, sd.doc_id, sd.score, i + 1)
+          }
+        }
+      } yield df
+      inMem match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val probes = queries.crossJoin(broadcast(centroids))
       .select(col(qidCol).as("query_id"), col(qvecCol).as("qv"), col("cid"),
         cosine(col("cv"), col(qvecCol)).as("cs"))

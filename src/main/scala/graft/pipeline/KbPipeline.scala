@@ -141,9 +141,17 @@ object KbPipeline {
           .getOrElse(exactTop(embeddings))
       case VectorSearch.Serving.Ivf(ix) =>
         // probed scan replaces the full corpus scan (partition-pruned at
-        // rest when `assigned` is stored by cluster_id)
-        exactTop(VectorSearch.probeScan(ix, qvec, cfg.ivfNprobe)
-          .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding")))
+        // rest when `assigned` is stored by cluster_id). A keyed index
+        // under the broadcast guard serves in process: probe ranking stays
+        // probeClusters (exact probeScan parity), scoring stays rounded
+        VectorSearch.roundedIvfTopKInProcess(ix,
+            Seq((0L, qvec.toArray,
+              VectorSearch.probeClusters(ix, qvec, cfg.ivfNprobe))),
+            cfg.queryTopK, scale = 6)
+          .map(_.select(col("doc_id"), col("score")))
+          .getOrElse(
+            exactTop(VectorSearch.probeScan(ix, qvec, cfg.ivfNprobe)
+              .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding"))))
       case VectorSearch.Serving.IvfPq(ix, cb, encoded, shortlist) =>
         // FAISS IVFPQ+refine: probe (expression-ranked — probeIdsExact),
         // ADC-score only the probed clusters' CODES (m int lookups/row,
@@ -322,10 +330,18 @@ object KbPipeline {
               .select(col("query_id"), col("doc_id"),
                 round(cosine(col("embedding"), col("qvec")), 6).as("score"))))
       case VectorSearch.Serving.Ivf(ix) =>
-        // the ivfTopKBatch shape with the pipeline's rounded ranking
-        topPerQuery(ix.assigned.join(broadcast(centroidProbes(ix.centroids)), "cluster_id")
-          .select(col("query_id"), col(ix.idCol).as("doc_id"),
-            round(cosine(col(ix.vecCol), col("qvec")), 6).as("score")))
+        // the ivfTopKBatch shape with the pipeline's rounded ranking; a
+        // keyed index under the guard serves in process with the same
+        // expression-ranked probes (probeIdsInMemory is the driver twin
+        // of centroidProbes' cosine window)
+        VectorSearch.roundedIvfTopKInProcess(ix,
+            qData.map { case (qid, _, qv) =>
+              (qid, qv, VectorSearch.probeIdsInMemory(ix.centroids, qv, cfg.ivfNprobe)) },
+            cfg.queryTopK, scale = 6)
+          .getOrElse(
+            topPerQuery(ix.assigned.join(broadcast(centroidProbes(ix.centroids)), "cluster_id")
+              .select(col("query_id"), col(ix.idCol).as("doc_id"),
+                round(cosine(col(ix.vecCol), col("qvec")), 6).as("score"))))
       case VectorSearch.Serving.IvfPq(ix, cb, encoded, shortlist) =>
         // per-query ADC over the probed clusters' codes: each query's LUT
         // (m·k doubles, computed driver-side like its embedding) rides the

@@ -1133,7 +1133,7 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       graft.operators.VectorSearch.ivfTopKBatch(
           assigned, "vec_id", "embedding", cents, queries, "qid", "qvec",
-          k = 10, nprobe = 2)
+          k = 10, nprobe = 2, cacheKey = Some(s"$dir|ivfb8"))
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")

@@ -410,6 +410,28 @@ class VectorSearchSpec extends SparkSpec {
     assert(inMemL == distA)
   }
 
+  test("ivfTopKBatch: keyed in-memory serving equals the distributed probe/scan plan row-for-row") {
+    val emb = graphCorpus.unionByName(graphCorpus.select(
+      (col("vec_id") + lit(5000L)).as("vec_id"), col("embedding")))
+    val centSeq = graphCorpus.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val cents = centSeq.map { case (cid, cv) => (cid, cv.toArray) }
+      .toDF("cid", "cv")
+    val assigned = VectorSearch.seededIvfAssign(emb, "vec_id", "embedding", centSeq)
+    val queries = graphCorpus.filter(col("vec_id").isin(3L, 77L, 212L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def run(ck: Option[String], lim: Int) = VectorSearch.ivfTopKBatch(
+        assigned, "vec_id", "embedding", cents, queries, "query_id", "qvec",
+        k = 10, nprobe = 3, inMemoryLimit = lim, cacheKey = ck)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val inMem = run(Some("spec|ivf-inmem"), 200000)
+    val dist = run(Some("spec|ivf-inmem"), 0) // limit 0 forces distributed
+    assert(inMem == dist)
+    assert(run(None, 200000) == dist) // keyless never takes the fast path
+  }
+
   test("bruteTopK: in-memory single-query serving equals the distributed TakeOrdered plan") {
     val emb = graphCorpus.unionByName(graphCorpus.select(
       (col("vec_id") + lit(5000L)).as("vec_id"), col("embedding")))

@@ -88,6 +88,18 @@ class KbPipelineSpec extends SparkSpec {
       .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
     assert(viaIvfB == exactB, "full-probe IVF batch must equal the exact batch")
 
+    // a KEYED index serves the Ivf tier in process (guarded broadcast) —
+    // hits must equal the keyless distributed probe/scan, single and batch
+    val keyedIx = index.copy(cacheKey = Some("spec|ivf-pipe"))
+    val viaKeyed = KbPipeline.query(spark, corpus, embeddings, q, ivfCfg,
+        serving = VectorSearch.Serving.Ivf(keyedIx))
+      .hits.select("doc_id", "final_rank").as[(Long, Int)].collect().toSet
+    assert(viaKeyed == exact, "keyed in-process IVF must equal the distributed IVF pipeline")
+    val viaKeyedB = KbPipeline.queryBatch(spark, corpus, embeddings, qs, ivfCfg,
+        serving = VectorSearch.Serving.Ivf(keyedIx))
+      .select("query_id", "doc_id", "final_rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaKeyedB == exactB, "keyed in-process IVF batch must equal the distributed batch")
+
     // narrow probe still returns k rows per query (approximation trades
     // recall, not result shape); indexType="exact" ignores a supplied index
     val narrow = KbPipeline.query(spark, corpus, embeddings, q,
