@@ -222,8 +222,24 @@ object Bm25 {
       spark.read.parquet(s"$dir/stats"),
       // a stored index has a natural identity — the serving fast path
       // ([[indexInProcess]]) memoizes its in-memory term arrays under it,
-      // the reference's load-NPZ-arrays-once regime
-      cacheKey = Some(s"stored:$dir"))
+      // the reference's load-NPZ-arrays-once regime. The key carries a
+      // cheap directory fingerprint (stats file mtimes+sizes) so a
+      // REWRITTEN index read in the same session gets a fresh snapshot
+      // instead of the stale memoized arrays; non-local filesystems
+      // (no java.io view) fingerprint as 0 and fall back to dir-only
+      // identity — the pre-existing cachedIndex staleness contract
+      cacheKey = Some(s"stored:$dir@${dirFingerprint(s"$dir/stats")}"))
+
+  /** Sum of (mtime, length) over a directory's files — a driver-side
+    * change marker for locally-stored index tables; 0 when the path has
+    * no local java.io view.
+    */
+  private def dirFingerprint(path: String): Long =
+    scala.util.Try {
+      val d = new java.io.File(path)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.foldLeft(0L)((a, f) => a + f.lastModified() + f.length())
+    }.getOrElse(0L)
 
   /** Memoized per-corpus index — the "load the persisted index" path the
     * reference takes on every query. Keyed by corpus identity (sf dir).
@@ -256,9 +272,7 @@ object Bm25 {
   private final case class InProcIndex(
     postings: Map[String, Array[(Long, Long, Long)]], // term -> (doc_id, tf, doc_len)
     idf: Map[String, Double], avgdl: Double)
-  private val inProcCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Option[InProcIndex]]]()
+  private val inProcCache = new SessionMemo[Option[InProcIndex]]
   private def indexInProcess(ix: Index, spark: org.apache.spark.sql.SparkSession,
                              limit: Int): Option[InProcIndex] = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -283,11 +297,7 @@ object Bm25 {
           Some(InProcIndex(byTerm, idfM, ix.avgdl))
         }
       }
-      val perSession = inProcCache.synchronized {
-        inProcCache.computeIfAbsent(spark,
-          _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InProcIndex]]())
-      }
-      perSession.computeIfAbsent(s"$k0|lim=$limit", _ => build())
+      inProcCache.getOrBuild(spark, s"$k0|lim=$limit")(build())
     }
   }
 

@@ -327,21 +327,33 @@ object VectorSearch {
       })
   }
 
+  /** Hard byte budget for any in-memory vector collect: rows × dim must
+    * stay under this many floats (64M ≈ 256 MB of payload) regardless of
+    * the row limit — a 1536-d corpus under 200k ROWS would otherwise
+    * collect ~1 GB to the driver that the distributed plan never
+    * materializes. The dim probe is one `take(1)` inside the memoized
+    * build.
+    */
+  private val InMemMaxFloats = 64L * 1024 * 1024
+
   /** Guarded in-memory corpus for the flat-tier serving fast path: when the
     * embeddings table fits under `inMemoryLimit` rows (LIMIT-bounded count,
-    * the [[graft.operators.Dedup]] broadcast-guard pattern), its (id, vec)
-    * pairs are collected ONCE and broadcast — the reference's in-process
-    * FAISS `IndexFlat` serving regime (`embed_manager.py:163-213` picks
-    * flat exactly when the corpus is small). `cacheKey` memoizes per
-    * session so build-once serve-many callers skip the re-collect; above
-    * the limit — the 100 TB regime — `None`, and callers keep their
+    * the [[graft.operators.Dedup]] broadcast-guard pattern) AND under the
+    * [[InMemMaxFloats]] byte budget, its (id, vec) pairs are collected ONCE
+    * and broadcast — the reference's in-process FAISS `IndexFlat` serving
+    * regime (`embed_manager.py:163-213` picks flat exactly when the corpus
+    * is small). REQUIRES a `cacheKey` (build-once serve-many is the whole
+    * economics; a keyless caller would pay count+collect+broadcast per
+    * call with zero reuse — the distributed plan is strictly better
+    * there). Null-vector rows are dropped at collect: they can never rank
+    * (the window plan sorts null scores last, under any real top-k), and
+    * the in-memory loop must not NPE where the plan degrades. Above
+    * either limit — the 100 TB regime — `None`, and callers keep their
     * distributed plan unchanged.
     */
   private type InMemCorpus =
     org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]
-  private val inMemCorpusCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Option[InMemCorpus]]]()
+  private val inMemCorpusCache = new SessionMemo[Option[InMemCorpus]]
   private def corpusInMemory(embeddings: DataFrame, idCol: String,
                              vecCol: String, inMemoryLimit: Int,
                              cacheKey: Option[String]): Option[InMemCorpus] = {
@@ -349,19 +361,16 @@ object VectorSearch {
     if (!isLongArrayF32(embeddings, idCol, vecCol)) return None
     val spark = embeddings.sparkSession
     import spark.implicits._
-    def build(): Option[InMemCorpus] = {
-      val emb = embeddings.select(col(idCol), col(vecCol))
-      if (emb.limit(inMemoryLimit + 1).count() > inMemoryLimit) None
-      else Some(spark.sparkContext.broadcast(emb.as[(Long, Array[Float])].collect()))
-    }
-    cacheKey match {
-      case Some(k0) =>
-        val perSession = inMemCorpusCache.synchronized {
-          inMemCorpusCache.computeIfAbsent(spark,
-            _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InMemCorpus]]())
-        }
-        perSession.computeIfAbsent(s"$k0|lim=$inMemoryLimit", _ => build())
-      case None => build()
+    cacheKey.flatMap { k0 =>
+      inMemCorpusCache.getOrBuild(spark, s"$k0|lim=$inMemoryLimit") {
+        val emb = embeddings.select(col(idCol), col(vecCol))
+          .filter(col(vecCol).isNotNull)
+        val n = emb.limit(inMemoryLimit + 1).count()
+        val dim = emb.select(size(col(vecCol))).take(1)
+          .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+        if (n > inMemoryLimit || n * math.max(dim, 1L) > InMemMaxFloats) None
+        else Some(spark.sparkContext.broadcast(emb.as[(Long, Array[Float])].collect()))
+      }
     }
   }
 
@@ -369,15 +378,20 @@ object VectorSearch {
     * the SAME insertion/ordering semantics (score desc, doc_id asc,
     * primitive comparisons) and the SAME [[HashAlgos.cosineF32]] arithmetic
     * order as the distributed paths, so either path is bit-identical.
+    * `scoreFn` is the per-score transform hook (identity for the raw
+    * ranking contract; [[roundAt]] for the pipeline's rounded contract).
     */
+  private def roundAt(scale: Int)(x: Double): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
   private def topKOverCorpus(corpus: Array[(Long, Array[Float])],
-                             qv: Array[Float], k: Int): Seq[ScoredDoc] = {
+                             qv: Array[Float], k: Int,
+                             scoreFn: Double => Double = identity): Seq[ScoredDoc] = {
     val agg = new TopKAggregator(k)
     var b = agg.zero
     var i = 0
     while (i < corpus.length) {
       val (id, v) = corpus(i)
-      b = agg.reduce(b, ScoredDoc(id, HashAlgos.cosineF32(v, qv)))
+      b = agg.reduce(b, ScoredDoc(id, scoreFn(HashAlgos.cosineF32(v, qv))))
       i += 1
     }
     b.items
@@ -490,19 +504,9 @@ object VectorSearch {
     corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
       val spark = embeddings.sparkSession
       import spark.implicits._
-      val corpus = bc.value
       queries.flatMap { case (qid, qv) =>
-        val agg = new TopKAggregator(k)
-        var b = agg.zero
-        var i = 0
-        while (i < corpus.length) {
-          val (id, v) = corpus(i)
-          b = agg.reduce(b, ScoredDoc(id,
-            BigDecimal(HashAlgos.cosineF32(v, qv))
-              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          i += 1
-        }
-        b.items.map(sd => (qid, sd.doc_id, sd.score))
+        topKOverCorpus(bc.value, qv, k, roundAt(scale))
+          .map(sd => (qid, sd.doc_id, sd.score))
       }.toDF("query_id", "doc_id", "score")
     }
 
@@ -572,9 +576,7 @@ object VectorSearch {
     */
   private type InMemIvf = org.apache.spark.broadcast.Broadcast[
     (Array[(Int, Array[Float])], Map[Int, Array[(Long, Array[Float])]])]
-  private val inMemIvfCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Option[InMemIvf]]]()
+  private val inMemIvfCache = new SessionMemo[Option[InMemIvf]]
   private def ivfInMemory(assigned: DataFrame, idCol: String, vecCol: String,
                           cents: => Array[(Int, Array[Float])],
                           inMemoryLimit: Int,
@@ -586,43 +588,43 @@ object VectorSearch {
     if (cidType != IntegerType && cidType != LongType) return None
     val spark = assigned.sparkSession
     import spark.implicits._
-    def build(): Option[InMemIvf] = {
-      val a = assigned.select(col(idCol), col(vecCol),
-        col("cluster_id").cast("int"))
-      if (a.limit(inMemoryLimit + 1).count() > inMemoryLimit) None
-      else {
-        val byCluster = a.as[(Long, Array[Float], Int)].collect()
-          .groupBy(_._3).map { case (cid, xs) => cid -> xs.map(x => (x._1, x._2)) }
-        Some(spark.sparkContext.broadcast((cents, byCluster)))
+    // `cents` is by-name and only forced inside the memoized build, so a
+    // warm call (or an over-limit index memoized to None) never pays the
+    // centroid collect; a failing collect degrades to the distributed plan
+    cacheKey.flatMap { k0 =>
+      inMemIvfCache.getOrBuild(spark, s"$k0|lim=$inMemoryLimit") {
+        scala.util.Try {
+          val a = assigned.select(col(idCol), col(vecCol),
+              col("cluster_id").cast("int"))
+            .filter(col(vecCol).isNotNull)
+          val n = a.limit(inMemoryLimit + 1).count()
+          val dim = a.select(size(col(vecCol))).take(1)
+            .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+          if (n > inMemoryLimit || n * math.max(dim, 1L) > InMemMaxFloats) None
+          else {
+            val byCluster = a.as[(Long, Array[Float], Int)].collect()
+              .groupBy(_._3).map { case (cid, xs) => cid -> xs.map(x => (x._1, x._2)) }
+            Some(spark.sparkContext.broadcast((cents, byCluster)))
+          }
+        }.toOption.flatten
       }
-    }
-    cacheKey match {
-      case Some(k0) =>
-        val perSession = inMemIvfCache.synchronized {
-          inMemIvfCache.computeIfAbsent(spark,
-            _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InMemIvf]]())
-        }
-        perSession.computeIfAbsent(s"$k0|lim=$inMemoryLimit", _ => build())
-      case None => build()
     }
   }
 
   /** Probe selection over driver-held (cid, centroid) pairs — the SAME
     * ranking as the distributed probe windows (raw cosine desc, centroid
-    * id asc, primitive comparisons), zero jobs.
+    * id asc), zero jobs. Uses a TOTAL ordering (sortBy, NaN-safe like
+    * [[probeClusters]]'s sortBy) rather than a hand-rolled primitive
+    * comparator — an intransitive comparator over NaN scores can make
+    * TimSort throw; on NaN-free input (cosineF32 guards its only 0/0
+    * case) the two are identical.
     */
   private def probeInMemory(cents: Array[(Int, Array[Float])], qv: Array[Float],
-                            nprobe: Int): Seq[Int] = {
-    val ord = new Ordering[(Int, Double)] {
-      def compare(a: (Int, Double), b: (Int, Double)): Int =
-        if (a._2 > b._2) -1
-        else if (b._2 > a._2) 1
-        else Integer.compare(a._1, b._1)
-    }
+                            nprobe: Int): Seq[Int] =
     cents.toIndexedSeq
       .map { case (cid, cv) => (cid, HashAlgos.cosineF32(cv, qv)) }
-      .sorted(ord).take(nprobe).map(_._1)
-  }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1)
 
   /** [[probeInMemory]] over a plain centroid array (cid = position) — the
     * driver twin of the batch probe windows' expression ranking (the
@@ -664,8 +666,7 @@ object VectorSearch {
             clusters.getOrElse(cid, Array.empty[(Long, Array[Float])]).foreach {
               case (id, v) =>
                 b = agg.reduce(b, ScoredDoc(id,
-                  BigDecimal(HashAlgos.cosineF32(v, qv))
-                    .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
+                  roundAt(scale)(HashAlgos.cosineF32(v, qv))))
             }
           }
           b.items.map(sd => (qid, sd.doc_id, sd.score))
@@ -777,13 +778,17 @@ object VectorSearch {
     // below (spec-proved identical); over the limit or keyless, the
     // partition-pruned distributed plan is unchanged
     if (cacheKey.isDefined && isLongArrayF32(queries, qidCol, qvecCol)) {
+      // centroid collect rides the by-name `cents` parameter: forced only
+      // inside ivfInMemory's memoized build, so warm calls (and over-limit
+      // indexes memoized to None) pay no per-call job for it
+      def collectCents: Array[(Int, Array[Float])] = {
+        import assigned.sparkSession.implicits._
+        centroids.select(col("cid").cast("int"), col("cv"))
+          .as[(Int, Array[Float])].collect()
+      }
       val inMem = for {
-        cents <- scala.util.Try {
-          import assigned.sparkSession.implicits._
-          centroids.select(col("cid").cast("int"), col("cv"))
-            .as[(Int, Array[Float])].collect()
-        }.toOption
-        bc <- ivfInMemory(assigned, idCol, vecCol, cents, inMemoryLimit, cacheKey)
+        bc <- ivfInMemory(assigned, idCol, vecCol, collectCents,
+          inMemoryLimit, cacheKey)
         df <- searchQuerySet(queries, qidCol, qvecCol) { (qid, qv) =>
           val (cs, clusters) = bc.value
           val agg = new TopKAggregator(k)
@@ -1408,9 +1413,7 @@ object VectorSearch {
     */
   private type InMemGraph =
     org.apache.spark.broadcast.Broadcast[(Map[Long, Array[Float]], Map[Long, Array[Long]])]
-  private val inMemGraphCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Option[InMemGraph]]]()
+  private val inMemGraphCache = new SessionMemo[Option[InMemGraph]]
   private def graphSearchInMemory(graph: DataFrame, embeddings: DataFrame,
                                   idCol: String, vecCol: String,
                                   queries: DataFrame, qidCol: String,
@@ -1423,9 +1426,17 @@ object VectorSearch {
         !isLongArrayF32(queries, qidCol, qvecCol)) return None
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // unlike the flat tier, a KEYLESS graph search still builds in memory:
+    // the distributed alternative is ~2 exchanges × hops of scheduling,
+    // so even a per-call build wins (−69% measured); the byte budget and
+    // null filter guard the collect the same way as corpusInMemory
     def build(): Option[InMemGraph] = {
       val emb = embeddings.select(col(idCol), col(vecCol))
-      if (emb.limit(inMemoryLimit + 1).count() > inMemoryLimit) None
+        .filter(col(vecCol).isNotNull)
+      val n = emb.limit(inMemoryLimit + 1).count()
+      val dim = emb.select(size(col(vecCol))).take(1)
+        .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+      if (n > inMemoryLimit || n * math.max(dim, 1L) > InMemMaxFloats) None
       else {
         val vectors = emb.as[(Long, Array[Float])].collect().toMap
         val adj = undirectedEdges(graph)
@@ -1437,11 +1448,7 @@ object VectorSearch {
     }
     val built = cacheKey match {
       case Some(k0) =>
-        val perSession = inMemGraphCache.synchronized {
-          inMemGraphCache.computeIfAbsent(spark,
-            _ => new java.util.concurrent.ConcurrentHashMap[String, Option[InMemGraph]]())
-        }
-        perSession.computeIfAbsent(s"$k0|lim=$inMemoryLimit", _ => build())
+        inMemGraphCache.getOrBuild(spark, s"$k0|lim=$inMemoryLimit")(build())
       case None => build()
     }
     built.map { bc =>

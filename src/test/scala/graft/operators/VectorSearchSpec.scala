@@ -388,14 +388,18 @@ class VectorSearchSpec extends SparkSpec {
     def collectSorted(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "doc_id", "score", "rank")
         .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // the fast path REQUIRES a cacheKey (keyed-or-distributed rule)
+    val ck = Some("spec|flat-inmem")
     val inMemW = collectSorted(VectorSearch.bruteTopKBatch(
-      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10))
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10,
+      cacheKey = ck))
     val distW = collectSorted(VectorSearch.bruteTopKBatch(
       emb, "vec_id", "embedding", queries, "query_id", "qvec", 10,
       inMemoryLimit = 0))
     assert(inMemW == distW)
     val inMemA = collectSorted(VectorSearch.bruteTopKBatchAgg(
-      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10))
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10,
+      cacheKey = ck))
     val distA = collectSorted(VectorSearch.bruteTopKBatchAgg(
       emb, "vec_id", "embedding", queries, "query_id", "qvec", 10,
       inMemoryLimit = 0))
@@ -406,8 +410,13 @@ class VectorSearchSpec extends SparkSpec {
     val qLocal = queries.as[(Long, Array[Float])].collect().toSeq
       .toDF("query_id", "qvec")
     val inMemL = collectSorted(VectorSearch.bruteTopKBatchAgg(
-      emb, "vec_id", "embedding", qLocal, "query_id", "qvec", 10))
+      emb, "vec_id", "embedding", qLocal, "query_id", "qvec", 10,
+      cacheKey = ck))
     assert(inMemL == distA)
+    // keyless calls never take the fast path (they would re-collect per
+    // call with zero reuse) — still identical results via the plan
+    assert(collectSorted(VectorSearch.bruteTopKBatchAgg(
+      emb, "vec_id", "embedding", queries, "query_id", "qvec", 10)) == distA)
   }
 
   test("ivfTopKBatch: keyed in-memory serving equals the distributed probe/scan plan row-for-row") {
@@ -438,7 +447,8 @@ class VectorSearchSpec extends SparkSpec {
     val qv = graphCorpus.filter(col("vec_id") === 3L)
       .select("embedding").as[Array[Float]].head().toSeq
     def run(limit: Int) = VectorSearch.bruteTopK(
-        emb, "vec_id", "embedding", qv, 10, inMemoryLimit = limit)
+        emb, "vec_id", "embedding", qv, 10, inMemoryLimit = limit,
+        cacheKey = Some("spec|flat-single"))
       .select("doc_id", "score").as[(Long, Double)].collect().toSeq
     assert(run(200000) == run(0))
     // a corpus over the limit falls back to the distributed plan
