@@ -123,6 +123,35 @@ object Profile {
       println(s"[profile] full-pipeline-3rd jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     locally {
+      // the SERVING shape: corpusKey routes the flat vector stage through
+      // the guarded in-process search (zero vector-stage jobs) on top of
+      // the keyed index's in-process BM25 — warm floor + census
+      secs("full-pipeline-keyed-1st") {
+        pipeline.KbPipeline.query(spark, chunks, emb,
+          queries.EngineQueries.E2eQueryText, bm25Index = Some(ix),
+          corpusKey = Some(sfDir)).hits.count()
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      secs("full-pipeline-keyed-warm") {
+        pipeline.KbPipeline.query(spark, chunks, emb,
+          queries.EngineQueries.E2eQueryText, bm25Index = Some(ix),
+          corpusKey = Some(sfDir)).hits.count()
+      }
+      spark.sparkContext.removeSparkListener(l)
+      println(s"[profile] full-pipeline-keyed-warm jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+    }
+    locally {
       // split the warm floor into PLAN vs EXECUTE: a re-count of the SAME
       // DataFrame reuses its analyzed/optimized plan (queryExecution is a
       // lazy val), so the delta vs a fresh build is pure Catalyst planning

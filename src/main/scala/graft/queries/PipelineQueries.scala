@@ -1139,6 +1139,81 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── The INCREMENTAL lifecycle end-to-end, value-checked by the gate:
+    //    the corpus is split 80/20, the 20% arrives as an append batch —
+    //    BM25 via mergeIndex (S8 incremental), vectors via appendIvf — and
+    //    the hybrid RRF serve runs on the APPENDED indexes while the
+    //    ORACLE is the full-rebuild formulation. A hash match here IS the
+    //    proof that append ≡ rebuild, re-verified at every sf rung by
+    //    DuckDB rather than only by ScalaTest. ───────────────────────────
+    QueryDef.sql("e2e_incremental", {
+      import OracleSql.bm25Cte
+      s"""$bm25Cte,
+         |ktop AS (SELECT doc_id, round(score, 4) AS score FROM bm25
+         |         ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+         |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |         WHERE vec_id < 8),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT doc_id, ev, cid FROM asg WHERE rn = 1),
+         |probe AS (SELECT cid FROM (
+         |  SELECT c.cid, row_number() OVER (
+         |    ORDER BY ${cosineSql("c.cv", "(SELECT v FROM qv)")} DESC, c.cid) AS rn
+         |  FROM cent c) WHERE rn <= 2),
+         |vscored AS (
+         |  SELECT a.doc_id, ${cosineSql("a.ev", "(SELECT v FROM qv)")} AS score
+         |  FROM a2 a JOIN probe p ON a.cid = p.cid),
+         |vrk AS (SELECT doc_id, score, row_number() OVER (
+         |          ORDER BY score DESC, doc_id) AS rank FROM vscored),
+         |vtop AS (SELECT doc_id, round(score, 6) AS score FROM vrk WHERE rank <= 50),
+         |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM vtop),
+         |krank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM ktop),
+         |contrib AS (
+         |  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM vrank
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM krank)
+         |SELECT doc_id, round(sum(contrib), 6) AS rrf_score
+         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.{Bm25, Fusion}
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      // BM25: 80% indexed up front, 20% arrives later through mergeIndex
+      val ixm = Bm25.mergeIndex(
+        Bm25.buildIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+          "doc_id", "text"),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8), "doc_id", "text")
+      val ktop = Bm25.topK(
+        Bm25.scoreWithIndex(ixm, s, OracleSql.QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
+      // vectors: base assignment + appendIvf of the same 20% split
+      val centSeq = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val ixA = graft.operators.VectorSearch.appendIvf(
+        graft.operators.VectorSearch.IvfIndex(
+          graft.operators.VectorSearch.seededIvfAssign(
+            emb.filter(pmod(col("vec_id"), lit(10)) < 8),
+            "vec_id", "embedding", centSeq),
+          centSeq.map(_._2.toArray).toArray, "vec_id", "embedding"),
+        emb.filter(pmod(col("vec_id"), lit(10)) >= 8))
+      val centsDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val qdf = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val vtop = graft.operators.VectorSearch.ivfTopKBatch(
+          ixA.assigned, "vec_id", "embedding", centsDf, qdf, "qid", "qvec",
+          k = 50, nprobe = 2)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+      Fusion.rrf(Seq(vtop, ktop))
+        .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy("doc_id")
+    },
+
     // ── Text analysis: token counting (F4) ────────────────────────────────
     QueryDef.sql("f4_token_counts",
       s"""SELECT doc_id,
