@@ -137,7 +137,7 @@ object Bench {
       "e2e_hybrid_query", "e2e_hybrid_batch", "e2e_hybrid_batch20",
       "e2e_hybrid_ivfpq", "e2e_hybrid_graph", "w2_context_window",
       "m5_embed_cache", "s_chunker", "dedup_incremental", "dedup_minhash_lsh",
-      "sim_knn_graph", "sim_knn_graph_unique")
+      "sim_knn_graph", "sim_knn_graph_unique", "e2e_incremental")
     val headline = jmap(results.collect {
       case (k, mn, _) if headlineNames(k) => (k, mn) })
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passes,"failed":$failed,"nqueries":${results.size},"headline":$headline,"full":"tools/bench_full_last.json"}""")
