@@ -131,8 +131,10 @@ object Main {
 
     verb match {
       case "database" =>
-        require(args.length >= 3, "database <kbDir> <inputGlob> [cfg.ini] [--force]")
         val pos = args.filterNot(_.startsWith("--"))
+        // requirement is on POSITIONAL args: `database <kb> --force` must
+        // fail with the usage message, not an ArrayIndexOutOfBounds
+        require(pos.length >= 3, "database <kbDir> <inputGlob> [cfg.ini] [--force]")
         val force = args.contains("--force")
         val cfg = loadCfg(pos, 3, kb)
         // Incremental by default, like the reference (db_manager.py:349-374:
@@ -175,12 +177,27 @@ object Main {
           val nNew = newChunks.count()
           if (nNew == 0) println(s"[graft] database: no new files (registry skip); --force to reprocess")
           else {
-            newChunks.write.mode("append").parquet(chunksPath)
+            // a CHANGED file passes the content-hash anti-join as "new" —
+            // its previous version's chunks must be REPLACED, not kept
+            // beside the new ones (the reference re-ingests a changed
+            // file's rows in place, db_manager.py:349-374; accumulating
+            // both versions would retrieve stale and current text side by
+            // side). Rewrite = old chunks minus re-ingested sourcedocs,
+            // plus the new batch; registry rebuilt from the surviving set.
+            val changedDocs = newChunks.select("sourcedoc").distinct()
+            val old = spark.read.parquet(chunksPath)
+            val survivors = old.join(changedDocs, Seq("sourcedoc"), "left_anti")
+              .localCheckpoint(true) // sever lineage from the path we overwrite
+            val nReplaced = old.count() - survivors.count()
+            survivors.unionByName(newChunks)
+              .write.mode("overwrite").parquet(chunksPath)
             spark.catalog.refreshByPath(chunksPath)
-            newChunks.select("file_hash").distinct()
-              .write.mode("append").parquet(registryPath)
+            spark.read.parquet(chunksPath).select("file_hash").distinct()
+              .write.mode("overwrite").parquet(registryPath)
             spark.catalog.refreshByPath(registryPath)
-            println(s"[graft] database: +$nNew chunks (incremental) -> $chunksPath")
+            println(s"[graft] database: +$nNew chunks (incremental" +
+              (if (nReplaced > 0) s", $nReplaced stale replaced" else "") +
+              s") -> $chunksPath")
           }
         }
 
@@ -309,8 +326,12 @@ object Main {
         // carries the same knob statically (`faiss_nprobe`,
         // query/search.py:222-231); here it is measured, once, at build
         // time. Tier comes from the same policy the query verb serves.
-        val cfg = loadCfg(args, 3, kb)
-        val target = args.lift(2).flatMap(a => scala.util.Try(a.toDouble).toOption)
+        // `tune <kb> [target] [cfg.ini]` — target is optional, so a lone
+        // non-numeric arg(2) IS the config path (`tune kb custom.ini` must
+        // load custom.ini, not silently tune against defaults)
+        val targetArg = args.lift(2).flatMap(a => scala.util.Try(a.toDouble).toOption)
+        val cfg = loadCfg(args, if (targetArg.isDefined) 3 else 2, kb)
+        val target = targetArg
           .orElse(Option(cfg.recallTarget).filter(_ > 0)).getOrElse(0.9)
         val emb = spark.read.parquet(s"$kb/embeddings")
         import graft.operators.VectorSearch

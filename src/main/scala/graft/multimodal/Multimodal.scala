@@ -371,7 +371,15 @@ object Multimodal {
           require(compression == 0 && filterMethod == 0, "nonstandard methods")
           require(interlace == 0, "interlaced PNGs not supported")
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          // bound the DECLARED size before any allocation arithmetic:
+          // width*channels and height*(1+stride) are Int expressions a
+          // crafted IHDR could overflow into a small positive value,
+          // silently accepting a truncated stream (or attempting a
+          // multi-GB allocation). 2^26 samples ≈ 256 MB of row data is
+          // far beyond any test asset and still overflow-safe.
           channels = ColorTypeToChannels(colorType)
+          require(width.toLong * height * channels <= (1L << 26),
+            s"PNG dimensions ${width}x$height x$channels exceed the decode budget")
         case "IDAT" => idat.write(data)
         case "IEND" => done = true
         case _ => // ancillary chunk (tEXt, pHYs, …): skip, like every reader
@@ -386,6 +394,10 @@ object Multimodal {
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
+      // needsDictionary: a zlib header with FDICT set makes inflate()
+      // return 0 with needsInput()==false forever — reject loudly instead
+      // of spinning (the docstring's malformed-bytes contract)
+      require(!inflater.needsDictionary, "zlib preset dictionary unsupported")
       require(n > 0 || !inflater.needsInput(), "truncated zlib stream")
       got += n
     }
@@ -429,6 +441,44 @@ object Multimodal {
   def pngFeatures(media: DataFrame): DataFrame =
     decodedImageFeatures(media, decodePng)
 
+  /** (sum, max, position-weighted sum) over a pixel array — the ONE stat
+    * loop behind every image/video feature oracle (the position weight is
+    * what makes a sample-shifting decode bug break value-exactness even
+    * when the plain sum survives).
+    */
+  private def pixelStats(pixels: Array[Int]): (Long, Long, Long) = {
+    var sum = 0L; var wsum = 0L; var mx = 0L
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i).toLong
+      sum += v; wsum += v * (i + 1); if (v > mx) mx = v
+      i += 1
+    }
+    (sum, mx, wsum)
+  }
+
+  /** Pack 8-bit RGB pixels as a BMP/DIB pixel array: bottom-up rows, BGR
+    * byte order, each row padded to 4 bytes — the ONE layout shared by
+    * [[encodeBmp24]] and the AVI '00db' frames ([[encodeAviDib]]).
+    */
+  private def packRowsBgr(width: Int, height: Int, pixels: Array[Int],
+                          buf: java.nio.ByteBuffer): Unit = {
+    val pad = (4 - (width * 3) % 4) % 4
+    var row = height - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < width) {
+        val base = (row * width + x) * 3
+        buf.put(pixels(base + 2).toByte).put(pixels(base + 1).toByte)
+          .put(pixels(base).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      row -= 1
+    }
+  }
+
   private def decodedImageFeatures(media: DataFrame,
                                    decoder: Array[Byte] => PngImage): DataFrame = {
     val spark = media.sparkSession
@@ -437,13 +487,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val img = decoder(r.bytes)
-          var sum = 0L; var wsum = 0L; var mx = 0L
-          var i = 0
-          while (i < img.pixels.length) {
-            val v = img.pixels(i).toLong
-            sum += v; wsum += v * (i + 1); if (v > mx) mx = v
-            i += 1
-          }
+          val (sum, mx, wsum) = pixelStats(img.pixels)
           (r.media_id, img.width, img.height, img.channels,
             img.pixels.length.toLong, sum, mx, wsum)
         }
@@ -480,20 +524,7 @@ object Multimodal {
       .putShort(1).putShort(24) // planes, bpp
       .putInt(0).putInt(dataSize) // BI_RGB, image size
       .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
-    var row = height - 1 // bottom-up storage order
-    while (row >= 0) {
-      var x = 0
-      while (x < width) {
-        val base = (row * width + x) * 3
-        buf.put(pixels(base + 2).toByte) // B
-          .put(pixels(base + 1).toByte)  // G
-          .put(pixels(base).toByte)      // R
-        x += 1
-      }
-      var p = 0
-      while (p < pad) { buf.put(0.toByte); p += 1 }
-      row -= 1
-    }
+    packRowsBgr(width, height, pixels, buf)
     buf.array()
   }
 
@@ -554,19 +585,7 @@ object Multimodal {
     val frameSize = (rowBytes + pad) * height
     def dib(pixels: Array[Int]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(frameSize)
-      var row = height - 1
-      while (row >= 0) {
-        var x = 0
-        while (x < width) {
-          val base = (row * width + x) * 3
-          b.put(pixels(base + 2).toByte).put(pixels(base + 1).toByte)
-            .put(pixels(base).toByte)
-          x += 1
-        }
-        var p = 0
-        while (p < pad) { b.put(0.toByte); p += 1 }
-        row -= 1
-      }
+      packRowsBgr(width, height, pixels, b)
       b.array()
     }
     encodeAvi(width, height, fps, "DIB ", "00db", frames.map(dib))
@@ -682,18 +701,27 @@ object Multimodal {
     def walk(end: Int): Unit = {
       while (buf.position() + 8 <= end) {
         val id = fourCC(); val sz = buf.getInt
-        require(sz >= 0 && buf.position() + sz <= end, s"chunk '$id' overruns payload")
+        // Long arithmetic: a declared size near 2^31 would wrap
+        // `position + sz` negative and slip past the overrun check into
+        // a ~2 GB allocation or a BufferUnderflow instead of this require
+        require(sz >= 0 && buf.position().toLong + sz <= end,
+          s"chunk '$id' overruns payload")
         val next = buf.position() + sz + (sz & 1) // RIFF word alignment
         if (id == "LIST") {
+          require(sz >= 4, s"LIST chunk too short ($sz bytes)")
           fourCC() // list type (hdrl/strl/movi/rec …): recurse through all
           walk(buf.position() + sz - 4)
         } else if (id == "avih") {
+          // the fields read below span 40 bytes — a shorter DECLARED size
+          // would silently read the next chunk's bytes as dimensions
+          require(sz >= 40, s"avih chunk too short ($sz bytes)")
           val p = buf.position()
           buf.getInt; buf.getInt; buf.getInt; buf.getInt // µs/frame…flags
           buf.getInt; buf.getInt; buf.getInt; buf.getInt // totalFrames…bufSize
           width = buf.getInt; height = buf.getInt
           buf.position(p)
         } else if (id == "strh") {
+          require(sz >= 28, s"strh chunk too short ($sz bytes)")
           val p = buf.position()
           val typ = fourCC()
           if (typ == "vids") {
@@ -734,13 +762,7 @@ object Multimodal {
           v.frames.iterator.zipWithIndex
             .filter(_._2 % everyK == 0)
             .map { case (img, frameNo) =>
-              var sum = 0L; var wsum = 0L; var mx = 0L
-              var i = 0
-              while (i < img.pixels.length) {
-                val px = img.pixels(i).toLong
-                sum += px; wsum += px * (i + 1); if (px > mx) mx = px
-                i += 1
-              }
+              val (sum, mx, wsum) = pixelStats(img.pixels)
               (r.media_id, frameNo.toLong, v.width, v.height,
                 img.pixels.length.toLong, sum, mx, wsum)
             }

@@ -56,11 +56,18 @@ object AnswerGen {
       // the last line only for unknown prompt shapes. Every template puts
       // the query framing AFTER the context block, so the LAST match in
       // the prompt wins: context prose that itself contains "Question:" or
-      // "Q:" must not shadow the real query framing.
+      // "Q:" must not shadow the real query framing. Patterns are
+      // LINE-ANCHORED (every template's framing starts a line) so a marker
+      // INSIDE the query or context text — e.g. a query quoting "Q: 1.e4"
+      // — can't hijack the match either: mid-line markers never match,
+      // and a line-start marker in the context loses to the later framing.
       val qPatterns = Seq(
-        "Question: (.*)".r, "Q: (.*)".r, "Answer briefly: (.*)".r,
-        "scholarly answer to: (.*)".r, "So, about \"(.*)\":".r,
-        "Analyze and answer: (.*)".r, "Respond imaginatively to: (.*)".r)
+        "(?m)^Question: (.*)".r, "(?m)^Q: (.*)".r,
+        "(?m)^Answer briefly: (.*)".r,
+        "(?m)^Provide a sourced, scholarly answer to: (.*)".r,
+        "(?m)^So, about \"(.*)\":".r,
+        "(?m)^Analyze and answer: (.*)".r,
+        "(?m)^Respond imaginatively to: (.*)".r)
       val q = qPatterns.zipWithIndex
         .flatMap { case (p, i) =>
           p.findAllMatchIn(prompt).map(m => (m.start, -i, m.group(1))) }

@@ -111,10 +111,32 @@ class MainSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length, "appended ids must stay unique")
     val nAfter = after.count() // snapshot: `after`'s file listing dies with --force
 
+    // a CHANGED file's old chunks are REPLACED, not accumulated beside
+    // the new ones (the reference re-ingests a changed file's rows in
+    // place) — stale text must be unretrievable afterward
+    Files.write(Paths.get(in, "a.txt"),
+      s"omega $words".getBytes(StandardCharsets.UTF_8))
+    Main.run(Array("database", kb, s"$in/*.txt"), spark)
+    val replaced = spark.read.parquet(s"$kb/chunks")
+    assert(replaced.filter(org.apache.spark.sql.functions.col("chunk_text")
+      .contains("alpha")).count() == 0, "stale chunks of the edited file must be gone")
+    assert(replaced.filter(org.apache.spark.sql.functions.col("chunk_text")
+      .contains("omega")).count() > 0, "the edited file's new chunks must be present")
+    assert(replaced.count() == nAfter, "replacement must not change the chunk count")
+    val rids = replaced.select("doc_id").collect().map(_.getLong(0))
+    assert(rids.distinct.length == rids.length, "ids must stay unique after replacement")
+
     // --force rebuilds from scratch (same corpus → same chunk count)
     Main.run(Array("database", kb, s"$in/*.txt", "--force"), spark)
     assert(spark.read.parquet(s"$kb/chunks").count() == nAfter)
     assert(spark.read.parquet(s"$kb/registry").count() == 3)
+
+    // flags don't satisfy the POSITIONAL-arg requirement: usage error,
+    // not an ArrayIndexOutOfBounds
+    val e = intercept[IllegalArgumentException] {
+      Main.run(Array("database", kb, "--force"), spark)
+    }
+    assert(Option(e.getMessage).exists(_.contains("database <kbDir>")), e.getMessage)
   }
 
   test("CLI verbs: categorize writes canonical labels and imports them back") {
@@ -247,6 +269,13 @@ class MainSpec extends SparkSpec {
     assert(ini.contains("vector_dimensions = 16"), ini)
     val cfg = graft.config.KbConfig.load(ini, env = Map.empty)
     assert(cfg.ivfNprobe == np.get)
+
+    // `tune <kb> cfg.ini` (no explicit target): the lone non-numeric arg
+    // IS the config path and must be loaded, not silently ignored — a
+    // FileNotFound on a bogus path proves the file is actually read
+    intercept[java.nio.file.NoSuchFileException] {
+      Main.run(Array("tune", kb, s"$kb/does_not_exist.ini"), spark)
+    }
   }
 
   test("KbConfig.renderIni round-trips through load") {

@@ -278,6 +278,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG: adversarial headers and streams fail loudly, never hang or misdecode") {
+    // forge a PNG: signature + caller-built chunks with valid CRCs
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len); out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr(w: Int, h: Int, colorType: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    def png(parts: Array[Byte]*): Array[Byte] =
+      (sig +: parts).reduce(_ ++ _)
+    // (1) declared dimensions whose stride arithmetic would overflow Int:
+    // rejected on the decode budget BEFORE any allocation
+    val huge = png(chunk("IHDR", ihdr(1 << 13, 1 << 13, 6)),
+      chunk("IDAT", Array[Byte](0x78, 0x01)), chunk("IEND", Array.empty))
+    val e1 = intercept[IllegalArgumentException] { Multimodal.decodePng(huge) }
+    assert(Option(e1.getMessage).exists(_.contains("decode budget")), e1.getMessage)
+    // (2) zlib stream with FDICT set: inflate() returns 0 forever with
+    // needsInput()==false — must fail loudly instead of spinning
+    // (0x78,0xBB: FDICT bit set, header checksum valid: 0x78BB % 31 == 0)
+    val fdict = png(chunk("IHDR", ihdr(2, 2, 0)),
+      chunk("IDAT", Array[Byte](0x78.toByte, 0xBB.toByte, 1, 2, 3, 4, 5, 6)),
+      chunk("IEND", Array.empty))
+    val e2 = intercept[IllegalArgumentException] { Multimodal.decodePng(fdict) }
+    assert(Option(e2.getMessage).exists(_.contains("dictionary")), e2.getMessage)
+  }
+
+  test("AVI: truncated avih/strh declared sizes are rejected, not read past") {
+    def cc(bb: java.nio.ByteBuffer, s: String): Unit =
+      bb.put(s.getBytes("US-ASCII"))
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cc(bb, "RIFF"); bb.putInt(56); cc(bb, "AVI ")
+    cc(bb, "avih"); bb.putInt(8) // declared 8 bytes — the parser reads 40
+    bb.putInt(1); bb.putInt(2)
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeAvi(bytes) }
+    assert(Option(e.getMessage).exists(_.contains("avih chunk too short")), e.getMessage)
+  }
+
   test("AVI: non-AVI payloads fail loudly, WAV is not misread as video") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeAvi("definitely not an avi".getBytes("US-ASCII"))

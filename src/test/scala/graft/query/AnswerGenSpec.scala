@@ -75,6 +75,22 @@ class AnswerGenSpec extends AnyFunSuite {
     }
   }
 
+  test("a framing marker QUOTED INSIDE the query does not hijack question recovery") {
+    // patterns are line-anchored: the mid-line 'Q: 1.e4' inside the query
+    // text must not out-rank the real framing, whose line-start match
+    // carries the FULL question (a bare last-match would pick the inner
+    // 'Q: ' and drive paragraph selection with the wrong tokens)
+    val context =
+      "openings like e4 develop the center quickly in chess games\n\n" +
+        "parquet files store columns together"
+    val query = "what does \"Q: 1.e4\" mean for chess openings"
+    AnswerGen.Templates.keys.foreach { style =>
+      val ans = AnswerGen.answer(style, context, query)
+      assert(ans.contains("develop the center"),
+        s"style $style mis-recovered the quoted-marker query: got '$ans'")
+    }
+  }
+
   test("extractive provider does not exclude code/JSON blocks over a brace") {
     // only unsubstituted {context}/{query} placeholders disqualify a block
     val context =
