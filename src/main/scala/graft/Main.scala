@@ -168,8 +168,10 @@ object Main {
           val fresh = graft.ingest.Ingest.ingestFiles(spark, pos(2),
             registry = Some(registry),
             chunkSize = cfg.dbMaxTokens, overlap = cfg.dbMaxTokens / 4)
+          // coalesce: an EMPTY existing chunks table (all inputs filtered
+          // by the P6 empty-text drop) yields max=null — start ids at 0
           val maxId = spark.read.parquet(chunksPath)
-            .agg(max("doc_id")).head().getLong(0)
+            .agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
           val newChunks = fresh.withColumn("doc_id",
             (row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy("sourcedoc", "sid")) + lit(maxId)).cast("long"))
@@ -285,7 +287,10 @@ object Main {
         val t0 = System.nanoTime()
         val res = KbPipeline.query(spark, chunks, emb, args(2), cfg,
           bm25Index = ix, serving = serving,
-          corpusKey = Some(s"$kb/embeddings"))
+          // fingerprinted like Bm25.readIndex's key: a corpus rewrite in
+          // the SAME session must never serve the stale memoized broadcast
+          corpusKey = Some(s"$kb/embeddings@" +
+            graft.operators.PathFingerprint(s"$kb/embeddings")))
         // The reference's query flow returns the built context when
         // `--context-only` is passed and otherwise generates the answer
         // from it (`query/processing.py:262-285`). query_model = "none"

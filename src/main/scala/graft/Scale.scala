@@ -80,9 +80,10 @@ object Scale {
     def knn50(e: DataFrame): Long =
       operators.VectorSearch.bruteTopKBatchAgg(e, "vec_id", "embedding",
         queries50(e), "query_id", "qvec", 20, inMemoryLimit = 0).count()
-    def knn50InProc(e: DataFrame): Long =
+    def knn50InProc(e: DataFrame, key: String): Long =
       operators.VectorSearch.bruteTopKBatchAgg(e, "vec_id", "embedding",
-        queries50(e), "query_id", "qvec", 20).count()
+        queries50(e), "query_id", "qvec", 20,
+        cacheKey = Some(key)).count()
     def pq(e: DataFrame): Long = {
       val seeds = e.limit(16).select("vec_id").collect().map(_.getLong(0)).toSeq
       val cb = operators.VectorSearch.seededPqCodebook(e, "vec_id", "embedding", seeds, m = 8)
@@ -130,8 +131,8 @@ object Scale {
     secs(s"knn-batch50 ${kEmb}x")(knn50(bigEmb))
     // the guarded in-process flat tier (under the 200k-row broadcast
     // limit at both scales here; above it the row equals the plain one)
-    secs(s"knn-batch50-inproc 1x")(knn50InProc(emb))
-    secs(s"knn-batch50-inproc ${kEmb}x")(knn50InProc(bigEmb))
+    secs(s"knn-batch50-inproc 1x")(knn50InProc(emb, "scale|knn1x"))
+    secs(s"knn-batch50-inproc ${kEmb}x")(knn50InProc(bigEmb, s"scale|knn${kEmb}x"))
     secs(s"pq-encode+adc 1x")(pq(emb))
     secs(s"pq-encode+adc ${kEmb}x")(pq(bigEmb))
     def graphAnn(e: DataFrame): Long = {

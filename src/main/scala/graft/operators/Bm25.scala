@@ -155,7 +155,15 @@ object Bm25 {
     val np0 = postings(newDocs, idCol, textCol)
     val npLens = docLengths(np0)
     val np = np0.join(npLens, "doc_id")
-    val post = withDocLen(old).unionByName(np)
+    // a term-bucketed STORED index carries the term_bucket partition
+    // column the fresh batch lacks — drop it before the union (the merged
+    // in-memory index is not bucket-complete anyway; Index.termBuckets
+    // goes None so no pruning is attempted, and writeIndex re-derives the
+    // column from scratch on the next store)
+    val oldPost0 = withDocLen(old)
+    val oldPost = if (oldPost0.columns.contains("term_bucket"))
+      oldPost0.drop("term_bucket") else oldPost0
+    val post = oldPost.unionByName(np)
     val lens = old.lengths.unionByName(npLens)
     val idfDf = idf(post, oldN + newN)
     val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
@@ -228,18 +236,7 @@ object Bm25 {
       // instead of the stale memoized arrays; non-local filesystems
       // (no java.io view) fingerprint as 0 and fall back to dir-only
       // identity — the pre-existing cachedIndex staleness contract
-      cacheKey = Some(s"stored:$dir@${dirFingerprint(s"$dir/stats")}"))
-
-  /** Sum of (mtime, length) over a directory's files — a driver-side
-    * change marker for locally-stored index tables; 0 when the path has
-    * no local java.io view.
-    */
-  private def dirFingerprint(path: String): Long =
-    scala.util.Try {
-      val d = new java.io.File(path)
-      val fs = Option(d.listFiles()).getOrElse(Array.empty)
-      fs.foldLeft(0L)((a, f) => a + f.lastModified() + f.length())
-    }.getOrElse(0L)
+      cacheKey = Some(s"stored:$dir@${PathFingerprint(s"$dir/stats")}"))
 
   /** Memoized per-corpus index — the "load the persisted index" path the
     * reference takes on every query. Keyed by corpus identity (sf dir).

@@ -10,7 +10,28 @@ import org.apache.spark.sql.SparkSession
   * that sit in front of these memos (LIMIT-bounded counts, byte budgets)
   * are easier to audit when the memo itself has exactly one shape.
   */
-private[operators] final class SessionMemo[V] {
+/** Cheap driver-side change marker for a locally-stored table directory:
+  * CRC32 over the sorted (name, mtime, length) tuples — 0 when the path
+  * has no local java.io view (non-local filesystems fall back to
+  * path-only identity, the pre-existing cachedIndex staleness contract).
+  * A plain mtime+length SUM collides on rewrites inside the mtime
+  * granularity with equal sizes; the tuple hash does not.
+  */
+private[graft] object PathFingerprint {
+  def apply(path: String): Long =
+    scala.util.Try {
+      val d = new java.io.File(path)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      val crc = new java.util.zip.CRC32()
+      fs.foreach { f =>
+        crc.update(s"${f.getName}:${f.lastModified()}:${f.length()};"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      crc.getValue
+    }.getOrElse(0L)
+}
+
+private[graft] final class SessionMemo[V] {
   private val cache =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, V]]()

@@ -244,9 +244,15 @@ object VectorSearch {
         val ((np, sl), r) = walk(steps) { case (np, sl) => eval(np, sl) }
         (Serving.IvfPq(ix, cb, encoded, sl), TunedKnobs(np, sl, 0, r))
       case Serving.Graph(g, _, hops, entries) =>
+        // session-scoped synthetic key: the in-memory (vectors, edges)
+        // broadcast is built once and shared across ladder steps instead
+        // of re-collected per beam value (same economics as the
+        // GraphDeduped branch's memoized build)
+        val tuneKey = Some(s"tune|${System.identityHashCode(g)}")
         val (beam, r) = walk(beamLadder(k)) { b =>
           recallOf(topSet(graphSearch(g, embeddings, idCol, vecCol,
-            qs, "query_id", "qvec", k, b, hops, entries)))
+            qs, "query_id", "qvec", k, b, hops, entries,
+            cacheKey = tuneKey)))
         }
         (Serving.Graph(g, beam, hops, entries), TunedKnobs(0, 0, beam, r))
       case Serving.GraphDeduped(ck, kg, planes, _, hops, nEnt) =>

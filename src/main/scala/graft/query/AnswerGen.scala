@@ -61,6 +61,20 @@ object AnswerGen {
       // INSIDE the query or context text — e.g. a query quoting "Q: 1.e4"
       // — can't hijack the match either: mid-line markers never match,
       // and a line-start marker in the context loses to the later framing.
+      // TERMINATED templates first: default/instructive/conversational end
+      // with a known suffix after the query, so the question is everything
+      // between the LAST line-start marker and that terminator — this
+      // recovers multi-line queries intact (a query containing its own
+      // "\nQ: …" line would otherwise win the generic last-match below
+      // and truncate the question to the embedded fragment)
+      def terminated(marker: String, term: String): Option[String] =
+        if (!prompt.endsWith(term)) None
+        else {
+          val body = prompt.dropRight(term.length)
+          ("(?m)^" + java.util.regex.Pattern.quote(marker)).r
+            .findAllMatchIn(body).toSeq.lastOption
+            .map(m => body.substring(m.end))
+        }
       val qPatterns = Seq(
         "(?m)^Question: (.*)".r, "(?m)^Q: (.*)".r,
         "(?m)^Answer briefly: (.*)".r,
@@ -68,11 +82,14 @@ object AnswerGen {
         "(?m)^So, about \"(.*)\":".r,
         "(?m)^Analyze and answer: (.*)".r,
         "(?m)^Respond imaginatively to: (.*)".r)
-      val q = qPatterns.zipWithIndex
-        .flatMap { case (p, i) =>
-          p.findAllMatchIn(prompt).map(m => (m.start, -i, m.group(1))) }
-        .sortBy(t => (t._1, t._2))
-        .lastOption.map(_._3)
+      val q = terminated("Question: ", "\nAnswer:")
+        .orElse(terminated("Q: ", "\nA:"))
+        .orElse(terminated("So, about \"", "\":"))
+        .orElse(qPatterns.zipWithIndex
+          .flatMap { case (p, i) =>
+            p.findAllMatchIn(prompt).map(m => (m.start, -i, m.group(1))) }
+          .sortBy(t => (t._1, t._2))
+          .lastOption.map(_._3))
         .getOrElse(prompt.linesIterator.toSeq.lastOption.getOrElse(""))
       val qToks = q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
       // candidate blocks = context paragraphs; the paragraph holding the

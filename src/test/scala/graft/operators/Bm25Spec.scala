@@ -219,6 +219,24 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap.keySet == memMap.keySet)
   }
 
+  test("mergeIndex accepts a bucketed STORED index and equals the full rebuild") {
+    // the stored postings carry the term_bucket partition column the fresh
+    // batch lacks — merge must align them, not throw on unionByName
+    val docs = corpus.toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 2)
+    val delta = docs.filter(col("doc_id") > 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_mrg").toString
+    Bm25.writeIndex(Bm25.buildIndex(base, "doc_id", "text"), dir, termBuckets = 4)
+    val merged = Bm25.mergeIndex(Bm25.readIndex(spark, dir), delta, "doc_id", "text")
+    val rebuilt = Bm25.buildIndex(docs, "doc_id", "text")
+    val q = "quick fox"
+    def key(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, spark, q, inProcessLimit = 0)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSet
+    assert(key(merged) == key(rebuilt))
+    // the merged in-memory index is not bucket-complete: no pruning claimed
+    assert(merged.termBuckets.isEmpty)
+  }
+
   test("scoreBatch with knownTerms prunes the stored scan and matches the unpruned batch") {
     val docs = corpus.toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_bkb").toString

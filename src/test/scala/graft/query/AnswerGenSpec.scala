@@ -91,6 +91,30 @@ class AnswerGenSpec extends AnyFunSuite {
     }
   }
 
+  test("a MULTI-LINE query with an embedded line-start marker keeps the full question") {
+    // the default/instructive/conversational templates terminate the query
+    // with a known suffix, so the question is marker→terminator even when
+    // the query itself contains "\nQ: ..." lines — the generic last-match
+    // would truncate to the embedded fragment and drive paragraph
+    // selection with the wrong tokens
+    // the PREFIX tokens decide the right block: with the full question the
+    // transcript block wins (overlap 3/4); with the truncated embedded
+    // fragment only the parquet block matches — so a truncation regression
+    // flips the answer
+    // the embedded marker is ANOTHER template's framing — a query line
+    // reusing its own template's exact marker is inherently ambiguous
+    // (indistinguishable from the real framing) and stays last-match
+    val context =
+      "explain this transcript notes\n\n" +
+        "parquet files store many compressed binary columns rows groups pages footers"
+    val query = "explain this transcript notes:\nAnswer briefly: parquet files question"
+    Seq("default", "instructive", "conversational").foreach { style =>
+      val ans = AnswerGen.answer(style, context, query)
+      assert(ans.contains("transcript notes"),
+        s"style $style truncated the multi-line query: got '$ans'")
+    }
+  }
+
   test("extractive provider does not exclude code/JSON blocks over a brace") {
     // only unsubstituted {context}/{query} placeholders disqualify a block
     val context =
