@@ -445,7 +445,13 @@ object VectorSearch {
     if (!isLongArrayF32(queries, qidCol, qvecCol)) return None
     corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).flatMap { bc =>
       val kk = k
-      searchQuerySet(queries, qidCol, qvecCol) { (qid, qv) =>
+      // a LARGE in-memory corpus makes each query's scan the unit of work;
+      // a storage-resident query set often lands in 1-2 input partitions,
+      // serializing the whole batch on one core — spread it (per-query
+      // search is independent, so repartition changes nothing but
+      // parallelism; one tiny shuffle of the ≤1024-row query set)
+      val spreadQueries = bc.value.length >= 8192
+      searchQuerySet(queries, qidCol, qvecCol, spread = spreadQueries) { (qid, qv) =>
         topKOverCorpus(bc.value, qv, kk).iterator.zipWithIndex.map {
           case (sd, i) => (qid, sd.doc_id, sd.score, i + 1)
         }
@@ -465,7 +471,8 @@ object VectorSearch {
     * added a job per call). `search` must only touch broadcast values, so
     * the same closure is correct on the driver and inside the stage.
     */
-  private def searchQuerySet(queries: DataFrame, qidCol: String, qvecCol: String)
+  private def searchQuerySet(queries: DataFrame, qidCol: String, qvecCol: String,
+                             spread: Boolean = false)
                             (search: (Long, Array[Float]) => Iterator[(Long, Long, Double, Int)]): Option[DataFrame] = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -485,7 +492,11 @@ object VectorSearch {
         qRows.flatMap { case (qid, qv) => search(qid, qv) }
           .toDF("query_id", "doc_id", "score", "rank")
       case None =>
-        sel.as[(Long, Array[Float])]
+        val ds = sel.as[(Long, Array[Float])]
+        val shaped =
+          if (spread) ds.repartition(spark.sparkContext.defaultParallelism)
+          else ds
+        shaped
           .mapPartitions(_.flatMap { case (qid, qv) => search(qid, qv) })
           .toDF("query_id", "doc_id", "score", "rank")
     })

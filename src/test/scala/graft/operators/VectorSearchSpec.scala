@@ -417,6 +417,18 @@ class VectorSearchSpec extends SparkSpec {
     // call with zero reuse) — still identical results via the plan
     assert(collectSorted(VectorSearch.bruteTopKBatchAgg(
       emb, "vec_id", "embedding", queries, "query_id", "qvec", 10)) == distA)
+    // a LARGE in-memory corpus (>= the spread threshold) repartitions the
+    // query set for parallelism — results must stay identical
+    val big = (0 until 20).map(r => graphCorpus.select(
+        (col("vec_id") + lit(r * 10000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val bigInMem = collectSorted(VectorSearch.bruteTopKBatchAgg(
+      big, "vec_id", "embedding", queries, "query_id", "qvec", 10,
+      cacheKey = Some("spec|flat-big")))
+    val bigDist = collectSorted(VectorSearch.bruteTopKBatchAgg(
+      big, "vec_id", "embedding", queries, "query_id", "qvec", 10,
+      inMemoryLimit = 0))
+    assert(bigInMem == bigDist)
   }
 
   test("ivfTopKBatch: keyed in-memory serving equals the distributed probe/scan plan row-for-row") {
