@@ -414,6 +414,48 @@ object HashAlgos {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom > 0) dot / denom else 0.0
   }
+
+  // ── Bloom filter over 64-bit fingerprints ───────────────────────────────
+  // Standard double hashing (Kirsch–Mitzenmacher 2006): k bit positions
+  // g_i = h1 + i·h2 from two mixes of the key. The mixer is the public
+  // splitmix64 finalizer (Steele et al., JDK SplittableRandom). Build and
+  // probe share these exact functions, so the filter has no false negatives
+  // by construction — callers re-verify candidates with an exact join and
+  // the combination stays value-exact at any false-positive rate.
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the k bloom bits for `v` in `words` (64·words.length bits). */
+  def bloomSet(words: Array[Long], numHashes: Int, v: Long): Unit = {
+    val bitSize = words.length.toLong * 64L
+    val h1 = mix64(v)
+    val h2 = mix64(v ^ 0xC2B2AE3D27D4EB4FL) | 1L // odd: never a degenerate stride
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h1 + i.toLong * h2) & Long.MaxValue) % bitSize
+      words((idx >>> 6).toInt) |= (1L << (idx & 63L))
+      i += 1
+    }
+  }
+
+  /** True iff all k bloom bits for `v` are set (no false negatives). */
+  def bloomMightContain(words: Array[Long], numHashes: Int, v: Long): Boolean = {
+    val bitSize = words.length.toLong * 64L
+    val h1 = mix64(v)
+    val h2 = mix64(v ^ 0xC2B2AE3D27D4EB4FL) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h1 + i.toLong * h2) & Long.MaxValue) % bitSize
+      if ((words((idx >>> 6).toInt) & (1L << (idx & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Input-type validation shared by the graft expressions (ExpectsInputTypes
@@ -565,6 +607,29 @@ case class PqAdcDistExpr(child: Expression, lut: Array[Double], k: Int)
     copy(child = newChild)
 }
 
+/** `bloom_might_contain(fp)` → BOOLEAN against a driver-built bit array.
+  * The words ride into codegen as ONE reference object (like
+  * [[PqEncodeExpr]]'s codebook) — per row it is k mixes + k bit tests, no
+  * branch out of whole-stage codegen. No false negatives, so a downstream
+  * exact join keeps the composed operator value-exact at any fpp.
+  */
+case class BloomMightContainExpr(child: Expression, words: Array[Long], numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+  override protected def nullSafeEval(v: Any): Any =
+    HashAlgos.bloomMightContain(words, numHashes, v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashAlgos.bloomMightContain($wRef, $numHashes, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 /** `dot_f32(a, b)` → DOUBLE. */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -647,6 +712,8 @@ object FastFunctions {
     GraftShims.column(MinHashSigExpr(GraftShims.expression(tokens), shingleN, numHashes))
   def simhash60(tokens: Column): Column =
     GraftShims.column(SimHash60Expr(GraftShims.expression(tokens)))
+  def bloomMightContain(fp: Column, words: Array[Long], numHashes: Int): Column =
+    GraftShims.column(BloomMightContainExpr(GraftShims.expression(fp), words, numHashes))
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotF32(GraftShims.expression(a), GraftShims.expression(b)))
   def cosine(a: Column, b: Column): Column =

@@ -438,4 +438,104 @@ object Dedup {
         VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Build a Bloom filter over a LONG fingerprint column, distributed:
+    * each partition sets bits into a local word array
+    * ([[graft.functions.HashAlgos.bloomSet]]), arrays OR-merge up a tree.
+    * The genuine per-partition imperative case the RDD layer exists for —
+    * the same shape as Spark's own `DataFrameStatFunctions.bloomFilter`.
+    *
+    * Sizing is the standard m = ⌈−n·ln(fpp)/ln²2⌉, k = ⌈(m/n)·ln 2⌉,
+    * clamped to `maxBits` (default 2³⁰ bits = 128 MB — a ~100M-key batch
+    * at 1% fpp fits; beyond the clamp the filter stays correct, the
+    * false-positive rate just rises and the exact verify join absorbs it).
+    *
+    * @return (bit words, numHashes)
+    */
+  def buildBloom(fps: DataFrame, fpCol: String, expectedItems: Long,
+                 fpp: Double = 0.01, maxBits: Long = 1L << 30): (Array[Long], Int) = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val n = expectedItems.max(1L)
+    val ln2 = math.log(2)
+    val m0 = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = m0.max(64L).min(maxBits.max(64L))
+    val nWords = ((m + 63L) / 64L).toInt
+    val k = math.max(1, math.ceil((m.toDouble / n.toDouble) * ln2).toInt)
+    val words = fps.select(col(fpCol).cast("long")).na.drop()
+      .rdd.map(_.getLong(0))
+      .treeAggregate(new Array[Long](nWords))(
+        (acc, v) => { graft.functions.HashAlgos.bloomSet(acc, k, v); acc },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    (words, k)
+  }
+
+  /** Incremental exact dedup of an ingest batch against a lake, Bloom-
+    * prefiltered: for every batch doc, the lowest-id lake doc with the same
+    * content fingerprint (`keep_id`, NULL when the doc is new) — the S5
+    * skip-reingest decision (`database/processor.py` skips files already in
+    * the chunk store) at corpus scale.
+    *
+    * 100 TB shape: the batch (small side) is fingerprinted and folded into
+    * a Bloom filter; the LAKE scan applies `bloom_might_contain(fp)` inside
+    * whole-stage codegen, so non-matching lake rows die map-side without
+    * shuffling — only candidate rows (true matches + fpp false positives)
+    * reach the exact verify join. This sits between the broadcast-hash-join
+    * regime (batch fingerprints fit in a hash map — a few GB at 100M keys)
+    * and the sort-merge regime (shuffling the full lake fingerprint set):
+    * the bloom is ~10 bits/key where a hash join needs ~100+, and no lake
+    * row moves at all. False positives are eliminated by the join; false
+    * negatives don't exist, so the result is value-identical to the plain
+    * join at ANY fpp — dedup_bloom_incremental's oracle is that plain join.
+    *
+    * @param knownBatchRows pass the ingest batch size when the caller knows
+    *        it (a manifest count) to skip the sizing count job
+    */
+  def incrementalBloom(lake: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, fpp: Double = 0.01,
+                       knownBatchRows: Option[Long] = None,
+                       maxBits: Long = 1L << 30): DataFrame = {
+    val bfp = batch.select(col(idCol).as("batch_id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val n = knownBatchRows.getOrElse(bfp.select("batch_id").count())
+    val (words, k) = buildBloom(bfp, "fp", n, fpp, maxBits)
+    val lfp = lake.select(col(idCol).as("keep_cand"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .filter(FastFunctions.bloomMightContain(col("fp"), words, k))
+    bfp.join(lfp, Seq("fp"), "left")
+      .groupBy("batch_id").agg(min("keep_cand").as("keep_id"))
+  }
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then compare pairs ONLY within a cluster
+    * and drop every doc with an ε-close lower-id neighbor there. Returns
+    * `(dup_id, keep_id, cos)` — keep_id the LOWEST such neighbor (the
+    * deterministic stand-in for the paper's arbitrary keeper; like the
+    * exact-dedup keep-min-id policy), cos the similarity to it.
+    *
+    * Scale shape: assignment is one map over the corpus against broadcast
+    * centroids ([[VectorSearch.seededIvfAssign]]); the self-join shuffles
+    * once on cluster_id and the quadratic term is |cluster|² — SemDeDup's
+    * own design point is k large enough that n/k is small (the paper uses
+    * k = 50k on 5B embeddings ⇒ ~100k/cluster). For skewed clusters,
+    * sub-bucket with [[embeddingDups]]' sign-LSH planes inside the cluster
+    * key. Unlike the non-chained [[embeddingDups]], membership here is
+    * cluster-pruned, so cross-cluster near-dups are missed by design —
+    * the paper's accepted approximation.
+    */
+  def semanticDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Int, Seq[Float])], threshold: Double): DataFrame = {
+    val asg = VectorSearch.seededIvfAssign(embeddings, idCol, vecCol, centroids)
+    val a = asg.select(col("cluster_id"), col(idCol).as("keep_cand"), col(vecCol).as("va"))
+    val b = asg.select(col("cluster_id"), col(idCol).as("dup_id"), col(vecCol).as("vb"))
+    val pairs = a.join(b, "cluster_id")
+      .filter(col("keep_cand") < col("dup_id"))
+      .select(col("dup_id"), col("keep_cand"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+    // min over (keep_cand, cos) structs = lexicographic: the lowest keeper
+    // and ITS cosine (keep_cand is unique per pair, so cos never decides)
+    pairs.groupBy("dup_id")
+      .agg(min(struct(col("keep_cand"), col("cos"))).as("m"))
+      .select(col("dup_id"), col("m.keep_cand").as("keep_id"), col("m.cos").as("cos"))
+  }
 }

@@ -308,6 +308,65 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── Bloom-prefiltered incremental exact dedup: odd doc_ids arrive as
+    //    the ingest batch, even doc_ids are the lake. The batch folds into
+    //    a Bloom filter (codegen'd probe), the LAKE scan drops non-matches
+    //    map-side, and the exact fingerprint join verifies survivors — the
+    //    oracle is the PLAIN left join, so a hash match proves the bloom
+    //    composition value-identical at the configured fpp ────────────────
+    QueryDef.sql("dedup_bloom_incremental",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         ${polySql("trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))", 31)} AS fp
+         |  FROM documents),
+         |b AS (SELECT doc_id AS batch_id, fp FROM f WHERE doc_id % 2 = 1),
+         |l AS (SELECT doc_id AS keep_cand, fp FROM f WHERE doc_id % 2 = 0)
+         |SELECT b.batch_id, min(l.keep_cand) AS keep_id
+         |FROM b LEFT JOIN l USING (fp)
+         |GROUP BY b.batch_id
+         |ORDER BY batch_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalBloom(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy("batch_id")
+    },
+
+    // ── Semantic dedup (SemDeDup): seeded-centroid clusters (vec_id < 8,
+    //    the sim_knn_ivf_seeded assignment), within-cluster cosine ≥ τ
+    //    against any lower-id doc ⇒ dropped, keeper = lowest such neighbor.
+    //    τ = 0.4 is data-scaled to the synthetic embeddings (max pairwise
+    //    cosine ≈ 0.48–0.60 across sf rungs) so every rung has real drops ─
+    QueryDef.sql("dedup_semantic",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |              WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT doc_id, ev, cid FROM asg WHERE rn = 1),
+         |p AS (
+         |  SELECT b.doc_id AS dup_id, a.doc_id AS keep_cand,
+         |         ${cosineSql("a.ev", "b.ev")} AS cos
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.doc_id < b.doc_id),
+         |q AS (SELECT * FROM p WHERE cos >= 0.4),
+         |sel AS (SELECT dup_id, keep_cand, cos,
+         |               row_number() OVER (PARTITION BY dup_id ORDER BY keep_cand) AS rn
+         |        FROM q)
+         |SELECT dup_id, keep_cand AS keep_id, round(cos, 6) AS cos
+         |FROM sel WHERE rn = 1 ORDER BY dup_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+      Dedup.semanticDups(emb, "vec_id", "embedding", cents, 0.4)
+        .select(col("dup_id"), col("keep_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("dup_id")
+    },
+
     // ── Pure-SQL surface: the graft codegen expressions reached through
     //    spark.sql via registered functions (the JDBC/thrift-user path) —
     //    value-checked against the same integer-math oracles ────────────────

@@ -161,6 +161,65 @@ class DedupSpec extends SparkSpec {
     assert(dups == Set((1L, 2L)), s"got $dups")
   }
 
+  test("buildBloom: no false negatives, and misses stay mostly negative") {
+    import graft.functions.HashAlgos
+    val keys = (1L to 500L).map(_ * 7919L)
+    val fps = keys.toDF("fp")
+    val (words, k) = Dedup.buildBloom(fps, "fp", expectedItems = 500L, fpp = 0.01)
+    assert(keys.forall(HashAlgos.bloomMightContain(words, k, _)),
+      "a bloom filter must never reject an inserted key")
+    val misses = (1L to 2000L).map(_ * 7919L + 3L)
+      .count(HashAlgos.bloomMightContain(words, k, _))
+    assert(misses <= 60, s"~1% fpp expected, got $misses/2000 false positives")
+  }
+
+  test("incrementalBloom matches the plain exact join, at any bloom size") {
+    val lake = docs // docs 1-5; 1 and 2 are cleaned-identical
+    val batch = Seq(
+      (10L, "THE QUICK brown fox jumps over the lazy dog near the river bank today"), // dup of 1/2
+      (11L, "Entirely novel content that the lake has never seen before at all"))
+      .toDF("doc_id", "text")
+    val expect = Map(10L -> Some(1L), 11L -> None) // keeper = LOWEST lake id
+    val collect = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(collect(Dedup.incrementalBloom(lake, batch, "doc_id", "text")) == expect)
+    // a deliberately saturated 64-bit bloom produces false positives on
+    // most lake rows — the exact verify join must still yield identical
+    // output (no false negatives exist by construction)
+    assert(collect(Dedup.incrementalBloom(lake, batch, "doc_id", "text",
+      maxBits = 64L)) == expect)
+    // knownBatchRows skips the sizing count without changing the result
+    assert(collect(Dedup.incrementalBloom(lake, batch, "doc_id", "text",
+      knownBatchRows = Some(2L))) == expect)
+  }
+
+  test("incrementalBloom: empty batch and empty lake degenerate cleanly") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.incrementalBloom(docs, empty, "doc_id", "text").count() == 0)
+    val vsEmptyLake = Dedup.incrementalBloom(empty, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(vsEmptyLake.keySet == Set(1L, 2L, 3L, 4L, 5L) &&
+      vsEmptyLake.values.forall(identity),
+      "against an empty lake every batch doc is new")
+  }
+
+  test("semanticDups: in-cluster drops with lowest keeper; cross-cluster near-dups pruned by design") {
+    val cents = Seq(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    val emb = Seq(
+      1L -> Array(1f, 0.01f),   // cluster 0
+      2L -> Array(1f, 0.02f),   // cluster 0, ~identical to 1 → dup, keeper 1
+      3L -> Array(0.01f, 1f),   // cluster 1
+      4L -> Array(0.02f, 1f),   // cluster 1, ~identical to 3 → dup, keeper 3
+      5L -> Array(1f, 0.99f),   // cluster 0 ┐ cosine(5,6) ≈ 0.99997 but they
+      6L -> Array(0.99f, 1f),   // cluster 1 ┘ straddle the boundary → NOT a pair
+      7L -> Array(1f, 0.015f))  // cluster 0, near BOTH 1 and 2 → keeper must be 1
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDups(emb, "vec_id", "embedding", cents, threshold = 0.9)
+      .select("dup_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 4L -> 3L, 7L -> 1L), s"got $got")
+  }
+
   test("fuzzyPairs: within-block pairs under the distance bound, cross-block never") {
     val df = Seq(
       (1L, "cold widget"), (2L, "bold widget"), (3L, "small widget"),
