@@ -125,6 +125,42 @@ object Scale {
     secs(s"ngram-jaccard ${kDocs}x")(ngram(bigDocs))
     secs(s"simhash-components 1x")(components(docs))
     secs(s"simhash-components ${kDocs}x")(components(bigDocs))
+
+    // ── r11: bloom-prefiltered incremental exact dedup ──────────────────
+    // FIXED ingest batch against a GROWING lake — the production regime.
+    // The bloom row's lake scan drops non-matches map-side (no lake rows
+    // shuffle); the plain row is the same left join without the prefilter
+    // (both sides shuffle on fp). Identical results by construction.
+    def bloomIncr(lake: DataFrame, batch: DataFrame, n: Long): Long =
+      operators.Dedup.incrementalBloom(lake, batch, "doc_id", "text",
+        knownBatchRows = Some(n)).count()
+    def plainIncr(lake: DataFrame, batch: DataFrame): Long = {
+      val bfp = batch.select(col("doc_id").as("batch_id"),
+        functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val lfp = lake.select(col("doc_id").as("keep_cand"),
+        functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      bfp.join(lfp, Seq("fp"), "left").groupBy("batch_id")
+        .agg(min("keep_cand").as("keep_id")).count()
+    }
+    val bloomBatch = docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+      col("text"))
+    secs(s"bloom-incr-dedup 1x")(bloomIncr(docs, bloomBatch, 5000L))
+    secs(s"bloom-incr-dedup ${kDocs}x")(bloomIncr(bigDocs, bloomBatch, 5000L))
+    secs(s"plain-incr-dedup 1x")(plainIncr(docs, bloomBatch))
+    secs(s"plain-incr-dedup ${kDocs}x")(plainIncr(bigDocs, bloomBatch))
+
+    // ── r11: semantic dedup (SemDeDup) ──────────────────────────────────
+    // Cluster count scales WITH the corpus (the paper's own design point:
+    // k chosen so n/k stays small), so the per-cluster quadratic term is
+    // bounded at every scale.
+    def semantic(e: DataFrame, nCents: Int): Long = {
+      val cents = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      operators.Dedup.semanticDups(e, "vec_id", "embedding", cents, 0.4).count()
+    }
+    secs(s"semantic-dedup 1x")(semantic(emb, 8))
+    secs(s"semantic-dedup ${kEmb}x")(semantic(bigEmb, 400))
     secs(s"bm25-build+batch50 1x")(bm25batch(docs))
     secs(s"bm25-build+batch50 ${kDocs}x")(bm25batch(bigDocs))
     secs(s"knn-batch50 1x")(knn50(emb))

@@ -367,6 +367,42 @@ object Bm25 {
       .filter(col("score") > 0)
   }
 
+  /** Batched top-k serving IN PROCESS: score each driver-held query string
+    * against the in-process index ([[indexInProcess]] — keyed + guarded)
+    * and emit ONLY the rounded-rank head per query — exactly the rows the
+    * pipeline's window keeps: `(query_id, doc_id, score)` with
+    * score = round(raw, 4) and rank order (score desc, doc_id). The
+    * k-bounded LocalRelation (|queries|·k rows) sidesteps what made FULL
+    * in-process batch scoring slow — |docs|-scale rows in one partition,
+    * the recorded 16%-slower A/B on [[scoreBatch]]'s NOTE. None when the
+    * index is unkeyed/over-limit or the batch exceeds `maxQueries`; the
+    * distributed [[scoreBatch]] plan is unchanged on those paths — at
+    * 100 TB this rung simply never engages.
+    */
+  def topKBatchInProcess(ix: Index, spark: org.apache.spark.sql.SparkSession,
+                         queries: Seq[(Long, String)], k: Int,
+                         k1: Double = K1, b: Double = B,
+                         inProcessLimit: Int = 2000000,
+                         maxQueries: Int = 1024): Option[DataFrame] = {
+    if (k <= 0 || queries.size > maxQueries) return None
+    indexInProcess(ix, spark, inProcessLimit).map { ip =>
+      import spark.implicits._
+      queries.flatMap { case (qid, q) =>
+        scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, q), k1, b)
+          .map { case (d, s) => (d, round4(s)) }
+          .sortBy { case (d, s) => (-s, d) }
+          .take(k)
+          .map { case (d, s) => (qid, d, s) }
+      }.toDF("query_id", "doc_id", "score")
+    }
+  }
+
+  /** Spark `round(col, 4)`'s exact semantics (BigDecimal HALF_UP) — the
+    * pipeline's rounded-ranking contract, shared with the vector rungs.
+    */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Postings with a `doc_len` column: denormalized indexes carry it in the
     * row (no join); indexes persisted before the denormalization fall back
     * to the lengths join.

@@ -449,6 +449,9 @@ object Dedup {
     * clamped to `maxBits` (default 2³⁰ bits = 128 MB — a ~100M-key batch
     * at 1% fpp fits; beyond the clamp the filter stays correct, the
     * false-positive rate just rises and the exact verify join absorbs it).
+    * Memory note: like `stat.bloomFilter`, every in-flight task holds its
+    * own m/8-byte array during the build — budget maxBits against
+    * (executor cores × m/8), not just the final broadcast.
     *
     * @return (bit words, numHashes)
     */
@@ -524,6 +527,7 @@ object Dedup {
     */
   def semanticDups(embeddings: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Int, Seq[Float])], threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "semanticDups needs at least one centroid")
     val asg = VectorSearch.seededIvfAssign(embeddings, idCol, vecCol, centroids)
     val a = asg.select(col("cluster_id"), col(idCol).as("keep_cand"), col(vecCol).as("va"))
     val b = asg.select(col("cluster_id"), col(idCol).as("dup_id"), col(vecCol).as("vb"))

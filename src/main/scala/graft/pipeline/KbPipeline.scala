@@ -388,17 +388,27 @@ object KbPipeline {
       if (cfg.enableHybridSearch) {
         val ix = bm25Index.getOrElse(
           Bm25.buildIndex(chunks, "doc_id", "text", persist = true))
-        // the enhanced query strings are driver-held: their tokenized union
-        // lets a term-bucketed at-rest index partition-prune the postings
-        // scan for the whole batch (no-op for in-memory indexes)
-        val batchTerms = Some(enhancedTexts.flatMap(t =>
-          graft.functions.TextFunctions.tokenizeBm25Value(spark, t)).distinct)
-        val scored = Bm25.scoreBatch(ix, qDf.select("query_id", "qtext"),
-            "query_id", "qtext", cfg.bm25K1, cfg.bm25B, knownTerms = batchTerms)
-          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
-        val ktop = scored
-          .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
-          .filter(col("_rk") <= math.min(cfg.queryTopK, cfg.bm25MaxResults)).drop("_rk")
+        val ktopLimit = math.min(cfg.queryTopK, cfg.bm25MaxResults)
+        // serving rung: a keyed index under the in-process guard scores the
+        // driver-held enhanced queries in process and emits ONLY the
+        // |queries|·k head rows (same rounded ranking as the window below —
+        // identity spec-proved); over the guard or unkeyed, the distributed
+        // batch DAG below is unchanged
+        val ktop = Bm25.topKBatchInProcess(ix, spark,
+            qData.map { case (qid, e, _) => (qid, e) }, ktopLimit,
+            cfg.bm25K1, cfg.bm25B)
+          .getOrElse {
+            // the enhanced query strings are driver-held: their tokenized
+            // union lets a term-bucketed at-rest index partition-prune the
+            // postings scan for the whole batch (no-op in-memory)
+            val batchTerms = Some(enhancedTexts.flatMap(t =>
+              graft.functions.TextFunctions.tokenizeBm25Value(spark, t)).distinct)
+            Bm25.scoreBatch(ix, qDf.select("query_id", "qtext"),
+                "query_id", "qtext", cfg.bm25K1, cfg.bm25B, knownTerms = batchTerms)
+              .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+              .withColumn("_rk", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
+              .filter(col("_rk") <= ktopLimit).drop("_rk")
+          }
         if (cfg.fusionMethod == "weighted")
           Fusion.weightedBatch(vtop, ktop, cfg.vectorWeight, cfg.bm25Weight)
         else

@@ -237,6 +237,39 @@ class Bm25Spec extends SparkSpec {
     assert(merged.termBuckets.isEmpty)
   }
 
+  test("topKBatchInProcess == the distributed rounded-rank window, ties included") {
+    // docs 6/7 are identical → identical scores for any query: the k
+    // boundary must cut by doc_id exactly like row_number does
+    val docs = (corpus ++ Seq(
+      (6L, "quick brown fox quick dog"), (7L, "quick brown fox quick dog")))
+      .toDF("doc_id", "text")
+    val keyed = Bm25.cachedIndex("spec|tkbip", docs, "doc_id", "text")
+    val queries = Seq((1L, "quick fox"), (2L, "lorem spark catalyst"), (3L, ""))
+    for (k <- Seq(1, 2, 3, 10)) {
+      val inProc = Bm25.topKBatchInProcess(keyed, spark, queries, k)
+      assert(inProc.isDefined, "keyed index under the guard must serve in process")
+      assert(inProc.get.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val qDf = queries.toDF("query_id", "qtext")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      val dist = Bm25.scoreBatch(keyed, qDf, "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+        .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(key(inProc.get) == key(dist), s"k=$k")
+    }
+    // guards: an unkeyed index and an over-limit batch both decline
+    val unkeyed = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(Bm25.topKBatchInProcess(unkeyed, spark, queries, 5).isEmpty)
+    assert(Bm25.topKBatchInProcess(keyed, spark, queries, 5, maxQueries = 2).isEmpty)
+    // empty batch: empty result with the contract columns, still zero jobs
+    val empty = Bm25.topKBatchInProcess(keyed, spark, Seq.empty, 5)
+    assert(empty.isDefined && empty.get.columns.toSeq ==
+      Seq("query_id", "doc_id", "score") && empty.get.count() == 0)
+  }
+
   test("scoreBatch with knownTerms prunes the stored scan and matches the unpruned batch") {
     val docs = corpus.toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_bkb").toString
