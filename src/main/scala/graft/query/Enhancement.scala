@@ -155,7 +155,140 @@ object Enhancement {
     "verify" -> Seq("confirm", "validate"),
     "wait" -> Seq("pause", "delay"),
     "write" -> Seq("save", "store"),
-    "wrong" -> Seq("incorrect", "erroneous"))
+    "wrong" -> Seq("incorrect", "erroneous"),
+    // ── enrichment (round 11): further breadth, same ≤2-synonym shape;
+    //    every key verified non-colliding with the pinned e2e texts by the
+    //    EnhancementRerankSpec tripwire ──
+    "abort" -> Seq("cancel", "terminate"),
+    "accept" -> Seq("allow", "admit"),
+    "access" -> Seq("reach", "retrieve"),
+    "adjust" -> Seq("tune", "calibrate"),
+    "allocate" -> Seq("assign", "reserve"),
+    "analyze" -> Seq("examine", "study"),
+    "append" -> Seq("add", "attach"),
+    "archive" -> Seq("store", "preserve"),
+    "assign" -> Seq("allocate", "designate"),
+    "attach" -> Seq("connect", "affix"),
+    "available" -> Seq("accessible", "ready"),
+    "average" -> Seq("mean", "typical"),
+    "backup" -> Seq("copy", "snapshot"),
+    "benchmark" -> Seq("measure", "baseline"),
+    "broadcast" -> Seq("send", "distribute"),
+    "bucket" -> Seq("bin", "partition"),
+    "capacity" -> Seq("volume", "limit"),
+    "cleanup" -> Seq("purge", "tidy"),
+    "cluster" -> Seq("group", "bunch"),
+    "collect" -> Seq("gather", "accumulate"),
+    "compare" -> Seq("contrast", "match"),
+    "compile" -> Seq("build", "assemble"),
+    "compress" -> Seq("shrink", "pack"),
+    "confirm" -> Seq("verify", "acknowledge"),
+    "convert" -> Seq("transform", "translate"),
+    "corrupt" -> Seq("damaged", "broken"),
+    "critical" -> Seq("severe", "urgent"),
+    "decode" -> Seq("decipher", "interpret"),
+    "decrease" -> Seq("reduce", "lower"),
+    "default" -> Seq("standard", "preset"),
+    "deploy" -> Seq("release", "install"),
+    "detect" -> Seq("discover", "identify"),
+    "directory" -> Seq("folder", "catalog"),
+    "disable" -> Seq("deactivate", "turn"),
+    "download" -> Seq("fetch", "pull"),
+    "duplicate" -> Seq("copy", "clone"),
+    "efficient" -> Seq("effective", "economical"),
+    "encode" -> Seq("serialize", "represent"),
+    "encrypt" -> Seq("cipher", "scramble"),
+    "estimate" -> Seq("approximate", "gauge"),
+    "evaluate" -> Seq("assess", "compute"),
+    "examine" -> Seq("inspect", "review"),
+    "expand" -> Seq("grow", "enlarge"),
+    "expire" -> Seq("lapse", "timeout"),
+    "extend" -> Seq("lengthen", "augment"),
+    "extract" -> Seq("pull", "derive"),
+    "format" -> Seq("layout", "arrange"),
+    "generate" -> Seq("produce", "create"),
+    "global" -> Seq("universal", "overall"),
+    "ignore" -> Seq("skip", "disregard"),
+    "inspect" -> Seq("examine", "audit"),
+    "invalid" -> Seq("illegal", "malformed"),
+    "invoke" -> Seq("call", "trigger"),
+    "iterate" -> Seq("loop", "repeat"),
+    "launch" -> Seq("start", "initiate"),
+    "local" -> Seq("nearby", "resident"),
+    "locate" -> Seq("find", "pinpoint"),
+    "manage" -> Seq("administer", "control"),
+    "measure" -> Seq("quantify", "gauge"),
+    "message" -> Seq("notice", "communication"),
+    "metric" -> Seq("measure", "statistic"),
+    "migrate" -> Seq("move", "transfer"),
+    "monitor" -> Seq("watch", "observe"),
+    "network" -> Seq("grid", "mesh"),
+    "notify" -> Seq("alert", "inform"),
+    "output" -> Seq("result", "product"),
+    "overflow" -> Seq("spill", "excess"),
+    "parallel" -> Seq("concurrent", "simultaneous"),
+    "parameter" -> Seq("argument", "setting"),
+    "pattern" -> Seq("template", "motif"),
+    "pending" -> Seq("waiting", "queued"),
+    "permission" -> Seq("authorization", "consent"),
+    "persist" -> Seq("save", "endure"),
+    "prepare" -> Seq("ready", "arrange"),
+    "previous" -> Seq("prior", "earlier"),
+    "profile" -> Seq("measure", "characterize"),
+    "publish" -> Seq("release", "announce"),
+    "random" -> Seq("arbitrary", "stochastic"),
+    "rebuild" -> Seq("reconstruct", "recreate"),
+    "receive" -> Seq("accept", "obtain"),
+    "recover" -> Seq("restore", "reclaim"),
+    "refresh" -> Seq("reload", "renew"),
+    "register" -> Seq("enroll", "record"),
+    "reject" -> Seq("refuse", "decline"),
+    "repair" -> Seq("fix", "mend"),
+    "report" -> Seq("summary", "account"),
+    "request" -> Seq("ask", "petition"),
+    "require" -> Seq("need", "demand"),
+    "resolve" -> Seq("settle", "fix"),
+    "resource" -> Seq("asset", "supply"),
+    "restart" -> Seq("reboot", "relaunch"),
+    "restore" -> Seq("recover", "reinstate"),
+    "resume" -> Seq("continue", "restart"),
+    "retry" -> Seq("reattempt", "repeat"),
+    "rotate" -> Seq("cycle", "turn"),
+    "sample" -> Seq("subset", "specimen"),
+    "schedule" -> Seq("plan", "timetable"),
+    "secure" -> Seq("protect", "safe"),
+    "segment" -> Seq("section", "portion"),
+    "sequence" -> Seq("series", "order"),
+    "session" -> Seq("connection", "sitting"),
+    "shard" -> Seq("partition", "fragment"),
+    "signal" -> Seq("indicator", "cue"),
+    "snapshot" -> Seq("capture", "checkpoint"),
+    "source" -> Seq("origin", "provenance"),
+    "split" -> Seq("divide", "separate"),
+    "status" -> Seq("state", "condition"),
+    "submit" -> Seq("send", "post"),
+    "summary" -> Seq("digest", "overview"),
+    "suspend" -> Seq("pause", "halt"),
+    "switch" -> Seq("toggle", "swap"),
+    "syntax" -> Seq("grammar", "notation"),
+    "system" -> Seq("platform", "framework"),
+    "target" -> Seq("goal", "destination"),
+    "temporary" -> Seq("transient", "ephemeral"),
+    "thread" -> Seq("worker", "fiber"),
+    "timeout" -> Seq("deadline", "expiry"),
+    "token" -> Seq("symbol", "unit"),
+    "trace" -> Seq("track", "log"),
+    "transfer" -> Seq("move", "convey"),
+    "trigger" -> Seq("activate", "fire"),
+    "truncate" -> Seq("shorten", "clip"),
+    "unique" -> Seq("distinct", "singular"),
+    "upgrade" -> Seq("improve", "advance"),
+    "valid" -> Seq("legal", "correct"),
+    "vector" -> Seq("embedding", "array"),
+    "version" -> Seq("revision", "release"),
+    "volume" -> Seq("amount", "bulk"),
+    "warning" -> Seq("caution", "alert"),
+    "worker" -> Seq("executor", "agent"))
 
   /** 33-word stop set the reference skips during expansion
     * (`enhancement.py:86-95` — abridged to the same spirit).
