@@ -144,8 +144,9 @@ object Scale {
     }
     val bloomBatch = docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
       col("text"))
-    secs(s"bloom-incr-dedup 1x")(bloomIncr(docs, bloomBatch, 5000L))
-    secs(s"bloom-incr-dedup ${kDocs}x")(bloomIncr(bigDocs, bloomBatch, 5000L))
+    val nBloomBatch = docs.count() // sfDir is an argument — never hardcode
+    secs(s"bloom-incr-dedup 1x")(bloomIncr(docs, bloomBatch, nBloomBatch))
+    secs(s"bloom-incr-dedup ${kDocs}x")(bloomIncr(bigDocs, bloomBatch, nBloomBatch))
     secs(s"plain-incr-dedup 1x")(plainIncr(docs, bloomBatch))
     secs(s"plain-incr-dedup ${kDocs}x")(plainIncr(bigDocs, bloomBatch))
 

@@ -415,6 +415,13 @@ object HashAlgos {
     if (denom > 0) dot / denom else 0.0
   }
 
+  /** Spark `round(col, scale)`'s exact double semantics (BigDecimal
+    * HALF_UP) — the single implementation of the pipeline's rounded-ranking
+    * contract, shared by every in-process serving twin.
+    */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   // ── Bloom filter over 64-bit fingerprints ───────────────────────────────
   // Standard double hashing (Kirsch–Mitzenmacher 2006): k bit positions
   // g_i = h1 + i·h2 from two mixes of the key. The mixer is the public

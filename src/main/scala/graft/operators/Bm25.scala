@@ -342,8 +342,12 @@ object Bm25 {
     import spark.implicits._
     indexInProcess(ix, spark, inProcessLimit) match {
       case Some(ip) =>
+        // native doc_id type preserved — the rung must not widen the schema
+        // relative to the distributed plan it replaces
         return scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, query),
           k1, b).toDF("doc_id", "score")
+          .withColumn("doc_id",
+            col("doc_id").cast(ix.postings.schema("doc_id").dataType))
       case None => ()
     }
     // query term frequencies fold on the DRIVER (no job, no one-row
@@ -385,23 +389,26 @@ object Bm25 {
                          inProcessLimit: Int = 2000000,
                          maxQueries: Int = 1024): Option[DataFrame] = {
     if (k <= 0 || queries.size > maxQueries) return None
+    // a duplicated query_id would MERGE in the distributed plan (its
+    // groupBy(query_id, term) sums qtf across the duplicate rows) but score
+    // independently here — decline rather than diverge
+    if (queries.map(_._1).distinct.size != queries.size) return None
     indexInProcess(ix, spark, inProcessLimit).map { ip =>
       import spark.implicits._
-      queries.flatMap { case (qid, q) =>
+      val round4 = (x: Double) => graft.functions.HashAlgos.roundHalfUp(x, 4)
+      val rows = queries.flatMap { case (qid, q) =>
         scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, q), k1, b)
           .map { case (d, s) => (d, round4(s)) }
           .sortBy { case (d, s) => (-s, d) }
           .take(k)
           .map { case (d, s) => (qid, d, s) }
       }.toDF("query_id", "doc_id", "score")
+      // keep the index's native doc_id type: the distributed plan emits it
+      // unchanged, and the serving rung must not widen the schema
+      rows.withColumn("doc_id",
+        col("doc_id").cast(ix.postings.schema("doc_id").dataType))
     }
   }
-
-  /** Spark `round(col, 4)`'s exact semantics (BigDecimal HALF_UP) — the
-    * pipeline's rounded-ranking contract, shared with the vector rungs.
-    */
-  private def round4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Postings with a `doc_len` column: denormalized indexes carry it in the
     * row (no join); indexes persisted before the denormalization fall back

@@ -461,7 +461,10 @@ object Dedup {
     val n = expectedItems.max(1L)
     val ln2 = math.log(2)
     val m0 = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
-    val m = m0.max(64L).min(maxBits.max(64L))
+    // hard cap: the word array must index with an Int — beyond ~2^37 bits
+    // nWords.toInt would wrap (negative-size allocation / zero bitSize)
+    val mCap = (Int.MaxValue.toLong - 8L) * 64L
+    val m = m0.max(64L).min(maxBits.max(64L)).min(mCap)
     val nWords = ((m + 63L) / 64L).toInt
     val k = math.max(1, math.ceil((m.toDouble / n.toDouble) * ln2).toInt)
     val words = fps.select(col(fpCol).cast("long")).na.drop()
@@ -497,8 +500,12 @@ object Dedup {
                        textCol: String, fpp: Double = 0.01,
                        knownBatchRows: Option[Long] = None,
                        maxBits: Long = 1L << 30): DataFrame = {
+    // persisted: the batch-side fingerprints (a regex-heavy clean + hash)
+    // feed the sizing count, the bloom build, AND the verify join — one
+    // computation, not three passes over the batch text
     val bfp = batch.select(col(idCol).as("batch_id"),
-      TextFunctions.fingerprint(col(textCol)).as("fp"))
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = knownBatchRows.getOrElse(bfp.select("batch_id").count())
     val (words, k) = buildBloom(bfp, "fp", n, fpp, maxBits)
     val lfp = lake.select(col(idCol).as("keep_cand"),

@@ -388,7 +388,7 @@ object VectorSearch {
     * ranking contract; [[roundAt]] for the pipeline's rounded contract).
     */
   private def roundAt(scale: Int)(x: Double): Double =
-    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.functions.HashAlgos.roundHalfUp(x, scale)
   private def topKOverCorpus(corpus: Array[(Long, Array[Float])],
                              qv: Array[Float], k: Int,
                              scoreFn: Double => Double = identity): Seq[ScoredDoc] = {
@@ -1503,9 +1503,7 @@ object VectorSearch {
               hop += 1
             }
             frontier.take(kk).zipWithIndex.map { case ((id, s), i) =>
-              (qid, id,
-                BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-                i + 1)
+              (qid, id, graft.functions.HashAlgos.roundHalfUp(s, 6), i + 1)
             }
           }
         }

@@ -264,6 +264,16 @@ class Bm25Spec extends SparkSpec {
     val unkeyed = Bm25.buildIndex(docs, "doc_id", "text")
     assert(Bm25.topKBatchInProcess(unkeyed, spark, queries, 5).isEmpty)
     assert(Bm25.topKBatchInProcess(keyed, spark, queries, 5, maxQueries = 2).isEmpty)
+    // duplicated query_ids MERGE in the distributed groupBy (qtf sums
+    // across rows) — the rung must decline rather than score independently
+    assert(Bm25.topKBatchInProcess(keyed, spark,
+      Seq((1L, "quick fox"), (1L, "quick fox")), 5).isEmpty)
+    // the rung preserves the index's native doc_id type (here: int)
+    val intDocs = docs.select(col("doc_id").cast("int").as("doc_id"), col("text"))
+    val intKeyed = Bm25.cachedIndex("spec|tkbip-int", intDocs, "doc_id", "text")
+    val intServed = Bm25.topKBatchInProcess(intKeyed, spark, queries, 5)
+    assert(intServed.isDefined && intServed.get.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
     // empty batch: empty result with the contract columns, still zero jobs
     val empty = Bm25.topKBatchInProcess(keyed, spark, Seq.empty, 5)
     assert(empty.isDefined && empty.get.columns.toSeq ==
