@@ -549,4 +549,52 @@ object Dedup {
       .agg(min(struct(col("keep_cand"), col("cos"))).as("m"))
       .select(col("dup_id"), col("m.keep_cand").as("keep_id"), col("m.cos").as("cos"))
   }
+
+  /** Duplicated-SPAN detection (Lee et al. 2022, arXiv:2107.06499 — exact
+    * substring dedup): every maximal token region whose n-gram content
+    * appears elsewhere in the corpus, as (doc_id, span_start, span_end)
+    * token offsets. The paper removes duplicated substrings of ≥ N tokens
+    * with a suffix array; the distributed equivalent marks every n-token
+    * shingle whose hash occurs at more than one (doc, position) — a span of
+    * length L ≥ n duplicated verbatim marks all its shingles, and merging
+    * overlapping/adjacent marked shingles (gaps-and-islands) recovers the
+    * maximal region. Self-repetition inside one document counts, exactly as
+    * a suffix array would.
+    *
+    * 100 TB: the shingle table is token-scale but never wider — one
+    * map-side-combined groupBy on the 64-bit shingle hash finds duplicated
+    * hashes (post-combine cardinality = distinct shingles), one left_semi
+    * shuffle keyed on the hash marks positions, and the island merge is a
+    * per-document window (rows bounded by document length). No step
+    * compares documents pairwise.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokenize(col(textCol)).as("toks"))
+    val sh = toks
+      .select(col(idCol), size(col("toks")).as("len"),
+        posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "sgl")))
+      .select(col(idCol), col("pos"),
+        // short docs (< n tokens) yield one partial shingle: clamp its end
+        least(col("pos") + lit(n), col("len")).as("end"),
+        // ~60-bit combined hash (poly31 · P + poly131): at token-scale
+        // shingle counts a single 30-bit hash would mark thousands of
+        // colliding false spans; the pair keeps the FP term negligible
+        (TextFunctions.polyHash(col("sgl")) * lit(1000000007L)
+          + TextFunctions.polyHash2(col("sgl"))).as("h"))
+    val dupH = sh.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val marked = sh.join(dupH, Seq("h"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0)
+    marked
+      .withColumn("island",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("span_start"), max("end").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
 }

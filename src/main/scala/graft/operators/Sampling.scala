@@ -41,4 +41,42 @@ object Sampling {
     }
     df.filter(hashDraw(col(idCol)) < threshold)
   }
+
+  /** Temperature-weighted domain sampling: draw a target-size corpus whose
+    * group mix follows `count^alpha` (the multilingual-pretraining mix rule —
+    * alpha < 1 upweights rare domains/languages; alpha = 1 is proportional).
+    * Per-group quota q_g = T · w_g / Σw with w_g = count_g^alpha; per-row keep
+    * fraction min(1, q_g / count_g), decided by the same hash draw as every
+    * sampler here (no rand() — reruns and retries draw identically). Unlike
+    * [[hashSample]]/[[stratifiedSample]] this is NOT append-consistent:
+    * the thresholds are computed from the corpus mix, so growing a group
+    * re-weights every group — by design (the mix is the contract).
+    *
+    * Float determinism across engines: the only non-rational step, pow, is
+    * micro-quantized to an integer weight (floor · 1e6) immediately, so the
+    * group-sum Σw is exact integer math; everything after is one fixed tree
+    * of correctly-rounded double ops on identical operands.
+    *
+    * 100 TB: one map-side-combined groupBy(group) produces the tiny counts
+    * table (group-cardinality rows — languages/sources, not documents); the
+    * thresholds broadcast back, and membership is a per-row projection with
+    * no second shuffle.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        targetRows: Long, alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(pow(col("n").cast("double"), lit(alpha)) * lit(1e6)).cast("long"))
+    val total = counts.agg(sum("w").as("tw"))
+    val thr = counts.crossJoin(broadcast(total))
+      .withColumn("thr",
+        floor(
+          least(lit(1.0),
+            ((lit(targetRows.toDouble) * col("w").cast("double"))
+              / col("tw").cast("double")) / col("n").cast("double"))
+            * lit(P.toDouble)).cast("long"))
+      .select(col(groupCol), col("thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(hashDraw(col(idCol)) < col("thr"))
+  }
 }

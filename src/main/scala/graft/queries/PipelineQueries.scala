@@ -5,7 +5,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.ingest.Chunker
 import graft.multimodal.Multimodal
-import graft.operators.{Curation, Dedup, VectorSearch}
+import graft.operators.{Curation, Dedup, LmQuality, Sampling, VectorSearch}
 
 /** Training-data pipeline queries (builder-prompt extensions): dedup suite
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
@@ -2083,5 +2083,92 @@ object PipelineQueries {
         .toDF("media_id", "modality", "bytes", "byte_len")
       Multimodal.videoFrameFeatures(media, everyK = 2)
         .orderBy("media_id", "frame_no")
+    },
+
+    // ── Duplicated-SPAN detection (Lee et al. 2022 exact-substring dedup):
+    //    8-gram shingle hashes (~60 bits: poly31·P + poly131) occurring at
+    //    >1 (doc, pos) mark positions; gaps-and-islands per doc merges the
+    //    marks into maximal duplicated token regions ───────────────────────
+    QueryDef.sql("dedup_dup_spans",
+      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, len(toks) AS L, toks,
+         |         unnest(range(0, greatest(len(toks) - 8, 0) + 1)) AS pos
+         |  FROM t WHERE len(toks) > 0),
+         |sh AS (
+         |  SELECT doc_id, pos, least(pos + 8, L) AS e,
+         |         ${polySql("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')", 31)} * 1000000007
+         |           + ${polySql("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')", 131)} AS h
+         |  FROM sh0),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+         |m AS (SELECT s.doc_id, s.pos, s.e FROM sh s JOIN dup USING (h)),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+         |  FROM m),
+         |g AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+         |       (max(e) - min(pos))::BIGINT AS span_tokens
+         |FROM g GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ── Temperature-weighted domain sampling (count^α mix over sources;
+    //    α=0.5 upweights rare sources — the multilingual-pretraining mix
+    //    rule). Deterministic hash draw; per-group kept-count summary ──────
+    QueryDef.sql("t8_temperature_sample",
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, floor(pow(n::DOUBLE, 0.5) * 1000000.0)::BIGINT AS w FROM c),
+        |tot AS (SELECT sum(w)::BIGINT AS tw FROM w),
+        |thr AS (SELECT source,
+        |  floor(least(1.0, ((200.0 * w::DOUBLE) / tw::DOUBLE) / n::DOUBLE)
+        |        * 1000000007.0)::BIGINT AS thr
+        |  FROM w, tot),
+        |kept AS (
+        |  SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        |  WHERE (d.doc_id * 2654435761) % 1000000007 < thr)
+        |SELECT source, count(*)::BIGINT AS n_kept,
+        |       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir), "source", "doc_id",
+          targetRows = 200, alpha = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min("doc_id").cast("long").as("min_id"),
+          max("doc_id").cast("long").as("max_id"))
+        .orderBy("source")
+    },
+
+    // ── Unigram-LM quality scoring (CCNet-style cross-entropy filter):
+    //    top-24 vocab MLE probs, OOV backs off to the 1/total floor;
+    //    per-token -ln p micro-quantized before the order-independent
+    //    integer doc sum ────────────────────────────────────────────────────
+    QueryDef.sql("f_lm_quality",
+      s"""WITH tok AS (SELECT doc_id, unnest(${plainTokSql("text")}) AS token FROM documents),
+         |cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+         |tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+         |voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 24),
+         |cost AS (SELECT token, floor(-ln(c::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT AS cm
+         |         FROM voc, tot),
+         |sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(coalesce(cost.cm,
+         |      (SELECT floor(ln(t::DOUBLE) * 1000000.0)::BIGINT FROM tot)))::BIGINT AS s
+         |  FROM tok LEFT JOIN cost USING (token) GROUP BY tok.doc_id)
+         |SELECT doc_id, n_tokens,
+         |       round((s::DOUBLE / n_tokens::DOUBLE) / 1000000.0, 4) AS cross_entropy
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      LmQuality.score(Tables.documents(s, dir), "doc_id", "text", vocabSize = 24)
+        .orderBy("doc_id")
     })
 }

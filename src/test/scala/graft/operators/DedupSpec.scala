@@ -231,4 +231,30 @@ class DedupSpec extends SparkSpec {
     // (1,2) dist 1; (4,5) dist 1; (1,3)/(2,3) dist > 2; widget↔rod blocked apart
     assert(pairs == Set((1L, 2L, 1), (4L, 5L, 1)), s"got $pairs")
   }
+
+  test("duplicatedSpans: maximal regions via island merge, self-repeats, short docs, adjacency") {
+    val spanDocs = Seq(
+      // docs 1/2 share the 5-token region w1..w5 at different offsets →
+      // two overlapping duplicated 4-grams merge into one maximal span each
+      (1L, "w1 w2 w3 w4 w5 x1 x2 x3"),
+      (2L, "z1 z2 w1 w2 w3 w4 w5 z3"),
+      (3L, "u1 u2 u3"),                          // unique short doc → no rows
+      // self-repetition inside one doc: two disjoint islands
+      (4L, "r1 r2 r3 r4 k1 k2 r1 r2 r3 r4"),
+      (5L, "s1 s2"), (6L, "s1 s2"),              // dup shorter than n → partial-shingle span
+      // adjacency: doc 7's halves are each duplicated elsewhere but the
+      // straddling middle 4-grams are not — adjacent islands must merge
+      (7L, "a1 a2 a3 a4 b1 b2 b3 b4"),
+      (8L, "a1 a2 a3 a4 c1 c2 c3 c4"),
+      (9L, "d1 d2 d3 d4 b1 b2 b3 b4"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 4)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 5, 5), (2L, 2, 7, 5),
+      (4L, 0, 4, 4), (4L, 6, 10, 4),
+      (5L, 0, 2, 2), (6L, 0, 2, 2),
+      (7L, 0, 8, 8), (8L, 0, 4, 4), (9L, 4, 8, 4)), s"got $got")
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90 rows of group A, 10 of B, 2 of C — ids disjoint and stable
+  private def mix = (
+    (0L until 90L).map(i => (i, "A")) ++
+    (100L until 110L).map(i => (i, "B")) ++
+    Seq((200L, "C"), (201L, "C"))).toDF("id", "g")
+
+  /** The operator's threshold formula, reimplemented independently. */
+  private def thresholds(counts: Map[String, Long], t: Double,
+                         alpha: Double): Map[String, Long] = {
+    val w = counts.view.mapValues(n => math.floor(math.pow(n.toDouble, alpha) * 1e6).toLong).toMap
+    val tw = w.values.sum.toDouble
+    counts.map { case (g, n) =>
+      g -> math.floor(math.min(1.0, ((t * w(g)) / tw) / n.toDouble) * Sampling.P.toDouble).toLong
+    }
+  }
+
+  test("temperatureSample: kept set equals the hash-threshold formula exactly") {
+    val df = mix
+    val counts = Map("A" -> 90L, "B" -> 10L, "C" -> 2L)
+    val thr = thresholds(counts, t = 20.0, alpha = 0.5)
+    val expected = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, g) =>
+        Math.floorMod(id * Sampling.Knuth, Sampling.P) < thr(g) }
+      .map(_._1).toSet
+    val got = Sampling.temperatureSample(df, "g", "id", targetRows = 20, alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.nonEmpty)
+  }
+
+  test("temperatureSample: alpha < 1 upweights rare groups; quota caps at the group size") {
+    val df = mix
+    // alpha = 0.5 gives B a higher keep FRACTION than A
+    val counts = Map("A" -> 90L, "B" -> 10L, "C" -> 2L)
+    val thr = thresholds(counts, t = 20.0, alpha = 0.5)
+    assert(thr("B") > thr("A"), s"rare group must draw a higher threshold: $thr")
+    // large target: tiny group C's quota exceeds its size → fraction caps at 1
+    val thrBig = thresholds(counts, t = 90.0, alpha = 0.5)
+    assert(thrBig("C") == Sampling.P, s"capped fraction must keep all of C: $thrBig")
+    val keptC = Sampling.temperatureSample(df, "g", "id", targetRows = 90, alpha = 0.5)
+      .filter(col("g") === "C").count()
+    assert(keptC == 2, "both C rows survive a capped fraction")
+    // alpha = 1 is proportional sampling: equal thresholds for every group
+    val thrProp = thresholds(counts, t = 20.0, alpha = 1.0)
+    assert(thrProp.values.toSet.size == 1, s"alpha=1 must be mix-preserving: $thrProp")
+  }
+
+  test("temperatureSample: deterministic across invocations") {
+    val a = Sampling.temperatureSample(mix, "g", "id", targetRows = 20)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(mix, "g", "id", targetRows = 20)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
