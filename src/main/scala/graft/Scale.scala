@@ -30,10 +30,17 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional row filter (regex over labels) so one family can be measured
+    // without paying for the whole suite. Caveat: build rows assign state
+    // their serve rows read — a filter matching a serve row must match its
+    // build row too (e.g. use "e2e-" not "e2e-serve")
+    val rowFilter = sys.env.get("SPARK_GRAFT_SCALE_FILTER").map(_.r)
     def secs(label: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+      if (rowFilter.forall(_.findFirstIn(label).isDefined)) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+      }
     }
 
     // ── build the scaled tables once ────────────────────────────────────
@@ -498,10 +505,29 @@ object Scale {
       // drop EVERY iteration-scoped artifact, not just BM25 — the 1x
       // serving caches (persisted IvfPq assignment/codes, checkpointed
       // graph) must not occupy executor storage while the 20x rows run
-      bm.postings.unpersist(); bm.lengths.unpersist(); bm.idf.unpersist()
-      pqS.index.assigned.unpersist(); pqS.encoded.unpersist()
-      gS.graph.unpersist()
+      if (bm != null) { bm.postings.unpersist(); bm.lengths.unpersist(); bm.idf.unpersist() }
+      if (pqS != null) { pqS.index.assigned.unpersist(); pqS.encoded.unpersist() }
+      if (gS != null) gS.graph.unpersist()
     }
+
+    // ── r11: duplicated-span dedup, temperature sampling, unigram-LM
+    //    quality — all must be linear in corpus size (shingle/token-scale
+    //    groupBys with partial aggregation, no pairwise term) ─────────────
+    def dupSpans(d: DataFrame): Long =
+      operators.Dedup.duplicatedSpans(d, "doc_id", "text", n = 8).count()
+    secs(s"dup-spans 1x")(dupSpans(docs))
+    secs(s"dup-spans ${kDocs}x")(dupSpans(bigDocs))
+    def tempSample(d: DataFrame, t: Long): Long =
+      operators.Sampling.temperatureSample(d, "source", "doc_id",
+        targetRows = t, alpha = 0.5).count()
+    // target grows with the corpus (a fixed target would measure an
+    // ever-smaller filter, not the operator)
+    secs(s"temp-sample 1x")(tempSample(docs, 200))
+    secs(s"temp-sample ${kDocs}x")(tempSample(bigDocs, 200L * kDocs))
+    def lmQuality(d: DataFrame): Long =
+      operators.LmQuality.score(d, "doc_id", "text", vocabSize = 24).count()
+    secs(s"lm-quality 1x")(lmQuality(docs))
+    secs(s"lm-quality ${kDocs}x")(lmQuality(bigDocs))
     spark.stop()
   }
 }
