@@ -71,4 +71,33 @@ object LmQuality {
         round((col("s").cast("double") / col("n_tokens").cast("double"))
           / lit(Micro.toDouble), 4).as("cross_entropy"))
   }
+
+  /** CCNet's head/middle/tail split: rank documents by cross-entropy and
+    * cut at the ⌈n/3⌉-th and ⌈2n/3⌉-th VALUE (ties at a boundary all fall
+    * on the better side — value-thresholded, so the split is deterministic
+    * and engine-independent with no interpolated percentile).
+    *
+    * Scale note: the two thresholds here are exact order statistics via
+    * sort-limit (fine to ~10⁸ rows); at 100 TB the same contract is served
+    * by `approxQuantile` over `cross_entropy` with the bucketing map
+    * unchanged — threshold selection is the only approximate step.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 24): DataFrame = {
+    // persisted: the scored table feeds the size count, both threshold
+    // order statistics, and the final bucketing — one LM pass, not four
+    val sc = score(docs, idCol, textCol, vocabSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sc.count()
+    def kth(k: Long): DataFrame =
+      sc.orderBy(col("cross_entropy"), col(idCol)).limit(k.toInt)
+        .agg(max("cross_entropy"))
+    val t1 = kth((n + 2) / 3).select(col("max(cross_entropy)").as("t1"))
+    val t2 = kth((2 * n + 2) / 3).select(col("max(cross_entropy)").as("t2"))
+    sc.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col(idCol), col("cross_entropy"),
+        when(col("cross_entropy") <= col("t1"), "head")
+          .when(col("cross_entropy") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -64,19 +64,51 @@ object Sampling {
     */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
                         targetRows: Long, alpha: Double = 0.5): DataFrame = {
+    val ratio = groupRatios(df, groupCol, targetRows, alpha)
+      .withColumn("thr",
+        floor(least(lit(1.0), col("ratio")) * lit(P.toDouble)).cast("long"))
+      .select(col(groupCol), col("thr"))
+    df.join(broadcast(ratio), Seq(groupCol))
+      .filter(hashDraw(col(idCol)) < col("thr"))
+  }
+
+  /** Temperature-weighted MIX with repetition: like [[temperatureSample]]
+    * but a group whose quota EXCEEDS its size upsamples by repetition —
+    * each row gets `n_repeats = floor(r_g)` plus one more when its hash
+    * draw lands under the fractional part (so the group total ≈ quota with
+    * deterministic draws). This is how pretraining mixes actually
+    * materialize a rare domain at α < 1: epochs over the rare data, not
+    * impossible fractions > 1. Rows with n_repeats = 0 are dropped.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     targetRows: Long, alpha: Double = 0.5): DataFrame = {
+    val thr = groupRatios(df, groupCol, targetRows, alpha)
+      .withColumn("base", floor(col("ratio")).cast("long"))
+      .withColumn("frac_thr",
+        floor((col("ratio") - floor(col("ratio"))) * lit(P.toDouble)).cast("long"))
+      .select(col(groupCol), col("base"), col("frac_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .withColumn("n_repeats",
+        (col("base") + when(hashDraw(col(idCol)) < col("frac_thr"), 1L)
+          .otherwise(0L)).cast("long"))
+      .filter(col("n_repeats") > 0)
+      .drop("base", "frac_thr")
+  }
+
+  /** Per-group keep ratio r_g = quota_g / count_g with quota_g = T·w_g/Σw,
+    * w_g = count_g^alpha. pow() is micro-quantized into an integer weight
+    * immediately so Σw is exact; the ratio is one fixed tree of
+    * correctly-rounded double ops — bit-identical in any engine.
+    */
+  private def groupRatios(df: DataFrame, groupCol: String, targetRows: Long,
+                          alpha: Double): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
       .withColumn("w",
         floor(pow(col("n").cast("double"), lit(alpha)) * lit(1e6)).cast("long"))
     val total = counts.agg(sum("w").as("tw"))
-    val thr = counts.crossJoin(broadcast(total))
-      .withColumn("thr",
-        floor(
-          least(lit(1.0),
-            ((lit(targetRows.toDouble) * col("w").cast("double"))
-              / col("tw").cast("double")) / col("n").cast("double"))
-            * lit(P.toDouble)).cast("long"))
-      .select(col(groupCol), col("thr"))
-    df.join(broadcast(thr), Seq(groupCol))
-      .filter(hashDraw(col(idCol)) < col("thr"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("ratio",
+        ((lit(targetRows.toDouble) * col("w").cast("double"))
+          / col("tw").cast("double")) / col("n").cast("double"))
   }
 }

@@ -41,6 +41,25 @@ object PipelineQueries {
   private def plainTokSql(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** Unigram-LM scoring CTE chain (twin of `LmQuality.score`, vocabSize 24):
+    * ends at `sc(doc_id, n_tokens, cross_entropy)` — shared by f_lm_quality
+    * and f_lm_buckets.
+    */
+  private lazy val lmScoreCte: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${plainTokSql("text")}) AS token FROM documents),
+       |cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+       |tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+       |voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 24),
+       |cost AS (SELECT token, floor(-ln(c::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT AS cm
+       |         FROM voc, tot),
+       |sc0 AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(coalesce(cost.cm,
+       |      (SELECT floor(ln(t::DOUBLE) * 1000000.0)::BIGINT FROM tot)))::BIGINT AS s
+       |  FROM tok LEFT JOIN cost USING (token) GROUP BY tok.doc_id),
+       |sc AS (SELECT doc_id, n_tokens,
+       |  round((s::DOUBLE / n_tokens::DOUBLE) / 1000000.0, 4) AS cross_entropy
+       |  FROM sc0)""".stripMargin
+
   private def polySql(expr: String, mult: Int): String =
     s"""list_reduce(list_prepend(0::BIGINT,
        | list_transform(string_split($expr, ''), c -> ord(c)::BIGINT)),
@@ -2155,20 +2174,59 @@ object PipelineQueries {
     //    per-token -ln p micro-quantized before the order-independent
     //    integer doc sum ────────────────────────────────────────────────────
     QueryDef.sql("f_lm_quality",
-      s"""WITH tok AS (SELECT doc_id, unnest(${plainTokSql("text")}) AS token FROM documents),
-         |cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
-         |tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
-         |voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 24),
-         |cost AS (SELECT token, floor(-ln(c::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT AS cm
-         |         FROM voc, tot),
-         |sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
-         |  sum(coalesce(cost.cm,
-         |      (SELECT floor(ln(t::DOUBLE) * 1000000.0)::BIGINT FROM tot)))::BIGINT AS s
-         |  FROM tok LEFT JOIN cost USING (token) GROUP BY tok.doc_id)
-         |SELECT doc_id, n_tokens,
-         |       round((s::DOUBLE / n_tokens::DOUBLE) / 1000000.0, 4) AS cross_entropy
+      s"""$lmScoreCte
+         |SELECT doc_id, n_tokens, cross_entropy
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       LmQuality.score(Tables.documents(s, dir), "doc_id", "text", vocabSize = 24)
         .orderBy("doc_id")
+    },
+
+    // ── CCNet head/middle/tail: value-thresholded thirds of the LM
+    //    cross-entropy ranking (cuts at the ⌈n/3⌉-th / ⌈2n/3⌉-th VALUE —
+    //    no interpolated percentile, deterministic in any engine) ──────────
+    QueryDef.sql("f_lm_buckets",
+      s"""$lmScoreCte,
+         |nn AS (SELECT count(*)::BIGINT AS n FROM sc),
+         |rr AS (SELECT doc_id, cross_entropy,
+         |         row_number() OVER (ORDER BY cross_entropy, doc_id) AS rn FROM sc),
+         |th AS (SELECT
+         |  max(CASE WHEN rn <= (SELECT (n + 2) // 3 FROM nn) THEN cross_entropy END) AS t1,
+         |  max(CASE WHEN rn <= (SELECT (2 * n + 2) // 3 FROM nn) THEN cross_entropy END) AS t2
+         |  FROM rr)
+         |SELECT doc_id, cross_entropy,
+         |  CASE WHEN cross_entropy <= (SELECT t1 FROM th) THEN 'head'
+         |       WHEN cross_entropy <= (SELECT t2 FROM th) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      LmQuality.ccnetBuckets(Tables.documents(s, dir), "doc_id", "text",
+          vocabSize = 24)
+        .orderBy("doc_id")
+    },
+
+    // ── Temperature MIX with repetition: quota over group size upsamples
+    //    by epochs (floor(ratio) + hash-fractional) — the way pretraining
+    //    mixes actually materialize a rare domain at α < 1 ─────────────────
+    QueryDef.sql("t9_temperature_mix",
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, floor(pow(n::DOUBLE, 0.3) * 1000000.0)::BIGINT AS w FROM c),
+        |tot AS (SELECT sum(w)::BIGINT AS tw FROM w),
+        |r AS (SELECT lang, n, ((1000.0 * w::DOUBLE) / tw::DOUBLE) / n::DOUBLE AS ratio
+        |      FROM w, tot),
+        |k AS (
+        |  SELECT d.doc_id, d.lang,
+        |         floor(r.ratio)::BIGINT
+        |           + CASE WHEN (d.doc_id * 2654435761) % 1000000007
+        |                       < floor((r.ratio - floor(r.ratio)) * 1000000007.0)::BIGINT
+        |                  THEN 1 ELSE 0 END AS n_repeats
+        |  FROM documents d JOIN r USING (lang))
+        |SELECT lang, count(*)::BIGINT AS docs_kept, sum(n_repeats)::BIGINT AS total_repeats
+        |FROM k WHERE n_repeats > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), "lang", "doc_id",
+          targetRows = 1000, alpha = 0.3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs_kept"),
+          sum("n_repeats").cast("long").as("total_repeats"))
+        .orderBy("lang")
     })
 }

@@ -33,6 +33,32 @@ class LmQualitySpec extends SparkSpec {
     assert(ce(1L) < ce(2L) && ce(2L) < ce(3L), s"got $ce")
   }
 
+  test("ccnetBuckets: value-thresholded thirds, boundary ties fall on the better side") {
+    // 9 docs with strictly increasing rarity → clean thirds
+    val base = Seq(
+      (1L, "a a a a"), (2L, "a a a b"), (3L, "a a b b"),
+      (4L, "a b b c"), (5L, "b b c c"), (6L, "b c c d"),
+      (7L, "c c d d"), (8L, "c d d e"), (9L, "d e e f")).toDF("doc_id", "text")
+    val got = LmQuality.ccnetBuckets(base, "doc_id", "text", vocabSize = 100)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    // every bucket non-empty and ordered: head docs have lower CE than tail docs
+    assert(sizes.keySet == Set("head", "middle", "tail"), s"got $sizes")
+    val ce = LmQuality.score(base, "doc_id", "text", vocabSize = 100)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val maxHead = got.collect { case (d, "head") => ce(d) }.max
+    val minTail = got.collect { case (d, "tail") => ce(d) }.min
+    assert(maxHead < minTail, s"head must outrank tail: $got / $ce")
+    // ties at the cut: identical docs share a CE value — all land in head
+    val tied = Seq(
+      (1L, "a a"), (2L, "a a"), (3L, "a a"), (4L, "a a"),
+      (5L, "b c"), (6L, "c d")).toDF("doc_id", "text")
+    val tiedGot = LmQuality.ccnetBuckets(tied, "doc_id", "text", vocabSize = 100)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(tiedGot(_) == "head"),
+      s"boundary-tied docs must all take the better bucket: $tiedGot")
+  }
+
   test("vocabCosts: truncates to the top-V by (count desc, token asc)") {
     val docs = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
     val voc = LmQuality.vocabCosts(docs, "text", vocabSize = 2)

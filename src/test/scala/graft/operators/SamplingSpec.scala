@@ -60,4 +60,28 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("temperatureMix: repetition equals the floor+fractional-draw formula; rare groups repeat more") {
+    val df = mix
+    val counts = Map("A" -> 90L, "B" -> 10L, "C" -> 2L)
+    // independent reimplementation of the ratio → (base, frac threshold) path
+    val t = 150.0; val alpha = 0.5
+    val w = counts.view.mapValues(n => math.floor(math.pow(n.toDouble, alpha) * 1e6).toLong).toMap
+    val tw = w.values.sum.toDouble
+    val ratio = counts.map { case (g, n) => g -> ((t * w(g)) / tw) / n.toDouble }
+    val expected = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, g) =>
+        val base = math.floor(ratio(g)).toLong
+        val fracThr = math.floor((ratio(g) - math.floor(ratio(g))) * Sampling.P.toDouble).toLong
+        val rep = base + (if (Math.floorMod(id * Sampling.Knuth, Sampling.P) < fracThr) 1L else 0L)
+        (id, rep)
+      }.filter(_._2 > 0).toMap
+    val got = Sampling.temperatureMix(df, "g", "id", targetRows = 150, alpha = 0.5)
+      .select("id", "n_repeats").as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got expected $expected")
+    // at alpha=0.5 the tiny group's per-row repetition exceeds the big group's
+    assert(ratio("C") > ratio("A") && got.nonEmpty)
+    // every surviving row repeats at least once; group totals track quotas
+    assert(got.values.forall(_ > 0))
+  }
 }
