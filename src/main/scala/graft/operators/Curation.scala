@@ -120,4 +120,49 @@ object Curation {
       }
     (scrubbed, counts)
   }
+
+  /** Composite curation DECISION (the Dolma/RefinedWeb tagger-pipeline
+    * shape): every quality tagger runs once over the corpus, and each
+    * document gets a keep/drop verdict with the FIRST failing rule as its
+    * reason — cheap rules first, so the attribution tells you which filter
+    * did the work and the expensive signals are only consulted for
+    * survivors of the cheap ones. Rules, in priority order:
+    *
+    *  1. `length`     — token count outside [minTokens, maxTokens]
+    *  2. `repetition` — 3-gram repetition ratio above maxRep3
+    *  3. `quality`    — surface-heuristic score below minQuality
+    *  4. `perplexity` — unigram-LM cross-entropy above maxCrossEntropy
+    *
+    * Output: (id, n_tokens, rep_3gram, quality, cross_entropy, reason,
+    * keep 0/1). All signals are the established rounded contracts, so the
+    * verdict is deterministic in any engine.
+    *
+    * 100 TB: rules 1-3 are pure column expressions (one corpus scan,
+    * codegen); the LM signal joins [[LmQuality.score]]'s broadcast-vocab
+    * output on the id — the LM side arrives already partitioned by id from
+    * its own groupBy, so the join costs one id-shuffle of the (narrow)
+    * signals table.
+    */
+  def curationDecision(docs: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 15, maxTokens: Int = 100000,
+                       maxRep3: Double = 0.02, minQuality: Double = 0.75,
+                       maxCrossEntropy: Double = 6.0,
+                       vocabSize: Int = 24): DataFrame = {
+    val lm = LmQuality.score(docs, idCol, textCol, vocabSize)
+      .select(col(idCol), col("cross_entropy"))
+    docs.select(col(idCol),
+        size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"),
+        round(TextFunctions.repetitionRatio(col(textCol), 3), 6).as("rep_3gram"),
+        TextFunctions.qualityScore(col(textCol)).as("quality"))
+      // left join: a zero-token doc has no LM rows but still gets a verdict
+      // (rule 1 catches it before the null cross_entropy is consulted)
+      .join(lm, Seq(idCol), "left")
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, "length")
+          .when(col("rep_3gram") > maxRep3, "repetition")
+          .when(col("quality") < minQuality, "quality")
+          .when(col("cross_entropy") > maxCrossEntropy, "perplexity")
+          .otherwise("keep"))
+      .withColumn("keep", (col("reason") === "keep").cast("int"))
+  }
 }

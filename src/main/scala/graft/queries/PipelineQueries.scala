@@ -2203,6 +2203,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ── Composite curation decision (Dolma-style tagger pipeline): every
+    //    quality tagger runs once; each doc gets keep/drop with the FIRST
+    //    failing rule as attribution (length → repetition → quality →
+    //    perplexity) ────────────────────────────────────────────────────────
+    QueryDef.sql("f_curation_decision", {
+      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""$lmScoreCte,
+         |tq AS (
+         |  SELECT doc_id, text, ${plainTokSql("text")} AS toks,
+         |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    round(CASE WHEN len(${shinglesSql("toks", 3)}) > 0
+         |      THEN 1.0 - len(list_distinct(${shinglesSql("toks", 3)}))::DOUBLE
+         |               / len(${shinglesSql("toks", 3)})::DOUBLE
+         |      ELSE 0.0 END, 6) AS rep_3gram,
+         |    round(((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |           (CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
+         |                 THEN 1.0 ELSE 0.0 END) +
+         |           (CASE WHEN (CASE WHEN len(toks) > 0
+         |                       THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
+         |                      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |           (CASE WHEN len(text) > 0
+         |                 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END)) / 4.0,
+         |          4) AS quality
+         |  FROM tq),
+         |d AS (
+         |  SELECT sig.doc_id, sig.n_tokens, sig.rep_3gram, sig.quality,
+         |         sc.cross_entropy,
+         |         CASE WHEN sig.n_tokens < 15 OR sig.n_tokens > 100000 THEN 'length'
+         |              WHEN sig.rep_3gram > 0.02 THEN 'repetition'
+         |              WHEN sig.quality < 0.75 THEN 'quality'
+         |              WHEN sc.cross_entropy > 6.0 THEN 'perplexity'
+         |              ELSE 'keep' END AS reason
+         |  FROM sig LEFT JOIN sc USING (doc_id))
+         |SELECT doc_id, n_tokens, rep_3gram, quality, cross_entropy, reason,
+         |       (reason = 'keep')::INT AS keep
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.curationDecision(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ── Temperature MIX with repetition: quota over group size upsamples
     //    by epochs (floor(ratio) + hash-fractional) — the way pretraining
     //    mixes actually materialize a rare domain at α < 1 ─────────────────

@@ -140,4 +140,36 @@ class CurationSpec extends SparkSpec {
     assert(rows(2).getString(1) == "no pii at all here" &&
       (2 to 6).forall(rows(2).getInt(_) == 0))
   }
+
+  test("curationDecision: first failing rule wins; keepers survive every rule") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      (1L, common),                                              // healthy → keep
+      (2L, "too short"),                                         // length
+      // long enough but one phrase repeated → repetition fires BEFORE
+      // quality even though its stopword-free text also fails quality
+      (3L, Seq.fill(10)("zz yy xx").mkString(" ")),
+      // no stopwords, low alpha ratio (digit soup with punctuation) but
+      // no repeated 3-gram → quality
+      (4L, (1 to 30).map(i => s"${i}#${i * 7}!").mkString(" ")),
+      (5L, ""))                                                  // empty → length
+      .toDF("doc_id", "text")
+    val got = Curation.curationDecision(docs, "doc_id", "text",
+        minTokens = 5, maxRep3 = 0.1, minQuality = 0.75,
+        maxCrossEntropy = 100.0, vocabSize = 5)
+      .select("doc_id", "reason", "keep").as[(Long, String, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("keep", 1)), 2L -> (("length", 0)), 3L -> (("repetition", 0)),
+      4L -> (("quality", 0)), 5L -> (("length", 0))), s"got $got")
+    // the perplexity rung: same corpus, CE ceiling forced to 0 — every doc
+    // surviving rules 1-3 must now fail with 'perplexity'
+    val strict = Curation.curationDecision(docs, "doc_id", "text",
+        minTokens = 5, maxRep3 = 0.1, minQuality = 0.75,
+        maxCrossEntropy = 0.0, vocabSize = 5)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(strict(1L) == "perplexity" && strict(3L) == "repetition",
+      s"got $strict")
+  }
 }
