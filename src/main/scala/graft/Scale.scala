@@ -332,10 +332,12 @@ object Scale {
     //    signatures/assignments/edges + the probe against the stored index.
     //    The claim: incremental cost tracks BATCH size, not lake size. ────
     import org.apache.spark.storage.StorageLevel
-    val batchDocs = docs.limit(500).select(
+    // lazy: localCheckpoint is EAGER, and a filtered run that skips every
+    // incremental row should not pay for the batches it never probes
+    lazy val batchDocs = docs.limit(500).select(
         (col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
       .localCheckpoint(true) // fixed 500-doc batch, all planted dups of lake texts
-    val batchVecs = emb.limit(1000).select(
+    lazy val batchVecs = emb.limit(1000).select(
         (col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
       .localCheckpoint(true) // fixed 1000-vector batch
 
@@ -391,8 +393,8 @@ object Scale {
       operators.VectorSearch.ivfTopKBatch(appended.assigned, "vec_id", "embedding",
         centDf, queries50(e), "query_id", "qvec", k = 20, nprobe = 2).count()
     }
-    val (ivf1, cent1) = ivfLake(emb)
-    val (ivf50, cent50) = ivfLake(bigEmb)
+    lazy val (ivf1, cent1) = ivfLake(emb)
+    lazy val (ivf50, cent50) = ivfLake(bigEmb)
     secs(s"ivf-lake-assign-build 1x")(ivf1.assigned.count())
     secs(s"ivf-lake-assign-build ${kEmb}x")(ivf50.assigned.count())
     secs(s"ivf-append-assign 1x")(ivfAppendAssign(ivf1))
@@ -432,10 +434,16 @@ object Scale {
     secs(s"graph-lake-build ${kEmb}x") {
       val (g, p) = graphLake(bigEmb); g50 = g; planes50 = p; g50.count()
     }
-    secs(s"graph-append-edges 1x")(graphAppendEdges(g1, emb, planes1))
-    secs(s"graph-append-edges ${kEmb}x")(graphAppendEdges(g50, bigEmb, planes50))
-    secs(s"graph-append+search50 1x")(graphAppendSearch(g1, emb, planes1))
-    secs(s"graph-append+search50 ${kEmb}x")(graphAppendSearch(g50, bigEmb, planes50))
+    def needGraphLake(g: DataFrame): DataFrame = {
+      require(g != null,
+        "graph-append rows need their graph-lake-build row — widen " +
+          "SPARK_GRAFT_SCALE_FILTER to include 'graph-lake-build'")
+      g
+    }
+    secs(s"graph-append-edges 1x")(graphAppendEdges(needGraphLake(g1), emb, planes1))
+    secs(s"graph-append-edges ${kEmb}x")(graphAppendEdges(needGraphLake(g50), bigEmb, planes50))
+    secs(s"graph-append+search50 1x")(graphAppendSearch(needGraphLake(g1), emb, planes1))
+    secs(s"graph-append+search50 ${kEmb}x")(graphAppendSearch(needGraphLake(g50), bigEmb, planes50))
 
     // ── round-10: ANN serving tiers under the FULL e2e lifecycle — flat vs
     //    IVFPQ vs graph at 1× and 20× corpus, single query, index builds
@@ -474,7 +482,13 @@ object Scale {
         queries.EngineQueries.E2eQueryText, cfg,
         bm25Index = Some(ix), serving = serving).hits.count()
 
-    for ((label, d, e) <- Seq(("1x", docs, emb), (s"${kDocs}x", bigDocs, bigEmbCap))) {
+    for ((label, d, e) <- Seq(("1x", docs, emb), (s"${kDocs}x", bigDocs, bigEmbCap))
+         // skip the whole iteration (incl. the EAGER mkChunks checkpoint)
+         // when the filter matches none of its rows
+         if rowFilter.forall(r =>
+           Seq("e2e-bm25-build", "e2e-ivfpq-build", "e2e-graph-build",
+             "e2e-serve-flat", "e2e-serve-ivfpq", "e2e-serve-graph")
+             .exists(l => r.findFirstIn(s"$l $label").isDefined))) {
       import operators.VectorSearch
       val chunks = mkChunks(d)
       val e2 = embById(e)
@@ -496,12 +510,20 @@ object Scale {
         g.count()
       }
       val base = graft.config.KbConfig()
+      def needBuilt[T](s: T, what: String): T = {
+        require(s != null,
+          s"e2e-serve rows need their $what build row — widen " +
+            "SPARK_GRAFT_SCALE_FILTER to 'e2e-'")
+        s
+      }
       secs(s"e2e-serve-flat $label")(
-        e2eServe(chunks, e2, bm, base, VectorSearch.Serving.Flat))
+        e2eServe(chunks, e2, needBuilt(bm, "bm25"), base, VectorSearch.Serving.Flat))
       secs(s"e2e-serve-ivfpq $label")(
-        e2eServe(chunks, e2, bm, base.copy(indexType = "ivfpq", ivfNprobe = 2), pqS))
+        e2eServe(chunks, e2, needBuilt(bm, "bm25"),
+          base.copy(indexType = "ivfpq", ivfNprobe = 2), needBuilt(pqS, "ivfpq")))
       secs(s"e2e-serve-graph $label")(
-        e2eServe(chunks, e2, bm, base.copy(indexType = "graph"), gS))
+        e2eServe(chunks, e2, needBuilt(bm, "bm25"),
+          base.copy(indexType = "graph"), needBuilt(gS, "graph")))
       // drop EVERY iteration-scoped artifact, not just BM25 — the 1x
       // serving caches (persisted IvfPq assignment/codes, checkpointed
       // graph) must not occupy executor storage while the 20x rows run
@@ -528,6 +550,10 @@ object Scale {
       operators.LmQuality.score(d, "doc_id", "text", vocabSize = 24).count()
     secs(s"lm-quality 1x")(lmQuality(docs))
     secs(s"lm-quality ${kDocs}x")(lmQuality(bigDocs))
+    def curation(d: DataFrame): Long =
+      operators.Curation.curationDecision(d, "doc_id", "text").count()
+    secs(s"curation-decision 1x")(curation(docs))
+    secs(s"curation-decision ${kDocs}x")(curation(bigDocs))
     spark.stop()
   }
 }

@@ -150,10 +150,13 @@ object Curation {
                        vocabSize: Int = 24): DataFrame = {
     val lm = LmQuality.score(docs, idCol, textCol, vocabSize)
       .select(col(idCol), col("cross_entropy"))
+    // null text scores as empty text (n_tokens 0 → 'length'), not as a
+    // null that would sail through every comparison to 'keep'
+    val txt = coalesce(col(textCol), lit(""))
     docs.select(col(idCol),
-        size(TextFunctions.tokenize(col(textCol))).cast("long").as("n_tokens"),
-        round(TextFunctions.repetitionRatio(col(textCol), 3), 6).as("rep_3gram"),
-        TextFunctions.qualityScore(col(textCol)).as("quality"))
+        size(TextFunctions.tokenize(txt)).cast("long").as("n_tokens"),
+        round(TextFunctions.repetitionRatio(txt, 3), 6).as("rep_3gram"),
+        TextFunctions.qualityScore(txt).as("quality"))
       // left join: a zero-token doc has no LM rows but still gets a verdict
       // (rule 1 catches it before the null cross_entropy is consulted)
       .join(lm, Seq(idCol), "left")

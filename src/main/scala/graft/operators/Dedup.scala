@@ -583,6 +583,12 @@ object Dedup {
         // colliding false spans; the pair keeps the FP term negligible
         (TextFunctions.polyHash(col("sgl")) * lit(1000000007L)
           + TextFunctions.polyHash2(col("sgl"))).as("h"))
+    // `sh` is deliberately evaluated twice (once under the aggregate, once
+    // as the semi-join probe): re-scanning + re-hashing is codegen'd CPU
+    // work, while the alternatives either pin a token-scale cache or
+    // window-shuffle EVERY shingle row on h — the aggregate side here
+    // shuffles only post-combine (distinct hashes per partition), and the
+    // dup-hash side is usually small enough to broadcast back
     val dupH = sh.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
     val marked = sh.join(dupH, Seq("h"), "left_semi")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -23,48 +23,58 @@ import graft.functions.TextFunctions
   * aggregation order; the final mean is one fixed division tree rounded to
   * 4 dp — the same contract the BM25 oracle uses.
   *
-  * 100 TB: the vocabulary build is one map-side-combined groupBy(token)
-  * (post-combine cardinality = vocabulary size, not corpus size) truncated
-  * to V rows; costs broadcast to the scoring join, so scoring is a per-row
-  * projection plus one groupBy(doc) with partial aggregation. V is the
-  * broadcast-size knob (1M vocab entries ≈ 20 MB — comfortably
-  * broadcastable).
+  * 100 TB: three corpus passes — the total-count aggregate (a driver
+  * scalar), the vocabulary build (one map-side-combined groupBy(token);
+  * post-combine cardinality = vocabulary size, not corpus size; truncated
+  * to V rows and broadcast), and the scoring pass (per-row projection plus
+  * one groupBy(doc) with partial aggregation). V is the broadcast-size knob
+  * (1M vocab entries ≈ 20 MB — comfortably broadcastable).
   */
 object LmQuality {
   val Micro = 1000000L
 
-  /** (token, cost_micro) for the top-`vocabSize` tokens by corpus frequency
-    * (ties broken by token text — deterministic for the oracle), plus the
-    * corpus total in every row for the OOV floor.
+  /** (token, cost_micro) for the top-`vocabSize` tokens by corpus frequency,
+    * ties broken by token text — deterministic for the oracle.
     */
-  def vocabCosts(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
-    val toks = docs.select(explode(TextFunctions.tokenize(col(textCol))).as("token"))
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").as("t"))
+  def vocabCosts(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    vocabFor(tokenCounts(docs, textCol), totalTokens(docs, textCol), vocabSize)
+
+  private def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokenize(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Corpus token total as a driver scalar (0 for an empty/tokenless corpus). */
+  private def totalTokens(docs: DataFrame, textCol: String): Long = {
+    val row = tokenCounts(docs, textCol).agg(sum("c")).collect()
+    if (row.isEmpty || row(0).isNullAt(0)) 0L else row(0).getLong(0)
+  }
+
+  private def vocabFor(counts: DataFrame, total: Long, vocabSize: Int): DataFrame =
     counts.orderBy(col("c").desc, col("token")).limit(vocabSize)
-      .crossJoin(broadcast(total))
       .select(
         col("token"),
-        floor(-log(col("c").cast("double") / col("t").cast("double"))
-          * lit(Micro.toDouble)).cast("long").as("cost_micro"),
-        col("t"))
-  }
+        floor(-log(col("c").cast("double") / lit(total.toDouble))
+          * lit(Micro.toDouble)).cast("long").as("cost_micro"))
 
   /** Per-document cross-entropy under the corpus unigram LM:
     * (doc_id, n_tokens, cross_entropy nats/token, 4 dp).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             vocabSize: Int = 24): DataFrame = {
-    val vocab = vocabCosts(docs, textCol, vocabSize)
-    val oov = floor(log(col("t").cast("double")) * lit(Micro.toDouble)).cast("long")
+    val total = totalTokens(docs, textCol)
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokenize(col(textCol))).as("token"))
+    if (total == 0L)
+      // tokenless corpus: no scored rows, contract schema preserved
+      return toks.select(col(idCol), lit(0L).as("n_tokens"),
+        lit(0.0).as("cross_entropy")).limit(0)
+    val vocab = vocabFor(tokenCounts(docs, textCol), total, vocabSize)
+    // OOV floor, as a literal: same JVM Math.log the codegen'd vocab costs
+    // use, so driver-vs-executor evaluation cannot diverge
+    val oovCost = math.floor(math.log(total.toDouble) * Micro.toDouble).toLong
     toks.join(broadcast(vocab), Seq("token"), "left")
-      // every row carries `t` only on vocab hits; the OOV floor needs it too
-      .drop("t")
-      .crossJoin(broadcast(vocab.agg(max("t").as("t"))))
       .select(col(idCol),
-        coalesce(col("cost_micro"), oov).as("cost_micro"))
+        coalesce(col("cost_micro"), lit(oovCost)).as("cost_micro"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("cost_micro").as("s"))
       .select(col(idCol), col("n_tokens"),
@@ -77,6 +87,11 @@ object LmQuality {
     * on the better side — value-thresholded, so the split is deterministic
     * and engine-independent with no interpolated percentile).
     *
+    * The scored table is persisted only while the size count and the two
+    * threshold order statistics run, then released — the returned frame
+    * recomputes the LM once when the caller acts on it (two LM passes
+    * total, no storage pinned past the call).
+    *
     * Scale note: the two thresholds here are exact order statistics via
     * sort-limit (fine to ~10⁸ rows); at 100 TB the same contract is served
     * by `approxQuantile` over `cross_entropy` with the bucketing map
@@ -84,20 +99,21 @@ object LmQuality {
     */
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = 24): DataFrame = {
-    // persisted: the scored table feeds the size count, both threshold
-    // order statistics, and the final bucketing — one LM pass, not four
     val sc = score(docs, idCol, textCol, vocabSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = sc.count()
-    def kth(k: Long): DataFrame =
-      sc.orderBy(col("cross_entropy"), col(idCol)).limit(k.toInt)
-        .agg(max("cross_entropy"))
-    val t1 = kth((n + 2) / 3).select(col("max(cross_entropy)").as("t1"))
-    val t2 = kth((2 * n + 2) / 3).select(col("max(cross_entropy)").as("t2"))
-    sc.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
-      .select(col(idCol), col("cross_entropy"),
-        when(col("cross_entropy") <= col("t1"), "head")
-          .when(col("cross_entropy") <= col("t2"), "middle")
-          .otherwise("tail").as("bucket"))
+    val cached = sc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (t1, t2) =
+      try {
+        val n = cached.count()
+        def kth(k: Long): Double = {
+          val r = cached.orderBy(col("cross_entropy"), col(idCol))
+            .limit(k.toInt).agg(max("cross_entropy")).collect()
+          if (r.isEmpty || r(0).isNullAt(0)) Double.MaxValue else r(0).getDouble(0)
+        }
+        (kth((n + 2) / 3), kth((2 * n + 2) / 3))
+      } finally cached.unpersist()
+    sc.select(col(idCol), col("cross_entropy"),
+      when(col("cross_entropy") <= lit(t1), "head")
+        .when(col("cross_entropy") <= lit(t2), "middle")
+        .otherwise("tail").as("bucket"))
   }
 }

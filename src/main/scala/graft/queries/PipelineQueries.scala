@@ -41,6 +41,34 @@ object PipelineQueries {
   private def plainTokSql(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  private lazy val stopLstSql: String =
+    TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** `TextFunctions.qualityScore`'s SQL twin (round 4), over a CTE exposing
+    * `toks` (token list), `text`, and `alpha` (alphanumeric char count) —
+    * the single source every quality-scoring oracle shares.
+    */
+  private def qualitySql(toks: String = "toks", text: String = "text",
+                         alpha: String = "alpha"): String =
+    s"""round(((CASE WHEN len($toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+       |      (CASE WHEN len(list_filter($stopLstSql, s -> list_contains($toks, s))) > 0
+       |            THEN 1.0 ELSE 0.0 END) +
+       |      (CASE WHEN (CASE WHEN len($toks) > 0
+       |                  THEN $alpha::DOUBLE / len($toks)::DOUBLE ELSE 0.0 END)
+       |                 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       |      (CASE WHEN len($text) > 0
+       |            THEN $alpha::DOUBLE / len($text)::DOUBLE ELSE 0.0 END)) / 4.0,
+       |     4)""".stripMargin
+
+  /** `TextFunctions.repetitionRatio(_, 3)`'s SQL twin (round 6) over a
+    * token-list column.
+    */
+  private def rep3Sql(toks: String = "toks"): String =
+    s"""round(CASE WHEN len(${shinglesSql(toks, 3)}) > 0
+       |  THEN 1.0 - len(list_distinct(${shinglesSql(toks, 3)}))::DOUBLE
+       |           / len(${shinglesSql(toks, 3)})::DOUBLE
+       |  ELSE 0.0 END, 6)""".stripMargin
+
   /** Unigram-LM scoring CTE chain (twin of `LmQuality.score`, vocabSize 24):
     * ends at `sc(doc_id, n_tokens, cross_entropy)` — shared by f_lm_quality
     * and f_lm_buckets.
@@ -459,7 +487,6 @@ object PipelineQueries {
     //    production alternative to keep-min-id when near-dups differ in
     //    cleanliness; composes components ∘ quality, both already ⊕ ─────────
     QueryDef.sql("dedup_keep_best", {
-      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |quarters AS (
          |  SELECT doc_id, sig, q.q, (sig >> (q.q * 15)) & 32767 AS qh
@@ -480,20 +507,9 @@ object PipelineQueries {
          |  SELECT doc_id, text, ${plainTokSql("text")} AS toks,
          |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
          |  FROM documents),
-         |qm AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_score,
-         |    CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
-         |         THEN 1.0 ELSE 0.0 END AS stop_score,
-         |    CASE WHEN len(text) > 0 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END AS alpha_ratio,
-         |    CASE WHEN len(toks) > 0 THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END AS mean_word
-         |  FROM qt),
          |qual AS (
-         |  SELECT doc_id,
-         |         round((len_score + stop_score +
-         |                (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |                alpha_ratio) / 4.0, 4) AS quality
-         |  FROM qm),
+         |  SELECT doc_id, ${qualitySql()} AS quality
+         |  FROM qt),
          |ranked AS (
          |  SELECT c.component, c.node AS doc_id, q.quality,
          |         row_number() OVER (PARTITION BY c.component
@@ -1379,26 +1395,13 @@ object PipelineQueries {
     },
 
     // ── Text analysis: quality scoring ────────────────────────────────────
-    QueryDef.sql("f_quality_score", {
-      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    QueryDef.sql("f_quality_score",
       s"""WITH t AS (
          |  SELECT doc_id, text, ${plainTokSql("text")} AS toks,
          |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_score,
-         |    CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
-         |         THEN 1.0 ELSE 0.0 END AS stop_score,
-         |    CASE WHEN len(text) > 0 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END AS alpha_ratio,
-         |    CASE WHEN len(toks) > 0 THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END AS mean_word
-         |  FROM t)
-         |SELECT doc_id,
-         |       round((len_score + stop_score +
-         |              (CASE WHEN mean_word BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |              alpha_ratio) / 4.0, 4) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |  FROM documents)
+         |SELECT doc_id, ${qualitySql()} AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"))
@@ -1578,7 +1581,6 @@ object PipelineQueries {
     //    integer micro-units, the m11 idiom), language mix, boilerplate
     //    flags. One scan, one groupBy; all derived signals already ⊕ ────────
     QueryDef.sql("a18_corpus_datasheet", {
-      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
       val scoredStructs = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)
         .map { case (lang, markers) =>
           val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
@@ -1592,19 +1594,9 @@ object PipelineQueries {
          |              list_max($scoredStructs) AS best FROM t),
          |base AS (
          |  SELECT source, len(toks)::BIGINT AS n_tok,
-         |    round((
-         |      (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
-         |      (CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
-         |            THEN 1.0 ELSE 0.0 END) +
-         |      (CASE WHEN (CASE WHEN len(toks) > 0 THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
-         |                 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |      (CASE WHEN len(text) > 0 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END)
-         |    ) / 4.0, 4) AS quality,
+         |    ${qualitySql()} AS quality,
          |    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang,
-         |    round(CASE WHEN len(${shinglesSql("toks", 3)}) > 0
-         |      THEN 1.0 - len(list_distinct(${shinglesSql("toks", 3)}))::DOUBLE
-         |               / len(${shinglesSql("toks", 3)})::DOUBLE
-         |      ELSE 0.0 END, 6) AS rep
+         |    ${rep3Sql()} AS rep
          |  FROM sc)
          |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
          |       round(sum(n_tok)::DOUBLE / count(*)::DOUBLE, 2) AS mean_tokens,
@@ -2207,28 +2199,17 @@ object PipelineQueries {
     //    quality tagger runs once; each doc gets keep/drop with the FIRST
     //    failing rule as attribution (length → repetition → quality →
     //    perplexity) ────────────────────────────────────────────────────────
-    QueryDef.sql("f_curation_decision", {
-      val stopLst = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    QueryDef.sql("f_curation_decision",
       s"""$lmScoreCte,
          |tq AS (
-         |  SELECT doc_id, text, ${plainTokSql("text")} AS toks,
-         |         len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::INT AS alpha
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |         ${plainTokSql("coalesce(text, '')")} AS toks,
+         |         len(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'))::INT AS alpha
          |  FROM documents),
          |sig AS (
          |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-         |    round(CASE WHEN len(${shinglesSql("toks", 3)}) > 0
-         |      THEN 1.0 - len(list_distinct(${shinglesSql("toks", 3)}))::DOUBLE
-         |               / len(${shinglesSql("toks", 3)})::DOUBLE
-         |      ELSE 0.0 END, 6) AS rep_3gram,
-         |    round(((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
-         |           (CASE WHEN len(list_filter($stopLst, s -> list_contains(toks, s))) > 0
-         |                 THEN 1.0 ELSE 0.0 END) +
-         |           (CASE WHEN (CASE WHEN len(toks) > 0
-         |                       THEN alpha::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END)
-         |                      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |           (CASE WHEN len(text) > 0
-         |                 THEN alpha::DOUBLE / len(text)::DOUBLE ELSE 0.0 END)) / 4.0,
-         |          4) AS quality
+         |    ${rep3Sql()} AS rep_3gram,
+         |    ${qualitySql()} AS quality
          |  FROM tq),
          |d AS (
          |  SELECT sig.doc_id, sig.n_tokens, sig.rep_3gram, sig.quality,
@@ -2241,8 +2222,7 @@ object PipelineQueries {
          |  FROM sig LEFT JOIN sc USING (doc_id))
          |SELECT doc_id, n_tokens, rep_3gram, quality, cross_entropy, reason,
          |       (reason = 'keep')::INT AS keep
-         |FROM d ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curation.curationDecision(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
