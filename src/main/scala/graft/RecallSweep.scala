@@ -77,8 +77,36 @@ object RecallSweep {
         val t0 = System.nanoTime()
         val (_, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
           srv, k = k, recallTarget = target)
-        println(f"[recall] clustered(n=$nC) auto $name%-6s target=$target%.2f -> nprobe=${knobs.nprobe} short=${knobs.shortlist} beam=${knobs.beam} recall@$k=${knobs.measuredRecall}%.3f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+        println(f"[recall] clustered(n=$nC) auto $name%-6s target=$target%.2f -> nprobe=${knobs.nprobe} short=${knobs.shortlist} beam=${knobs.beam} entries=${knobs.entries} recall@$k=${knobs.measuredRecall}%.3f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
       }
+    }
+
+    // ── r11b: the ENTRY-COVERAGE tuning dimension on the UNCLUSTERED sf
+    //    corpus — every graph tier's worst case (the round-10/11 sweeps:
+    //    beams alone saturate at 0.24-0.62 recall from 4 fixed entries).
+    //    A beam search reaches only what its entry basins cover, so the
+    //    tuner now widens the start set too; the fixed-entry beam ladder
+    //    prints beside the tuned result for the before/after ───────────────
+    {
+      import operators.VectorSearch
+      val e = emb1.localCheckpoint(true)
+      val n = e.count()
+      val g = VectorSearch.knnGraph(e, "vec_id", "embedding", k = 8,
+        numPlanes = VectorSearch.graphPlanesFor(n)).localCheckpoint(true)
+      val qs = queries(e)
+      val truth = topSet(VectorSearch.bruteTopKBatchAgg(
+        e, "vec_id", "embedding", qs, "query_id", "qvec", k))
+      for (beam <- Seq(32, 64)) {
+        val got = topSet(VectorSearch.graphSearch(g, e, "vec_id", "embedding",
+          qs, "query_id", "qvec", k, beam = beam, hops = 3,
+          entryIds = Seq(0L, 100L, 200L, 300L)))
+        println(f"[recall] unclustered(n=$n) graph fixed-4-entries beam=$beam%-3d recall@$k=${recall(got, truth)}%.3f")
+      }
+      val srv = VectorSearch.Serving.Graph(g, 64, 3, Seq(0L, 100L, 200L, 300L))
+      val t0 = System.nanoTime()
+      val (_, knobs) = VectorSearch.tuneServing(e, "vec_id", "embedding",
+        srv, k = k, recallTarget = 0.9)
+      println(f"[recall] unclustered(n=$n) auto graph -> entries=${knobs.entries} beam=${knobs.beam} recall@$k=${knobs.measuredRecall}%.3f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     }
 
     for ((label, e) <- Seq("1x" -> emb1.localCheckpoint(true), s"${kRep}x" -> embN)) {

@@ -150,7 +150,7 @@ object VectorSearch {
     * apply to the tuned tier are 0.
     */
   final case class TunedKnobs(nprobe: Int, shortlist: Int, beam: Int,
-                              measuredRecall: Double)
+                              measuredRecall: Double, entries: Int = 0)
 
   /** Auto-size a tier's quality knobs (IVF `nprobe`, IVFPQ ADC `shortlist`,
     * graph `beam`) to a recall TARGET by calibration, not guesswork: a
@@ -249,20 +249,43 @@ object VectorSearch {
         // of re-collected per beam value (same economics as the
         // GraphDeduped branch's memoized build)
         val tuneKey = Some(s"tune|${System.identityHashCode(g)}")
-        val (beam, r) = walk(beamLadder(k)) { b =>
+        // 2-D ladder: ENTRY COVERAGE × beam. The round-10/11 sweeps showed
+        // beams alone saturate well below target on unclustered corpora —
+        // a beam search can only reach what its entry points' basins
+        // cover, so the tuner must widen the start set too. Candidate
+        // entries are a hash-spread corpus sample DISJOINT from the
+        // calibration queries (entries equal to query ids would start the
+        // search at its own answer and fake the recall).
+        val base = entries.distinct
+        val extra = embeddings
+          .orderBy(pmod(col(idCol) * 2654435761L, lit(1000000007L)), col(idCol))
+          .limit(nSample + 64)
+          .select(col(idCol).cast("long")).as[Long].collect().toSeq
+          .drop(nSample).filterNot(base.toSet)
+        val entrySets = (Seq(base.size) ++ Seq(8, 16, 32).filter(_ > base.size))
+          .distinct.map(n => base ++ extra.take(n - base.size))
+        val steps = (for { es <- entrySets; b <- beamLadder(k) } yield (es, b))
+          .sortBy { case (es, b) => (es.size.toLong * b, b) }
+        val ((ents, beam), r) = walk(steps) { case (es, b) =>
           recallOf(topSet(graphSearch(g, embeddings, idCol, vecCol,
-            qs, "query_id", "qvec", k, b, hops, entries,
+            qs, "query_id", "qvec", k, b, hops, es,
             cacheKey = tuneKey)))
         }
-        (Serving.Graph(g, beam, hops, entries), TunedKnobs(0, 0, beam, r))
+        (Serving.Graph(g, beam, hops, ents),
+          TunedKnobs(0, 0, beam, r, ents.size))
       case Serving.GraphDeduped(ck, kg, planes, _, hops, nEnt) =>
-        // the memoized build under `ck` is shared across ladder steps
-        val (beam, r) = walk(beamLadder(k)) { b =>
+        // the memoized build under `ck` is shared across ladder steps;
+        // same 2-D (entry count × beam) ladder as the plain graph tier
+        val steps = (for {
+          ne <- (Seq(nEnt) ++ Seq(8, 16, 32).filter(_ > nEnt)).distinct
+          b <- beamLadder(k)
+        } yield (ne, b)).sortBy { case (ne, b) => (ne.toLong * b, b) }
+        val ((ne, beam), r) = walk(steps) { case (ne, b) =>
           recallOf(topSet(graphSearchDeduped(embeddings, idCol, vecCol,
-            qs, "query_id", "qvec", k, kg, planes, b, hops, nEnt, Some(ck))))
+            qs, "query_id", "qvec", k, kg, planes, b, hops, ne, Some(ck))))
         }
-        (Serving.GraphDeduped(ck, kg, planes, beam, hops, nEnt),
-          TunedKnobs(0, 0, beam, r))
+        (Serving.GraphDeduped(ck, kg, planes, beam, hops, ne),
+          TunedKnobs(0, 0, beam, r, ne))
     }
   }
 

@@ -73,6 +73,27 @@ class TuneServingSpec extends SparkSpec {
     }
   }
 
+  test("graph tier: entry coverage widens when beams alone cannot reach the target") {
+    val g = VectorSearch.knnGraph(clustered, "vec_id", "embedding", k = 8)
+      .localCheckpoint(true)
+    // one entry in one cluster: beam search can only reach that basin, so
+    // no beam value alone can see the other 7 clusters' neighborhoods —
+    // the tuner must widen the entry set
+    val srv = VectorSearch.Serving.Graph(g, beam = 64, hops = 3,
+      entryIds = Seq(0L))
+    val (tuned, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      srv, k = 10, recallTarget = 0.9, nSample = 8)
+    assert(knobs.entries > 1,
+      s"tuner must widen entry coverage, got entries=${knobs.entries} recall=${knobs.measuredRecall}")
+    assert(knobs.measuredRecall >= 0.9,
+      s"entries=${knobs.entries} beam=${knobs.beam} only reached ${knobs.measuredRecall}")
+    tuned match {
+      case VectorSearch.Serving.Graph(_, b, _, es) =>
+        assert(b == knobs.beam && es.size == knobs.entries)
+      case other => fail(s"expected Graph serving back, got $other")
+    }
+  }
+
   test("buildServingTuned composes policy choice, build, and calibration") {
     val strategy = VectorSearch.chooseIndex(400L, 16)
     val (_, knobs) = VectorSearch.buildServingTuned(clustered, "vec_id",
