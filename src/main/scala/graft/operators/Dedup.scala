@@ -603,4 +603,57 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
+
+  /** The REMOVAL half of Lee et al. exact-substring dedup: strip every
+    * duplicated span from every document EXCEPT its canonical occurrence —
+    * the span whose content fingerprint maps to the lowest (doc, start)
+    * holding the same text — and rebuild the text from the surviving
+    * tokens. "Keep one occurrence" is the paper's rule; lowest-(doc, start)
+    * makes the arbitrary choice deterministic. Output: one row per input
+    * document — (id, clean_text, n_removed_tokens).
+    *
+    * Composition contract: `spans` is [[duplicatedSpans]]' output (or any
+    * (id, span_start, span_end) table). Spans sharing a fingerprint but
+    * differing in surrounding context are still independent rows — the
+    * fingerprint is the span's OWN token content, so two docs whose
+    * duplicated regions merged differently keep their own canonicals.
+    *
+    * 100 TB: span extraction joins the (small) span table back to the doc
+    * tokens once; the canonical choice is one groupBy on the span
+    * fingerprint; removal is a per-doc flag-and-filter on token positions
+    * (array expressions, no token-row shuffle beyond the spans join).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, spans: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("toks"))
+    // span content fingerprint from the doc's own tokens (~60-bit combined
+    // hash, the duplicatedSpans idiom)
+    val spanText = array_join(slice(col("toks"), col("span_start") + 1,
+      col("span_end") - col("span_start")), " ")
+    val withFp = spans.join(toks, Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (TextFunctions.polyHash(spanText) * lit(1000000007L)
+          + TextFunctions.polyHash2(spanText)).as("fp"))
+    // canonical occurrence = min (doc, start) struct per fingerprint
+    val canon = withFp.groupBy("fp")
+      .agg(min(struct(col(idCol), col("span_start"))).as("m"))
+      .select(col("fp"), col(s"m.$idCol").as("keep_doc"),
+        col("m.span_start").as("keep_start"))
+    val drop = withFp.join(canon, Seq("fp"))
+      .filter(!(col(idCol) === col("keep_doc") &&
+        col("span_start") === col("keep_start")))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cut"))
+    toks.join(drop, Seq(idCol), "left")
+      // keep token i unless some cut span covers it; counting by
+      // size-difference (not summed span lengths) stays correct even if a
+      // caller passes overlapping spans
+      .withColumn("kept",
+        filter(col("toks"), (t, i) =>
+          !exists(coalesce(col("cut"), array()),
+            s => i >= s.getField("span_start") && i < s.getField("span_end"))))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed_tokens"))
+  }
 }

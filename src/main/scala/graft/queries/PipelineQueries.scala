@@ -69,6 +69,38 @@ object PipelineQueries {
        |           / len(${shinglesSql(toks, 3)})::DOUBLE
        |  ELSE 0.0 END, 6)""".stripMargin
 
+  /** `Dedup.duplicatedSpans(n = 8)`'s SQL twin: CTE chain ending at
+    * `spans(doc_id, span_start BIGINT, span_end BIGINT)` (with `t(doc_id,
+    * toks)` also in scope) — shared by dedup_dup_spans and
+    * dedup_span_removal.
+    */
+  private lazy val dupSpansCte: String =
+    s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, len(toks) AS L, toks,
+       |         unnest(range(0, greatest(len(toks) - 8, 0) + 1)) AS pos
+       |  FROM t WHERE len(toks) > 0),
+       |sh AS (
+       |  SELECT doc_id, pos, least(pos + 8, L) AS e,
+       |         ${polySql("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')", 31)} * 1000000007
+       |           + ${polySql("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')", 131)} AS h
+       |  FROM sh0),
+       |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+       |m AS (SELECT s.doc_id, s.pos, s.e FROM sh s JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, pos, e,
+       |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |g AS (
+       |  SELECT doc_id, pos, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end
+       |  FROM g GROUP BY doc_id, island)""".stripMargin
+
   /** Unigram-LM scoring CTE chain (twin of `LmQuality.score`, vocabSize 24):
     * ends at `sc(doc_id, n_tokens, cross_entropy)` — shared by f_lm_quality
     * and f_lm_buckets.
@@ -2101,38 +2133,59 @@ object PipelineQueries {
     //    >1 (doc, pos) mark positions; gaps-and-islands per doc merges the
     //    marks into maximal duplicated token regions ───────────────────────
     QueryDef.sql("dedup_dup_spans",
-      s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
-         |sh0 AS (
-         |  SELECT doc_id, len(toks) AS L, toks,
-         |         unnest(range(0, greatest(len(toks) - 8, 0) + 1)) AS pos
-         |  FROM t WHERE len(toks) > 0),
-         |sh AS (
-         |  SELECT doc_id, pos, least(pos + 8, L) AS e,
-         |         ${polySql("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')", 31)} * 1000000007
-         |           + ${polySql("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')", 131)} AS h
-         |  FROM sh0),
-         |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
-         |m AS (SELECT s.doc_id, s.pos, s.e FROM sh s JOIN dup USING (h)),
-         |isl AS (
-         |  SELECT doc_id, pos, e,
-         |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
-         |  FROM m),
-         |g AS (
-         |  SELECT doc_id, pos, e,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM isl)
-         |SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
-         |       (max(e) - min(pos))::BIGINT AS span_tokens
-         |FROM g GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      s"""$dupSpansCte
+         |SELECT doc_id, span_start, span_end,
+         |       (span_end - span_start)::BIGINT AS span_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
         .select(col("doc_id"),
           col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"),
           col("span_tokens").cast("long").as("span_tokens"))
         .orderBy("doc_id", "span_start")
+    },
+
+    // ── The REMOVAL half of Lee et al. exact-substring dedup: strip every
+    //    duplicated span except its canonical (lowest doc, start)
+    //    occurrence and rebuild the token stream ───────────────────────────
+    QueryDef.sql("dedup_span_removal", {
+      val spanTxt = "array_to_string(list_slice(t.toks, (s.span_start + 1)::INT, s.span_end::INT), ' ')"
+      s"""$dupSpansCte,
+         |wfp AS (
+         |  SELECT s.doc_id, s.span_start, s.span_end,
+         |         ${polySql(spanTxt, 31)} * 1000000007 + ${polySql(spanTxt, 131)} AS fp
+         |  FROM spans s JOIN t USING (doc_id)),
+         |cn AS (
+         |  SELECT fp, doc_id AS keep_doc, span_start AS keep_start FROM (
+         |    SELECT fp, doc_id, span_start,
+         |           row_number() OVER (PARTITION BY fp ORDER BY doc_id, span_start) AS rn
+         |    FROM wfp) WHERE rn = 1),
+         |dr AS (
+         |  SELECT w.doc_id, w.span_start, w.span_end
+         |  FROM wfp w JOIN cn USING (fp)
+         |  WHERE NOT (w.doc_id = cn.keep_doc AND w.span_start = cn.keep_start)),
+         |tv AS (
+         |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, toks
+         |  FROM t),
+         |tw AS (SELECT doc_id, pos, toks[(pos + 1)::INT] AS tok FROM tv),
+         |kept AS (
+         |  SELECT v.doc_id, v.pos, v.tok FROM tw v
+         |  LEFT JOIN dr d ON d.doc_id = v.doc_id
+         |    AND v.pos >= d.span_start AND v.pos < d.span_end
+         |  WHERE d.doc_id IS NULL),
+         |ag AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |         count(*)::BIGINT AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |       (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed_tokens
+         |FROM t LEFT JOIN ag a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      Dedup.removeDuplicatedSpans(docs, spans, "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // ── Temperature-weighted domain sampling (count^α mix over sources;

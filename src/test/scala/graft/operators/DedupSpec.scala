@@ -256,5 +256,26 @@ class DedupSpec extends SparkSpec {
       (4L, 0, 4, 4), (4L, 6, 10, 4),
       (5L, 0, 2, 2), (6L, 0, 2, 2),
       (7L, 0, 8, 8), (8L, 0, 4, 4), (9L, 4, 8, 4)), s"got $got")
+
+    // ── removal: canonical (lowest doc, start) occurrence survives, the
+    //    rest are stripped; docs whose islands MERGED differently carry a
+    //    different span content, so each keeps its own canonical (the
+    //    documented composition caveat) ──────────────────────────────────
+    val cleaned = Dedup.removeDuplicatedSpans(spanDocs,
+        Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 4),
+        "doc_id", "text")
+      .select("doc_id", "clean_text", "n_removed_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cleaned == Map(
+      1L -> (("w1 w2 w3 w4 w5 x1 x2 x3", 0L)),  // canonical of w1..w5
+      2L -> (("z1 z2 z3", 5L)),                 // non-canonical copy stripped
+      3L -> (("u1 u2 u3", 0L)),                 // untouched unique doc
+      4L -> (("r1 r2 r3 r4 k1 k2", 4L)),        // self-repeat: first island kept
+      5L -> (("s1 s2", 0L)),                    // canonical short dup
+      6L -> (("", 2L)),                         // fully-duplicated doc empties
+      7L -> (("a1 a2 a3 a4 b1 b2 b3 b4", 0L)),  // merged 8-token island ≠ the
+      8L -> (("a1 a2 a3 a4 c1 c2 c3 c4", 0L)),  //   4-token islands: all three
+      9L -> (("d1 d2 d3 d4 b1 b2 b3 b4", 0L))), //   are their own canonicals
+      s"got $cleaned")
   }
 }
