@@ -83,33 +83,24 @@ object RecallSweep {
 
     // ── r11b: the ENTRY-COVERAGE tuning dimension on the UNCLUSTERED sf
     //    corpus — every graph tier's worst case (the round-10/11 sweeps:
-    //    beams alone saturate at 0.24-0.62 recall from 4 fixed entries).
+    //    beams alone saturate at 0.24-0.62 recall from 4 fixed entries;
+    //    the fixed-entry baseline IS the "1x graph beam=…" rows below).
     //    A beam search reaches only what its entry basins cover, so the
-    //    tuner now widens the start set too; the fixed-entry beam ladder
-    //    prints beside the tuned result for the before/after ───────────────
-    {
+    //    tuner widens the start set too ─────────────────────────────────────
+    val e1: DataFrame = emb1.localCheckpoint(true)
+    locally {
       import operators.VectorSearch
-      val e = emb1.localCheckpoint(true)
-      val n = e.count()
-      val g = VectorSearch.knnGraph(e, "vec_id", "embedding", k = 8,
+      val n = e1.count()
+      val g = VectorSearch.knnGraph(e1, "vec_id", "embedding", k = 8,
         numPlanes = VectorSearch.graphPlanesFor(n)).localCheckpoint(true)
-      val qs = queries(e)
-      val truth = topSet(VectorSearch.bruteTopKBatchAgg(
-        e, "vec_id", "embedding", qs, "query_id", "qvec", k))
-      for (beam <- Seq(32, 64)) {
-        val got = topSet(VectorSearch.graphSearch(g, e, "vec_id", "embedding",
-          qs, "query_id", "qvec", k, beam = beam, hops = 3,
-          entryIds = Seq(0L, 100L, 200L, 300L)))
-        println(f"[recall] unclustered(n=$n) graph fixed-4-entries beam=$beam%-3d recall@$k=${recall(got, truth)}%.3f")
-      }
       val srv = VectorSearch.Serving.Graph(g, 64, 3, Seq(0L, 100L, 200L, 300L))
       val t0 = System.nanoTime()
-      val (_, knobs) = VectorSearch.tuneServing(e, "vec_id", "embedding",
+      val (_, knobs) = VectorSearch.tuneServing(e1, "vec_id", "embedding",
         srv, k = k, recallTarget = 0.9)
       println(f"[recall] unclustered(n=$n) auto graph -> entries=${knobs.entries} beam=${knobs.beam} recall@$k=${knobs.measuredRecall}%.3f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     }
 
-    for ((label, e) <- Seq("1x" -> emb1.localCheckpoint(true), s"${kRep}x" -> embN)) {
+    for ((label, e) <- Seq("1x" -> e1, s"${kRep}x" -> embN)) {
       val qs = queries(e)
       val n = e.count()
       val truth = topSet(operators.VectorSearch.bruteTopKBatchAgg(

@@ -570,8 +570,10 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): DataFrame = {
+    // null text tokenizes as empty text (no spans) — nullSafeEval would
+    // otherwise propagate NULL through the span math
     val toks = docs.select(col(idCol),
-      TextFunctions.tokenize(col(textCol)).as("toks"))
+      TextFunctions.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
     val sh = toks
       .select(col(idCol), size(col("toks")).as("len"),
         posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "sgl")))
@@ -625,7 +627,10 @@ object Dedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, spans: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("toks"))
+    // null text rebuilds as empty text with 0 removed — matches the SQL
+    // twin's coalesce instead of diverging to a NULL row
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
     // span content fingerprint from the doc's own tokens (~60-bit combined
     // hash, the duplicatedSpans idiom)
     val spanText = array_join(slice(col("toks"), col("span_start") + 1,

@@ -187,11 +187,19 @@ object VectorSearch {
         .map { case (q, xs) => q -> xs.map(_._2).toSet }
     lazy val truth = topSet(bruteTopKBatchAgg(
       embeddings, idCol, vecCol, qs, "query_id", "qvec", k))
-    def recallOf(got: Map[Long, Set[Long]]): Double =
-      if (truth.isEmpty) 1.0
-      else truth.map { case (q, t) =>
+    // `excluded`: entry ids of the step under evaluation — a calibration
+    // query that IS an entry starts the search at its own answer and
+    // scores near-1.0 regardless of coverage, so it is dropped from the
+    // average (unless that would drop every query)
+    def recallOf(got: Map[Long, Set[Long]],
+                 excluded: Set[Long] = Set.empty): Double = {
+      val eligible = truth.view.filterKeys(q => !excluded.contains(q)).toMap
+      val basis = if (eligible.nonEmpty) eligible else truth
+      if (basis.isEmpty) 1.0
+      else basis.map { case (q, t) =>
         got.get(q).map(g => (g intersect t).size.toDouble / t.size)
-          .getOrElse(0.0) }.sum / truth.size
+          .getOrElse(0.0) }.sum / basis.size
+    }
     // cheapest-first walk with early exit at the target
     def walk[A](steps: Seq[A])(eval: A => Double): (A, Double) = {
       var best = (steps.head, -1.0)
@@ -269,7 +277,7 @@ object VectorSearch {
         val ((ents, beam), r) = walk(steps) { case (es, b) =>
           recallOf(topSet(graphSearch(g, embeddings, idCol, vecCol,
             qs, "query_id", "qvec", k, b, hops, es,
-            cacheKey = tuneKey)))
+            cacheKey = tuneKey)), excluded = es.toSet)
         }
         (Serving.Graph(g, beam, hops, ents),
           TunedKnobs(0, 0, beam, r, ents.size))
@@ -282,7 +290,8 @@ object VectorSearch {
         } yield (ne, b)).sortBy { case (ne, b) => (ne.toLong * b, b) }
         val ((ne, beam), r) = walk(steps) { case (ne, b) =>
           recallOf(topSet(graphSearchDeduped(embeddings, idCol, vecCol,
-            qs, "query_id", "qvec", k, kg, planes, b, hops, ne, Some(ck))))
+            qs, "query_id", "qvec", k, kg, planes, b, hops, ne, Some(ck))),
+            excluded = dedupEntryIds(embeddings, idCol, vecCol, ne, Some(ck)).toSet)
         }
         (Serving.GraphDeduped(ck, kg, planes, beam, hops, ne),
           TunedKnobs(0, 0, beam, r, ne))
@@ -1614,12 +1623,26 @@ object VectorSearch {
   private val dedupServeCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Seq[Long])]]()
-  def graphSearchDeduped(embeddings: DataFrame, idCol: String, vecCol: String,
-                         queries: DataFrame, qidCol: String, qvecCol: String,
-                         k: Int, kGraph: Int = 8, numPlanes: Int = 4,
-                         beam: Int = 48, hops: Int = 3,
-                         nEntries: Int = 4,
-                         cacheKey: Option[String] = None): DataFrame = {
+  /** How many smallest rep ids the dedup build pre-collects: entry sets up
+    * to this size (the tuner's whole ladder) come from the cached prefix
+    * with no extra job.
+    */
+  private val DedupEntryPrefix = 64
+
+  /** The entry ids [[graphSearchDeduped]] will use for `nEntries` — exposed
+    * so the tuner can keep its calibration queries honest (a query that IS
+    * an entry starts the search at its own answer and fakes the recall).
+    */
+  def dedupEntryIds(embeddings: DataFrame, idCol: String, vecCol: String,
+                    nEntries: Int, cacheKey: Option[String]): Seq[Long] =
+    dedupBase(embeddings, idCol, vecCol, cacheKey)._3.take(nEntries)
+
+  /** (reps, copy-expansion mapping, smallest-rep-id prefix) — built once
+    * per cache key; the ENTRY COUNT is not part of the key, so walking
+    * entry ladders never rebuilds or re-pins the corpus-scale state.
+    */
+  private def dedupBase(embeddings: DataFrame, idCol: String, vecCol: String,
+                        cacheKey: Option[String]): (DataFrame, DataFrame, Seq[Long]) = {
     def build(): (DataFrame, DataFrame, Seq[Long]) = {
       val reps0 = embeddings.groupBy(col(vecCol))
         .agg(min(col(idCol)).as(idCol))
@@ -1632,19 +1655,32 @@ object VectorSearch {
       val (r, m) = if (cacheKey.isDefined)
         (reps0.localCheckpoint(true), mapping0.localCheckpoint(true))
       else (reps0, mapping0)
-      val ent = r.select(col(idCol).cast("long")).orderBy(col(idCol))
-        .limit(nEntries).collect().map(_.getLong(0)).toSeq
-      (r, m, ent)
+      val prefix = r.select(col(idCol).cast("long")).orderBy(col(idCol))
+        .limit(DedupEntryPrefix).collect().map(_.getLong(0)).toSeq
+      (r, m, prefix)
     }
-    val (reps, mapping, entries) = cacheKey match {
+    cacheKey match {
       case Some(k0) =>
         val perSession = dedupServeCache.synchronized {
           dedupServeCache.computeIfAbsent(embeddings.sparkSession,
             _ => new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Seq[Long])]())
         }
-        perSession.computeIfAbsent(s"$k0|e=$nEntries", _ => build())
+        perSession.computeIfAbsent(s"$k0|base", _ => build())
       case None => build()
     }
+  }
+
+  def graphSearchDeduped(embeddings: DataFrame, idCol: String, vecCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, kGraph: Int = 8, numPlanes: Int = 4,
+                         beam: Int = 48, hops: Int = 3,
+                         nEntries: Int = 4,
+                         cacheKey: Option[String] = None): DataFrame = {
+    val (reps, mapping, prefix) = dedupBase(embeddings, idCol, vecCol, cacheKey)
+    val entries =
+      if (nEntries <= prefix.size) prefix.take(nEntries)
+      else reps.select(col(idCol).cast("long")).orderBy(col(idCol))
+        .limit(nEntries).collect().map(_.getLong(0)).toSeq
     val g = cacheKey match {
       case Some(k0) => cachedGraph(s"$k0|dedup", reps, idCol, vecCol,
         k = kGraph, numPlanes = numPlanes)

@@ -75,7 +75,7 @@ object PipelineQueries {
     * dedup_span_removal.
     */
   private lazy val dupSpansCte: String =
-    s"""WITH t AS (SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${plainTokSql("coalesce(text, '')")} AS toks FROM documents),
        |sh0 AS (
        |  SELECT doc_id, len(toks) AS L, toks,
        |         unnest(range(0, greatest(len(toks) - 8, 0) + 1)) AS pos
