@@ -244,6 +244,22 @@ object Profile {
       }
       secs("lsh-full") { SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count() }
     }
+
+    // r11: curation-decision cost attribution — .count() prunes projections,
+    // so force full-row evaluation via toRdd
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("curation")) {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(spark, sfDir)
+      def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      secs("cur-tokens") { full(docs.select(col("doc_id"),
+        size(TextFunctions.tokenize(col("text"))).as("n"))) }
+      secs("cur-rep3") { full(docs.select(col("doc_id"),
+        round(TextFunctions.repetitionRatio(col("text"), 3), 6).as("r"))) }
+      secs("cur-quality") { full(docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))) }
+      secs("cur-lm-full") { full(operators.LmQuality.score(docs, "doc_id", "text", 24)) }
+      secs("cur-decision-full") { full(operators.Curation.curationDecision(docs, "doc_id", "text")) }
+    }
     spark.stop()
   }
 }

@@ -177,6 +177,35 @@ object HashAlgos {
     new GenericArrayData(out)
   }
 
+  /** 1 − distinct/total word n-gram shingles, one pass (0.0 when the doc
+    * has no shingles). The shingle set and the division order match the
+    * Column form `1.0 - size(array_distinct(grams))/size(grams)` exactly.
+    */
+  def wordRepetition(tokens: ArrayData, shingleN: Int): Double = {
+    val n = tokens.numElements()
+    if (n == 0) return 0.0
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val nShingles = if (n < shingleN) 1 else n - shingleN + 1
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var j = s
+      val end = math.min(s + shingleN, n)
+      while (j < end) {
+        if (j > s) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      s += 1
+    }
+    1.0 - seen.size.toDouble / nShingles.toDouble
+  }
+
   private val TokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
   private val StopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -576,6 +605,25 @@ case class WordShinglesExpr(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** `word_repetition(tokens, n)` → DOUBLE: 1 − distinct/total word n-gram
+  * shingles in ONE pass (identical semantics to
+  * `shingles` + `array_distinct` sizes, whose higher-order-function form
+  * is interpreted per shingle — measured 7.7 s vs ~0.3 s over sf0.1).
+  */
+case class WordRepetitionExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_word_repetition"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashAlgos.wordRepetition(tokens.asInstanceOf[ArrayData], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.wordRepetition($c, $shingleN)")
+  override protected def withNewChildInternal(newChild: Expression): WordRepetitionExpr =
+    copy(child = newChild)
+}
+
 /** `pq_encode(vec)` → ARRAY<INT> of m codes (codebook rides as a reference
   * object into codegen — no per-row literal tree).
   */
@@ -711,6 +759,8 @@ object FastFunctions {
     GraftShims.column(CharNgramHashesExpr(GraftShims.expression(c), n))
   def wordShingles(tokens: Column, shingleN: Int): Column =
     GraftShims.column(WordShinglesExpr(GraftShims.expression(tokens), shingleN))
+  def wordRepetition(tokens: Column, shingleN: Int): Column =
+    GraftShims.column(WordRepetitionExpr(GraftShims.expression(tokens), shingleN))
   def pqEncode(vec: Column, cb: Array[Float], m: Int, k: Int, subDim: Int): Column =
     GraftShims.column(PqEncodeExpr(GraftShims.expression(vec), cb, m, k, subDim))
   def pqAdcDist(codes: Column, lut: Array[Double], k: Int): Column =

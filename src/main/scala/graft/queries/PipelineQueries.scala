@@ -2305,5 +2305,88 @@ object PipelineQueries {
         .agg(count(lit(1)).as("docs_kept"),
           sum("n_repeats").cast("long").as("total_repeats"))
         .orderBy("lang")
+    },
+
+    // ── The whole training-data pipeline as ONE DataFrame program:
+    //    curation decision (keep only) → exact dedup (canonical member
+    //    survives) → temperature-weighted sampling by language → sequence
+    //    packing into 512-token bins per source shard → shard manifest.
+    //    Every stage is an already-⊕ operator; this proves they COMPOSE
+    //    in one DAG with one oracle ──────────────────────────────────────
+    QueryDef.sql("e2e_data_pipeline", {
+      val cleanSql = "trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))"
+      s"""$lmScoreCte,
+         |tq AS (
+         |  SELECT doc_id, coalesce(text, '') AS text,
+         |         ${plainTokSql("coalesce(text, '')")} AS toks,
+         |         len(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'))::INT AS alpha
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    ${rep3Sql()} AS rep_3gram,
+         |    ${qualitySql()} AS quality
+         |  FROM tq),
+         |dec AS (
+         |  SELECT sig.doc_id,
+         |         CASE WHEN sig.n_tokens < 15 OR sig.n_tokens > 100000 THEN 'length'
+         |              WHEN sig.rep_3gram > 0.02 THEN 'repetition'
+         |              WHEN sig.quality < 0.75 THEN 'quality'
+         |              WHEN sc.cross_entropy > 6.0 THEN 'perplexity'
+         |              ELSE 'keep' END AS reason
+         |  FROM sig LEFT JOIN sc USING (doc_id)),
+         |kept AS (
+         |  SELECT d.* FROM documents d JOIN dec USING (doc_id)
+         |  WHERE dec.reason = 'keep'),
+         |fpx AS (SELECT doc_id, ${polySql(cleanSql, 31)} AS fp FROM kept),
+         |uq AS (
+         |  SELECT f.doc_id FROM fpx f
+         |  JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpx GROUP BY fp) g
+         |    ON f.fp = g.fp AND f.doc_id = g.keep_id),
+         |ud AS (SELECT d.* FROM kept d JOIN uq USING (doc_id)),
+         |lc AS (SELECT lang, count(*)::BIGINT AS n FROM ud GROUP BY lang),
+         |lw AS (SELECT lang, n, floor(pow(n::DOUBLE, 0.5) * 1000000.0)::BIGINT AS w FROM lc),
+         |lt AS (SELECT sum(w)::BIGINT AS tw FROM lw),
+         |th AS (
+         |  SELECT lang,
+         |    floor(least(1.0, ((2000.0 * w::DOUBLE) / tw::DOUBLE) / n::DOUBLE)
+         |          * 1000000007.0)::BIGINT AS thr
+         |  FROM lw, lt),
+         |sm AS (
+         |  SELECT d.* FROM ud d JOIN th USING (lang)
+         |  WHERE (d.doc_id * 2654435761) % 1000000007 < th.thr),
+         |tkn AS (SELECT doc_id, source, len(${plainTokSql("text")})::BIGINT AS n_tok FROM sm),
+         |cum AS (
+         |  SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM tkn),
+         |bins AS (
+         |  SELECT source, floor((c - n_tok)::DOUBLE / 512.0)::BIGINT AS bin_id, n_tok
+         |  FROM cum)
+         |SELECT source, bin_id, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM bins GROUP BY source, bin_id
+         |ORDER BY source, bin_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dec = Curation.curationDecision(docs, "doc_id", "text")
+      // stage materialization, exactly as a production pipeline would
+      // persist between stages: without it every downstream stage
+      // (dedup fingerprints, sampling counts + membership, packing)
+      // re-executes the curation+LM subtree — measured 10.7 s vs 1.4 s
+      // at sf0.1 for the same answer
+      val kept = docs.join(dec.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val groups = Dedup.exactGroups(kept, "doc_id", "text")
+      val unique = kept.join(
+        groups.filter(col("dup_id") === col("keep_id"))
+          .select(col("dup_id").as("doc_id")), Seq("doc_id"))
+        .localCheckpoint(true)
+      val sampled = Sampling.temperatureSample(unique, "lang", "doc_id",
+        targetRows = 2000, alpha = 0.5)
+      val packed = Curation.packTokenBins(sampled, "source", "doc_id",
+        size(TextFunctions.tokenize(col("text"))), budget = 512)
+      packed.groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
+        .orderBy("source", "bin_id")
     })
 }

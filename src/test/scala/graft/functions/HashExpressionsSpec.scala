@@ -119,6 +119,26 @@ class HashExpressionsSpec extends SparkSpec {
     assert(hamNear <= 12, s"near-dup Hamming $hamNear too large")
   }
 
+  test("wordRepetition: the codegen expression matches the SQL-function spec twin value-for-value") {
+    val docs = Seq(
+      (1L, "zz yy xx zz yy xx zz yy xx"),          // heavy repeats
+      (2L, "the quick brown fox jumps over lazy"), // all unique
+      (3L, "a b"),                                 // shorter than n
+      (4L, ""),                                    // no tokens
+      (5L, "w w w w w w w w"),                     // one token repeated
+      (6L, "alpha beta gamma alpha beta gamma delta"))
+      .toDF("id", "txt")
+    for (n <- Seq(1, 3)) {
+      val got = docs.select(col("id"),
+          TextFunctions.repetitionRatio(col("txt"), n).as("r"),
+          TextFunctions.repetitionRatioSpec(col("txt"), n).as("rs"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      got.foreach { case (id, r, rs) =>
+        assert(r == rs, s"n=$n id=$id: expr $r != spec $rs")
+      }
+    }
+  }
+
   test("type check rejects wrong input types loudly") {
     val df = Seq((1, 2)).toDF("a", "b")
     val e = intercept[Exception] {
