@@ -177,6 +177,48 @@ object HashAlgos {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram shingle spans in one pass: (pos, end, h) per shingle,
+    * where end = min(pos + n, |tokens|) and h is the ~60-bit combined
+    * rolling hash poly31·P + poly131 over the space-joined shingle — the
+    * exact values `duplicatedSpans` previously assembled from
+    * `shingles` + `polyHash` + `polyHash2` (interpreted per shingle).
+    */
+  def shingleSpans(tokens: ArrayData, shingleN: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val nSh = if (n < shingleN) 1 else n - shingleN + 1
+    val out = new Array[AnyRef](nSh)
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s < nSh) {
+      sb.setLength(0)
+      var j = s
+      val end = math.min(s + shingleN, n)
+      while (j < end) {
+        if (j > s) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      var h1 = 0L
+      var h2 = 0L
+      var ci = 0
+      val len = sb.length
+      while (ci < len) {
+        val cp = sb.codePointAt(ci)
+        h1 = (h1 * 31L + cp) % P
+        h2 = (h2 * 131L + cp) % P
+        ci += Character.charCount(cp)
+      }
+      out(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s, end, h1 * P + h2))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 1 − distinct/total word n-gram shingles, one pass (0.0 when the doc
     * has no shingles). The shingle set and the division order match the
     * Column form `1.0 - size(array_distinct(grams))/size(grams)` exactly.
@@ -605,6 +647,29 @@ case class WordShinglesExpr(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** `shingle_spans(tokens, n)` → ARRAY<STRUCT<pos INT, end INT, h LONG>>:
+  * one row per word n-gram shingle with its clamped end offset and the
+  * ~60-bit combined rolling hash (poly31·P + poly131).
+  */
+case class ShingleSpansExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("end", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_shingle_spans"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashAlgos.shingleSpans(tokens.asInstanceOf[ArrayData], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.shingleSpans($c, $shingleN)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSpansExpr =
+    copy(child = newChild)
+}
+
 /** `word_repetition(tokens, n)` → DOUBLE: 1 − distinct/total word n-gram
   * shingles in ONE pass (identical semantics to
   * `shingles` + `array_distinct` sizes, whose higher-order-function form
@@ -761,6 +826,8 @@ object FastFunctions {
     GraftShims.column(WordShinglesExpr(GraftShims.expression(tokens), shingleN))
   def wordRepetition(tokens: Column, shingleN: Int): Column =
     GraftShims.column(WordRepetitionExpr(GraftShims.expression(tokens), shingleN))
+  def shingleSpans(tokens: Column, shingleN: Int): Column =
+    GraftShims.column(ShingleSpansExpr(GraftShims.expression(tokens), shingleN))
   def pqEncode(vec: Column, cb: Array[Float], m: Int, k: Int, subDim: Int): Column =
     GraftShims.column(PqEncodeExpr(GraftShims.expression(vec), cb, m, k, subDim))
   def pqAdcDist(codes: Column, lut: Array[Double], k: Int): Column =

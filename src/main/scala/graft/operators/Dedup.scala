@@ -574,17 +574,16 @@ object Dedup {
     // otherwise propagate NULL through the span math
     val toks = docs.select(col(idCol),
       TextFunctions.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    // one-pass codegen expression: (pos, clamped end, ~60-bit combined
+    // hash poly31·P + poly131) per shingle — a single 30-bit hash would
+    // mark thousands of colliding false spans at token-scale shingle
+    // counts, and the HOF shingles+hash chain it replaces evaluated
+    // interpreted per shingle
     val sh = toks
-      .select(col(idCol), size(col("toks")).as("len"),
-        posexplode(TextFunctions.shingles(col("toks"), n)).as(Seq("pos", "sgl")))
-      .select(col(idCol), col("pos"),
-        // short docs (< n tokens) yield one partial shingle: clamp its end
-        least(col("pos") + lit(n), col("len")).as("end"),
-        // ~60-bit combined hash (poly31 · P + poly131): at token-scale
-        // shingle counts a single 30-bit hash would mark thousands of
-        // colliding false spans; the pair keeps the FP term negligible
-        (TextFunctions.polyHash(col("sgl")) * lit(1000000007L)
-          + TextFunctions.polyHash2(col("sgl"))).as("h"))
+      .select(col(idCol),
+        explode(FastFunctions.shingleSpans(col("toks"), n)).as("sp"))
+      .select(col(idCol), col("sp.pos").as("pos"), col("sp.end").as("end"),
+        col("sp.h").as("h"))
     // `sh` is deliberately evaluated twice (once under the aggregate, once
     // as the semi-join probe): re-scanning + re-hashing is codegen'd CPU
     // work, while the alternatives either pin a token-scale cache or
