@@ -54,39 +54,54 @@ object HashAlgos {
     * the distinct-shingle hash set. Distinct-by-hash equals
     * distinct-by-string for the min.
     */
-  def minhashSig(tokens: ArrayData, shingleN: Int, numHashes: Int): ArrayData = {
+  /** Iterate the word n-gram shingles of a token array: `f(start,
+    * clampedEnd, joinedShingle)` per shingle, in position order. THE
+    * single definition of the shingle walk (token copy, `n < shingleN →
+    * one partial shingle` clamp, space join) shared by every shingle
+    * consumer — a drifting copy would silently break oracle parity.
+    * Returns the shingle count (0 for an empty token array).
+    */
+  @inline private def eachShingle(tokens: ArrayData, shingleN: Int)(
+      f: (Int, Int, java.lang.StringBuilder) => Unit): Int = {
     val n = tokens.numElements()
-    val hs = new java.util.HashSet[java.lang.Long]()
-    if (n > 0) {
-      val toks = new Array[String](n)
-      var i = 0
-      while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
-      val nShingles = if (n < shingleN) 1 else n - shingleN + 1
-      val sb = new java.lang.StringBuilder()
-      var s = 0
-      while (s < nShingles) {
-        sb.setLength(0)
-        var j = s
-        val end = math.min(s + shingleN, n)
-        while (j < end) {
-          if (j > s) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        // inline polyHash(mult=31) over the shingle's codepoints
-        var h = 0L
-        var ci = 0
-        val str = sb
-        val len = str.length
-        while (ci < len) {
-          val cp = str.codePointAt(ci)
-          h = (h * 31L + cp) % P
-          ci += Character.charCount(cp)
-        }
-        hs.add(h)
-        s += 1
+    if (n == 0) return 0
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val nShingles = if (n < shingleN) 1 else n - shingleN + 1
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var j = s
+      val end = math.min(s + shingleN, n)
+      while (j < end) {
+        if (j > s) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
       }
+      f(s, end, sb)
+      s += 1
     }
+    nShingles
+  }
+
+  /** polyHash(mult) over a builder's codepoints (same loop as [[polyHash]]). */
+  @inline private def polyOf(sb: java.lang.StringBuilder, mult: Long): Long = {
+    var h = 0L
+    var ci = 0
+    val len = sb.length
+    while (ci < len) {
+      val cp = sb.codePointAt(ci)
+      h = (h * mult + cp) % P
+      ci += Character.charCount(cp)
+    }
+    h
+  }
+
+  def minhashSig(tokens: ArrayData, shingleN: Int, numHashes: Int): ArrayData = {
+    val hs = new java.util.HashSet[java.lang.Long]()
+    eachShingle(tokens, shingleN) { (_, _, sb) => hs.add(polyOf(sb, 31L)) }
     if (hs.isEmpty) new GenericArrayData(Array.emptyLongArray)
     else {
       val arr = new Array[Long](numHashes)
@@ -149,27 +164,8 @@ object HashAlgos {
     * docs yield one shingle of all tokens; empty docs none).
     */
   def wordShingles(tokens: ArrayData, shingleN: Int): ArrayData = {
-    val n = tokens.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
-    val toks = new Array[String](n)
-    var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
-    val nShingles = if (n < shingleN) 1 else n - shingleN + 1
     val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
-    var s = 0
-    while (s < nShingles) {
-      sb.setLength(0)
-      var j = s
-      val end = math.min(s + shingleN, n)
-      while (j < end) {
-        if (j > s) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      s += 1
-    }
+    eachShingle(tokens, shingleN) { (_, _, sb) => seen.add(sb.toString) }
     val out = new Array[AnyRef](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -184,24 +180,8 @@ object HashAlgos {
     * `shingles` + `polyHash` + `polyHash2` (interpreted per shingle).
     */
   def shingleSpans(tokens: ArrayData, shingleN: Int): ArrayData = {
-    val n = tokens.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
-    val toks = new Array[String](n)
-    var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
-    val nSh = if (n < shingleN) 1 else n - shingleN + 1
-    val out = new Array[AnyRef](nSh)
-    val sb = new java.lang.StringBuilder()
-    var s = 0
-    while (s < nSh) {
-      sb.setLength(0)
-      var j = s
-      val end = math.min(s + shingleN, n)
-      while (j < end) {
-        if (j > s) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
+    val out = new java.util.ArrayList[AnyRef]()
+    eachShingle(tokens, shingleN) { (s, end, sb) =>
       var h1 = 0L
       var h2 = 0L
       var ci = 0
@@ -212,11 +192,10 @@ object HashAlgos {
         h2 = (h2 * 131L + cp) % P
         ci += Character.charCount(cp)
       }
-      out(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](s, end, h1 * P + h2))
-      s += 1
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s, end, h1 * P + h2)))
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   /** 1 − distinct/total word n-gram shingles, one pass (0.0 when the doc
@@ -224,28 +203,10 @@ object HashAlgos {
     * Column form `1.0 - size(array_distinct(grams))/size(grams)` exactly.
     */
   def wordRepetition(tokens: ArrayData, shingleN: Int): Double = {
-    val n = tokens.numElements()
-    if (n == 0) return 0.0
-    val toks = new Array[String](n)
-    var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
-    val nShingles = if (n < shingleN) 1 else n - shingleN + 1
     val seen = new java.util.HashSet[String]()
-    val sb = new java.lang.StringBuilder()
-    var s = 0
-    while (s < nShingles) {
-      sb.setLength(0)
-      var j = s
-      val end = math.min(s + shingleN, n)
-      while (j < end) {
-        if (j > s) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      s += 1
-    }
-    1.0 - seen.size.toDouble / nShingles.toDouble
+    val nShingles = eachShingle(tokens, shingleN) { (_, _, sb) => seen.add(sb.toString) }
+    if (nShingles == 0) 0.0
+    else 1.0 - seen.size.toDouble / nShingles.toDouble
   }
 
   private val TokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")

@@ -324,14 +324,17 @@ object TextFunctions {
   /** Repetition ratio in [0,1] (Rae et al.'s Gopher-style boilerplate
     * signal): 1 − distinct/total word n-grams. 0 = no repeated n-gram;
     * near 1 = the document is one phrase repeated. Docs shorter than n
-    * grams score 0. Pure column expression over [[shingles]].
+    * grams score 0. Codegen `WordRepetitionExpr` — one pass over the
+    * shingles; [[repetitionRatioSpec]] is the pure-SQL-function form.
     */
   def repetitionRatio(c: Column, n: Int): Column =
     // one-pass codegen expression: the higher-order shingles+array_distinct
     // form is interpreted per shingle (7.7 s vs ~0.3 s over sf0.1);
     // [[repetitionRatioSpec]] keeps the SQL-function form the expression
-    // must match
-    FastFunctions.wordRepetition(FastFunctions.tokenize(c), n)
+    // must match. NULL text coalesces to "" (→ 0.0) — the null-propagating
+    // expression would otherwise diverge from the spec twin's ELSE 0.0
+    FastFunctions.wordRepetition(
+      FastFunctions.tokenize(coalesce(c, lit(""))), n)
 
   /** Spec twin of [[repetitionRatio]] in pure SQL functions — the
     * definition the DuckDB oracle reproduces; `WordRepetitionExpr` must

@@ -126,7 +126,8 @@ class HashExpressionsSpec extends SparkSpec {
       (3L, "a b"),                                 // shorter than n
       (4L, ""),                                    // no tokens
       (5L, "w w w w w w w w"),                     // one token repeated
-      (6L, "alpha beta gamma alpha beta gamma delta"))
+      (6L, "alpha beta gamma alpha beta gamma delta"),
+      (7L, null.asInstanceOf[String]))             // NULL text must score 0.0
       .toDF("id", "txt")
     for (n <- Seq(1, 3)) {
       val got = docs.select(col("id"),
