@@ -260,6 +260,21 @@ object Profile {
       secs("cur-lm-full") { full(operators.LmQuality.score(docs, "doc_id", "text", 24)) }
       secs("cur-decision-full") { full(operators.Curation.curationDecision(docs, "doc_id", "text")) }
     }
+
+    // r11: full-row vs count() cost for the projection-heavy query rungs —
+    // count() lets Catalyst prune the projection, so a bench row can hide
+    // an expensive interpreted expression (how the rep3 7.7 s was found)
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("fullrows")) {
+      def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      for (name <- Seq("f2_enhanced_clean", "f5_metadata", "f6_enhance",
+          "f8_spell_correct", "f9_content_keys", "m8_answer_batch",
+          "m7_rerank_batch", "s_chunker", "f_pii_scrub", "f_quality_score",
+          "mm_png_decode", "mm_bmp_decode")) {
+        val fn = SparkEntry.queries(name)
+        secs(s"count  $name") { fn(spark, sfDir).count() }
+        secs(s"full   $name") { full(fn(spark, sfDir)) }
+      }
+    }
     spark.stop()
   }
 }
