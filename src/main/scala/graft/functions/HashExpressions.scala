@@ -335,6 +335,23 @@ object HashAlgos {
     acc
   }
 
+  /** [[pqAdcDist]] with the LUT as column DATA instead of a plan literal —
+    * the batched-query form (each query row carries its own LUT).
+    * `k` (codewords per subspace) is lut.length / m.
+    */
+  def pqAdcDistCols(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc = acc + lut.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Dot product of two float arrays in sequential double accumulation —
     * same rounding as `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)`.
     * Assumes equal lengths and no null elements (embedding columns).
@@ -513,6 +530,27 @@ object GraftTypeChecks {
   def require2(name: String, l: DataType, r: DataType, expected: DataType): TypeCheckResult =
     if (matches(l, expected) && matches(r, expected)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$name requires ($expected, $expected), got ($l, $r)")
+}
+
+/** `pq_adc_dist_cols(codes, lut)` → DOUBLE: ADC distance with the LUT as
+  * column data (batched queries — each row's own LUT rides beside it).
+  */
+case class PqAdcDistColsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, left.dataType, ArrayType(IntegerType)) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        GraftTypeChecks.require(prettyName, right.dataType, ArrayType(DoubleType))
+      case f => f
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_dist_cols"
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    HashAlgos.pqAdcDistCols(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.HashAlgos.pqAdcDistCols($c, $l)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDistColsExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `polyhash(str)` with a configurable multiplier — fingerprinting (F9). */
@@ -793,6 +831,9 @@ object FastFunctions {
     GraftShims.column(PqEncodeExpr(GraftShims.expression(vec), cb, m, k, subDim))
   def pqAdcDist(codes: Column, lut: Array[Double], k: Int): Column =
     GraftShims.column(PqAdcDistExpr(GraftShims.expression(codes), lut, k))
+  def pqAdcDistCols(codes: Column, lut: Column): Column =
+    GraftShims.column(PqAdcDistColsExpr(GraftShims.expression(codes),
+      GraftShims.expression(lut)))
   def minhashSig(tokens: Column, shingleN: Int, numHashes: Int): Column =
     GraftShims.column(MinHashSigExpr(GraftShims.expression(tokens), shingleN, numHashes))
   def simhash60(tokens: Column): Column =

@@ -232,24 +232,19 @@ object VectorSearch {
         (serving, TunedKnobs(np, 0, 0, r))
       case Serving.IvfPq(ix, cb, encoded, _) =>
         // shortlist grows first (ADC re-rank is the cheap stage), then the
-        // coarse probe widens (more bytes scanned) — increasing-cost order
+        // coarse probe widens (more bytes scanned) — increasing-cost order.
+        // Each step is ONE batched job (ivfPqTopKBatch), not a
+        // jobs-per-sample-query driver loop.
         val sample = qs.select("query_id", "qvec").collect()
-          .map(row => (row.getLong(0), row.getSeq[Float](1).toSeq))
+          .map(row => (row.getLong(0), row.getSeq[Float](1).toSeq)).toSeq
         val steps = for {
           np <- doubling(math.min(4, ix.centroids.length), ix.centroids.length)
           sl <- Seq(2 * k, 5 * k, 10 * k, 20 * k)
         } yield (np, sl)
-        def eval(np: Int, sl: Int): Double = recallOf(sample.map {
-          case (qid, qv) =>
-            val probes = probeIdsExact(spark, ix.centroids, qv, np)
-            val enc = encoded.filter(col("cluster_id").isin(probes: _*))
-            val short = pqAdcTopK(enc, ix.idCol, "codes", cb, qv, sl)
-              .select(col("doc_id").as(ix.idCol))
-            qid -> bruteTopK(enc.join(short, Seq(ix.idCol), "left_semi"),
-                ix.idCol, ix.vecCol, qv, k)
-              .select(col("doc_id").cast("long")).as[Long].collect().toSet
-        }.toMap)
-        val ((np, sl), r) = walk(steps) { case (np, sl) => eval(np, sl) }
+        val ((np, sl), r) = walk(steps) { case (np, sl) =>
+          recallOf(topSet(ivfPqTopKBatch(encoded, ix.idCol, ix.vecCol,
+            "codes", cb, ix.centroids, sample, k, np, sl)))
+        }
         (Serving.IvfPq(ix, cb, encoded, sl), TunedKnobs(np, sl, 0, r))
       case Serving.Graph(g, _, hops, entries) =>
         // session-scoped synthetic key: the in-memory (vectors, edges)
@@ -1096,6 +1091,53 @@ object VectorSearch {
         round(l2Sq(col(vecCol), vecLit(query)), 6).as("dist"))
       .orderBy(col("dist").asc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Batched IVFPQ search: probe → ADC shortlist → exact cosine re-rank
+    * for a DRIVER-HELD query set in one DAG — each query row carries its
+    * own probe list and ADC LUT into a single broadcast join
+    * ([[PqAdcDistColsExpr]] reads the LUT as column data), instead of the
+    * jobs-per-query driver loop the per-query composition pays. Ranking
+    * contract identical to `probeIdsExact → pqAdcTopK(shortlist) →
+    * bruteTopK`: shortlist by (round-6 ADC dist asc, doc_id asc), final
+    * scores exact cosine (desc, doc_id asc) — spec-proved row-for-row.
+    *
+    * 100 TB: the probed-cluster join is the same partition-pruned scan the
+    * single-query path uses; the shortlist aggregate is map-side bounded;
+    * the re-rank joins a broadcast |queries|·shortlist id set.
+    */
+  def ivfPqTopKBatch(encoded: DataFrame, idCol: String, vecCol: String,
+                     codesCol: String, cb: PqCodebook,
+                     centroids: Array[Array[Float]],
+                     queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
+                     shortlist: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qrows = queries.flatMap { case (qid, qv) =>
+      val lut = pqLut(cb, qv).toSeq
+      probeIdsExact(spark, centroids, qv, nprobe).map(cid => (qid, qv, lut, cid))
+    }
+    val qdf = qrows.toDF("query_id", "qv", "lut", "cluster_id")
+    // negated round-6 ADC distance: the (score desc, doc_id asc) aggregator
+    // order then equals pqAdcTopK's (dist asc, doc_id asc)
+    val cand = encoded.join(broadcast(qdf), Seq("cluster_id"))
+      .select(col("query_id"), col(idCol).as("doc_id"),
+        negate(round(graft.functions.FastFunctions.pqAdcDistCols(
+          col(codesCol), col("lut")), 6)).as("nd"))
+    val short = TopK.explodeRanked(
+      cand.groupBy("query_id")
+        .agg(TopK.topK(shortlist)(col("doc_id"), col("nd")).as("tk")),
+      "tk", Seq("query_id"))
+      .select(col("query_id"), col("doc_id"))
+    val qonly = queries.toDF("query_id", "qv")
+    val rescored = encoded.select(col(idCol).as("doc_id"), col(vecCol).as("_v"))
+      .join(broadcast(short), Seq("doc_id"))
+      .join(broadcast(qonly), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), cosine(col("_v"), col("qv")).as("score"))
+    TopK.explodeRanked(
+      rescored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("doc_id"), col("score")).as("tk")),
+      "tk", Seq("query_id"))
   }
 
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.

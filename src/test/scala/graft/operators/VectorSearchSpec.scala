@@ -625,4 +625,34 @@ class VectorSearchSpec extends SparkSpec {
       .select("rank").as[Int].collect().sorted.toSeq
     assert(res == (1 to res.length))
   }
+
+  test("ivfPqTopKBatch equals the per-query probe→ADC→re-rank composition row-for-row") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cents = corpus.take(4).map { case (id, v) => (id.toInt - 1, v.toSeq) }
+    val assigned = VectorSearch.seededIvfAssign(emb, "vec_id", "embedding", cents)
+    val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
+      seedIds = 1L to 8L, m = 4)
+    val encoded = VectorSearch.pqEncode(assigned, "vec_id", "embedding", cb)
+      .localCheckpoint(true)
+    val centArr = cents.map(_._2.toArray).toArray
+    val qs = corpus.take(6).map { case (id, v) => (id + 1000L, v.toSeq) }
+    for ((np, sl, k) <- Seq((2, 20, 5), (4, 10, 5), (1, 30, 10))) {
+      val batch = VectorSearch.ivfPqTopKBatch(encoded, "vec_id", "embedding",
+          "codes", cb, centArr, qs, k, np, sl)
+        .select("query_id", "doc_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+      val single = qs.flatMap { case (qid, qv) =>
+        val probes = VectorSearch.probeIdsExact(spark, centArr, qv, np)
+        val enc = encoded.filter(col("cluster_id").isin(probes: _*))
+        val short = VectorSearch.pqAdcTopK(enc, "vec_id", "codes", cb, qv, sl)
+          .select(col("doc_id").as("vec_id"))
+        VectorSearch.bruteTopK(enc.join(short, Seq("vec_id"), "left_semi"),
+            "vec_id", "embedding", qv, k)
+          .select(col("doc_id").cast("long")).as[Long].collect()
+          .zipWithIndex.map { case (d, i) => (qid, d, i + 1) }
+      }.toSet
+      assert(batch == single,
+        s"np=$np sl=$sl k=$k: batch diverged\n extra=${batch -- single}\n missing=${single -- batch}")
+    }
+  }
 }
