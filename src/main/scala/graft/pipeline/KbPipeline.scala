@@ -345,20 +345,18 @@ object KbPipeline {
       case VectorSearch.Serving.IvfPq(ix, cb, encoded, shortlist) =>
         // per-query ADC over the probed clusters' codes: each query's LUT
         // (m·k doubles, computed driver-side like its embedding) rides the
-        // broadcast probe set; dist = ordered fold over the code array —
-        // the same sequential double accumulation as pqAdcTopK's codegen
-        // expression and the DuckDB oracle
-        val m = cb.length
-        val cw = cb.head.length
+        // broadcast probe set; dist = PqAdcDistColsExpr — the codegen
+        // sequential double accumulation, identical association order to
+        // pqAdcTopK's literal-LUT expression and the DuckDB oracle (the
+        // HOF zip_with/aggregate fold it replaces evaluated interpreted
+        // per row)
         val luts = qData.map { case (qid, _, qv) =>
           (qid, VectorSearch.pqLut(cb, qv.toSeq).toSeq) }.toDF("query_id", "_lut")
         val probes = centroidProbes(ix.centroids).join(luts, "query_id")
         val enc = encoded.select(col(ix.idCol).as("doc_id"),
           col(ix.vecCol).as("embedding"), col("cluster_id"), col("codes"))
-        val dist = aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s) => element_at(col("_lut"), s * cw + c + 1)),
-          lit(0.0), (acc, x) => acc + x)
+        val dist = graft.functions.FastFunctions.pqAdcDistCols(
+          col("codes"), col("_lut"))
         val short = enc.join(broadcast(probes), "cluster_id")
           .select(col("query_id"), col("doc_id"), round(dist, 6).as("_dist"))
           .withColumn("_srk", row_number().over(byQ.orderBy(col("_dist").asc, col("doc_id"))))
