@@ -16,9 +16,28 @@ object Tables {
 
   /** Read one table from an sf directory. Filters and projections on the
     * result push down to the parquet scan (verified via .explain in specs).
+    *
+    * The DataFrame (an immutable logical plan over an immutable input
+    * directory) is memoized per (session, path): `spark.read.parquet`
+    * schedules a footer/schema-inference job on EVERY call, which at
+    * serving time is a fixed per-query job tax — a warm single-query
+    * serve was paying more for re-deriving the table's schema than for
+    * the search itself. Plan reuse also lets the whole registry share one
+    * FileIndex/statistics object per table. (The driver-provided sf
+    * directories are read-only; a mutable table would belong behind a
+    * catalog, not this accessor.)
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private val readCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = readCache.synchronized {
+      readCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "documents")
@@ -78,6 +97,58 @@ object Tables {
     * physical types identically (micros carry no sub-micro bits; nanos
     * were already truncated to micros on the oracle side).
     */
+  /** One query vector by `vec_id` — served from [[operators.VectorSearch]]'s
+    * resident broadcast corpus when warm (ZERO jobs) and from a parquet
+    * `first()` scan otherwise. Same table, same bytes, either way; the
+    * query registry's single-query entries all fetch their query vector
+    * here so a warm serving session never pays a per-call scan job for it.
+    */
+  def queryVec(spark: SparkSession, dir: String, id: Long): Seq[Float] = {
+    import org.apache.spark.sql.functions.col
+    val emb = embeddings(spark, dir)
+    graft.operators.VectorSearch
+      .corpusVectorInMemory(emb, "vec_id", "embedding", id, cacheKey = Some(dir))
+      .getOrElse(emb.filter(col("vec_id") === id)
+        .select(col("embedding")).first().getSeq[Float](0))
+  }
+
+  /** Designated seed vectors (`vec_id < below`) as id-sorted
+    * `(id.toInt, vec)` pairs — the deterministic centroid-seed shape the
+    * seeded-IVF/PQ oracles use. Zero jobs off the resident corpus
+    * broadcast when warm; one small filtered collect otherwise.
+    */
+  def seedVecs(spark: SparkSession, dir: String, below: Long): Seq[(Int, Seq[Float])] = {
+    import org.apache.spark.sql.functions.col
+    val emb = embeddings(spark, dir)
+    graft.operators.VectorSearch
+      .corpusVectorsInMemory(emb, "vec_id", "embedding", _ < below,
+        cacheKey = Some(dir))
+      .map(_.map { case (id, v) => (id.toInt, v) })
+      .getOrElse(emb.filter(col("vec_id") < below)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).toSeq)
+      .sortBy(_._1)
+  }
+
+  /** A small query batch (`vec_id ∈ ids`) as `(qidCol, qvecCol)` — a
+    * zero-job LocalRelation off the resident corpus broadcast when warm
+    * (which lets the in-memory batch search answer fully in process), the
+    * filtered parquet scan otherwise. Row order differs between the two
+    * shapes (id-sorted vs scan order); every consumer ranks per query_id,
+    * so order is not part of the contract.
+    */
+  def queryBatch(spark: SparkSession, dir: String, ids: Seq[Long],
+                 qidCol: String, qvecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = embeddings(spark, dir)
+    val idSet = ids.toSet
+    graft.operators.VectorSearch.corpusQueriesInMemory(
+        emb, "vec_id", "embedding", idSet, qidCol, qvecCol,
+        cacheKey = Some(dir))
+      .getOrElse(emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as(qidCol), col("embedding").as(qvecCol)))
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.LongType

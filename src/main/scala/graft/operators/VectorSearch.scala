@@ -407,6 +407,65 @@ object VectorSearch {
     }
   }
 
+  /** Query vectors drawn from the ALREADY-RESIDENT in-memory corpus with
+    * zero jobs: when [[corpusInMemory]] holds the table (memoized
+    * broadcast under the same key the search path uses), filtering the
+    * broadcast value driver-side replaces a per-call parquet scan job for
+    * the query rows — and because the result is a `Seq.toDF`
+    * LocalRelation, [[searchQuerySet]]'s driver path answers the whole
+    * batch search in process (the reference's resident-index serving
+    * regime, where the client hands query vectors to a loaded FAISS index
+    * without a storage round-trip, `query/search.py:207-231`). None when
+    * the corpus isn't resident (over-limit / keyless / off-schema) or the
+    * predicate matches more than `maxQueries` rows — callers keep their
+    * distributed query scan, so the 100 TB path is unchanged. Rows come
+    * back sorted by id: the broadcast array order is a collect order, not
+    * a contract.
+    */
+  def corpusQueriesInMemory(embeddings: DataFrame, idCol: String,
+                            vecCol: String, pred: Long => Boolean,
+                            qidCol: String, qvecCol: String,
+                            maxQueries: Int = 1024,
+                            inMemoryLimit: Int = 200000,
+                            cacheKey: Option[String] = None): Option[DataFrame] =
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).flatMap { bc =>
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val qs = bc.value.iterator.filter { case (id, _) => pred(id) }.toArray
+      if (qs.length > maxQueries) None
+      else Some(qs.sortBy(_._1).toSeq.toDF(qidCol, qvecCol))
+    }
+
+  /** The raw driver-side twin of [[corpusQueriesInMemory]]: matching
+    * (id, vec) pairs off the resident broadcast, id-sorted, as immutable
+    * Seqs — for callers that need driver values (centroid seeds, a single
+    * query vector) rather than a DataFrame. Same residency/limit contract.
+    */
+  def corpusVectorsInMemory(embeddings: DataFrame, idCol: String,
+                            vecCol: String, pred: Long => Boolean,
+                            maxRows: Int = 1024,
+                            inMemoryLimit: Int = 200000,
+                            cacheKey: Option[String] = None): Option[Seq[(Long, Seq[Float])]] =
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).flatMap { bc =>
+      val xs = bc.value.iterator.filter { case (id, _) => pred(id) }.toArray
+      if (xs.length > maxRows) None
+      else Some(xs.sortBy(_._1).toSeq.map { case (id, v) =>
+        (id, scala.collection.immutable.ArraySeq.unsafeWrapArray(v): Seq[Float]) })
+    }
+
+  /** One corpus vector fetched from the resident broadcast (zero jobs) —
+    * the single-query twin of [[corpusQueriesInMemory]], replacing a
+    * per-call `.first()` job. None when the corpus isn't resident or the
+    * id is absent/null-vectored; callers fall back to the scan.
+    */
+  def corpusVectorInMemory(embeddings: DataFrame, idCol: String,
+                           vecCol: String, id: Long,
+                           inMemoryLimit: Int = 200000,
+                           cacheKey: Option[String] = None): Option[Seq[Float]] =
+    corpusVectorsInMemory(embeddings, idCol, vecCol, _ == id, maxRows = 1,
+      inMemoryLimit = inMemoryLimit, cacheKey = cacheKey)
+      .flatMap(_.headOption.map(_._2))
+
   /** Replay the [[TopKAggregator]] over an in-memory corpus for one query —
     * the SAME insertion/ordering semantics (score desc, doc_id asc,
     * primitive comparisons) and the SAME [[HashAlgos.cosineF32]] arithmetic

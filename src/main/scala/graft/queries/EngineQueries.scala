@@ -804,8 +804,7 @@ object EngineQueries {
          |FROM vn FULL OUTER JOIN kn ON vn.doc_id = kn.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500,
         cacheKey = Some(dir))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -828,8 +827,7 @@ object EngineQueries {
          |       CASE WHEN score < 0.6 THEN greatest(2, 1) ELSE 4 END AS scope
          |FROM cos ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       emb.select(col("vec_id").as("doc_id"),
           graft.functions.VectorFunctions.cosine(col("embedding"),
             graft.functions.VectorFunctions.vecLit(qv)).as("score"))

@@ -162,8 +162,7 @@ object KbQueries {
          |SELECT doc_id, round(score, 6) AS score FROM cos
          |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       VectorSearch.bruteTopK(
         emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500,
         cacheKey = Some(dir))
@@ -182,8 +181,7 @@ object KbQueries {
          |FROM cos
          |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       VectorSearch.bruteTopK(
         emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500,
         cacheKey = Some(dir))
@@ -252,8 +250,7 @@ object KbQueries {
          |SELECT doc_id, round(sum(contrib), 6) AS rrf_score
          |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       val vtop = VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500,
         cacheKey = Some(dir))
         .select(col("doc_id"), round(col("score"), 6).as("score"))

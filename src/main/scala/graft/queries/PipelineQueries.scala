@@ -437,10 +437,7 @@ object PipelineQueries {
          |SELECT dup_id, keep_cand AS keep_id, round(cos, 6) AS cos
          |FROM sel WHERE rn = 1 ORDER BY dup_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
+      val cents = Tables.seedVecs(s, dir, 8)
       Dedup.semanticDups(emb, "vec_id", "embedding", cents, 0.4)
         .select(col("dup_id"), col("keep_id"), round(col("cos"), 6).as("cos"))
         .orderBy("dup_id")
@@ -826,8 +823,8 @@ object PipelineQueries {
          |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = Tables.queryBatch(s, dir,
+        Seq(0L, 100L, 200L, 300L, 400L), "query_id", "qv")
       graft.operators.VectorSearch.bruteTopKBatch(
           emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5,
           cacheKey = Some(dir))
@@ -853,8 +850,8 @@ object PipelineQueries {
          |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = Tables.queryBatch(s, dir,
+        Seq(0L, 100L, 200L, 300L, 400L), "query_id", "qv")
       graft.operators.VectorSearch.bruteTopKBatchAgg(
           emb, "vec_id", "embedding", queries, "query_id", "qv", k = 5,
           cacheKey = Some(dir))
@@ -883,8 +880,7 @@ object PipelineQueries {
          |SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
          |FROM rk WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val queries = Tables.queryBatch(s, dir, 0L until 50L, "query_id", "qv")
       graft.operators.VectorSearch.bruteTopKBatchAgg(
           emb, "vec_id", "embedding", queries, "query_id", "qv", k = 20,
           cacheKey = Some(dir))
@@ -985,12 +981,8 @@ object PipelineQueries {
          |SELECT doc_id, round(score, 6) AS score
          |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val cents = Tables.seedVecs(s, dir, 8)
+      val qv = Tables.queryVec(s, dir, 0)
       val assigned = graft.operators.VectorSearch.seededIvfAssign(
         emb, "vec_id", "embedding", cents)
       // probe ranking through the SAME cosine expression as the oracle
@@ -1034,12 +1026,8 @@ object PipelineQueries {
          |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       import graft.operators.VectorSearch
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-        .sortBy(_._1).toSeq
-      val qv = emb.filter(col("vec_id") === 200)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val cents = Tables.seedVecs(s, dir, 8)
+      val qv = Tables.queryVec(s, dir, 200)
       // build over the base only, then APPEND the new batch
       val base = VectorSearch.IvfIndex(
         VectorSearch.seededIvfAssign(emb.filter(col("vec_id") < 400),
@@ -1138,8 +1126,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       val cb = graft.operators.VectorSearch.seededPqCodebook(
         emb, "vec_id", "embedding", seedIds = 0L until 16L, m = 8)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       val encoded = graft.operators.VectorSearch.pqEncode(emb, "vec_id", "embedding", cb)
       graft.operators.VectorSearch.pqAdcTopK(encoded, "vec_id", "codes", cb, qv, k = 20)
     },
@@ -1196,11 +1183,8 @@ object PipelineQueries {
          |FROM dists ORDER BY round(dist, 6) ASC, doc_id LIMIT 20""".stripMargin
     }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val centSeq = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val centSeq = Tables.seedVecs(s, dir, 8)
+      val qv = Tables.queryVec(s, dir, 0)
       val assigned = graft.operators.VectorSearch.seededIvfAssign(
         emb, "vec_id", "embedding", centSeq)
       // probe ranking through the same cosine expression as the oracle
@@ -1250,13 +1234,11 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val centSeq = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val centSeq = Tables.seedVecs(s, dir, 8)
       val assigned = graft.operators.VectorSearch.seededIvfAssign(
         emb, "vec_id", "embedding", centSeq)
-      val queries = emb.filter(col("vec_id").isin(0, 100, 200, 300, 400))
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val queries = Tables.queryBatch(s, dir,
+        Seq(0L, 100L, 200L, 300L, 400L), "qid", "qvec")
       graft.operators.VectorSearch.ivfTopKBatch(
           assigned, "vec_id", "embedding", cents, queries, "qid", "qvec",
           k = 10, nprobe = 2, cacheKey = Some(s"$dir|ivfb8"))
@@ -1317,9 +1299,7 @@ object PipelineQueries {
         Bm25.scoreWithIndex(ixm, s, OracleSql.QueryText)
           .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
       // vectors: base assignment + appendIvf of the same 20% split
-      val centSeq = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val centSeq = Tables.seedVecs(s, dir, 8)
       val ixA = graft.operators.VectorSearch.appendIvf(
         graft.operators.VectorSearch.IvfIndex(
           graft.operators.VectorSearch.seededIvfAssign(
@@ -1874,8 +1854,7 @@ object PipelineQueries {
          |FROM d ORDER BY round(dist, 6) ASC, doc_id LIMIT 20""".stripMargin
     }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0)
+      val qv = Tables.queryVec(s, dir, 0)
       val dist = sqrt(VectorFunctions.l2Sq(col("embedding"),
         VectorFunctions.vecLit(qv)))
       emb.select(col("vec_id").as("doc_id"), dist.as("dist"))
