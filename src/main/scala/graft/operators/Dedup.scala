@@ -194,24 +194,60 @@ object Dedup {
     * `maxHamming`, candidate generation by exact match on one of 4 signature
     * quarters (any pair within Hamming 3 of a 60-bit sig shares a quarter —
     * pigeonhole).
+    *
+    * Duplicate-robust: identical documents share one signature, so pairing
+    * docs directly makes every quarter-bucket join emit O(d²) rows (×4
+    * quarters, then distinct) for a signature with d members — super-linear
+    * under duplicate saturation. Instead the quarter join runs over DISTINCT
+    * signatures only (linear in distinct-sig count regardless of dup
+    * multiplicity); exact-equal-sig pairs (hamming 0) explode straight from
+    * the per-sig member list, and qualifying cross-sig pairs expand to
+    * members afterward — the d² term survives only in the output itself,
+    * which is the contract (the same representative-collapse move
+    * [[graft.operators.VectorSearch]]'s GraphDeduped tier uses). Run exact
+    * dedup first if pair output size itself is the concern.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("doc_id"),
       FastFunctions.simhash60(TextFunctions.tokenize(col(textCol))).as("sig"))
-    val quarters = sigs.select(col("doc_id"), col("sig"),
+    // One row per distinct signature with its sorted member ids. The three
+    // uses below share an identical groupBy subtree, so Spark's
+    // ReuseExchange collapses them to one shuffle in the final plan.
+    val groups = sigs.groupBy("sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // Exact-equal signatures: i<j pairs from each sorted member list
+    // (posting-list explode, no join) — hamming is 0 by construction.
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(0).as("hamming"))
+    // Cross-signature candidates: quarter buckets over distinct sigs only.
+    val quarters = groups.select(col("sig"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
           shiftright(col("sig"), q * 15).bitwiseAND(lit(32767L)).as("qh"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.q"), col("bk.qh"))
-    val a = quarters.select(col("q"), col("qh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = quarters.select(col("q"), col("qh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("q", "qh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        VectorFunctions.hamming60(col("sig_a"), col("sig_b")).as("hamming"))
+      .select(col("sig"), col("bk.q"), col("bk.qh"))
+    val a = quarters.select(col("q"), col("qh"), col("sig").as("sig_a"))
+    val b = quarters.select(col("q"), col("qh"), col("sig").as("sig_b"))
+    val sigPairs = a.join(b, Seq("q", "qh"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"))
       .distinct()
+      .withColumn("hamming", VectorFunctions.hamming60(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
+    // Expand qualifying sig pairs to member pairs; each doc pair belongs to
+    // exactly one sig pair, so no distinct is needed. least/greatest restores
+    // the doc_a < doc_b orientation (member id ranges interleave).
+    val cross = sigPairs
+      .join(groups.select(col("sig").as("sig_a"), col("ids").as("ids_a")), "sig_a")
+      .join(groups.select(col("sig").as("sig_b"), col("ids").as("ids_b")), "sig_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intra.unionByName(cross)
   }
 
   /** Character n-gram Jaccard near-dup within blocking groups: distinct char
