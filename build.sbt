@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Pass the forked JVM's stdout through unwrapped (no "[info] " log
+// prefix) and suppress sbt's trailing "[success] Total time" line so the
+// compact summary JSON is genuinely the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
