@@ -356,9 +356,11 @@ object Main {
             }
             val (_, knobs) = VectorSearch.tuneServing(emb, "doc_id", "embedding",
               serving, k = cfg.queryTopK.min(20), recallTarget = target)
+            val demoted = if (knobs.demotedFrom.nonEmpty)
+              s" (demoted from ${knobs.demotedFrom})" else ""
             println(f"[graft] tune: tier=${strategy.kind} target=$target%.2f -> " +
               f"nprobe=${knobs.nprobe} shortlist=${knobs.shortlist} " +
-              f"measured recall=${knobs.measuredRecall}%.3f")
+              f"measured recall=${knobs.measuredRecall}%.3f$demoted")
             if (knobs.nprobe > 0)
               syncCfgKey(s"$kb/config.ini", "ivf_nprobe", knobs.nprobe.toString)
             if (knobs.shortlist > 0)

@@ -97,7 +97,9 @@ object RecallSweep {
       val t0 = System.nanoTime()
       val (_, knobs) = VectorSearch.tuneServing(e1, "vec_id", "embedding",
         srv, k = k, recallTarget = 0.9)
-      println(f"[recall] unclustered(n=$n) auto graph -> entries=${knobs.entries} beam=${knobs.beam} recall@$k=${knobs.measuredRecall}%.3f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      val demoted = if (knobs.demotedFrom.nonEmpty)
+        s" (demoted from ${knobs.demotedFrom}: nprobe=${knobs.nprobe} short=${knobs.shortlist})" else ""
+      println(f"[recall] unclustered(n=$n) auto graph -> entries=${knobs.entries} beam=${knobs.beam} hops=${knobs.hops} recall@$k=${knobs.measuredRecall}%.3f$demoted  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
     }
 
     for ((label, e) <- Seq("1x" -> e1, s"${kRep}x" -> embN)) {

@@ -147,10 +147,13 @@ object VectorSearch {
 
   /** Measured outcome of [[tuneServing]]: the chosen quality knobs and the
     * recall@k they achieved on the calibration sample. Knobs that don't
-    * apply to the tuned tier are 0.
+    * apply to the tuned tier are 0. `demotedFrom` is non-empty when the
+    * requested tier's ladder exhausted below the recall target and the
+    * tuner fell back to a different tier (graph → IVFPQ).
     */
   final case class TunedKnobs(nprobe: Int, shortlist: Int, beam: Int,
-                              measuredRecall: Double, entries: Int = 0)
+                              measuredRecall: Double, entries: Int = 0,
+                              hops: Int = 0, demotedFrom: String = "")
 
   /** Auto-size a tier's quality knobs (IVF `nprobe`, IVFPQ ADC `shortlist`,
     * graph `beam`) to a recall TARGET by calibration, not guesswork: a
@@ -233,18 +236,43 @@ object VectorSearch {
       case Serving.IvfPq(ix, cb, encoded, _) =>
         // shortlist grows first (ADC re-rank is the cheap stage), then the
         // coarse probe widens (more bytes scanned) — increasing-cost order.
-        // Each step is ONE batched job (ivfPqTopKBatch), not a
-        // jobs-per-sample-query driver loop.
+        // One batched job per PROBE width, not per (nprobe, shortlist) pair:
+        // the widest shortlist's ADC ranking is computed once with exact
+        // cosine re-scores attached, and every smaller shortlist is an ADC
+        // prefix of it, so its recall derives driver-side for free (the
+        // sl=20 result is rows 1-20 of the sl=200 ranking by construction).
         val sample = qs.select("query_id", "qvec").collect()
           .map(row => (row.getLong(0), row.getSeq[Float](1).toSeq)).toSeq
-        val steps = for {
-          np <- doubling(math.min(4, ix.centroids.length), ix.centroids.length)
-          sl <- Seq(2 * k, 5 * k, 10 * k, 20 * k)
-        } yield (np, sl)
-        val ((np, sl), r) = walk(steps) { case (np, sl) =>
-          recallOf(topSet(ivfPqTopKBatch(encoded, ix.idCol, ix.vecCol,
-            "codes", cb, ix.centroids, sample, k, np, sl)))
+        val slLadder = Seq(2 * k, 5 * k, 10 * k, 20 * k)
+        val slMax = slLadder.max
+        var best = ((math.min(4, ix.centroids.length), slLadder.head), -1.0)
+        val npIt = doubling(math.min(4, ix.centroids.length),
+          ix.centroids.length).iterator
+        var done = false
+        while (npIt.hasNext && !done) {
+          val np = npIt.next()
+          // qid -> shortlist rows in ADC order, each with its exact score
+          val scored = ivfPqAdcScored(encoded, ix.idCol, ix.vecCol, "codes",
+            cb, ix.centroids, sample, np, slMax)
+            .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+              col("rank"), col("score"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rows) =>
+              q -> rows.sortBy(_.getInt(2))
+                .map(r => (r.getLong(1), r.getDouble(3))).toSeq }
+          val slIt = slLadder.iterator
+          while (slIt.hasNext && !done) {
+            val sl = slIt.next()
+            val got = scored.map { case (q, rows) =>
+              q -> rows.take(sl)
+                .sortBy { case (d, s) => (-s, d) }.take(k).map(_._1).toSet }
+            val r = recallOf(got)
+            if (r > best._2) best = ((np, sl), r)
+            if (r >= recallTarget) done = true
+          }
         }
+        val ((np, sl), r) = best
         (Serving.IvfPq(ix, cb, encoded, sl), TunedKnobs(np, sl, 0, r))
       case Serving.Graph(g, _, hops, entries) =>
         // session-scoped synthetic key: the in-memory (vectors, edges)
@@ -252,44 +280,98 @@ object VectorSearch {
         // of re-collected per beam value (same economics as the
         // GraphDeduped branch's memoized build)
         val tuneKey = Some(s"tune|${System.identityHashCode(g)}")
-        // 2-D ladder: ENTRY COVERAGE × beam. The round-10/11 sweeps showed
-        // beams alone saturate well below target on unclustered corpora —
-        // a beam search can only reach what its entry points' basins
-        // cover, so the tuner must widen the start set too. Candidate
-        // entries are a hash-spread corpus sample DISJOINT from the
-        // calibration queries (entries equal to query ids would start the
-        // search at its own answer and fake the recall).
+        // 3-D ladder: ENTRY COVERAGE × beam × hops. The round-10/11 sweeps
+        // showed beams alone saturate well below target on unclustered
+        // corpora — a beam search can only reach what its entry points'
+        // basins cover, so the tuner widens the start set (and, r12, the
+        // hop depth) too. Candidate entries are a hash-spread corpus
+        // sample DISJOINT from the calibration queries (entries equal to
+        // query ids would start the search at its own answer and fake the
+        // recall).
         val base = entries.distinct
+        val entryLadder = Seq(8, 16, 32, 64, 96)
         val extra = embeddings
           .orderBy(pmod(col(idCol) * 2654435761L, lit(1000000007L)), col(idCol))
-          .limit(nSample + 64)
+          .limit(nSample + entryLadder.max + 32)
           .select(col(idCol).cast("long")).as[Long].collect().toSeq
           .drop(nSample).filterNot(base.toSet)
-        val entrySets = (Seq(base.size) ++ Seq(8, 16, 32).filter(_ > base.size))
+        val entrySets = (Seq(base.size) ++ entryLadder.filter(_ > base.size))
           .distinct.map(n => base ++ extra.take(n - base.size))
-        val steps = (for { es <- entrySets; b <- beamLadder(k) } yield (es, b))
-          .sortBy { case (es, b) => (es.size.toLong * b, b) }
-        val ((ents, beam), r) = walk(steps) { case (es, b) =>
+        // every candidate entry id across the WHOLE ladder is excluded from
+        // the calibration basis up front: steps scored over different query
+        // subsets are not comparable, and the walk's argmax / early-exit
+        // threshold must share one denominator
+        val allEntryIds: Set[Long] = entrySets.flatten.toSet
+        val hopLadder = Seq(hops, hops + 1, hops + 2).distinct
+        val steps = (for {
+          es <- entrySets; b <- beamLadder(k); h <- hopLadder
+        } yield (es, b, h))
+          .sortBy { case (es, b, h) => (es.size.toLong * b * h, b.toLong * h) }
+        val ((ents, beam, hp), r) = walk(steps) { case (es, b, h) =>
           recallOf(topSet(graphSearch(g, embeddings, idCol, vecCol,
-            qs, "query_id", "qvec", k, b, hops, es,
-            cacheKey = tuneKey)), excluded = es.toSet)
+            qs, "query_id", "qvec", k, b, h, es,
+            cacheKey = tuneKey)), excluded = allEntryIds)
         }
-        (Serving.Graph(g, beam, hops, ents),
-          TunedKnobs(0, 0, beam, r, ents.size))
+        demoteIfBelowTarget(embeddings, idCol, vecCol, k, recallTarget,
+          nSample, "graph")(
+          (Serving.Graph(g, beam, hp, ents),
+            TunedKnobs(0, 0, beam, r, ents.size, hops = hp)))
       case Serving.GraphDeduped(ck, kg, planes, _, hops, nEnt) =>
         // the memoized build under `ck` is shared across ladder steps;
-        // same 2-D (entry count × beam) ladder as the plain graph tier
-        val steps = (for {
-          ne <- (Seq(nEnt) ++ Seq(8, 16, 32).filter(_ > nEnt)).distinct
-          b <- beamLadder(k)
-        } yield (ne, b)).sortBy { case (ne, b) => (ne.toLong * b, b) }
-        val ((ne, beam), r) = walk(steps) { case (ne, b) =>
+        // same 3-D (entry count × beam × hops) ladder as the plain graph
+        // tier, with the exclusion set fixed up front at the ladder's
+        // maximum entry count (dedup entry prefixes are nested, so the max
+        // prefix IS the union of every step's entries)
+        val entryLadder = Seq(8, 16, 32, 64, 96)
+        val neLadder = (Seq(nEnt) ++ entryLadder.filter(_ > nEnt)).distinct
+        val allEntryIds = dedupEntryIds(embeddings, idCol, vecCol,
+          neLadder.max, Some(ck)).toSet
+        val hopLadder = Seq(hops, hops + 1, hops + 2).distinct
+        val steps = (for { ne <- neLadder; b <- beamLadder(k); h <- hopLadder }
+          yield (ne, b, h))
+          .sortBy { case (ne, b, h) => (ne.toLong * b * h, b.toLong * h) }
+        val ((ne, beam, hp), r) = walk(steps) { case (ne, b, h) =>
           recallOf(topSet(graphSearchDeduped(embeddings, idCol, vecCol,
-            qs, "query_id", "qvec", k, kg, planes, b, hops, ne, Some(ck))),
-            excluded = dedupEntryIds(embeddings, idCol, vecCol, ne, Some(ck)).toSet)
+            qs, "query_id", "qvec", k, kg, planes, b, h, ne, Some(ck))),
+            excluded = allEntryIds)
         }
-        (Serving.GraphDeduped(ck, kg, planes, beam, hops, ne),
-          TunedKnobs(0, 0, beam, r, ne))
+        demoteIfBelowTarget(embeddings, idCol, vecCol, k, recallTarget,
+          nSample, "graphDeduped")(
+          (Serving.GraphDeduped(ck, kg, planes, beam, hp, ne),
+            TunedKnobs(0, 0, beam, r, ne, hops = hp)))
+    }
+  }
+
+  /** Recorded tier demotion: when a graph tier's quality ladder exhausts
+    * below the recall target, fall back to a freshly built-and-tuned IVFPQ
+    * tier (which holds recall 1.0 at 50× in the sweep record) — the same
+    * auto-selection economics as the reference's index policy
+    * (`/root/reference/embedding/embed_manager.py:163-213`: the manager
+    * picks the index FAMILY, not just its knobs). The demotion is taken
+    * only if the demoted tier actually measures better; the outcome is
+    * recorded in `TunedKnobs.demotedFrom` so callers can log/persist the
+    * tier switch.
+    */
+  private def demoteIfBelowTarget(embeddings: DataFrame, idCol: String,
+                                  vecCol: String, k: Int,
+                                  recallTarget: Double, nSample: Int,
+                                  fromTier: String)(
+      tuned: (Serving, TunedKnobs)): (Serving, TunedKnobs) = {
+    val (_, knobs) = tuned
+    if (knobs.measuredRecall >= recallTarget) tuned
+    else {
+      val n = embeddings.count()
+      val dim = embeddings.select(col(vecCol)).head.getSeq[Float](0).length
+      val nc = math.max(2, math.min(
+        (4 * math.sqrt(n.toDouble)).toInt, 512))
+      val m = math.max(1, math.min(16, dim / 64))
+      val built = buildServing(embeddings, idCol, vecCol,
+        IndexStrategy.IvfPq(nc, m))
+      val (srv, kn) = tuneServing(embeddings, idCol, vecCol, built, k,
+        recallTarget, nSample)
+      if (kn.measuredRecall > knobs.measuredRecall)
+        (srv, kn.copy(demotedFrom = fromTier))
+      else tuned
     }
   }
 
@@ -1170,24 +1252,11 @@ object VectorSearch {
                      centroids: Array[Array[Float]],
                      queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
                      shortlist: Int): DataFrame = {
+    val short = ivfPqAdcShortlist(encoded, idCol, codesCol, cb, centroids,
+      queries, nprobe, shortlist)
+      .select(col("query_id"), col("doc_id"))
     val spark = encoded.sparkSession
     import spark.implicits._
-    val qrows = queries.flatMap { case (qid, qv) =>
-      val lut = pqLut(cb, qv).toSeq
-      probeIdsExact(spark, centroids, qv, nprobe).map(cid => (qid, qv, lut, cid))
-    }
-    val qdf = qrows.toDF("query_id", "qv", "lut", "cluster_id")
-    // negated round-6 ADC distance: the (score desc, doc_id asc) aggregator
-    // order then equals pqAdcTopK's (dist asc, doc_id asc)
-    val cand = encoded.join(broadcast(qdf), Seq("cluster_id"))
-      .select(col("query_id"), col(idCol).as("doc_id"),
-        negate(round(graft.functions.FastFunctions.pqAdcDistCols(
-          col(codesCol), col("lut")), 6)).as("nd"))
-    val short = TopK.explodeRanked(
-      cand.groupBy("query_id")
-        .agg(TopK.topK(shortlist)(col("doc_id"), col("nd")).as("tk")),
-      "tk", Seq("query_id"))
-      .select(col("query_id"), col("doc_id"))
     val qonly = queries.toDF("query_id", "qv")
     val rescored = encoded.select(col(idCol).as("doc_id"), col(vecCol).as("_v"))
       .join(broadcast(short), Seq("doc_id"))
@@ -1197,6 +1266,64 @@ object VectorSearch {
       rescored.groupBy("query_id")
         .agg(TopK.topK(k)(col("doc_id"), col("score")).as("tk")),
       "tk", Seq("query_id"))
+  }
+
+  /** The ADC stage of [[ivfPqTopKBatch]]: per query, the `shortlist` best
+    * codes rows in ADC order — (query_id, doc_id, score = negated round-6
+    * ADC distance, rank). The per-query constants are broadcast ONCE each:
+    * the probe pair list carries only (query_id, cluster_id) and the m·k
+    * double LUT rides a second one-row-per-query broadcast joined after the
+    * cluster fan-out, instead of duplicating qv+LUT nprobe-fold.
+    */
+  private def ivfPqAdcShortlist(encoded: DataFrame, idCol: String,
+                                codesCol: String, cb: PqCodebook,
+                                centroids: Array[Array[Float]],
+                                queries: Seq[(Long, Seq[Float])],
+                                nprobe: Int, shortlist: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, qv) =>
+      probeIdsExact(spark, centroids, qv, nprobe).map(cid => (qid, cid))
+    }.toDF("query_id", "cluster_id")
+    val qluts = queries.map { case (qid, qv) => (qid, pqLut(cb, qv).toSeq) }
+      .toDF("query_id", "lut")
+    // negated round-6 ADC distance: the (score desc, doc_id asc) aggregator
+    // order then equals pqAdcTopK's (dist asc, doc_id asc)
+    val cand = encoded.join(broadcast(probes), Seq("cluster_id"))
+      .join(broadcast(qluts), Seq("query_id"))
+      .select(col("query_id"), col(idCol).as("doc_id"),
+        negate(round(graft.functions.FastFunctions.pqAdcDistCols(
+          col(codesCol), col("lut")), 6)).as("nd"))
+    TopK.explodeRanked(
+      cand.groupBy("query_id")
+        .agg(TopK.topK(shortlist)(col("doc_id"), col("nd")).as("tk")),
+      "tk", Seq("query_id"))
+  }
+
+  /** Tuner evaluation artifact: the ADC shortlist of [[ivfPqTopKBatch]]
+    * with each candidate's EXACT cosine score attached — (query_id, doc_id,
+    * rank = ADC rank, score). One job yields the recall of every shortlist
+    * prefix: rows 1..sl re-ranked by (score desc, doc_id asc) are exactly
+    * what `ivfPqTopKBatch(…, sl)` returns, so [[tuneServing]] walks the
+    * shortlist ladder without re-searching.
+    */
+  private[graft] def ivfPqAdcScored(encoded: DataFrame, idCol: String,
+                                    vecCol: String, codesCol: String,
+                                    cb: PqCodebook,
+                                    centroids: Array[Array[Float]],
+                                    queries: Seq[(Long, Seq[Float])],
+                                    nprobe: Int, shortlist: Int): DataFrame = {
+    val short = ivfPqAdcShortlist(encoded, idCol, codesCol, cb, centroids,
+      queries, nprobe, shortlist)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qonly = queries.toDF("query_id", "qv")
+    encoded.select(col(idCol).as("doc_id"), col(vecCol).as("_v"))
+      .join(broadcast(short), Seq("doc_id"))
+      .join(broadcast(qonly), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        cosine(col("_v"), col("qv")).as("score"))
   }
 
   /** IVF query: prune to the nprobe nearest clusters, exact cosine inside.

@@ -94,6 +94,25 @@ class TuneServingSpec extends SparkSpec {
     }
   }
 
+  test("graph tier demotes to a tuned IVFPQ when the ladder exhausts below target") {
+    // an EDGELESS graph: beam search can only ever score its entry points,
+    // so no (entries, beam, hops) ladder step can approach the target — the
+    // tuner must take the recorded demotion path and return a tier that
+    // does reach it (IVFPQ holds 1.0 on the clustered fixture)
+    val g = Seq.empty[(Long, Long)].toDF("src", "dst").localCheckpoint(true)
+    val srv = VectorSearch.Serving.Graph(g, beam = 64, hops = 3,
+      entryIds = Seq(0L))
+    val (tuned, knobs) = VectorSearch.tuneServing(clustered, "vec_id", "embedding",
+      srv, k = 10, recallTarget = 0.9, nSample = 8)
+    assert(knobs.demotedFrom == "graph", s"expected a recorded demotion, got $knobs")
+    tuned match {
+      case VectorSearch.Serving.IvfPq(_, _, _, sl) => assert(sl == knobs.shortlist)
+      case other => fail(s"expected demoted IvfPq serving, got $other")
+    }
+    assert(knobs.measuredRecall >= 0.9,
+      s"demoted tier should reach the target on the clustered fixture: $knobs")
+  }
+
   test("buildServingTuned composes policy choice, build, and calibration") {
     val strategy = VectorSearch.chooseIndex(400L, 16)
     val (_, knobs) = VectorSearch.buildServingTuned(clustered, "vec_id",
