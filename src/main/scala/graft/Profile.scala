@@ -258,7 +258,7 @@ object Profile {
       secs("cur-quality") { full(docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("q"))) }
       secs("cur-lm-full") { full(operators.LmQuality.score(docs, "doc_id", "text", 24)) }
-      secs("cur-decision-full") { full(operators.Curation.curationDecision(docs, "doc_id", "text")) }
+      secs("cur-decision-full") { full(operators.Curation.curationDecision(docs, "doc_id", "text", vocabSize = 24)) }
     }
 
     // r11: full-row vs count() cost for the projection-heavy query rungs —

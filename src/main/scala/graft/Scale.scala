@@ -551,7 +551,8 @@ object Scale {
     secs(s"lm-quality 1x")(lmQuality(docs))
     secs(s"lm-quality ${kDocs}x")(lmQuality(bigDocs))
     def curation(d: DataFrame): Long =
-      operators.Curation.curationDecision(d, "doc_id", "text").count()
+      operators.Curation.curationDecision(d, "doc_id", "text",
+        vocabSize = 24).count()
     secs(s"curation-decision 1x")(curation(docs))
     secs(s"curation-decision ${kDocs}x")(curation(bigDocs))
     spark.stop()

@@ -147,7 +147,7 @@ object Curation {
                        minTokens: Int = 15, maxTokens: Int = 100000,
                        maxRep3: Double = 0.02, minQuality: Double = 0.75,
                        maxCrossEntropy: Double = 6.0,
-                       vocabSize: Int = 24): DataFrame = {
+                       vocabSize: Int = LmQuality.DefaultVocabSize): DataFrame = {
     val lm = LmQuality.score(docs, idCol, textCol, vocabSize)
       .select(col(idCol), col("cross_entropy"))
     // null text scores as empty text (n_tokens 0 → 'length'), not as a

@@ -547,8 +547,15 @@ object Dedup {
     val lfp = lake.select(col(idCol).as("keep_cand"),
         TextFunctions.fingerprint(col(textCol)).as("fp"))
       .filter(FastFunctions.bloomMightContain(col("fp"), words, k))
-    bfp.join(lfp, Seq("fp"), "left")
+    // eager-materialize the (batch-sized) result so bfp's cache can be
+    // released HERE: the operator's target regime is repeated incremental
+    // ingest batches, and a persist the caller must remember to release
+    // would pin executor storage once per batch for the session lifetime
+    val res = bfp.join(lfp, Seq("fp"), "left")
       .groupBy("batch_id").agg(min("keep_cand").as("keep_id"))
+      .localCheckpoint(true)
+    bfp.unpersist()
+    res
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):

@@ -33,6 +33,16 @@ import graft.functions.TextFunctions
 object LmQuality {
   val Micro = 1000000L
 
+  /** Production default vocabulary size: the CCNet/KenLM regime the scorer
+    * is designed around keeps O(100k–1M) head tokens — at a toy vocabulary
+    * nearly every token is OOV and cross-entropy degenerates to the
+    * constant ln(total)/1e6 for all docs, which would make downstream
+    * perplexity rules (e.g. [[Curation.curationDecision]]'s
+    * maxCrossEntropy) drop everything. Oracle queries pass their own small
+    * vocabularies explicitly (the DuckDB twin encodes the same size).
+    */
+  val DefaultVocabSize = 200000
+
   /** (token, cost_micro) for the top-`vocabSize` tokens by corpus frequency,
     * ties broken by token text — deterministic for the oracle.
     */
@@ -60,7 +70,7 @@ object LmQuality {
     * (doc_id, n_tokens, cross_entropy nats/token, 4 dp).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            vocabSize: Int = 24): DataFrame = {
+            vocabSize: Int = DefaultVocabSize): DataFrame = {
     val total = totalTokens(docs, textCol)
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokenize(col(textCol))).as("token"))
@@ -98,7 +108,7 @@ object LmQuality {
     * unchanged — threshold selection is the only approximate step.
     */
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
-                   vocabSize: Int = 24): DataFrame = {
+                   vocabSize: Int = DefaultVocabSize): DataFrame = {
     val sc = score(docs, idCol, textCol, vocabSize)
     val cached = sc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (t1, t2) =

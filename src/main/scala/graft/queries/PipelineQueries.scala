@@ -2255,7 +2255,8 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, rep_3gram, quality, cross_entropy, reason,
          |       (reason = 'keep')::INT AS keep
          |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Curation.curationDecision(Tables.documents(s, dir), "doc_id", "text")
+      Curation.curationDecision(Tables.documents(s, dir), "doc_id", "text",
+          vocabSize = 24)
         .orderBy("doc_id")
     },
 
@@ -2347,7 +2348,7 @@ object PipelineQueries {
          |ORDER BY source, bin_id""".stripMargin
     }) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val dec = Curation.curationDecision(docs, "doc_id", "text")
+      val dec = Curation.curationDecision(docs, "doc_id", "text", vocabSize = 24)
       // stage materialization, exactly as a production pipeline would
       // persist between stages: without it every downstream stage
       // (dedup fingerprints, sampling counts + membership, packing)
