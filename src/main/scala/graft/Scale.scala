@@ -555,6 +555,20 @@ object Scale {
         vocabSize = 24).count()
     secs(s"curation-decision 1x")(curation(docs))
     secs(s"curation-decision ${kDocs}x")(curation(bigDocs))
+
+    // ── r12: the composed pipeline with TABLE-BACKED stage boundaries —
+    //    each seam is a written parquet artifact (pipeline.StageStore), the
+    //    100 TB form of e2e_data_pipeline's localCheckpoint seams. Target
+    //    row counts scale with the corpus (as temp-sample above) ──────────
+    def pipelineStored(d: DataFrame, target: Long, tag: String): Long = {
+      val store = new pipeline.StageStore(
+        s"/tmp/graft_scale_stages/$tag")
+      pipeline.DataPipeline.run(d, store.seam, vocabSize = 24,
+        targetRows = target, sampleCol = "source").count()
+    }
+    secs(s"e2e-pipeline-stored 1x")(pipelineStored(docs, 2000, "p1"))
+    secs(s"e2e-pipeline-stored ${kDocs}x")(
+      pipelineStored(bigDocs, 2000L * kDocs, s"p$kDocs"))
     spark.stop()
   }
 }

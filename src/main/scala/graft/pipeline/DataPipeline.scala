@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup, LmQuality, Sampling}
+
+/** The composed training-data pipeline — curation decision → LM/quality
+  * filter → exact dedup → temperature sampling → token packing — as ONE
+  * reusable flow with explicit, pluggable stage boundaries.
+  *
+  * Stage materialization matters: without it every downstream stage
+  * (dedup fingerprints, sampling counts + membership, packing) re-executes
+  * the curation+LM subtree — measured 10.7 s vs 1.4 s at sf0.1 for the
+  * same answer. What the seam IS differs by regime:
+  *
+  *  - in-session (`localCheckpoint(true)`, the default): executor-memory
+  *    blocks, free to read back, gone with the session — the oracle/bench
+  *    shape;
+  *  - at 100 TB ([[StageStore.seam]]): each boundary is a WRITTEN parquet
+  *    artifact — restartable per stage, shareable across jobs, and the
+  *    read-back is a fresh pruned scan instead of pinned executor storage.
+  *    This mirrors the reference's staged processing (its ingest persists
+  *    chunks before embedding reads them back:
+  *    `database/processor.py` → `embedding/embed_manager.py`).
+  */
+object DataPipeline {
+
+  /** Curate → dedup → sample → pack. Returns (source, bin_id, n_docs,
+    * n_tokens) — the packed-shard manifest. `seam` materializes the two
+    * stage boundaries (post-curation keepers; post-dedup uniques).
+    */
+  def run(docs: DataFrame,
+          seam: DataFrame => DataFrame = _.localCheckpoint(true),
+          vocabSize: Int = LmQuality.DefaultVocabSize,
+          targetRows: Long = 2000, alpha: Double = 0.5,
+          budget: Int = 512, sampleCol: String = "lang",
+          shardCol: String = "source"): DataFrame = {
+    val dec = Curation.curationDecision(docs, "doc_id", "text",
+      vocabSize = vocabSize)
+    val kept = seam(
+      docs.join(dec.filter(col("keep") === 1).select("doc_id"), Seq("doc_id")))
+    val groups = Dedup.exactGroups(kept, "doc_id", "text")
+    val unique = seam(kept.join(
+      groups.filter(col("dup_id") === col("keep_id"))
+        .select(col("dup_id").as("doc_id")), Seq("doc_id")))
+    val sampled = Sampling.temperatureSample(unique, sampleCol, "doc_id",
+      targetRows = targetRows, alpha = alpha)
+    val packed = Curation.packTokenBins(sampled, shardCol, "doc_id",
+      size(TextFunctions.tokenize(col("text"))), budget = budget)
+    packed.groupBy(shardCol, "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
+      .orderBy(shardCol, "bin_id")
+  }
+}
+
+/** Table-backed stage materialization: each seam writes the stage output
+  * as a parquet table under `dir` and returns a fresh read of it — the
+  * 100 TB form of the pipeline's `localCheckpoint` boundaries (a written,
+  * restartable artifact instead of session-pinned executor blocks).
+  * Stage names count up per call so one run's artifacts never collide.
+  */
+final class StageStore(dir: String) {
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def seam(df: DataFrame): DataFrame = {
+    val path = s"$dir/stage_${counter.getAndIncrement()}"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

@@ -2347,26 +2347,10 @@ object PipelineQueries {
          |FROM bins GROUP BY source, bin_id
          |ORDER BY source, bin_id""".stripMargin
     }) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val dec = Curation.curationDecision(docs, "doc_id", "text", vocabSize = 24)
-      // stage materialization, exactly as a production pipeline would
-      // persist between stages: without it every downstream stage
-      // (dedup fingerprints, sampling counts + membership, packing)
-      // re-executes the curation+LM subtree — measured 10.7 s vs 1.4 s
-      // at sf0.1 for the same answer
-      val kept = docs.join(dec.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
-        .localCheckpoint(true)
-      val groups = Dedup.exactGroups(kept, "doc_id", "text")
-      val unique = kept.join(
-        groups.filter(col("dup_id") === col("keep_id"))
-          .select(col("dup_id").as("doc_id")), Seq("doc_id"))
-        .localCheckpoint(true)
-      val sampled = Sampling.temperatureSample(unique, "lang", "doc_id",
-        targetRows = 2000, alpha = 0.5)
-      val packed = Curation.packTokenBins(sampled, "source", "doc_id",
-        size(TextFunctions.tokenize(col("text"))), budget = 512)
-      packed.groupBy("source", "bin_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
-        .orderBy("source", "bin_id")
+      // the composed flow lives in pipeline.DataPipeline; the in-session
+      // seam (localCheckpoint) carries the oracle — StageStore.seam is the
+      // table-backed twin the Scale suite measures at 20×
+      graft.pipeline.DataPipeline.run(Tables.documents(s, dir),
+        vocabSize = 24)
     })
 }
