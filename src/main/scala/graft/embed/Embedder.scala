@@ -230,6 +230,33 @@ object Embedder {
     * permanent misconfiguration must not cost the full backoff schedule
     * per task before surfacing.
     */
+  /** The (base_ms, jitter_ms) backoff pair for retry attempt `tries` at
+    * jitter phase `phase` ∈ [0,100) — the exact math [[Retrying]] sleeps on
+    * (`/root/reference/embedding/embed_manager.py:296-333`: backoff
+    * min(tries², 30 s) + proportional jitter), factored out so the whole
+    * schedule is a checkable table, not a side effect inside a catch block.
+    */
+  def backoffMs(tries: Int, phase: Int): (Long, Long) = {
+    val base = math.min(tries.toLong * tries, 30L) * 1000
+    val jitter = (base * 0.1 * (phase / 100.0)).toLong
+    (base, jitter)
+  }
+
+  /** M3's retry schedule as DATA: one row per (try_no ∈ [1,maxRetries],
+    * phase ∈ [0,100)) with the base, jitter, and total sleep [[Retrying]]
+    * would pay — `(try_no, phase, base_ms, jitter_ms, sleep_ms)`. Built by
+    * the SAME [[backoffMs]] the retry loop calls, so the oracle checks the
+    * production math, not a re-derivation.
+    */
+  def backoffSchedule(spark: org.apache.spark.sql.SparkSession,
+                      maxRetries: Int = 20): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (for { t <- 1 to maxRetries; p <- 0 until 100 } yield {
+      val (base, jitter) = backoffMs(t, p)
+      (t, p, base, jitter, base + jitter)
+    }).toDF("try_no", "phase", "base_ms", "jitter_ms", "sleep_ms")
+  }
+
   final case class Retrying(inner: Provider, maxRetries: Int = 20,
                             sleeper: Long => Unit = Thread.sleep) extends Provider {
     def model: String = inner.model
@@ -243,8 +270,7 @@ object Embedder {
           case e: InterruptedException => throw e
           case e: Exception if tries < maxRetries =>
             tries += 1
-            val base = math.min(tries.toLong * tries, 30L) * 1000
-            val jitter = (base * 0.1 * ((texts.hashCode.abs % 100) / 100.0)).toLong
+            val (base, jitter) = backoffMs(tries, texts.hashCode.abs % 100)
             sleeper(base + jitter)
         }
       }

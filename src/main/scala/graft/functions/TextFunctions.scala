@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-processing column functions (SURVEY §2.8 F1-F17).
@@ -279,6 +279,51 @@ object TextFunctions {
     }
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Per-language stopword lists for the U1 stopword-set UNION
+    * (`/root/reference/database/db_manager.py:296-327`: primary-language
+    * stopwords ∪ each configured additional language's, unavailable
+    * languages warn-and-skip). Small curated head-word lists in the same
+    * minimal spirit as [[EnglishStopwords]] — the reference pulls NLTK's
+    * corpus here; the SEMANTICS under test are the union/skip rules, not
+    * list breadth.
+    */
+  val PerLanguageStopwords: Map[String, Seq[String]] = Map(
+    "en" -> EnglishStopwords,
+    "id" -> Seq("yang", "dan", "di", "ke", "dari", "ini", "itu", "dengan",
+      "untuk", "pada", "adalah", "tidak"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "en", "un",
+      "une", "que", "est", "pour", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "ein", "eine", "nicht", "zu", "im", "auf"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "ett", "av", "for",
+      "med", "den", "till", "inte"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",
+      "una", "por", "con", "no", "se"))
+
+  /** U1 effective stopword set: the primary language's list unioned with
+    * each additional language's, additional entries equal to the primary
+    * skipped and UNKNOWN language codes warn-skipped (never an error —
+    * `db_manager.py:313-327` catches the missing-corpus lookup per
+    * language). Returns one row per distinct word with the sorted list of
+    * contributing languages — `(word, langs, n_langs)` — as a Spark plan
+    * over the config-derived (lang, word) table, so the same union is
+    * expressible at any stopword-table scale.
+    */
+  def stopwordUnion(spark: org.apache.spark.sql.SparkSession,
+                    primary: String, additional: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val wanted = (Seq(primary) ++ additional.filter(_ != primary)).distinct
+      .filter(PerLanguageStopwords.contains)
+    val table = PerLanguageStopwords.toSeq
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang", "word")
+    table.filter(col("lang").isin(wanted.map(lit): _*))
+      .groupBy("word")
+      .agg(array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("word")
   }
 
   /** F13 language code↔name map (`/root/reference/utils/text_utils.py:20-36`):

@@ -608,6 +608,52 @@ object EngineQueries {
         .orderBy("doc_id")
     },
 
+    // ── U1: stopword-set UNION from the tokenizer config — primary
+    //    language ∪ additional languages, additional == primary skipped,
+    //    unknown codes warn-skipped (db_manager.py:296-327 semantics; 'xx'
+    //    below exercises the skip). Oracle rebuilds the same (lang, word)
+    //    config table inline ─────────────────────────────────────────────
+    QueryDef.sql("u1_stopword_union", {
+      val vals = graft.functions.TextFunctions.PerLanguageStopwords.toSeq
+        .sortBy(_._1)
+        .flatMap { case (lang, ws) => ws.map(w => s"('$lang', '$w')") }
+        .mkString(", ")
+      s"""WITH cfg(lang, word) AS (VALUES $vals),
+         |wanted(lang) AS (VALUES ('en'), ('id'), ('fr'), ('de'), ('sv'))
+         |SELECT word,
+         |       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+         |       count(DISTINCT lang)::BIGINT AS n_langs
+         |FROM cfg WHERE lang IN (SELECT lang FROM wanted)
+         |GROUP BY word ORDER BY word""".stripMargin
+    }) { (s, _) =>
+      // the reference's default additional_stopword_languages plus an
+      // unknown code and a primary-duplicate, both of which must be skipped
+      TextFunctions.stopwordUnion(s, "en",
+        Seq("id", "fr", "de", "sv", "en", "xx"))
+    },
+
+    // ── M3: the retry backoff schedule as data — min(tries², 30 s) base +
+    //    proportional jitter per phase, the exact math Retrying sleeps on
+    //    (embed_manager.py:296-333). Pure math twin in DuckDB; double
+    //    casts pinned so both engines run the same IEEE expression tree ──
+    QueryDef.sql("m3_retry_schedule",
+      """WITH tries AS (SELECT unnest(range(1, 21)) AS try_no),
+        |phases AS (SELECT unnest(range(0, 100)) AS phase),
+        |s AS (
+        |  SELECT try_no, phase,
+        |         least(try_no * try_no, 30) * 1000 AS base_ms
+        |  FROM tries, phases)
+        |SELECT try_no::INT AS try_no, phase::INT AS phase,
+        |       base_ms::BIGINT AS base_ms,
+        |       trunc((base_ms::DOUBLE * 0.1::DOUBLE)
+        |             * (phase::DOUBLE / 100.0::DOUBLE))::BIGINT AS jitter_ms,
+        |       (base_ms + trunc((base_ms::DOUBLE * 0.1::DOUBLE)
+        |             * (phase::DOUBLE / 100.0::DOUBLE))::BIGINT)::BIGINT AS sleep_ms
+        |FROM s ORDER BY try_no, phase""".stripMargin) { (s, _) =>
+      graft.embed.Embedder.backoffSchedule(s, maxRetries = 20)
+        .orderBy("try_no", "phase")
+    },
+
     // ── F17: XML escaping (entity-order parity: & first, then < > " ') ────
     QueryDef.sql("f17_xml_escape", {
       val samples = Seq(
