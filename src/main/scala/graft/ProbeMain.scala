@@ -37,6 +37,42 @@ object ProbeMain {
         timed(n) { fn(spark, sfDir).count(); () }
       }
     }
+    // t1 stage breakdown (warm): where do the remaining jobs come from?
+    if (sys.env.contains("SPARK_GRAFT_PROBE_T1")) {
+      import org.apache.spark.sql.functions.col
+      (1 to 3).foreach { pass =>
+        println(s"[probe] t1-deep pass $pass")
+        var emb: org.apache.spark.sql.DataFrame = null
+        var qv: Seq[Float] = null
+        var res: org.apache.spark.sql.DataFrame = null
+        timed("tables.embeddings") {
+          emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        }
+        timed("queryVec") { qv = Tables.queryVec(spark, sfDir, 0) }
+        timed("roundedTopKInProcess") {
+          res = operators.VectorSearch.roundedTopKInProcess(emb, "vec_id",
+            "embedding", Seq((0L, qv.toArray)), 20, scale = 6,
+            cacheKey = Some(sfDir)).get.select(col("doc_id"), col("score"))
+        }
+        timed("count") { res.count(); () }
+        timed("count-coalesced") { res.coalesce(1).count(); () }
+        timed("collect") { res.collect(); () }
+      }
+    }
+    // e2e stage breakdown (warm): construction vs execution
+    if (sys.env.contains("SPARK_GRAFT_PROBE_E2E")) {
+      val fn = SparkEntry.queries("e2e_hybrid_query")
+      (1 to 3).foreach { pass =>
+        println(s"[probe] e2e-deep pass $pass")
+        var df: org.apache.spark.sql.DataFrame = null
+        timed("construct") { df = fn(spark, sfDir) }
+        timed("analyze") { df.queryExecution.analyzed; () }
+        timed("optimize") { df.queryExecution.optimizedPlan; () }
+        timed("plan") { df.queryExecution.executedPlan; () }
+        timed("count") { df.count(); () }
+        timed("collect") { df.queryExecution.executedPlan.executeCollect(); () }
+      }
+    }
     // plan shape of batch50
     val df = SparkEntry.queries("sim_knn_batch50")(spark, sfDir)
     println(df.queryExecution.optimizedPlan.toString.take(2000))

@@ -336,6 +336,18 @@ object Bm25 {
     * `inProcessLimit = 0` (or an unkeyed/over-limit index) keeps the
     * bucket-pruned distributed scan unchanged.
     */
+  /** The in-process branch of [[scoreWithIndex]] as VALUES — the raw
+    * `(doc_id, score)` list (positive scores only, same driver replay of
+    * the distributed sum) for callers composing further driver-side stages.
+    * None when the index is unkeyed or over the guard — callers keep the
+    * distributed plan.
+    */
+  def scoreWithIndexValues(ix: Index, spark: org.apache.spark.sql.SparkSession,
+                           query: String, k1: Double = K1, b: Double = B,
+                           inProcessLimit: Int = 2000000): Option[Seq[(Long, Double)]] =
+    indexInProcess(ix, spark, inProcessLimit).map(ip =>
+      scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, query), k1, b))
+
   def scoreWithIndex(ix: Index, spark: org.apache.spark.sql.SparkSession,
                      query: String, k1: Double = K1, b: Double = B,
                      inProcessLimit: Int = 2000000): DataFrame = {

@@ -695,6 +695,21 @@ object VectorSearch {
       }.toDF("query_id", "doc_id", "score")
     }
 
+  /** [[roundedTopKInProcess]] as VALUES — the ranked `(doc_id, rounded
+    * score)` list for ONE query, for callers composing further driver-side
+    * stages (the fully in-process pipeline serving path) instead of a
+    * LocalRelation. Same guard, memoized broadcast, and rounded ranking
+    * contract; None keeps the caller on its distributed plan.
+    */
+  def roundedTopKValues(embeddings: DataFrame, idCol: String, vecCol: String,
+                        qv: Array[Float], k: Int, scale: Int,
+                        inMemoryLimit: Int = 200000,
+                        cacheKey: Option[String] = None): Option[Seq[(Long, Double)]] =
+    corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
+      topKOverCorpus(bc.value, qv, k, roundAt(scale))
+        .map(sd => (sd.doc_id, sd.score))
+    }
+
   /** Exact top-k for a batch of queries `(query_id, qvec)`.
     * Broadcast the (small) query set; per-partition partial top-k via the
     * rank window happens after one shuffle on query_id.

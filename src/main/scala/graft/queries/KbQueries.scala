@@ -156,19 +156,27 @@ object KbQueries {
           .select(col("doc_id"), round(col("score"), 4).as("score")), 20)
     },
 
-    // ── T1: exact vector k-NN (cosine, TakeOrderedAndProject) ─────────────
+    // ── T1: exact vector k-NN (cosine; warm in-process LocalRelation, or
+    //    the distributed TakeOrderedAndProject fallback above the corpus
+    //    byte budget — identical ranking contract, spec-pinned) ───────────
     QueryDef.sql("t1_cosine_knn",
       s"""$cosCte
          |SELECT doc_id, round(score, 6) AS score FROM cos
          |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val qv = Tables.queryVec(s, dir, 0)
-      VectorSearch.bruteTopK(
-        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", qv, 500,
-        cacheKey = Some(dir))
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(round(col("score"), 6).desc, col("doc_id"))
-        .limit(20)
+      // rounded-then-ranked in process: the single-search SLO path — the
+      // result arrives rank-ready (round-6 desc, doc_id asc), so no sort
+      // job runs on top of the LocalRelation
+      VectorSearch.roundedTopKInProcess(emb, "vec_id", "embedding",
+          Seq((0L, qv.toArray)), 20, scale = 6, cacheKey = Some(dir))
+        .map(_.select(col("doc_id"), col("score")))
+        .getOrElse(
+          VectorSearch.bruteTopK(emb, "vec_id", "embedding", qv, 500,
+            cacheKey = Some(dir))
+            .select(col("doc_id"), round(col("score"), 6).as("score"))
+            .orderBy(round(col("score"), 6).desc, col("doc_id"))
+            .limit(20))
     },
 
     // ── F11: rerank score→distance inverse transform over the top-k hits
