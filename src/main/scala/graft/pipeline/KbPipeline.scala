@@ -312,58 +312,112 @@ object KbPipeline {
       cmap <- chunksInMemory(chunks, ck)
     } yield {
       import spark.implicits._
-      // fusion (Fusion.rrf twin): rank each list (score desc, id asc),
-      // contribute 1/(60+rank), sum per doc — ≤ 2 addends, so the double
-      // sum is order-exact against the distributed aggregate
-      val hits0: Seq[(Long, Double)] =
-        if (!cfg.enableHybridSearch) vtop
-        else {
-          val ktop = kraw
-            .map { case (id, s) => (id, graft.functions.HashAlgos.roundHalfUp(s, 4)) }
-            .sortBy { case (id, s) => (-s, id) }
-            .take(math.min(cfg.bm25MaxResults, cfg.queryTopK))
-          def contribs(list: Seq[(Long, Double)]): Seq[(Long, Double)] =
-            list.sortBy { case (id, s) => (-s, id) }.zipWithIndex
-              .map { case ((id, _), i) => (id, 1.0 / (Fusion.RrfK.toDouble + (i + 1))) }
-          (contribs(vtop) ++ contribs(ktop)).groupBy(_._1)
-            .map { case (id, cs) => (id, cs.map(_._2).sum) }.toSeq
-        }
-      // text fetch: INNER-join semantics (ids absent from chunks drop)
-      val wt = hits0.flatMap { case (id, s) =>
-        cmap.get(id).map { case (t, sd, si) => (id, s, t, sd, si) } }
-      // Rerank.rerankHead twin with Rerank.lexicalScore's set-semantics
-      // Jaccard (null text → 0.0, exactly the when(union > 0) null path)
-      val qset = graft.functions.TextFunctions
-        .tokenizeBm25Value(spark, enhanced).toSet
-      def jac(text: String): Double =
-        if (text == null) 0.0
-        else {
-          val d = graft.functions.TextFunctions
-            .tokenizeBm25Value(spark, text).toSet
-          val union = (d union qset).size
-          if (union > 0) (d intersect qset).size.toDouble / union else 0.0
-        }
-      val topK = cfg.rerankingTopK
-      val ranked = wt.sortBy { case (id, s, _, _, _) => (-s, id) }.zipWithIndex
-        .map { case (r, i) => (r, i + 1) }
-      val rescoredHead = ranked.filter(_._2 <= topK)
-        .map { case ((id, s, t, sd, si), _) => (id, s, t, sd, si, jac(t)) }
-        .sortBy { case (id, _, _, _, _, rs) => (-rs, id) }
-        .zipWithIndex.map { case (r, i) => (r, i + 1) }
-      val keptTail = ranked.filter(_._2 > topK)
-      // final_rank: reranked head first (new_rank ≤ topK and non-null
-      // rerank_score by construction), then the tail at its original ranks
-      val ordered =
-        rescoredHead.map { case ((id, s, t, sd, si, rs), nr) =>
-          ((0, nr), (id, s, t, sd, si, Option(rs))) } ++
-        keptTail.map { case ((id, s, t, sd, si), nr) =>
-          ((1, nr), (id, s, t, sd, si, Option.empty[Double])) }
-      ordered.sortBy(_._1).zipWithIndex
-        .map { case ((_, r), i) => (r._1, r._2, r._3, r._4, r._5, r._6, i + 1) }
+      hitRowsFor(spark, cfg, enhanced, vtop, kraw, cmap)
         .take(cfg.queryTopK)
         .toDF("doc_id", "score", "text", "sourcedoc", "sid",
           "rerank_score", "final_rank")
     }
+  }
+
+  /** [[hitsInProcess]] for a BATCH: the same per-query driver computation
+    * ([[hitRowsFor]]) looped over the driver-held query set against the
+    * shared resident caches, emitted as one `(query_id, …)` LocalRelation —
+    * value-identical to [[queryBatch]]'s distributed DAG because every
+    * batch stage is per-query identical to the single-query form
+    * (KbPipelineSpec pins batch ≡ single; InProcessPipelineSpec pins warm
+    * single ≡ distributed single). Guards mirror [[hitsInProcess]]; an
+    * absent prebuilt BM25 index falls back (the distributed path builds
+    * one, which the warm path must not duplicate).
+    */
+  private def hitsBatchInProcess(spark: SparkSession, chunks: DataFrame,
+                                 embeddings: DataFrame,
+                                 qData: Seq[(Long, String, Array[Float])],
+                                 cfg: KbConfig,
+                                 bm25Index: Option[Bm25.Index],
+                                 corpusKey: Option[String]): Option[DataFrame] = {
+    if (!cfg.enableReranking) return None
+    if (cfg.enableHybridSearch &&
+        (cfg.fusionMethod == "weighted" || bm25Index.isEmpty)) return None
+    for {
+      ck <- corpusKey
+      cmap <- chunksInMemory(chunks, ck)
+      perQuery <- {
+        val rows = qData.map { case (qid, enhanced, qv) =>
+          for {
+            vtop <- VectorSearch.roundedTopKValues(embeddings, "doc_id",
+              "embedding", qv, cfg.queryTopK, scale = 6, cacheKey = Some(ck))
+            kraw <- if (!cfg.enableHybridSearch) Some(Seq.empty[(Long, Double)])
+                    else Bm25.scoreWithIndexValues(bm25Index.get, spark,
+                      enhanced, cfg.bm25K1, cfg.bm25B)
+          } yield hitRowsFor(spark, cfg, enhanced, vtop, kraw, cmap)
+            .filter(_._7 <= cfg.queryTopK)
+            .map(r => (qid, r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+        }
+        if (rows.forall(_.isDefined)) Some(rows.flatMap(_.get)) else None
+      }
+    } yield {
+      import spark.implicits._
+      perQuery.toDF("query_id", "doc_id", "score", "text", "sourcedoc",
+        "sid", "rerank_score", "final_rank")
+    }
+  }
+
+  /** The per-query driver hit computation shared by [[hitsInProcess]] and
+    * [[hitsBatchInProcess]]: RRF fusion of the (already rounded-6) vector
+    * list with the rounded-4 BM25 list, inner-join text fetch from the
+    * resident chunk map, and the rerankHead head/tail contract — rows in
+    * final_rank order. Twin semantics, operation for operation:
+    * [[Fusion.rrf]] (two addends — double sum order-exact),
+    * [[graft.query.Rerank.lexicalScore]]'s set Jaccard (null text → 0.0,
+    * the when(union > 0) null path), ranks tie-broken by doc_id.
+    */
+  private def hitRowsFor(spark: SparkSession, cfg: KbConfig, enhanced: String,
+                         vtop: Seq[(Long, Double)], kraw: Seq[(Long, Double)],
+                         cmap: Map[Long, (String, String, Int)])
+      : Seq[(Long, Double, String, String, Int, Option[Double], Int)] = {
+    val hits0: Seq[(Long, Double)] =
+      if (!cfg.enableHybridSearch) vtop
+      else {
+        val ktop = kraw
+          .map { case (id, s) => (id, graft.functions.HashAlgos.roundHalfUp(s, 4)) }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(math.min(cfg.bm25MaxResults, cfg.queryTopK))
+        def contribs(list: Seq[(Long, Double)]): Seq[(Long, Double)] =
+          list.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+            .map { case ((id, _), i) => (id, 1.0 / (Fusion.RrfK.toDouble + (i + 1))) }
+        (contribs(vtop) ++ contribs(ktop)).groupBy(_._1)
+          .map { case (id, cs) => (id, cs.map(_._2).sum) }.toSeq
+      }
+    // text fetch: INNER-join semantics (ids absent from chunks drop)
+    val wt = hits0.flatMap { case (id, s) =>
+      cmap.get(id).map { case (t, sd, si) => (id, s, t, sd, si) } }
+    val qset = graft.functions.TextFunctions
+      .tokenizeBm25Value(spark, enhanced).toSet
+    def jac(text: String): Double =
+      if (text == null) 0.0
+      else {
+        val d = graft.functions.TextFunctions
+          .tokenizeBm25Value(spark, text).toSet
+        val union = (d union qset).size
+        if (union > 0) (d intersect qset).size.toDouble / union else 0.0
+      }
+    val topK = cfg.rerankingTopK
+    val ranked = wt.sortBy { case (id, s, _, _, _) => (-s, id) }.zipWithIndex
+      .map { case (r, i) => (r, i + 1) }
+    val rescoredHead = ranked.filter(_._2 <= topK)
+      .map { case ((id, s, t, sd, si), _) => (id, s, t, sd, si, jac(t)) }
+      .sortBy { case (id, _, _, _, _, rs) => (-rs, id) }
+      .zipWithIndex.map { case (r, i) => (r, i + 1) }
+    val keptTail = ranked.filter(_._2 > topK)
+    // final_rank: reranked head first (new_rank ≤ topK and non-null
+    // rerank_score by construction), then the tail at its original ranks
+    val ordered =
+      rescoredHead.map { case ((id, s, t, sd, si, rs), nr) =>
+        ((0, nr), (id, s, t, sd, si, Option(rs))) } ++
+      keptTail.map { case ((id, s, t, sd, si), nr) =>
+        ((1, nr), (id, s, t, sd, si, Option.empty[Double])) }
+    ordered.sortBy(_._1).zipWithIndex
+      .map { case ((_, r), i) => (r._1, r._2, r._3, r._4, r._5, r._6, i + 1) }
   }
 
   /** The FULL §3.1 lifecycle for a BATCH of queries in ONE DataFrame DAG —
@@ -406,6 +460,17 @@ object KbPipeline {
     val qData = queries.zip(enhancedTexts).zip(qVecs).map {
       case (((qid, _), e), qv) => (qid, e, qv)
     }
+
+    // 3-warm. fully in-process batch serving (see [[hitsBatchInProcess]]):
+    //    the whole batch answered driver-side against the resident caches,
+    //    one LocalRelation, zero jobs; any miss keeps the distributed DAG
+    val servedBatch: Option[DataFrame] =
+      if ((if (cfg.indexType == "exact") VectorSearch.Serving.Flat
+           else serving) == VectorSearch.Serving.Flat)
+        hitsBatchInProcess(spark, chunks, embeddings, qData, cfg,
+          bm25Index, corpusKey)
+      else None
+    servedBatch.getOrElse {
     val qRows = qData.map { case (qid, e, qv) =>
       org.apache.spark.sql.Row(qid, e, qv)
     }
@@ -552,6 +617,7 @@ object KbPipeline {
       col("sourcedoc"), col("sid"),
       (if (cfg.enableReranking) col("rerank_score") else lit(null).cast("double")).as("rerank_score"),
       col("final_rank"))
+    }
   }
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) extends AnyVal {

@@ -70,6 +70,24 @@ class InProcessPipelineSpec extends SparkSpec {
     assert(!warm.collect().exists(_.getLong(0) == 100L))
   }
 
+  test("warm in-process BATCH hits == distributed batch DAG, per query") {
+    val ch = chunks.localCheckpoint(true)
+    val emb = embeddings.localCheckpoint(true)
+    val qs = Seq(1L -> "spark joins ranking", 2L -> "window functions")
+    val ix = Bm25.cachedIndex("inproc-spec-b", ch, "doc_id", "text")
+    val warm = KbPipeline.queryBatch(spark, ch, emb, qs,
+      bm25Index = Some(ix), corpusKey = Some("inproc-spec-b"))
+    val dist = KbPipeline.queryBatch(spark, ch, emb, qs,
+      bm25Index = Some(ix), corpusKey = None)
+    assert(warm.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(warm.columns.toSeq == dist.columns.toSeq)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(7))
+    val w = warm.collect().sortBy(key).map(_.toSeq).toSeq
+    val d = dist.collect().sortBy(key).map(_.toSeq).toSeq
+    assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
+  }
+
   test("category filter and weighted fusion keep the distributed plan") {
     val ch = chunks.localCheckpoint(true)
     val emb = embeddings.localCheckpoint(true)
