@@ -39,6 +39,31 @@ object Tables {
       p => spark.read.parquet(p))
   }
 
+  /** Drop the memoized reads (and derived chunk plans) for `dir` in this
+    * session — the escape hatch for a harness that rewrites an sf
+    * directory in place mid-session, which would otherwise keep serving
+    * the stale FileIndex/schema. Production corpora stay behind the
+    * read-only assumption above; this is for test fixtures only.
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    def drop(cache: java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]): Unit = {
+      val perSession = cache.synchronized(cache.get(spark))
+      if (perSession != null) {
+        val it = perSession.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.startsWith(dir)) {
+            e.getValue.unpersist() // no-op for unpersisted reads
+            it.remove()
+          }
+        }
+      }
+    }
+    drop(readCache)
+    drop(chunksCache)
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "documents")
 
