@@ -195,6 +195,33 @@ object KbPipeline {
           .select(col("doc_id"), col("score"))
     }
 
+    // 3-warm-stitch. the vector TIER ran distributed (ANN tiers / cold
+    //    corpus), but the stitching caches may still be resident: collect
+    //    the ≤ topK tier rows (ONE job) and run fusion → text fetch →
+    //    rerank driver-side through the same hitRowsFor core — 4 warm
+    //    stitch jobs become 1. Guards mirror hitsInProcess; a miss keeps
+    //    the distributed stitch below unchanged.
+    val stitched: Option[DataFrame] =
+      if (categoryFilter.nonEmpty || !cfg.enableReranking ||
+          (cfg.enableHybridSearch &&
+            (cfg.fusionMethod == "weighted" || bm25Index.isEmpty))) None
+      else for {
+        ck <- corpusKey
+        cmap <- chunksInMemory(chunks, ck)
+        kraw <- if (!cfg.enableHybridSearch) Some(Seq.empty[(Long, Double)])
+                else Bm25.scoreWithIndexValues(bm25Index.get, spark, enhanced,
+                  cfg.bm25K1, cfg.bm25B)
+      } yield {
+        import spark.implicits._
+        val vvals = vtop.select(col("doc_id").cast("long"),
+            col("score").cast("double"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        hitRowsFor(spark, cfg, enhanced, vvals, kraw, cmap)
+          .take(cfg.queryTopK)
+          .toDF("doc_id", "score", "text", "sourcedoc", "sid",
+            "rerank_score", "final_rank")
+      }
+    stitched.getOrElse {
     // 3b. BM25 (A2/T2) — skipped when hybrid disabled (the reference's
     //     low-memory tier does the same, README.md:454-459); k1/b and the
     //     candidate cap come from config
@@ -237,6 +264,7 @@ object KbPipeline {
         Rerank.lexicalScore(enhanced, col("text")))
         .orderBy("final_rank").limit(cfg.queryTopK)
     else withText.orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
+    }
     }
 
     // 5. context expansion (J2/W2) with the P5 adaptive scope: low-scoring

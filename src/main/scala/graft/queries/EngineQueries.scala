@@ -1174,7 +1174,7 @@ object EngineQueries {
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
         graft.config.KbConfig(indexType = "ivfpq", ivfNprobe = 2),
         bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
-        serving = serving).hits
+        serving = serving, corpusKey = Some(dir)).hits
     },
 
     // ── The flagship lifecycle SERVED BY THE GRAPH TIER: vector stage
@@ -1195,7 +1195,7 @@ object EngineQueries {
       graft.pipeline.KbPipeline.query(s, chunks, emb, E2eQueryText,
         graft.config.KbConfig(indexType = "graph"),
         bm25Index = Some(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")),
-        serving = serving).hits
+        serving = serving, corpusKey = Some(dir)).hits
     },
 
     // ── BATCHED hybrid retrieval: N queries through ONE DAG (the Spark

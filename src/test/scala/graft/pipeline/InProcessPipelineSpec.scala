@@ -88,6 +88,26 @@ class InProcessPipelineSpec extends SparkSpec {
     assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
   }
 
+  test("non-flat tier: warm stitch (collected vtop + driver fusion/rerank) == distributed") {
+    val ch = chunks.localCheckpoint(true)
+    val emb = embeddings.localCheckpoint(true)
+    val ix = Bm25.cachedIndex("inproc-spec-ivf", ch, "doc_id", "text")
+    val srv = graft.operators.VectorSearch.buildServing(emb, "doc_id",
+      "embedding", graft.operators.VectorSearch.IndexStrategy.Ivf(4))
+    val cfgIvf = graft.config.KbConfig(indexType = "ivf", ivfNprobe = 2)
+    val warm = KbPipeline.query(spark, ch, emb, "spark joins ranking",
+      cfg = cfgIvf, bm25Index = Some(ix), serving = srv,
+      corpusKey = Some("inproc-spec-ivf")).hits
+    val dist = KbPipeline.query(spark, ch, emb, "spark joins ranking",
+      cfg = cfgIvf, bm25Index = Some(ix), serving = srv,
+      corpusKey = None).hits
+    assert(warm.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val w = warm.collect().map(_.toSeq).toSeq
+    val d = dist.collect().map(_.toSeq).toSeq
+    assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
+  }
+
   test("category filter and weighted fusion keep the distributed plan") {
     val ch = chunks.localCheckpoint(true)
     val emb = embeddings.localCheckpoint(true)
