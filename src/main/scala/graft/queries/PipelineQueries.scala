@@ -5,7 +5,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.ingest.Chunker
 import graft.multimodal.Multimodal
-import graft.operators.{Curation, Dedup, LmQuality, Sampling, VectorSearch}
+import graft.operators.{Curation, Dedup, LmQuality, QualityClassifier, Sampling, VectorSearch}
 
 /** Training-data pipeline queries (builder-prompt extensions): dedup suite
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
@@ -2231,6 +2231,58 @@ object PipelineQueries {
     //    quality tagger runs once; each doc gets keep/drop with the FIRST
     //    failing rule as attribution (length → repetition → quality →
     //    perplexity) ────────────────────────────────────────────────────────
+    // ── Naive-Bayes domain/quality classifier (the GPT-3/CCNet linear-
+    //    filter regime): train on a 70% hash split labeled by source,
+    //    classify the held-out 30% — every log micro-quantized to integer
+    //    BEFORE aggregation, so both engines sum exact 64-bit ints ────────
+    QueryDef.sql("f_nb_domain_classifier",
+      s"""WITH base AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, source,
+         |         (doc_id * 2654435761) % 1000000007 % 10 AS bk
+         |  FROM documents),
+         |train AS (SELECT * FROM base WHERE bk < 7),
+         |test AS (SELECT * FROM base WHERE bk >= 7),
+         |ttok AS (SELECT source AS label, unnest(${plainTokSql("text")}) AS token FROM train),
+         |counts AS (SELECT label, token, count(*)::BIGINT AS c FROM ttok GROUP BY 1, 2),
+         |totals AS (SELECT label, sum(c)::BIGINT AS n_tok FROM counts GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM counts),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM train),
+         |priors AS (
+         |  SELECT source AS label,
+         |         floor(ln(count(*)::DOUBLE / (SELECT n FROM nd)::DOUBLE) * 1000000)::BIGINT AS lp_micro
+         |  FROM train GROUP BY 1),
+         |lik AS (
+         |  SELECT c.label, c.token,
+         |         floor(ln((c.c + 1)::DOUBLE / (t.n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000)::BIGINT AS ll_micro
+         |  FROM counts c JOIN totals t USING (label)),
+         |oov AS (
+         |  SELECT label,
+         |         floor(ln(1.0::DOUBLE / (n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000)::BIGINT AS oov_micro
+         |  FROM totals),
+         |stok AS (SELECT doc_id, unnest(${plainTokSql("text")}) AS token FROM test),
+         |contrib AS (
+         |  SELECT s.doc_id, o.label, coalesce(l.ll_micro, o.oov_micro) AS t_micro
+         |  FROM stok s CROSS JOIN oov o
+         |  LEFT JOIN lik l ON l.label = o.label AND l.token = s.token),
+         |sums AS (SELECT doc_id, label, sum(t_micro)::BIGINT AS ev FROM contrib GROUP BY 1, 2),
+         |dl AS (SELECT t.doc_id, p.label, p.lp_micro FROM test t CROSS JOIN priors p),
+         |scored AS (
+         |  SELECT dl.doc_id, dl.label,
+         |         (dl.lp_micro + coalesce(s.ev, 0))::BIGINT AS score_micro
+         |  FROM dl LEFT JOIN sums s ON s.doc_id = dl.doc_id AND s.label = dl.label),
+         |win AS (
+         |  SELECT doc_id, label, score_micro,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score_micro DESC, label) AS rk
+         |  FROM scored)
+         |SELECT w.doc_id, w.label, w.score_micro, t.source AS actual
+         |FROM win w JOIN test t USING (doc_id)
+         |WHERE rk = 1 ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      QualityClassifier.trainAndClassify(Tables.documents(s, dir),
+          "doc_id", "text", "source")
+        .orderBy("doc_id")
+    },
+
     QueryDef.sql("f_curation_decision",
       s"""$lmScoreCte,
          |tq AS (
