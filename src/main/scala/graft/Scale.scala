@@ -569,6 +569,19 @@ object Scale {
     secs(s"e2e-pipeline-stored 1x")(pipelineStored(docs, 2000, "p1"))
     secs(s"e2e-pipeline-stored ${kDocs}x")(
       pipelineStored(bigDocs, 2000L * kDocs, s"p$kDocs"))
+
+    // ── r12: NB domain classifier — train on the 70% split + classify the
+    //    held-out 30%, both token-level groupBys/joins (must be linear).
+    //    LABELS HELD FIXED at 5 while data grows 20× (the replicated
+    //    corpus's suffixed sources would otherwise grow L with the data
+    //    and measure L·tokens — the classifier's true cost model, but not
+    //    the data-scaling question this row asks) ─────────────────────────
+    def nbClassify(d: DataFrame): Long =
+      operators.QualityClassifier.trainAndClassify(
+        d.withColumn("lbl", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+        "doc_id", "text", "lbl").count()
+    secs(s"nb-classifier 1x")(nbClassify(docs))
+    secs(s"nb-classifier ${kDocs}x")(nbClassify(bigDocs))
     spark.stop()
   }
 }

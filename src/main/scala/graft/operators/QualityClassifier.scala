@@ -72,27 +72,35 @@ object QualityClassifier {
   /** Score and argmax: `(doc_id, label, score_micro)` — the winning label
     * per document, score = prior + Σ tokens (likelihood | OOV cost), ties
     * to the lexically smallest label. Tokenless docs classify by priors.
+    *
+    * SPARSE evidence: Σ_t (ll | oov) rewrites exactly (integer math — no
+    * float reassociation) as n_tok·oov + Σ_{t seen for label} (ll − oov),
+    * so tokens join the model ON TOKEN ONLY — work is the number of
+    * (doc-token, label-with-that-token) hits, not tokens × labels. The
+    * dense fan survives only at the DOC level (docs × L prior rows). A
+    * 100-label corpus sharing one vocabulary degrades back toward dense —
+    * that is the classifier's true cost model (L dot products per doc),
+    * not a plan artifact.
     */
   def classify(model: NbModel, docs: DataFrame, idCol: String,
                textCol: String): DataFrame = {
     val labels = broadcast(model.priors.join(model.oov, "label"))
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokenize(coalesce(col(textCol), lit("")))).as("token"))
-    // token × label fan (L is small), model join, OOV default
-    val contrib = toks
-      .join(labels.select("label", "oov_micro"))
-      .join(broadcast(model.likelihoods), Seq("label", "token"), "left")
+    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val sparse = toks
+      .join(broadcast(model.likelihoods), Seq("token"))
+      .join(broadcast(model.oov), Seq("label"))
+      .groupBy("doc_id", "label")
+      .agg(sum(col("ll_micro") - col("oov_micro")).as("adj_micro"))
+    val scored = docs.select(col(idCol).as("doc_id"))
+      .join(labels)
+      .join(nTok, Seq("doc_id"), "left")
+      .join(sparse, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
-        coalesce(col("ll_micro"), col("oov_micro")).as("t_micro"))
-    val sums = contrib.groupBy("doc_id", "label")
-      .agg(sum("t_micro").as("ev_micro"))
-    // priors join AFTER the sum (tokenless docs need a row per label: take
-    // every (doc, label) pair from the doc list × labels, left join sums)
-    val docLabels = docs.select(col(idCol).as("doc_id"))
-      .join(labels.select("label", "lp_micro"))
-    val scored = docLabels.join(sums, Seq("doc_id", "label"), "left")
-      .select(col("doc_id"), col("label"),
-        (col("lp_micro") + coalesce(col("ev_micro"), lit(0L))).as("score_micro"))
+        (col("lp_micro") +
+          coalesce(col("n_tok"), lit(0L)) * col("oov_micro") +
+          coalesce(col("adj_micro"), lit(0L))).as("score_micro"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("score_micro").desc, col("label"))
     scored.withColumn("_rk", row_number().over(w))
