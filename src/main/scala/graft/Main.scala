@@ -365,6 +365,12 @@ object Main {
               syncCfgKey(s"$kb/config.ini", "ivf_nprobe", knobs.nprobe.toString)
             if (knobs.shortlist > 0)
               syncCfgKey(s"$kb/config.ini", "pq_shortlist", knobs.shortlist.toString)
+            // a recorded demotion is actionable config, not just a log
+            // line: persist the tier switch so the query verb serves the
+            // tier the tuner measured (the reference's auto-selection
+            // writes its index choice the same way)
+            if (knobs.demotedFrom.nonEmpty)
+              syncCfgKey(s"$kb/config.ini", "index_type", "ivfpq")
         }
 
       case "optimize" =>
