@@ -71,14 +71,22 @@ object LmQuality {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             vocabSize: Int = DefaultVocabSize): DataFrame = {
-    val total = totalTokens(docs, textCol)
+    // the (token, count) table feeds the total (an eager collect), the
+    // vocab head, AND nothing else — materialize the token explode+groupBy
+    // ONCE (distinct-token-sized, tiny next to the corpus) instead of
+    // re-running the corpus pass for each consumer
+    val counts = tokenCounts(docs, textCol).localCheckpoint(true)
+    val totalRow = counts.agg(sum("c")).collect()
+    val total =
+      if (totalRow.isEmpty || totalRow(0).isNullAt(0)) 0L
+      else totalRow(0).getLong(0)
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokenize(col(textCol))).as("token"))
     if (total == 0L)
       // tokenless corpus: no scored rows, contract schema preserved
       return toks.select(col(idCol), lit(0L).as("n_tokens"),
         lit(0.0).as("cross_entropy")).limit(0)
-    val vocab = vocabFor(tokenCounts(docs, textCol), total, vocabSize)
+    val vocab = vocabFor(counts, total, vocabSize)
     // OOV floor, as a literal: same JVM Math.log the codegen'd vocab costs
     // use, so driver-vs-executor evaluation cannot diverge
     val oovCost = math.floor(math.log(total.toDouble) * Micro.toDouble).toLong
@@ -109,18 +117,18 @@ object LmQuality {
     */
   def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int = DefaultVocabSize): DataFrame = {
-    val sc = score(docs, idCol, textCol, vocabSize)
-    val cached = sc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (t1, t2) =
-      try {
-        val n = cached.count()
-        def kth(k: Long): Double = {
-          val r = cached.orderBy(col("cross_entropy"), col(idCol))
-            .limit(k.toInt).agg(max("cross_entropy")).collect()
-          if (r.isEmpty || r(0).isNullAt(0)) Double.MaxValue else r(0).getDouble(0)
-        }
-        (kth((n + 2) / 3), kth((2 * n + 2) / 3))
-      } finally cached.unpersist()
+    // ONE materialization serves the count, both threshold scans, AND the
+    // returned projection — the previous persist/unpersist released the
+    // cache before the returned (lazy) plan ran, so the whole 3-pass LM
+    // scoring subtree recomputed on every downstream action
+    val sc = score(docs, idCol, textCol, vocabSize).localCheckpoint(true)
+    val n = sc.count()
+    def kth(k: Long): Double = {
+      val r = sc.orderBy(col("cross_entropy"), col(idCol))
+        .limit(k.toInt).agg(max("cross_entropy")).collect()
+      if (r.isEmpty || r(0).isNullAt(0)) Double.MaxValue else r(0).getDouble(0)
+    }
+    val (t1, t2) = (kth((n + 2) / 3), kth((2 * n + 2) / 3))
     sc.select(col(idCol), col("cross_entropy"),
       when(col("cross_entropy") <= lit(t1), "head")
         .when(col("cross_entropy") <= lit(t2), "middle")
