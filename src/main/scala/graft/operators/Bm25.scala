@@ -407,12 +407,10 @@ object Bm25 {
     if (queries.map(_._1).distinct.size != queries.size) return None
     indexInProcess(ix, spark, inProcessLimit).map { ip =>
       import spark.implicits._
-      val round4 = (x: Double) => graft.functions.HashAlgos.roundHalfUp(x, 4)
       val rows = queries.flatMap { case (qid, q) =>
-        scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, q), k1, b)
-          .map { case (d, s) => (d, round4(s)) }
-          .sortBy { case (d, s) => (-s, d) }
-          .take(k)
+        TopK.roundedHead(
+            scoreInProcess(ip, TextFunctions.tokenizeBm25Value(spark, q), k1, b),
+            k, scale = 4)
           .map { case (d, s) => (qid, d, s) }
       }.toDF("query_id", "doc_id", "score")
       // keep the index's native doc_id type: the distributed plan emits it

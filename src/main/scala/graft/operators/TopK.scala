@@ -53,6 +53,31 @@ class TopKAggregator(k: Int, distinct: Boolean = false)
 
 object TopK {
 
+  /** Driver-side rounded head: the top-`k` of `(id, raw score)` rows under
+    * the pipeline's (round(score, scale) desc, id asc) ranking, with the
+    * BigDecimal HALF_UP rounding applied ONLY to heap candidates — a row
+    * more than one 10^-scale below the current k-th ROUNDED score cannot
+    * round into the heap (|round(x) − x| ≤ 0.5·10^-scale), so cold rows
+    * cost one double compare instead of a BigDecimal allocation. On a
+    * ~100k-row BM25 score list that is the difference between rounding 100k
+    * values and rounding ~k. Identical output to mapping round over every
+    * row and sorting.
+    */
+  def roundedHead(rows: Iterable[(Long, Double)], k: Int,
+                  scale: Int): Seq[(Long, Double)] = {
+    val agg = new TopKAggregator(k)
+    var b = agg.zero
+    val band = math.pow(10.0, -scale)
+    val it = rows.iterator
+    while (it.hasNext) {
+      val (id, raw) = it.next()
+      if (b.items.length < k || raw >= b.items.last.score - band)
+        b = agg.reduce(b, ScoredDoc(id,
+          graft.functions.HashAlgos.roundHalfUp(raw, scale)))
+    }
+    b.items.map(sd => (sd.doc_id, sd.score))
+  }
+
   /** Column function: `topK(k)(doc_id, score)` usable in `groupBy().agg`. */
   def topK(k: Int): (Column, Column) => Column = { (docId, score) =>
     udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])(docId, score)

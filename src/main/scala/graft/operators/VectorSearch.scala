@@ -571,6 +571,34 @@ object VectorSearch {
     b.items
   }
 
+  /** [[topKOverCorpus]] under the pipeline's rounded ranking, with the
+    * BigDecimal HALF_UP rounding applied ONLY to heap candidates: a row
+    * whose raw cosine sits more than one 10^-scale below the current k-th
+    * ROUNDED score cannot round into the heap (|round(x) − x| ≤
+    * 0.5·10^-scale), so cold rows cost one double compare instead of a
+    * per-row BigDecimal allocation — the difference between ~0.1 s and
+    * multiple seconds on a 100k-vector warm batch. Results are identical
+    * to rounding every row (the prune is a strict under-bound; candidates
+    * still go through the exact Spark-round twin).
+    */
+  private def roundedTopKOverCorpus(corpus: Array[(Long, Array[Float])],
+                                    qv: Array[Float], k: Int,
+                                    scale: Int): Seq[ScoredDoc] = {
+    val agg = new TopKAggregator(k)
+    var b = agg.zero
+    val band = math.pow(10.0, -scale)
+    val round: Double => Double = roundAt(scale)(_)
+    var i = 0
+    while (i < corpus.length) {
+      val (id, v) = corpus(i)
+      val raw = HashAlgos.cosineF32(v, qv)
+      if (b.items.length < k || raw >= b.items.last.score - band)
+        b = agg.reduce(b, ScoredDoc(id, round(raw)))
+      i += 1
+    }
+    b.items
+  }
+
   /** Exact top-k for one literal query vector.
     *
     * Serving shape: under `inMemoryLimit` rows (see [[corpusInMemory]]) the
@@ -690,7 +718,7 @@ object VectorSearch {
       val spark = embeddings.sparkSession
       import spark.implicits._
       queries.flatMap { case (qid, qv) =>
-        topKOverCorpus(bc.value, qv, k, roundAt(scale))
+        roundedTopKOverCorpus(bc.value, qv, k, scale)
           .map(sd => (qid, sd.doc_id, sd.score))
       }.toDF("query_id", "doc_id", "score")
     }
@@ -706,7 +734,7 @@ object VectorSearch {
                         inMemoryLimit: Int = 200000,
                         cacheKey: Option[String] = None): Option[Seq[(Long, Double)]] =
     corpusInMemory(embeddings, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
-      topKOverCorpus(bc.value, qv, k, roundAt(scale))
+      roundedTopKOverCorpus(bc.value, qv, k, scale)
         .map(sd => (sd.doc_id, sd.score))
     }
 

@@ -406,10 +406,8 @@ object KbPipeline {
     val hits0: Seq[(Long, Double)] =
       if (!cfg.enableHybridSearch) vtop
       else {
-        val ktop = kraw
-          .map { case (id, s) => (id, graft.functions.HashAlgos.roundHalfUp(s, 4)) }
-          .sortBy { case (id, s) => (-s, id) }
-          .take(math.min(cfg.bm25MaxResults, cfg.queryTopK))
+        val ktop = graft.operators.TopK.roundedHead(kraw,
+          math.min(cfg.bm25MaxResults, cfg.queryTopK), scale = 4)
         def contribs(list: Seq[(Long, Double)]): Seq[(Long, Double)] =
           list.sortBy { case (id, s) => (-s, id) }.zipWithIndex
             .map { case ((id, _), i) => (id, 1.0 / (Fusion.RrfK.toDouble + (i + 1))) }

@@ -1011,14 +1011,19 @@ object EngineQueries {
          |ORDER BY query_id, final_rank""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
-      val qt = Seq((0L, "spark join filter window"),
+      val qSeq = Seq((0L, "spark join filter window"),
         (100L, "hash merge batch scan"), (200L, "sort table row value"))
-        .toDF("query_id", "qtext")
-      val ranked = Bm25.scoreBatch(ix, qt, "query_id", "qtext")
-        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
-        .withColumn("orig_rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("orig_rank") <= 50).drop("orig_rank")
+      val qt = qSeq.toDF("query_id", "qtext")
+      // warm serving rung: the keyed index scores the 3 driver-held queries
+      // in process and emits exactly the rounded top-50 head rows the
+      // window below would keep (identity spec-proved); unkeyed/over-limit
+      // keeps the distributed batch plan
+      val ranked = Bm25.topKBatchInProcess(ix, s, qSeq, 50)
+        .getOrElse(Bm25.scoreBatch(ix, qt, "query_id", "qtext")
+          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+          .withColumn("orig_rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("orig_rank") <= 50).drop("orig_rank"))
       val withText = ranked
         .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
         .join(broadcast(qt), "query_id")
