@@ -151,9 +151,14 @@ object KbQueries {
       s"""$bm25Cte
          |SELECT doc_id, round(score, 4) AS score FROM bm25
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
-      Bm25.topK(
-        Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
-          .select(col("doc_id"), round(col("score"), 4).as("score")), 20)
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      // warm: the rounded top-20 head rows arrive rank-ready in process
+      // (identity spec-proved) — no sort job over the scored LocalRelation
+      Bm25.topKBatchInProcess(ix, s, Seq((0L, QueryText)), 20)
+        .map(_.select(col("doc_id"), col("score")))
+        .getOrElse(Bm25.topK(
+          Bm25.scoreWithIndex(ix, s, QueryText)
+            .select(col("doc_id"), round(col("score"), 4).as("score")), 20))
     },
 
     // ── T1: exact vector k-NN (cosine; warm in-process LocalRelation, or
