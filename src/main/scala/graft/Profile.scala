@@ -269,7 +269,13 @@ object Profile {
       for (name <- Seq("f2_enhanced_clean", "f5_metadata", "f6_enhance",
           "f8_spell_correct", "f9_content_keys", "m8_answer_batch",
           "m7_rerank_batch", "s_chunker", "f_pii_scrub", "f_quality_score",
-          "mm_png_decode", "mm_bmp_decode")) {
+          "mm_png_decode", "mm_bmp_decode",
+          // r12 additions: the classifier, the composed pipeline, and the
+          // warm-served queries (their LocalRelation results must carry
+          // their real materialized cost, not a count shortcut)
+          "f_nb_domain_classifier", "e2e_data_pipeline", "e2e_hybrid_query",
+          "e2e_hybrid_batch20", "t1_cosine_knn", "t2_bm25_topk",
+          "u1_stopword_union", "m3_retry_schedule")) {
         val fn = SparkEntry.queries(name)
         secs(s"count  $name") { fn(spark, sfDir).count() }
         secs(s"full   $name") { full(fn(spark, sfDir)) }
