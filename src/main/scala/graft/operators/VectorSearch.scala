@@ -901,6 +901,97 @@ object VectorSearch {
         }.toDF("query_id", "doc_id", "score")
       }
 
+  /** Resident PQ serving state: (cluster → sorted array of (id, codes,
+    * raw vector)) for a KEYED encoded table under the row/float budget —
+    * FAISS IVFPQ's loaded-index layout (codes for the ADC scan, raw
+    * vectors for the refine step). Memoized per (session, key); None
+    * keeps callers on the partition-pruned distributed plan, the 100 TB
+    * path.
+    */
+  private type InMemPq =
+    org.apache.spark.broadcast.Broadcast[Map[Int, Array[(Long, Array[Int], Array[Float])]]]
+  private val inMemPqCache = new SessionMemo[Option[InMemPq]]
+  private def pqInMemory(encoded: DataFrame, idCol: String, vecCol: String,
+                         inMemoryLimit: Int,
+                         cacheKey: Option[String]): Option[InMemPq] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (inMemoryLimit <= 0) return None
+    if (!isLongArrayF32(encoded, idCol, vecCol)) return None
+    val cidType = encoded.schema("cluster_id").dataType
+    if (cidType != IntegerType && cidType != LongType) return None
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    cacheKey.flatMap { k0 =>
+      inMemPqCache.getOrBuild(spark, s"$k0|pq|lim=$inMemoryLimit") {
+        scala.util.Try {
+          val sel = encoded.select(col(idCol), col("cluster_id").cast("int"),
+              col("codes"), col(vecCol))
+            .filter(col(vecCol).isNotNull && col("codes").isNotNull)
+          val n = sel.limit(inMemoryLimit + 1).count()
+          val dim = sel.select(size(col(vecCol))).take(1)
+            .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+          if (n > inMemoryLimit || n * math.max(dim, 1L) > InMemMaxFloats) None
+          else Some(spark.sparkContext.broadcast(
+            sel.as[(Long, Int, Array[Int], Array[Float])].collect()
+              .groupBy(_._2)
+              .map { case (cid, xs) =>
+                cid -> xs.sortBy(_._1).map(x => (x._1, x._3, x._4)) }))
+        }.toOption.flatten
+      }
+    }
+  }
+
+  /** In-process single-query IVFPQ+refine under the pipeline's rounded
+    * ranking: ADC over the resident probed clusters' codes (negated
+    * round-6 dist desc ≡ dist asc, id asc — [[pqAdcTopK]]'s order) keeps a
+    * `shortlist`, then the exact rounded-cosine re-rank runs over the SAME
+    * resident rows' raw vectors — zero scheduled jobs warm, the FAISS
+    * resident-IVFPQ regime. The caller supplies the probe list so the
+    * distributed path's probe ranking is preserved verbatim. None
+    * (keyless / over-budget / off-schema) keeps the distributed plan.
+    */
+  def ivfPqTopKValues(encoded: DataFrame, idCol: String, vecCol: String,
+                      cb: PqCodebook, qv: Array[Float], probes: Seq[Int],
+                      k: Int, shortlist: Int, scale: Int = 6,
+                      inMemoryLimit: Int = 200000,
+                      cacheKey: Option[String] = None): Option[Seq[(Long, Double)]] =
+    pqInMemory(encoded, idCol, vecCol, inMemoryLimit, cacheKey).map { bc =>
+      val lut = pqLut(cb, qv.toSeq)
+      val kSub = cb.head.length
+      // ADC stage: same accumulation order as PqAdcDistColsExpr (sequential
+      // s = 0..m-1), negated round-6 so TopKAggregator's (score desc, id)
+      // equals (dist asc, id)
+      val adcAgg = new TopKAggregator(shortlist)
+      var sb = adcAgg.zero
+      probes.foreach { cid =>
+        bc.value.getOrElse(cid, Array.empty[(Long, Array[Int], Array[Float])])
+          .foreach { case (id, codes, _) =>
+            var acc = 0.0
+            var s = 0
+            while (s < codes.length) {
+              acc = acc + lut(s * kSub + codes(s))
+              s += 1
+            }
+            sb = adcAgg.reduce(sb,
+              ScoredDoc(id, -graft.functions.HashAlgos.roundHalfUp(acc, 6)))
+          }
+      }
+      val short = sb.items.map(_.doc_id).toSet
+      // refine: exact rounded cosine over the shortlist's raw vectors
+      val agg = new TopKAggregator(k)
+      var b = agg.zero
+      probes.foreach { cid =>
+        bc.value.getOrElse(cid, Array.empty[(Long, Array[Int], Array[Float])])
+          .foreach { case (id, _, v) =>
+            if (short.contains(id))
+              b = agg.reduce(b, ScoredDoc(id,
+                graft.functions.HashAlgos.roundHalfUp(
+                  graft.functions.HashAlgos.cosineF32(v, qv), scale)))
+          }
+      }
+      b.items.map(sd => (sd.doc_id, sd.score))
+    }
+
   /** Build an IVF index with MLlib KMeans fit on a sample (the reference
     * trains on ≤10k vectors, `embed_manager.py:694-715`; ncentroids ≈ 4·√n
     * capped — `embed_manager.py:163-213`).

@@ -167,13 +167,28 @@ object KbPipeline {
       case VectorSearch.Serving.IvfPq(ix, cb, encoded, shortlist) =>
         // FAISS IVFPQ+refine: probe (expression-ranked — probeIdsExact),
         // ADC-score only the probed clusters' CODES (m int lookups/row,
-        // not a dim-float scan), exact re-rank of the shortlist
+        // not a dim-float scan), exact re-rank of the shortlist. A keyed
+        // caller under the broadcast guard serves both stages from the
+        // resident (cluster → codes+vectors) state with zero jobs
+        // (ivfPqTopKValues — same probe list, ADC order, and rounded
+        // refine contract); over the guard the partition-pruned
+        // distributed plan below is the 100 TB path.
         val probes = VectorSearch.probeIdsExact(spark, ix.centroids, qvec, cfg.ivfNprobe)
-        val enc = encoded.filter(col("cluster_id").isin(probes: _*))
-          .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding"), col("codes"))
-        val short = VectorSearch.pqAdcTopK(enc, "doc_id", "codes", cb, qvec, shortlist)
-          .select("doc_id")
-        exactTop(enc.join(short, Seq("doc_id"), "left_semi"))
+        corpusKey.flatMap(ck =>
+            VectorSearch.ivfPqTopKValues(encoded, ix.idCol, ix.vecCol, cb,
+              qvec.toArray, probes, cfg.queryTopK, shortlist,
+              cacheKey = Some(ck)))
+          .map { vals =>
+            import spark.implicits._
+            vals.toDF("doc_id", "score")
+          }
+          .getOrElse {
+            val enc = encoded.filter(col("cluster_id").isin(probes: _*))
+              .select(col(ix.idCol).as("doc_id"), col(ix.vecCol).as("embedding"), col("codes"))
+            val short = VectorSearch.pqAdcTopK(enc, "doc_id", "codes", cb, qvec, shortlist)
+              .select("doc_id")
+            exactTop(enc.join(short, Seq("doc_id"), "left_semi"))
+          }
       case VectorSearch.Serving.Graph(g, beam, hops, entries) =>
         // HNSW-analogue beam search; graphSearch's output already carries
         // the rounded-6dp score contract

@@ -108,6 +108,26 @@ class InProcessPipelineSpec extends SparkSpec {
     assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
   }
 
+  test("IVFPQ tier: resident ADC+refine == distributed probe/ADC/re-rank") {
+    val ch = chunks.localCheckpoint(true)
+    val emb = embeddings.localCheckpoint(true)
+    val ix = Bm25.cachedIndex("inproc-spec-pq", ch, "doc_id", "text")
+    val srv = graft.operators.VectorSearch.buildServing(emb, "doc_id",
+      "embedding", graft.operators.VectorSearch.IndexStrategy.IvfPq(4, 4))
+    val cfgPq = graft.config.KbConfig(indexType = "ivfpq", ivfNprobe = 2)
+    val warm = KbPipeline.query(spark, ch, emb, "spark joins ranking",
+      cfg = cfgPq, bm25Index = Some(ix), serving = srv,
+      corpusKey = Some("inproc-spec-pq")).hits
+    val dist = KbPipeline.query(spark, ch, emb, "spark joins ranking",
+      cfg = cfgPq, bm25Index = Some(ix), serving = srv,
+      corpusKey = None).hits
+    assert(warm.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val w = warm.collect().map(_.toSeq).toSeq
+    val d = dist.collect().map(_.toSeq).toSeq
+    assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
+  }
+
   test("category filter and weighted fusion keep the distributed plan") {
     val ch = chunks.localCheckpoint(true)
     val emb = embeddings.localCheckpoint(true)
