@@ -381,6 +381,10 @@ object KbPipeline {
     if (!cfg.enableReranking) return None
     if (cfg.enableHybridSearch &&
         (cfg.fusionMethod == "weighted" || bm25Index.isEmpty)) return None
+    // a duplicated query_id MERGES in the distributed batch (per-query_id
+    // windows see both queries' rows) but would score independently here —
+    // decline rather than diverge (same rule as Bm25.topKBatchInProcess)
+    if (qData.map(_._1).distinct.size != qData.size) return None
     for {
       ck <- corpusKey
       cmap <- chunksInMemory(chunks, ck)
