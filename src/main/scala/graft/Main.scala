@@ -115,6 +115,7 @@ object Main {
       |  convert-encoding <inputGlob> <outDir>    legacy files -> UTF-8
       |  edit <kbDir> [<key> <value>]             show/set config.ini
       |  dedup | components | knn | graph | pq | curate   training-pipeline suite
+      |  classify <kbDir> [labelCol]              NB domain classifier (train/held-out)
       |  help | version""".stripMargin
 
   /** Verb dispatch against a caller-owned session (main owns stop()). */
@@ -412,6 +413,26 @@ object Main {
         Seq("exact", "minhash_lsh", "simhash").foreach { d =>
           println(s"[graft] dedup: ${spark.read.parquet(s"$kb/dedup/$d").count()} pairs -> $kb/dedup/$d")
         }
+
+      case "classify" =>
+        // extension verb (training-pipeline suite): Naive-Bayes domain/
+        // quality classifier over the chunk table — train on the 70%
+        // id-hash split labeled by `labelCol` (default sourcedoc), score
+        // the held-out 30%, persist predictions, report held-out accuracy
+        // (the GPT-3/CCNet curated-vs-crawl filter regime).
+        import graft.operators.QualityClassifier
+        val labelCol = if (args.length > 2) args(2) else "sourcedoc"
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        val out = QualityClassifier.trainAndClassify(chunks, "doc_id",
+          "text", labelCol)
+        out.write.mode("overwrite").parquet(s"$kb/classify/heldout")
+        val scored = spark.read.parquet(s"$kb/classify/heldout")
+        val n = scored.count()
+        val correct = scored.filter(col("label") === col("actual")).count()
+        val acc = if (n > 0) correct.toDouble / n else 0.0
+        println(f"[graft] classify: $n held-out chunks, accuracy $acc%.3f " +
+          s"-> $kb/classify/heldout")
 
       case "curate" =>
         // extension verb (training-pipeline suite): sequence packing + PII

@@ -278,6 +278,22 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("CLI classify verb trains on the hash split and reports held-out accuracy") {
+    val kb = Files.createTempDirectory("graft_cli_classify").toString
+    import spark.implicits._
+    // perfectly separable vocabulary per source → held-out accuracy 1.0
+    (1L to 60L).map { i =>
+      (i, if (i % 2 == 0) "spark executor shuffle stage" else "flour sugar recipe oven",
+        if (i % 2 == 0) "eng" else "food")
+    }.toDF("doc_id", "chunk_text", "sourcedoc")
+      .write.parquet(s"$kb/chunks")
+    Main.run(Array("classify", kb), spark)
+    val out = spark.read.parquet(s"$kb/classify/heldout")
+    assert(out.count() > 0 && out.count() < 60) // a genuine held-out split
+    val wrong = out.filter(out("label") =!= out("actual"))
+    assert(wrong.count() == 0, wrong.collect().mkString(", "))
+  }
+
   test("KbConfig.renderIni round-trips through load") {
     import graft.config.KbConfig
     val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,

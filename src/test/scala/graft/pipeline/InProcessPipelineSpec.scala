@@ -128,6 +128,18 @@ class InProcessPipelineSpec extends SparkSpec {
     assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
   }
 
+  test("duplicate query ids decline warm batch serving (distributed merges them)") {
+    val ch = chunks.localCheckpoint(true)
+    val emb = embeddings.localCheckpoint(true)
+    val ix = Bm25.cachedIndex("inproc-spec-dup", ch, "doc_id", "text")
+    val qs = Seq(1L -> "spark joins", 1L -> "window functions")
+    val out = KbPipeline.queryBatch(spark, ch, emb, qs,
+      bm25Index = Some(ix), corpusKey = Some("inproc-spec-dup"))
+    assert(!out.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "duplicated query_id must fall back to the distributed batch")
+  }
+
   test("category filter and weighted fusion keep the distributed plan") {
     val ch = chunks.localCheckpoint(true)
     val emb = embeddings.localCheckpoint(true)
