@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines (builder-prompt
@@ -93,6 +94,35 @@ object Sampling {
           .otherwise(0L)).cast("long"))
       .filter(col("n_repeats") > 0)
       .drop("base", "frac_thr")
+  }
+
+  /** Second independent multiplier (xxHash's public PRIME32_2) for the
+    * within-shard order draw: reusing [[Knuth]] would make a shard's order
+    * a function of its membership residue.
+    */
+  val Knuth2 = 2246822519L
+
+  /** Deterministic training-order sharding — the EXPORT step of a training
+    * pipeline: every curated document gets a shard file and a position
+    * inside it, and any engine (or any re-run after a failure) reproduces
+    * the identical layout. shard = hash₁(id) mod n; within-shard order by
+    * an INDEPENDENT hash₂(id) so the global read order is a reproducible
+    * pseudo-random shuffle of the corpus (training loaders read shards
+    * round-robin). Never rand(): a retried write task must land the same
+    * rows at the same positions.
+    *
+    * 100 TB: one shuffle, keyed by the shard — exactly the clustering the
+    * partitioned writer needs anyway (`write.partitionBy("shard")` after
+    * `repartition(col("shard"))` gives one file per shard, rows already in
+    * position order via sortWithinPartitions). The per-shard window sort
+    * is the per-output-file sort every shard writer pays; nShards is the
+    * parallelism knob.
+    */
+  def shardOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(pmod(col(idCol) * Knuth2, lit(P)), col(idCol))
+    df.withColumn("shard", pmod(hashDraw(col(idCol)), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
   /** Per-group keep ratio r_g = quota_g / count_g with quota_g = T·w_g/Σw,

@@ -5,7 +5,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.ingest.Chunker
 import graft.multimodal.Multimodal
-import graft.operators.{Curation, Dedup, LmQuality, QualityClassifier, Sampling, VectorSearch}
+import graft.operators.{Curation, Dedup, Dsir, LmQuality, QualityClassifier, Sampling, VectorSearch}
 
 /** Training-data pipeline queries (builder-prompt extensions): dedup suite
   * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
@@ -100,6 +100,40 @@ object PipelineQueries {
        |spans AS (
        |  SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end
        |  FROM g GROUP BY doc_id, island)""".stripMargin
+
+  /** DSIR importance-weight CTE chain (twin of `Dsir.importanceWeights`
+    * with buckets = 1024, target = source 'src0'): hashed unigram+bigram
+    * feature occurrences, Laplace-smoothed micro log-probs over the dense
+    * bucket range for both corpora, per-doc integer weight sums — ends at
+    * `sc(doc_id, n_feats, s)` with `documents` still in scope (0-feature
+    * docs have no sc row; the SELECT coalesces them to weight 0).
+    */
+  private lazy val dsirWeightsCte: String = {
+    val B = 1024
+    s"""WITH t AS (SELECT doc_id, ${plainTokSql("coalesce(text, '')")} AS toks FROM documents),
+       |f AS (SELECT doc_id, list_concat(toks, ${shinglesSql("toks", 2)}) AS feats FROM t),
+       |occ AS (SELECT doc_id, ${polySql("feat", 31)} % $B AS bucket
+       |        FROM (SELECT doc_id, unnest(feats) AS feat FROM f) u),
+       |rc AS (SELECT bucket, count(*)::BIGINT AS c FROM occ GROUP BY bucket),
+       |rt AS (SELECT count(*)::BIGINT AS t FROM occ),
+       |tc AS (SELECT o.bucket, count(*)::BIGINT AS c FROM occ o
+       |       JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+       |       GROUP BY o.bucket),
+       |tt AS (SELECT count(*)::BIGINT AS t FROM occ o
+       |       JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+       |bk AS (SELECT unnest(range(0, $B)) AS bucket),
+       |lpr AS (SELECT bk.bucket,
+       |          floor(ln((coalesce(rc.c, 0) + 1)::DOUBLE / (rt.t + $B)::DOUBLE)
+       |                * 1000000.0)::BIGINT AS lp
+       |        FROM bk LEFT JOIN rc USING (bucket), rt),
+       |lpt AS (SELECT bk.bucket,
+       |          floor(ln((coalesce(tc.c, 0) + 1)::DOUBLE / (tt.t + $B)::DOUBLE)
+       |                * 1000000.0)::BIGINT AS lp
+       |        FROM bk LEFT JOIN tc USING (bucket), tt),
+       |dw AS (SELECT bucket, lpt.lp - lpr.lp AS dw FROM lpt JOIN lpr USING (bucket)),
+       |sc AS (SELECT o.doc_id, count(*)::BIGINT AS n_feats, sum(dw.dw)::BIGINT AS s
+       |       FROM occ o JOIN dw USING (bucket) GROUP BY o.doc_id)""".stripMargin
+  }
 
   /** Unigram-LM scoring CTE chain (twin of `LmQuality.score`, vocabSize 24):
     * ends at `sc(doc_id, n_tokens, cross_entropy)` — shared by f_lm_quality
@@ -2404,5 +2438,63 @@ object PipelineQueries {
       // table-backed twin the Scale suite measures at 20×
       graft.pipeline.DataPipeline.run(Tables.documents(s, dir),
         vocabSize = 24)
+    },
+
+    // ── DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    //    distribution match of every raw doc against the src0 target
+    //    corpus. Scoring is a zero-shuffle projection — the 1024-bucket
+    //    log-ratio rides the plan as a literal array ───────────────────────
+    QueryDef.sql("f_dsir_weights",
+      s"""$dsirWeightsCte
+         |SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+         |       coalesce(sc.s, 0)::BIGINT AS logw_micro
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dsir.importanceWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text")
+        .select(col("doc_id"), col("n_feats"), col("logw_micro"))
+        .orderBy("doc_id")
+    },
+
+    // ── DSIR resampling: the deterministic top-k of the weight table —
+    //    the "select Wikipedia-like crawl docs" step ───────────────────────
+    QueryDef.sql("t10_dsir_resample",
+      s"""$dsirWeightsCte
+         |SELECT d.doc_id, coalesce(sc.s, 0)::BIGINT AS logw_micro
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dsir.resample(
+          Dsir.importanceWeights(docs, "doc_id", "text",
+            docs.filter(col("source") === "src0"), "text"),
+          "doc_id", 50)
+        .select(col("doc_id"), col("logw_micro"))
+    },
+
+    // ── Deterministic shard export: training-order shuffle (two
+    //    independent Knuth hashes: shard membership + within-shard order)
+    //    THROUGH a real partitioned-parquet sink round trip — a retried or
+    //    re-run export lands every row in the same shard at the same
+    //    position ──────────────────────────────────────────────────────────
+    QueryDef.sql("s12_shard_export",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         (((doc_id * 2654435761) % 1000000007) % 8)::INT AS shard,
+        |         (doc_id * 2246822519) % 1000000007 AS d2
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       (row_number() OVER (PARTITION BY shard ORDER BY d2, doc_id) - 1)::BIGINT AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s12_shards_$suffix").getPath
+      graft.operators.Sampling.shardOrder(Tables.documents(s, dir), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .repartition(col("shard")).sortWithinPartitions("pos")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("shard").cast("int").as("shard"), col("pos"))
+        .orderBy("shard", "pos")
     })
 }

@@ -84,4 +84,41 @@ class SamplingSpec extends SparkSpec {
     // every surviving row repeats at least once; group totals track quotas
     assert(got.values.forall(_ > 0))
   }
+
+  test("shardOrder: shards partition the corpus, positions are dense, and the formula matches") {
+    val df = (0L until 97L).map(i => (i * 7L + 3L, s"d$i")).toDF("id", "x")
+    val got = Sampling.shardOrder(df, "id", 8)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(got.length == 97, "no rows gained or lost")
+    // shard formula: second Knuth hash orders within the shard
+    got.foreach { case (id, sh, _) =>
+      assert(sh == (Math.floorMod(id * Sampling.Knuth, Sampling.P) % 8).toInt) }
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (0L until rows.length.toLong), s"dense positions in shard $sh")
+      val expectedOrder = rows.map(_._1)
+        .sortBy(id => (Math.floorMod(id * Sampling.Knuth2, Sampling.P), id)).toSeq
+      assert(byPos.map(_._1).toSeq == expectedOrder, s"within-shard order in shard $sh")
+    }
+  }
+
+  test("shardOrder: re-runs are identical; appends never move a row to another shard") {
+    val df = (0L until 50L).map(i => (i, s"d$i")).toDF("id", "x")
+    val a = Sampling.shardOrder(df, "id", 4).select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val b = Sampling.shardOrder(df, "id", 4).select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b, "deterministic across runs")
+    val grown = (0L until 80L).map(i => (i, s"d$i")).toDF("id", "x")
+    val g = Sampling.shardOrder(grown, "id", 4).select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    a.foreach { case (id, sh, _) =>
+      assert(g(id)._1 == sh, s"append moved row $id across shards") }
+    // old rows keep their relative within-shard order after the append
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      val oldOrder = rows.sortBy(_._3).map(_._1).toSeq
+      val newOrder = oldOrder.sortBy(id => g(id)._2)
+      assert(newOrder == oldOrder, s"relative order changed in shard $sh")
+    }
+  }
 }
