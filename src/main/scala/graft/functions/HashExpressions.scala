@@ -198,6 +198,45 @@ object HashAlgos {
     new GenericArrayData(out.toArray)
   }
 
+  /** DSIR feature-bucket walk: unigrams ++ word-2-shingles of the token
+    * array (the [[eachShingle]] clamp makes a 1-token doc contribute the
+    * token twice — identical to `concat(toks, shingles(toks, 2))`), each
+    * hashed poly-31 mod `buckets`. `f(bucket)` per feature occurrence;
+    * returns the feature count.
+    */
+  @inline private def eachDsirBucket(tokens: ArrayData, buckets: Int)(
+      f: Int => Unit): Long = {
+    var nf = 0L
+    nf += eachShingle(tokens, 1) { (_, _, sb) =>
+      f((polyOf(sb, 31L) % buckets).toInt) }
+    nf += eachShingle(tokens, 2) { (_, _, sb) =>
+      f((polyOf(sb, 31L) % buckets).toInt) }
+    nf
+  }
+
+  /** DSIR per-document score in ONE pass: [n_feats, Σ ratio(bucket)] over
+    * the unigram+bigram feature walk — the higher-order-function form
+    * (`aggregate` + `element_at` over a B-literal) is interpreted per
+    * feature.
+    */
+  def dsirScore(tokens: ArrayData, buckets: Int, ratio: Array[Long]): ArrayData = {
+    var s = 0L
+    val nf = eachDsirBucket(tokens, buckets)(b => s += ratio(b))
+    new GenericArrayData(Array(nf, s))
+  }
+
+  /** DSIR feature buckets of one document, one array element per feature
+    * occurrence — the counting-pass twin of [[dsirScore]].
+    */
+  def dsirBuckets(tokens: ArrayData, buckets: Int): ArrayData = {
+    val out = new java.util.ArrayList[java.lang.Long]()
+    eachDsirBucket(tokens, buckets)(b => out.add(b.toLong))
+    val arr = new Array[Long](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i).longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** 1 − distinct/total word n-gram shingles, one pass (0.0 when the doc
     * has no shingles). The shingle set and the division order match the
     * Column form `1.0 - size(array_distinct(grams))/size(grams)` exactly.
@@ -688,6 +727,46 @@ case class WordRepetitionExpr(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** `dsir_score(tokens)` → ARRAY<LONG>[n_feats, score_micro]: the DSIR
+  * unigram+bigram feature walk with the B-bucket micro log-ratio riding as
+  * a codegen reference object (no per-row literal tree, no interpreted
+  * higher-order functions).
+  */
+case class DsirScoreExpr(child: Expression, buckets: Int, ratio: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dsir_score"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashAlgos.dsirScore(tokens.asInstanceOf[ArrayData], buckets, ratio)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ratioRef = ctx.addReferenceObj("dsirRatio", ratio, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashAlgos.dsirScore($c, $buckets, $ratioRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
+    copy(child = newChild)
+}
+
+/** `dsir_buckets(tokens)` → ARRAY<LONG>: one bucket id per DSIR feature
+  * occurrence — the counting-pass twin of [[DsirScoreExpr]].
+  */
+case class DsirBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dsir_buckets"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashAlgos.dsirBuckets(tokens.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashAlgos.dsirBuckets($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketsExpr =
+    copy(child = newChild)
+}
+
 /** `pq_encode(vec)` → ARRAY<INT> of m codes (codebook rides as a reference
   * object into codegen — no per-row literal tree).
   */
@@ -827,6 +906,10 @@ object FastFunctions {
     GraftShims.column(WordRepetitionExpr(GraftShims.expression(tokens), shingleN))
   def shingleSpans(tokens: Column, shingleN: Int): Column =
     GraftShims.column(ShingleSpansExpr(GraftShims.expression(tokens), shingleN))
+  def dsirScore(tokens: Column, buckets: Int, ratio: Array[Long]): Column =
+    GraftShims.column(DsirScoreExpr(GraftShims.expression(tokens), buckets, ratio))
+  def dsirBuckets(tokens: Column, buckets: Int): Column =
+    GraftShims.column(DsirBucketsExpr(GraftShims.expression(tokens), buckets))
   def pqEncode(vec: Column, cb: Array[Float], m: Int, k: Int, subDim: Int): Column =
     GraftShims.column(PqEncodeExpr(GraftShims.expression(vec), cb, m, k, subDim))
   def pqAdcDist(codes: Column, lut: Array[Double], k: Int): Column =

@@ -30,84 +30,94 @@ import graft.functions.TextFunctions
   *
   * 100 TB: two aggregation passes build the bucket tables (map-side
   * combined groupBy(bucket) → at most B rows each; the target corpus is
-  * small by definition), the B-entry log-ratio table collapses to a plan
-  * LITERAL array, and scoring is a single zero-shuffle projection —
-  * `aggregate` over each row's feature array indexes the literal. No join,
-  * no explode, no per-doc groupBy: the scoring pass touches each input
-  * split exactly once, which is the property that matters when the raw
-  * side is the 100 TB crawl.
+  * small by definition), the B-entry log-ratio table rides the scoring
+  * plan as a codegen REFERENCE OBJECT ([[graft.functions.DsirScoreExpr]]),
+  * and scoring is a single zero-shuffle projection — one fused
+  * tokenize+hash+lookup walk per document. No join, no explode, no
+  * per-doc groupBy: the scoring pass touches each input split exactly
+  * once, which is the property that matters when the raw side is the
+  * 100 TB crawl.
   */
 object Dsir {
   val Micro = 1000000L
   val DefaultBuckets = 1024
 
-  /** Feature array of one document: analysis tokens ++ word-bigram
-    * shingles (a short doc's partial bigram clamp mirrors
-    * [[TextFunctions.shingles]]; null text → empty array).
+  /** Token array of one document (null text → empty). The FEATURE walk —
+    * unigrams ++ word-bigram shingles with the 1-token partial-bigram
+    * clamp — is `HashAlgos.eachDsirBucket`, shared by the codegen scoring
+    * and counting expressions so the two passes cannot drift.
     */
-  private def features(textCol: Column): Column = {
-    val toks = TextFunctions.tokenize(coalesce(textCol, lit("")))
-    concat(toks, TextFunctions.shingles(toks, 2))
+  private def docTokens(textCol: Column): Column =
+    TextFunctions.tokenize(coalesce(textCol, lit("")))
+
+  /** Dense bucket-count array of one corpus: one codegen projection
+    * (`dsir_buckets`), one map-side-combined aggregation collapsing to
+    * ≤ B rows, collected. The only driver-side state is B longs — the
+    * "centroid table" regime.
+    */
+  private def bucketCounts(docs: DataFrame, textCol: String,
+                           buckets: Int): Array[Long] = {
+    val rows = docs
+      .select(explode(
+        graft.functions.FastFunctions.dsirBuckets(docTokens(col(textCol)), buckets))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect()
+    val arr = Array.fill(buckets)(0L)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
   }
 
-  private def bucketOf(feat: Column, buckets: Int): Column =
-    pmod(TextFunctions.polyHash(feat), lit(buckets.toLong))
-
   /** Laplace-smoothed micro log-probability of every bucket in [0, B):
-    * exactly `buckets` rows of (bucket, lp_micro), lp_micro =
-    * floor(ln((c_b + 1) / (total + B)) · 1e6). Buckets the corpus never
-    * hits get the smoothing floor — the table is dense by construction so
-    * the ratio lookup below never misses.
+    * lp_micro[b] = floor(ln((c_b + 1) / (total + B)) · 1e6). Dense by
+    * construction — unseen buckets get the smoothing floor.
+    */
+  private def microLps(counts: Array[Long]): Array[Long] = {
+    val denom = (counts.sum + counts.length).toDouble
+    counts.map(c => math.floor(
+      math.log((c + 1).toDouble / denom) * Micro.toDouble).toLong)
+  }
+
+  /** The dense (bucket, lp_micro) table of a corpus — exactly `buckets`
+    * rows; one aggregation job, Laplace math driver-side.
     */
   def bucketLogProbs(docs: DataFrame, textCol: String, buckets: Int): DataFrame = {
     val spark = docs.sparkSession
-    val counts = docs
-      .select(explode(features(col(textCol))).as("feat"))
-      .select(bucketOf(col("feat"), buckets).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").as("t"))
-    spark.range(buckets).toDF("bucket")
-      .join(counts, Seq("bucket"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("bucket"),
-        floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
-            / (coalesce(col("t"), lit(0L)) + lit(buckets.toLong)).cast("double"))
-          * lit(Micro.toDouble)).cast("long").as("lp_micro"))
+    import spark.implicits._
+    microLps(bucketCounts(docs, textCol, buckets)).zipWithIndex
+      .map { case (lp, b) => (b.toLong, lp) }.toSeq
+      .toDF("bucket", "lp_micro")
   }
 
-  /** The B-entry micro log-ratio lp_target − lp_raw as a driver array
-    * (index = bucket). Two tiny collects — B longs, the "centroid table"
-    * regime; at 100 TB this is the only driver-side state.
+  /** The B-entry micro log-ratio lp_target − lp_raw (index = bucket):
+    * two aggregation jobs, everything else driver math over B longs.
     */
   private def logRatio(raw: DataFrame, textCol: String,
                        target: DataFrame, targetTextCol: String,
                        buckets: Int): Array[Long] = {
-    val lpr = bucketLogProbs(raw, textCol, buckets)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lpt = bucketLogProbs(target, targetTextCol, buckets)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Array.tabulate(buckets)(b => lpt(b.toLong) - lpr(b.toLong))
+    val lpr = microLps(bucketCounts(raw, textCol, buckets))
+    val lpt = microLps(bucketCounts(target, targetTextCol, buckets))
+    Array.tabulate(buckets)(b => lpt(b) - lpr(b))
   }
 
   /** Per-raw-document importance weights: (id, n_feats, logw_micro, logw)
     * with logw_micro = Σ_features (lp_tgt − lp_raw) — an EXACT integer in
     * micro-nats (the oracle-checkable value; 0-feature docs keep 0) — and
     * logw its double rendering in nats for human consumption. The
-    * returned frame's scoring pass is a zero-shuffle projection — the
-    * log-ratio table rides the plan as a B-element literal.
+    * returned frame's scoring pass is a zero-shuffle codegen projection —
+    * the log-ratio table rides the plan as a reference object.
     */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
                         buckets: Int = DefaultBuckets): DataFrame = {
     val ratio = logRatio(raw, textCol, target, targetTextCol, buckets)
-    val ratioLit = typedLit(ratio.toSeq)
-    val feats = features(col(textCol))
     raw.select(
         col(idCol),
-        size(feats).cast("long").as("n_feats"),
-        aggregate(feats, lit(0L),
-          (acc, f) => acc + element_at(ratioLit, bucketOf(f, buckets).cast("int") + 1))
-          .as("logw_micro"))
+        graft.functions.FastFunctions
+          .dsirScore(docTokens(col(textCol)), buckets, ratio).as("_fs"))
+      .select(col(idCol),
+        element_at(col("_fs"), 1).as("n_feats"),
+        element_at(col("_fs"), 2).as("logw_micro"))
       .withColumn("logw", col("logw_micro").cast("double") / lit(Micro.toDouble))
   }
 
