@@ -238,9 +238,11 @@ object Scale {
     secs(s"bm25-store-write 1x")(bm25StoreWrite(docs, s"$base/bm25_1x", operators.Bm25.DefaultTermBuckets))
     secs(s"bm25-store-write ${kDocs}x")(bm25StoreWrite(bigDocs, s"$base/bm25_${kDocs}x", operators.Bm25.DefaultTermBuckets))
     secs(s"bm25-store-write-flat ${kDocs}x")(bm25StoreWrite(bigDocs, s"$base/bm25_flat_${kDocs}x", 0))
-    val ix1 = bm25StoredProbe(s"$base/bm25_1x")
-    val ixK = bm25StoredProbe(s"$base/bm25_${kDocs}x")
-    val ixFlatK = bm25StoredProbe(s"$base/bm25_flat_${kDocs}x")
+    // lazy: a filtered run that skips the store-write rows must not load
+    // (or fail on) stores it never references
+    lazy val ix1 = bm25StoredProbe(s"$base/bm25_1x")
+    lazy val ixK = bm25StoredProbe(s"$base/bm25_${kDocs}x")
+    lazy val ixFlatK = bm25StoredProbe(s"$base/bm25_flat_${kDocs}x")
     // inProcessLimit = 0: these rows are the DISTRIBUTED pruned-scan scale
     // evidence (the 100 TB path); the -inproc rows measure the guarded
     // in-process serving tier the same stored index takes by default
@@ -327,6 +329,22 @@ object Scale {
     secs(s"contamination-ngram ${kDocs}x")(contamination(bigDocs))
     secs(s"pii-scrub 1x")(pii(docs))
     secs(s"pii-scrub ${kDocs}x")(pii(bigDocs))
+
+    // round-12 continuation: DSIR holds the TARGET side fixed while the
+    // raw corpus grows (the production shape — a small quality corpus
+    // scores an ever-larger crawl); shard export is one shuffle + one
+    // per-shard window whose partition COUNT grows with the corpus
+    def dsir(d: DataFrame, tgtSrc: String): Long =
+      operators.Dsir.importanceWeights(d, "doc_id", "text",
+          d.filter(col("source") === tgtSrc), "text")
+        .agg(sum("logw_micro")).first().getLong(0)
+    def shardExp(d: DataFrame): Long =
+      operators.Sampling.shardOrder(d, "doc_id", 64)
+        .agg(max("pos")).first().getLong(0)
+    secs(s"dsir-weights 1x")(dsir(docs, "src0"))
+    secs(s"dsir-weights ${kDocs}x")(dsir(bigDocs, "src0_0"))
+    secs(s"shard-order 1x")(shardExp(docs))
+    secs(s"shard-order ${kDocs}x")(shardExp(bigDocs))
 
     secs(s"spell-correct50 1x")(spell(docs))
     secs(s"spell-correct50 ${kDocs}x")(spell(bigDocs))
