@@ -73,6 +73,37 @@ object ProbeMain {
         timed("collect") { df.queryExecution.executedPlan.executeCollect(); () }
       }
     }
+    // NB classifier stage breakdown at KxC scale (scale-regression diag)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_NB")) {
+      import org.apache.spark.sql.functions._
+      val k = sys.env.getOrElse("SPARK_GRAFT_PROBE_NB", "20").toInt
+      val docs0 = Tables.documents(spark, sfDir)
+      val big = (0 until k).map(i => docs0.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"),
+          concat(col("source"), lit(s"_$i")).as("source"), col("n_chars")))
+        .reduce(_ unionByName _)
+        .withColumn("lbl", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+      big.write.mode("overwrite").parquet("/tmp/graft_probe_nb.parquet")
+      val bigR = spark.read.parquet("/tmp/graft_probe_nb.parquet")
+      val bucket = pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 10
+      val train0 = bigR.filter(bucket < 7)
+      val test0 = bigR.filter(bucket >= 7)
+      (1 to 2).foreach { pass =>
+        println(s"[probe] nb-deep pass $pass (k=$k)")
+        var model: operators.QualityClassifier.NbModel = null
+        timed("nb.train") {
+          model = operators.QualityClassifier.train(train0, "doc_id", "text", "lbl") }
+        timed("nb.model-materialize") {
+          model.likelihoods.count(); model.oov.count(); model.priors.count(); () }
+        var cls: org.apache.spark.sql.DataFrame = null
+        timed("nb.classify-construct") {
+          cls = operators.QualityClassifier.classify(model, test0, "doc_id", "text") }
+        timed("nb.classify-count") { cls.count(); () }
+        timed("nb.trainAndClassify") {
+          operators.QualityClassifier.trainAndClassify(
+            bigR, "doc_id", "text", "lbl").count(); () }
+      }
+    }
     // plan shape of batch50
     val df = SparkEntry.queries("sim_knn_batch50")(spark, sfDir)
     println(df.queryExecution.optimizedPlan.toString.take(2000))

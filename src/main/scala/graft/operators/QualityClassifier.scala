@@ -47,17 +47,26 @@ object QualityClassifier {
     */
   def train(docs: DataFrame, idCol: String, textCol: String,
             labelCol: String): NbModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs.select(col(labelCol).as("label"),
       explode(TextFunctions.tokenize(coalesce(col(textCol), lit("")))).as("token"))
+    // ONE corpus pass: the (label, token, c) table is vocab·L-sized (tiny
+    // next to the corpus) but feeds the vocab count, the totals, the
+    // likelihoods, AND their broadcasts — without the checkpoint the
+    // explode+groupBy re-ran for each consumer (~5 corpus passes)
     val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = counts.groupBy("label").agg(sum("c").as("n_tok"))
     val vocab = counts.select("token").distinct().count()
-    val nDocs = docs.count()
-    val priors = docs.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("label"),
-        floor(log(col("n").cast("double") / lit(nDocs.toDouble)) * Micro)
-          .cast("long").as("lp_micro"))
+    // priors from ONE label-level aggregation (label-cardinality rows),
+    // collected — replaces a second full docs.count() action
+    val labelN = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+    val nDocs = labelN.map(_._2).sum
+    val priors = labelN.toSeq.map { case (l, n) =>
+      (l, math.floor(math.log(n.toDouble / nDocs.toDouble) * Micro).toLong)
+    }.toDF("label", "lp_micro")
     val likelihoods = counts.join(totals, "label")
       .select(col("label"), col("token"),
         floor(log((col("c") + 1).cast("double") /
@@ -87,19 +96,21 @@ object QualityClassifier {
     val labels = broadcast(model.priors.join(model.oov, "label"))
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokenize(coalesce(col(textCol), lit("")))).as("token"))
-    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val sparse = toks
       .join(broadcast(model.likelihoods), Seq("token"))
       .join(broadcast(model.oov), Seq("label"))
       .groupBy("doc_id", "label")
       .agg(sum(col("ll_micro") - col("oov_micro")).as("adj_micro"))
-    val scored = docs.select(col(idCol).as("doc_id"))
+    // n_tok is a PROJECTION (array size), not an explode+groupBy — one
+    // corpus pass and no shuffle for the count side
+    val scored = docs.select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokenize(coalesce(col(textCol), lit(""))))
+          .cast("long").as("n_tok"))
       .join(labels)
-      .join(nTok, Seq("doc_id"), "left")
       .join(sparse, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
         (col("lp_micro") +
-          coalesce(col("n_tok"), lit(0L)) * col("oov_micro") +
+          col("n_tok") * col("oov_micro") +
           coalesce(col("adj_micro"), lit(0L))).as("score_micro"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("score_micro").desc, col("label"))
