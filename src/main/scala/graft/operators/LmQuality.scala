@@ -100,6 +100,86 @@ object LmQuality {
           / lit(Micro.toDouble), 4).as("cross_entropy"))
   }
 
+  /** Production default bigram-table size: the Stupid-Backoff regime keeps
+    * the head of the bigram distribution (~1M pairs ≈ 40 MB broadcast);
+    * everything below backs off to α·p(w₂). Oracle queries pass their own
+    * small sizes explicitly.
+    */
+  val DefaultBigramSize = 1000000
+
+  /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the web-scale n-gram
+    * smoothing that needs no discount tuning): per-token cost is
+    * −ln(c(w₁w₂)/c(w₁)) when the bigram is in the kept head, else
+    * −ln(0.4·p(w₁... w₂ backoff)) from the unigram table, else the OOV
+    * floor; the FIRST token always costs its unigram rate. This is the
+    * rung between [[score]]'s unigram model and the 5-gram KenLM CCNet
+    * itself runs — same contract, one more order of context.
+    *
+    * Determinism: every cost is micro-quantized at TABLE BUILD (floor·1e6
+    * of a fixed double expression on integer-count operands), document
+    * sums are exact 64-bit integer math; output is (id, n_tokens,
+    * cost_micro) with cost_micro the summed integer (tokenless docs: 0).
+    *
+    * 100 TB: two counting passes (unigram and bigram groupBys, both
+    * map-side combined, truncated to the V/B heads and broadcast) and one
+    * scoring pass (the first-token stream plus the bigram-shingle stream,
+    * both broadcast-joined, one groupBy(doc)). Partial 1-token "bigrams"
+    * are EXCLUDED on both sides (len ≥ 2) — a single-token doc scores by
+    * its unigram rate alone.
+    */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int = DefaultVocabSize,
+                  bigramSize: Int = DefaultBigramSize): DataFrame = {
+    val microD = lit(Micro.toDouble)
+    val toksAll = docs.select(col(idCol),
+      TextFunctions.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    val counts = toksAll.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val totalRow = counts.agg(sum("c")).collect()
+    val total =
+      if (totalRow.isEmpty || totalRow(0).isNullAt(0)) 0L
+      else totalRow(0).getLong(0)
+    if (total == 0L)
+      return toksAll.select(col(idCol), lit(0L).as("n_tokens"),
+        lit(0L).as("cost_micro")).limit(0)
+    val t = lit(total.toDouble)
+    val uni = counts.orderBy(col("c").desc, col("token")).limit(vocabSize)
+      .select(col("token"),
+        floor(-log(col("c").cast("double") / t) * microD)
+          .cast("long").as("cu"),
+        floor(-log(lit(0.4) * (col("c").cast("double") / t)) * microD)
+          .cast("long").as("cb"))
+    // OOV floors: same op sequence driver-side as the column math above
+    val cuOov = math.floor(-math.log(1.0 / total.toDouble) * Micro.toDouble).toLong
+    val cbOov = math.floor(-math.log(0.4 * (1.0 / total.toDouble)) * Micro.toDouble).toLong
+    val pairsAll = toksAll.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(TextFunctions.shingles(col("toks"), 2)).as("pair"))
+    val bg = pairsAll.groupBy("pair").agg(count(lit(1)).as("c2"))
+      .join(counts.select(col("token").as("_w1"), col("c").as("c1")),
+        substring_index(col("pair"), " ", 1) === col("_w1"))
+      .orderBy(col("c2").desc, col("pair")).limit(bigramSize)
+      .select(col("pair"),
+        floor(-log(col("c2").cast("double") / col("c1").cast("double")) * microD)
+          .cast("long").as("cb2"))
+    val fc = toksAll.filter(size(col("toks")) >= 1)
+      .select(col(idCol), element_at(col("toks"), 1).as("token"))
+      .join(broadcast(uni), Seq("token"), "left")
+      .select(col(idCol), coalesce(col("cu"), lit(cuOov)).as("cost"))
+    val pc = pairsAll
+      .join(broadcast(bg), Seq("pair"), "left")
+      .join(broadcast(uni.select(col("token").as("_w2"), col("cb"))),
+        substring_index(col("pair"), " ", -1) === col("_w2"), "left")
+      .select(col(idCol),
+        coalesce(col("cb2"), coalesce(col("cb"), lit(cbOov))).as("cost"))
+    val sums = fc.unionByName(pc).groupBy(idCol)
+      .agg(sum("cost").as("s"))
+    toksAll.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("s"), lit(0L)).as("cost_micro"))
+  }
+
   /** CCNet's head/middle/tail split: rank documents by cross-entropy and
     * cut at the ⌈n/3⌉-th and ⌈2n/3⌉-th VALUE (ties at a boundary all fall
     * on the better side — value-thresholded, so the split is deterministic

@@ -271,6 +271,53 @@ object PipelineQueries {
        |      THEN 1::BIGINT << b ELSE 0::BIGINT END)), (a, x) -> a + x) AS sig
        |  FROM th)""".stripMargin
 
+  /** Naive-Bayes train/classify CTE chain (twin of
+    * `QualityClassifier.trainAndClassify` on the 70/30 hash split, label =
+    * source): ends at `win(doc_id, label, score_micro, rk)` with `test`
+    * still in scope — shared by f_nb_domain_classifier (the per-doc
+    * argmax) and m14_nb_accuracy (the held-out accuracy audit).
+    */
+  private lazy val nbCte: String =
+    s"""WITH base AS (
+         |  SELECT doc_id, coalesce(text, '') AS text, source,
+         |         (doc_id * 2654435761) % 1000000007 % 10 AS bk
+         |  FROM documents),
+         |train AS (SELECT * FROM base WHERE bk < 7),
+         |test AS (SELECT * FROM base WHERE bk >= 7),
+         |ttok AS (SELECT source AS label, unnest(${plainTokSql("text")}) AS token FROM train),
+         |counts AS (SELECT label, token, count(*)::BIGINT AS c FROM ttok GROUP BY 1, 2),
+         |totals AS (SELECT label, sum(c)::BIGINT AS n_tok FROM counts GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM counts),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM train),
+         |priors AS (
+         |  SELECT source AS label,
+         |         floor(ln(count(*)::DOUBLE / (SELECT n FROM nd)::DOUBLE) * 1000000)::BIGINT AS lp_micro
+         |  FROM train GROUP BY 1),
+         |lik AS (
+         |  SELECT c.label, c.token,
+         |         floor(ln((c.c + 1)::DOUBLE / (t.n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000)::BIGINT AS ll_micro
+         |  FROM counts c JOIN totals t USING (label)),
+         |oov AS (
+         |  SELECT label,
+         |         floor(ln(1.0::DOUBLE / (n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000)::BIGINT AS oov_micro
+         |  FROM totals),
+         |stok AS (SELECT doc_id, unnest(${plainTokSql("text")}) AS token FROM test),
+         |contrib AS (
+         |  SELECT s.doc_id, o.label, coalesce(l.ll_micro, o.oov_micro) AS t_micro
+         |  FROM stok s CROSS JOIN oov o
+         |  LEFT JOIN lik l ON l.label = o.label AND l.token = s.token),
+         |sums AS (SELECT doc_id, label, sum(t_micro)::BIGINT AS ev FROM contrib GROUP BY 1, 2),
+         |dl AS (SELECT t.doc_id, p.label, p.lp_micro FROM test t CROSS JOIN priors p),
+         |scored AS (
+         |  SELECT dl.doc_id, dl.label,
+         |         (dl.lp_micro + coalesce(s.ev, 0))::BIGINT AS score_micro
+         |  FROM dl LEFT JOIN sums s ON s.doc_id = dl.doc_id AND s.label = dl.label),
+         |win AS (
+         |  SELECT doc_id, label, score_micro,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score_micro DESC, label) AS rk
+         |  FROM scored)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: fingerprint groups (U3/J5) ───────────────────────────
@@ -2239,6 +2286,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ── Bigram LM with Stupid Backoff (Brants et al. 2007): the n-gram
+    //    rung above the unigram model — bigram head costs −ln(c₂/c₁),
+    //    misses back off to −ln(0.4·p(w₂)), first tokens and OOV to the
+    //    unigram/floor rates; all costs micro-quantized at table build so
+    //    document sums are exact integers ──────────────────────────────────
+    QueryDef.sql("f_lm_bigram",
+      s"""WITH tok AS (SELECT doc_id, ${plainTokSql("coalesce(text, '')")} AS toks FROM documents),
+         |cnt AS (SELECT token, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY token),
+         |tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+         |uni AS (SELECT token,
+         |          floor(-ln(c::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT AS cu,
+         |          floor(-ln(0.4 * (c::DOUBLE / t::DOUBLE)) * 1000000.0)::BIGINT AS cb
+         |        FROM (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 24), tot),
+         |bgc AS (SELECT pair, count(*)::BIGINT AS c2
+         |        FROM (SELECT unnest(${shinglesSql("toks", 2)}) AS pair
+         |              FROM tok WHERE len(toks) >= 2)
+         |        GROUP BY pair),
+         |bg AS (SELECT pair,
+         |         floor(-ln(c2::DOUBLE / c1::DOUBLE) * 1000000.0)::BIGINT AS cb2
+         |       FROM (SELECT b.pair, b.c2, cnt.c AS c1 FROM bgc b
+         |             JOIN cnt ON cnt.token = split_part(b.pair, ' ', 1)
+         |             ORDER BY b.c2 DESC, b.pair LIMIT 48)),
+         |fc AS (SELECT f.doc_id,
+         |         coalesce(u.cu, (SELECT floor(-ln(1.0 / t::DOUBLE) * 1000000.0)::BIGINT FROM tot)) AS cost
+         |       FROM (SELECT doc_id, toks[1] AS token FROM tok WHERE len(toks) >= 1) f
+         |       LEFT JOIN uni u USING (token)),
+         |pr AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS pair
+         |       FROM tok WHERE len(toks) >= 2),
+         |pc AS (SELECT pr.doc_id,
+         |         coalesce(b.cb2, coalesce(u.cb,
+         |           (SELECT floor(-ln(0.4 * (1.0 / t::DOUBLE)) * 1000000.0)::BIGINT FROM tot))) AS cost
+         |       FROM pr LEFT JOIN bg b USING (pair)
+         |       LEFT JOIN uni u ON u.token = split_part(pr.pair, ' ', 2)),
+         |sums AS (SELECT doc_id, sum(cost)::BIGINT AS s
+         |         FROM (SELECT * FROM fc UNION ALL SELECT * FROM pc) GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+         |       coalesce(s.s, 0)::BIGINT AS cost_micro
+         |FROM tok t LEFT JOIN sums s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      LmQuality.scoreBigram(Tables.documents(s, dir), "doc_id", "text",
+          vocabSize = 24, bigramSize = 48)
+        .orderBy("doc_id")
+    },
+
     // ── CCNet head/middle/tail: value-thresholded thirds of the LM
     //    cross-entropy ranking (cuts at the ⌈n/3⌉-th / ⌈2n/3⌉-th VALUE —
     //    no interpolated percentile, deterministic in any engine) ──────────
@@ -2270,51 +2361,32 @@ object PipelineQueries {
     //    classify the held-out 30% — every log micro-quantized to integer
     //    BEFORE aggregation, so both engines sum exact 64-bit ints ────────
     QueryDef.sql("f_nb_domain_classifier",
-      s"""WITH base AS (
-         |  SELECT doc_id, coalesce(text, '') AS text, source,
-         |         (doc_id * 2654435761) % 1000000007 % 10 AS bk
-         |  FROM documents),
-         |train AS (SELECT * FROM base WHERE bk < 7),
-         |test AS (SELECT * FROM base WHERE bk >= 7),
-         |ttok AS (SELECT source AS label, unnest(${plainTokSql("text")}) AS token FROM train),
-         |counts AS (SELECT label, token, count(*)::BIGINT AS c FROM ttok GROUP BY 1, 2),
-         |totals AS (SELECT label, sum(c)::BIGINT AS n_tok FROM counts GROUP BY 1),
-         |vocab AS (SELECT count(DISTINCT token)::BIGINT AS v FROM counts),
-         |nd AS (SELECT count(*)::BIGINT AS n FROM train),
-         |priors AS (
-         |  SELECT source AS label,
-         |         floor(ln(count(*)::DOUBLE / (SELECT n FROM nd)::DOUBLE) * 1000000)::BIGINT AS lp_micro
-         |  FROM train GROUP BY 1),
-         |lik AS (
-         |  SELECT c.label, c.token,
-         |         floor(ln((c.c + 1)::DOUBLE / (t.n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000)::BIGINT AS ll_micro
-         |  FROM counts c JOIN totals t USING (label)),
-         |oov AS (
-         |  SELECT label,
-         |         floor(ln(1.0::DOUBLE / (n_tok + (SELECT v FROM vocab))::DOUBLE) * 1000000)::BIGINT AS oov_micro
-         |  FROM totals),
-         |stok AS (SELECT doc_id, unnest(${plainTokSql("text")}) AS token FROM test),
-         |contrib AS (
-         |  SELECT s.doc_id, o.label, coalesce(l.ll_micro, o.oov_micro) AS t_micro
-         |  FROM stok s CROSS JOIN oov o
-         |  LEFT JOIN lik l ON l.label = o.label AND l.token = s.token),
-         |sums AS (SELECT doc_id, label, sum(t_micro)::BIGINT AS ev FROM contrib GROUP BY 1, 2),
-         |dl AS (SELECT t.doc_id, p.label, p.lp_micro FROM test t CROSS JOIN priors p),
-         |scored AS (
-         |  SELECT dl.doc_id, dl.label,
-         |         (dl.lp_micro + coalesce(s.ev, 0))::BIGINT AS score_micro
-         |  FROM dl LEFT JOIN sums s ON s.doc_id = dl.doc_id AND s.label = dl.label),
-         |win AS (
-         |  SELECT doc_id, label, score_micro,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY score_micro DESC, label) AS rk
-         |  FROM scored)
+      s"""$nbCte
          |SELECT w.doc_id, w.label, w.score_micro, t.source AS actual
          |FROM win w JOIN test t USING (doc_id)
          |WHERE rk = 1 ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
       QualityClassifier.trainAndClassify(Tables.documents(s, dir),
           "doc_id", "text", "source")
         .orderBy("doc_id")
+    },
+
+    // ── NB held-out accuracy audit: per-true-label document counts and
+    //    correct predictions — the calibration report a pipeline reads
+    //    before trusting a classifier gate ─────────────────────────────────
+    QueryDef.sql("m14_nb_accuracy",
+      s"""$nbCte,
+         |pred AS (
+         |  SELECT w.doc_id, w.label, t.source AS actual
+         |  FROM win w JOIN test t USING (doc_id) WHERE rk = 1)
+         |SELECT actual, count(*)::BIGINT AS n,
+         |       sum(CASE WHEN label = actual THEN 1 ELSE 0 END)::BIGINT AS n_correct
+         |FROM pred GROUP BY actual ORDER BY actual""".stripMargin) { (s, dir) =>
+      QualityClassifier.trainAndClassify(Tables.documents(s, dir),
+          "doc_id", "text", "source")
+        .groupBy("actual")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label") === col("actual"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy("actual")
     },
 
     QueryDef.sql("f_curation_decision",

