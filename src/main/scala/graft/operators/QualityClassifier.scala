@@ -123,6 +123,20 @@ object QualityClassifier {
     * scored. Returns `(doc_id, label, score_micro, actual)` for the held-out
     * split (actual = the true label, for accuracy audits downstream).
     */
+  private val memo = new SessionMemo[DataFrame]
+
+  /** [[trainAndClassify]] memoized per (session, corpus key) and
+    * materialized once (`localCheckpoint`) — the train-once / audit-many
+    * regime: the per-doc argmax query and the accuracy report read the
+    * same held-out classification instead of re-training per consumer.
+    * `cacheKey` should carry the table directory + a change fingerprint
+    * (the same staleness contract as `Bm25.cachedIndex`).
+    */
+  def cachedTrainAndClassify(docs: DataFrame, idCol: String, textCol: String,
+                             labelCol: String, cacheKey: String): DataFrame =
+    memo.getOrBuild(docs.sparkSession, s"nb|$cacheKey")(
+      trainAndClassify(docs, idCol, textCol, labelCol).localCheckpoint(true))
+
   def trainAndClassify(docs: DataFrame, idCol: String, textCol: String,
                        labelCol: String, buckets: Int = 10,
                        trainBuckets: Int = 7): DataFrame = {

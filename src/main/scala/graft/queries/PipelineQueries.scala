@@ -2365,8 +2365,9 @@ object PipelineQueries {
          |SELECT w.doc_id, w.label, w.score_micro, t.source AS actual
          |FROM win w JOIN test t USING (doc_id)
          |WHERE rk = 1 ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
-      QualityClassifier.trainAndClassify(Tables.documents(s, dir),
-          "doc_id", "text", "source")
+      QualityClassifier.cachedTrainAndClassify(Tables.documents(s, dir),
+          "doc_id", "text", "source",
+          s"$dir|${graft.operators.PathFingerprint(dir)}")
         .orderBy("doc_id")
     },
 
@@ -2381,8 +2382,9 @@ object PipelineQueries {
          |SELECT actual, count(*)::BIGINT AS n,
          |       sum(CASE WHEN label = actual THEN 1 ELSE 0 END)::BIGINT AS n_correct
          |FROM pred GROUP BY actual ORDER BY actual""".stripMargin) { (s, dir) =>
-      QualityClassifier.trainAndClassify(Tables.documents(s, dir),
-          "doc_id", "text", "source")
+      QualityClassifier.cachedTrainAndClassify(Tables.documents(s, dir),
+          "doc_id", "text", "source",
+          s"$dir|${graft.operators.PathFingerprint(dir)}")
         .groupBy("actual")
         .agg(count(lit(1)).as("n"),
           sum(when(col("label") === col("actual"), 1L).otherwise(0L)).as("n_correct"))
