@@ -116,6 +116,8 @@ object Main {
       |  edit <kbDir> [<key> <value>]             show/set config.ini
       |  dedup | components | knn | graph | pq | curate   training-pipeline suite
       |  classify <kbDir> [labelCol]              NB domain classifier (train/held-out)
+      |  select   <kbDir> <targetGlob> [n]        DSIR importance selection vs a target corpus
+      |  export   <kbDir> [nShards]               deterministic training-order shard export
       |  help | version""".stripMargin
 
   /** Verb dispatch against a caller-owned session (main owns stop()). */
@@ -433,6 +435,46 @@ object Main {
         val acc = if (n > 0) correct.toDouble / n else 0.0
         println(f"[graft] classify: $n held-out chunks, accuracy $acc%.3f " +
           s"-> $kb/classify/heldout")
+
+      case "select" =>
+        // extension verb (training-pipeline suite): DSIR importance
+        // selection — score every chunk's hashed-n-gram distribution
+        // against a small TARGET corpus (one document per file in the
+        // glob, the "Wikipedia-like" side) and keep the top-n most
+        // target-like chunks. usage: select <kbDir> <targetGlob> [n]
+        import graft.operators.Dsir
+        require(args.length >= 3, "usage: select <kbDir> <targetGlob> [n]")
+        val n = if (args.length > 3) args(3).toInt else 1000
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        val target = spark.read.option("wholetext", "true").text(args(2))
+          .select(col("value").as("text"))
+        val weights = Dsir.importanceWeights(chunks, "doc_id", "text",
+          target, "text")
+        weights.select("doc_id", "n_feats", "logw_micro", "logw")
+          .write.mode("overwrite").parquet(s"$kb/select/weights")
+        Dsir.resample(weights, "doc_id", n)
+          .select("doc_id", "logw")
+          .write.mode("overwrite").parquet(s"$kb/select/selected")
+        val kept = spark.read.parquet(s"$kb/select/selected").count()
+        println(s"[graft] select: $kept of ${chunks.count()} chunks kept " +
+          s"(top-$n by DSIR weight) -> $kb/select/selected")
+
+      case "export" =>
+        // extension verb (training-pipeline suite): deterministic
+        // training-order shard export of the chunk table — shard by the
+        // Knuth draw, position by an independent hash, one
+        // position-ordered parquet file per shard. usage: export <kbDir> [nShards]
+        import graft.operators.Sampling
+        val nShards = if (args.length > 2) args(2).toInt else 64
+        val chunks = spark.read.parquet(s"$kb/chunks")
+        Sampling.shardOrder(chunks, "doc_id", nShards)
+          .repartition(col("shard")).sortWithinPartitions("pos")
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$kb/export/shards")
+        val out = spark.read.parquet(s"$kb/export/shards")
+        println(s"[graft] export: ${out.count()} chunks -> $nShards shards " +
+          s"at $kb/export/shards")
 
       case "curate" =>
         // extension verb (training-pipeline suite): sequence packing + PII

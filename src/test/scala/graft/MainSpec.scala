@@ -294,6 +294,45 @@ class MainSpec extends SparkSpec {
     assert(wrong.count() == 0, wrong.collect().mkString(", "))
   }
 
+  test("CLI select verb keeps the most target-like chunks by DSIR weight") {
+    val kb = Files.createTempDirectory("graft_cli_select").toString
+    import spark.implicits._
+    (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "quantum field energy state vacuum"
+          else "football goal match striker score", s"s${i % 2}")
+    }.toDF("doc_id", "chunk_text", "sourcedoc")
+      .write.parquet(s"$kb/chunks")
+    val tgtDir = Files.createTempDirectory("graft_cli_target")
+    Files.writeString(tgtDir.resolve("t1.txt"), "quantum energy field theory")
+    Files.writeString(tgtDir.resolve("t2.txt"), "the quantum vacuum energy")
+    Main.run(Array("select", kb, s"$tgtDir/*.txt", "10"), spark)
+    val sel = spark.read.parquet(s"$kb/select/selected")
+    assert(sel.count() == 10)
+    // every selected id is a physics chunk (even ids)
+    assert(sel.select("doc_id").as[Long].collect().forall(_ % 2 == 0))
+    val w = spark.read.parquet(s"$kb/select/weights")
+    assert(w.count() == 40)
+  }
+
+  test("CLI export verb lands every chunk in a stable shard at a dense position") {
+    val kb = Files.createTempDirectory("graft_cli_export").toString
+    import spark.implicits._
+    (1L to 50L).map(i => (i, s"text $i", "s"))
+      .toDF("doc_id", "chunk_text", "sourcedoc").write.parquet(s"$kb/chunks")
+    Main.run(Array("export", kb, "4"), spark)
+    val out = spark.read.parquet(s"$kb/export/shards")
+      .selectExpr("cast(doc_id as long)", "cast(shard as int)",
+        "cast(pos as long)")
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 50)
+    out.foreach { case (id, sh, _) =>
+      assert(sh == (Math.floorMod(id * operators.Sampling.Knuth,
+        operators.Sampling.P) % 4).toInt) }
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong),
+        s"dense positions in shard $sh") }
+  }
+
   test("KbConfig.renderIni round-trips through load") {
     import graft.config.KbConfig
     val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,
