@@ -275,7 +275,11 @@ object Profile {
           // their real materialized cost, not a count shortcut)
           "f_nb_domain_classifier", "e2e_data_pipeline", "e2e_hybrid_query",
           "e2e_hybrid_batch20", "t1_cosine_knn", "t2_bm25_topk",
-          "u1_stopword_union", "m3_retry_schedule")) {
+          "u1_stopword_union", "m3_retry_schedule",
+          // r12 continuation: the codegen DSIR scorer and the bigram LM
+          // are projection-shaped — count() must not hide their walk
+          "f_dsir_weights", "t10_dsir_resample", "f_lm_bigram",
+          "m14_nb_accuracy", "s12_shard_export")) {
         val fn = SparkEntry.queries(name)
         secs(s"count  $name") { fn(spark, sfDir).count() }
         secs(s"full   $name") { full(fn(spark, sfDir)) }
