@@ -2546,6 +2546,32 @@ object PipelineQueries {
         .select(col("doc_id"), col("logw_micro"))
     },
 
+    // ── Selection → export composite: DSIR top-200 most target-like docs
+    //    land in deterministic training-order shards — the "skim the crawl,
+    //    write the training set" tail of the pipeline in ONE DAG ───────────
+    QueryDef.sql("e2e_select_export",
+      s"""$dsirWeightsCte,
+         |sel AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN sc USING (doc_id)
+         |  ORDER BY coalesce(sc.s, 0) DESC, doc_id LIMIT 200),
+         |sh AS (
+         |  SELECT doc_id,
+         |         (((doc_id * 2654435761) % 1000000007) % 8)::INT AS shard,
+         |         (doc_id * 2246822519) % 1000000007 AS d2
+         |  FROM sel)
+         |SELECT doc_id, shard,
+         |       (row_number() OVER (PARTITION BY shard ORDER BY d2, doc_id) - 1)::BIGINT AS pos
+         |FROM sh ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sel = Dsir.resample(
+        Dsir.importanceWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text"),
+        "doc_id", 200)
+      Sampling.shardOrder(sel, "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+
     // ── Deterministic shard export: training-order shuffle (two
     //    independent Knuth hashes: shard membership + within-shard order)
     //    THROUGH a real partitioned-parquet sink round trip — a retried or
