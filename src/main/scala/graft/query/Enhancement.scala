@@ -87,7 +87,6 @@ object Enhancement {
     "compute" -> Seq("calculate", "evaluate"),
     "connect" -> Seq("link", "attach"),
     "copy" -> Seq("duplicate", "replicate"),
-    "correct" -> Seq("right", "accurate"),
     "count" -> Seq("tally", "total"),
     "crash" -> Seq("failure", "abort"),
     "create" -> Seq("make", "build"),
@@ -288,7 +287,208 @@ object Enhancement {
     "version" -> Seq("revision", "release"),
     "volume" -> Seq("amount", "bulk"),
     "warning" -> Seq("caution", "alert"),
-    "worker" -> Seq("executor", "agent"))
+    "worker" -> Seq("executor", "agent"),
+    // ── enrichment (round 12): everyday-English breadth beyond the tech
+    //    vocabulary — same authored-thesaurus shape (≤2 synonyms, head ≥4
+    //    chars), same non-collision tripwire ──
+    "accurate" -> Seq("precise", "exact"),
+    "achieve" -> Seq("attain", "accomplish"),
+    "acquire" -> Seq("obtain", "gain"),
+    "active" -> Seq("live", "running"),
+    "actual" -> Seq("real", "true"),
+    "advance" -> Seq("progress", "proceed"),
+    "advice" -> Seq("guidance", "counsel"),
+    "agree" -> Seq("concur", "consent"),
+    "alert" -> Seq("warn", "notify"),
+    "alter" -> Seq("change", "modify"),
+    "amount" -> Seq("quantity", "sum"),
+    "ancient" -> Seq("old", "antique"),
+    "angry" -> Seq("mad", "furious"),
+    "answer" -> Seq("reply", "response"),
+    "apparent" -> Seq("evident", "obvious"),
+    "approve" -> Seq("endorse", "ratify"),
+    "argue" -> Seq("dispute", "contend"),
+    "arrange" -> Seq("organize", "position"),
+    "arrive" -> Seq("reach", "appear"),
+    "article" -> Seq("story", "piece"),
+    "assist" -> Seq("help", "support"),
+    "attempt" -> Seq("try", "effort"),
+    "author" -> Seq("writer", "creator"),
+    "basic" -> Seq("fundamental", "elementary"),
+    "beautiful" -> Seq("pretty", "lovely"),
+    "believe" -> Seq("think", "trust"),
+    "benefit" -> Seq("advantage", "gain"),
+    "brave" -> Seq("bold", "courageous"),
+    "brief" -> Seq("short", "concise"),
+    "bright" -> Seq("shiny", "luminous"),
+    "broad" -> Seq("wide", "extensive"),
+    "busy" -> Seq("occupied", "active"),
+    "calculate" -> Seq("compute", "reckon"),
+    "calm" -> Seq("quiet", "peaceful"),
+    "careful" -> Seq("cautious", "attentive"),
+    "carry" -> Seq("haul", "transport"),
+    "catch" -> Seq("capture", "grab"),
+    "cause" -> Seq("reason", "origin"),
+    "cheap" -> Seq("inexpensive", "economical"),
+    "chief" -> Seq("main", "principal"),
+    "clarify" -> Seq("explain", "simplify"),
+    "clever" -> Seq("smart", "ingenious"),
+    "common" -> Seq("usual", "ordinary"),
+    "complete" -> Seq("finish", "entire"),
+    "complex" -> Seq("complicated", "intricate"),
+    "conceal" -> Seq("hide", "mask"),
+    "concept" -> Seq("idea", "notion"),
+    "concern" -> Seq("worry", "interest"),
+    "conclude" -> Seq("finish", "deduce"),
+    "condition" -> Seq("state", "requirement"),
+    "consider" -> Seq("ponder", "regard"),
+    "constant" -> Seq("steady", "fixed"),
+    "construct" -> Seq("build", "erect"),
+    "contain" -> Seq("hold", "include"),
+    "continue" -> Seq("proceed", "persist"),
+    "correct" -> Seq("right", "accurate"),
+    "courage" -> Seq("bravery", "valor"),
+    "crucial" -> Seq("vital", "essential"),
+    "curious" -> Seq("inquisitive", "odd"),
+    "danger" -> Seq("hazard", "peril"),
+    "decide" -> Seq("determine", "resolve"),
+    "decline" -> Seq("refuse", "decrease"),
+    "defend" -> Seq("protect", "guard"),
+    "definite" -> Seq("certain", "clear"),
+    "demand" -> Seq("require", "request"),
+    "demonstrate" -> Seq("show", "prove"),
+    "desire" -> Seq("wish", "want"),
+    "destroy" -> Seq("ruin", "demolish"),
+    "determine" -> Seq("decide", "ascertain"),
+    "develop" -> Seq("grow", "evolve"),
+    "difficult" -> Seq("hard", "tough"),
+    "diminish" -> Seq("reduce", "lessen"),
+    "discover" -> Seq("find", "uncover"),
+    "discuss" -> Seq("debate", "converse"),
+    "distant" -> Seq("remote", "faraway"),
+    "divide" -> Seq("split", "separate"),
+    "donate" -> Seq("give", "contribute"),
+    "doubt" -> Seq("question", "uncertainty"),
+    "eager" -> Seq("keen", "enthusiastic"),
+    "early" -> Seq("soon", "premature"),
+    "earn" -> Seq("gain", "deserve"),
+    "easy" -> Seq("simple", "effortless"),
+    "effort" -> Seq("attempt", "exertion"),
+    "emphasize" -> Seq("stress", "highlight"),
+    "encourage" -> Seq("motivate", "inspire"),
+    "enormous" -> Seq("huge", "immense"),
+    "ensure" -> Seq("guarantee", "secure"),
+    "entire" -> Seq("whole", "complete"),
+    "essential" -> Seq("necessary", "vital"),
+    "establish" -> Seq("found", "institute"),
+    "exact" -> Seq("precise", "accurate"),
+    "excellent" -> Seq("superb", "outstanding"),
+    "explore" -> Seq("investigate", "probe"),
+    "famous" -> Seq("renowned", "celebrated"),
+    "final" -> Seq("last", "ultimate"),
+    "finish" -> Seq("complete", "conclude"),
+    "fragile" -> Seq("delicate", "brittle"),
+    "frequent" -> Seq("common", "recurrent"),
+    "gather" -> Seq("collect", "assemble"),
+    "gentle" -> Seq("mild", "soft"),
+    "genuine" -> Seq("authentic", "real"),
+    "grateful" -> Seq("thankful", "appreciative"),
+    "happy" -> Seq("glad", "joyful"),
+    "hollow" -> Seq("empty", "void"),
+    "honest" -> Seq("truthful", "sincere"),
+    "idea" -> Seq("concept", "thought"),
+    "identify" -> Seq("recognize", "pinpoint"),
+    "illustrate" -> Seq("depict", "exemplify"),
+    "imitate" -> Seq("copy", "mimic"),
+    "immediate" -> Seq("instant", "prompt"),
+    "important" -> Seq("significant", "essential"),
+    "indicate" -> Seq("show", "signify"),
+    "inform" -> Seq("tell", "notify"),
+    "intelligent" -> Seq("smart", "clever"),
+    "intend" -> Seq("plan", "mean"),
+    "investigate" -> Seq("probe", "examine"),
+    "journey" -> Seq("trip", "voyage"),
+    "keep" -> Seq("retain", "preserve"),
+    "known" -> Seq("familiar", "recognized"),
+    "labor" -> Seq("work", "toil"),
+    "leave" -> Seq("depart", "exit"),
+    "little" -> Seq("small", "tiny"),
+    "maintain" -> Seq("preserve", "sustain"),
+    "mention" -> Seq("note", "cite"),
+    "modern" -> Seq("contemporary", "current"),
+    "necessary" -> Seq("required", "essential"),
+    "obtain" -> Seq("acquire", "procure"),
+    "obvious" -> Seq("evident", "apparent"),
+    "occur" -> Seq("happen", "transpire"),
+    "often" -> Seq("frequently", "regularly"),
+    "operate" -> Seq("run", "function"),
+    "oppose" -> Seq("resist", "contest"),
+    "ordinary" -> Seq("common", "plain"),
+    "perform" -> Seq("execute", "conduct"),
+    "permit" -> Seq("allow", "authorize"),
+    "persuade" -> Seq("convince", "influence"),
+    "plain" -> Seq("simple", "unadorned"),
+    "pleasant" -> Seq("agreeable", "enjoyable"),
+    "portion" -> Seq("part", "share"),
+    "possess" -> Seq("own", "hold"),
+    "powerful" -> Seq("strong", "mighty"),
+    "precise" -> Seq("exact", "accurate"),
+    "predict" -> Seq("forecast", "anticipate"),
+    "prevent" -> Seq("stop", "hinder"),
+    "proceed" -> Seq("continue", "advance"),
+    "promise" -> Seq("pledge", "vow"),
+    "propose" -> Seq("suggest", "offer"),
+    "protect" -> Seq("guard", "shield"),
+    "provide" -> Seq("supply", "furnish"),
+    "purchase" -> Seq("buy", "acquire"),
+    "purpose" -> Seq("goal", "intent"),
+    "rare" -> Seq("scarce", "uncommon"),
+    "reason" -> Seq("cause", "rationale"),
+    "recall" -> Seq("remember", "recollect"),
+    "recent" -> Seq("new", "fresh"),
+    "recommend" -> Seq("suggest", "advise"),
+    "relevant" -> Seq("pertinent", "applicable"),
+    "reliable" -> Seq("dependable", "trustworthy"),
+    "remain" -> Seq("stay", "persist"),
+    "remember" -> Seq("recall", "retain"),
+    "repeat" -> Seq("redo", "reiterate"),
+    "reveal" -> Seq("disclose", "expose"),
+    "reward" -> Seq("prize", "compensation"),
+    "rough" -> Seq("coarse", "uneven"),
+    "sack" -> Seq("bag", "pouch"),
+    "satisfy" -> Seq("please", "fulfill"),
+    "scatter" -> Seq("disperse", "spread"),
+    "select" -> Seq("choose", "pick"),
+    "separate" -> Seq("divide", "detach"),
+    "serious" -> Seq("grave", "earnest"),
+    "severe" -> Seq("harsh", "extreme"),
+    "silent" -> Seq("quiet", "mute"),
+    "similar" -> Seq("alike", "comparable"),
+    "simple" -> Seq("easy", "plain"),
+    "steady" -> Seq("stable", "constant"),
+    "strange" -> Seq("odd", "peculiar"),
+    "strong" -> Seq("powerful", "sturdy"),
+    "sudden" -> Seq("abrupt", "unexpected"),
+    "sufficient" -> Seq("enough", "adequate"),
+    "suggest" -> Seq("propose", "recommend"),
+    "support" -> Seq("assist", "uphold"),
+    "tiny" -> Seq("small", "minute"),
+    "tired" -> Seq("weary", "exhausted"),
+    "typical" -> Seq("usual", "representative"),
+    "understand" -> Seq("comprehend", "grasp"),
+    "urgent" -> Seq("pressing", "critical"),
+    "useful" -> Seq("helpful", "practical"),
+    "usual" -> Seq("normal", "customary"),
+    "vacant" -> Seq("empty", "unoccupied"),
+    "vague" -> Seq("unclear", "indistinct"),
+    "various" -> Seq("diverse", "assorted"),
+    "vast" -> Seq("huge", "immense"),
+    "visible" -> Seq("apparent", "evident"),
+    "wealthy" -> Seq("rich", "affluent"),
+    "whole" -> Seq("entire", "complete"),
+    "wide" -> Seq("broad", "expansive"),
+    "wise" -> Seq("sage", "prudent"),
+    "yield" -> Seq("produce", "surrender"))
 
   /** 33-word stop set the reference skips during expansion
     * (`enhancement.py:86-95` — abridged to the same spirit).
