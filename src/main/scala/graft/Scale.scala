@@ -345,6 +345,14 @@ object Scale {
     secs(s"dsir-weights ${kDocs}x")(dsir(bigDocs, "src0_0"))
     secs(s"shard-order 1x")(shardExp(docs))
     secs(s"shard-order ${kDocs}x")(shardExp(bigDocs))
+    // bigram LM: two head-truncated counting passes + one broadcast-join
+    // scoring pass — must stay linear with a fixed model size
+    def lmBigram(d: DataFrame): Long =
+      operators.LmQuality.scoreBigram(d, "doc_id", "text",
+          vocabSize = 1000, bigramSize = 5000)
+        .agg(sum("cost_micro")).first().getLong(0)
+    secs(s"lm-bigram 1x")(lmBigram(docs))
+    secs(s"lm-bigram ${kDocs}x")(lmBigram(bigDocs))
 
     secs(s"spell-correct50 1x")(spell(docs))
     secs(s"spell-correct50 ${kDocs}x")(spell(bigDocs))
