@@ -25,7 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_char_ngrams" -> classOf[CharNgramHashesExpr],
     "graft_word_shingles" -> classOf[WordShinglesExpr],
     "graft_tokenize" -> classOf[TokenizeExpr],
-    "graft_tokenize_bm25" -> classOf[TokenizeExpr])
+    "graft_tokenize_bm25" -> classOf[TokenizeExpr],
+    "graft_word_repetition" -> classOf[WordRepetitionExpr],
+    "graft_dsir_buckets" -> classOf[DsirBucketsExpr])
 
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.builders.foreach { case (name, builder) =>
@@ -61,7 +63,15 @@ object GraftExtensions {
     "graft_tokenize" -> ((args: Seq[Expression]) =>
       TokenizeExpr(args.head, bm25 = false)),
     "graft_tokenize_bm25" -> ((args: Seq[Expression]) =>
-      TokenizeExpr(args.head, bm25 = true)))
+      TokenizeExpr(args.head, bm25 = true)),
+    "graft_word_repetition" -> ((args: Seq[Expression]) =>
+      WordRepetitionExpr(args.head,
+        literalInt(args, 1, 3, "graft_word_repetition n"))),
+    // dsir_score's log-ratio is a driver artifact (not literal-expressible);
+    // the bucket walk IS, and SQL users compose counts/ratios relationally
+    "graft_dsir_buckets" -> ((args: Seq[Expression]) =>
+      DsirBucketsExpr(args.head,
+        literalInt(args, 1, 1024, "graft_dsir_buckets buckets"))))
 
   private def literalInt(args: Seq[Expression], idx: Int, default: Int,
                          what: String): Int =

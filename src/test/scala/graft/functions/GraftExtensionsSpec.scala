@@ -64,6 +64,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](3).length == 2) // 'abc', 'bcd'
   }
 
+  test("graft_word_repetition / graft_dsir_buckets from SQL") {
+    val row = sqlSession.sql(
+      """SELECT graft_word_repetition(array('a','b','a','b','a'), 2) AS r,
+        |       graft_dsir_buckets(array('the','cat'), 64) AS b""".stripMargin)
+      .collect().head
+    // shingles: (a b, b a, a b, b a) -> 2 distinct of 4 -> 0.5
+    assert(row.getDouble(0) == 0.5)
+    val b = row.getSeq[Long](1)
+    // 2 unigrams + 1 bigram, each in [0, 64)
+    assert(b.length == 3 && b.forall(x => x >= 0 && x < 64))
+  }
+
   test("unknown-typed input fails analysis with the expression name") {
     val e = intercept[Exception] {
       sqlSession.sql("SELECT graft_cosine(1, 2)").collect()
