@@ -1085,14 +1085,18 @@ object EngineQueries {
          |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
-      val qt = Seq((0L, "spark join filter window"),
+      val qSeq = Seq((0L, "spark join filter window"),
         (100L, "hash merge batch scan"), (200L, "sort table row value"))
-        .toDF("query_id", "qtext")
-      val ranked = Bm25.scoreBatch(ix, qt, "query_id", "qtext")
-        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
-        .withColumn("orig_rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("orig_rank") <= 10).drop("orig_rank")
+      val qt = qSeq.toDF("query_id", "qtext")
+      // warm serving rung identical to m7_rerank_batch: the rounded top-10
+      // arrives as a rank-ready LocalRelation when the index is resident;
+      // the distributed scoreBatch+window plan is the verbatim fallback
+      val ranked = Bm25.topKBatchInProcess(ix, s, qSeq, 10)
+        .getOrElse(Bm25.scoreBatch(ix, qt, "query_id", "qtext")
+          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+          .withColumn("orig_rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("orig_rank") <= 10).drop("orig_rank"))
       val ctx = ranked
         .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
         .join(broadcast(qt.select(col("query_id"),
