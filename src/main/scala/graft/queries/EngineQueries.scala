@@ -1350,25 +1350,36 @@ object EngineQueries {
          |ORDER BY query_id, doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val qv = emb.filter(col("vec_id").isin(0, 100, 200))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val scored = emb.crossJoin(broadcast(qv))
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
-      val vtop = graft.operators.TopK.explodeRanked(
-        scored.groupBy("query_id")
-          .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("tk")),
-        "tk", Seq("query_id")).drop("rank")
+      // warm serving rungs with verbatim distributed fallbacks (the same
+      // pattern as m7/m8): rounded vector top-20 from the resident corpus,
+      // BM25 rounded top-20 from the resident index
+      val qvecs = Seq(0L, 100L, 200L)
+        .map(i => i -> Tables.queryVec(s, dir, i).toArray)
+      val vtop = graft.operators.VectorSearch.roundedTopKInProcess(
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        qvecs, 20, scale = 6, cacheKey = Some(dir)).getOrElse {
+        val qv = emb.filter(col("vec_id").isin(0, 100, 200))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val scored = emb.crossJoin(broadcast(qv))
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")), 6).as("score"))
+        graft.operators.TopK.explodeRanked(
+          scored.groupBy("query_id")
+            .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("tk")),
+          "tk", Seq("query_id")).drop("rank")
+      }
       val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
-      val qt = Seq((0L, "spark join filter window"),
+      val qSeq = Seq((0L, "spark join filter window"),
         (100L, "hash merge batch scan"), (200L, "sort table row value"))
-        .toDF("query_id", "qtext")
-      val ktop = graft.operators.TopK.explodeRanked(
-        Bm25.scoreBatch(ix, qt, "query_id", "qtext")
-          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
-          .groupBy("query_id")
-          .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("tk")),
-        "tk", Seq("query_id")).drop("rank")
+      val ktop = Bm25.topKBatchInProcess(ix, s, qSeq, 20).getOrElse {
+        val qt = qSeq.toDF("query_id", "qtext")
+        graft.operators.TopK.explodeRanked(
+          Bm25.scoreBatch(ix, qt, "query_id", "qtext")
+            .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+            .groupBy("query_id")
+            .agg(graft.operators.TopK.topK(20)(col("doc_id"), col("score")).as("tk")),
+          "tk", Seq("query_id")).drop("rank")
+      }
       Fusion.weightedBatch(vtop, ktop, 0.7, 0.3)
         .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "doc_id")
