@@ -151,4 +151,55 @@ class StreamingIngestSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq
     assert(got == Seq(3L), s"tieBreak must pick the lowest event_id: $got")
   }
+
+  test("streaming index maintenance: append == rebuild through versioned stores, replay idempotent") {
+    import graft.operators.Bm25
+    val in = Files.createTempDirectory("graft_stream_ix_in").toString
+    val ixd = Files.createTempDirectory("graft_stream_ix").toString
+    Files.write(Paths.get(in, "a.txt"),
+      (1 to 60).map(i => s"alpha$i common").mkString(" ").getBytes(StandardCharsets.UTF_8))
+
+    StreamingIngest.startIndexMaintenance(spark, s"$in/*.txt", ixd).awaitTermination()
+    val v1 = StreamingIngest.currentIndexPath(ixd).get
+    val ix1 = Bm25.readIndex(spark, v1)
+    val n1 = ix1.lengths.count()
+    assert(n1 > 0)
+
+    // second wave: restart merges ONLY the new file's chunks
+    Files.write(Paths.get(in, "b.txt"),
+      (1 to 60).map(i => s"beta$i common").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startIndexMaintenance(spark, s"$in/*.txt", ixd).awaitTermination()
+    val v2 = StreamingIngest.currentIndexPath(ixd).get
+    assert(v2 != v1, "pointer must advance on a merging batch")
+    val ix2 = Bm25.readIndex(spark, v2)
+
+    // append == rebuild: the maintained index equals buildIndex over ALL
+    // chunks, value for value on postings, lengths and idf
+    val files = spark.read.option("wholetext", "true").text(s"$in/*.txt")
+      .select(input_file_name().as("sourcedoc"), col("value").as("text"))
+    val rebuiltDocs = files.select(col("sourcedoc"),
+        explode(graft.ingest.Chunker.chunks(col("text"), 200, 50)).as("c"))
+      .select(concat(col("sourcedoc"), lit("#"), col("c.sid")).as("doc_id"),
+        col("c.chunk_text").as("text"))
+    val rebuilt = Bm25.buildIndex(rebuiltDocs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(ix2.postings, Seq("doc_id", "term", "tf", "doc_len")) ==
+      rows(rebuilt.postings, Seq("doc_id", "term", "tf", "doc_len")))
+    assert(rows(ix2.lengths, Seq("doc_id", "doc_len")) ==
+      rows(rebuilt.lengths, Seq("doc_id", "doc_len")))
+    assert(rows(ix2.idf, Seq("term", "idf")) == rows(rebuilt.idf, Seq("term", "idf")))
+    assert(ix2.stats.select("n").head().getLong(0) ==
+      rebuilt.stats.select("n").head().getLong(0))
+
+    // replay idempotence: re-driving the SAME batch leaves the index
+    // value-identical (all-duplicate replay keeps the pointer)
+    val replay = files.select(col("sourcedoc"),
+        explode(graft.ingest.Chunker.chunks(col("text"), 200, 50)).as("c"))
+      .select(col("sourcedoc"), col("c.sid").as("sid"),
+        col("c.chunk_text").as("chunk_text"))
+    StreamingIngest.maintainIndexBatch(spark, replay, ixd, batchId = 99L)
+    assert(StreamingIngest.currentIndexPath(ixd).get == v2,
+      "all-duplicate replay must not advance the pointer")
+  }
 }
