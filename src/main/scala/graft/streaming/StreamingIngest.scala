@@ -128,6 +128,56 @@ object StreamingIngest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Streaming dedup-at-ingest — the shape a 100 TB/day training pipeline
+    * runs at the front door: each micro-batch of landed documents is
+    * exact-deduped WITHIN the batch (canonical min-id survives), checked
+    * against the accumulated lake through the bloom-prefiltered
+    * fingerprint join ([[graft.operators.Dedup.incrementalBloom]] — lake
+    * rows drop map-side on the bloom probe before the join), and only
+    * never-seen documents append to the lake. Replay-idempotent without a
+    * pointer: a replayed batch's fingerprints are already IN the lake, so
+    * every row drops and nothing appends. The parquet append itself is
+    * the one non-transactional step — at production scale the lake sits
+    * in a table format with atomic commit (the seam is this function).
+    */
+  def startDedupIngest(spark: SparkSession, glob: String, dir: String,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("text").option("wholetext", "true").load(glob)
+      .select(input_file_name().as("doc_id"), col("value").as("text"))
+      .writeStream
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIngestBatch(spark, batch, dir)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** The per-micro-batch step of [[startDedupIngest]], spec-drivable. */
+  private[graft] def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
+                                      dir: String): Unit = {
+    import graft.operators.Dedup
+    val canonIds = Dedup.exactGroups(batch, "doc_id", "text")
+      .filter(col("dup_id") === col("keep_id"))
+      .select(col("dup_id").as("doc_id"))
+    val canon = batch.join(canonIds, "doc_id")
+    val lakeDir = s"$dir/lake"
+    val survivors =
+      if (!new java.io.File(lakeDir).exists()) canon
+      else {
+        val lake = spark.read.parquet(lakeDir)
+        val dups = Dedup.incrementalBloom(lake, canon, "doc_id", "text")
+          .filter(col("keep_id").isNotNull)
+          .select(col("batch_id").as("doc_id"))
+        canon.join(dups, Seq("doc_id"), "left_anti")
+      }
+    // materialize BEFORE the append: the survivor plan reads the same lake
+    // files the write extends
+    val out = survivors.localCheckpoint(true)
+    if (out.head(1).nonEmpty) out.write.mode("append").parquet(lakeDir)
+  }
+
   /** Streaming keep-first dedup: `dropDuplicatesWithinWatermark` on the key
     * columns — dedup state is BOUNDED by the watermark horizon (grows with
     * distinct keys per window, not with stream length), the property that

@@ -202,4 +202,34 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.currentIndexPath(ixd).get == v2,
       "all-duplicate replay must not advance the pointer")
   }
+
+  test("streaming dedup-at-ingest: in-batch + vs-lake dedup, replay appends nothing") {
+    val in = Files.createTempDirectory("graft_stream_dd_in").toString
+    val dd = Files.createTempDirectory("graft_stream_dd").toString
+    // wave 1: two identical files (in-batch dup) + one distinct
+    Files.write(Paths.get(in, "a.txt"), "the quick brown fox".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "b.txt"), "the quick brown fox".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "c.txt"), "a completely different document".getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startDedupIngest(spark, s"$in/*.txt", dd).awaitTermination()
+    val lake1 = spark.read.parquet(s"$dd/lake")
+    assert(lake1.count() == 2, "in-batch duplicate collapses to its canonical member")
+    assert(lake1.filter(col("doc_id").endsWith("a.txt")).count() == 1,
+      "canonical = lexicographically smallest id")
+
+    // wave 2: one lake-duplicate + one new doc -> only the new doc appends
+    Files.write(Paths.get(in, "d.txt"), "the quick brown fox".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "e.txt"), "fresh never seen content".getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startDedupIngest(spark, s"$in/*.txt", dd).awaitTermination()
+    val lake2 = spark.read.parquet(s"$dd/lake")
+    assert(lake2.count() == 3, s"only the new doc appends: ${lake2.collect().mkString}")
+    assert(lake2.filter(col("doc_id").endsWith("e.txt")).count() == 1)
+    assert(lake2.filter(col("doc_id").endsWith("d.txt")).count() == 0)
+
+    // replay: re-driving wave-2 docs directly appends nothing
+    import spark.implicits._
+    val replay = Seq(("file:" + in + "/d.txt", "the quick brown fox"),
+      ("file:" + in + "/e.txt", "fresh never seen content")).toDF("doc_id", "text")
+    StreamingIngest.dedupIngestBatch(spark, replay, dd)
+    assert(spark.read.parquet(s"$dd/lake").count() == 3, "full replay appends nothing")
+  }
 }
