@@ -178,6 +178,70 @@ object StreamingIngest {
     if (out.head(1).nonEmpty) out.write.mode("append").parquet(lakeDir)
   }
 
+  /** Streaming cache-aware embedding maintenance — the third leg of the
+    * incremental lifecycle (ingest → dedup → EMBED → index): each
+    * micro-batch of landed files chunks like [[chunkStream]], embeds ONLY
+    * content keys absent from the accumulated cache table
+    * ([[graft.embed.Embedder.embedWithCache]] — the M5 anti-join, so a
+    * re-ingested or duplicated chunk never burns a provider call), appends
+    * the new cache rows, and appends the per-chunk embedding rows.
+    * Replay-idempotent the same way [[startDedupIngest]] is: a replayed
+    * batch's chunk ids are already in the embeddings table and drop on the
+    * id anti-join.
+    */
+  def startEmbedMaintenance(spark: SparkSession, glob: String, dir: String,
+                            provider: graft.embed.Embedder.Provider,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    chunkStream(spark, glob).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embedMaintenanceBatch(spark, batch, dir, provider)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** The per-micro-batch step of [[startEmbedMaintenance]], spec-drivable. */
+  private[graft] def embedMaintenanceBatch(spark: SparkSession, batch: DataFrame,
+                                           dir: String,
+                                           provider: graft.embed.Embedder.Provider): Unit = {
+    import graft.embed.Embedder
+    val cacheDir = s"$dir/embcache"
+    val vecDir = s"$dir/embeddings"
+    val chunks0 = batch.select(
+      concat(col("sourcedoc"), lit("#"), col("sid")).as("chunk_id"),
+      col("embedtext"))
+    // replay guard: chunk ids already embedded drop out entirely
+    val chunks =
+      if (!new java.io.File(vecDir).exists()) chunks0
+      else chunks0.join(spark.read.parquet(vecDir).select("chunk_id"),
+        Seq("chunk_id"), "left_anti")
+    if (chunks.head(1).isEmpty) return
+    val cache =
+      if (new java.io.File(cacheDir).exists()) spark.read.parquet(cacheDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content_key",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+    val res = Embedder.embedWithCache(chunks, "embedtext", cache, provider)
+    // materialize both outputs BEFORE the appends (their plans read the
+    // same cache/embedding files the writes extend)
+    val newCache = res.newCacheRows.localCheckpoint(true)
+    val embedded = res.embedded
+      .select(col("chunk_id"), col("content_key"), col("embedding"))
+      .localCheckpoint(true)
+    res.unpersist() // both outputs materialized above — release the miss cache
+    if (newCache.head(1).nonEmpty)
+      newCache.write.mode("append").parquet(cacheDir)
+    if (embedded.head(1).nonEmpty)
+      embedded.write.mode("append").parquet(vecDir)
+  }
+
   /** Streaming keep-first dedup: `dropDuplicatesWithinWatermark` on the key
     * columns — dedup state is BOUNDED by the watermark horizon (grows with
     * distinct keys per window, not with stream length), the property that

@@ -232,4 +232,62 @@ class StreamingIngestSpec extends SparkSpec {
     StreamingIngest.dedupIngestBatch(spark, replay, dd)
     assert(spark.read.parquet(s"$dd/lake").count() == 3, "full replay appends nothing")
   }
+
+  test("streaming embed maintenance: cache hits never re-embed, replay appends nothing") {
+    val in = Files.createTempDirectory("graft_stream_em_in").toString
+    val em = Files.createTempDirectory("graft_stream_em").toString
+    // JVM-global counter: the provider is serialized into task closures, so
+    // an instance field would count on a deserialized COPY
+    CountingProviderCalls.n.set(0)
+    val calls = CountingProviderCalls.n
+    val provider = new graft.embed.Embedder.Provider {
+      private val det = graft.embed.Embedder.Deterministic(8)
+      def model: String = "counting-deterministic"
+      def dims: Int = 8
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        CountingProviderCalls.n.addAndGet(texts.size); det.embedBatch(texts)
+      }
+    }
+    // two files with IDENTICAL content: one provider call set serves both
+    Files.write(Paths.get(in, "a.txt"),
+      (1 to 60).map(i => s"alpha$i").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "b.txt"),
+      (1 to 60).map(i => s"alpha$i").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startEmbedMaintenance(spark, s"$in/*.txt", em, provider)
+      .awaitTermination()
+    val vecs1 = spark.read.parquet(s"$em/embeddings")
+    val nChunksPerFile = vecs1.filter(col("chunk_id").contains("a.txt")).count()
+    assert(vecs1.count() == 2 * nChunksPerFile, "every chunk row embedded")
+    val callsWave1 = calls.get()
+    assert(callsWave1 == nChunksPerFile,
+      s"identical content embeds once per distinct key: $callsWave1 vs $nChunksPerFile")
+
+    // wave 2: same content in a NEW file -> zero new provider calls,
+    // chunk rows still append (cache hits)
+    Files.write(Paths.get(in, "c.txt"),
+      (1 to 60).map(i => s"alpha$i").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startEmbedMaintenance(spark, s"$in/*.txt", em, provider)
+      .awaitTermination()
+    assert(calls.get() == callsWave1, "cache must serve the duplicate content")
+    assert(spark.read.parquet(s"$em/embeddings").count() == 3 * nChunksPerFile)
+
+    // direct replay of wave-2 chunks: id anti-join drops everything
+    val replay = StreamingIngest.chunkStream(spark, s"$in/*.txt") // streaming frame unused
+    val files = spark.read.option("wholetext", "true").text(s"$in/c.txt")
+      .select(input_file_name().as("sourcedoc"), col("value").as("text"))
+    val rb = files.select(col("sourcedoc"),
+        explode(graft.ingest.Chunker.chunks(col("text"), 200, 50)).as("c"))
+      .select(col("sourcedoc"), col("c.sid").as("sid"),
+        col("c.chunk_text").as("chunk_text"))
+      .withColumn("embedtext", graft.functions.TextFunctions.cleanText(col("chunk_text")))
+    StreamingIngest.embedMaintenanceBatch(spark, rb, em, provider)
+    assert(spark.read.parquet(s"$em/embeddings").count() == 3 * nChunksPerFile,
+      "replay appends nothing")
+    assert(calls.get() == callsWave1)
+  }
+}
+
+/** JVM-wide provider-call counter (objects survive closure serialization). */
+object CountingProviderCalls {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
 }
