@@ -157,6 +157,14 @@ object StreamingIngest {
   /** The per-micro-batch step of [[startDedupIngest]], spec-drivable. */
   private[graft] def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
                                       dir: String): Unit = {
+    dedupIngestStep(spark, batch, dir); ()
+  }
+
+  /** [[dedupIngestBatch]] returning the MATERIALIZED survivor documents —
+    * the composition seam [[kbMaintenanceBatch]] chains further stages on.
+    */
+  private[graft] def dedupIngestStep(spark: SparkSession, batch: DataFrame,
+                                     dir: String): DataFrame = {
     import graft.operators.Dedup
     val canonIds = Dedup.exactGroups(batch, "doc_id", "text")
       .filter(col("dup_id") === col("keep_id"))
@@ -176,6 +184,51 @@ object StreamingIngest {
     // files the write extends
     val out = survivors.localCheckpoint(true)
     if (out.head(1).nonEmpty) out.write.mode("append").parquet(lakeDir)
+    out
+  }
+
+  /** The WHOLE incremental lifecycle as one stream — the streaming twin of
+    * the reference's `database → embed → bm25` verb sequence: each
+    * micro-batch of landed files is deduplicated against the lake
+    * ([[dedupIngestStep]]), the survivors chunk exactly like the batch
+    * path, new content keys embed through the cache anti-join
+    * ([[embedMaintenanceBatch]]), and the chunks merge into the versioned
+    * BM25 store ([[maintainIndexBatch]]). Every stage is
+    * replay-idempotent on its own artifact (lake fingerprints, chunk-id
+    * anti-join, all-duplicate pointer freeze), so the at-least-once
+    * foreachBatch contract holds end to end.
+    */
+  def startKbMaintenance(spark: SparkSession, glob: String, dir: String,
+                         provider: graft.embed.Embedder.Provider,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("text").option("wholetext", "true").load(glob)
+      .select(input_file_name().as("doc_id"), col("value").as("text"))
+      .writeStream
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kbMaintenanceBatch(spark, batch, dir, provider, batchId)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** The per-micro-batch step of [[startKbMaintenance]], spec-drivable. */
+  private[graft] def kbMaintenanceBatch(spark: SparkSession, batch: DataFrame,
+                                        dir: String,
+                                        provider: graft.embed.Embedder.Provider,
+                                        batchId: Long): Unit = {
+    val survivors = dedupIngestStep(spark, batch, dir)
+    if (survivors.head(1).isEmpty) return
+    val chunks = survivors
+      .select(col("doc_id").as("sourcedoc"),
+        explode(Chunker.chunks(col("text"), 200, 50)).as("c"))
+      .select(col("sourcedoc"), col("c.sid").as("sid"),
+        col("c.chunk_text").as("chunk_text"))
+      .withColumn("embedtext", TextFunctions.cleanText(col("chunk_text")))
+      .localCheckpoint(true)
+    embedMaintenanceBatch(spark, chunks, dir, provider)
+    maintainIndexBatch(spark, chunks, dir, batchId)
   }
 
   /** Streaming cache-aware embedding maintenance — the third leg of the

@@ -285,7 +285,62 @@ class StreamingIngestSpec extends SparkSpec {
       "replay appends nothing")
     assert(calls.get() == callsWave1)
   }
+
+  test("full KB maintenance stream: dedup -> chunk -> embed -> index per batch, end to end") {
+    import graft.operators.Bm25
+    val in = Files.createTempDirectory("graft_stream_kb_in").toString
+    val kb = Files.createTempDirectory("graft_stream_kb").toString
+    CountingProviderCalls.n.set(0)
+    val provider = new graft.embed.Embedder.Provider {
+      private val det = graft.embed.Embedder.Deterministic(8)
+      def model: String = "counting-deterministic"
+      def dims: Int = 8
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        CountingProviderCalls.n.addAndGet(texts.size); det.embedBatch(texts)
+      }
+    }
+    // wave 1: a duplicate pair + one distinct doc
+    Files.write(Paths.get(in, "a.txt"),
+      (1 to 60).map(i => s"alpha$i").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "b.txt"),
+      (1 to 60).map(i => s"alpha$i").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "c.txt"),
+      (1 to 60).map(i => s"gamma$i here").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startKbMaintenance(spark, s"$in/*.txt", kb, provider)
+      .awaitTermination()
+    // lake holds 2 deduped docs; embeddings and index cover THEIR chunks only
+    assert(spark.read.parquet(s"$kb/lake").count() == 2)
+    val ix1 = Bm25.readIndex(spark, StreamingIngest.currentIndexPath(kb).get)
+    val nChunks1 = spark.read.parquet(s"$kb/embeddings").count()
+    assert(ix1.lengths.count() == nChunks1 && nChunks1 > 0)
+    assert(ix1.lengths.filter(col("doc_id").contains("b.txt")).count() == 0,
+      "the duplicate file must not reach the index")
+
+    // wave 2: one new doc -> lake 3, index grows by its chunks, and the
+    // maintained index answers a query for the new content
+    Files.write(Paths.get(in, "d.txt"),
+      (1 to 60).map(i => s"delta$i fresh").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startKbMaintenance(spark, s"$in/*.txt", kb, provider)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$kb/lake").count() == 3)
+    val ix2 = Bm25.readIndex(spark, StreamingIngest.currentIndexPath(kb).get)
+    assert(ix2.lengths.count() == spark.read.parquet(s"$kb/embeddings").count())
+    val hits = Bm25.scoreWithIndex(ix2, spark, "delta1 fresh")
+    assert(hits.head(1).nonEmpty, "the maintained index must answer for new content")
+    assert(hits.orderBy(col("score").desc).head().getString(0).contains("d.txt"))
+
+    // replay: re-driving the full wave appends/advances nothing anywhere
+    val files = spark.read.option("wholetext", "true").text(s"$in/*.txt")
+      .select(input_file_name().as("doc_id"), col("value").as("text"))
+    val pointer = StreamingIngest.currentIndexPath(kb).get
+    val callsBefore = CountingProviderCalls.n.get()
+    StreamingIngest.kbMaintenanceBatch(spark, files, kb, provider, batchId = 77L)
+    assert(spark.read.parquet(s"$kb/lake").count() == 3)
+    assert(StreamingIngest.currentIndexPath(kb).get == pointer)
+    assert(CountingProviderCalls.n.get() == callsBefore)
+  }
 }
+
 
 /** JVM-wide provider-call counter (objects survive closure serialization). */
 object CountingProviderCalls {
