@@ -116,6 +116,7 @@ object Main {
       |  edit <kbDir> [<key> <value>]             show/set config.ini
       |  dedup | components | knn | graph | pq | curate   training-pipeline suite
       |  classify <kbDir> [labelCol]              NB domain classifier (train/held-out)
+      |  maintain <kbDir> <inputGlob>             streaming lifecycle: dedup -> chunk -> embed -> index
       |  select   <kbDir> <targetGlob> [n]        DSIR importance selection vs a target corpus
       |  export   <kbDir> [nShards]               deterministic training-order shard export
       |  help | version""".stripMargin
@@ -435,6 +436,23 @@ object Main {
         val acc = if (n > 0) correct.toDouble / n else 0.0
         println(f"[graft] classify: $n held-out chunks, accuracy $acc%.3f " +
           s"-> $kb/classify/heldout")
+
+      case "maintain" =>
+        // extension verb: the WHOLE incremental lifecycle as one stream —
+        // landed files dedup against the lake, survivors chunk, new
+        // content keys embed through the cache, chunks merge into the
+        // versioned BM25 store. Re-runs process only new files
+        // (checkpointed source); replays are idempotent at every stage.
+        // usage: maintain <kbDir> <inputGlob>
+        require(args.length >= 3, "usage: maintain <kbDir> <inputGlob>")
+        graft.streaming.StreamingIngest.startKbMaintenance(
+          spark, args(2), kb,
+          graft.embed.Embedder.Deterministic(
+            loadCfg(args, 3, kb).vectorDimensions))
+          .awaitTermination()
+        val lakeN = spark.read.parquet(s"$kb/lake").count()
+        val ixPath = graft.streaming.StreamingIngest.currentIndexPath(kb)
+        println(s"[graft] maintain: lake=$lakeN docs, index=${ixPath.getOrElse("(none)")}")
 
       case "select" =>
         // extension verb (training-pipeline suite): DSIR importance

@@ -333,6 +333,23 @@ class MainSpec extends SparkSpec {
         s"dense positions in shard $sh") }
   }
 
+  test("CLI maintain verb runs the lifecycle stream and is idempotent on re-run") {
+    val kb = Files.createTempDirectory("graft_cli_maintain").toString
+    val in = Files.createTempDirectory("graft_cli_maintain_in").toString
+    Files.writeString(Paths.get(in, "a.txt"), (1 to 60).map(i => s"word$i").mkString(" "))
+    Files.writeString(Paths.get(in, "b.txt"), (1 to 60).map(i => s"word$i").mkString(" "))
+    Main.run(Array("maintain", kb, s"$in/*.txt"), spark)
+    assert(spark.read.parquet(s"$kb/lake").count() == 1, "duplicate file deduped")
+    val ix = graft.streaming.StreamingIngest.currentIndexPath(kb)
+    assert(ix.nonEmpty)
+    val n1 = spark.read.parquet(s"$kb/embeddings").count()
+    assert(n1 > 0)
+    // re-run with nothing new: checkpointed source processes zero files
+    Main.run(Array("maintain", kb, s"$in/*.txt"), spark)
+    assert(spark.read.parquet(s"$kb/lake").count() == 1)
+    assert(spark.read.parquet(s"$kb/embeddings").count() == n1)
+  }
+
   test("KbConfig.renderIni round-trips through load") {
     import graft.config.KbConfig
     val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,
