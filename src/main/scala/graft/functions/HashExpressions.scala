@@ -237,6 +237,37 @@ object HashAlgos {
     new GenericArrayData(arr)
   }
 
+  /** Stupid-Backoff bigram document cost in ONE pass: [n_tokens,
+    * cost_micro] with cost = cu(t₀) + Σᵢ≥₁ (bg("tᵢ₋₁ tᵢ") | cb(tᵢ)) —
+    * the resident-model twin of the broadcast-join scoring plan
+    * (`LmQuality.scoreBigram`); `uni` maps token → [cu, cb], misses take
+    * the OOV floors. Integer table values, so both paths sum identical
+    * 64-bit terms.
+    */
+  def bigramCost(tokens: ArrayData,
+                 uni: java.util.HashMap[String, Array[Long]],
+                 bg: java.util.HashMap[String, java.lang.Long],
+                 cuOov: Long, cbOov: Long): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array(0L, 0L))
+    var prev = tokens.getUTF8String(0).toString
+    val u0 = uni.get(prev)
+    var cost = if (u0 == null) cuOov else u0(0)
+    var i = 1
+    while (i < n) {
+      val cur = tokens.getUTF8String(i).toString
+      val b = bg.get(prev + " " + cur)
+      if (b != null) cost += b.longValue()
+      else {
+        val u = uni.get(cur)
+        cost += (if (u == null) cbOov else u(1))
+      }
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, cost))
+  }
+
   /** 1 − distinct/total word n-gram shingles, one pass (0.0 when the doc
     * has no shingles). The shingle set and the division order match the
     * Column form `1.0 - size(array_distinct(grams))/size(grams)` exactly.
@@ -767,6 +798,33 @@ case class DsirBucketsExpr(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** `bigram_cost(tokens)` → ARRAY<LONG>[n_tokens, cost_micro]: the
+  * Stupid-Backoff document cost with the resident unigram/bigram cost maps
+  * riding as codegen reference objects — the guarded in-process rung of
+  * `LmQuality.scoreBigram` (models over the entry budget keep the
+  * broadcast-join plan).
+  */
+case class BigramCostExpr(child: Expression,
+                          uni: java.util.HashMap[String, Array[Long]],
+                          bg: java.util.HashMap[String, java.lang.Long],
+                          cuOov: Long, cbOov: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bigram_cost"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashAlgos.bigramCost(tokens.asInstanceOf[ArrayData], uni, bg, cuOov, cbOov)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val uniRef = ctx.addReferenceObj("bigramUni", uni, "java.util.HashMap")
+    val bgRef = ctx.addReferenceObj("bigramBg", bg, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashAlgos.bigramCost($c, $uniRef, $bgRef, ${cuOov}L, ${cbOov}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramCostExpr =
+    copy(child = newChild)
+}
+
 /** `pq_encode(vec)` → ARRAY<INT> of m codes (codebook rides as a reference
   * object into codegen — no per-row literal tree).
   */
@@ -906,6 +964,11 @@ object FastFunctions {
     GraftShims.column(WordRepetitionExpr(GraftShims.expression(tokens), shingleN))
   def shingleSpans(tokens: Column, shingleN: Int): Column =
     GraftShims.column(ShingleSpansExpr(GraftShims.expression(tokens), shingleN))
+  def bigramCost(tokens: Column, uni: java.util.HashMap[String, Array[Long]],
+                 bg: java.util.HashMap[String, java.lang.Long],
+                 cuOov: Long, cbOov: Long): Column =
+    GraftShims.column(BigramCostExpr(GraftShims.expression(tokens), uni, bg,
+      cuOov, cbOov))
   def dsirScore(tokens: Column, buckets: Int, ratio: Array[Long]): Column =
     GraftShims.column(DsirScoreExpr(GraftShims.expression(tokens), buckets, ratio))
   def dsirBuckets(tokens: Column, buckets: Int): Column =

@@ -128,9 +128,17 @@ object LmQuality {
     * are EXCLUDED on both sides (len ≥ 2) — a single-token doc scores by
     * its unigram rate alone.
     */
+  /** Entry budget for [[scoreBigram]]'s in-process rung: models whose
+    * requested vocab+bigram heads fit ride the scoring pass as codegen
+    * reference maps (one projection, no joins); larger models keep the
+    * broadcast-join plan — the 100 TB shape.
+    */
+  val BigramInProcessEntries = 250000
+
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
                   vocabSize: Int = DefaultVocabSize,
-                  bigramSize: Int = DefaultBigramSize): DataFrame = {
+                  bigramSize: Int = DefaultBigramSize,
+                  inProcessEntries: Int = BigramInProcessEntries): DataFrame = {
     val microD = lit(Micro.toDouble)
     val toksAll = docs.select(col(idCol),
       TextFunctions.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
@@ -162,6 +170,23 @@ object LmQuality {
       .select(col("pair"),
         floor(-log(col("c2").cast("double") / col("c1").cast("double")) * microD)
           .cast("long").as("cb2"))
+    // guarded in-process rung: a head-truncated model under the entry
+    // budget scores as ONE codegen projection (the cost maps ride as
+    // reference objects — integer values, so both paths sum identical
+    // terms); larger models keep the broadcast-join plan below
+    if (vocabSize.toLong + bigramSize.toLong <= inProcessEntries) {
+      val uniMap = new java.util.HashMap[String, Array[Long]]()
+      uni.collect().foreach(r =>
+        uniMap.put(r.getString(0), Array(r.getLong(1), r.getLong(2))))
+      val bgMap = new java.util.HashMap[String, java.lang.Long]()
+      bg.collect().foreach(r => bgMap.put(r.getString(0), r.getLong(1)))
+      return toksAll.select(col(idCol),
+          graft.functions.FastFunctions.bigramCost(col("toks"), uniMap, bgMap,
+            cuOov, cbOov).as("_bc"))
+        .select(col(idCol),
+          element_at(col("_bc"), 1).as("n_tokens"),
+          element_at(col("_bc"), 2).as("cost_micro"))
+    }
     val fc = toksAll.filter(size(col("toks")) >= 1)
       .select(col(idCol), element_at(col("toks"), 1).as("token"))
       .join(broadcast(uni), Seq("token"), "left")

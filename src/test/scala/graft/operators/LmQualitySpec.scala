@@ -109,6 +109,12 @@ class LmQualitySpec extends SparkSpec {
     val got = LmQuality.scoreBigram(docs, "doc_id", "text", V, B)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected, s"got $got expected $expected")
+    // lockstep: the broadcast-join plan (entry budget 0 forces it) equals
+    // the in-process codegen walk row for row
+    val distributed = LmQuality.scoreBigram(docs, "doc_id", "text", V, B,
+        inProcessEntries = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(distributed == got, s"distributed $distributed != in-process $got")
     // repeated common bigrams must cost less per token than scrambled text
     val n1 = got(1L); val n3 = got(3L)
     assert(n1._2 > 0 && n3._2 > 0)
