@@ -443,12 +443,13 @@ object Main {
         // content keys embed through the cache, chunks merge into the
         // versioned BM25 store. Re-runs process only new files
         // (checkpointed source); replays are idempotent at every stage.
-        // usage: maintain <kbDir> <inputGlob>
-        require(args.length >= 3, "usage: maintain <kbDir> <inputGlob>")
+        // usage: maintain <kbDir> <inputGlob> [--curate]
+        require(args.length >= 3, "usage: maintain <kbDir> <inputGlob> [--curate]")
         graft.streaming.StreamingIngest.startKbMaintenance(
           spark, args(2), kb,
           graft.embed.Embedder.Deterministic(
-            loadCfg(args, 3, kb).vectorDimensions))
+            loadCfg(args.filterNot(_ == "--curate"), 3, kb).vectorDimensions),
+          surfaceGate = args.contains("--curate"))
           .awaitTermination()
         val lakeN = spark.read.parquet(s"$kb/lake").count()
         val ixPath = graft.streaming.StreamingIngest.currentIndexPath(kb)

@@ -143,6 +143,21 @@ object Curation {
     * its own groupBy, so the join costs one id-shuffle of the (narrow)
     * signals table.
     */
+  /** Streaming-safe surface quality gate: the [[curationDecision]] rules
+    * that need NO corpus model — length, repetition, surface quality — as
+    * one boolean column. This is the front-door filter a maintenance
+    * stream can apply per micro-batch; the LM/perplexity rule needs a
+    * corpus-stable model and stays a batch-side rung.
+    */
+  def surfaceKeep(text: Column, minTokens: Int = 15, maxTokens: Int = 100000,
+                  maxRep3: Double = 0.02, minQuality: Double = 0.75): Column = {
+    val t = coalesce(text, lit(""))
+    val n = size(TextFunctions.tokenize(t)).cast("long")
+    n >= minTokens && n <= maxTokens &&
+      round(TextFunctions.repetitionRatio(t, 3), 6) <= maxRep3 &&
+      TextFunctions.qualityScore(t) >= minQuality
+  }
+
   def curationDecision(docs: DataFrame, idCol: String, textCol: String,
                        minTokens: Int = 15, maxTokens: Int = 100000,
                        maxRep3: Double = 0.02, minQuality: Double = 0.75,

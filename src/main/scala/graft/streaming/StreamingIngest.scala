@@ -200,6 +200,7 @@ object StreamingIngest {
     */
   def startKbMaintenance(spark: SparkSession, glob: String, dir: String,
                          provider: graft.embed.Embedder.Provider,
+                         surfaceGate: Boolean = false,
                          trigger: org.apache.spark.sql.streaming.Trigger =
                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -208,17 +209,26 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", s"$dir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        kbMaintenanceBatch(spark, batch, dir, provider, batchId)
+        kbMaintenanceBatch(spark, batch, dir, provider, batchId, surfaceGate)
       }
       .trigger(trigger)
       .start()
 
-  /** The per-micro-batch step of [[startKbMaintenance]], spec-drivable. */
+  /** The per-micro-batch step of [[startKbMaintenance]], spec-drivable.
+    * `surfaceGate = true` drops documents failing the model-free curation
+    * rules ([[graft.operators.Curation.surfaceKeep]]) BEFORE they touch
+    * any artifact — junk never enters the lake, the cache, or the index.
+    */
   private[graft] def kbMaintenanceBatch(spark: SparkSession, batch: DataFrame,
                                         dir: String,
                                         provider: graft.embed.Embedder.Provider,
-                                        batchId: Long): Unit = {
-    val survivors = dedupIngestStep(spark, batch, dir)
+                                        batchId: Long,
+                                        surfaceGate: Boolean = false): Unit = {
+    val gated =
+      if (surfaceGate)
+        batch.filter(graft.operators.Curation.surfaceKeep(col("text")))
+      else batch
+    val survivors = dedupIngestStep(spark, gated, dir)
     if (survivors.head(1).isEmpty) return
     val chunks = survivors
       .select(col("doc_id").as("sourcedoc"),

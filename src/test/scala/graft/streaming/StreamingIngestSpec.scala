@@ -339,6 +339,26 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.currentIndexPath(kb).get == pointer)
     assert(CountingProviderCalls.n.get() == callsBefore)
   }
+
+  test("kb maintenance surface gate: junk documents never touch any artifact") {
+    val in = Files.createTempDirectory("graft_stream_gate_in").toString
+    val kb = Files.createTempDirectory("graft_stream_gate").toString
+    val provider = graft.embed.Embedder.Deterministic(8)
+    // a real doc (stopwords, varied tokens, sane lengths) + a 2-token junk doc
+    Files.write(Paths.get(in, "good.txt"),
+      (1 to 40).map(i => s"the word$i and").mkString(" ").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(in, "junk.txt"), "x y".getBytes(StandardCharsets.UTF_8))
+    StreamingIngest.startKbMaintenance(spark, s"$in/*.txt", kb, provider,
+      surfaceGate = true).awaitTermination()
+    val lake = spark.read.parquet(s"$kb/lake")
+    assert(lake.count() == 1, "the junk doc must not enter the lake")
+    assert(lake.filter(col("doc_id").endsWith("good.txt")).count() == 1)
+    val ix = graft.operators.Bm25.readIndex(spark,
+      StreamingIngest.currentIndexPath(kb).get)
+    assert(ix.lengths.filter(col("doc_id").contains("junk.txt")).count() == 0)
+    assert(spark.read.parquet(s"$kb/embeddings")
+      .filter(col("chunk_id").contains("junk.txt")).count() == 0)
+  }
 }
 
 
