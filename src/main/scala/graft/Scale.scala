@@ -128,6 +128,14 @@ object Scale {
 
     secs(s"lsh-dedup 1x")(lshPipeline(docs))
     secs(s"lsh-dedup ${kDocs}x")(lshPipeline(bigDocs))
+    // the representative-collapse form: LSH over distinct token sequences
+    // only, pairs expanded to members afterward (output-identical,
+    // spec-pinned) — the dup-saturation-robust path
+    def lshDeduped(d: DataFrame): Long =
+      operators.Dedup.minhashPairsDeduped(d, "doc_id", "text",
+        threshold = 0.5).count()
+    secs(s"lsh-dedup-deduped 1x")(lshDeduped(docs))
+    secs(s"lsh-dedup-deduped ${kDocs}x")(lshDeduped(bigDocs))
     secs(s"ngram-jaccard 1x")(ngram(docs))
     secs(s"ngram-jaccard ${kDocs}x")(ngram(bigDocs))
     secs(s"simhash-components 1x")(components(docs))

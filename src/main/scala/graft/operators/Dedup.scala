@@ -311,6 +311,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash near-dup pairs with the exact-duplicate collapse in front —
+    * the duplicate-saturation-robust form of the sigs → LSH → verify
+    * pipeline (the same representative move `simhashPairs` and
+    * `graphSearchDeduped` use; dedup pipelines run exact-dedup before
+    * near-dup for exactly this reason). Documents group by a ~60-bit
+    * rolling hash of their TOKEN SEQUENCE (identical tokens ⇔ identical
+    * shingle sets ⇔ identical signatures and jaccards), only the min-id
+    * representative of each group enters the LSH pipeline, and the
+    * surviving rep pairs expand back to members: cross-group member pairs
+    * inherit the rep pair's jaccard, within-group pairs are exact
+    * duplicates (jaccard 1.0). Token-less documents drop — they have no
+    * shingles, so the raw pipeline never pairs them either.
+    *
+    * VALUE-IDENTICAL to `jaccardPairs(lshCandidates(lshBuckets(sigs)))
+    * ≥ threshold` (spec-pinned on a dup-heavy fixture): equal token
+    * sequences give equal band hashes, so member candidacy ⇔ rep
+    * candidacy. The candidate join and shingle verify shrink by the
+    * duplication factor SQUARED; only the (inherently pair-sized) output
+    * expansion stays proportional to the answer.
+    */
+  def minhashPairsDeduped(docs: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val joined = array_join(
+      TextFunctions.tokenize(coalesce(col(textCol), lit(""))), " ")
+    val keyed = docs
+      .select(col(idCol).as("_m"),
+        (FastFunctions.polyHash(joined) * lit(1000000007L)
+          + FastFunctions.polyHash2(joined)).as("gk"),
+        (length(joined) > 0).as("_has"))
+      .filter(col("_has")).drop("_has")
+    val groups = keyed.groupBy("gk")
+      .agg(min("_m").as("rep"), sort_array(collect_list(col("_m"))).as("members"))
+      .localCheckpoint(true) // consumed by rep selection, 2 expansions, within-pairs
+    val reps = groups.select(col("rep").as(idCol))
+    val repDocs = docs.join(reps, Seq(idCol), "left_semi")
+    val sigs = minhashSignatures(repDocs, idCol, textCol)
+    val rp = jaccardPairs(repDocs, idCol, textCol,
+        lshCandidates(lshBuckets(sigs, bands, rowsPerBand)))
+      .filter(col("jaccard") >= threshold)
+    val mem = groups.select(col("rep"), explode(col("members")).as("m"))
+    val cross = rp
+      .join(mem.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(mem.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** Memoized SimHash near-dup pairs per corpus — the dedup-pair table is
     * an index-like artifact (the CLI `dedup` verb persists it to parquet);
     * queries that consume it (components, keep-canonical) share one

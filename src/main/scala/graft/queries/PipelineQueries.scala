@@ -375,10 +375,11 @@ object PipelineQueries {
          |JOIN sizes sa ON sa.doc_id = i.doc_a
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      val cand = Dedup.lshCandidates(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
-      Dedup.jaccardPairs(docs, "doc_id", "text", cand)
+      // the duplicate-robust representative-collapse form — spec-pinned
+      // value-identical to the raw sigs→LSH→verify composition (threshold
+      // 0 = emit every candidate pair, like the oracle)
+      Dedup.minhashPairsDeduped(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.0)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },

@@ -278,4 +278,31 @@ class DedupSpec extends SparkSpec {
       9L -> (("d1 d2 d3 d4 b1 b2 b3 b4", 0L))), //   are their own canonicals
       s"got $cleaned")
   }
+
+  test("minhashPairsDeduped == raw sigs->LSH->verify pipeline on a dup-saturated corpus") {
+    // three text classes: A, a near-dup of A, and unrelated B — each
+    // replicated with distinct ids, plus null/empty docs
+    val tA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val tA2 = (1 to 30).map(i => s"alpha$i").mkString(" ") + " extratoken"
+    val tB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = (
+      (0 until 6).map(i => (100L + i, tA)) ++
+      (0 until 5).map(i => (200L + i, tA2)) ++
+      (0 until 4).map(i => (300L + i, tB)) ++
+      Seq((400L, null.asInstanceOf[String]), (401L, ""))).toDF("doc_id", "text")
+    val raw = {
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.lshCandidates(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+      Dedup.jaccardPairs(docs, "doc_id", "text", cand)
+        .filter(col("jaccard") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val fast = Dedup.minhashPairsDeduped(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == raw, s"deduped ${fast.size} pairs != raw ${raw.size}:\n" +
+      s"missing=${raw -- fast}\nextra=${fast -- raw}")
+    // sanity: the dup groups actually produced quadratic output
+    assert(raw.size >= 6 * 5 / 2 + 5 * 4 / 2 + 4 * 3 / 2)
+    assert(raw.exists(_._3 < 1.0), "cross-class near-dups present")
+  }
 }
