@@ -375,11 +375,16 @@ object PipelineQueries {
          |JOIN sizes sa ON sa.doc_id = i.doc_a
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // the duplicate-robust representative-collapse form — spec-pinned
-      // value-identical to the raw sigs→LSH→verify composition (threshold
-      // 0 = emit every candidate pair, like the oracle)
-      Dedup.minhashPairsDeduped(Tables.documents(s, dir), "doc_id", "text",
-          threshold = 0.0)
+      // raw sigs→LSH→verify: the right plan for a LOW-duplication corpus
+      // (this one); at duplicate saturation the value-identical
+      // representative-collapse form `Dedup.minhashPairsDeduped` wins 8×
+      // (spec-pinned equal; scale rows lsh-dedup vs lsh-dedup-deduped) —
+      // its collapse pass costs ~1.5 s of pure overhead when there is
+      // nothing to collapse, so the regime choice belongs to the caller
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cand = Dedup.lshCandidates(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
+      Dedup.jaccardPairs(docs, "doc_id", "text", cand)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
