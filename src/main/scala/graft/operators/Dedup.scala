@@ -365,6 +365,37 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** [[minhashPairsDeduped]] with the regime choice made FOR the caller —
+    * the auto-selection rung (`chooseIndex`-style): one cheap estimation
+    * pass (approx_count_distinct over the token-sequence hash vs the row
+    * count) decides whether the corpus is duplicate-saturated enough for
+    * the representative collapse to pay its ~1-pass overhead. Clean
+    * corpora keep the raw sigs→LSH→verify plan; saturated ones take the
+    * collapse (8× at 20× saturation, value-identical either way).
+    */
+  def minhashPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 4, rowsPerBand: Int = 4,
+                       threshold: Double = 0.5,
+                       maxDistinctRatio: Double = 0.7): DataFrame = {
+    val joined = array_join(
+      TextFunctions.tokenize(coalesce(col(textCol), lit(""))), " ")
+    val est = docs.select(
+        count(lit(1)).as("n"),
+        approx_count_distinct(
+          FastFunctions.polyHash(joined) * lit(1000000007L)
+            + FastFunctions.polyHash2(joined)).as("d"))
+      .head()
+    val (n, d) = (est.getLong(0), est.getLong(1))
+    if (n > 0 && d.toDouble / n.toDouble < maxDistinctRatio)
+      minhashPairsDeduped(docs, idCol, textCol, bands, rowsPerBand, threshold)
+    else {
+      val sigs = minhashSignatures(docs, idCol, textCol)
+      jaccardPairs(docs, idCol, textCol,
+          lshCandidates(lshBuckets(sigs, bands, rowsPerBand)))
+        .filter(col("jaccard") >= threshold)
+    }
+  }
+
   /** Memoized SimHash near-dup pairs per corpus — the dedup-pair table is
     * an index-like artifact (the CLI `dedup` verb persists it to parquet);
     * queries that consume it (components, keep-canonical) share one

@@ -305,4 +305,29 @@ class DedupSpec extends SparkSpec {
     assert(raw.size >= 6 * 5 / 2 + 5 * 4 / 2 + 4 * 3 / 2)
     assert(raw.exists(_._3 < 1.0), "cross-class near-dups present")
   }
+
+  test("minhashPairsAuto picks the regime and both arms match the raw composition") {
+    val tA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val tB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    // saturated: 10 copies of each of 2 texts -> distinct ratio 0.1
+    val saturated = ((0 until 10).map(i => (100L + i, tA)) ++
+      (0 until 10).map(i => (200L + i, tB))).toDF("doc_id", "text")
+    // clean: 20 distinct texts -> ratio 1.0
+    val clean = (0 until 20)
+      .map(i => (300L + i, (1 to 30).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def raw(d: org.apache.spark.sql.DataFrame) = {
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+      Dedup.jaccardPairs(d, "doc_id", "text",
+          Dedup.lshCandidates(Dedup.lshBuckets(sigs, 4, 4)))
+        .filter(col("jaccard") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    def auto(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairsAuto(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto(saturated) == raw(saturated))
+    assert(auto(saturated).size == 2 * 10 * 9 / 2, "every twin pair present")
+    assert(auto(clean) == raw(clean))
+  }
 }
