@@ -406,10 +406,10 @@ object Main {
         Dedup.exactGroups(chunks, "doc_id", "text")
           .filter(col("dup_id") =!= col("keep_id"))
           .write.mode("overwrite").parquet(s"$kb/dedup/exact")
-        val sigs = Dedup.minhashSignatures(chunks, "doc_id", "text")
-        val cand = Dedup.lshCandidates(Dedup.lshBuckets(sigs, bands = 4, rowsPerBand = 4))
-        Dedup.jaccardPairs(chunks, "doc_id", "text", cand)
-          .filter(col("jaccard") >= 0.7)
+        // auto regime: a duplicate-saturated chunk table (the common case
+        // right after ingesting near-identical sources) takes the
+        // representative collapse; a clean one keeps the raw plan
+        Dedup.minhashPairsAuto(chunks, "doc_id", "text", threshold = 0.7)
           .write.mode("overwrite").parquet(s"$kb/dedup/minhash_lsh")
         Dedup.simhashPairs(chunks, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$kb/dedup/simhash")
