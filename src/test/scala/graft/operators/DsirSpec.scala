@@ -101,4 +101,49 @@ class DsirSpec extends SparkSpec {
     (0 until B).foreach(b => assert(lp(b.toLong) == expected(b),
       s"bucket $b: got ${lp(b.toLong)} expected ${expected(b)}"))
   }
+
+  test("dsirScore/dsirBuckets: 200-doc seeded unicode sweep against the naive walk") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rnd = new scala.util.Random(20260815L)
+    // no empty tokens: the production tokenizer never emits them (input
+    // contract of the feature walk)
+    val pool = Vector("alpha", "beta9", "x", "héllo", "中文", "𝕏ray", "tok_en",
+      "ümlaut", "42", "a b", "ZZ", "ñoño")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))))
+    }
+    val B2 = 32
+    val ratio = Array.fill(B2)(rnd.nextLong() % 1000000L)
+    def polyU(str: String): Long = {
+      var h = 0L; var ci = 0
+      while (ci < str.length) {
+        val cp = str.codePointAt(ci)
+        h = (h * 31 + cp) % 1000000007L
+        ci += Character.charCount(cp)
+      }
+      h
+    }
+    def naive(toks: Seq[String]): (Long, Long) = {
+      if (toks.isEmpty) return (0L, 0L)
+      val uni = toks
+      val nSh = if (toks.size < 2) 1 else toks.size - 1
+      val bi = (0 until nSh).map(i =>
+        toks.slice(i, i + 2).mkString(" ")).filter(_.nonEmpty)
+      val fs = uni ++ bi
+      (fs.size.toLong, fs.map(f => ratio((polyU(f) % B2).toInt)).sum)
+    }
+    val df = docs.toDF("id", "toks")
+    val got = df.select(c("id"),
+        graft.functions.FastFunctions.dsirScore(c("toks"), B2, ratio).as("s"),
+        graft.functions.FastFunctions.dsirBuckets(c("toks"), B2).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    docs.foreach { case (id, toks) =>
+      val (nf, sc) = naive(toks)
+      val (score, buckets) = got(id)
+      assert(score == Seq(nf, sc), s"doc $id toks=$toks: got $score want ($nf,$sc)")
+      assert(buckets.size == nf, s"doc $id bucket count")
+      assert(buckets.forall(b => b >= 0 && b < B2))
+    }
+  }
 }
