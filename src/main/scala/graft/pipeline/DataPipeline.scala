@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, LmQuality, Sampling}
+import graft.operators.{Curation, Dedup, Dsir, LmQuality, Sampling}
 
 /** The composed training-data pipeline — curation decision → LM/quality
   * filter → exact dedup → temperature sampling → token packing — as ONE
@@ -36,15 +36,27 @@ object DataPipeline {
           vocabSize: Int = LmQuality.DefaultVocabSize,
           targetRows: Long = 2000, alpha: Double = 0.5,
           budget: Int = 512, sampleCol: String = "lang",
-          shardCol: String = "source"): DataFrame = {
+          shardCol: String = "source",
+          dsirTarget: Option[(DataFrame, Int)] = None): DataFrame = {
     val dec = Curation.curationDecision(docs, "doc_id", "text",
       vocabSize = vocabSize)
     val kept = seam(
       docs.join(dec.filter(col("keep") === 1).select("doc_id"), Seq("doc_id")))
     val groups = Dedup.exactGroups(kept, "doc_id", "text")
-    val unique = seam(kept.join(
+    val unique0 = seam(kept.join(
       groups.filter(col("dup_id") === col("keep_id"))
         .select(col("dup_id").as("doc_id")), Seq("doc_id")))
+    // optional DSIR selection stage (after dedup, as Xie et al. prescribe —
+    // the deterministic top-k would otherwise fill with duplicates): keep
+    // the `n` most target-like survivors
+    val unique = dsirTarget match {
+      case None => unique0
+      case Some((target, n)) =>
+        val sel = Dsir.resample(
+          Dsir.importanceWeights(unique0, "doc_id", "text", target, "text"),
+          "doc_id", n).select("doc_id")
+        seam(unique0.join(sel, Seq("doc_id"), "left_semi"))
+    }
     val sampled = Sampling.temperatureSample(unique, sampleCol, "doc_id",
       targetRows = targetRows, alpha = alpha)
     val packed = Curation.packTokenBins(sampled, shardCol, "doc_id",
