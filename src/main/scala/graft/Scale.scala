@@ -631,6 +631,17 @@ object Scale {
     secs(s"e2e-pipeline-stored 1x")(pipelineStored(docs, 2000, "p1"))
     secs(s"e2e-pipeline-stored ${kDocs}x")(
       pipelineStored(bigDocs, 2000L * kDocs, s"p$kDocs"))
+    // with the optional DSIR selection stage (target side fixed, n scales)
+    def pipelineDsir(d: DataFrame, n: Int, tag: String): Long = {
+      val store = new pipeline.StageStore(s"/tmp/graft_scale_stages/$tag")
+      val target = docs.limit(20).select("doc_id", "text")
+      pipeline.DataPipeline.run(d, store.seam, vocabSize = 24,
+        targetRows = 2000L * kDocs, sampleCol = "source",
+        dsirTarget = Some((target, n))).count()
+    }
+    secs(s"e2e-pipeline-dsir 1x")(pipelineDsir(docs, 2000, "pd1"))
+    secs(s"e2e-pipeline-dsir ${kDocs}x")(
+      pipelineDsir(bigDocs, 2000 * kDocs, s"pd$kDocs"))
 
     // ── r12: NB domain classifier — train on the 70% split + classify the
     //    held-out 30%, both token-level groupBys/joins (must be linear).
