@@ -119,4 +119,24 @@ class LmQualitySpec extends SparkSpec {
     val n1 = got(1L); val n3 = got(3L)
     assert(n1._2 > 0 && n3._2 > 0)
   }
+
+  test("scoreBigram lockstep sweep: 10 seeded random corpora, in-process == distributed") {
+    val rnd = new scala.util.Random(811L)
+    val vocab = Vector("the", "cat", "sat", "mat", "dog", "ran", "fast",
+      "zebra", "qux", "on", "a", "big")
+    (1 to 10).foreach { trial =>
+      val docs = (0 until 15).map { i =>
+        val n = rnd.nextInt(9)
+        (i.toLong, if (n == 0 && i % 4 == 0) null
+          else Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val v = 1 + rnd.nextInt(6); val b = 1 + rnd.nextInt(6)
+      val inProc = LmQuality.scoreBigram(docs, "doc_id", "text", v, b)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val dist = LmQuality.scoreBigram(docs, "doc_id", "text", v, b,
+          inProcessEntries = 0)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(inProc == dist, s"trial $trial (V=$v B=$b): $inProc != $dist")
+    }
+  }
 }
