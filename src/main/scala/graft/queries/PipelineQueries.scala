@@ -1683,6 +1683,58 @@ object PipelineQueries {
     //    publishes before a run — doc/token counts, mean quality (exact
     //    integer micro-units, the m11 idiom), language mix, boilerplate
     //    flags. One scan, one groupBy; all derived signals already ⊕ ────────
+    // ── Tokenizer fertility per language: BPE-ish units per whitespace
+    //    word — the metric teams track when a tokenizer meets a new
+    //    language mix (fertility >> 1 means the tokenizer shreds it) ────────
+    QueryDef.sql("a19_tokenizer_fertility",
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    len(${plainTokSql("coalesce(text, '')")})::BIGINT AS n_ws,
+         |    len(regexp_extract_all(lower(coalesce(text, '')),
+         |        '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe
+         |  FROM documents)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_ws)::BIGINT AS n_words, sum(n_bpe)::BIGINT AS n_units,
+         |       CASE WHEN sum(n_ws) > 0
+         |            THEN round(sum(n_bpe)::DOUBLE / sum(n_ws)::DOUBLE, 4)
+         |            ELSE 0.0 END AS fertility
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val txt = coalesce(col("text"), lit(""))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextFunctions.wordCount(txt).cast("long").as("n_ws"),
+          TextFunctions.approxTokenCount(txt).cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ws").as("n_words"), sum("n_bpe").as("n_units"),
+          when(sum("n_ws") > 0,
+            round(sum("n_bpe").cast("double") / sum("n_ws").cast("double"), 4))
+            .otherwise(0.0).as("fertility"))
+        .orderBy("lang")
+    },
+
+    // ── Exact-duplication rate per source: docs vs distinct content
+    //    fingerprints — the dedup KPI a curation dashboard leads with ───────
+    QueryDef.sql("a20_dup_rate",
+      s"""WITH fp AS (
+         |  SELECT source,
+         |         ${polySql(s"trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))", 31)} AS fp
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT fp)::BIGINT AS n_distinct,
+         |       round(1.0 - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE, 4) AS dup_rate
+         |FROM fp GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_distinct"),
+          round(lit(1.0) - countDistinct("fp").cast("double")
+            / count(lit(1)).cast("double"), 4).as("dup_rate"))
+        .orderBy("source")
+    },
+
     QueryDef.sql("a18_corpus_datasheet", {
       val scoredStructs = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)
         .map { case (lang, markers) =>
