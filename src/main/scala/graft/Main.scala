@@ -264,10 +264,14 @@ object Main {
             cfg0.copy(vectorDimensions = d)
           case _ => cfg0
         }
+        // BM25 store: the batch-built artifact wins; otherwise fall back to
+        // the CURRENT pointer of a `maintain`-built versioned store, so a
+        // stream-maintained kb serves without a separate batch `bm25` run
         val ix =
           if (new java.io.File(s"$kb/bm25").exists())
             Some(graft.operators.Bm25.readIndex(spark, s"$kb/bm25"))
-          else None
+          else graft.streaming.StreamingIngest.currentIndexPath(kb)
+            .map(p => graft.operators.Bm25.readIndex(spark, p))
         // ANN opt-in (config `index_type` = ivf/auto): build/reuse the
         // serving index for whatever tier the auto-selection policy picks —
         // the policy output IS the serving index (query/search.py:207-231);
@@ -451,9 +455,15 @@ object Main {
             loadCfg(args.filterNot(_ == "--curate"), 3, kb).vectorDimensions),
           surfaceGate = args.contains("--curate"))
           .awaitTermination()
-        val lakeN = spark.read.parquet(s"$kb/lake").count()
+        // the glob may have matched no files (or --curate gated everything
+        // out) — then no lake dir exists and the run is still a success
+        val lakeDir = new java.io.File(s"$kb/lake")
+        val lakeN =
+          if (lakeDir.exists()) spark.read.parquet(s"$kb/lake").count() else 0L
         val ixPath = graft.streaming.StreamingIngest.currentIndexPath(kb)
         println(s"[graft] maintain: lake=$lakeN docs, index=${ixPath.getOrElse("(none)")}")
+        println(s"[graft] maintain: the `query` verb serves this CURRENT index " +
+          s"automatically when no batch-built $kb/bm25 exists")
 
       case "select" =>
         // extension verb (training-pipeline suite): DSIR importance

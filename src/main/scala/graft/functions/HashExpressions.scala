@@ -47,6 +47,28 @@ object HashAlgos {
     h
   }
 
+  /** Combined pair hash poly31(s)·P + poly131(s) in ONE codepoint pass —
+    * ~60 bits where a single poly hash has ~30 (birthday collisions at
+    * ~2³⁰ ≈ 1B strings instead of ~50k). Both component hashes are the
+    * same spec math as [[polyHash]], so the DuckDB oracle reproduces the
+    * pairing as `poly31 * 1000000007 + poly131`. Max value
+    * (P−1)·P + (P−1) ≈ 10¹⁸ < 2⁶³ — never overflows a LONG.
+    */
+  def polyHashPair(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31L + cp) % P
+      h2 = (h2 * 131L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h1 * P + h2
+  }
+
   /** MinHash signature over word-shingles of a token array.
     * Shingle i = tokens[i..i+n) joined by " " (short docs yield one shingle
     * of all tokens; empty docs yield none → empty signature, caller filters).
@@ -638,6 +660,24 @@ case class PolyHashExpr(child: Expression, mult: Long)
     copy(child = newChild)
 }
 
+/** `polyhash_pair(str)` = poly31·P + poly131 in one pass — the ≥60-bit
+  * fingerprint (F9 / exact-dedup identity; a single 30-bit poly hash
+  * birthday-collides around ~50k documents, far below lake scale).
+  */
+case class PolyHashPairExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash_pair"
+  override protected def nullSafeEval(s: Any): Any =
+    HashAlgos.polyHashPair(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.polyHashPair($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashPairExpr =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(tokens)` → ARRAY<LONG> of length numHashes (empty if no shingles). */
 case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int)
     extends UnaryExpression {
@@ -956,6 +996,8 @@ object FastFunctions {
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 31L))
   def polyHash2(c: Column): Column =
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 131L))
+  def polyHashPair(c: Column): Column =
+    GraftShims.column(PolyHashPairExpr(GraftShims.expression(c)))
   def charNgramHashes(c: Column, n: Int): Column =
     GraftShims.column(CharNgramHashesExpr(GraftShims.expression(c), n))
   def wordShingles(tokens: Column, shingleN: Int): Column =

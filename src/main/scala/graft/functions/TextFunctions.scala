@@ -225,14 +225,18 @@ object TextFunctions {
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
 
-  /** Rolling-hash document fingerprint: polynomial hash over the whole
-    * cleaned text. Cheap single-pass, codegen'd; used as the exact-dedup key
-    * where the reference used sha256 of the text
-    * (`/root/reference/embedding/embed_manager.py:72-85`). For a
-    * cryptographic-strength key use `sha2(c, 256)` instead; the poly hash
-    * exists so the DuckDB oracle can reproduce it.
+  /** Rolling-hash document fingerprint over the whole cleaned text:
+    * poly31·(1e9+7) + poly131, ~60 bits in ONE codegen'd pass
+    * ([[graft.functions.HashAlgos.polyHashPair]]). Used as the exact-dedup
+    * key where the reference used sha256 of the text
+    * (`/root/reference/embedding/embed_manager.py:72-85`). A single 30-bit
+    * poly hash birthday-collides around ~50k documents — far below the
+    * accumulated-lake scale the dedup operators advertise — while the
+    * pairing pushes that to ~10⁹; for a cryptographic-strength key use
+    * `sha2(c, 256)` instead. The poly pairing exists so the DuckDB oracle
+    * can reproduce it (`poly31 * 1000000007 + poly131`).
     */
-  def fingerprint(c: Column): Column = polyHash(cleanText(c))
+  def fingerprint(c: Column): Column = FastFunctions.polyHashPair(cleanText(c))
 
   /** Word n-gram shingles of a token array (for MinHash / Jaccard dedup).
     * n-gram i = tokens[i..i+n) joined by a space.

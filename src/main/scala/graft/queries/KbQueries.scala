@@ -53,12 +53,17 @@ object KbQueries {
 
     // ── F9: content keys (sha256 + reproducible poly fingerprint) ─────────
     QueryDef.sql("f9_content_keys",
-      s"""SELECT doc_id, sha256(text) AS sha_key,
+      s"""WITH cl AS (SELECT doc_id, text,
+         |  trim(regexp_replace(regexp_replace(lower(text),
+         |    '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')) AS c FROM documents)
+         |SELECT doc_id, sha256(text) AS sha_key,
          |       list_reduce(list_prepend(0::BIGINT,
-         |         list_transform(string_split(trim(regexp_replace(regexp_replace(lower(text),
-         |           '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')), ''), c -> ord(c)::BIGINT)),
-         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |         list_transform(string_split(c, ''), ch -> ord(ch)::BIGINT)),
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) * 1000000007
+         |       + list_reduce(list_prepend(0::BIGINT,
+         |         list_transform(string_split(c, ''), ch -> ord(ch)::BIGINT)),
+         |         (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+         |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
           sha2(col("text"), 256).as("sha_key"),

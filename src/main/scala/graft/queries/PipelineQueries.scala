@@ -159,6 +159,12 @@ object PipelineQueries {
        | list_transform(string_split($expr, ''), c -> ord(c)::BIGINT)),
        | (acc, x) -> (acc * $mult + x) % 1000000007)""".stripMargin.replaceAll("\n", "")
 
+  /** [[graft.functions.TextFunctions.fingerprint]]'s ~60-bit pairing
+    * (poly31·P + poly131) over an ALREADY-CLEANED text expr.
+    */
+  private def fpSql(cleanExpr: String): String =
+    s"(${polySql(cleanExpr, 31)} * 1000000007 + ${polySql(cleanExpr, 131)})"
+
   /** Shingles of a token-list expr (n-gram word shingles, non-empty). */
   private def shinglesSql(toks: String, n: Int): String =
     s"""list_filter(list_transform(range(0, greatest(len($toks) - $n, 0) + 1),
@@ -324,7 +330,7 @@ object PipelineQueries {
     QueryDef.sql("dedup_exact_groups",
       s"""WITH fp AS (
          |  SELECT doc_id AS dup_id,
-         |         ${polySql(s"trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))", 31)} AS fp
+         |         ${fpSql(s"trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))")} AS fp
          |  FROM documents)
          |SELECT f.dup_id, k.keep_id
          |FROM fp f JOIN (SELECT fp, min(dup_id) AS keep_id FROM fp GROUP BY fp) k
@@ -483,7 +489,7 @@ object PipelineQueries {
     QueryDef.sql("dedup_bloom_incremental",
       s"""WITH f AS (
          |  SELECT doc_id,
-         |         ${polySql("trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))", 31)} AS fp
+         |         ${fpSql("trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))")} AS fp
          |  FROM documents),
          |b AS (SELECT doc_id AS batch_id, fp FROM f WHERE doc_id % 2 = 1),
          |l AS (SELECT doc_id AS keep_cand, fp FROM f WHERE doc_id % 2 = 0)
@@ -1718,7 +1724,7 @@ object PipelineQueries {
     QueryDef.sql("a20_dup_rate",
       s"""WITH fp AS (
          |  SELECT source,
-         |         ${polySql(s"trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))", 31)} AS fp
+         |         ${fpSql(s"trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))")} AS fp
          |  FROM documents)
          |SELECT source, count(*)::BIGINT AS n_docs,
          |       count(DISTINCT fp)::BIGINT AS n_distinct,
@@ -2539,7 +2545,7 @@ object PipelineQueries {
          |kept AS (
          |  SELECT d.* FROM documents d JOIN dec USING (doc_id)
          |  WHERE dec.reason = 'keep'),
-         |fpx AS (SELECT doc_id, ${polySql(cleanSql, 31)} AS fp FROM kept),
+         |fpx AS (SELECT doc_id, ${fpSql(cleanSql)} AS fp FROM kept),
          |uq AS (
          |  SELECT f.doc_id FROM fpx f
          |  JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpx GROUP BY fp) g

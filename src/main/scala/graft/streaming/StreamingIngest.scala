@@ -165,6 +165,20 @@ object StreamingIngest {
     */
   private[graft] def dedupIngestStep(spark: SparkSession, batch: DataFrame,
                                      dir: String): DataFrame = {
+    val out = dedupSurvivors(spark, batch, dir)
+    appendToLake(out, dir)
+    out
+  }
+
+  /** The COMPUTE half of [[dedupIngestStep]]: the batch's exact-dedup
+    * survivors checked against the accumulated lake, MATERIALIZED
+    * (localCheckpoint) but NOT committed — the survivor plan reads the same
+    * lake files [[appendToLake]] extends, and [[kbMaintenanceBatch]] needs
+    * to run every downstream stage before the lake commit so a crashed
+    * batch can re-derive its work.
+    */
+  private[graft] def dedupSurvivors(spark: SparkSession, batch: DataFrame,
+                                    dir: String): DataFrame = {
     import graft.operators.Dedup
     val canonIds = Dedup.exactGroups(batch, "doc_id", "text")
       .filter(col("dup_id") === col("keep_id"))
@@ -180,12 +194,16 @@ object StreamingIngest {
           .select(col("batch_id").as("doc_id"))
         canon.join(dups, Seq("doc_id"), "left_anti")
       }
-    // materialize BEFORE the append: the survivor plan reads the same lake
-    // files the write extends
-    val out = survivors.localCheckpoint(true)
-    if (out.head(1).nonEmpty) out.write.mode("append").parquet(lakeDir)
-    out
+    survivors.localCheckpoint(true)
   }
+
+  /** The COMMIT half of [[dedupIngestStep]]: append (already-materialized)
+    * survivor documents to the lake — the step that makes a replayed batch
+    * drop out on its fingerprints.
+    */
+  private[graft] def appendToLake(survivors: DataFrame, dir: String): Unit =
+    if (survivors.head(1).nonEmpty)
+      survivors.write.mode("append").parquet(s"$dir/lake")
 
   /** The WHOLE incremental lifecycle as one stream — the streaming twin of
     * the reference's `database → embed → bm25` verb sequence: each
@@ -194,9 +212,12 @@ object StreamingIngest {
     * path, new content keys embed through the cache anti-join
     * ([[embedMaintenanceBatch]]), and the chunks merge into the versioned
     * BM25 store ([[maintainIndexBatch]]). Every stage is
-    * replay-idempotent on its own artifact (lake fingerprints, chunk-id
-    * anti-join, all-duplicate pointer freeze), so the at-least-once
-    * foreachBatch contract holds end to end.
+    * replay-idempotent on its own artifact (chunk-id anti-join,
+    * all-duplicate pointer freeze), and the lake append runs LAST — the
+    * batch's commit point — so a crash anywhere mid-batch leaves the lake
+    * unchanged and the retry re-derives the same survivors instead of
+    * finding them "already ingested" with the embed/index work missing.
+    * The at-least-once foreachBatch contract therefore holds end to end.
     */
   def startKbMaintenance(spark: SparkSession, glob: String, dir: String,
                          provider: graft.embed.Embedder.Provider,
@@ -228,7 +249,15 @@ object StreamingIngest {
       if (surfaceGate)
         batch.filter(graft.operators.Curation.surfaceKeep(col("text")))
       else batch
-    val survivors = dedupIngestStep(spark, gated, dir)
+    // Crash-safety ordering: the lake append is the LAST write. If the
+    // driver dies after any downstream stage, the retry re-derives the same
+    // survivors (the lake is unchanged), and each stage drops already-done
+    // work on ITS OWN artifact's anti-join (embeddings chunk ids, index
+    // lengths doc_ids, all-duplicate pointer freeze). Appending the lake
+    // FIRST would make the retry's survivors come back empty and the
+    // documents would be permanently missing from the embeddings table and
+    // the BM25 store.
+    val survivors = dedupSurvivors(spark, gated, dir)
     if (survivors.head(1).isEmpty) return
     val chunks = survivors
       .select(col("doc_id").as("sourcedoc"),
@@ -239,6 +268,7 @@ object StreamingIngest {
       .localCheckpoint(true)
     embedMaintenanceBatch(spark, chunks, dir, provider)
     maintainIndexBatch(spark, chunks, dir, batchId)
+    appendToLake(survivors, dir)
   }
 
   /** Streaming cache-aware embedding maintenance — the third leg of the
