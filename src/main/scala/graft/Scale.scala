@@ -655,6 +655,95 @@ object Scale {
         "doc_id", "text", "lbl").count()
     secs(s"nb-classifier 1x")(nbClassify(docs))
     secs(s"nb-classifier ${kDocs}x")(nbClassify(bigDocs))
+
+    // ── r13: connected components ABOVE the driver union-find limit — the
+    //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
+    //    chain graphs (the worst case for the min-label loop it replaced:
+    //    a 200k-long chain would need 200k propagation rounds; stars need
+    //    O(log²)). Edge counts straddle the 5M driverEdgeLimit, and the 2×
+    //    row is the linear-growth evidence. Validation: the distinct
+    //    component count must equal the chain count. ────────────────────────
+    def chainComponents(nChains: Int, chainLen: Long): Long = {
+      val pairs = spark.range(nChains * chainLen)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .filter((col("id") + lit(1)) % lit(chainLen) =!= 0)
+      val comps = operators.Dedup.connectedComponents(pairs) // >5M edges -> stars path
+        .agg(countDistinct("component")).first().getLong(0)
+      require(comps == nChains, s"expected $nChains components, got $comps")
+      comps
+    }
+    secs(s"cc-stars-chains 6.4M-edges")(chainComponents(32, 200000L))
+    secs(s"cc-stars-chains 12.8M-edges")(chainComponents(64, 200000L))
+
+    // ── r13: 100× rows for the headline paths — the "plans you'd want at
+    //    100×" bar. In-process guards are EXPECTED to refuse here and the
+    //    distributed plans carry; build rows attribute their one-time cost.
+    //    Lazy: the 100× parquet tables are written only when a row runs. ────
+    val k100 = 100
+    lazy val docs100 = {
+      (0 until k100).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text"),
+          concat(col("source"), lit(s"_$i")).as("source"), col("n_chars")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/documents100.parquet")
+      spark.read.parquet(s"$base/documents100.parquet")
+    }
+    lazy val emb100 = {
+      (0 until k100).map(i => emb.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$base/embeddings100.parquet")
+      spark.read.parquet(s"$base/embeddings100.parquet")
+    }
+    // exact knn at 100×: distributed per-partition heaps (the plain row)
+    // and the guarded in-process rung, which at 200k rows sits AT the
+    // broadcast guard — whichever side it lands on, the fallback is the
+    // identical distributed plan (refusal, not degradation)
+    secs(s"knn-batch50 ${k100}x")(knn50(emb100))
+    secs(s"knn-batch50-inproc ${k100}x")(knn50InProc(emb100, s"scale|knn${k100}x"))
+    secs(s"ivf-batch50 ${k100}x")(ivfBatch(emb100))
+    // BM25 at 100×: one-time bucketed store write, then the pruned-scan
+    // distributed score and the in-process rung (expected to REFUSE at
+    // ~5M+ postings and serve the same distributed plan)
+    secs(s"bm25-store-write ${k100}x")(
+      bm25StoreWrite(docs100, s"$base/bm25_${k100}x", operators.Bm25.DefaultTermBuckets))
+    lazy val ix100 = bm25StoredProbe(s"$base/bm25_${k100}x")
+    secs(s"bm25-stored-score-1q ${k100}x")(
+      operators.Bm25.scoreWithIndex(ix100, spark, scaleQ, inProcessLimit = 0).count())
+    secs(s"bm25-stored-score-1q-inproc ${k100}x")(
+      operators.Bm25.scoreWithIndex(ix100, spark, scaleQ).count())
+    // incremental dedup vs a 100× lake: stored bucket table built once
+    // (attributed), the timed step re-shingles only the FIXED 500-doc batch
+    lazy val lakeB100 = storedBuckets(docs100)
+    secs(s"dedup-incr-index-build ${k100}x")(lakeB100.count())
+    secs(s"dedup-incremental ${k100}x")(incDedup(docs100, lakeB100))
+    // e2e IVFPQ serving at 100×: builds attributed, the serve row scans
+    // only the probed clusters' codes + the ADC shortlist re-rank.
+    // (guarded like the 1x/20x loop: mkChunks checkpoints eagerly)
+    if (rowFilter.forall(r =>
+        Seq(s"e2e-bm25-build ${k100}x", s"e2e-ivfpq-build ${k100}x",
+          s"e2e-serve-ivfpq ${k100}x")
+          .exists(l => r.findFirstIn(l).isDefined))) {
+      import operators.VectorSearch
+      val chunks = mkChunks(docs100)
+      val e2 = embById(emb100.filter(col("vec_id") < k100.toLong * 10000000L))
+      var bm: operators.Bm25.Index = null
+      secs(s"e2e-bm25-build ${k100}x") {
+        bm = operators.Bm25.buildIndex(chunks, "doc_id", "text", persist = true)
+        bm.postings.count() + bm.idf.count()
+      }
+      var pqS: VectorSearch.Serving.IvfPq = null
+      secs(s"e2e-ivfpq-build ${k100}x") {
+        pqS = seededPqServing(e2); pqS.encoded.count()
+      }
+      if (bm != null && pqS != null) {
+        val base0 = graft.config.KbConfig()
+        secs(s"e2e-serve-ivfpq ${k100}x")(
+          e2eServe(chunks, e2, bm, base0.copy(indexType = "ivfpq", ivfNprobe = 2), pqS))
+      }
+      if (bm != null) { bm.postings.unpersist(); bm.lengths.unpersist(); bm.idf.unpersist() }
+      if (pqS != null) { pqS.index.assigned.unpersist(); pqS.encoded.unpersist() }
+    }
     spark.stop()
   }
 }

@@ -428,27 +428,12 @@ object Dedup {
     * Two execution paths, same result: edge lists under `driverEdgeLimit`
     * run exact union-find on the driver (dup pairs are bounded by LSH/
     * banding parameters, usually ≪ corpus — the broadcast-join economics);
-    * larger graphs run the distributed loop below.
-    *
-    * Min-label propagation: every iteration each node takes the min of its
-    * own label and its neighbors' labels — one shuffled join + one
-    * aggregation per iteration, converging in O(graph diameter) rounds (dup
-    * clusters are short-diameter in practice; GraphX's connectedComponents
-    * runs the same Pregel loop). Labels decrease monotonically, so the loop
-    * stops when the label SUM is unchanged — a one-job check that also
-    * materializes the iteration's persist. Each iteration's result is
-    * persisted and the previous unpersisted: the lineage never grows.
-    *
-    * At 100 TB scale the iteration count — not data volume — is the knob:
-    * skewed hub nodes are handled by AQE skew-join splitting, and the
-    * alternating large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce") drops in with the same loop shape if
-    * diameters grow.
-    *
-    * Each iteration is `localCheckpoint`ed: the join + union would otherwise
-    * DOUBLE the logical plan every round (the plan references the previous
-    * labels twice), blowing up analysis time long before data size matters.
-    * On a cluster swap in reliable `checkpoint()` for executor-loss safety.
+    * larger graphs run the distributed alternating large-star/small-star
+    * loop (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") in [[connectedComponentsStars]] — O(log² n) rounds
+    * regardless of graph diameter, where min-label propagation needs
+    * O(diameter) rounds and a single 100M-node duplicate CHAIN (the shape
+    * verbatim-crawl dups produce) would run ~100M rounds.
     *
     * @return `(node, component)` for every node appearing in `pairs`
     */
@@ -461,9 +446,9 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Broadcast-style hybrid: dup-pair lists are usually MUCH smaller than
     // the corpus (candidates ≪ n²); when the edge list fits on the driver,
-    // exact union-find there beats O(diameter) distributed rounds the same
-    // way a broadcast join beats a shuffle. The distributed loop below is
-    // the ≥ driverEdgeLimit scale path. Both compute min-reachable-id.
+    // exact union-find there beats distributed rounds the same way a
+    // broadcast join beats a shuffle. The star loop is the
+    // ≥ driverEdgeLimit scale path. Both compute min-reachable-id.
     if (edges.count() <= driverEdgeLimit * 2) { // count post-doubling
       val nodeType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
       val rows = pairs.select(col(aCol), col(bCol)).collect()
@@ -496,32 +481,102 @@ object Dedup {
         org.apache.spark.sql.types.StructField("component", nodeType)))
       return pairs.sparkSession.createDataFrame(out, schema)
     }
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(false) // materialized by the labelSum below
-    // decimal sum: overflow-proof convergence metric at any id magnitude
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
-    var prevSum = labelSum(labels)
+    edges.unpersist()
+    connectedComponentsStars(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Distributed connected components by ALTERNATING STARS (Kiveris et al.
+    * 2014, arXiv:1203.5387 — the "two-phase" algorithm): repeat
+    * small-star(large-star(E)) until the edge set is stable, at which point
+    * every edge points a node directly at its component's minimum.
+    *
+    *  - '''large-star(u)''': connect every neighbor LARGER than `u` to the
+    *    minimum of `u`'s closed neighborhood m = min(Γ(u) ∪ {u}).
+    *  - '''small-star(u)''': orient edges toward the smaller endpoint, then
+    *    connect every (≤) neighbor and `u` itself to that same minimum.
+    *
+    * Both keep connectivity invariant and strictly shrink a potential
+    * function; convergence is O(log² n) ROUNDS IRRESPECTIVE OF DIAMETER —
+    * the property that matters at 100 TB, where verbatim-duplicate chains
+    * make min-label propagation's O(diameter) unbounded. Each star op is
+    * one map-side-combinable `groupBy(min)` plus one join that REUSES the
+    * aggregation's hash partitioning on `src` (exchange reuse — ~1 shuffle
+    * of the edge list per op). No `collect_list`: hub neighborhoods never
+    * materialize as arrays, so skewed dup clusters (one page duplicated
+    * millions of times) cost a skew-join AQE split, not an OOM.
+    *
+    * Stability check: edge count + decimal sums of both endpoints, one
+    * aggregation job per round that also materializes the round's
+    * `localCheckpoint` (on a cluster swap in reliable `checkpoint()`).
+    * Sum of dst is strictly non-increasing round over round; count can
+    * oscillate, so the triple is compared as a whole.
+    *
+    * @return `(node, component)` for every node appearing in `pairs`
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String = "doc_a",
+                               bCol: String = "doc_b",
+                               maxIter: Int = 50): DataFrame = {
+    // (count, Σsrc, Σdst, Σhash(src,dst)) — decimal sums are overflow-proof
+    // at any id magnitude; the hash component guards against two distinct
+    // consecutive edge sets sharing plain sums
+    def checksum(e: DataFrame)
+        : (Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)")),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
+    }
+    // large-star: min over the closed neighborhood of the SYMMETRIZED list,
+    // emitted to strictly-larger neighbors. distinct() bounds growth (the
+    // same (v, m) arises from many u).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
+        .distinct()
+    }
+    // small-star: orient toward the smaller endpoint; every group member
+    // (and the center u) connects to the group minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val mins = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+      oriented.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(false)
+    var prev = checksum(e) // materializes the checkpoint too
+    if (prev._1 == 0L) // no non-loop edges: every node is its own component
+      return pairs.select(col(aCol).as("node"))
+        .unionByName(pairs.select(col(bCol).as("node"))).distinct()
+        .withColumn("component", col("node"))
     var it = 0
-    var converged = prevSum.isEmpty // empty graph: nothing to do
+    var converged = false
     while (!converged && it < maxIter) {
-      val prop = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("component"))
-      // lazy checkpoint: the labelSum action below both materializes the
-      // checkpoint and computes the convergence metric — ONE job per
-      // iteration instead of checkpoint-job + sum-job
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint(false)
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      e = next
       it += 1
     }
-    edges.unpersist()
-    labels
+    // at the fixpoint edges are (node, componentMin) stars; the minima
+    // themselves (and any self-paired input nodes) label themselves
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node"))).distinct()
+    nodes.join(e.select(col("src").as("node"), col("dst").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Rademacher (±1) hyperplane component for sign-LSH: pure integer hash of

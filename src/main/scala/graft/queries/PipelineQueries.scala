@@ -1918,6 +1918,85 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // ── Streaming KB maintenance lifecycle, oracle-checked end to end —
+    //    the stream-side analogue of e2e_incremental: documents land in TWO
+    //    micro-batches (evens then odds) through the REAL foreachBatch body
+    //    (kbMaintenanceBatch: exact dedup within batch → bloom dedup vs the
+    //    lake → chunk → embed through the cache → BM25 merge into a fresh
+    //    VERSIONED store → atomic CURRENT swap → lake commit), then the
+    //    post-swap CURRENT index serves the standard query. The oracle is
+    //    the FULL-REBUILD formulation over the stream's keep-first-arrival
+    //    survivor set: per content fingerprint the lowest FIRST-BATCH doc
+    //    wins, else the lowest second-batch doc (exact-dedup keeps min-id
+    //    within a batch; the lake check drops later arrivals) — so a hash
+    //    match proves maintain ≡ rebuild THROUGH the streaming lifecycle.
+    //    Chunking runs at one-chunk-per-doc granularity so the corpus is
+    //    SQL-expressible (chunk text = whitespace-normalized doc text,
+    //    which tokenizes identically).
+    QueryDef.sql("stream_maintain", {
+      val clean = "trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g'))"
+      s"""WITH fpx AS (
+         |  SELECT doc_id, text, ${fpSql(clean)} AS fp FROM documents),
+         |keep AS (
+         |  SELECT fp,
+         |         coalesce(min(doc_id) FILTER (WHERE doc_id % 2 = 0),
+         |                  min(doc_id)) AS kid
+         |  FROM fpx GROUP BY fp),
+         |surv AS (
+         |  SELECT f.doc_id::VARCHAR || '#0' AS doc_id, f.text
+         |  FROM fpx f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.kid),
+         |tok AS (SELECT doc_id, unnest(${OracleSql.tokSql("text")}) AS term FROM surv),
+         |post AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM lens),
+         |idf AS (
+         |  SELECT term,
+         |         ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |  FROM post GROUP BY term),
+         |q AS (SELECT unnest(${OracleSql.tokSql(s"'${OracleSql.QueryText}'")}) AS term),
+         |bm25 AS (
+         |  SELECT p.doc_id,
+         |         sum((i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p
+         |  JOIN q USING (term) JOIN idf i USING (term) JOIN lens l USING (doc_id)
+         |  CROSS JOIN stats s
+         |  GROUP BY p.doc_id HAVING sum((i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0)
+         |SELECT doc_id, round(score, 4) AS score FROM bm25
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      import graft.streaming.StreamingIngest
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_stream_maintain_$suffix")
+      // hermetic per run: the lifecycle is the thing under test, so it
+      // re-executes from an empty store every invocation
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (root.exists()) rm(root)
+      val kb = root.getPath
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val provider = graft.embed.Embedder.Deterministic(8)
+      // chunkSize far above any document's token count -> one chunk per doc
+      StreamingIngest.kbMaintenanceBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), kb, provider,
+        batchId = 0L, chunkSize = 1000000, overlap = 0)
+      StreamingIngest.kbMaintenanceBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), kb, provider,
+        batchId = 1L, chunkSize = 1000000, overlap = 0)
+      val current = StreamingIngest.currentIndexPath(kb)
+        .getOrElse(sys.error("maintain produced no CURRENT index"))
+      val ix = graft.operators.Bm25.readIndex(s, current)
+      graft.operators.Bm25.topK(
+        graft.operators.Bm25.scoreWithIndex(ix, s, OracleSql.QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
+    },
+
     // ── W4: time-series gap fill — hourly grid per user, value
     //    forward-filled from the latest event at-or-before each grid point
     //    (sequence-explode grid + the AsofJoin operator; ASOF oracle) ───────

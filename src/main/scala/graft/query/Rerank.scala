@@ -32,6 +32,111 @@ object Rerank {
     when(union > 0, inter.cast("double") / union.cast("double")).otherwise(lit(0.0))
   }
 
+  /** The pluggable scoring seam the reference fills with ms-marco-MiniLM
+    * (`rerank_manager.py:133-277`): anything that maps (query text, doc
+    * column) to a score COLUMN reranks through the same head/tail plumbing.
+    * [[LexicalScorer]] is the oracle-checkable default; [[LogisticScorer]]
+    * is a LEARNED model trained in-repo (no egress) that proves the swap
+    * path end to end — a real cross-encoder drops in as a third
+    * implementation with a `mapPartitions` scoring column.
+    */
+  trait Scorer {
+    def score(queryText: String, doc: Column): Column
+  }
+
+  /** Default scorer — exactly [[lexicalScore]]; every m7 oracle runs on it. */
+  case object LexicalScorer extends Scorer {
+    override def score(queryText: String, doc: Column): Column =
+      lexicalScore(queryText, doc)
+  }
+
+  /** Learned logistic scorer over deterministic relevance FEATURES —
+    * σ(w·f + b) with f = (token-set jaccard, query-term coverage,
+    * saturating length prior). All three features are pure column
+    * expressions, so the learned model scores inside whole-stage codegen
+    * exactly like the lexical stand-in; only the WEIGHTS are learned.
+    * Train with [[LogisticScorer.train]] on (features, label) examples —
+    * e.g. a click log or a synthetic relevance set.
+    */
+  final case class LogisticScorer(w: Array[Double], b: Double) extends Scorer {
+    require(w.length == LogisticScorer.NumFeatures,
+      s"expected ${LogisticScorer.NumFeatures} weights, got ${w.length}")
+    override def score(queryText: String, doc: Column): Column = {
+      val f = LogisticScorer.featureCols(queryText, doc)
+      val z = f.zip(w).map { case (c, wi) => c * lit(wi) }
+        .reduce(_ + _) + lit(b)
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+  }
+
+  object LogisticScorer {
+    val NumFeatures = 3
+
+    /** The feature columns — the SINGLE definition shared by serving and
+      * by [[featuresOf]] (the driver-side mirror training uses); a drifted
+      * copy would train weights against features serving never computes.
+      *  f0 = |Q∩D| / |Q∪D|   (the lexical jaccard)
+      *  f1 = |Q∩D| / |Q|     (query coverage — how much of the ASK is met)
+      *  f2 = |D| / (|D|+20)  (saturating length prior)
+      */
+    def featureCols(queryText: String, doc: Column): Seq[Column] = {
+      val q = TextFunctions.tokenizeBm25(lit(queryText))
+      val d = array_distinct(TextFunctions.tokenizeBm25(doc))
+      val inter = size(array_intersect(d, q)).cast("double")
+      val union = size(array_union(d, q)).cast("double")
+      Seq(
+        when(union > 0, inter / union).otherwise(lit(0.0)),
+        when(size(q) > 0, inter / size(q).cast("double")).otherwise(lit(0.0)),
+        size(d).cast("double") / (size(d).cast("double") + lit(20.0)))
+    }
+
+    /** Driver-side mirror of [[featureCols]] over already-tokenized
+      * DISTINCT token sets (training data is token sets by construction).
+      */
+    def featuresOf(q: Set[String], d: Set[String]): Array[Double] = {
+      val inter = (q intersect d).size.toDouble
+      val union = (q union d).size.toDouble
+      Array(
+        if (union > 0) inter / union else 0.0,
+        if (q.nonEmpty) inter / q.size else 0.0,
+        d.size.toDouble / (d.size.toDouble + 20.0))
+    }
+
+    /** Plain batch gradient descent on log loss — examples are (features,
+      * label∈{0,1}). Deterministic: no randomness, fixed iteration order.
+      * Training sets here are tiny (relevance judgments, not corpora), so
+      * driver-side GD is the right tool; a corpus-scale trainer would be
+      * one `treeAggregate` per epoch with the same update rule.
+      */
+    def train(examples: Seq[(Array[Double], Int)], epochs: Int = 500,
+              lr: Double = 0.5): LogisticScorer = {
+      require(examples.nonEmpty, "training needs at least one example")
+      val w = new Array[Double](NumFeatures)
+      var b = 0.0
+      val n = examples.size.toDouble
+      var e = 0
+      while (e < epochs) {
+        val gw = new Array[Double](NumFeatures)
+        var gb = 0.0
+        examples.foreach { case (f, y) =>
+          var z = b
+          var i = 0
+          while (i < NumFeatures) { z += w(i) * f(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val err = p - y
+          i = 0
+          while (i < NumFeatures) { gw(i) += err * f(i); i += 1 }
+          gb += err
+        }
+        var i = 0
+        while (i < NumFeatures) { w(i) -= lr * gw(i) / n; i += 1 }
+        b -= lr * gb / n
+        e += 1
+      }
+      LogisticScorer(w, b)
+    }
+  }
+
   /** [[lexicalScore]] with the query tokens as a COLUMN — the batched form
     * where each row carries its own query (set semantics identical:
     * intersect/union are distinct either way).

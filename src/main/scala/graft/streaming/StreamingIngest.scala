@@ -222,6 +222,7 @@ object StreamingIngest {
   def startKbMaintenance(spark: SparkSession, glob: String, dir: String,
                          provider: graft.embed.Embedder.Provider,
                          surfaceGate: Boolean = false,
+                         chunkSize: Int = 200, overlap: Int = 50,
                          trigger: org.apache.spark.sql.streaming.Trigger =
                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -230,7 +231,8 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", s"$dir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        kbMaintenanceBatch(spark, batch, dir, provider, batchId, surfaceGate)
+        kbMaintenanceBatch(spark, batch, dir, provider, batchId, surfaceGate,
+          chunkSize, overlap)
       }
       .trigger(trigger)
       .start()
@@ -244,7 +246,9 @@ object StreamingIngest {
                                         dir: String,
                                         provider: graft.embed.Embedder.Provider,
                                         batchId: Long,
-                                        surfaceGate: Boolean = false): Unit = {
+                                        surfaceGate: Boolean = false,
+                                        chunkSize: Int = 200,
+                                        overlap: Int = 50): Unit = {
     val gated =
       if (surfaceGate)
         batch.filter(graft.operators.Curation.surfaceKeep(col("text")))
@@ -261,7 +265,7 @@ object StreamingIngest {
     if (survivors.head(1).isEmpty) return
     val chunks = survivors
       .select(col("doc_id").as("sourcedoc"),
-        explode(Chunker.chunks(col("text"), 200, 50)).as("c"))
+        explode(Chunker.chunks(col("text"), chunkSize, overlap)).as("c"))
       .select(col("sourcedoc"), col("c.sid").as("sid"),
         col("c.chunk_text").as("chunk_text"))
       .withColumn("embedtext", TextFunctions.cleanText(col("chunk_text")))

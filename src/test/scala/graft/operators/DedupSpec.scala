@@ -149,6 +149,25 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 30 && got.values.forall(_ == 1L))
   }
 
+  test("connectedComponentsStars agrees with driver union-find on random graphs") {
+    // the alternating large-star/small-star loop is the >driverEdgeLimit
+    // scale path — it must be VALUE-identical to exact union-find on any
+    // graph shape: random sparse (many components), plus a deep chain
+    // grafted in (the high-diameter shape min-label propagation choked on)
+    val rnd = new scala.util.Random(7)
+    val rand = (0 until 600).map(_ =>
+      (rnd.nextInt(500).toLong, rnd.nextInt(500).toLong)).filter(p => p._1 != p._2)
+    val chain = (1000L until 1150L).map(i => (i, i + 1))
+    val pairs = (rand ++ chain).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaStars = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaDriver)
+    // every chain node landed in the chain-min component
+    assert((1000L to 1150L).forall(viaStars(_) == 1000L))
+  }
+
   test("embeddingDups finds planted high-cosine pairs inside LSH buckets") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextFloat() - 0.5f)

@@ -113,6 +113,35 @@ class TuneServingSpec extends SparkSpec {
       s"demoted tier should reach the target on the clustered fixture: $knobs")
   }
 
+  test("auto graphDeduped tier holds the recall target under 50x duplicate saturation") {
+    // the round-12 weak item: fixed-knob graphDedup topped out ~0.86 at a
+    // 50x-replicated corpus while the tuner receipts stopped at 1x. This
+    // pins the AUTO decision at 50x saturation: the tuner's ladder
+    // (entries × beam × hops) either reaches the target on the deduped
+    // graph or takes the recorded IVFPQ demotion — EITHER way the serving
+    // it returns must measure at/above target on this corpus shape.
+    val rnd = new scala.util.Random(31)
+    val unique = (0L until 200L).map(i =>
+      i -> Array.fill(16)(rnd.nextFloat() - 0.5f).toSeq)
+    val saturated = (0 until 50).flatMap(c =>
+      unique.map { case (i, v) => (i + c.toLong * 10000000L) -> v })
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val (tuned, knobs) = VectorSearch.tuneServing(saturated, "vec_id", "embedding",
+      VectorSearch.Serving.GraphDeduped("tune-spec-50x", kGraph = 8,
+        numPlanes = VectorSearch.graphPlanesFor(200L)),
+      k = 10, recallTarget = 0.9, nSample = 8)
+    assert(knobs.measuredRecall >= 0.9,
+      s"auto tier under 50x saturation must land at/above target: $knobs")
+    tuned match {
+      case _: VectorSearch.Serving.GraphDeduped =>
+        assert(knobs.demotedFrom.isEmpty)
+      case _: VectorSearch.Serving.IvfPq =>
+        assert(knobs.demotedFrom == "graphDeduped",
+          s"an IVFPQ result here must be a RECORDED demotion: $knobs")
+      case other => fail(s"unexpected serving tier under saturation: $other")
+    }
+  }
+
   test("buildServingTuned composes policy choice, build, and calibration") {
     val strategy = VectorSearch.chooseIndex(400L, 16)
     val (_, knobs) = VectorSearch.buildServingTuned(clustered, "vec_id",

@@ -340,6 +340,55 @@ class StreamingIngestSpec extends SparkSpec {
     assert(CountingProviderCalls.n.get() == callsBefore)
   }
 
+  test("kb maintenance crash mid-batch: the retry completes the lost embed/index work") {
+    // the lake append is the batch's COMMIT POINT (it runs last). Simulate a
+    // driver crash right before it: every pre-commit stage ran, the lake
+    // did not advance. The foreachBatch retry must re-derive the same
+    // survivors (lake unchanged), drop already-done work on each stage's
+    // own anti-join, and only then commit the lake — leaving every artifact
+    // exactly once. Under the OLD lake-first ordering this exact scenario
+    // permanently lost the documents from the embeddings table and index.
+    import graft.operators.Bm25
+    val kb = Files.createTempDirectory("graft_stream_crash").toString
+    val provider = graft.embed.Embedder.Deterministic(8)
+    import spark.implicits._
+    val batch = Seq(
+      ("x.txt", (1 to 60).map(i => s"word$i").mkString(" ")),
+      ("y.txt", (1 to 60).map(i => s"other$i text").mkString(" ")))
+      .toDF("doc_id", "text")
+    // crashed attempt: all pre-commit stages, NO lake append
+    locally {
+      val survivors = StreamingIngest.dedupSurvivors(spark, batch, kb)
+      val chunks = survivors
+        .select(col("doc_id").as("sourcedoc"),
+          explode(graft.ingest.Chunker.chunks(col("text"), 200, 50)).as("c"))
+        .select(col("sourcedoc"), col("c.sid").as("sid"),
+          col("c.chunk_text").as("chunk_text"))
+        .withColumn("embedtext",
+          graft.functions.TextFunctions.cleanText(col("chunk_text")))
+        .localCheckpoint(true)
+      StreamingIngest.embedMaintenanceBatch(spark, chunks, kb, provider)
+      StreamingIngest.maintainIndexBatch(spark, chunks, kb, batchId = 5L)
+      // crash here: appendToLake never runs
+    }
+    assert(!new java.io.File(s"$kb/lake").exists(), "lake must not have advanced")
+    val embBefore = spark.read.parquet(s"$kb/embeddings").count()
+    assert(embBefore > 0)
+    // the retry: the full batch body, same batchId (at-least-once replay)
+    StreamingIngest.kbMaintenanceBatch(spark, batch, kb, provider, batchId = 5L)
+    // every artifact holds the documents exactly once, and the lake committed
+    assert(spark.read.parquet(s"$kb/lake").count() == 2)
+    assert(spark.read.parquet(s"$kb/embeddings").count() == embBefore,
+      "retry must not duplicate embeddings")
+    val ix = Bm25.readIndex(spark, StreamingIngest.currentIndexPath(kb).get)
+    assert(ix.lengths.count() == embBefore,
+      "index must cover the crashed batch's chunks exactly once")
+    // and a SECOND full replay after the commit is a no-op end to end
+    StreamingIngest.kbMaintenanceBatch(spark, batch, kb, provider, batchId = 6L)
+    assert(spark.read.parquet(s"$kb/lake").count() == 2)
+    assert(spark.read.parquet(s"$kb/embeddings").count() == embBefore)
+  }
+
   test("kb maintenance surface gate: junk documents never touch any artifact") {
     val in = Files.createTempDirectory("graft_stream_gate_in").toString
     val kb = Files.createTempDirectory("graft_stream_gate").toString
