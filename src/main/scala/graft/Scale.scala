@@ -631,6 +631,29 @@ object Scale {
     secs(s"e2e-pipeline-stored 1x")(pipelineStored(docs, 2000, "p1"))
     secs(s"e2e-pipeline-stored ${kDocs}x")(
       pipelineStored(bigDocs, 2000L * kDocs, s"p$kDocs"))
+    // r13: PER-STAGE attribution of the stored pipeline's growth — each
+    // seam write is timed individually (stage compute + parquet write);
+    // the residue is sample+pack+manifest. Names the super-linear stage
+    // instead of guessing from the composite row.
+    def pipelineStagedTimes(d: DataFrame, target: Long, tag: String): String = {
+      val store = new pipeline.StageStore(s"/tmp/graft_scale_stages/$tag")
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val seam: DataFrame => DataFrame = df => {
+        val t0 = System.nanoTime()
+        val out = store.seam(df)
+        times += (System.nanoTime() - t0) / 1e9
+        out
+      }
+      val t0 = System.nanoTime()
+      val n = pipeline.DataPipeline.run(d, seam, vocabSize = 24,
+        targetRows = target, sampleCol = "source").count()
+      val total = (System.nanoTime() - t0) / 1e9
+      f"curate+write=${times(0)}%.2f dedup+write=${times(1)}%.2f " +
+        f"sample+pack=${total - times.sum}%.2f total=$total%.2f rows=$n"
+    }
+    secs(s"e2e-pipeline-stored-stages 1x")(pipelineStagedTimes(docs, 2000, "ps1"))
+    secs(s"e2e-pipeline-stored-stages ${kDocs}x")(
+      pipelineStagedTimes(bigDocs, 2000L * kDocs, s"ps$kDocs"))
     // with the optional DSIR selection stage (target side fixed, n scales)
     def pipelineDsir(d: DataFrame, n: Int, tag: String): Long = {
       val store = new pipeline.StageStore(s"/tmp/graft_scale_stages/$tag")
