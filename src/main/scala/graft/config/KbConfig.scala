@@ -32,6 +32,12 @@ final case class KbConfig(
     bm25MaxResults: Int = 1000,               // bm25_manager.py:289-320
     enableReranking: Boolean = true,
     rerankingTopK: Int = 20,                  // rerank_manager.py:216-220
+    // rerank scoring model (reference `reranking_model`, models.py:179 —
+    // there a cross-encoder name): "lexical" (deterministic set-jaccard,
+    // the oracle default) or "learned" (Rerank.LogisticScorer.pretrained,
+    // the in-repo logistic model at the cross-encoder's seam); unknown
+    // names fall back to lexical
+    rerankingModel: String = "lexical",
     ivfNprobe: Int = 32,                      // models.py:189
     // IVFPQ ADC shortlist fed to the exact re-rank; tuned per corpus by
     // the `tune` verb (VectorSearch.tuneServing) — our extension, the
@@ -63,7 +69,7 @@ object KbConfig {
     "ALGORITHMS" -> Seq("similarity_threshold", "low_similarity_scope_factor",
       "enable_hybrid_search", "fusion_method", "vector_weight", "bm25_weight",
       "bm25_k1", "bm25_b", "bm25_max_results", "enable_reranking",
-      "reranking_top_k", "ivf_nprobe", "pq_shortlist", "recall_target",
+      "reranking_top_k", "reranking_model", "ivf_nprobe", "pq_shortlist", "recall_target",
       "index_type"),
     "PERFORMANCE" -> Seq("embedding_batch_size", "api_max_retries"),
     "FORMATTING" -> Seq("reference_format"))
@@ -91,6 +97,7 @@ object KbConfig {
     "bm25_max_results" -> c.bm25MaxResults.toString,
     "enable_reranking" -> c.enableReranking.toString,
     "reranking_top_k" -> c.rerankingTopK.toString,
+    "reranking_model" -> c.rerankingModel,
     "ivf_nprobe" -> c.ivfNprobe.toString,
     "pq_shortlist" -> c.pqShortlist.toString,
     "recall_target" -> c.recallTarget.toString,
@@ -157,6 +164,7 @@ object KbConfig {
       bm25MaxResults = i("bm25_max_results", c.bm25MaxResults),
       enableReranking = b("enable_reranking", c.enableReranking),
       rerankingTopK = i("reranking_top_k", c.rerankingTopK),
+      rerankingModel = s("reranking_model", c.rerankingModel),
       ivfNprobe = i("ivf_nprobe", c.ivfNprobe),
       pqShortlist = i("pq_shortlist", c.pqShortlist),
       recallTarget = f("recall_target", c.recallTarget),

@@ -276,7 +276,7 @@ object KbPipeline {
       col("sourcedoc"), col("sid")), "doc_id")
     if (cfg.enableReranking)
       Rerank.rerankHead(withText, "score", cfg.rerankingTopK,
-        Rerank.lexicalScore(enhanced, col("text")))
+        Rerank.scorerFor(cfg.rerankingModel).score(enhanced, col("text")))
         .orderBy("final_rank").limit(cfg.queryTopK)
     else withText.orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
     }
@@ -438,14 +438,25 @@ object KbPipeline {
       cmap.get(id).map { case (t, sd, si) => (id, s, t, sd, si) } }
     val qset = graft.functions.TextFunctions
       .tokenizeBm25Value(spark, enhanced).toSet
-    def jac(text: String): Double =
-      if (text == null) 0.0
-      else {
-        val d = graft.functions.TextFunctions
-          .tokenizeBm25Value(spark, text).toSet
-        val union = (d union qset).size
-        if (union > 0) (d intersect qset).size.toDouble / union else 0.0
-      }
+    // rung scorer mirrors the configured column scorer value-for-value:
+    // lexical → set Jaccard (null text → 0.0, the when(union > 0) null
+    // path); learned → LogisticScorer.scoreValue over the same token sets
+    // (null text → the empty set, matching featureColsQ's coalesce)
+    val jac: String => Double = Rerank.scorerFor(cfg.rerankingModel) match {
+      case m: Rerank.LogisticScorer =>
+        text => m.scoreValue(qset,
+          if (text == null) Set.empty
+          else graft.functions.TextFunctions.tokenizeBm25Value(spark, text).toSet)
+      case _ =>
+        text =>
+          if (text == null) 0.0
+          else {
+            val d = graft.functions.TextFunctions
+              .tokenizeBm25Value(spark, text).toSet
+            val union = (d union qset).size
+            if (union > 0) (d intersect qset).size.toDouble / union else 0.0
+          }
+    }
     val topK = cfg.rerankingTopK
     val ranked = wt.sortBy { case (id, s, _, _, _) => (-s, id) }.zipWithIndex
       .map { case (r, i) => (r, i + 1) }
@@ -650,11 +661,16 @@ object KbPipeline {
         col("sourcedoc"), col("sid")), "doc_id")
       .join(broadcast(qDf.select("query_id", "qtext")), "query_id")
     val hits =
-      if (cfg.enableReranking)
+      if (cfg.enableReranking) {
+        val qToks = graft.functions.TextFunctions.tokenizeBm25(col("qtext"))
+        val scorer = Rerank.scorerFor(cfg.rerankingModel) match {
+          case m: Rerank.LogisticScorer => m.scoreCols(qToks, col("text"))
+          case _ => Rerank.lexicalScoreCols(qToks, col("text"))
+        }
         Rerank.rerankHeadBatch(withText, "query_id", "score", cfg.rerankingTopK,
-            Rerank.lexicalScoreCols(
-              graft.functions.TextFunctions.tokenizeBm25(col("qtext")), col("text")))
+            scorer)
           .filter(col("final_rank") <= cfg.queryTopK)
+      }
       else withText
         .withColumn("final_rank", row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
         .filter(col("final_rank") <= cfg.queryTopK)

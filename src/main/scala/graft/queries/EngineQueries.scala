@@ -16,6 +16,23 @@ import graft.query.{Enhancement, Rerank}
 object EngineQueries {
   import OracleSql._
 
+  /** Learned-M7 artifacts shared by the Spark and SQL sides of
+    * m7_rerank_learned: the BM25-tokenized query-term set (the literal
+    * idiom m7_rerank's twin uses — must equal tokenizeBm25(QueryText))
+    * and the logistic model trained ONCE at definition time on the seeded
+    * synthetic relevance set. Training is deterministic pure-JVM math, so
+    * both engines see identical weight literals.
+    */
+  private object LearnedM7 {
+    val qTokens: Set[String] = OracleSql.QueryText.toLowerCase
+      .split("[^a-z0-9]+")
+      .filter(t => t.length > 1 || t.matches("[0-9]"))
+      .filterNot(TextFunctions.EnglishStopwords.contains).toSet
+    val model: graft.query.Rerank.LogisticScorer =
+      graft.query.Rerank.LogisticScorer.train(
+        graft.query.Rerank.LogisticScorer.syntheticRelevance(qTokens))
+  }
+
   /** Crafted strings that exercise normalization/spelling/synonym paths the
     * word-soup documents table can't (smart quotes, repeated punctuation,
     * stretched letters). Same literals live in the oracle VALUES list.
@@ -952,6 +969,64 @@ object EngineQueries {
         Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
       Rerank.rerankHead(withText, "score", 20,
           Rerank.lexicalScore(QueryText, col("text")))
+        .select(col("doc_id"), col("score"),
+          round(coalesce(col("rerank_score"), lit(-1.0)), 6).as("rerank_score"),
+          col("final_rank").cast("long").as("final_rank"))
+        .orderBy("final_rank")
+    },
+
+    // ── M7 with the LEARNED scorer: the same head rerank served by the
+    //    in-repo-trained logistic model (Rerank.LogisticScorer — trained
+    //    deterministically at query-definition time on the seeded
+    //    synthetic relevance set; the reference swaps ms-marco-MiniLM in
+    //    at this seam, rerank_manager.py:133-277). The trained WEIGHTS are
+    //    embedded as numeric literals in both engines, so the oracle
+    //    value-checks the learned scoring math (sigmoid over jaccard /
+    //    coverage / length-prior features) through the full rerank
+    //    plumbing — the learned path is ⊕, not spec-only ──────────────────
+    QueryDef.sql("m7_rerank_learned", {
+      val m = LearnedM7.model
+      val qToks = LearnedM7.qTokens.toSeq.sorted
+        .map(t => s"'$t'").mkString("[", ",", "]")
+      val nQ = LearnedM7.qTokens.size
+      // features over the doc's distinct token set dt (see featureCols)
+      val inter = s"len(list_filter(list_distinct(dt), t -> list_contains($qToks, t)))::DOUBLE"
+      val union = s"len(list_distinct(list_concat(dt, $qToks)))::DOUBLE"
+      val dlen = "len(list_distinct(dt))::DOUBLE"
+      val z = s"(${m.w(0)} * (CASE WHEN $union > 0 THEN $inter / $union ELSE 0.0 END)" +
+        s" + ${m.w(1)} * ($inter / $nQ.0)" +
+        s" + ${m.w(2)} * ($dlen / ($dlen + 20.0))" +
+        s" + ${m.b})"
+      s"""$bm25Cte,
+         |ranked AS (
+         |  SELECT doc_id, round(score, 4) AS score,
+         |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS orig_rank
+         |  FROM bm25 ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+         |scored AS (
+         |  SELECT r.doc_id, r.score, r.orig_rank,
+         |         CASE WHEN r.orig_rank <= 20 THEN
+         |           (SELECT 1.0 / (1.0 + exp(-$z))
+         |            FROM (SELECT ${tokSql("d.text")} AS dt FROM documents d WHERE d.doc_id = r.doc_id))
+         |         ELSE NULL END AS rerank_score
+         |  FROM ranked r),
+         |head AS (
+         |  SELECT doc_id, score, rerank_score,
+         |         row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS new_rank
+         |  FROM scored WHERE orig_rank <= 20),
+         |tail AS (SELECT doc_id, score, rerank_score, orig_rank AS new_rank
+         |         FROM scored WHERE orig_rank > 20),
+         |unioned AS (SELECT *, 0 AS grp FROM head UNION ALL SELECT *, 1 AS grp FROM tail)
+         |SELECT doc_id, score, round(coalesce(rerank_score, -1.0), 6) AS rerank_score,
+         |       row_number() OVER (ORDER BY grp, new_rank) AS final_rank
+         |FROM unioned ORDER BY final_rank""".stripMargin
+    }) { (s, dir) =>
+      val ktop = Bm25.topK(
+        Bm25.scoreWithIndex(Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text"), s, QueryText)
+          .select(col("doc_id"), round(col("score"), 4).as("score")), 50)
+      val withText = ktop.join(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+      Rerank.rerankHead(withText, "score", 20,
+          LearnedM7.model.score(QueryText, col("text")))
         .select(col("doc_id"), col("score"),
           round(coalesce(col("rerank_score"), lit(-1.0)), 6).as("rerank_score"),
           col("final_rank").cast("long").as("final_rank"))

@@ -50,6 +50,15 @@ object Rerank {
       lexicalScore(queryText, doc)
   }
 
+  /** Resolve the KB config's `rerank_scorer` knob. Unknown names fall back
+    * to the lexical default (the reference tolerates unknown model names
+    * the same way — deterministic fallback, not a crash).
+    */
+  def scorerFor(name: String): Scorer = name match {
+    case "learned" => LogisticScorer.pretrained
+    case _         => LexicalScorer
+  }
+
   /** Learned logistic scorer over deterministic relevance FEATURES —
     * σ(w·f + b) with f = (token-set jaccard, query-term coverage,
     * saturating length prior). All three features are pure column
@@ -61,11 +70,29 @@ object Rerank {
   final case class LogisticScorer(w: Array[Double], b: Double) extends Scorer {
     require(w.length == LogisticScorer.NumFeatures,
       s"expected ${LogisticScorer.NumFeatures} weights, got ${w.length}")
-    override def score(queryText: String, doc: Column): Column = {
-      val f = LogisticScorer.featureCols(queryText, doc)
+    override def score(queryText: String, doc: Column): Column =
+      fromFeatures(LogisticScorer.featureCols(queryText, doc))
+
+    /** Batched column form (mirrors [[lexicalScoreCols]]'s shape). */
+    def scoreCols(queryToks: Column, doc: Column): Column =
+      fromFeatures(LogisticScorer.featureColsQ(queryToks, doc))
+
+    private def fromFeatures(f: Seq[Column]): Column = {
       val z = f.zip(w).map { case (c, wi) => c * lit(wi) }
         .reduce(_ + _) + lit(b)
       lit(1.0) / (lit(1.0) + exp(-z))
+    }
+
+    /** Driver-side mirror of [[score]] over token SETS — the in-process
+      * serving rung's scorer (must stay value-identical to the column
+      * form; spec-pinned like the lexical rung). StrictMath.exp, not
+      * Math.exp: Spark's codegen'd EXP calls StrictMath, and the two can
+      * differ by 1 ulp — enough to break the rung-identity pin.
+      */
+    def scoreValue(q: Set[String], d: Set[String]): Double = {
+      val f = LogisticScorer.featuresOf(q, d)
+      val z = f.zip(w).map { case (fi, wi) => fi * wi }.sum + b
+      1.0 / (1.0 + java.lang.StrictMath.exp(-z))
     }
   }
 
@@ -79,9 +106,20 @@ object Rerank {
       *  f1 = |Q∩D| / |Q|     (query coverage — how much of the ASK is met)
       *  f2 = |D| / (|D|+20)  (saturating length prior)
       */
-    def featureCols(queryText: String, doc: Column): Seq[Column] = {
-      val q = TextFunctions.tokenizeBm25(lit(queryText))
-      val d = array_distinct(TextFunctions.tokenizeBm25(doc))
+    def featureCols(queryText: String, doc: Column): Seq[Column] =
+      featureColsQ(TextFunctions.tokenizeBm25(lit(queryText)), doc)
+
+    /** [[featureCols]] with the query tokens as a COLUMN — the batched
+      * form (each row carries its own query). The query side is
+      * DISTINCTed so the coverage denominator matches [[featuresOf]]'s
+      * set semantics even when an enhanced query repeats a term.
+      */
+    def featureColsQ(queryToks: Column, doc: Column): Seq[Column] = {
+      val q = array_distinct(queryToks)
+      // null text scores as the empty token set (σ(b), all features 0) —
+      // matches featuresOf(q, ∅); bare null would poison the coverage
+      // feature into a NULL score
+      val d = array_distinct(TextFunctions.tokenizeBm25(coalesce(doc, lit(""))))
       val inter = size(array_intersect(d, q)).cast("double")
       val union = size(array_union(d, q)).cast("double")
       Seq(
@@ -101,6 +139,37 @@ object Rerank {
         if (q.nonEmpty) inter / q.size else 0.0,
         d.size.toDouble / (d.size.toDouble + 20.0))
     }
+
+    /** Seeded synthetic relevance set — the in-repo stand-in for a click
+      * log: relevant documents cover ≥3 of the 4 query terms (plus noise
+      * tokens), irrelevant ones ≤1; labels depend on COVERAGE, not noise
+      * volume, so the trained weights must favor the coverage feature
+      * over the plain jaccard the lexical scorer computes.
+      */
+    def syntheticRelevance(queryTerms: Set[String],
+                           seed: Long = 42L): Seq[(Array[Double], Int)] = {
+      val noise = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "theta", "lambda", "sigma", "omega")
+      val rnd = new scala.util.Random(seed)
+      val qs = queryTerms.toVector.sorted
+      (0 until 200).map { i =>
+        val relevant = i % 2 == 0
+        val nQuery = if (relevant) 3 + rnd.nextInt(2) else rnd.nextInt(2)
+        val nNoise = rnd.nextInt(7)
+        val doc = (rnd.shuffle(qs).take(nQuery) ++
+          rnd.shuffle(noise).take(nNoise)).toSet
+        (featuresOf(queryTerms, doc), if (relevant) 1 else 0)
+      }
+    }
+
+    /** The default learned model (`rerank_scorer = learned` in KB config):
+      * trained once, lazily, on the seeded synthetic relevance set. The
+      * features are all size-normalized (jaccard, coverage, length
+      * prior), so the term identities in the training fixture don't
+      * matter — the weights generalize across queries.
+      */
+    lazy val pretrained: LogisticScorer =
+      train(syntheticRelevance(Set("spark", "join", "filter", "window")))
 
     /** Plain batch gradient descent on log loss — examples are (features,
       * label∈{0,1}). Deterministic: no randomness, fixed iteration order.

@@ -61,6 +61,28 @@ class InProcessPipelineSpec extends SparkSpec {
     assert(w.exists(_.last.asInstanceOf[Int] > 20))
   }
 
+  test("learned rerank scorer: warm in-process == distributed, and order differs from lexical") {
+    val ch = chunks.localCheckpoint(true)
+    val emb = embeddings.localCheckpoint(true)
+    val q = "spark joins ranking"
+    val cfg = graft.config.KbConfig(rerankingModel = "learned")
+    val ix = Bm25.cachedIndex("inproc-spec-l", ch, "doc_id", "text")
+    val warm = KbPipeline.query(spark, ch, emb, q, cfg,
+      bm25Index = Some(ix), corpusKey = Some("inproc-spec-l")).hits
+    val dist = KbPipeline.query(spark, ch, emb, q, cfg,
+      bm25Index = Some(ix), corpusKey = None).hits
+    assert(warm.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val w = warm.collect().map(_.toSeq).toSeq
+    val d = dist.collect().map(_.toSeq).toSeq
+    assert(w == d, s"warm:\n${w.mkString("\n")}\ndistributed:\n${d.mkString("\n")}")
+    // the learned sigmoid produces different rerank scores than the
+    // lexical jaccard (same plumbing, different model — the seam works)
+    val lex = KbPipeline.query(spark, ch, emb, q,
+      bm25Index = Some(ix), corpusKey = None).hits.collect().map(_.toSeq).toSeq
+    assert(lex != d, "learned scorer should change rerank scores vs lexical")
+  }
+
   test("vector-side id missing from chunks is dropped on both paths") {
     val ch = chunks.localCheckpoint(true)
     val emb = embeddings.localCheckpoint(true)

@@ -16,27 +16,12 @@ class LearnedScorerSpec extends SparkSpec {
   import spark.implicits._
 
   private val queryTerms = Set("spark", "join", "filter", "window")
-  private val noise = Vector("alpha", "beta", "gamma", "delta", "epsilon",
-    "zeta", "theta", "lambda", "sigma", "omega")
 
-  /** Seeded synthetic relevance set: relevant docs cover ≥3 of the 4 query
-    * terms (plus noise); irrelevant docs cover ≤1. Labels depend on
-    * COVERAGE, not on noise volume — so the trained model must learn to
-    * weight coverage above the pure jaccard the lexical scorer computes.
-    */
-  private def trainingSet(seed: Long): Seq[(Array[Double], Int)] = {
-    val rnd = new scala.util.Random(seed)
-    val qs = queryTerms.toVector.sorted
-    (0 until 200).map { i =>
-      val relevant = i % 2 == 0
-      val nQuery = if (relevant) 3 + rnd.nextInt(2) else rnd.nextInt(2)
-      val nNoise = rnd.nextInt(7)
-      val doc = (rnd.shuffle(qs).take(nQuery) ++
-        rnd.shuffle(noise).take(nNoise)).toSet
-      (Rerank.LogisticScorer.featuresOf(queryTerms, doc),
-        if (relevant) 1 else 0)
-    }
-  }
+  // the canonical seeded relevance generator — shared with the
+  // m7_rerank_learned oracle query, which embeds the trained weights as
+  // literals in BOTH engines
+  private def trainingSet(seed: Long): Seq[(Array[Double], Int)] =
+    Rerank.LogisticScorer.syntheticRelevance(queryTerms, seed)
 
   test("training is deterministic and separates the relevance classes") {
     val m1 = Rerank.LogisticScorer.train(trainingSet(42))
