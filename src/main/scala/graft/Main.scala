@@ -449,11 +449,19 @@ object Main {
         // (checkpointed source); replays are idempotent at every stage.
         // usage: maintain <kbDir> <inputGlob> [--curate]
         require(args.length >= 3, "usage: maintain <kbDir> <inputGlob> [--curate]")
+        // provider + chunk geometry from config, EXACTLY like the batch
+        // `database`/`embed` verbs (registry-resolved model under the same
+        // retry policy; db_max_tokens chunking) — a maintained store must
+        // be indistinguishable from a batch-built one
+        val mcfg = loadCfg(args.filterNot(_ == "--curate"), 3, kb)
         graft.streaming.StreamingIngest.startKbMaintenance(
           spark, args(2), kb,
-          graft.embed.Embedder.Deterministic(
-            loadCfg(args.filterNot(_ == "--curate"), 3, kb).vectorDimensions),
-          surfaceGate = args.contains("--curate"))
+          graft.embed.Embedder.Retrying(
+            graft.models.ModelRegistry.embedderFor(
+              mcfg.vectorModel, mcfg.vectorDimensions),
+            maxRetries = mcfg.apiMaxRetries),
+          surfaceGate = args.contains("--curate"),
+          chunkSize = mcfg.dbMaxTokens, overlap = mcfg.dbMaxTokens / 4)
           .awaitTermination()
         // the glob may have matched no files (or --curate gated everything
         // out) — then no lake dir exists and the run is still a success

@@ -679,7 +679,25 @@ object Dedup {
   def incrementalBloom(lake: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, fpp: Double = 0.01,
                        knownBatchRows: Option[Long] = None,
-                       maxBits: Long = 1L << 30): DataFrame = {
+                       maxBits: Long = 1L << 30): DataFrame =
+    incrementalBloomPrehashed(
+      lake.select(col(idCol).as("keep_cand"),
+        TextFunctions.fingerprint(col(textCol)).as("fp")),
+      batch, idCol, textCol, fpp, knownBatchRows, maxBits)
+
+  /** [[incrementalBloom]] against a lake whose fingerprints are ALREADY
+    * stored — `lakeFp` is `(keep_cand, fp)`. The 100 TB shape for a
+    * REPEATED ingest stream: fingerprinting is paid once at append time
+    * (see [[graft.streaming.StreamingIngest.appendToLake]]), so each batch
+    * scans only the lake's 8-byte fp column (parquet column pruning — the
+    * document text never loads), instead of re-cleaning and re-hashing the
+    * full accumulated lake text every micro-batch.
+    */
+  def incrementalBloomPrehashed(lakeFp: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                fpp: Double = 0.01,
+                                knownBatchRows: Option[Long] = None,
+                                maxBits: Long = 1L << 30): DataFrame = {
     // persisted: the batch-side fingerprints (a regex-heavy clean + hash)
     // feed the sizing count, the bloom build, AND the verify join — one
     // computation, not three passes over the batch text
@@ -688,8 +706,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = knownBatchRows.getOrElse(bfp.select("batch_id").count())
     val (words, k) = buildBloom(bfp, "fp", n, fpp, maxBits)
-    val lfp = lake.select(col(idCol).as("keep_cand"),
-        TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val lfp = lakeFp.select(col("keep_cand"), col("fp"))
       .filter(FastFunctions.bloomMightContain(col("fp"), words, k))
     // eager-materialize the (batch-sized) result so bfp's cache can be
     // released HERE: the operator's target regime is repeated incremental

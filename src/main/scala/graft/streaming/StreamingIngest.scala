@@ -189,7 +189,18 @@ object StreamingIngest {
       if (!new java.io.File(lakeDir).exists()) canon
       else {
         val lake = spark.read.parquet(lakeDir)
-        val dups = Dedup.incrementalBloom(lake, canon, "doc_id", "text")
+        // lakes written by [[appendToLake]] carry the fingerprint AT REST:
+        // the dedup probe then scans only the lake's 8-byte fp column
+        // (parquet column pruning) instead of re-cleaning + re-hashing the
+        // full accumulated text every micro-batch — the scan that would
+        // otherwise grow with the lake at 100 TB. Pre-fp lakes (or foreign
+        // tables) fall back to computing it.
+        val lakeFp =
+          if (lake.columns.contains("fp"))
+            lake.select(col("doc_id").as("keep_cand"), col("fp"))
+          else lake.select(col("doc_id").as("keep_cand"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+        val dups = Dedup.incrementalBloomPrehashed(lakeFp, canon, "doc_id", "text")
           .filter(col("keep_id").isNotNull)
           .select(col("batch_id").as("doc_id"))
         canon.join(dups, Seq("doc_id"), "left_anti")
@@ -199,11 +210,24 @@ object StreamingIngest {
 
   /** The COMMIT half of [[dedupIngestStep]]: append (already-materialized)
     * survivor documents to the lake — the step that makes a replayed batch
-    * drop out on its fingerprints.
+    * drop out on its fingerprints. The fingerprint is stored AT REST so
+    * later batches' dedup probes never re-hash lake text
+    * ([[graft.operators.Dedup.incrementalBloomPrehashed]]).
     */
   private[graft] def appendToLake(survivors: DataFrame, dir: String): Unit =
-    if (survivors.head(1).nonEmpty)
-      survivors.write.mode("append").parquet(s"$dir/lake")
+    if (survivors.head(1).nonEmpty) {
+      val lakeDir = s"$dir/lake"
+      // schema consistency: a pre-fp lake keeps its shape (mixed parquet
+      // schemas in one directory would corrupt reads); fresh lakes and
+      // fp-carrying lakes store the fingerprint
+      val withFp = !new java.io.File(lakeDir).exists() ||
+        survivors.sparkSession.read.parquet(lakeDir).columns.contains("fp")
+      val out =
+        if (withFp)
+          survivors.withColumn("fp", TextFunctions.fingerprint(col("text")))
+        else survivors
+      out.write.mode("append").parquet(lakeDir)
+    }
 
   /** The WHOLE incremental lifecycle as one stream — the streaming twin of
     * the reference's `database → embed → bm25` verb sequence: each

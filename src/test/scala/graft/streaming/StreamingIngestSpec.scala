@@ -340,6 +340,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert(CountingProviderCalls.n.get() == callsBefore)
   }
 
+  test("lake stores fingerprints at rest, and later batches probe the STORED column") {
+    import spark.implicits._
+    val kb = Files.createTempDirectory("graft_stream_lakefp").toString
+    val b1 = Seq(("a.txt", "alpha beta gamma delta")).toDF("doc_id", "text")
+    StreamingIngest.dedupIngestBatch(spark, b1, kb)
+    val lake = spark.read.parquet(s"$kb/lake")
+    // fp is stored at append time and equals the recomputed fingerprint
+    assert(lake.columns.contains("fp"))
+    val (storedFp, recomputed) = lake
+      .select(col("fp"), graft.functions.TextFunctions.fingerprint(col("text")))
+      .as[(Long, Long)].head()
+    assert(storedFp == recomputed)
+    // doctor the stored fp: same text, different fingerprint on disk. If a
+    // later batch recomputed fingerprints from lake TEXT it would still
+    // drop the duplicate — probing the STORED column must let it through,
+    // proving the at-rest fp (the 8-byte pruned scan) is authoritative.
+    val doctored = lake.select(col("doc_id"), col("text"),
+      (col("fp") + 1L).as("fp"))
+    doctored.write.mode("overwrite").parquet(s"$kb/lake2")
+    spark.read.parquet(s"$kb/lake2").write.mode("overwrite").parquet(s"$kb/lake")
+    spark.catalog.refreshByPath(s"$kb/lake")
+    val b2 = Seq(("b.txt", "alpha beta gamma delta")).toDF("doc_id", "text")
+    val survivors = StreamingIngest.dedupSurvivors(spark, b2, kb)
+    assert(survivors.count() == 1,
+      "a doctored stored fp must change the dedup decision — the stored column is the identity")
+  }
+
   test("kb maintenance crash mid-batch: the retry completes the lost embed/index work") {
     // the lake append is the batch's COMMIT POINT (it runs last). Simulate a
     // driver crash right before it: every pre-commit stage ran, the lake
