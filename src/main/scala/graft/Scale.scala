@@ -679,6 +679,15 @@ object Scale {
     secs(s"nb-classifier 1x")(nbClassify(docs))
     secs(s"nb-classifier ${kDocs}x")(nbClassify(bigDocs))
 
+    // ── r13: BPE tokenizer training — ONE corpus pass builds the word-freq
+    //    table; the 8 merge rounds run on that vocab-sized table, so cost
+    //    past the first pass is corpus-size-independent (the replicated
+    //    corpus has the same vocabulary → rounds cost the same) ───────────
+    def bpeTrain(d: DataFrame): Long =
+      operators.Bpe.learnMerges(d, "text", numMerges = 8).count()
+    secs(s"bpe-train8 1x")(bpeTrain(docs))
+    secs(s"bpe-train8 ${kDocs}x")(bpeTrain(bigDocs))
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:

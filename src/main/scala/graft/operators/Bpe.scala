@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE tokenizer TRAINING (builder-prompt extension — the
+  * tokenizer-side twin of the a19_tokenizer_fertility KPI: pipelines that
+  * measure fertility also train the merges that drive it; Sennrich et al.
+  * 2016, arXiv:1508.07909).
+  *
+  * Simplified word-level BPE: each distinct corpus word becomes a
+  * character-symbol sequence; each round counts ADJACENT symbol pairs
+  * weighted by word frequency, picks the most frequent pair (ties broken
+  * lexicographically — deterministic, engine-independent), and merges
+  * every non-overlapping left-to-right occurrence. No end-of-word marker
+  * (documented divergence from the paper's `</w>`).
+  *
+  * 100 TB shape: ONE corpus pass builds the word-frequency table (map-side
+  * combined groupBy — the standard trainer input, ~vocab-sized, millions of
+  * rows not billions); every merge round then runs on that small table —
+  * an explode of adjacent pairs + one aggregation, with the argmax a
+  * 1-row collect. Cost is O(rounds · vocab · wordLen), independent of
+  * corpus size after the first pass.
+  *
+  * Symbol sequences are stored as a SPACE-JOINED string with sentinel
+  * spaces (` h e l l o `), and a merge is a plain non-regex
+  * `replace(s, " l r ", " lr ")`: left-to-right non-overlapping
+  * replacement IS the BPE merge convention, and both Spark's `replace`
+  * and DuckDB's `replace` implement exactly that scan — which is what
+  * lets the whole trainer carry a value-exact oracle.
+  */
+object Bpe {
+
+  /** The (word, freq) table a BPE trainer consumes — one corpus pass. */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokenize(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` BPE merges. Returns one row per merge:
+    * `(rank, lhs, rhs, merged, pair_count)` in learned order (lhs/rhs —
+    * LEFT/RIGHT are SQL keywords). Stops early (fewer rows) if the corpus
+    * runs out of adjacent pairs.
+    */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var w = wordFrequencies(docs, textCol)
+      .select(col("freq"),
+        concat(lit(" "),
+          array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
+          lit(" ")).as("s"))
+      .localCheckpoint(true) // vocab-sized; reused every round
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // adjacent symbol pairs of each word, weighted by word freq
+      val a = filter(split(trim(col("s")), " "), x => length(x) > 0)
+      val best = w
+        .select(col("freq"),
+          explode(zip_with(
+            slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+            slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = best.head
+        merges += ((rank, l, r, l + r, cnt))
+        w = w.select(col("freq"),
+            expr(s"replace(s, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')").as("s"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply learned merges to a word (driver-side twin for specs). */
+  private[graft] def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var s = " " + word.toCharArray.mkString(" ") + " "
+    merges.foreach { case (l, r) => s = s.replace(s" $l $r ", s" $l$r ") }
+    s.trim.split(" ").toSeq.filter(_.nonEmpty)
+  }
+
+  // tokens are [a-z0-9]+ so quoting is never needed in practice; escape
+  // single quotes anyway so the SQL fragment cannot be broken by input
+  private def esc(s: String): String = s.replace("'", "''")
+}

@@ -1918,6 +1918,49 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // ── BPE tokenizer TRAINING, oracle-checked: 8 merge rounds learned
+    //    from the corpus word-frequency table (Sennrich et al. 2016 —
+    //    simplified: char symbols, no </w> marker). The merge step is a
+    //    left-to-right non-overlapping string replace on the space-joined
+    //    symbol string — the convention BOTH engines' replace() implements,
+    //    which is what makes an iterative trainer value-oracle-able. The
+    //    DuckDB twin unrolls the 8 rounds as chained CTEs with the argmax
+    //    (count DESC, pair ASC — deterministic tie-break) as scalar
+    //    subqueries ──────────────────────────────────────────────────────
+    QueryDef.sql("f_bpe_merges", {
+      val rounds = 8
+      val sb = new StringBuilder
+      // every CTE is MATERIALIZED: the scalar subqueries on b_i would
+      // otherwise re-inline the whole chain per reference — exponentially
+      // many corpus scans by round 8
+      sb ++= s"""WITH tok AS MATERIALIZED (SELECT unnest(${plainTokSql("text")}) AS w FROM documents),
+                |wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
+                |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, freq FROM wf)""".stripMargin
+      for (i <- 1 to rounds) {
+        sb ++= s""",
+                  |p$i AS MATERIALIZED (
+                  |  SELECT a[i] AS lhs, a[i+1] AS rhs, sum(freq)::BIGINT AS cnt
+                  |  FROM (SELECT list_filter(string_split(trim(s), ' '), x -> len(x) > 0) AS a, freq
+                  |        FROM w${i - 1}),
+                  |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t
+                  |  GROUP BY 1, 2),
+                  |b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+        if (i < rounds)
+          sb ++= s""",
+                    |w$i AS MATERIALIZED (
+                    |  SELECT replace(s, ' ' || (SELECT lhs FROM b$i) || ' ' || (SELECT rhs FROM b$i) || ' ',
+                    |                 ' ' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || ' ') AS s, freq
+                    |  FROM w${i - 1})""".stripMargin
+      }
+      sb ++= "\n" + (1 to rounds).map(i =>
+        s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+      sb.toString
+    }) { (s, dir) =>
+      graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text", 8)
+        .orderBy("rank")
+    },
+
     // ── Streaming KB maintenance lifecycle, oracle-checked end to end —
     //    the stream-side analogue of e2e_incremental: documents land in TWO
     //    micro-batches (evens then odds) through the REAL foreachBatch body

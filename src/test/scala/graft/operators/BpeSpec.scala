@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BPE tokenizer training ([[Bpe.learnMerges]]): hand-checkable merge
+  * sequences on tiny corpora, the deterministic lexicographic tie-break,
+  * and the driver-side applyMerges twin reconstructing whole words.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge order on a hand-checkable corpus, with the lexicographic tie-break") {
+    // one word "aaab" × 3: round 1 counts (a,a)=6 > (a,b)=3 → merge (a,a)
+    // round 2 ties (aa,a)=3 with (a,b)=3 → lexicographic: (a,b) wins
+    // round 3: only (aa,ab)=3 remains
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, "text", numMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 3L)), s"got $got")
+  }
+
+  test("applyMerges reconstructs a fully merged word and leaves foreign words split") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    assert(Bpe.applyMerges("aaab", merges) == Seq("aaab"))
+    assert(Bpe.applyMerges("aab", merges) == Seq("aa", "b"))
+    assert(Bpe.applyMerges("xy", merges) == Seq("x", "y"))
+  }
+
+  test("left-to-right non-overlapping merge convention: 'aaa' becomes [aa, a]") {
+    val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a", "a", "aa", 6L)), s"got $merges")
+    assert(Bpe.applyMerges("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+  }
+
+  test("merges reduce corpus fertility (symbols per word never increase)") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    assert(merges.size == 6)
+    val words = Seq("the", "quick", "brown", "fox")
+    words.foreach { w =>
+      assert(Bpe.applyMerges(w, merges).size <= w.length)
+    }
+    // "the" appears 3x and is 3 chars: its pairs dominate, so it must
+    // merge to fewer symbols than characters
+    assert(Bpe.applyMerges("the", merges).size < 3)
+  }
+}
