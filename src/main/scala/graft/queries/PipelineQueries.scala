@@ -755,6 +755,75 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ── Contrastive triple mining (anchor, positive, hard-negative) for
+    //    embedding-model training sets: positives from the sign-LSH
+    //    near-dup pass above, hard negatives as the best strictly-sub-
+    //    threshold neighbor in the anchor's exact top-20 — similar enough
+    //    to be hard, dissimilar enough to be a true negative. Anchors ≪
+    //    corpus (they need a near-dup), so the negative search is a small
+    //    batched top-k, not a corpus self-join ─────────────────────────────
+    QueryDef.sql("f_triplet_mining", {
+      def signSql(p: String, j: String): String =
+        s"(CASE WHEN ((($p * 1000003 + $j) * 2654435761 + 4074) % 1000000007) % 2 = 0 " +
+          "THEN 1.0 ELSE -1.0 END)"
+      val dotPlane =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           | list_transform(range(0, len(embedding)),
+           |                j -> ${signSql("p", "j")} * embedding[j + 1]::DOUBLE)),
+           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+      val bucket =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           | list_transform(range(0, 4), p ->
+           |   CASE WHEN $dotPlane >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+           | (a, x) -> a + x)""".stripMargin.replaceAll("\n", "")
+      s"""WITH sg AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id, embedding AS v, $bucket AS bucket
+         |  FROM embeddings),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${cosineSql("a.v", "b.v")} AS cos
+         |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |posr AS (
+         |  SELECT doc_a AS anchor, doc_b AS positive, cos AS pos_raw,
+         |         row_number() OVER (PARTITION BY doc_a
+         |                            ORDER BY cos DESC, doc_b) AS rn
+         |  FROM pairs WHERE cos >= 0.2),
+         |pos AS MATERIALIZED (
+         |  SELECT anchor, positive, pos_raw FROM posr WHERE rn = 1),
+         |scored AS (
+         |  SELECT p.anchor, e.vec_id AS doc_id,
+         |         ${cosineSql("e.embedding", "av.embedding")} AS score
+         |  FROM pos p
+         |  JOIN embeddings av ON av.vec_id = p.anchor
+         |  CROSS JOIN embeddings e),
+         |topk AS (
+         |  SELECT anchor, doc_id, score,
+         |         row_number() OVER (PARTITION BY anchor
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored),
+         |negr AS (
+         |  SELECT t.anchor, t.doc_id AS negative, round(t.score, 6) AS neg_cos,
+         |         row_number() OVER (PARTITION BY t.anchor
+         |                            ORDER BY t.score DESC, t.doc_id) AS rn
+         |  FROM topk t JOIN pos p ON p.anchor = t.anchor
+         |  WHERE t.rank <= 20 AND t.doc_id != t.anchor
+         |    AND t.score <= p.pos_raw - 0.1
+         |    AND NOT EXISTS (SELECT 1 FROM pairs q
+         |                    WHERE q.cos >= 0.2
+         |                      AND ((q.doc_a = t.anchor AND q.doc_b = t.doc_id)
+         |                        OR (q.doc_b = t.anchor AND q.doc_a = t.doc_id)))),
+         |neg AS (SELECT anchor, negative, neg_cos FROM negr WHERE rn = 1)
+         |SELECT p.anchor, p.positive, round(p.pos_raw, 6) AS pos_cos,
+         |       n.negative, n.neg_cos
+         |FROM pos p JOIN neg n USING (anchor)
+         |ORDER BY anchor""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.TripletMining.mine(Tables.embeddings(s, dir),
+          "vec_id", "embedding", posThreshold = 0.2, numPlanes = 4,
+          negK = 20, cacheKey = Some(dir))
+        .orderBy("anchor")
+    },
+
     // ── Graph ANN (HNSW batch analogue): deterministic small-world k-NN
     //    graph (sign-LSH locals + hash-block long links) + 3-hop beam
     //    search, every hop unrolled into the oracle — value-exact ─────────
