@@ -119,6 +119,7 @@ object Main {
       |  maintain <kbDir> <inputGlob>             streaming lifecycle: dedup -> chunk -> embed -> index
       |  select   <kbDir> <targetGlob> [n]        DSIR importance selection vs a target corpus
       |  export   <kbDir> [nShards]               deterministic training-order shard export
+      |  tokenize <kbDir> [numMerges]             train BPE merges + per-chunk token counts
       |  help | version""".stripMargin
 
   /** Verb dispatch against a caller-owned session (main owns stop()). */
@@ -512,6 +513,32 @@ object Main {
         val out = spark.read.parquet(s"$kb/export/shards")
         println(s"[graft] export: ${out.count()} chunks -> $nShards shards " +
           s"at $kb/export/shards")
+
+      case "tokenize" =>
+        // extension verb (training-pipeline suite): train the BPE merge
+        // table on the chunk text (one corpus pass + vocab-sized rounds),
+        // then encode every chunk under it — per-chunk word/token counts
+        // and fertility, the trained-tokenizer twin of the a19 KPI.
+        // usage: tokenize <kbDir> [numMerges]
+        import graft.operators.Bpe
+        val numMerges = if (args.length > 2) args(2).toInt else 32
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .select(col("doc_id"), col("chunk_text").as("text"))
+        val mergesDf = Bpe.learnMerges(chunks, "text", numMerges)
+        mergesDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"$kb/tokenizer/merges")
+        val merges = spark.read.parquet(s"$kb/tokenizer/merges")
+          .orderBy("rank").select("lhs", "rhs")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        Bpe.encode(chunks, "doc_id", "text", merges)
+          .write.mode("overwrite").parquet(s"$kb/tokenizer/token_counts")
+        val stats = spark.read.parquet(s"$kb/tokenizer/token_counts")
+          .agg(count(lit(1)), sum("n_tokens"),
+            avg(when(col("n_words") > 0, col("fertility"))))
+          .collect()(0)
+        println(f"[graft] tokenize: ${merges.size} merges -> $kb/tokenizer/merges; " +
+          f"${stats.getLong(0)} chunks, ${stats.getLong(1)} tokens, " +
+          f"avg fertility ${stats.getDouble(2)}%.4f -> $kb/tokenizer/token_counts")
 
       case "curate" =>
         // extension verb (training-pipeline suite): sequence packing + PII

@@ -688,6 +688,20 @@ object Scale {
     secs(s"bpe-train8 1x")(bpeTrain(docs))
     secs(s"bpe-train8 ${kDocs}x")(bpeTrain(bigDocs))
 
+    // ── r13: BPE ENCODE — merges applied to the DISTINCT word table
+    //    (vocab-sized codegen projection) then broadcast-joined back onto
+    //    per-doc word counts: the replicated corpus shares the vocabulary,
+    //    so only the one corpus pass (word counts) grows with the data ────
+    {
+      val merges = operators.Bpe.learnMerges(docs, "text", numMerges = 8)
+        .orderBy("rank").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      def bpeEncode(d: DataFrame): Long =
+        operators.Bpe.encode(d, "doc_id", "text", merges).count()
+      secs(s"bpe-encode 1x")(bpeEncode(docs))
+      secs(s"bpe-encode ${kDocs}x")(bpeEncode(bigDocs))
+    }
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:

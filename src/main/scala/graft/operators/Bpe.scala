@@ -82,6 +82,51 @@ object Bpe {
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Encode a corpus under a trained merge list — the APPLY side of the
+    * tokenizer (what [[learnMerges]] trains): per document
+    * `(id, n_words, n_tokens, fertility)` where `n_tokens` counts BPE
+    * subword symbols after applying every merge in learned order and
+    * `fertility = n_tokens / n_words` (the a19 KPI, now under the TRAINED
+    * tokenizer instead of the regex estimator).
+    *
+    * 100 TB shape: the merges are applied to the DISTINCT word table only
+    * — encode cost is O(vocab · rounds), independent of corpus size — and
+    * the encoded vocabulary `(word, n_sub)` is broadcast back onto the
+    * per-document word counts (one corpus pass, map-side combined, one
+    * broadcast join, one groupBy). Documents with no tokens keep their row
+    * with zero counts and fertility 0.0.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val wc = docs.select(col(idCol),
+        explode(TextFunctions.tokenize(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    // chained non-overlapping replace in learned order — the same merge
+    // convention the trainer used, as ONE codegen projection over the vocab
+    val sym = merges.foldLeft(
+      concat(lit(" "),
+        array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
+        lit(" "))) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val vocab = wc.select("w").distinct()
+      .select(col("w"),
+        size(filter(split(trim(sym), " "), x => length(x) > 0))
+          .cast("long").as("n_sub"))
+    val agg = wc.join(broadcast(vocab), Seq("w"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_tokens"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_words"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_tokens").cast("double") / col("n_words").cast("double"),
+            4)).as("fertility"))
+  }
+
   /** Apply learned merges to a word (driver-side twin for specs). */
   private[graft] def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
     var s = " " + word.toCharArray.mkString(" ") + " "

@@ -333,6 +333,28 @@ class MainSpec extends SparkSpec {
         s"dense positions in shard $sh") }
   }
 
+  test("CLI tokenize verb trains merges and encodes every chunk under them") {
+    val kb = Files.createTempDirectory("graft_cli_tokenize").toString
+    import spark.implicits._
+    (1L to 30L).map(i => (i, "the quick brown fox the the", "s"))
+      .toDF("doc_id", "chunk_text", "sourcedoc").write.parquet(s"$kb/chunks")
+    Main.run(Array("tokenize", kb, "6"), spark)
+    val merges = spark.read.parquet(s"$kb/tokenizer/merges")
+      .orderBy("rank").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    assert(merges.size == 6)
+    val counts = spark.read.parquet(s"$kb/tokenizer/token_counts")
+      .selectExpr("cast(doc_id as long)", "cast(n_words as long)",
+        "cast(n_tokens as long)")
+      .as[(Long, Long, Long)].collect()
+    assert(counts.length == 30)
+    val expTokens = "the quick brown fox the the".split(" ")
+      .map(w => operators.Bpe.applyMerges(w, merges).size.toLong).sum
+    counts.foreach { case (_, nw, nt) =>
+      assert(nw == 6L && nt == expTokens, s"got ($nw, $nt), exp (6, $expTokens)")
+    }
+  }
+
   test("CLI maintain verb runs the lifecycle stream and is idempotent on re-run") {
     val kb = Files.createTempDirectory("graft_cli_maintain").toString
     val in = Files.createTempDirectory("graft_cli_maintain_in").toString

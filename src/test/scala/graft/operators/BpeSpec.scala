@@ -37,6 +37,54 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerges("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
   }
 
+  test("encode matches the driver-side applyMerges twin word for word") {
+    val docs = Seq(
+      (1L, "aaab aab xy"),
+      (2L, "aaab aaab"),
+      (3L, ""), // tokenless doc keeps its row with zeros
+      (4L, "zz aab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def n(ws: String*): (Long, Long) = {
+      val words = ws.filter(_.nonEmpty)
+      (words.size.toLong,
+        words.map(w => Bpe.applyMerges(w, merges).size.toLong).sum)
+    }
+    val exp = Seq(
+      (1L, n("aaab", "aab", "xy")),
+      (2L, n("aaab", "aaab")),
+      (3L, (0L, 0L)),
+      (4L, n("zz", "aab"))).map { case (id, (nw, nt)) =>
+      (id, nw, nt,
+        if (nw == 0) 0.0
+        else BigDecimal(nt.toDouble / nw)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == exp, s"got $got, expected $exp")
+  }
+
+  test("encode under trained merges: fertility never exceeds the char-split fertility") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox the the")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    got.foreach { case (_, nw, nt, fert) =>
+      assert(nw > 0 && nt >= nw, s"tokens can never undercut words: $got")
+      assert(fert >= 1.0, s"fertility below 1: $got")
+    }
+    // "the" merges to one symbol (it dominates the pair counts), so doc 2's
+    // fertility must be strictly below plain char-count fertility
+    val charFert = "the quick brown fox the the".split(" ")
+      .map(_.length).sum.toDouble / 6
+    assert(got(1)._4 < charFert)
+  }
+
   test("merges reduce corpus fertility (symbols per word never increase)") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox")).toDF("doc_id", "text")
