@@ -702,6 +702,19 @@ object Scale {
       secs(s"bpe-encode ${kDocs}x")(bpeEncode(bigDocs))
     }
 
+    // ── r13: late-interaction MaxSim batch — the vocabulary embedding and
+    //    the similarity table are vocab-sized (shared across the replicated
+    //    corpus), so only the corpus token stream grows with the data ─────
+    {
+      val batch = (1L to 20L).map(i =>
+        i -> s"spark join filter window query $i")
+      def liBatch(d: DataFrame): Long =
+        operators.LateInteraction.maxSimTopKBatch(
+          d, "doc_id", "text", batch, k = 10).count()
+      secs(s"late-interaction-batch20 1x")(liBatch(docs))
+      secs(s"late-interaction-batch20 ${kDocs}x")(liBatch(bigDocs))
+    }
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:

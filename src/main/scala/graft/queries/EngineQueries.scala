@@ -880,6 +880,88 @@ object EngineQueries {
         .orderBy("doc_id")
     },
 
+    // ── Late-interaction MaxSim retrieval (Khattab & Zaharia 2020,
+    //    ColBERT; builder-prompt extension — the reference scores ONE
+    //    pooled vector per chunk, search.py:242): one embedding PER
+    //    TOKEN, score(q,d) = Σ_{t∈q} max_{s∈d} cos(E(t),E(s)). Both
+    //    engines embed the DISTINCT corpus vocabulary on the fly with the
+    //    deterministic per-token embedder (raw float lattice, no display
+    //    rounding) and cross it with the handful of query tokens; the
+    //    corpus token stream then joins that broadcast-small similarity
+    //    table — max per (doc, qtok), sum per doc, round(·,4), top-20.
+    //    Nothing is quadratic in corpus size: vocab × |q| pairs only ────
+    QueryDef.sql("t11_late_interaction", {
+      def rawEmb(text: String, dims: Int): String =
+        s"""list_transform(range(0, $dims), j ->
+           | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
+           |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
+      val vals = graft.operators.LateInteraction.tokenizeValue(QueryText)
+        .distinct.sorted.map(t => s"('$t')").mkString(", ")
+      s"""WITH dtok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS tok
+         |  FROM documents),
+         |ve AS MATERIALIZED (
+         |  SELECT tok, ${rawEmb("tok", 8)} AS tvec
+         |  FROM (SELECT DISTINCT tok FROM dtok)),
+         |q(qtok) AS (VALUES $vals),
+         |qe AS MATERIALIZED (SELECT qtok, ${rawEmb("qtok", 8)} AS qvec FROM q),
+         |sims AS MATERIALIZED (
+         |  SELECT tok, qtok, ${cosineSql("tvec", "qvec")} AS sim
+         |  FROM ve CROSS JOIN qe),
+         |ms AS (SELECT d.doc_id, s.qtok, max(s.sim) AS m
+         |       FROM dtok d JOIN sims s USING (tok) GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, round(sum(m), 4) AS score FROM ms GROUP BY doc_id)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.LateInteraction.maxSimTopK(
+        Tables.documents(s, dir), "doc_id", "text", QueryText, 20, dims = 8)
+    },
+
+    // ── Batched late interaction: top-10 MaxSim per query for the 20-query
+    //    serving batch (the E2eBatch20 fixture) in ONE DAG — the corpus
+    //    token pass and the vocabulary embedding are shared across the
+    //    batch; the similarity table stays vocab × Σ|qᵢ| ─────────────────
+    QueryDef.sql("t11_late_batch", {
+      def rawEmb(text: String, dims: Int): String =
+        s"""list_transform(range(0, $dims), j ->
+           | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
+           |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
+      val vals = E2eBatch20.zipWithIndex.flatMap { case ((raw, _), i) =>
+        graft.operators.LateInteraction.tokenizeValue(raw).distinct
+          .map(t => s"(${i + 1}, '$t')")
+      }.mkString(", ")
+      s"""WITH dtok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS tok
+         |  FROM documents),
+         |ve AS MATERIALIZED (
+         |  SELECT tok, ${rawEmb("tok", 8)} AS tvec
+         |  FROM (SELECT DISTINCT tok FROM dtok)),
+         |q(query_id, qtok) AS (VALUES $vals),
+         |qe AS MATERIALIZED (
+         |  SELECT query_id, qtok, ${rawEmb("qtok", 8)} AS qvec FROM q),
+         |sims AS MATERIALIZED (
+         |  SELECT tok, query_id, qtok, ${cosineSql("tvec", "qvec")} AS sim
+         |  FROM ve CROSS JOIN qe),
+         |ms AS (SELECT d.doc_id, s.query_id, s.qtok, max(s.sim) AS m
+         |       FROM dtok d JOIN sims s USING (tok) GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_id, doc_id, round(sum(m), 4) AS score
+         |       FROM ms GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM rk
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.LateInteraction.maxSimTopKBatch(
+          Tables.documents(s, dir), "doc_id", "text",
+          E2eBatch20.zipWithIndex.map { case ((raw, _), i) => (i + 1).toLong -> raw },
+          k = 10, dims = 8)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // ── P5: similarity-adaptive context scope ─────────────────────────────
     QueryDef.sql("p5_adaptive_scope",
       s"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Late-interaction MaxSim retrieval ([[LateInteraction]]): brute-force
+  * driver twin on a tiny corpus, the exact-containment score identity,
+  * and the tokenless/dedup contracts.
+  */
+class LateInteractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+
+  private def emb(tok: String, dims: Int): Array[Float] =
+    Array.tabulate(dims)(j =>
+      ((polyHash(s"$tok|$j") % 1000 - 500).toFloat / 500f))
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d > 0) dot / d else 0.0
+  }
+
+  private def maxSimDriver(docText: String, qtoks: Seq[String],
+                           dims: Int): Double = {
+    val dtoks = LateInteraction.tokenizeValue(docText).distinct
+    qtoks.map(q => dtoks.map(d => cos(emb(q, dims), emb(d, dims))).max).sum
+  }
+
+  test("maxSim scores match the brute-force driver twin") {
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "window functions rank rows per partition"),
+      (3L, "filter pushdown prunes parquet row groups"),
+      (4L, "join strategies: broadcast hash and sort merge")).toDF("doc_id", "text")
+    val q = "spark join filter window"
+    val qtoks = LateInteraction.tokenizeValue(q).distinct
+    val got = LateInteraction.maxSimTopK(docs, "doc_id", "text", q, 10, dims = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 4)
+    Seq(
+      1L -> "spark shuffles data across the cluster",
+      2L -> "window functions rank rows per partition",
+      3L -> "filter pushdown prunes parquet row groups",
+      4L -> "join strategies: broadcast hash and sort merge"
+    ).foreach { case (id, text) =>
+      val exp = maxSimDriver(text, qtoks, 8)
+      assert(math.abs(got(id) - exp) < 1e-3,
+        s"doc $id: got ${got(id)}, driver twin $exp")
+    }
+  }
+
+  test("a document containing every query token scores exactly |q| and ranks first") {
+    val docs = Seq(
+      (1L, "spark join filter window plus extra words"),
+      (2L, "completely unrelated prose about cooking pasta"),
+      (3L, "spark only")).toDF("doc_id", "text")
+    val got = LateInteraction.maxSimTopK(docs, "doc_id", "text",
+        "spark join filter window", 10, dims = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 1L)
+    // every query token present => each MaxSim term is cos(t,t) = 1
+    assert(got.head._2 == 4.0, s"got ${got.head._2}")
+  }
+
+  test("batched MaxSim equals per-query single MaxSim, with dense ranks") {
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "window functions rank rows per partition"),
+      (3L, "filter pushdown prunes parquet row groups"),
+      (4L, "join strategies broadcast hash sort merge")).toDF("doc_id", "text")
+    val queries = Seq(1L -> "spark join", 2L -> "window filter rows")
+    val batch = LateInteraction.maxSimTopKBatch(docs, "doc_id", "text",
+        queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+    queries.foreach { case (qid, qtext) =>
+      val single = LateInteraction.maxSimTopK(docs, "doc_id", "text", qtext, 3)
+        .as[(Long, Double)].collect().toSeq
+      val fromBatch = batch.filter(_._1 == qid).map(r => (r._2, r._3))
+      assert(fromBatch == single, s"query $qid: batch $fromBatch vs single $single")
+    }
+    batch.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == (1 to rows.size))
+    }
+  }
+
+  test("tokenless docs get no score row; repeated tokens count once") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, ""),
+      (3L, "spark")).toDF("doc_id", "text")
+    val got = LateInteraction.maxSimTopK(docs, "doc_id", "text", "spark", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+    // dedup: identical distinct-token sets => identical scores
+    assert(got.map(_._2).distinct.size == 1)
+  }
+}
