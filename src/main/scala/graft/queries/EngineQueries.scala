@@ -918,6 +918,46 @@ object EngineQueries {
         Tables.documents(s, dir), "doc_id", "text", QueryText, 20, dims = 8)
     },
 
+    // ── Pruned late interaction — ColBERT's candidate-generation serving
+    //    shape: top-50 vocab tokens per query token gate the candidate
+    //    docs; exact MaxSim scores candidates only (scores identical to
+    //    the exact tier — pruning can only EXCLUDE docs, so the result is
+    //    deterministic and value-oracled; recall vs exact is spec-pinned)
+    QueryDef.sql("t11_late_pruned", {
+      def rawEmb(text: String, dims: Int): String =
+        s"""list_transform(range(0, $dims), j ->
+           | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
+           |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
+      val vals = graft.operators.LateInteraction.tokenizeValue(QueryText)
+        .distinct.sorted.map(t => s"('$t')").mkString(", ")
+      s"""WITH dtok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS tok
+         |  FROM documents),
+         |ve AS MATERIALIZED (
+         |  SELECT tok, ${rawEmb("tok", 8)} AS tvec
+         |  FROM (SELECT DISTINCT tok FROM dtok)),
+         |q(qtok) AS (VALUES $vals),
+         |qe AS MATERIALIZED (SELECT qtok, ${rawEmb("qtok", 8)} AS qvec FROM q),
+         |sims AS MATERIALIZED (
+         |  SELECT tok, qtok, ${cosineSql("tvec", "qvec")} AS sim
+         |  FROM ve CROSS JOIN qe),
+         |cand AS (SELECT DISTINCT tok FROM (
+         |  SELECT tok, row_number() OVER (PARTITION BY qtok
+         |                                 ORDER BY sim DESC, tok) AS rn
+         |  FROM sims) WHERE rn <= 50),
+         |cdocs AS (SELECT DISTINCT doc_id FROM dtok JOIN cand USING (tok)),
+         |ms AS (SELECT d.doc_id, s.qtok, max(s.sim) AS m
+         |       FROM dtok d JOIN cdocs USING (doc_id) JOIN sims s USING (tok)
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, round(sum(m), 4) AS score FROM ms GROUP BY doc_id)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.LateInteraction.maxSimTopKPruned(
+        Tables.documents(s, dir), "doc_id", "text", QueryText, 20,
+        dims = 8, candPerTok = 50)
+    },
+
     // ── Batched late interaction: top-10 MaxSim per query for the 20-query
     //    serving batch (the E2eBatch20 fixture) in ONE DAG — the corpus
     //    token pass and the vocabulary embedding are shared across the

@@ -91,6 +91,34 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
+  test("pruned MaxSim: candidate scores equal exact scores; wide budget = exact result") {
+    val docs = (1L to 60L).map { i =>
+      (i, if (i % 3 == 0) s"spark join filter window doc$i"
+          else if (i % 3 == 1) s"cooking pasta recipe doc$i"
+          else s"football match report doc$i")
+    }.toDF("doc_id", "text")
+    val q = "spark join filter window"
+    val exact = LateInteraction.maxSimTopK(docs, "doc_id", "text", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    // candidate budget >= vocab size => no doc can be pruned => identical
+    val wide = LateInteraction.maxSimTopKPruned(docs, "doc_id", "text", q, 10,
+        candPerTok = 10000)
+      .as[(Long, Double)].collect().toSeq
+    assert(wide == exact)
+    // tight budget: surviving docs keep their EXACT scores (pruning only
+    // excludes docs, never changes a score), and recall@10 stays high on
+    // a corpus where a third of the docs share the query's tokens
+    val pruned = LateInteraction.maxSimTopKPruned(docs, "doc_id", "text", q, 10,
+        candPerTok = 25)
+      .as[(Long, Double)].collect().toSeq
+    val exactScores = LateInteraction.maxSimTopK(docs, "doc_id", "text", q, 60)
+      .as[(Long, Double)].collect().toMap
+    pruned.foreach { case (id, s) => assert(s == exactScores(id)) }
+    val recall = pruned.map(_._1).toSet
+      .intersect(exact.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 $recall")
+  }
+
   test("tokenless docs get no score row; repeated tokens count once") {
     val docs = Seq(
       (1L, "spark spark spark"),
