@@ -21,7 +21,7 @@ import graft.operators.{Bm25, ContextWindow, Fusion, VectorSearch}
   */
 object KbQueries {
 
-  import OracleSql.{tokSql, plainTokSql, cosineSql, bm25Cte, QueryText}
+  import OracleSql.{tokSql, plainTokSql, cosineSql, bm25Cte, QueryText, PhraseText}
 
   /** Cosine scores of every embedding against the vec_id=0 query vector. */
   private val cosCte: String =
@@ -164,6 +164,41 @@ object KbQueries {
         .getOrElse(Bm25.topK(
           Bm25.scoreWithIndex(ix, s, QueryText)
             .select(col("doc_id"), round(col("score"), 4).as("score")), 20))
+    },
+
+    // ── Exact token-phrase search, BM25-scored with the PHRASE as the
+    //    indexed term (extension: the reference's BM25 is bag-of-words
+    //    only, bm25_manager.py:284-287). tf is a pure string computation
+    //    — double-space token join + single-sentinel pattern, so adjacent
+    //    occurrences each own their boundary spaces and one replace()
+    //    yields the non-overlapping count in both engines ───────────────
+    QueryDef.sql("t12_phrase_topk", {
+      val ptoks = graft.operators.LateInteraction.tokenizeValue(PhraseText)
+      val p = " " + ptoks.mkString("  ") + " "
+      s"""WITH base AS (
+         |  SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS dl,
+         |         ' ' || array_to_string(toks, '  ') || ' ' AS s
+         |  FROM base),
+         |tfx AS (
+         |  SELECT doc_id, dl,
+         |         ((len(s) - len(replace(s, '$p', ''))) / ${p.length})::BIGINT AS tf
+         |  FROM st),
+         |corpus AS (
+         |  SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl,
+         |         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::BIGINT AS df
+         |  FROM tfx WHERE dl > 0)
+         |SELECT doc_id,
+         |       round(ln((n::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+         |             * (tf * (1.2 + 1.0))
+         |             / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)),
+         |             4) AS score
+         |FROM tfx, corpus WHERE tf > 0
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.PhraseSearch.phraseTopK(
+        Tables.documents(s, dir), "doc_id", "text", PhraseText, 50)
     },
 
     // ── T1: exact vector k-NN (cosine; warm in-process LocalRelation, or

@@ -46,6 +46,11 @@ private[queries] object OracleSql {
   /** The fixed demo retrieval query (terms all in the synthetic vocab). */
   val QueryText = "spark join filter window"
 
+  /** The fixed phrase-search query (a frequent corpus bigram — adjacent
+    * token order matters, unlike [[QueryText]]'s bag of words).
+    */
+  val PhraseText = "window join"
+
   /** BM25 scores CTE for [[QueryText]] over `documents` (defines `bm25`). */
   val bm25Cte: String =
     s"""WITH tok AS (
