@@ -715,6 +715,16 @@ object Scale {
       secs(s"late-interaction-batch20 ${kDocs}x")(liBatch(bigDocs))
     }
 
+    // ── r13: TextRank keywords — ONE corpus pass builds the co-occurrence
+    //    edge table; all 8 PageRank rounds run on that (vocab²-bounded,
+    //    in practice vocab-sized) table, so round cost is corpus-size-
+    //    independent — the replicated corpus shares the graph, only edge
+    //    WEIGHTS scale ─────────────────────────────────────────────────
+    def textrank(d: DataFrame): Long =
+      operators.TextRank.keywords(d, "text", k = 30, iters = 8).count()
+    secs(s"textrank8 1x")(textrank(docs))
+    secs(s"textrank8 ${kDocs}x")(textrank(bigDocs))
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:

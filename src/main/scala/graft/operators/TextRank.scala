@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+  * Bringing Order into Text") — PageRank over the word co-occurrence
+  * graph: nodes are corpus vocabulary words, edges connect ADJACENT
+  * tokens (window 2, undirected, weighted by co-occurrence count,
+  * self-loops dropped), and the stationary rank surfaces corpus
+  * keywords. Builder-prompt extension (text-analysis family — the
+  * reference has no keyword extraction; its `keyphrase` column is
+  * unpopulated, `database/index_manager.py:178-190`).
+  *
+  * Determinism (the cross-engine contract): every quantity is EXACT
+  * 64-bit integer math. Ranks live in parts of `Scale` (1e12); each
+  * round computes per-edge contributions `(r(u) · w(u,v)) div outw(u)`
+  * (truncating integer division — Spark's `div`, DuckDB's `//`), sums
+  * them exactly, and damps with `base + (85 · c) div 100` where
+  * `base = (Scale · 15) div (N · 100)`. No floating point anywhere, so
+  * iteration order and engine cannot diverge — the whole 8-round loop
+  * hash-matches an unrolled SQL twin.
+  *
+  * 100 TB shape: ONE corpus pass builds the weighted edge list (adjacent
+  * -pair explode + map-side-combined groupBy — vocabulary²-bounded but
+  * in practice vocabulary-sized); every iteration then runs on that
+  * edge table (join + groupBy(dst), exchange-reusable hash partitioning
+  * on the word) — cost past the first pass is corpus-size-independent,
+  * the [[Bpe]] trainer's shape. Overflow headroom: r ≤ 1e12,
+  * w ≤ corpus adjacency count, products stay far under 2^63.
+  */
+object TextRank {
+
+  /** Rank quantization: ranks sum to ~Scale across nodes. */
+  val Scale = 1000000000000L
+
+  /** The undirected weighted co-occurrence edge list `(src, dst, w)` —
+    * both directions materialized, self-loops dropped.
+    */
+  def cooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokenize(col(textCol))
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Top-k corpus keywords `(word, rank_micro)` after `iters` damped
+    * PageRank rounds over the co-occurrence graph, ordered
+    * (rank DESC, word). Words never adjacent to a different word
+    * (isolated nodes) are not ranked.
+    */
+  def keywords(docs: DataFrame, textCol: String, k: Int,
+               iters: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val edges = cooccurrenceEdges(docs, textCol).localCheckpoint(true)
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("word")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("word"), lit(0L).as("rank_micro")).limit(0)
+    val base = (Scale * 15L) / (n * 100L)
+    var r = nodes.select(col("word"), lit(Scale / n).as("r"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(r.withColumnRenamed("word", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst"), expr("(r * w) div ow").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      r = nodes
+        .join(contrib.withColumnRenamed("dst", "word"), Seq("word"), "left")
+        .select(col("word"),
+          (lit(base) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("word"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word"))
+      .limit(k)
+  }
+}

@@ -2104,6 +2104,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ── TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    //    over the adjacent-token co-occurrence graph, 8 damped rounds in
+    //    EXACT integer arithmetic (ranks in parts of 1e12, truncating
+    //    integer division on both engines) so the whole iterative loop is
+    //    value-oracle-able — the DuckDB twin unrolls the rounds as
+    //    MATERIALIZED CTEs, the Bpe-trainer idiom ───────────────────────
+    QueryDef.sql("f_textrank_keywords", {
+      val rounds = 8
+      val S = graft.operators.TextRank.Scale
+      val sb = new StringBuilder
+      sb ++= s"""WITH tok AS MATERIALIZED (
+                |  SELECT doc_id, ${plainTokSql("text")} AS l FROM documents),
+                |pr AS MATERIALIZED (
+                |  SELECT l[i] AS a, l[i+1] AS b
+                |  FROM tok, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+                |  WHERE l[i] <> l[i+1]),
+                |ed AS MATERIALIZED (
+                |  SELECT src, dst, count(*)::BIGINT AS w FROM (
+                |    SELECT a AS src, b AS dst FROM pr
+                |    UNION ALL SELECT b AS src, a AS dst FROM pr)
+                |  GROUP BY src, dst),
+                |ow AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY src),
+                |nodes AS MATERIALIZED (SELECT DISTINCT src AS word FROM ed),
+                |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+                |r0 AS MATERIALIZED (
+                |  SELECT word, ($S // (SELECT n FROM nn))::BIGINT AS r FROM nodes)""".stripMargin
+      for (i <- 1 to rounds)
+        sb ++= s""",
+                  |r$i AS MATERIALIZED (
+                  |  SELECT n.word,
+                  |         (($S * 15) // ((SELECT n FROM nn) * 100)
+                  |          + (85 * coalesce(c.cs, 0)) // 100)::BIGINT AS r
+                  |  FROM nodes n LEFT JOIN (
+                  |    SELECT e.dst AS word, sum((r.r * e.w) // o.ow)::BIGINT AS cs
+                  |    FROM ed e JOIN r${i - 1} r ON e.src = r.word
+                  |              JOIN ow o ON e.src = o.src
+                  |    GROUP BY e.dst) c USING (word))""".stripMargin
+      sb ++= s"""
+                |SELECT word, r AS rank_micro FROM r$rounds
+                |ORDER BY r DESC, word LIMIT 30""".stripMargin
+      sb.toString
+    }) { (s, dir) =>
+      graft.operators.TextRank.keywords(
+        Tables.documents(s, dir), "text", k = 30, iters = 8)
+    },
+
     // ── Streaming KB maintenance lifecycle, oracle-checked end to end —
     //    the stream-side analogue of e2e_incremental: documents land in TWO
     //    micro-batches (evens then odds) through the REAL foreachBatch body
