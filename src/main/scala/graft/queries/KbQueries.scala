@@ -166,6 +166,43 @@ object KbQueries {
             .select(col("doc_id"), round(col("score"), 4).as("score")), 20))
     },
 
+    // ── RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / RM3
+    //    interpolation): BM25 pass 1 → expansion terms mined from the
+    //    rounded top-10 docs (relevance-weighted term mass, query terms
+    //    excluded, (w DESC, term) cut) → λ=0.5 interpolated re-score.
+    //    Every selection boundary rounds to 4 dp first, so both engines
+    //    make identical cuts — a TWO-PASS retrieval, value-oracled ──────
+    QueryDef.sql("t13_rm3_feedback",
+      s"""$bm25Cte,
+         |s1 AS (SELECT doc_id, round(score, 4) AS s1 FROM bm25),
+         |fb AS (SELECT doc_id, s1 FROM s1 ORDER BY s1 DESC, doc_id LIMIT 10),
+         |wq AS (
+         |  SELECT p.term, round(sum(p.tf * f.s1), 4) AS w
+         |  FROM post p JOIN fb f USING (doc_id)
+         |  WHERE p.term NOT IN (SELECT term FROM q)
+         |  GROUP BY p.term),
+         |et AS (SELECT term, w FROM wq ORDER BY w DESC, term LIMIT 10),
+         |ws AS (SELECT sum(w) AS sw FROM et),
+         |wn AS (SELECT term, round(w / (SELECT sw FROM ws), 4) AS wn FROM et),
+         |es AS (
+         |  SELECT p.doc_id,
+         |         round(sum(n.wn * ((i.idf * (p.tf * (1.2 + 1.0))) /
+         |               (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl)))),
+         |               4) AS es
+         |  FROM post p
+         |  JOIN wn n USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY p.doc_id),
+         |fin AS (
+         |  SELECT doc_id,
+         |         round(0.5 * coalesce(a.s1, 0.0) + 0.5 * coalesce(e.es, 0.0), 5) AS score
+         |  FROM s1 a FULL OUTER JOIN es e USING (doc_id))
+         |SELECT doc_id, score FROM fin WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      graft.operators.Rm3.rm3TopK(ix, s, QueryText, 20)
+    },
+
     // ── Exact token-phrase search, BM25-scored with the PHRASE as the
     //    indexed term (extension: the reference's BM25 is bag-of-words
     //    only, bm25_manager.py:284-287). tf is a pure string computation
