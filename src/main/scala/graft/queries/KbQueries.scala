@@ -166,6 +166,50 @@ object KbQueries {
             .select(col("doc_id"), round(col("score"), 4).as("score")), 20))
     },
 
+    // ── MMR diversification (Carbonell & Goldstein 1998): greedy re-rank
+    //    of the top-50 cosine candidates, each pick balancing relevance
+    //    against max similarity to the already-selected set. Candidate
+    //    rel and pairwise sims round to 6 dp, each step's value to 7 dp
+    //    (exact for the λ=0.5 blend — no half-boundary), ties by doc id;
+    //    the twin unrolls the 10 greedy steps as CTEs ────────────────────
+    QueryDef.sql("t14_mmr_diversify", {
+      val steps = 10
+      val sb = new StringBuilder
+      sb ++= s"""$cosCte,
+                |cand AS MATERIALIZED (
+                |  SELECT doc_id, round(score, 6) AS rel FROM cos
+                |  ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+                |ce AS MATERIALIZED (
+                |  SELECT c.doc_id, e.embedding
+                |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+                |sims AS MATERIALIZED (
+                |  SELECT a.doc_id AS da, b.doc_id AS db,
+                |         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS s
+                |  FROM ce a JOIN ce b ON a.doc_id <> b.doc_id),
+                |sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0)""".stripMargin
+      for (i <- 1 to steps)
+        sb ++= s""",
+                  |s$i AS MATERIALIZED (
+                  |  SELECT c.doc_id,
+                  |         round(0.5 * c.rel - 0.5 * coalesce(
+                  |           (SELECT max(s) FROM sims
+                  |            WHERE da = c.doc_id
+                  |              AND db IN (SELECT doc_id FROM sel${i - 1})), 0.0), 7) AS mmr
+                  |  FROM cand c
+                  |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+                  |  ORDER BY mmr DESC, c.doc_id LIMIT 1),
+                  |sel$i AS MATERIALIZED (
+                  |  SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM s$i)""".stripMargin
+      sb ++= "\n" + (1 to steps)
+        .map(i => s"SELECT $i AS rank, doc_id, mmr FROM s$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+      sb.toString
+    }) { (s, dir) =>
+      graft.operators.Mmr.mmrTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        Tables.queryVec(s, dir, 0), nCands = 50, k = 10)
+    },
+
     // ── RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / RM3
     //    interpolation): BM25 pass 1 → expansion terms mined from the
     //    rounded top-10 docs (relevance-weighted term mass, query terms
