@@ -166,6 +166,40 @@ object KbQueries {
             .select(col("doc_id"), round(col("score"), 4).as("score")), 20))
     },
 
+    // ── Keyword-in-context snippets: per doc the width-10 token window
+    //    covering the most DISTINCT query terms (earliest wins ties) —
+    //    wholly integer/string math, value-exact by construction. The
+    //    coverage count runs on MATCH positions only (per-doc range
+    //    self-join of the query-term hits, never the token stream) ───────
+    QueryDef.sql("s13_snippets", {
+      val qTerms = graft.operators.LateInteraction.tokenizeValue(QueryText)
+        .distinct.sorted.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, ${plainTokSql("text")} AS l FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i - 1 AS p, l[i] AS t
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) x),
+         |m AS MATERIALIZED (
+         |  SELECT doc_id, p, t FROM pos WHERE t IN ($qTerms)),
+         |win AS (
+         |  SELECT a.doc_id, a.p, count(DISTINCT b.t)::BIGINT AS n
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |                   AND b.p >= a.p AND b.p < a.p + 10
+         |  GROUP BY a.doc_id, a.p),
+         |best AS (
+         |  SELECT doc_id, p, n,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY n DESC, p) AS rn
+         |  FROM win)
+         |SELECT b.doc_id, b.p AS start_pos, b.n AS n_terms,
+         |       array_to_string(list_slice(t.l, b.p + 1, b.p + 10), ' ') AS snippet
+         |FROM best b JOIN tok t USING (doc_id) WHERE b.rn = 1
+         |ORDER BY b.n DESC, b.p, b.doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Snippets.bestSnippets(
+        Tables.documents(s, dir), "doc_id", "text", QueryText, 20, width = 10)
+    },
+
     // ── MMR diversification (Carbonell & Goldstein 1998): greedy re-rank
     //    of the top-50 cosine candidates, each pick balancing relevance
     //    against max similarity to the already-selected set. Candidate
