@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Positional inverted index — the stored serving path for phrase
+  * queries ([[PhraseSearch]] recomputes from the corpus text per query;
+  * at 100 TB phrase queries must serve from an index, the same
+  * build-once/serve-many trade as the BM25 store,
+  * `/root/reference/embedding/bm25_manager.py:71-102` analogue with a
+  * positions column the reference never had).
+  *
+  * At rest: `(term, term_bucket, doc_id, positions ARRAY<INT>, tf,
+  * doc_len)` parquet partitioned by `term_bucket` (the [[Bm25]] crc32
+  * bucketing — a phrase's handful of terms touches a handful of bucket
+  * directories) + a one-row stats sidecar `(n, avgdl)`.
+  *
+  * Phrase semantics from positions: an occurrence is an ADJACENT-START
+  * match — position p such that `p + i ∈ positions(termᵢ)` for every
+  * phrase term. For repeated-token phrases this counts overlapping
+  * starts (`a a a` for `a a` → 2), unlike [[PhraseSearch]]'s
+  * non-overlapping string `replace` (→ 1) — the standard
+  * positional-index convention, spec-pinned; the two tiers agree on
+  * distinct-token phrases.
+  */
+object PositionalIndex {
+
+  final case class Index(postings: DataFrame, stats: DataFrame) {
+    lazy val snapshot: (Long, Double) = {
+      val r = stats.select(col("n"), col("avgdl")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    def corpusSize: Long = snapshot._1
+    def avgdl: Double = snapshot._2
+  }
+
+  /** One corpus pass: per-(term, doc) sorted position lists with tf and
+    * the denormalized doc_len, plus the corpus stats row.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            termBuckets: Int = Bm25.DefaultTermBuckets): Index = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenize(col(textCol)).as("l"))
+    val post = toks
+      .select(col("doc_id"), size(col("l")).as("doc_len"),
+        posexplode(col("l")).as(Seq("p", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("positions"),
+        count(lit(1)).as("tf"), first(col("doc_len")).as("doc_len"))
+      .withColumn("term_bucket", Bm25.termBucket(col("term"), termBuckets))
+    val stats = toks.filter(size(col("l")) > 0)
+      .agg(count(lit(1)).as("n"),
+        avg(size(col("l")).cast("double")).as("avgdl"))
+      .withColumn("term_buckets", lit(termBuckets))
+    Index(post, stats)
+  }
+
+  /** Persist the index partitioned by term bucket (file-level pruning at
+    * serve time), stats as a one-row sidecar.
+    */
+  def write(ix: Index, dir: String): Unit = {
+    ix.postings.write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dir/postings")
+    ix.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  def read(spark: SparkSession, dir: String): Index =
+    Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** Per-document adjacent-start phrase count served FROM the index:
+    * `(doc_id, tf, doc_len)`, tf > 0 rows only. The scan touches only
+    * the phrase terms' bucket partitions; each term's postings join on
+    * doc_id and the shifted position lists intersect.
+    */
+  def phraseStats(ix: Index, phraseTokens: Seq[String]): DataFrame = {
+    require(phraseTokens.nonEmpty, "empty phrase")
+    val buckets = {
+      val n = ix.stats.select(col("term_buckets")).head().getInt(0)
+      phraseTokens.map(Bm25.termBucketValue(_, n)).distinct
+    }
+    val pruned = ix.postings
+      .filter(col("term_bucket").isin(buckets: _*))
+    val sides = phraseTokens.zipWithIndex.map { case (t, i) =>
+      val side = pruned.filter(col("term") === t)
+      if (i == 0)
+        side.select(col("doc_id"), col("doc_len"),
+          col("positions").as(s"pos_$i"))
+      else side.select(col("doc_id"), col("positions").as(s"pos_$i"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, "doc_id"))
+    val matched = phraseTokens.indices.tail.foldLeft(col("pos_0")) {
+      (acc, i) => array_intersect(acc, transform(col(s"pos_$i"), x => x - i))
+    }
+    joined
+      .select(col("doc_id"), size(matched).cast("long").as("tf"),
+        col("doc_len").cast("long").as("doc_len"))
+      .filter(col("tf") > 0)
+  }
+
+  /** Top-k BM25-scored phrase search from the stored index — the
+    * [[PhraseSearch.phraseTopK]] contract (idf from the phrase's df,
+    * standard saturation/length normalization, 4 dp, (score DESC, id))
+    * with index-served stats and the adjacent-start tf.
+    */
+  def phraseTopK(ix: Index, phraseText: String, k: Int,
+                 k1: Double = Bm25.K1, b: Double = Bm25.B): DataFrame = {
+    val ptoks = LateInteraction.tokenizeValue(phraseText)
+    val st = phraseStats(ix, ptoks)
+    val withDf = st.crossJoin(broadcast(st.agg(count(lit(1)).as("df"))))
+    val idf = log((lit(ix.corpusSize.toDouble) - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    withDf.select(col("doc_id"),
+        round(
+          idf * (col("tf") * (k1 + 1.0)) /
+            (col("tf") +
+              lit(k1) * (lit(1.0 - b) +
+                (lit(b) * col("doc_len")) / lit(ix.avgdl))),
+          4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -200,6 +200,59 @@ object KbQueries {
         Tables.documents(s, dir), "doc_id", "text", QueryText, 20, width = 10)
     },
 
+    // ── Stored-index phrase search: the same BM25-with-phrase-as-term
+    //    contract as t12, served from the AT-REST positional index
+    //    (term-bucket-partitioned parquet, built+written once per corpus)
+    //    — tf is the adjacent-start position-list intersection, the
+    //    standard positional-index convention (≡ t12's replace count on
+    //    distinct-token phrases; divergence on repeated tokens is
+    //    spec-pinned) ────────────────────────────────────────────────────
+    QueryDef.sql("t12_phrase_stored", {
+      val ptoks = graft.operators.LateInteraction.tokenizeValue(PhraseText)
+      val sides = ptoks.zipWithIndex.map { case (t, i) =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT doc_id${if (i == 0) ", dl" else ""}, list(p ORDER BY p) AS ps$i
+           |  FROM pos WHERE t = '$t' GROUP BY doc_id${if (i == 0) ", dl" else ""})""".stripMargin
+      }.mkString(",\n")
+      val joinChain = ptoks.indices.tail
+        .foldLeft("p0")((acc, i) => s"$acc JOIN p$i USING (doc_id)")
+      val matched = ptoks.indices.tail
+        .foldLeft("ps0")((acc, i) =>
+          s"list_intersect($acc, list_transform(ps$i, x -> x - $i))")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, ${plainTokSql("text")} AS l FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, len(l)::BIGINT AS dl, i - 1 AS p, l[i] AS t
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) x),
+         |$sides,
+         |tfx AS (
+         |  SELECT doc_id, dl, len($matched)::BIGINT AS tf
+         |  FROM $joinChain),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n, avg(len(l)::DOUBLE) AS avgdl
+         |  FROM tok WHERE len(l) > 0),
+         |dfx AS (SELECT count(*)::BIGINT AS df FROM tfx WHERE tf > 0)
+         |SELECT doc_id,
+         |       round(ln((s.n::DOUBLE - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |             * (tf * (1.2 + 1.0))
+         |             / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / s.avgdl)),
+         |             4) AS score
+         |FROM tfx, stats s, dfx d WHERE tf > 0
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.PositionalIndex
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_posix_$suffix").getPath
+      PosIxMemo.memo.getOrBuild(s, dir) {
+        PositionalIndex.write(
+          PositionalIndex.build(Tables.documents(s, dir), "doc_id", "text"),
+          root)
+        true
+      }
+      PositionalIndex.phraseTopK(PositionalIndex.read(s, root), PhraseText, 50)
+    },
+
     // ── MMR diversification (Carbonell & Goldstein 1998): greedy re-rank
     //    of the top-50 cosine candidates, each pick balancing relevance
     //    against max similarity to the already-selected set. Candidate
@@ -494,4 +547,11 @@ object KbQueries {
           col("doc_id"), col("hit_sid"))
         .orderBy("query_id", "sourcedoc", "sid")
     })
+}
+
+/** Session-scoped once-per-corpus latch for the stored positional index
+  * (build+write once, serve many — t12_phrase_stored).
+  */
+private[queries] object PosIxMemo {
+  val memo = new graft.operators.SessionMemo[Boolean]
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Positional index ([[PositionalIndex]]): stored serving ≡ the computed
+  * [[PhraseSearch]] tier on distinct-token phrases, the documented
+  * adjacent-start divergence on repeated tokens, write/read round-trip,
+  * and bucket pruning correctness.
+  */
+class PositionalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored phraseTopK == PhraseSearch.phraseTopK on a distinct-token phrase") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) s"window join here pad${i} pad pad"
+          else if (i % 4 == 1) "window of join not adjacent"
+          else if (i % 4 == 2) "window join window join dense"
+          else "nothing at all relevant")
+    }.toDF("doc_id", "text")
+    val computed = PhraseSearch.phraseTopK(docs, "doc_id", "text",
+        "window join", 50)
+      .as[(Long, Double)].collect().toSeq
+    val ix = PositionalIndex.build(docs, "doc_id", "text")
+    val stored = PositionalIndex.phraseTopK(ix, "window join", 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored == computed, s"stored $stored vs computed $computed")
+    assert(stored.nonEmpty)
+  }
+
+  test("repeated-token phrase: positional counts adjacent starts, replace counts non-overlapping") {
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val ix = PositionalIndex.build(docs, "doc_id", "text")
+    val pos = PositionalIndex.phraseStats(ix, Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pos == Seq((1L, 2L, 3L)), s"positional: $pos") // starts 0 and 1
+    val rep = PhraseSearch.phraseStats(docs, "doc_id", "text", "a a")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((1L, 3L, 1L)), s"replace: $rep") // non-overlapping
+  }
+
+  test("write/read round-trip serves identically and prunes to the phrase buckets") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha beta w$i gamma alpha beta")).toDF("doc_id", "text")
+    val ix = PositionalIndex.build(docs, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft_posix_spec").toString
+    PositionalIndex.write(ix, dir)
+    val rt = PositionalIndex.read(spark, dir)
+    val a = PositionalIndex.phraseTopK(ix, "alpha beta", 30)
+      .as[(Long, Double)].collect().toSeq
+    val b = PositionalIndex.phraseTopK(rt, "alpha beta", 30)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b && a.size == 30)
+    // tf 2 per doc (both occurrences), and the at-rest scan carries the
+    // partition column used for pruning
+    val st = PositionalIndex.phraseStats(rt, Seq("alpha", "beta"))
+      .as[(Long, Long, Long)].collect()
+    assert(st.forall(_._2 == 2L))
+    assert(rt.postings.columns.contains("term_bucket"))
+  }
+}
