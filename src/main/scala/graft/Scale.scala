@@ -725,6 +725,33 @@ object Scale {
     secs(s"textrank8 1x")(textrank(docs))
     secs(s"textrank8 ${kDocs}x")(textrank(bigDocs))
 
+    // ── r13: phrase search — the computed tier re-reads the corpus per
+    //    query (linear); the STORED positional tier pays the index build
+    //    once and then serves from the phrase terms' bucket partitions
+    //    (build attributed separately, serve rows are the shape that
+    //    matters) ─────────────────────────────────────────────────────────
+    {
+      def phraseComputed(d: DataFrame): Long =
+        operators.PhraseSearch.phraseTopK(d, "doc_id", "text",
+          "window join", 50).count()
+      secs(s"phrase-computed 1x")(phraseComputed(docs))
+      secs(s"phrase-computed ${kDocs}x")(phraseComputed(bigDocs))
+      def buildServe(d: DataFrame, tag: String): Unit = {
+        val dir = s"$base/posix_$tag"
+        var ix: operators.PositionalIndex.Index = null
+        secs(s"phrase-store-build $tag") {
+          operators.PositionalIndex.write(
+            operators.PositionalIndex.build(d, "doc_id", "text"), dir)
+          ix = operators.PositionalIndex.read(spark, dir)
+          ix.corpusSize
+        }
+        secs(s"phrase-stored-serve $tag")(
+          operators.PositionalIndex.phraseTopK(ix, "window join", 50).count())
+      }
+      buildServe(docs, "1x")
+      buildServe(bigDocs, s"${kDocs}x")
+    }
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:

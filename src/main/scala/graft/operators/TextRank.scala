@@ -68,8 +68,11 @@ object TextRank {
     if (n == 0L)
       return nodes.select(col("word"), lit(0L).as("rank_micro")).limit(0)
     val base = (Scale * 15L) / (n * 100L)
+    // the rank chain is LINEAR (each round consumed exactly once by the
+    // next), so the 8 rounds compose into one lazily-executed plan — no
+    // per-round materialization; only the tables every round re-reads
+    // (edges, outw, nodes) are checkpointed above
     var r = nodes.select(col("word"), lit(Scale / n).as("r"))
-      .localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val contrib = edges
         .join(r.withColumnRenamed("word", "src"), Seq("src"))
@@ -80,7 +83,6 @@ object TextRank {
         .join(contrib.withColumnRenamed("dst", "word"), Seq("word"), "left")
         .select(col("word"),
           (lit(base) + expr("(85 * coalesce(cs, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
     }
     r.select(col("word"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("word"))
