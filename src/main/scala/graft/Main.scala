@@ -106,7 +106,8 @@ object Main {
     """usage: graft.Main <verb> ...
       |  database <kbDir> <inputGlob> [cfg.ini] [--force]   ingest + chunk (incremental)
       |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
-      |  bm25     <kbDir>                         build the BM25 index
+      |  bm25     <kbDir> [--positions]           build the BM25 (+ positional) index
+      |  search   <kbDir> "<text>" [k] [--phrase] [--snippets]   keyword/phrase search
       |  query    <kbDir> "<text>" [cfg.ini] [--context-only]   hybrid retrieval (+answer)
       |  tune     <kbDir> [target] [cfg.ini]      calibrate ANN knobs to a recall target
       |  optimize <kbDir>                         storage layout tuning
@@ -247,6 +248,68 @@ object Main {
         graft.operators.Bm25.writeIndex(
           graft.operators.Bm25.buildIndex(chunks, "doc_id", "text"), s"$kb/bm25")
         println(s"[graft] bm25: index -> $kb/bm25")
+        // --positions: also persist the positional inverted index so the
+        // `search --phrase` verb serves from bucket-pruned partitions
+        if (args.contains("--positions")) {
+          graft.operators.PositionalIndex.write(
+            graft.operators.PositionalIndex.build(chunks, "doc_id", "text"),
+            s"$kb/posindex")
+          println(s"[graft] bm25: positional index -> $kb/posindex")
+        }
+
+      case "search" =>
+        // keyword / exact-phrase search over the chunk table — the
+        // retrieval surface without the hybrid pipeline: BM25 top-k by
+        // default, `--phrase` switches to BM25-with-phrase-as-term (served
+        // from $kb/posindex when `bm25 --positions` built it, else
+        // computed), `--snippets` adds each hit's best keyword-in-context
+        // window. usage: search <kbDir> "<text>" [k] [--phrase] [--snippets]
+        require(args.length >= 3,
+          "search <kbDir> \"<text>\" [k] [--phrase] [--snippets]")
+        val q = args(2)
+        val k = args.drop(3).find(a => !a.startsWith("--"))
+          .map(_.toInt).getOrElse(10)
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        val hits =
+          if (args.contains("--phrase")) {
+            if (new java.io.File(s"$kb/posindex").exists())
+              graft.operators.PositionalIndex.phraseTopK(
+                graft.operators.PositionalIndex.read(spark, s"$kb/posindex"),
+                q, k)
+            else graft.operators.PhraseSearch.phraseTopK(
+              chunks, "doc_id", "text", q, k)
+          } else {
+            val ix =
+              if (new java.io.File(s"$kb/bm25").exists())
+                graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
+              else graft.streaming.StreamingIngest.currentIndexPath(kb)
+                .map(p => graft.operators.Bm25.readIndex(spark, p))
+                .getOrElse(graft.operators.Bm25.buildIndex(
+                  chunks, "doc_id", "text"))
+            graft.operators.Bm25.topK(
+              graft.operators.Bm25.scoreWithIndex(ix, spark, q)
+                .select(col("doc_id"), round(col("score"), 4).as("score")), k)
+          }
+        val shown =
+          if (args.contains("--snippets")) {
+            val hitDocs = chunks.join(hits.select("doc_id"), Seq("doc_id"),
+              "left_semi")
+            hits.join(graft.operators.Snippets.bestSnippets(
+                hitDocs, "doc_id", "text", q, k), Seq("doc_id"), "left")
+              .select(col("doc_id"), col("score"),
+                coalesce(col("snippet"), lit("")).as("snippet"))
+          } else hits
+        val rows = shown.orderBy(col("score").desc, col("doc_id"))
+          .collect()
+        rows.foreach { r =>
+          val snip = if (r.schema.fieldNames.contains("snippet"))
+            s"  | ${r.getAs[String]("snippet")}" else ""
+          println(f"[graft] ${r.getAs[Number]("doc_id").longValue()}%8d  " +
+            f"${r.getAs[Number]("score").doubleValue()}%8.4f$snip")
+        }
+        println(s"[graft] search: ${rows.length} hits for \"$q\"" +
+          (if (args.contains("--phrase")) " (phrase)" else ""))
 
       case "query" =>
         require(args.length >= 3, "query <kbDir> \"<text>\" [cfg.ini] [--context-only]")

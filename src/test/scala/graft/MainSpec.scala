@@ -333,6 +333,26 @@ class MainSpec extends SparkSpec {
         s"dense positions in shard $sh") }
   }
 
+  test("CLI search verb: bm25 default, --phrase from the positional store, --snippets") {
+    val kb = Files.createTempDirectory("graft_cli_search").toString
+    import spark.implicits._
+    Seq(
+      (1L, "window join appears here window join", "s"),
+      (2L, "window of join not adjacent words", "s"),
+      (3L, "nothing relevant whatsoever", "s"))
+      .toDF("doc_id", "chunk_text", "sourcedoc").write.parquet(s"$kb/chunks")
+    Main.run(Array("bm25", kb, "--positions"), spark)
+    assert(new java.io.File(s"$kb/posindex/postings").exists())
+    // bag-of-words: docs 1 and 2 both match; phrase: only doc 1
+    Main.run(Array("search", kb, "window join", "5"), spark)
+    Main.run(Array("search", kb, "window join", "5", "--phrase", "--snippets"), spark)
+    val phrase = operators.PositionalIndex.phraseTopK(
+        operators.PositionalIndex.read(spark, s"$kb/posindex"),
+        "window join", 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(phrase.map(_._1) == Seq(1L))
+  }
+
   test("CLI tokenize verb trains merges and encodes every chunk under them") {
     val kb = Files.createTempDirectory("graft_cli_tokenize").toString
     import spark.implicits._
