@@ -200,6 +200,42 @@ object KbQueries {
         Tables.documents(s, dir), "doc_id", "text", QueryText, 20, width = 10)
     },
 
+    // ── Boolean keyword queries — AND/OR/NOT/parentheses actually
+    //    EVALUATE (the reference's synonym expansion emits `(a OR b)`
+    //    strings then flattens them to a bag, enhancement.py:119-126):
+    //    leaf terms are pruned-postings doc sets, the algebra composes by
+    //    INTERSECT/UNION/EXCEPT (NOT = indexed corpus minus operand), and
+    //    matches score by BM25 over the positive terms. The twin is
+    //    generated from the SAME fixture AST; a spec pins parse(fixture)
+    //    to that AST ───────────────────────────────────────────────────
+    QueryDef.sql("t15_boolean_search", {
+      import graft.operators.BooleanSearch._
+      def setSql(n: Node): String = n match {
+        case Term(t) => s"(SELECT DISTINCT doc_id FROM post WHERE term = '$t')"
+        case And(l, r) => s"(${setSql(l)} INTERSECT ${setSql(r)})"
+        case Or(l, r) => s"(${setSql(l)} UNION ${setSql(r)})"
+        case Not(x) =>
+          s"((SELECT DISTINCT doc_id FROM lens) EXCEPT ${setSql(x)})"
+      }
+      val ast: Node = And(And(Or(Term("window"), Term("join")),
+        Term("filter")), Not(Term("slow")))
+      val pos = positiveTerms(ast).map(t => s"'$t'").mkString(", ")
+      s"""$bm25Cte
+         |SELECT p.doc_id,
+         |       round(sum((i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))),
+         |             4) AS score
+         |FROM post p JOIN idf i USING (term) JOIN lens l USING (doc_id)
+         |CROSS JOIN stats s
+         |WHERE p.term IN ($pos) AND p.doc_id IN ${setSql(ast)}
+         |GROUP BY p.doc_id
+         |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      graft.operators.BooleanSearch.booleanTopK(ix, s,
+        "(window OR join) AND filter NOT slow", 20)
+    },
+
     // ── Stored-index phrase search: the same BM25-with-phrase-as-term
     //    contract as t12, served from the AT-REST positional index
     //    (term-bucket-partitioned parquet, built+written once per corpus)

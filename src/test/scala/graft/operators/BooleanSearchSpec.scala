@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Boolean search ([[BooleanSearch]]): parser shape (including the
+  * oracle fixture pin), set semantics on a hand corpus, scoring over
+  * positive terms only, and the pure-negative rejection.
+  */
+class BooleanSearchSpec extends SparkSpec {
+  import BooleanSearch._
+  import spark.implicits._
+
+  test("parse: precedence, implicit AND, NOT, parentheses — incl. the oracle fixture") {
+    assert(parse(spark, "(window OR join) AND filter NOT slow") ==
+      And(And(Or(Term("window"), Term("join")), Term("filter")),
+        Not(Term("slow"))))
+    assert(parse(spark, "alpha beta") == // implicit AND
+      And(Term("alpha"), Term("beta")))
+    assert(parse(spark, "alpha OR beta gamma") == // AND binds tighter
+      Or(Term("alpha"), And(Term("beta"), Term("gamma"))))
+    assert(parse(spark, "alpha NOT (beta OR gamma)") ==
+      And(Term("alpha"), Not(Or(Term("beta"), Term("gamma")))))
+    intercept[IllegalArgumentException](parse(spark, "NOT alpha")) // pure negative
+    intercept[IllegalArgumentException](parse(spark, "alpha AND"))
+  }
+
+  test("set semantics: AND/OR/NOT over a hand-checkable corpus") {
+    val docs = Seq(
+      (1L, "window join filter fast"), // W∪J, F, no slow -> match
+      (2L, "window filter slow path"), // has slow -> excluded
+      (3L, "join filter quick"), // match
+      (4L, "window only here"), // no filter -> out
+      (5L, "filter alone"), // no window/join -> out
+      (6L, "window join filter slow")) // slow -> out
+      .toDF("doc_id", "text")
+    val ix = Bm25.buildIndex(docs, "doc_id", "text")
+    val got = BooleanSearch.booleanTopK(ix, spark,
+        "(window OR join) AND filter NOT slow", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 3L), s"got $got")
+    got.foreach { case (_, s) => assert(s > 0) }
+  }
+
+  test("scoring uses only positive terms; negated terms contribute nothing") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma")).toDF("doc_id", "text")
+    val ix = Bm25.buildIndex(docs, "doc_id", "text")
+    // both match "alpha NOT delta"; identical alpha evidence -> id order
+    val got = BooleanSearch.booleanTopK(ix, spark, "alpha NOT delta", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(0)._2 == got(1)._2)
+  }
+
+  test("OR of a NOT branch: matches without positive evidence are omitted") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta")).toDF("doc_id", "text")
+    val ix = Bm25.buildIndex(docs, "doc_id", "text")
+    // doc 2 matches via NOT beta but has no alpha evidence -> omitted
+    val got = BooleanSearch.booleanTopK(ix, spark, "alpha OR NOT beta", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L))
+    // the raw match set DOES contain doc 2 (the documented contract gap)
+    val m = BooleanSearch.matchingDocs(ix,
+        parse(spark, "alpha OR NOT beta"))
+      .as[Long].collect().toSet
+    assert(m == Set(1L, 2L))
+  }
+}
