@@ -107,7 +107,7 @@ object Main {
       |  database <kbDir> <inputGlob> [cfg.ini] [--force]   ingest + chunk (incremental)
       |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
       |  bm25     <kbDir> [--positions]           build the BM25 (+ positional) index
-      |  search   <kbDir> "<text>" [k] [--phrase] [--snippets]   keyword/phrase search
+      |  search   <kbDir> "<text>" [k] [--phrase|--boolean] [--snippets]   keyword search
       |  query    <kbDir> "<text>" [cfg.ini] [--context-only]   hybrid retrieval (+answer)
       |  tune     <kbDir> [target] [cfg.ini]      calibrate ANN knobs to a recall target
       |  optimize <kbDir>                         storage layout tuning
@@ -265,12 +265,19 @@ object Main {
         // computed), `--snippets` adds each hit's best keyword-in-context
         // window. usage: search <kbDir> "<text>" [k] [--phrase] [--snippets]
         require(args.length >= 3,
-          "search <kbDir> \"<text>\" [k] [--phrase] [--snippets]")
+          "search <kbDir> \"<text>\" [k] [--phrase|--boolean] [--snippets]")
         val q = args(2)
         val k = args.drop(3).find(a => !a.startsWith("--"))
           .map(_.toInt).getOrElse(10)
         val chunks = spark.read.parquet(s"$kb/chunks")
           .withColumnRenamed("chunk_text", "text")
+        def loadIx() =
+          if (new java.io.File(s"$kb/bm25").exists())
+            graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
+          else graft.streaming.StreamingIngest.currentIndexPath(kb)
+            .map(p => graft.operators.Bm25.readIndex(spark, p))
+            .getOrElse(graft.operators.Bm25.buildIndex(
+              chunks, "doc_id", "text"))
         val hits =
           if (args.contains("--phrase")) {
             if (new java.io.File(s"$kb/posindex").exists())
@@ -279,18 +286,12 @@ object Main {
                 q, k)
             else graft.operators.PhraseSearch.phraseTopK(
               chunks, "doc_id", "text", q, k)
-          } else {
-            val ix =
-              if (new java.io.File(s"$kb/bm25").exists())
-                graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
-              else graft.streaming.StreamingIngest.currentIndexPath(kb)
-                .map(p => graft.operators.Bm25.readIndex(spark, p))
-                .getOrElse(graft.operators.Bm25.buildIndex(
-                  chunks, "doc_id", "text"))
+          } else if (args.contains("--boolean"))
+            graft.operators.BooleanSearch.booleanTopK(loadIx(), spark, q, k)
+          else
             graft.operators.Bm25.topK(
-              graft.operators.Bm25.scoreWithIndex(ix, spark, q)
+              graft.operators.Bm25.scoreWithIndex(loadIx(), spark, q)
                 .select(col("doc_id"), round(col("score"), 4).as("score")), k)
-          }
         val shown =
           if (args.contains("--snippets")) {
             val hitDocs = chunks.join(hits.select("doc_id"), Seq("doc_id"),

@@ -351,6 +351,14 @@ class MainSpec extends SparkSpec {
         "window join", 5)
       .as[(Long, Double)].collect().toSeq
     assert(phrase.map(_._1) == Seq(1L))
+    // boolean: window AND join NOT adjacent -> doc 1 only (doc 2 has
+    // 'adjacent'); served through the stored bm25 index
+    Main.run(Array("search", kb, "window join NOT adjacent", "5", "--boolean"), spark)
+    val ix = operators.Bm25.readIndex(spark, s"$kb/bm25")
+    val bool = operators.BooleanSearch.booleanTopK(ix, spark,
+        "window join NOT adjacent", 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(bool.map(_._1) == Seq(1L))
   }
 
   test("CLI tokenize verb trains merges and encodes every chunk under them") {
