@@ -752,6 +752,24 @@ object Scale {
       buildServe(bigDocs, s"${kDocs}x")
     }
 
+    // ── r13: boolean search (set algebra over pruned postings) and
+    //    snippet extraction (match-position self-join) — both linear in
+    //    the corpus, set ops hash-partitioned on doc_id ──────────────────
+    {
+      def boolSearch(d: DataFrame): Long = {
+        val ix = operators.Bm25.buildIndex(d, "doc_id", "text")
+        operators.BooleanSearch.booleanTopK(ix, spark,
+          "(window OR join) AND filter NOT slow", 20).count()
+      }
+      secs(s"boolean-search 1x")(boolSearch(docs))
+      secs(s"boolean-search ${kDocs}x")(boolSearch(bigDocs))
+      def snippets(d: DataFrame): Long =
+        operators.Snippets.bestSnippets(d, "doc_id", "text",
+          "spark join filter window", 20).count()
+      secs(s"snippets 1x")(snippets(docs))
+      secs(s"snippets ${kDocs}x")(snippets(bigDocs))
+    }
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:
