@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval evaluation metrics — nDCG@k, MRR, precision@k,
+  * recall@k per query (Järvelin & Kekäläinen 2002 for DCG): the
+  * measurement layer a retrieval engine needs to compare its own tiers
+  * (the reference ships none; its quality claims are prose,
+  * `/root/reference/README.md:59`).
+  *
+  * Determinism: the DCG discount uses the NATURAL log (the 1/ln(rank+1)
+  * discount — nDCG is a ratio, so the log base cancels and ln avoids
+  * engine-specific log2 implementations); gains are `2^grade − 1` with
+  * small integer grades (exact doubles); MRR is max over relevant ranks
+  * of 1/rank; everything rounds to 4 dp.
+  *
+  * 100 TB shape: rankings and qrels are k-bounded per query, so every
+  * aggregation here is (queries × k) rows — evaluation cost never
+  * scales with the corpus.
+  */
+object RetrievalMetrics {
+
+  /** Per-query metrics of `ranking (query_id, doc_id, rank)` against
+    * `qrels (query_id, doc_id, grade)` (grade > 0 = relevant):
+    * `(query_id, n_rel, hits, ndcg, mrr, p_at_k, r_at_k)` ordered by
+    * query_id. Queries present in `ranking` with no qrels score zeros.
+    */
+  def evaluate(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val rk = ranking.filter(col("rank") <= k)
+    val scored = rk.join(qrels, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("grade"), lit(0.0)).as("g"))
+      .groupBy("query_id")
+      .agg(
+        sum((pow(lit(2.0), col("g")) - 1.0) / log(col("rank") + 1.0))
+          .as("dcg"),
+        sum(when(col("g") > 0, 1L).otherwise(0L)).as("hits"),
+        max(when(col("g") > 0, lit(1.0) / col("rank")).otherwise(0.0))
+          .as("rr"))
+    val ideal = qrels.filter(col("grade") > 0)
+      .withColumn("irk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("grade").desc, col("doc_id"))))
+      .filter(col("irk") <= k)
+      .groupBy("query_id")
+      .agg(sum((pow(lit(2.0), col("grade")) - 1.0) / log(col("irk") + 1.0))
+        .as("idcg"))
+    val nrel = qrels.filter(col("grade") > 0)
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    ranking.select("query_id").distinct()
+      .join(scored, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .join(nrel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0,
+          col("dcg") / col("idcg")).otherwise(0.0), 4).as("ndcg"),
+        round(coalesce(col("rr"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4)
+          .as("p_at_k"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") / col("n_rel"))
+          .otherwise(0.0), 4).as("r_at_k"))
+      .orderBy("query_id")
+  }
+}

@@ -1406,6 +1406,116 @@ object EngineQueries {
 
     // ── BATCHED hybrid retrieval: N queries through ONE DAG (the Spark
     //    throughput regime; BASELINE.md "our target") ──────────────────────
+    // ── Ranked-retrieval evaluation (Järvelin & Kekäläinen 2002): nDCG@10,
+    //    MRR, P@10, R@10 of the BM25 ranking against graded qrels from the
+    //    cosine tier (grade 3/2/1 by vector rank tier) for the 3-query
+    //    batch — the measurement layer over the engine's own tiers. The
+    //    DCG discount is 1/ln(rank+1): nDCG is a ratio, so the log base
+    //    cancels and ln sidesteps engine-specific log2 ──────────────────
+    QueryDef.sql("m15_retrieval_metrics", {
+      val qdefs = Seq(0 -> "spark join filter window",
+        100 -> "hash merge batch scan", 200 -> "sort table row value")
+      val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (
+         |  SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |  FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES $qtVals),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qtok GROUP BY query_id, term),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY q.query_id, p.doc_id
+         |  HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |ktop AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 4) DESC, doc_id) AS rk
+         |  FROM kscores QUALIFY rk <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+         |       WHERE vec_id IN (0, 100, 200)),
+         |cos AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |        ${cosineSql("e.embedding", "q.v")} AS score
+         |        FROM embeddings e CROSS JOIN qv q),
+         |vtop AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 6) DESC, doc_id) AS rk
+         |  FROM cos QUALIFY rk <= 20),
+         |qrels AS (
+         |  SELECT query_id, doc_id,
+         |         CASE WHEN rk <= 5 THEN 3.0 WHEN rk <= 10 THEN 2.0
+         |              ELSE 1.0 END AS grade
+         |  FROM vtop),
+         |scored AS (
+         |  SELECT k.query_id,
+         |         sum((pow(2.0, coalesce(q.grade, 0.0)) - 1.0) / ln(k.rk + 1.0)) AS dcg,
+         |         sum(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |         max(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1.0 / k.rk ELSE 0.0 END) AS rr
+         |  FROM ktop k LEFT JOIN qrels q USING (query_id, doc_id)
+         |  WHERE k.rk <= 10 GROUP BY k.query_id),
+         |ideal AS (
+         |  SELECT query_id, sum((pow(2.0, grade) - 1.0) / ln(irk + 1.0)) AS idcg
+         |  FROM (SELECT query_id, grade, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY grade DESC, doc_id) AS irk
+         |        FROM qrels WHERE grade > 0)
+         |  WHERE irk <= 10 GROUP BY query_id),
+         |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+         |         FROM qrels WHERE grade > 0 GROUP BY query_id)
+         |SELECT s.query_id,
+         |       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+         |       coalesce(s.hits, 0)::BIGINT AS hits,
+         |       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN s.dcg / i.idcg
+         |             ELSE 0.0 END, 4) AS ndcg,
+         |       round(coalesce(s.rr, 0.0), 4) AS mrr,
+         |       round(coalesce(s.hits, 0)::DOUBLE / 10, 4) AS p_at_k,
+         |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+         |             THEN coalesce(s.hits, 0)::DOUBLE / n.n_rel
+         |             ELSE 0.0 END, 4) AS r_at_k
+         |FROM scored s LEFT JOIN ideal i USING (query_id)
+         |LEFT JOIN nrel n USING (query_id)
+         |ORDER BY s.query_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
+      val qSeq = Seq((0L, "spark join filter window"),
+        (100L, "hash merge batch scan"), (200L, "sort table row value"))
+      val ktop = Bm25.scoreBatch(ix, qSeq.toDF("query_id", "qtext"),
+          "query_id", "qtext")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(round(col("score"), 4).desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id").isin(0L, 100L, 200L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val qrels = emb.crossJoin(broadcast(qv))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec")).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(round(col("c"), 6).desc, col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("query_id"), col("doc_id"),
+          when(col("rk") <= 5, 3.0).when(col("rk") <= 10, 2.0)
+            .otherwise(1.0).as("grade"))
+      graft.operators.RetrievalMetrics.evaluate(ktop, qrels, k = 10)
+    },
+
     QueryDef.sql("hybrid_batch", {
       val qdefs = Seq(0 -> "spark join filter window",
         100 -> "hash merge batch scan", 200 -> "sort table row value")

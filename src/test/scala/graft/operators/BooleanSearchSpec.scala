@@ -24,6 +24,33 @@ class BooleanSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse(spark, "alpha AND"))
   }
 
+  test("render→parse round-trip over 200 seeded random ASTs") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rnd = new scala.util.Random(42)
+    def gen(depth: Int): Node =
+      if (depth == 0 || rnd.nextInt(3) == 0) Term(vocab(rnd.nextInt(vocab.size)))
+      else rnd.nextInt(3) match {
+        case 0 => And(gen(depth - 1), gen(depth - 1))
+        case 1 => Or(gen(depth - 1), gen(depth - 1))
+        case _ => Not(gen(depth - 1))
+      }
+    def render(n: Node): String = n match {
+      case Term(t) => t
+      case And(l, r) => s"(${render(l)} AND ${render(r)})"
+      case Or(l, r) => s"(${render(l)} OR ${render(r)})"
+      case Not(x) => s"(NOT ${render(x)})"
+    }
+    var checked = 0
+    while (checked < 200) {
+      val ast = gen(4)
+      if (positiveTerms(ast).nonEmpty) {
+        val q = render(ast)
+        assert(parse(spark, q) == ast, s"round-trip failed for: $q")
+        checked += 1
+      }
+    }
+  }
+
   test("set semantics: AND/OR/NOT over a hand-checkable corpus") {
     val docs = Seq(
       (1L, "window join filter fast"), // W∪J, F, no slow -> match
