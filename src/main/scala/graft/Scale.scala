@@ -770,6 +770,19 @@ object Scale {
       secs(s"snippets ${kDocs}x")(snippets(bigDocs))
     }
 
+    // ── r13: RM3 feedback — two pruned-postings passes + two k-bounded
+    //    driver collects; cost tracks the postings scans (index build
+    //    included in each row, the dominant term) ────────────────────────
+    {
+      def rm3(d: DataFrame): Long = {
+        val ix = operators.Bm25.buildIndex(d, "doc_id", "text")
+        operators.Rm3.rm3TopK(ix, spark, "spark join filter window", 20)
+          .count()
+      }
+      secs(s"rm3-feedback 1x")(rm3(docs))
+      secs(s"rm3-feedback ${kDocs}x")(rm3(bigDocs))
+    }
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:

@@ -200,6 +200,37 @@ object KbQueries {
         Tables.documents(s, dir), "doc_id", "text", QueryText, 20, width = 10)
     },
 
+    // ── Extractive-summary seed: the most CENTRAL embedded chunk per
+    //    source (LexRank centrality in one exact step — Σ sibling
+    //    cosines, 4 dp, ties by doc_id); pairwise only WITHIN a source
+    //    document, never across ──────────────────────────────────────────
+    QueryDef.sql("f_central_chunk",
+      s"""WITH ce AS (
+         |  SELECT d.source, d.doc_id, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |p AS (
+         |  SELECT a.source, a.doc_id,
+         |         round(sum(${cosineSql("a.embedding", "b.embedding")}), 4) AS centrality,
+         |         count(*)::BIGINT AS n_sib
+         |  FROM ce a JOIN ce b
+         |    ON a.source = b.source AND a.doc_id <> b.doc_id
+         |  GROUP BY a.source, a.doc_id),
+         |al AS (
+         |  SELECT ce.source, ce.doc_id,
+         |         coalesce(p.n_sib, 0) + 1 AS n_chunks,
+         |         coalesce(p.centrality, 0.0) AS centrality
+         |  FROM ce LEFT JOIN p USING (source, doc_id)),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |                               ORDER BY centrality DESC, doc_id) AS rn
+         |  FROM al)
+         |SELECT source, doc_id, n_chunks::BIGINT AS n_chunks, centrality
+         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Summarize.centralChunks(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "source", "doc_id", "vec_id", "embedding")
+    },
+
     // ── Boolean keyword queries — AND/OR/NOT/parentheses actually
     //    EVALUATE (the reference's synonym expansion emits `(a OR b)`
     //    strings then flattens them to a bag, enhancement.py:119-126):
