@@ -783,6 +783,17 @@ object Scale {
       secs(s"rm3-feedback ${kDocs}x")(rm3(bigDocs))
     }
 
+    // ── r13: central-chunk selection — pairwise cosine only WITHIN a
+    //    source document; replication multiplies groups, not group size,
+    //    so the quadratic term is bounded and growth is linear ───────────
+    {
+      def central(d: DataFrame, e: DataFrame): Long =
+        operators.Summarize.centralChunks(d, e,
+          "source", "doc_id", "vec_id", "embedding").count()
+      secs(s"central-chunk 1x")(central(docs, emb))
+      secs(s"central-chunk ${kEmb}x")(central(bigDocs, bigEmb))
+    }
+
     // ── r13: connected components ABOVE the driver union-find limit — the
     //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
     //    chain graphs (the worst case for the min-label loop it replaced:
