@@ -121,6 +121,7 @@ object Main {
       |  select   <kbDir> <targetGlob> [n]        DSIR importance selection vs a target corpus
       |  export   <kbDir> [nShards]               deterministic training-order shard export
       |  tokenize <kbDir> [numMerges]             train BPE merges + per-chunk token counts
+      |  eval     <kbDir> "<q1>[;;<q2>...]" [k]   nDCG/MRR/P/R of BM25 vs the vector tier
       |  help | version""".stripMargin
 
   /** Verb dispatch against a caller-owned session (main owns stop()). */
@@ -577,6 +578,68 @@ object Main {
         val out = spark.read.parquet(s"$kb/export/shards")
         println(s"[graft] export: ${out.count()} chunks -> $nShards shards " +
           s"at $kb/export/shards")
+
+      case "eval" =>
+        // extension verb: retrieval-quality metrics of the KB's BM25
+        // ranking against its own vector tier as graded pseudo-qrels —
+        // nDCG@k / MRR / P@k / R@k per query (grades 3/2/1 by vector rank
+        // tier, ranking depth 2k). usage: eval <kbDir> "<q1>[;;<q2>...]" [k]
+        require(args.length >= 3, "eval <kbDir> \"<q1>[;;<q2>...]\" [k]")
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        val queries = args(2).split(";;").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(queries.nonEmpty, "no queries given")
+        val k = args.lift(3).filter(_.forall(_.isDigit)).map(_.toInt)
+          .getOrElse(10)
+        val cfg = loadCfg(args.filterNot(_.startsWith("--")), 4, kb)
+        val chunks = spark.read.parquet(s"$kb/chunks")
+          .withColumnRenamed("chunk_text", "text")
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        val ix =
+          if (new java.io.File(s"$kb/bm25").exists())
+            graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
+          else graft.streaming.StreamingIngest.currentIndexPath(kb)
+            .map(p => graft.operators.Bm25.readIndex(spark, p))
+            .getOrElse(graft.operators.Bm25.buildIndex(
+              chunks, "doc_id", "text"))
+        val provider = graft.embed.Embedder.Retrying(
+          graft.models.ModelRegistry.embedderFor(cfg.vectorModel,
+            cfg.vectorDimensions), cfg.apiMaxRetries)
+        val qSeq = queries.zipWithIndex.map { case (t, i) =>
+          ((i + 1).toLong, t) }
+        val ktop = graft.operators.Bm25.scoreBatch(ix,
+            qSeq.toDF("query_id", "qtext"), "query_id", "qtext")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(round(col("score"), 4).desc, col("doc_id"))))
+          .filter(col("rank") <= 2 * k)
+          .select("query_id", "doc_id", "rank")
+        // the same enhancement + registry-resolved embedding the query
+        // verb uses, so the pseudo-qrels reflect the serving vector tier
+        val qv = qSeq.map { case (qid, t) =>
+          (qid, provider.embedBatch(
+            Seq(graft.query.Enhancement.enhanceValue(spark, t))).head)
+        }.toDF("query_id", "qvec")
+        val qrels = emb.crossJoin(broadcast(qv))
+          .select(col("query_id"), col("doc_id"),
+            graft.functions.VectorFunctions.cosine(col("embedding"),
+              col("qvec")).as("c"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(round(col("c"), 6).desc, col("doc_id"))))
+          .filter(col("rk") <= 2 * k)
+          .select(col("query_id"), col("doc_id"),
+            when(col("rk") <= math.max(k / 2, 1), 3.0)
+              .when(col("rk") <= k, 2.0).otherwise(1.0).as("grade"))
+        val rows = graft.operators.RetrievalMetrics.evaluate(ktop, qrels, k)
+          .collect()
+        val byId = qSeq.toMap
+        rows.foreach { r =>
+          val qid = r.getAs[Number]("query_id").longValue()
+          println(f"[graft] eval q$qid%-3d ndcg@$k=${r.getAs[Double]("ndcg")}%.4f " +
+            f"mrr=${r.getAs[Double]("mrr")}%.4f p@$k=${r.getAs[Double]("p_at_k")}%.4f " +
+            f"r@$k=${r.getAs[Double]("r_at_k")}%.4f  \"${byId(qid)}\"")
+        }
 
       case "tokenize" =>
         // extension verb (training-pipeline suite): train the BPE merge

@@ -333,6 +333,21 @@ class MainSpec extends SparkSpec {
         s"dense positions in shard $sh") }
   }
 
+  test("CLI eval verb reports per-query metrics against the vector tier") {
+    val in = Files.createTempDirectory("graft_cli_eval_in").toString
+    val kb = Files.createTempDirectory("graft_cli_eval_kb").toString
+    val pad = (1 to 120).map(i => s"word$i").mkString(" ")
+    Files.writeString(Paths.get(in, "a.txt"), s"spark joins filters $pad")
+    Files.writeString(Paths.get(in, "b.txt"),
+      "window functions rank rows " + (1 to 120).map(i => s"other$i").mkString(" "))
+    Main.run(Array("database", kb, s"$in/*.txt"), spark)
+    Main.run(Array("embed", kb), spark)
+    Main.run(Array("bm25", kb), spark)
+    // must complete and print one line per query; values live in the
+    // oracle-checked RetrievalMetrics operator, exercised end to end here
+    Main.run(Array("eval", kb, "spark joins;;window functions", "5"), spark)
+  }
+
   test("CLI search verb: bm25 default, --phrase from the positional store, --snippets") {
     val kb = Files.createTempDirectory("graft_cli_search").toString
     import spark.implicits._
