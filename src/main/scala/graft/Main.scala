@@ -22,8 +22,10 @@ import graft.pipeline.{KbPipeline, Tuning}
   *   runMain graft.Main convert-encoding <inputGlob> <outDir>
   *   runMain graft.Main edit <kbDir> [<key> <value>]
   * }}}
-  * plus extension verbs dedup / components / knn / graph / pq / curate
-  * (training-pipeline suite).
+  * plus extension verbs dedup / components / knn / graph / pq / curate /
+  * classify / select / export / tokenize (training-pipeline suite),
+  * search (keyword, --phrase, --boolean, --snippets), eval (retrieval
+  * metrics), and maintain (the streaming lifecycle).
   */
 object Main {
 
