@@ -270,7 +270,10 @@ object Main {
         require(args.length >= 3,
           "search <kbDir> \"<text>\" [k] [--phrase|--boolean] [--snippets]")
         val q = args(2)
-        val k = args.drop(3).find(a => !a.startsWith("--"))
+        // k must LOOK like a number — a stray positional arg (a cfg path,
+        // a typo'd flag) must not crash the verb (the eval verb's idiom)
+        val k = args.drop(3)
+          .find(a => a.nonEmpty && a.forall(_.isDigit))
           .map(_.toInt).getOrElse(10)
         val chunks = spark.read.parquet(s"$kb/chunks")
           .withColumnRenamed("chunk_text", "text")
@@ -295,12 +298,21 @@ object Main {
             graft.operators.Bm25.topK(
               graft.operators.Bm25.scoreWithIndex(loadIx(), spark, q)
                 .select(col("doc_id"), round(col("score"), 4).as("score")), k)
+        // snippets highlight QUERY TERMS — for a boolean query that is the
+        // positive terms of the parsed AST, never the AND/OR/NOT keywords
+        // or negated terms in the raw string (an all-negative query has
+        // nothing to highlight: skip snippets rather than crash)
+        val snipQ =
+          if (args.contains("--boolean"))
+            graft.operators.BooleanSearch.positiveTerms(
+              graft.operators.BooleanSearch.parse(spark, q)).mkString(" ")
+          else q
         val shown =
-          if (args.contains("--snippets")) {
+          if (args.contains("--snippets") && snipQ.nonEmpty) {
             val hitDocs = chunks.join(hits.select("doc_id"), Seq("doc_id"),
               "left_semi")
             hits.join(graft.operators.Snippets.bestSnippets(
-                hitDocs, "doc_id", "text", q, k), Seq("doc_id"), "left")
+                hitDocs, "doc_id", "text", snipQ, k), Seq("doc_id"), "left")
               .select(col("doc_id"), col("score"),
                 coalesce(col("snippet"), lit("")).as("snippet"))
           } else hits

@@ -24,12 +24,17 @@ import graft.functions.TextFunctions
   * 1-row collect. Cost is O(rounds · vocab · wordLen), independent of
   * corpus size after the first pass.
   *
-  * Symbol sequences are stored as a SPACE-JOINED string with sentinel
-  * spaces (` h e l l o `), and a merge is a plain non-regex
-  * `replace(s, " l r ", " lr ")`: left-to-right non-overlapping
+  * Symbol sequences are stored as a DOUBLE-SPACE-joined string with single
+  * sentinel spaces (` h  e  l  l  o `), and a merge is a plain non-regex
+  * `replace(s, " l  r ", " lr ")`: each symbol owns a flanking space on
+  * each side, so consuming a match leaves the neighbours' spaces intact
+  * and immediately adjacent occurrences (`abab` under merge (a,b) →
+  * `[ab, ab]`) all merge in one pass — left-to-right non-overlapping
   * replacement IS the BPE merge convention, and both Spark's `replace`
   * and DuckDB's `replace` implement exactly that scan — which is what
-  * lets the whole trainer carry a value-exact oracle.
+  * lets the whole trainer carry a value-exact oracle. (A single-space
+  * join would share the boundary space between occurrences and skip
+  * every second adjacent match — the PhraseSearch.scala:20 idiom.)
   */
 object Bpe {
 
@@ -50,7 +55,7 @@ object Bpe {
     var w = wordFrequencies(docs, textCol)
       .select(col("freq"),
         concat(lit(" "),
-          array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
+          array_join(filter(split(col("w"), ""), c => length(c) > 0), "  "),
           lit(" ")).as("s"))
       .localCheckpoint(true) // vocab-sized; reused every round
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
@@ -72,9 +77,14 @@ object Bpe {
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = best.head
+        // a pair can never recur once every occurrence merges (tokens only
+        // fuse, never split) — recurrence means the replace undercounted,
+        // which would silently duplicate merge rules: fail loudly instead
+        require(!merges.exists(m => m._2 == l && m._3 == r),
+          s"BPE trainer re-selected already-learned pair ($l, $r)")
         merges += ((rank, l, r, l + r, cnt))
         w = w.select(col("freq"),
-            expr(s"replace(s, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')").as("s"))
+            expr(s"replace(s, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')").as("s"))
           .localCheckpoint(true)
         rank += 1
       }
@@ -105,9 +115,9 @@ object Bpe {
     // convention the trainer used, as ONE codegen projection over the vocab
     val sym = merges.foldLeft(
       concat(lit(" "),
-        array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
+        array_join(filter(split(col("w"), ""), c => length(c) > 0), "  "),
         lit(" "))) { case (s, (l, r)) =>
-      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+      replace(s, lit(s" $l  $r "), lit(s" $l$r "))
     }
     val vocab = wc.select("w").distinct()
       .select(col("w"),
@@ -129,8 +139,8 @@ object Bpe {
 
   /** Apply learned merges to a word (driver-side twin for specs). */
   private[graft] def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var s = " " + word.toCharArray.mkString(" ") + " "
-    merges.foreach { case (l, r) => s = s.replace(s" $l $r ", s" $l$r ") }
+    var s = " " + word.toCharArray.mkString("  ") + " "
+    merges.foreach { case (l, r) => s = s.replace(s" $l  $r ", s" $l$r ") }
     s.trim.split(" ").toSeq.filter(_.nonEmpty)
   }
 

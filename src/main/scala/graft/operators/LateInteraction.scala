@@ -28,6 +28,17 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object LateInteraction {
 
+  /** Column budget per aggregation wave in [[maxSimTopKBatch]]: every
+    * query token adds one similarity column AND one max-agg buffer to the
+    * shared groupBy(doc), so an unbounded batch (200 queries × ~5 tokens
+    * = 1,000 wide-agg buffers per group) would blow past codegen /
+    * whole-stage limits and per-group memory. Batches wider than this
+    * split into column-bounded WAVES that share the checkpointed
+    * vocabulary table; 128 keeps the 20-query serving batch (Σ|q| ≈ 100)
+    * in a single wave — identical plan to the unguarded path.
+    */
+  val MaxAggColsPerWave = 128
+
   /** Embed a token column with the deterministic per-token embedder. */
   private def embedTok(tok: Column, dims: Int): Column =
     graft.embed.Embedder.deterministicEmbed(tok, dims)
@@ -40,19 +51,24 @@ object LateInteraction {
     docs.select(col(idCol),
       explode(array_distinct(TextFunctions.tokenize(col(textCol)))).as("tok"))
 
+  /** The vocabulary — the distinct corpus tokens. */
+  private def vocabOf(dtok: DataFrame): DataFrame =
+    dtok.select("tok").distinct()
+
   /** The wide per-vocabulary-token similarity table: one row per DISTINCT
-    * corpus token with columns `s_0 .. s_{n-1}` = cos(E(tok), E(qtoks(i))).
+    * corpus token (`vocab`) with columns
+    * `s_0 .. s_{n-1}` = cos(E(tok), E(qtoks(i))).
     * The embeddings (interpreted higher-order `transform` expressions) are
     * evaluated at VOCABULARY scale only — millions of rows, not the
     * corpus token stream.
     */
-  private def vocabSims(dtok: DataFrame, qtoks: Seq[String],
+  private def vocabSims(vocab: DataFrame, qtoks: Seq[String],
                         dims: Int): DataFrame = {
     val tvec = embedTok(col("tok"), dims)
     val simCols = qtoks.zipWithIndex.map { case (qt, i) =>
       VectorFunctions.cosine(tvec, embedTok(lit(qt), dims)).as(s"s_$i")
     }
-    dtok.select("tok").distinct().select(col("tok") +: simCols: _*)
+    vocab.select(col("tok") +: simCols: _*)
   }
 
   /** Per-document MaxSim components for a flat token list: one row per
@@ -62,10 +78,12 @@ object LateInteraction {
     * fan-out — similarities travel as columns), then one
     * map-side-combined aggregation keyed by doc takes all n maxes.
     */
-  private def maxComponents(dtok: DataFrame, idCol: String,
+  private def maxComponents(dtok: DataFrame, vocab: DataFrame,
+                            idCol: String,
                             qtoks: Seq[String], dims: Int): DataFrame = {
+    require(qtoks.nonEmpty, "empty query: no tokens to score")
     val aggs = qtoks.indices.map(i => max(s"s_$i").as(s"m_$i"))
-    dtok.join(vocabSims(dtok, qtoks, dims), Seq("tok"))
+    dtok.join(vocabSims(vocab, qtoks, dims), Seq("tok"))
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -83,7 +101,8 @@ object LateInteraction {
                              queryTokens: Seq[String],
                              dims: Int): DataFrame = {
     val qtoks = queryTokens.distinct.sorted
-    maxComponents(dtok, idCol, qtoks, dims)
+    require(qtoks.nonEmpty, "empty query: no tokens to score")
+    maxComponents(dtok, vocabOf(dtok), idCol, qtoks, dims)
       .select(col(idCol),
         round(qtoks.indices.map(i => col(s"m_$i")).reduce(_ + _), 4)
           .as("score"))
@@ -109,24 +128,60 @@ object LateInteraction {
     * explode, and the per-query top-k is one ranking window. This is the
     * serving shape: batch width amortizes the corpus pass exactly like
     * [[graft.pipeline.KbPipeline.queryBatch]].
+    *
+    * Column-budget guard: a batch wider than `colsPerWave` total query
+    * tokens (default [[MaxAggColsPerWave]]) splits into WAVES — each wave
+    * its own column-bounded aggregation, the vocabulary table checkpointed
+    * once and shared, the per-query ranking window unchanged (queries are
+    * disjoint across waves). Wave count scales the corpus token scans,
+    * not the output: per-query cost stays ~flat from batch 20 to 200.
     */
   def maxSimTopKBatch(docs: DataFrame, idCol: String, textCol: String,
                       queries: Seq[(Long, String)], k: Int,
-                      dims: Int = 8): DataFrame = {
+                      dims: Int = 8,
+                      colsPerWave: Int = MaxAggColsPerWave): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(colsPerWave >= 1, "colsPerWave must be positive")
     val perQuery: Seq[(Long, Seq[String])] =
-      queries.map { case (qid, t) => qid -> tokenizeValue(t).distinct.sorted }
-    val flat: Seq[String] = perQuery.flatMap(_._2)
-    val offsets = perQuery.map(_._2.size).scanLeft(0)(_ + _)
-    val comps = maxComponents(docTokens(docs, idCol, textCol), idCol,
-      flat, dims)
-    val qScores = perQuery.zip(offsets).map { case ((qid, qts), off) =>
-      struct(lit(qid).as("query_id"),
-        round(qts.indices.map(i => col(s"m_${off + i}")).reduce(_ + _), 4)
-          .as("score"))
+      queries.map { case (qid, t) =>
+        val qts = tokenizeValue(t).distinct.sorted
+        require(qts.nonEmpty, s"query $qid tokenizes to nothing")
+        qid -> qts
+      }
+    // greedy packing in batch order: a wave closes when the NEXT query's
+    // tokens would push its column count (= sim columns = agg buffers)
+    // past the budget; an over-budget single query still gets its own wave
+    val waves = scala.collection.mutable.ArrayBuffer[Vector[(Long, Seq[String])]]()
+    var cur = Vector.empty[(Long, Seq[String])]
+    var curCols = 0
+    perQuery.foreach { q =>
+      if (cur.nonEmpty && curCols + q._2.size > colsPerWave) {
+        waves += cur; cur = Vector.empty; curCols = 0
+      }
+      cur :+= q; curCols += q._2.size
     }
-    comps.select(col(idCol), explode(array(qScores: _*)).as("qs"))
-      .select(col("qs.query_id").as("query_id"), col(idCol),
-        col("qs.score").as("score"))
+    if (cur.nonEmpty) waves += cur
+    val dtok = docTokens(docs, idCol, textCol)
+    // multiple waves re-read the vocabulary at embed cost — checkpoint it
+    // once (distinct tokens: vocabulary-sized, not corpus-sized); the
+    // corpus token stream itself stays a lazily re-read column-pruned scan
+    val vocab =
+      if (waves.size > 1) vocabOf(dtok).localCheckpoint(true)
+      else vocabOf(dtok)
+    val parts = waves.map { wave =>
+      val flat: Seq[String] = wave.flatMap(_._2)
+      val offsets = wave.map(_._2.size).scanLeft(0)(_ + _)
+      val comps = maxComponents(dtok, vocab, idCol, flat, dims)
+      val qScores = wave.zip(offsets).map { case ((qid, qts), off) =>
+        struct(lit(qid).as("query_id"),
+          round(qts.indices.map(i => col(s"m_${off + i}")).reduce(_ + _), 4)
+            .as("score"))
+      }
+      comps.select(col(idCol), explode(array(qScores: _*)).as("qs"))
+        .select(col("qs.query_id").as("query_id"), col(idCol),
+          col("qs.score").as("score"))
+    }
+    parts.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col(idCol))))
@@ -154,11 +209,12 @@ object LateInteraction {
                        queryText: String, k: Int, dims: Int = 8,
                        candPerTok: Int = 50): DataFrame = {
     val toks = tokenizeValue(queryText).distinct.sorted
+    require(toks.nonEmpty, "empty query: no tokens to score")
     val dtok = docTokens(docs, idCol, textCol)
     // per-qtok candidate ranking over the vocabulary similarity table:
     // each query token's head as TakeOrderedAndProject (no global window),
     // union of the kept heads
-    val vs = vocabSims(dtok, toks, dims)
+    val vs = vocabSims(vocabOf(dtok), toks, dims)
     val cand = toks.indices.map { i =>
       vs.orderBy(col(s"s_$i").desc, col("tok"))
         .limit(candPerTok).select("tok")

@@ -56,8 +56,12 @@ object RetrievalMetrics {
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),
+        // coalesce dcg BEFORE the ratio: a query whose ranking rows all
+        // sit beyond k contributes no `scored` row, and a NULL dcg inside
+        // the when() would yield NULL ndcg instead of the documented 0.0
         round(when(coalesce(col("idcg"), lit(0.0)) > 0,
-          col("dcg") / col("idcg")).otherwise(0.0), 4).as("ndcg"),
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(0.0), 4)
+          .as("ndcg"),
         round(coalesce(col("rr"), lit(0.0)), 4).as("mrr"),
         round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4)
           .as("p_at_k"),

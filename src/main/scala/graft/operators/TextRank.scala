@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   * in practice vocabulary-sized); every iteration then runs on that
   * edge table (join + groupBy(dst), exchange-reusable hash partitioning
   * on the word) — cost past the first pass is corpus-size-independent,
-  * the [[Bpe]] trainer's shape. Overflow headroom: r ≤ 1e12,
-  * w ≤ corpus adjacency count, products stay far under 2^63.
+  * the [[Bpe]] trainer's shape. Overflow headroom: the per-edge
+  * contribution is computed as `(r div ow)·w + ((r mod ow)·w) div ow`
+  * — algebraically identical to `(r·w) div ow` for non-negative
+  * operands, but the largest intermediate is `(r mod ow)·w < ow·w`
+  * instead of `r·w ≈ 1e12·w`, so a hot bigram only overflows if a
+  * single node's out-weight exceeds ~3e9 adjacencies (vs ~9e6 before).
   */
 object TextRank {
 
@@ -77,7 +81,8 @@ object TextRank {
       val contrib = edges
         .join(r.withColumnRenamed("word", "src"), Seq("src"))
         .join(outw, Seq("src"))
-        .select(col("dst"), expr("(r * w) div ow").as("c"))
+        .select(col("dst"),
+          expr("(r div ow) * w + ((r % ow) * w) div ow").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
       r = nodes
         .join(contrib.withColumnRenamed("dst", "word"), Seq("word"), "left")

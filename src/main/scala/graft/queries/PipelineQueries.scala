@@ -1990,8 +1990,10 @@ object PipelineQueries {
     // ── BPE tokenizer TRAINING, oracle-checked: 8 merge rounds learned
     //    from the corpus word-frequency table (Sennrich et al. 2016 —
     //    simplified: char symbols, no </w> marker). The merge step is a
-    //    left-to-right non-overlapping string replace on the space-joined
-    //    symbol string — the convention BOTH engines' replace() implements,
+    //    left-to-right non-overlapping string replace on the double-space-
+    //    joined symbol string (each symbol owns its flanking spaces, so
+    //    adjacent occurrences all merge) — a convention BOTH engines'
+    //    replace() implements,
     //    which is what makes an iterative trainer value-oracle-able. The
     //    DuckDB twin unrolls the 8 rounds as chained CTEs with the argmax
     //    (count DESC, pair ASC — deterministic tie-break) as scalar
@@ -2004,7 +2006,7 @@ object PipelineQueries {
       // many corpus scans by round 8
       sb ++= s"""WITH tok AS MATERIALIZED (SELECT unnest(${plainTokSql("text")}) AS w FROM documents),
                 |wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
-                |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, freq FROM wf)""".stripMargin
+                |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s, freq FROM wf)""".stripMargin
       for (i <- 1 to rounds) {
         sb ++= s""",
                   |p$i AS MATERIALIZED (
@@ -2017,7 +2019,7 @@ object PipelineQueries {
         if (i < rounds)
           sb ++= s""",
                     |w$i AS MATERIALIZED (
-                    |  SELECT replace(s, ' ' || (SELECT lhs FROM b$i) || ' ' || (SELECT rhs FROM b$i) || ' ',
+                    |  SELECT replace(s, ' ' || (SELECT lhs FROM b$i) || '  ' || (SELECT rhs FROM b$i) || ' ',
                     |                 ' ' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || ' ') AS s, freq
                     |  FROM w${i - 1})""".stripMargin
       }
@@ -2045,7 +2047,7 @@ object PipelineQueries {
       sb ++= s"""WITH tok AS MATERIALIZED (
                 |  SELECT doc_id, unnest(${plainTokSql("text")}) AS w FROM documents),
                 |wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM tok GROUP BY w),
-                |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, freq FROM wf)""".stripMargin
+                |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s, freq FROM wf)""".stripMargin
       for (i <- 1 to rounds) {
         sb ++= s""",
                   |p$i AS MATERIALIZED (
@@ -2058,18 +2060,18 @@ object PipelineQueries {
         if (i < rounds)
           sb ++= s""",
                     |w$i AS MATERIALIZED (
-                    |  SELECT replace(s, ' ' || (SELECT lhs FROM b$i) || ' ' || (SELECT rhs FROM b$i) || ' ',
+                    |  SELECT replace(s, ' ' || (SELECT lhs FROM b$i) || '  ' || (SELECT rhs FROM b$i) || ' ',
                     |                 ' ' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || ' ') AS s, freq
                     |  FROM w${i - 1})""".stripMargin
       }
       sb ++= s""",
                 |e0 AS MATERIALIZED (
-                |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+                |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
                 |  FROM (SELECT DISTINCT w FROM tok))""".stripMargin
       for (i <- 1 to rounds)
         sb ++= s""",
                   |e$i AS MATERIALIZED (
-                  |  SELECT w, replace(s, ' ' || (SELECT lhs FROM b$i) || ' ' || (SELECT rhs FROM b$i) || ' ',
+                  |  SELECT w, replace(s, ' ' || (SELECT lhs FROM b$i) || '  ' || (SELECT rhs FROM b$i) || ' ',
                   |                    ' ' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || ' ') AS s
                   |  FROM e${i - 1})""".stripMargin
       sb ++= s""",
@@ -2137,7 +2139,8 @@ object PipelineQueries {
                   |         (($S * 15) // ((SELECT n FROM nn) * 100)
                   |          + (85 * coalesce(c.cs, 0)) // 100)::BIGINT AS r
                   |  FROM nodes n LEFT JOIN (
-                  |    SELECT e.dst AS word, sum((r.r * e.w) // o.ow)::BIGINT AS cs
+                  |    SELECT e.dst AS word,
+                  |           sum((r.r // o.ow) * e.w + ((r.r % o.ow) * e.w) // o.ow)::BIGINT AS cs
                   |    FROM ed e JOIN r${i - 1} r ON e.src = r.word
                   |              JOIN ow o ON e.src = o.src
                   |    GROUP BY e.dst) c USING (word))""".stripMargin

@@ -29,6 +29,29 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerges("xy", merges) == Seq("x", "y"))
   }
 
+  test("immediately adjacent occurrences all merge in one pass: 'abab' becomes [ab, ab]") {
+    // the single-space-join regression: ' a b a b ' under replace(' a b ',
+    // ' ab ') consumes the shared boundary space and skips every second
+    // occurrence ([ab, a, b]); the double-space join gives each symbol its
+    // own flanking spaces so BOTH occurrences merge
+    assert(Bpe.applyMerges("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    assert(Bpe.applyMerges("ababab", Seq(("a", "b"))) == Seq("ab", "ab", "ab"))
+    assert(Bpe.applyMerges("papa", Seq(("p", "a"))) == Seq("pa", "pa"))
+    // Spark-side encode agrees: one word "abab" has n_tokens 2, not 3
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", Seq(("a", "b")))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L, 2.0)), s"got $got")
+    // and the trainer cannot re-select a pair it already learned: "abab"
+    // round 1 merges (a,b) everywhere, so round 2 sees only (ab,ab)
+    val merges = Bpe.learnMerges(Seq((1L, "abab abab")).toDF("doc_id", "text"),
+      "text", numMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "a", "b", "ab", 4L),
+      (2, "ab", "ab", "abab", 2L)), s"got $merges")
+  }
+
   test("left-to-right non-overlapping merge convention: 'aaa' becomes [aa, a]") {
     val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
     val merges = Bpe.learnMerges(docs, "text", numMerges = 1)

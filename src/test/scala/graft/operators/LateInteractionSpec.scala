@@ -119,6 +119,48 @@ class LateInteractionSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 $recall")
   }
 
+  test("empty queries are refused loudly at every entry point") {
+    val docs = Seq((1L, "spark join")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      LateInteraction.maxSimScores(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      LateInteraction.maxSimTopK(docs, "doc_id", "text", "!!! ...", 10)
+    }
+    intercept[IllegalArgumentException] {
+      LateInteraction.maxSimTopKPruned(docs, "doc_id", "text", "", 10)
+    }
+    intercept[IllegalArgumentException] { // per-query in a batch
+      LateInteraction.maxSimTopKBatch(docs, "doc_id", "text",
+        Seq(1L -> "spark", 2L -> "???"), 10)
+    }
+    intercept[IllegalArgumentException] { // empty batch
+      LateInteraction.maxSimTopKBatch(docs, "doc_id", "text", Seq.empty, 10)
+    }
+  }
+
+  test("column-budget waves: chunked batch result equals the single-wave result") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) s"spark join filter doc$i"
+          else s"cooking pasta recipe doc$i")
+    }.toDF("doc_id", "text")
+    val batch = (1L to 8L).map(i => i -> s"spark join filter query $i")
+    val single = LateInteraction.maxSimTopKBatch(
+        docs, "doc_id", "text", batch, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    // a 10-column budget forces ~5-token queries into 2-query waves; the
+    // union + shared ranking window must reproduce the one-wave result
+    val waved = LateInteraction.maxSimTopKBatch(
+        docs, "doc_id", "text", batch, k = 5, colsPerWave = 10)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(waved == single)
+    // degenerate budget: one query per wave (every query over-budget)
+    val tiny = LateInteraction.maxSimTopKBatch(
+        docs, "doc_id", "text", batch, k = 5, colsPerWave = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(tiny == single)
+  }
+
   test("tokenless docs get no score row; repeated tokens count once") {
     val docs = Seq(
       (1L, "spark spark spark"),

@@ -43,6 +43,21 @@ class RetrievalMetricsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 3L, 1.0, 1.0, 1.0, 1.0)))
   }
 
+  test("a query whose ranking rows all sit beyond k scores zeros, not NULLs") {
+    // query 2 appears in the ranking but only at rank 7 > k=5: it must
+    // keep its row with ndcg/mrr/p/r all 0.0 (the NULL-dcg regression)
+    val ranking = Seq((1L, 10L, 1), (2L, 10L, 7))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 1.0), (2L, 10L, 1.0))
+      .toDF("query_id", "doc_id", "grade")
+    val got = RetrievalMetrics.evaluate(ranking, qrels, k = 5)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1.0, 1.0, round4(0.2), 1.0),
+      (2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)), s"got $got")
+  }
+
   test("a query with no qrels scores zeros; queries are independent") {
     val ranking = Seq((1L, 10L, 1), (2L, 10L, 1))
       .toDF("query_id", "doc_id", "rank")
