@@ -597,7 +597,9 @@ object Main {
         // extension verb: retrieval-quality metrics of the KB's BM25
         // ranking against its own vector tier as graded pseudo-qrels —
         // nDCG@k / MRR / P@k / R@k per query (grades 3/2/1 by vector rank
-        // tier, ranking depth 2k). usage: eval <kbDir> "<q1>[;;<q2>...]" [k]
+        // tier, ranking depth 2k); --rerank adds an A/B of the rerank
+        // scorers (bm25 vs lexical vs learned) on the same qrels.
+        // usage: eval <kbDir> "<q1>[;;<q2>...]" [k] [--rerank]
         require(args.length >= 3, "eval <kbDir> \"<q1>[;;<q2>...]\" [k]")
         import org.apache.spark.sql.expressions.Window
         import spark.implicits._
@@ -621,13 +623,13 @@ object Main {
             cfg.vectorDimensions), cfg.apiMaxRetries)
         val qSeq = queries.zipWithIndex.map { case (t, i) =>
           ((i + 1).toLong, t) }
-        val ktop = graft.operators.Bm25.scoreBatch(ix,
+        val ktopScored = graft.operators.Bm25.scoreBatch(ix,
             qSeq.toDF("query_id", "qtext"), "query_id", "qtext")
           .withColumn("rank", row_number().over(
             Window.partitionBy("query_id")
               .orderBy(round(col("score"), 4).desc, col("doc_id"))))
           .filter(col("rank") <= 2 * k)
-          .select("query_id", "doc_id", "rank")
+        val ktop = ktopScored.select("query_id", "doc_id", "rank")
         // the same enhancement + registry-resolved embedding the query
         // verb uses, so the pseudo-qrels reflect the serving vector tier
         val qv = qSeq.map { case (qid, t) =>
@@ -653,6 +655,34 @@ object Main {
           println(f"[graft] eval q$qid%-3d ndcg@$k=${r.getAs[Double]("ndcg")}%.4f " +
             f"mrr=${r.getAs[Double]("mrr")}%.4f p@$k=${r.getAs[Double]("p_at_k")}%.4f " +
             f"r@$k=${r.getAs[Double]("r_at_k")}%.4f  \"${byId(qid)}\"")
+        }
+        // --rerank: A/B the rerank scorers through the SAME head rerank
+        // and the SAME pseudo-qrels — the learned path's quality claim
+        // gets a number next to the lexical default and the raw BM25
+        // ranking (reference seam: rerank_manager.py:133-277)
+        if (args.contains("--rerank")) {
+          import graft.query.Rerank
+          val qToks = array_distinct(
+            graft.functions.TextFunctions.tokenizeBm25(col("qtext")))
+          val withText = ktopScored
+            .join(chunks.select("doc_id", "text"), Seq("doc_id"))
+            .join(broadcast(qSeq.toDF("query_id", "qtext")), Seq("query_id"))
+          def ranked(scorer: org.apache.spark.sql.Column) =
+            Rerank.rerankHeadBatch(withText, "query_id", "score", k, scorer)
+              .select(col("query_id"), col("doc_id"),
+                col("final_rank").cast("int").as("rank"))
+          val variants = Seq(
+            "bm25" -> ktop,
+            "rerank-lexical" -> ranked(
+              Rerank.lexicalScoreCols(qToks, col("text"))),
+            "rerank-learned" -> ranked(
+              Rerank.LogisticScorer.pretrained.scoreCols(qToks, col("text"))))
+          variants.foreach { case (name, ranking) =>
+            val m = graft.operators.RetrievalMetrics.evaluate(ranking, qrels, k)
+              .agg(avg("ndcg"), avg("mrr")).head()
+            println(f"[graft] eval A/B $name%-15s mean ndcg@$k=" +
+              f"${m.getDouble(0)}%.4f mean mrr=${m.getDouble(1)}%.4f")
+          }
         }
 
       case "tokenize" =>

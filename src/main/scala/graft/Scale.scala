@@ -713,6 +713,14 @@ object Scale {
           d, "doc_id", "text", batch, k = 10).count()
       secs(s"late-interaction-batch20 1x")(liBatch(docs))
       secs(s"late-interaction-batch20 ${kDocs}x")(liBatch(bigDocs))
+      // pruned tier (r14): candidate-token heads rank on the VOCABULARY,
+      // the kept tokens semi-join-prune the corpus stream before scoring —
+      // the 100× twin lives in the 100× block
+      def liPruned(d: DataFrame): Long =
+        operators.LateInteraction.maxSimTopKPruned(
+          d, "doc_id", "text", scaleQ, 10).count()
+      secs(s"late-pruned 1x")(liPruned(docs))
+      secs(s"late-pruned ${kDocs}x")(liPruned(bigDocs))
     }
 
     // ── r13: TextRank keywords — ONE corpus pass builds the co-occurrence
@@ -724,6 +732,20 @@ object Scale {
       operators.TextRank.keywords(d, "text", k = 30, iters = 8).count()
     secs(s"textrank8 1x")(textrank(docs))
     secs(s"textrank8 ${kDocs}x")(textrank(bigDocs))
+    // serve-shape twins (r14): the 8 rounds on the AT-REST edge table —
+    // the one corpus pass is the build row, iterations are vocab-bounded
+    def trBuildServe(d: DataFrame, tag: String): Unit = {
+      secs(s"textrank-edges-build $tag") {
+        operators.TextRank.cooccurrenceEdges(d, "text")
+          .write.mode("overwrite").parquet(s"$base/tredges_$tag")
+        spark.read.parquet(s"$base/tredges_$tag").count()
+      }
+      secs(s"textrank-served $tag")(
+        operators.TextRank.keywordsFromEdges(
+          spark.read.parquet(s"$base/tredges_$tag"), 30, 8).count())
+    }
+    trBuildServe(docs, "1x")
+    trBuildServe(bigDocs, s"${kDocs}x")
 
     // ── r13: phrase search — the computed tier re-reads the corpus per
     //    query (linear); the STORED positional tier pays the index build
@@ -763,6 +785,16 @@ object Scale {
       }
       secs(s"boolean-search 1x")(boolSearch(docs))
       secs(s"boolean-search ${kDocs}x")(boolSearch(bigDocs))
+      // serve-shape twins (r14): the same retrieval from the AT-REST BM25
+      // store the bm25-store-write rows built — the build cost is theirs,
+      // these rows time the doc-set algebra alone
+      secs(s"boolean-stored 1x")(
+        operators.BooleanSearch.booleanTopK(bm25StoredProbe(s"$base/bm25_1x"),
+          spark, "(window OR join) AND filter NOT slow", 20).count())
+      secs(s"boolean-stored ${kDocs}x")(
+        operators.BooleanSearch.booleanTopK(
+          bm25StoredProbe(s"$base/bm25_${kDocs}x"),
+          spark, "(window OR join) AND filter NOT slow", 20).count())
       def snippets(d: DataFrame): Long =
         operators.Snippets.bestSnippets(d, "doc_id", "text",
           "spark join filter window", 20).count()
@@ -781,6 +813,13 @@ object Scale {
       }
       secs(s"rm3-feedback 1x")(rm3(docs))
       secs(s"rm3-feedback ${kDocs}x")(rm3(bigDocs))
+      // serve-shape twins (r14): both passes from the at-rest store
+      secs(s"rm3-stored 1x")(
+        operators.Rm3.rm3TopK(bm25StoredProbe(s"$base/bm25_1x"), spark,
+          "spark join filter window", 20).count())
+      secs(s"rm3-stored ${kDocs}x")(
+        operators.Rm3.rm3TopK(bm25StoredProbe(s"$base/bm25_${kDocs}x"), spark,
+          "spark join filter window", 20).count())
     }
 
     // ── r13: central-chunk selection — pairwise cosine only WITHIN a
@@ -794,24 +833,31 @@ object Scale {
       secs(s"central-chunk ${kEmb}x")(central(bigDocs, bigEmb))
     }
 
-    // ── r13: connected components ABOVE the driver union-find limit — the
-    //    alternating large-star/small-star loop on synthetic HIGH-DIAMETER
-    //    chain graphs (the worst case for the min-label loop it replaced:
-    //    a 200k-long chain would need 200k propagation rounds; stars need
-    //    O(log²)). Edge counts straddle the 5M driverEdgeLimit, and the 2×
-    //    row is the linear-growth evidence. Validation: the distinct
-    //    component count must equal the chain count. ────────────────────────
-    def chainComponents(nChains: Int, chainLen: Long): Long = {
-      val pairs = spark.range(nChains * chainLen)
+    // ── r13/r14: connected components ABOVE the driver union-find limit on
+    //    synthetic HIGH-DIAMETER chain graphs (the worst case for the
+    //    min-label loop the stars replaced: a 200k-long chain would need
+    //    200k propagation rounds). The POLICY rows exercise
+    //    connectedComponents' r14 iterated seed-and-contract regime (each
+    //    5M-edge driver head self-loops away, ⌈|E|/5M⌉ passes, zero star
+    //    rounds at these sizes — logged per pass); the DIRECT row runs
+    //    connectedComponentsStars itself so the distributed loop's
+    //    per-round counts/times stay receipted for the >4×-limit regime.
+    //    Validation: distinct component count == chain count. ──────────────
+    def chainEdges(nChains: Int, chainLen: Long): org.apache.spark.sql.DataFrame =
+      spark.range(nChains * chainLen)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
         .filter((col("id") + lit(1)) % lit(chainLen) =!= 0)
-      val comps = operators.Dedup.connectedComponents(pairs) // >5M edges -> stars path
-        .agg(countDistinct("component")).first().getLong(0)
-      require(comps == nChains, s"expected $nChains components, got $comps")
+    def countComps(df: org.apache.spark.sql.DataFrame, expect: Long): Long = {
+      val comps = df.agg(countDistinct("component")).first().getLong(0)
+      require(comps == expect, s"expected $expect components, got $comps")
       comps
     }
-    secs(s"cc-stars-chains 6.4M-edges")(chainComponents(32, 200000L))
-    secs(s"cc-stars-chains 12.8M-edges")(chainComponents(64, 200000L))
+    secs(s"cc-chains 6.4M-edges (policy)")(countComps(
+      operators.Dedup.connectedComponents(chainEdges(32, 200000L)), 32))
+    secs(s"cc-chains 12.8M-edges (policy)")(countComps(
+      operators.Dedup.connectedComponents(chainEdges(64, 200000L)), 64))
+    secs(s"cc-stars-chains 1.6M-edges (direct)")(countComps(
+      operators.Dedup.connectedComponentsStars(chainEdges(8, 200000L)), 8))
 
     // ── r13: 100× rows for the headline paths — the "plans you'd want at
     //    100×" bar. In-process guards are EXPECTED to refuse here and the
@@ -881,6 +927,41 @@ object Scale {
       }
       if (bm != null) { bm.postings.unpersist(); bm.lengths.unpersist(); bm.idf.unpersist() }
       if (pqS != null) { pqS.index.assigned.unpersist(); pqS.encoded.unpersist() }
+    }
+
+    // ── r14: 100× rows for the r13 retrieval tiers — stored-positional
+    //    phrase serving, boolean + RM3 from the stored BM25 index (build
+    //    attributed by bm25-store-write above), pruned late interaction,
+    //    and TextRank iterating on the AT-REST edge table. Bar: within
+    //    ≤5× of the 20× row or carrying a named reason. ──────────────────
+    {
+      var posIx: operators.PositionalIndex.Index = null
+      secs(s"phrase-store-build ${k100}x") {
+        operators.PositionalIndex.write(
+          operators.PositionalIndex.build(docs100, "doc_id", "text"),
+          s"$base/posix_${k100}x")
+        posIx = operators.PositionalIndex.read(spark, s"$base/posix_${k100}x")
+        posIx.corpusSize
+      }
+      if (posIx != null)
+        secs(s"phrase-stored-serve ${k100}x")(
+          operators.PositionalIndex.phraseTopK(posIx, "window join", 50).count())
+      secs(s"boolean-stored ${k100}x")(
+        operators.BooleanSearch.booleanTopK(ix100, spark,
+          "(window OR join) AND filter NOT slow", 20).count())
+      secs(s"rm3-stored ${k100}x")(
+        operators.Rm3.rm3TopK(ix100, spark, scaleQ, 20).count())
+      secs(s"late-pruned ${k100}x")(
+        operators.LateInteraction.maxSimTopKPruned(docs100, "doc_id", "text",
+          scaleQ, 10).count())
+      secs(s"textrank-edges-build ${k100}x") {
+        operators.TextRank.cooccurrenceEdges(docs100, "text")
+          .write.mode("overwrite").parquet(s"$base/tredges_${k100}x")
+        spark.read.parquet(s"$base/tredges_${k100}x").count()
+      }
+      secs(s"textrank-served ${k100}x")(
+        operators.TextRank.keywordsFromEdges(
+          spark.read.parquet(s"$base/tredges_${k100}x"), 30, 8).count())
     }
     spark.stop()
   }

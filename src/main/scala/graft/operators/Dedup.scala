@@ -425,15 +425,29 @@ object Dedup {
     * similarity is not transitive; grouping needs the graph closure). Each
     * node's component is the MINIMUM node id reachable from it.
     *
-    * Two execution paths, same result: edge lists under `driverEdgeLimit`
-    * run exact union-find on the driver (dup pairs are bounded by LSH/
-    * banding parameters, usually ≪ corpus — the broadcast-join economics);
-    * larger graphs run the distributed alternating large-star/small-star
-    * loop (Kiveris et al. 2014, "Connected Components in MapReduce and
-    * Beyond") in [[connectedComponentsStars]] — O(log² n) rounds
-    * regardless of graph diameter, where min-label propagation needs
-    * O(diameter) rounds and a single 100M-node duplicate CHAIN (the shape
-    * verbatim-crawl dups produce) would run ~100M rounds.
+    * Three execution regimes, same result (each node's component is the
+    * min reachable id):
+    *  - edge lists under `driverEdgeLimit` run exact union-find on the
+    *    driver (dup pairs are bounded by LSH/banding parameters, usually
+    *    ≪ corpus — the broadcast-join economics);
+    *  - lists up to a few × the limit run ITERATED SEED-AND-CONTRACT:
+    *    union-find a `driverEdgeLimit`-edge head on the driver, rewrite
+    *    every edge through those labels (every head edge becomes a
+    *    self-loop and drops, so each pass removes ≥ the head from the
+    *    distinct edge set), repeat until the remainder fits the driver —
+    *    ⌈|E|/limit⌉ bounded passes, each within the budget the small path
+    *    already accepts, and no distributed rounds at all;
+    *  - genuinely large graphs take ONE seed pass (free pre-collapse of
+    *    whatever structure lands in the head) and run the distributed
+    *    alternating large-star/small-star loop (Kiveris et al. 2014,
+    *    "Connected Components in MapReduce and Beyond") in
+    *    [[connectedComponentsStars]] on the contracted remainder —
+    *    O(log² n) rounds regardless of graph diameter, where min-label
+    *    propagation needs O(diameter) rounds and a single 100M-node
+    *    duplicate CHAIN (the shape verbatim-crawl dups produce) would run
+    *    ~100M rounds. Sequential driver passes lose to parallel star
+    *    rounds once the pass count grows, which is why the iterated
+    *    regime caps at `SeedPassCap` passes.
     *
     * @return `(node, component)` for every node appearing in `pairs`
     */
@@ -441,48 +455,236 @@ object Dedup {
                           bCol: String = "doc_b", maxIter: Int = 50,
                           driverEdgeLimit: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Broadcast-style hybrid: dup-pair lists are usually MUCH smaller than
-    // the corpus (candidates ≪ n²); when the edge list fits on the driver,
-    // exact union-find there beats distributed rounds the same way a
-    // broadcast join beats a shuffle. The star loop is the
-    // ≥ driverEdgeLimit scale path. Both compute min-reachable-id.
-    if (edges.count() <= driverEdgeLimit * 2) { // count post-doubling
-      val nodeType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
-      val rows = pairs.select(col(aCol), col(bCol)).collect()
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x
-        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
-      }
-      def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-      rows.foreach { r =>
-        val a = r.get(0); val b = r.get(1)
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
-      }
-      edges.unpersist()
-      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
-      val it = parent.keySet.iterator()
-      while (it.hasNext) {
-        val n = it.next()
-        out.add(org.apache.spark.sql.Row(n, find(n)))
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node", nodeType),
-        org.apache.spark.sql.types.StructField("component", nodeType)))
-      return pairs.sparkSession.createDataFrame(out, schema)
+    val nodeType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // Long ids (every dedup-family producer) take the primitive path:
+    // typed collects and [[LongUnionFind]] — measured ~4× faster than the
+    // boxed generic form at the 5M-edge head (driver decode + union-find
+    // dominated the seed pass)
+    val isLong = nodeType == org.apache.spark.sql.types.LongType
+    def longUF(df: DataFrame): LongUnionFind = {
+      val edges = df.as[(Long, Long)].collect()
+      val uf = new LongUnionFind(math.max(16, edges.length))
+      var i = 0
+      while (i < edges.length) { uf.union(edges(i)._1, edges(i)._2); i += 1 }
+      uf
     }
-    edges.unpersist()
-    connectedComponentsStars(pairs, aCol, bCol, maxIter)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("component", nodeType)))
+    def driverComponents(df: DataFrame): DataFrame =
+      if (isLong) longUF(df).entries().toSeq.toDF("node", "component")
+      else {
+        val parent = unionFindRoots(df.collect())
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+        val it = parent.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out.add(org.apache.spark.sql.Row(e.getKey, e.getValue))
+        }
+        spark.createDataFrame(out, schema)
+      }
+    def seedMap(df: DataFrame): DataFrame =
+      if (isLong) longUF(df).nonIdentityEntries().toSeq.toDF("node", "root")
+      else {
+        val parent = unionFindRoots(df.collect())
+        val mapRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        val pit = parent.entrySet().iterator()
+        while (pit.hasNext) {
+          val e = pit.next()
+          if (e.getKey != e.getValue)
+            mapRows.add(org.apache.spark.sql.Row(e.getKey, e.getValue))
+        }
+        spark.createDataFrame(mapRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", nodeType),
+            org.apache.spark.sql.types.StructField("root", nodeType))))
+      }
+    var cur = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curCount = cur.count()
+    if (curCount <= driverEdgeLimit) {
+      val out = driverComponents(cur)
+      cur.unpersist()
+      return out
+    }
+    // ── beyond the driver budget: iterated seed-and-contract ────────────
+    // each pass is allowed when the REMAINING pass count stays small;
+    // otherwise one seed pass only, then the distributed star loop
+    val headLimit = math.min(driverEdgeLimit, Int.MaxValue.toLong - 1).toInt
+    val passCap =
+      if (curCount <= driverEdgeLimit * SeedPassCap) Int.MaxValue else 1
+    val maps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var pass = 0
+    var progress = true
+    while (curCount > driverEdgeLimit && pass < passCap && progress) {
+      pass += 1
+      val t0 = System.nanoTime()
+      // broadcast the pass labels: the contraction then streams the edge
+      // list map-side — no shuffle of the (possibly huge) edge table
+      val mapDf = broadcast(
+        seedMap(cur.limit(headLimit)).persist(StorageLevel.MEMORY_AND_DISK))
+      maps += mapDf
+      // contract: rewrite both endpoints through the pass labels (head
+      // edges become self-loops and drop; cross-group edges become
+      // super-node edges; distinct collapses the parallel ones)
+      val nxt = cur
+        .join(mapDf.select(col("node").as("a"), col("root").as("ra")),
+          Seq("a"), "left")
+        .join(mapDf.select(col("node").as("b"), col("root").as("rb")),
+          Seq("b"), "left")
+        .select(coalesce(col("ra"), col("a")).as("a"),
+          coalesce(col("rb"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nxtCount = nxt.count()
+      cur.unpersist()
+      println(f"[cc] seed pass $pass: $curCount -> $nxtCount edges" +
+        f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      progress = nxtCount < curCount
+      cur = nxt
+      curCount = nxtCount
+    }
+    // finish: driver union-find if the remainder fits, stars otherwise
+    // (the driver result is a local map — broadcast it into the
+    // composition join below)
+    val comp: Option[DataFrame] =
+      if (curCount == 0L) None
+      else if (curCount <= driverEdgeLimit) {
+        val out = broadcast(driverComponents(cur))
+        cur.unpersist()
+        Some(out)
+      } else Some(connectedComponentsStars(cur, "a", "b", maxIter))
+    // compose: node → pass-1 root → pass-2 root → … → final component
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node"))).distinct()
+    var lab = nodes.select(col("node"), col("node").as("r"))
+    maps.foreach { mp =>
+      lab = lab
+        .join(mp.select(col("node").as("r"), col("root")), Seq("r"), "left")
+        .select(col("node"), coalesce(col("root"), col("r")).as("r"))
+    }
+    comp match {
+      case None => lab.select(col("node"), col("r").as("component"))
+      case Some(c) =>
+        lab.join(c.select(col("node").as("r"), col("component")),
+            Seq("r"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("r")).as("component"))
+    }
+  }
+
+  /** Beyond this many sequential seed-and-contract driver passes, the
+    * distributed star loop wins (passes are sequential and each rescans
+    * the full edge list; star rounds are parallel).
+    */
+  val SeedPassCap = 4
+
+  /** Primitive open-addressing union-find over Long ids — the driver-side
+    * hot path (5M-edge seed heads): no boxing, no per-node allocation.
+    * Roots are the MINIMUM id of each group.
+    */
+  private final class LongUnionFind(expected: Int) {
+    private var cap = math.max(1 << 10,
+      java.lang.Integer.highestOneBit(math.max(1, expected)) << 2)
+    private var table = Array.fill(cap)(-1) // slot -> node index, -1 empty
+    private var keys = new Array[Long](math.max(16, expected * 2))
+    private var parent = new Array[Int](keys.length)
+    private var n = 0
+    private def rehash(): Unit = {
+      cap <<= 1
+      table = Array.fill(cap)(-1)
+      var i = 0
+      while (i < n) {
+        var h = java.lang.Long.hashCode(keys(i) * -7046029254386353131L) & (cap - 1)
+        while (table(h) != -1) h = (h + 1) & (cap - 1)
+        table(h) = i
+        i += 1
+      }
+    }
+    private def idxOf(k: Long): Int = {
+      var h = java.lang.Long.hashCode(k * -7046029254386353131L) & (cap - 1)
+      while (true) {
+        val i = table(h)
+        if (i == -1) {
+          if (n == keys.length) {
+            keys = java.util.Arrays.copyOf(keys, keys.length * 2)
+            parent = java.util.Arrays.copyOf(parent, parent.length * 2)
+          }
+          table(h) = n; keys(n) = k; parent(n) = n; n += 1
+          if (n.toLong * 4 > cap.toLong * 3) rehash()
+          return n - 1
+        }
+        if (keys(i) == k) return i
+        h = (h + 1) & (cap - 1)
+      }
+      -1 // unreachable
+    }
+    private def find(i0: Int): Int = {
+      var r = i0
+      while (parent(r) != r) r = parent(r)
+      var c = i0
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(idxOf(a)); val rb = find(idxOf(b))
+      if (ra != rb) {
+        if (keys(ra) < keys(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    def size: Int = n
+    /** (node, min-root) for every seen node, identity rows included. */
+    def entries(): Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](n)
+      var i = 0
+      while (i < n) { out(i) = (keys(i), keys(find(i))); i += 1 }
+      out
+    }
+    /** (node, min-root) only where the root differs from the node. */
+    def nonIdentityEntries(): Array[(Long, Long)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n)
+      var i = 0
+      while (i < n) {
+        val r = keys(find(i))
+        if (r != keys(i)) buf += ((keys(i), r))
+        i += 1
+      }
+      buf.toArray
+    }
+  }
+
+  /** Driver-side union-find over collected `(a, b)` rows: returns a fully
+    * path-compressed `node → root` map where every root is the MINIMUM id
+    * of its group (ids compared via their natural `Comparable` order, so
+    * any node type the dedup family produces works). Long-id graphs take
+    * the [[LongUnionFind]] primitive path instead — this generic form is
+    * the non-Long fallback.
+    */
+  private def unionFindRoots(rows: Array[org.apache.spark.sql.Row])
+      : java.util.HashMap[Any, Any] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val it = parent.keySet.iterator()
+    while (it.hasNext) find(it.next()) // compress everything to its root
+    parent
   }
 
   /** Distributed connected components by ALTERNATING STARS (Kiveris et al.
@@ -505,11 +707,27 @@ object Dedup {
     * materialize as arrays, so skewed dup clusters (one page duplicated
     * millions of times) cost a skew-join AQE split, not an OOM.
     *
-    * Stability check: edge count + decimal sums of both endpoints, one
-    * aggregation job per round that also materializes the round's
-    * `localCheckpoint` (on a cluster swap in reliable `checkpoint()`).
-    * Sum of dst is strictly non-increasing round over round; count can
-    * oscillate, so the triple is compared as a whole.
+    * Constant-factor structure (what the wall-clock is actually made of —
+    * per-ACTION and per-exchange overhead, not row volume, dominates at
+    * these edge-list sizes):
+    *  - each round is exactly ONE Spark action — the stability checksum
+    *    (count + decimal endpoint/hash sums) doubles as the
+    *    materialization of the round's lazy checkpoint;
+    *  - frontier FREEZING runs on exponential backoff: a component is
+    *    finished the moment it reaches its fixpoint star (every member
+    *    points straight at the component minimum `c`, `c` emits nothing,
+    *    no member touches any other edge — large-star and small-star are
+    *    both identities on it), and the check anti-joins finished stars
+    *    into a `done` accumulator so later rounds shuffle only the LIVE
+    *    frontier. Real dup graphs are dominated by tiny components that
+    *    finish immediately — the check pays for itself; on a single giant
+    *    component (a chain) nothing freezes until the end, so after each
+    *    miss the next check is pushed out 2× and the steady-state cost is
+    *    the star action alone. Per-round counts and times are logged.
+    *  (Batching two alternations into one plan was MEASURED and rejected:
+    *  each star op references its input twice, so un-checkpointed nesting
+    *  recomputes the inner subtree multiplicatively — 204 s vs 160 s on
+    *  the 6.4M-edge chain receipt.)
     *
     * @return `(node, component)` for every node appearing in `pairs`
     */
@@ -539,7 +757,8 @@ object Dedup {
         .distinct()
     }
     // small-star: orient toward the smaller endpoint; every group member
-    // (and the center u) connects to the group minimum.
+    // (and the center u) connects to the group minimum. Output edges are
+    // all oriented src > dst — the invariant the freeze check reads.
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(
           greatest(col("src"), col("dst")).as("src"),
@@ -552,29 +771,84 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    var live = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint(false)
-    var prev = checksum(e) // materializes the checkpoint too
-    if (prev._1 == 0L) // no non-loop edges: every node is its own component
-      return pairs.select(col(aCol).as("node"))
-        .unionByName(pairs.select(col(bCol).as("node"))).distinct()
-        .withColumn("component", col("node"))
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val cs = checksum(next)
-      converged = cs == prev
-      prev = cs
-      e = next
-      it += 1
-    }
-    // at the fixpoint edges are (node, componentMin) stars; the minima
-    // themselves (and any self-paired input nodes) label themselves
+    var cs = checksum(live) // materializes the checkpoint too
     val nodes = pairs.select(col(aCol).as("node"))
       .unionByName(pairs.select(col(bCol).as("node"))).distinct()
-    nodes.join(e.select(col("src").as("node"), col("dst").as("component")),
+    if (cs._1 == 0L) // no non-loop edges: every node is its own component
+      return nodes.withColumn("component", col("node"))
+    val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var it = 0
+    var converged = false
+    var nextFreezeCheck = 1
+    var freezeGap = 1
+    while (!converged && cs._1 > 0L && it < maxIter) {
+      it += 1
+      val t0 = System.nanoTime()
+      // the heavy action: one alternation, LAZY-checkpointed — the
+      // checksum materializes it, so each non-freeze round is exactly ONE
+      // Spark action (on a cluster swap in reliable checkpoint())
+      val next = smallStar(largeStar(live)).localCheckpoint(false)
+      val ncs = checksum(next)
+      if (ncs == cs) {
+        // global fixpoint: every live component is a final star
+        doneParts += next
+        converged = true
+        println(f"[cc-stars] round=$it fixpoint: ${ncs._1} star edges done" +
+          f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      } else if (it >= nextFreezeCheck) {
+        // freeze check over the checkpointed round, all oriented src > dst:
+        // star S(c) = {(v → c)} is a finished component iff c never emits
+        // (c ∉ src) and every member v appears in NO other edge (deg 1) —
+        // then S(c) is a whole component at its fixpoint and can leave the
+        // loop. busyCenters = centers disqualified by either condition.
+        val deg = next.select(col("src").as("n"))
+          .unionByName(next.select(col("dst").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val busyCenters = next
+          .join(deg.filter(col("deg") > 1).select(col("n").as("src")),
+            Seq("src"), "left_semi")
+          .select(col("dst"))
+          .unionByName(next.select(col("src").as("dst")))
+          .distinct()
+        val frozen = next.join(busyCenters, Seq("dst"), "left_anti")
+          .select("src", "dst").localCheckpoint(false)
+        val frozenCount = frozen.count()
+        if (frozenCount > 0L) {
+          doneParts += frozen
+          live = next.join(busyCenters, Seq("dst"), "left_semi")
+            .select("src", "dst").localCheckpoint(false)
+          cs = checksum(live)
+          freezeGap = 1 // freezing is paying off: keep checking every round
+        } else {
+          live = next
+          cs = ncs
+          freezeGap *= 2 // a miss: push the next check out (chain graphs
+          // never freeze mid-run — don't pay the check per round for them)
+        }
+        nextFreezeCheck = it + freezeGap
+        println(f"[cc-stars] round=$it live=${cs._1} frozen=$frozenCount" +
+          f" done=${doneParts.size} parts" +
+          f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      } else {
+        live = next
+        cs = ncs
+        println(f"[cc-stars] round=$it live=${cs._1}" +
+          f" (freeze check deferred to round $nextFreezeCheck," +
+          f" ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+    }
+    require(converged || cs._1 == 0L,
+      s"connectedComponentsStars did not converge in $maxIter rounds" +
+        s" (${cs._1} live edges remain)")
+    // every frozen edge is (node, componentMin); the minima themselves
+    // (and any self-paired input nodes) label themselves
+    if (doneParts.isEmpty) // unreachable unless the input was all loops
+      return nodes.withColumn("component", col("node"))
+    val stars = doneParts.reduce(_ unionByName _)
+    nodes.join(stars.select(col("src").as("node"), col("dst").as("component")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }

@@ -10,18 +10,16 @@ import graft.functions.TextFunctions
   * bag-of-words only, `embedding/bm25_manager.py:284-287`; phrase
   * queries are the standard keyword-search capability it lacks).
   *
-  * Phrase occurrence counting is a pure string computation, not a
-  * positional-postings join: the token array is re-joined with DOUBLE
-  * spaces and single sentinel spaces (` spark  join  spark  join `), the
-  * phrase pattern carries single outer spaces (` spark  join `), and the
-  * non-overlapping occurrence count falls out of one `replace`:
-  * `tf = (len(s) − len(replace(s, p, ''))) / len(p)`. The double-space
-  * convention makes ADJACENT occurrences each own their boundary spaces
-  * (a single-space join would let `replace` consume the shared space and
-  * undercount `a b a b`), while true overlaps (`a a a` for phrase
-  * `a a`) still count once — the left-to-right non-overlapping
-  * convention both Spark's and DuckDB's `replace` implement, which is
-  * what makes the operator value-oracle-able.
+  * Phrase occurrence counting is ADJACENT-START positional semantics —
+  * tf = the number of token positions where the phrase starts, overlaps
+  * included (`a a a` counts the phrase `a a` TWICE) — the standard
+  * positional-inverted-index convention and exactly what the stored tier
+  * ([[PositionalIndex]]) computes, so a phrase query answers identically
+  * whether it is computed on the fly or served from the at-rest index
+  * (repeated-token phrases included; an earlier replace-counting
+  * formulation diverged on those). The count is pure codegen column math:
+  * filter the start positions `1 .. |toks|−m+1` on an m-way token
+  * equality conjunction — no fan-out, no join.
   *
   * 100 TB: one corpus pass computes (doc_len, tf) per document as
   * codegen column math; corpus stats (N, avgdl, df) are one tiny
@@ -31,18 +29,23 @@ import graft.functions.TextFunctions
 object PhraseSearch {
 
   /** Per-document phrase stats: `(id, dl, tf)` — BM25 token count and
-    * non-overlapping occurrences of the phrase. One corpus pass.
+    * adjacent-start (overlapping) occurrences of the phrase. One corpus
+    * pass.
     */
   def phraseStats(docs: DataFrame, idCol: String, textCol: String,
                   phraseText: String): DataFrame = {
     val ptoks = LateInteraction.tokenizeValue(phraseText)
     require(ptoks.nonEmpty, "empty phrase")
-    val p = " " + ptoks.mkString("  ") + " "
-    val toks = TextFunctions.tokenize(col(textCol))
-    val s = concat(lit(" "), array_join(toks, "  "), lit(" "))
-    docs.select(col(idCol), size(toks).cast("long").as("dl"),
-      ((length(s) - length(replace(s, lit(p), lit("")))) / lit(p.length))
-        .cast("long").as("tf"))
+    val m = ptoks.size
+    docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        when(size(col("toks")) >= m,
+          size(filter(
+            sequence(lit(1), size(col("toks")) - lit(m - 1)),
+            i => ptoks.zipWithIndex.map { case (pt, j) =>
+              element_at(col("toks"), (i + lit(j)).cast("int")) === lit(pt)
+            }.reduce(_ && _))))
+          .otherwise(lit(0)).cast("long").as("tf"))
   }
 
   /** Top-k BM25-scored phrase search: `(id, score)` with the phrase as

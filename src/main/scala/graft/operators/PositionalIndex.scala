@@ -19,11 +19,10 @@ import graft.functions.TextFunctions
   *
   * Phrase semantics from positions: an occurrence is an ADJACENT-START
   * match — position p such that `p + i ∈ positions(termᵢ)` for every
-  * phrase term. For repeated-token phrases this counts overlapping
-  * starts (`a a a` for `a a` → 2), unlike [[PhraseSearch]]'s
-  * non-overlapping string `replace` (→ 1) — the standard
-  * positional-index convention, spec-pinned; the two tiers agree on
-  * distinct-token phrases.
+  * phrase term. Repeated-token phrases count overlapping starts
+  * (`a a a` for `a a` → 2) — the standard positional-index convention,
+  * which the computed [[PhraseSearch]] tier shares, so both tiers agree
+  * on every phrase (spec-pinned).
   */
 object PositionalIndex {
 

@@ -61,9 +61,19 @@ object TextRank {
     * (isolated nodes) are not ranked.
     */
   def keywords(docs: DataFrame, textCol: String, k: Int,
-               iters: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    val edges = cooccurrenceEdges(docs, textCol).localCheckpoint(true)
+               iters: Int = 8): DataFrame =
+    keywordsFromEdges(cooccurrenceEdges(docs, textCol).localCheckpoint(true),
+      k, iters)
+
+  /** [[keywords]] over a PRE-BUILT `(src, dst, w)` co-occurrence edge
+    * table — the maintain-once/serve-many shape: the one corpus pass that
+    * builds the edges persists as a table (it only changes when the corpus
+    * does), and every keyword request pays just the vocabulary-sized
+    * iterations. Input must be the [[cooccurrenceEdges]] contract (both
+    * directions present, no self-loops).
+    */
+  def keywordsFromEdges(edges: DataFrame, k: Int,
+                        iters: Int = 8): DataFrame = {
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("word")).distinct()

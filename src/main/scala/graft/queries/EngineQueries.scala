@@ -176,6 +176,78 @@ object EngineQueries {
     array_join(transform(vec, v =>
       round(round(v.cast("double"), 6) * 1000000.0, 0).cast("long").cast("string")), ",")
 
+  /** DuckDB twin of the FULL formatter document (f_format_xml/_md): w3
+    * consecutive-run grouping over the bounded chunk slice, sid-ordered
+    * string_agg per block, per-block format string, block-ordered
+    * string_agg into the one-document frame. The non-regex replace chain
+    * must apply in the [[graft.format.Formatters.xmlEscape]] order
+    * (& first, quotes last).
+    */
+  private def formatDocSql(style: String): String = {
+    def esc(e: String): String =
+      s"replace(replace(replace(replace(replace($e," +
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')," +
+        " '\"', '&quot;'), '''', '&apos;')"
+    val (body, frame) = style match {
+      case "xml" => (
+        s"'<reference source=\"' || ${esc("sourcedoc")} || '\" start=\"' ||" +
+          s" start_sid || '\" end=\"' || end_sid || '\">' || chr(10) ||" +
+          s" ${esc("block_text")} || chr(10) || '</reference>'",
+        "'<references>' || chr(10) || agg || chr(10) || '</references>'")
+      case _ => ( // markdown
+        "'### ' || sourcedoc || ' [' || start_sid || '-' || end_sid ||" +
+          " ']' || chr(10) || chr(10) || block_text",
+        "agg")
+    }
+    val sep = if (style == "xml") "chr(10)" else "chr(10) || chr(10)"
+    s"""WITH chunks AS (
+       |  SELECT doc_id, source AS sourcedoc,
+       |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid,
+       |         text
+       |  FROM documents WHERE doc_id < 300),
+       |ctx AS (SELECT * FROM chunks WHERE sid % 7 < 3),
+       |lagged AS (
+       |  SELECT sourcedoc, sid, text,
+       |         lag(sid) OVER (PARTITION BY sourcedoc ORDER BY sid) AS prev_sid
+       |  FROM ctx),
+       |flagged AS (
+       |  SELECT sourcedoc, sid, text,
+       |         CASE WHEN prev_sid IS NULL OR sid != prev_sid + 1 THEN 1 ELSE 0 END AS ng
+       |  FROM lagged),
+       |grouped AS (
+       |  SELECT sourcedoc, sid, text,
+       |         sum(ng) OVER (PARTITION BY sourcedoc ORDER BY sid
+       |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS group_id
+       |  FROM flagged),
+       |blocks AS (
+       |  SELECT sourcedoc, group_id, min(sid) AS start_sid, max(sid) AS end_sid,
+       |         string_agg(text, chr(10) ORDER BY sid) AS block_text
+       |  FROM grouped GROUP BY sourcedoc, group_id),
+       |fmt AS (SELECT sourcedoc, start_sid, $body AS formatted FROM blocks),
+       |joined AS (
+       |  SELECT string_agg(formatted, $sep ORDER BY sourcedoc, start_sid) AS agg
+       |  FROM fmt)
+       |SELECT $frame AS doc FROM joined""".stripMargin
+  }
+
+  /** Spark side of f_format_xml/_md: the REAL serving path —
+    * [[graft.format.Formatters.blocks]] → formatBlocks → assemble (a
+    * bounded driver-side join of per-block strings), re-wrapped as a
+    * 1-row DataFrame for the comparator.
+    */
+  private def formatDocDf(s: org.apache.spark.sql.SparkSession,
+                          dir: String, style: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.format.Formatters
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val chunks = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("source").as("sourcedoc"),
+        (row_number().over(w) - 1).cast("int").as("sid"), col("text"))
+    val ctx = chunks.filter(col("sid") % 7 < 3)
+    val fmt = Formatters.formatBlocks(Formatters.blocks(ctx, "text"), style)
+    Seq(Tuple1(Formatters.assemble(fmt, style))).toDF("doc")
+  }
+
   /** The complete single-query lifecycle as one DuckDB SQL statement,
     * parameterized by the PINNED enhanced-query literal (spec-asserted to
     * equal live Enhancement output). Used directly by e2e_hybrid_query and
@@ -1050,6 +1122,20 @@ object EngineQueries {
         .orderBy("sourcedoc", "sid")
     },
 
+    // ── Formatter END OUTPUT, oracle-checked (query/formatters.py:379-523):
+    //    the full assembled reference document — w3 consecutive-run blocks
+    //    over a bounded chunk slice, per-block strings (XML with the F17
+    //    escape chain / Markdown headers), string_agg'd into ONE string in
+    //    BOTH engines. A hash match here pins the entire formatting path:
+    //    grouping, sid-ordered block joins, escaping, block order, and the
+    //    document frame ─────────────────────────────────────────────────
+    QueryDef.sql("f_format_xml", formatDocSql("xml")) { (s, dir) =>
+      formatDocDf(s, dir, "xml")
+    },
+    QueryDef.sql("f_format_md", formatDocSql("markdown")) { (s, dir) =>
+      formatDocDf(s, dir, "markdown")
+    },
+
     // ── M7/T4: head rerank with the deterministic lexical scorer ──────────
     QueryDef.sql("m7_rerank", {
       // literal token list (not a subquery — RE2/DuckDB lambdas can't
@@ -1153,6 +1239,84 @@ object EngineQueries {
           round(coalesce(col("rerank_score"), lit(-1.0)), 6).as("rerank_score"),
           col("final_rank").cast("long").as("final_rank"))
         .orderBy("final_rank")
+    },
+
+    // ── M16: the reference's QUERY-EMBEDDING cache as a table join
+    //    (query/embedding.py:47-143 memoizes the query's vector by its
+    //    string) — the query batch embeds COLD through the deterministic
+    //    provider, the new cache rows become the table, and the WARM pass
+    //    re-embeds the same batch against a provider that THROWS on any
+    //    miss: the entry's own execution proves every row was served from
+    //    the cache join, and the oracle (a direct embed of each text)
+    //    proves hit ≡ recompute ──────────────────────────────────────────
+    QueryDef.sql("m16_query_cache", {
+      val vals = E2eBatch20.zipWithIndex
+        .map { case ((raw, _), i) => s"(${i + 1}, '${raw.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH q(query_id, text) AS (VALUES $vals)
+         |SELECT query_id, sha256(text) AS content_key,
+         |       ${embedStrSql("text", 16)} AS vec
+         |FROM q ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val queries = E2eBatch20.zipWithIndex
+        .map { case ((raw, _), i) => ((i + 1).toLong, raw) }
+        .toDF("query_id", "text")
+      val empty = Seq.empty[(String, Array[Float])].toDF("content_key", "embedding")
+      // cold pass computes every miss; its appends are the cache table
+      val cold = Embedder.embedWithCache(queries, "text", empty,
+        Embedder.Deterministic(16))
+      // warm pass: the provider refuses — only the cache join can serve
+      val warm = Embedder.embedWithCache(queries, "text", cold.newCacheRows,
+        graft.query.QueryCache.refusingProvider(16))
+      warm.embedded
+        .select(col("query_id"), col("content_key"),
+          embedStrCol(col("embedding")).as("vec"))
+        .orderBy("query_id")
+    },
+
+    // ── M16: the reference's RERANK-SCORE cache as a table join
+    //    (rerank_manager.py:25-130 LRUs (query, passage) → score): cold
+    //    pass scores 6 queries × the 50-doc candidate slice with the
+    //    lexical scorer; the warm pass re-runs with a POISONED scorer
+    //    (-999 literal) against the filled cache — any miss would surface
+    //    as a poisoned value and fail the hash, so the green entry itself
+    //    proves the warm plan read every score from the table ────────────
+    QueryDef.sql("m16_rerank_cache", {
+      val vals = E2eBatch20.take(6).zipWithIndex
+        .map { case ((raw, _), i) => s"(${i + 1}, '${raw.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $vals),
+         |cand AS (
+         |  SELECT q.query_id, ${tokSql("q.qtext")} AS qt,
+         |         d.doc_id, ${tokSql("d.text")} AS dt
+         |  FROM q CROSS JOIN documents d WHERE d.doc_id < 50)
+         |SELECT query_id, doc_id,
+         |       round(CASE WHEN len(list_distinct(list_concat(dt, qt))) > 0
+         |         THEN len(list_filter(list_distinct(dt), t -> list_contains(qt, t)))::DOUBLE
+         |              / len(list_distinct(list_concat(dt, qt)))::DOUBLE
+         |         ELSE 0.0 END, 6) AS rscore
+         |FROM cand ORDER BY query_id, doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val queries = E2eBatch20.take(6).zipWithIndex
+        .map { case ((raw, _), i) => ((i + 1).toLong, raw) }
+        .toDF("query_id", "qtext")
+      val cands = queries.crossJoin(broadcast(
+        Tables.documents(s, dir).filter(col("doc_id") < 50)
+          .select("doc_id", "text")))
+      val scorer = Rerank.lexicalScoreCols(
+        array_distinct(TextFunctions.tokenizeBm25(col("qtext"))), col("text"))
+      val empty = Seq.empty[(String, Long, Double)]
+        .toDF("query_key", "doc_id", "rscore")
+      val cold = graft.query.QueryCache.rerankWithCache(
+        cands, "qtext", "doc_id", empty, scorer)
+      val warm = graft.query.QueryCache.rerankWithCache(
+        cands, "qtext", "doc_id", cold.newCacheRows, lit(-999.0))
+      warm.scored
+        .select(col("query_id"), col("doc_id"),
+          round(col("rscore"), 6).as("rscore"))
+        .orderBy("query_id", "doc_id")
     },
 
     // ── BATCHED rerank: 3 queries through BM25 top-50 → per-query lexical

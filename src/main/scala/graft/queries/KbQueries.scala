@@ -31,6 +31,117 @@ object KbQueries {
        |         ${cosineSql("embedding", "(SELECT v FROM qv)")} AS score
        |  FROM embeddings)""".stripMargin
 
+  /** The AT-REST BM25 index for (session, corpus): built and WRITTEN once
+    * per corpus (the `bm25` CLI verb's artifact), then read back — the
+    * maintain-once/serve-many twin of [[Bm25.cachedIndex]]. Serving rows
+    * (t13_rm3_served, t15_boolean_served) run on this store so their cost
+    * is the retrieval itself, not the index build the build-inclusive
+    * rows deliberately carry.
+    */
+  private def storedBm25(s: org.apache.spark.sql.SparkSession,
+                         dir: String): Bm25.Index = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25ix_$suffix").getPath
+    Bm25StoreMemo.memo.getOrBuild(s, dir) {
+      Bm25.writeIndex(
+        Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text"), root)
+      true
+    }
+    Bm25.readIndex(s, root)
+  }
+
+  /** The boolean fixture AST and its DuckDB doc-set algebra — shared by
+    * the build-inclusive and the stored-index serving entries (identical
+    * results by construction: same index CONTENT, different residence).
+    */
+  private val BooleanFixture = "(window OR join) AND filter NOT slow"
+  private def booleanSql: String = {
+    import graft.operators.BooleanSearch._
+    def setSql(n: Node): String = n match {
+      case Term(t) => s"(SELECT DISTINCT doc_id FROM post WHERE term = '$t')"
+      case And(l, r) => s"(${setSql(l)} INTERSECT ${setSql(r)})"
+      case Or(l, r) => s"(${setSql(l)} UNION ${setSql(r)})"
+      case Not(x) =>
+        s"((SELECT DISTINCT doc_id FROM lens) EXCEPT ${setSql(x)})"
+    }
+    val ast: Node = And(And(Or(Term("window"), Term("join")),
+      Term("filter")), Not(Term("slow")))
+    val pos = positiveTerms(ast).map(t => s"'$t'").mkString(", ")
+    s"""$bm25Cte
+       |SELECT p.doc_id,
+       |       round(sum((i.idf * (p.tf * (1.2 + 1.0))) /
+       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))),
+       |             4) AS score
+       |FROM post p JOIN idf i USING (term) JOIN lens l USING (doc_id)
+       |CROSS JOIN stats s
+       |WHERE p.term IN ($pos) AND p.doc_id IN ${setSql(ast)}
+       |GROUP BY p.doc_id
+       |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Computed-tier phrase SQL for `phrase`, top `k`: tf is the
+    * ADJACENT-START positional count (overlaps included — `a a a`
+    * counts the phrase `a a` twice), identical to the stored tier's
+    * position-list intersection, so both tiers agree on every phrase
+    * including repeated-token ones. Shared by t12_phrase_topk and
+    * t12_phrase_repeated.
+    */
+  private def phraseComputedSql(phrase: String, k: Int): String = {
+    val ptoks = graft.operators.LateInteraction.tokenizeValue(phrase)
+    require(ptoks.nonEmpty, "empty phrase")
+    val m = ptoks.size
+    val conj = ptoks.zipWithIndex
+      .map { case (t, j) => s"toks[i+$j] = '$t'" }.mkString(" AND ")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
+       |tfx AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl,
+       |         len(list_filter(range(1, len(toks) - ${m - 1} + 1),
+       |             i -> $conj))::BIGINT AS tf
+       |  FROM base),
+       |corpus AS (
+       |  SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl,
+       |         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::BIGINT AS df
+       |  FROM tfx WHERE dl > 0)
+       |SELECT doc_id,
+       |       round(ln((n::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
+       |             * (tf * (1.2 + 1.0))
+       |             / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)),
+       |             4) AS score
+       |FROM tfx, corpus WHERE tf > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** RM3 two-pass SQL — shared by t13_rm3_feedback and t13_rm3_served. */
+  private def rm3Sql: String =
+    s"""$bm25Cte,
+       |s1 AS (SELECT doc_id, round(score, 4) AS s1 FROM bm25),
+       |fb AS (SELECT doc_id, s1 FROM s1 ORDER BY s1 DESC, doc_id LIMIT 10),
+       |wq AS (
+       |  SELECT p.term, round(sum(p.tf * f.s1), 4) AS w
+       |  FROM post p JOIN fb f USING (doc_id)
+       |  WHERE p.term NOT IN (SELECT term FROM q)
+       |  GROUP BY p.term),
+       |et AS (SELECT term, w FROM wq ORDER BY w DESC, term LIMIT 10),
+       |ws AS (SELECT sum(w) AS sw FROM et),
+       |wn AS (SELECT term, round(w / (SELECT sw FROM ws), 4) AS wn FROM et),
+       |es AS (
+       |  SELECT p.doc_id,
+       |         round(sum(n.wn * ((i.idf * (p.tf * (1.2 + 1.0))) /
+       |               (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl)))),
+       |               4) AS es
+       |  FROM post p
+       |  JOIN wn n USING (term) JOIN idf i USING (term)
+       |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY p.doc_id),
+       |fin AS (
+       |  SELECT doc_id,
+       |         round(0.5 * coalesce(a.s1, 0.0) + 0.5 * coalesce(e.es, 0.0), 5) AS score
+       |  FROM s1 a FULL OUTER JOIN es e USING (doc_id))
+       |SELECT doc_id, score FROM fin WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── F3: tokenization (/root/reference/utils/text_utils.py:255-314) ────
@@ -239,41 +350,26 @@ object KbQueries {
     //    matches score by BM25 over the positive terms. The twin is
     //    generated from the SAME fixture AST; a spec pins parse(fixture)
     //    to that AST ───────────────────────────────────────────────────
-    QueryDef.sql("t15_boolean_search", {
-      import graft.operators.BooleanSearch._
-      def setSql(n: Node): String = n match {
-        case Term(t) => s"(SELECT DISTINCT doc_id FROM post WHERE term = '$t')"
-        case And(l, r) => s"(${setSql(l)} INTERSECT ${setSql(r)})"
-        case Or(l, r) => s"(${setSql(l)} UNION ${setSql(r)})"
-        case Not(x) =>
-          s"((SELECT DISTINCT doc_id FROM lens) EXCEPT ${setSql(x)})"
-      }
-      val ast: Node = And(And(Or(Term("window"), Term("join")),
-        Term("filter")), Not(Term("slow")))
-      val pos = positiveTerms(ast).map(t => s"'$t'").mkString(", ")
-      s"""$bm25Cte
-         |SELECT p.doc_id,
-         |       round(sum((i.idf * (p.tf * (1.2 + 1.0))) /
-         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))),
-         |             4) AS score
-         |FROM post p JOIN idf i USING (term) JOIN lens l USING (doc_id)
-         |CROSS JOIN stats s
-         |WHERE p.term IN ($pos) AND p.doc_id IN ${setSql(ast)}
-         |GROUP BY p.doc_id
-         |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
-    }) { (s, dir) =>
+    QueryDef.sql("t15_boolean_search", booleanSql) { (s, dir) =>
       val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
-      graft.operators.BooleanSearch.booleanTopK(ix, s,
-        "(window OR join) AND filter NOT slow", 20)
+      graft.operators.BooleanSearch.booleanTopK(ix, s, BooleanFixture, 20)
+    },
+
+    // ── t15 SERVING twin: the same boolean retrieval from the AT-REST
+    //    index (build+write once per corpus, read-back serve — the `bm25`
+    //    verb artifact + the `search --boolean` path). Same oracle: index
+    //    residence must not change a single score ───────────────────────
+    QueryDef.sql("t15_boolean_served", booleanSql) { (s, dir) =>
+      graft.operators.BooleanSearch.booleanTopK(
+        storedBm25(s, dir), s, BooleanFixture, 20)
     },
 
     // ── Stored-index phrase search: the same BM25-with-phrase-as-term
     //    contract as t12, served from the AT-REST positional index
     //    (term-bucket-partitioned parquet, built+written once per corpus)
     //    — tf is the adjacent-start position-list intersection, the
-    //    standard positional-index convention (≡ t12's replace count on
-    //    distinct-token phrases; divergence on repeated tokens is
-    //    spec-pinned) ────────────────────────────────────────────────────
+    //    standard positional-index convention the computed tier now
+    //    shares on every phrase (repeated tokens included) ───────────────
     QueryDef.sql("t12_phrase_stored", {
       val ptoks = graft.operators.LateInteraction.tokenizeValue(PhraseText)
       val sides = ptoks.zipWithIndex.map { case (t, i) =>
@@ -370,70 +466,39 @@ object KbQueries {
     //    excluded, (w DESC, term) cut) → λ=0.5 interpolated re-score.
     //    Every selection boundary rounds to 4 dp first, so both engines
     //    make identical cuts — a TWO-PASS retrieval, value-oracled ──────
-    QueryDef.sql("t13_rm3_feedback",
-      s"""$bm25Cte,
-         |s1 AS (SELECT doc_id, round(score, 4) AS s1 FROM bm25),
-         |fb AS (SELECT doc_id, s1 FROM s1 ORDER BY s1 DESC, doc_id LIMIT 10),
-         |wq AS (
-         |  SELECT p.term, round(sum(p.tf * f.s1), 4) AS w
-         |  FROM post p JOIN fb f USING (doc_id)
-         |  WHERE p.term NOT IN (SELECT term FROM q)
-         |  GROUP BY p.term),
-         |et AS (SELECT term, w FROM wq ORDER BY w DESC, term LIMIT 10),
-         |ws AS (SELECT sum(w) AS sw FROM et),
-         |wn AS (SELECT term, round(w / (SELECT sw FROM ws), 4) AS wn FROM et),
-         |es AS (
-         |  SELECT p.doc_id,
-         |         round(sum(n.wn * ((i.idf * (p.tf * (1.2 + 1.0))) /
-         |               (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl)))),
-         |               4) AS es
-         |  FROM post p
-         |  JOIN wn n USING (term) JOIN idf i USING (term)
-         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
-         |  GROUP BY p.doc_id),
-         |fin AS (
-         |  SELECT doc_id,
-         |         round(0.5 * coalesce(a.s1, 0.0) + 0.5 * coalesce(e.es, 0.0), 5) AS score
-         |  FROM s1 a FULL OUTER JOIN es e USING (doc_id))
-         |SELECT doc_id, score FROM fin WHERE score > 0
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    QueryDef.sql("t13_rm3_feedback", rm3Sql) { (s, dir) =>
       val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
       graft.operators.Rm3.rm3TopK(ix, s, QueryText, 20)
     },
 
+    // ── t13 SERVING twin: both RM3 passes from the AT-REST index (see
+    //    t15_boolean_served) — the bench-visible cost becomes the two
+    //    pruned-postings passes, not the build ──────────────────────────
+    QueryDef.sql("t13_rm3_served", rm3Sql) { (s, dir) =>
+      graft.operators.Rm3.rm3TopK(storedBm25(s, dir), s, QueryText, 20)
+    },
+
     // ── Exact token-phrase search, BM25-scored with the PHRASE as the
     //    indexed term (extension: the reference's BM25 is bag-of-words
-    //    only, bm25_manager.py:284-287). tf is a pure string computation
-    //    — double-space token join + single-sentinel pattern, so adjacent
-    //    occurrences each own their boundary spaces and one replace()
-    //    yields the non-overlapping count in both engines ───────────────
-    QueryDef.sql("t12_phrase_topk", {
-      val ptoks = graft.operators.LateInteraction.tokenizeValue(PhraseText)
-      val p = " " + ptoks.mkString("  ") + " "
-      s"""WITH base AS (
-         |  SELECT doc_id, ${plainTokSql("text")} AS toks FROM documents),
-         |st AS (
-         |  SELECT doc_id, len(toks)::BIGINT AS dl,
-         |         ' ' || array_to_string(toks, '  ') || ' ' AS s
-         |  FROM base),
-         |tfx AS (
-         |  SELECT doc_id, dl,
-         |         ((len(s) - len(replace(s, '$p', ''))) / ${p.length})::BIGINT AS tf
-         |  FROM st),
-         |corpus AS (
-         |  SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl,
-         |         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::BIGINT AS df
-         |  FROM tfx WHERE dl > 0)
-         |SELECT doc_id,
-         |       round(ln((n::DOUBLE - df + 0.5) / (df + 0.5) + 1.0)
-         |             * (tf * (1.2 + 1.0))
-         |             / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)),
-         |             4) AS score
-         |FROM tfx, corpus WHERE tf > 0
-         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
-    }) { (s, dir) =>
+    //    only, bm25_manager.py:284-287). tf is the ADJACENT-START
+    //    positional count (overlaps included) — the same semantics the
+    //    stored tier (t12_phrase_stored) serves, so computed and stored
+    //    answers agree on EVERY phrase, repeated tokens included ─────────
+    QueryDef.sql("t12_phrase_topk", phraseComputedSql(PhraseText, 50)) {
+      (s, dir) =>
+        graft.operators.PhraseSearch.phraseTopK(
+          Tables.documents(s, dir), "doc_id", "text", PhraseText, 50)
+    },
+
+    // ── The repeated-token phrase case the two tiers used to diverge on
+    //    (replace-counting skipped overlapping starts): "vector vector"
+    //    occurs in the corpus and "vector vector vector" runs make
+    //    overlap counting observable. A spec additionally pins computed ≡
+    //    stored on exactly this phrase ───────────────────────────────────
+    QueryDef.sql("t12_phrase_repeated",
+      phraseComputedSql("vector vector", 50)) { (s, dir) =>
       graft.operators.PhraseSearch.phraseTopK(
-        Tables.documents(s, dir), "doc_id", "text", PhraseText, 50)
+        Tables.documents(s, dir), "doc_id", "text", "vector vector", 50)
     },
 
     // ── T1: exact vector k-NN (cosine; warm in-process LocalRelation, or
@@ -620,5 +685,12 @@ object KbQueries {
   * (build+write once, serve many — t12_phrase_stored).
   */
 private[queries] object PosIxMemo {
+  val memo = new graft.operators.SessionMemo[Boolean]
+}
+
+/** Session-scoped once-per-corpus latch for the stored BM25 index
+  * (build+write once, serve many — t13_rm3_served / t15_boolean_served).
+  */
+private[queries] object Bm25StoreMemo {
   val memo = new graft.operators.SessionMemo[Boolean]
 }

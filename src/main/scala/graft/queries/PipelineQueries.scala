@@ -154,6 +154,49 @@ object PipelineQueries {
        |  round((s::DOUBLE / n_tokens::DOUBLE) / 1000000.0, 4) AS cross_entropy
        |  FROM sc0)""".stripMargin
 
+  /** The TextRank DuckDB twin — 8 damped exact-integer PageRank rounds
+    * unrolled as MATERIALIZED CTEs; shared by f_textrank_keywords and the
+    * stored-edge serving twin f_textrank_served (same oracle: edge
+    * residence must not change a rank).
+    */
+  private def textrankSql: String = {
+    val rounds = 8
+    val S = graft.operators.TextRank.Scale
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS MATERIALIZED (
+              |  SELECT doc_id, ${plainTokSql("text")} AS l FROM documents),
+              |pr AS MATERIALIZED (
+              |  SELECT l[i] AS a, l[i+1] AS b
+              |  FROM tok, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+              |  WHERE l[i] <> l[i+1]),
+              |ed AS MATERIALIZED (
+              |  SELECT src, dst, count(*)::BIGINT AS w FROM (
+              |    SELECT a AS src, b AS dst FROM pr
+              |    UNION ALL SELECT b AS src, a AS dst FROM pr)
+              |  GROUP BY src, dst),
+              |ow AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY src),
+              |nodes AS MATERIALIZED (SELECT DISTINCT src AS word FROM ed),
+              |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+              |r0 AS MATERIALIZED (
+              |  SELECT word, ($S // (SELECT n FROM nn))::BIGINT AS r FROM nodes)""".stripMargin
+    for (i <- 1 to rounds)
+      sb ++= s""",
+                |r$i AS MATERIALIZED (
+                |  SELECT n.word,
+                |         (($S * 15) // ((SELECT n FROM nn) * 100)
+                |          + (85 * coalesce(c.cs, 0)) // 100)::BIGINT AS r
+                |  FROM nodes n LEFT JOIN (
+                |    SELECT e.dst AS word,
+                |           sum((r.r // o.ow) * e.w + ((r.r % o.ow) * e.w) // o.ow)::BIGINT AS cs
+                |    FROM ed e JOIN r${i - 1} r ON e.src = r.word
+                |              JOIN ow o ON e.src = o.src
+                |    GROUP BY e.dst) c USING (word))""".stripMargin
+    sb ++= s"""
+              |SELECT word, r AS rank_micro FROM r$rounds
+              |ORDER BY r DESC, word LIMIT 30""".stripMargin
+    sb.toString
+  }
+
   private def polySql(expr: String, mult: Int): String =
     s"""list_reduce(list_prepend(0::BIGINT,
        | list_transform(string_split($expr, ''), c -> ord(c)::BIGINT)),
@@ -2112,45 +2155,27 @@ object PipelineQueries {
     //    integer division on both engines) so the whole iterative loop is
     //    value-oracle-able — the DuckDB twin unrolls the rounds as
     //    MATERIALIZED CTEs, the Bpe-trainer idiom ───────────────────────
-    QueryDef.sql("f_textrank_keywords", {
-      val rounds = 8
-      val S = graft.operators.TextRank.Scale
-      val sb = new StringBuilder
-      sb ++= s"""WITH tok AS MATERIALIZED (
-                |  SELECT doc_id, ${plainTokSql("text")} AS l FROM documents),
-                |pr AS MATERIALIZED (
-                |  SELECT l[i] AS a, l[i+1] AS b
-                |  FROM tok, LATERAL (SELECT unnest(range(1, len(l))) AS i) t
-                |  WHERE l[i] <> l[i+1]),
-                |ed AS MATERIALIZED (
-                |  SELECT src, dst, count(*)::BIGINT AS w FROM (
-                |    SELECT a AS src, b AS dst FROM pr
-                |    UNION ALL SELECT b AS src, a AS dst FROM pr)
-                |  GROUP BY src, dst),
-                |ow AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY src),
-                |nodes AS MATERIALIZED (SELECT DISTINCT src AS word FROM ed),
-                |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
-                |r0 AS MATERIALIZED (
-                |  SELECT word, ($S // (SELECT n FROM nn))::BIGINT AS r FROM nodes)""".stripMargin
-      for (i <- 1 to rounds)
-        sb ++= s""",
-                  |r$i AS MATERIALIZED (
-                  |  SELECT n.word,
-                  |         (($S * 15) // ((SELECT n FROM nn) * 100)
-                  |          + (85 * coalesce(c.cs, 0)) // 100)::BIGINT AS r
-                  |  FROM nodes n LEFT JOIN (
-                  |    SELECT e.dst AS word,
-                  |           sum((r.r // o.ow) * e.w + ((r.r % o.ow) * e.w) // o.ow)::BIGINT AS cs
-                  |    FROM ed e JOIN r${i - 1} r ON e.src = r.word
-                  |              JOIN ow o ON e.src = o.src
-                  |    GROUP BY e.dst) c USING (word))""".stripMargin
-      sb ++= s"""
-                |SELECT word, r AS rank_micro FROM r$rounds
-                |ORDER BY r DESC, word LIMIT 30""".stripMargin
-      sb.toString
-    }) { (s, dir) =>
+    QueryDef.sql("f_textrank_keywords", textrankSql) { (s, dir) =>
       graft.operators.TextRank.keywords(
         Tables.documents(s, dir), "text", k = 30, iters = 8)
+    },
+
+    // ── f_textrank SERVING twin: PageRank rounds over the AT-REST
+    //    co-occurrence edge table (the one corpus pass, built+written once
+    //    per corpus — it changes only when the corpus does); the serve
+    //    cost is the vocabulary-sized iterations. Same oracle: edge
+    //    residence must not change a single rank ─────────────────────────
+    QueryDef.sql("f_textrank_served", textrankSql) { (s, dir) =>
+      import graft.operators.TextRank
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_trkedges_$suffix").getPath
+      TrEdgesMemo.memo.getOrBuild(s, dir) {
+        TextRank.cooccurrenceEdges(Tables.documents(s, dir), "text")
+          .write.mode("overwrite").parquet(root)
+        true
+      }
+      TextRank.keywordsFromEdges(s.read.parquet(root), k = 30, iters = 8)
     },
 
     // ── Streaming KB maintenance lifecycle, oracle-checked end to end —
@@ -3000,4 +3025,12 @@ private[queries] object MaintainMemo {
   */
 private[queries] object BpeMemo {
   val memo = new graft.operators.SessionMemo[Seq[(String, String)]]
+}
+
+/** Session-scoped once-per-corpus latch for the stored TextRank
+  * co-occurrence edge table (build+write once, serve many —
+  * f_textrank_served).
+  */
+private[queries] object TrEdgesMemo {
+  val memo = new graft.operators.SessionMemo[Boolean]
 }

@@ -346,6 +346,20 @@ class MainSpec extends SparkSpec {
     // must complete and print one line per query; values live in the
     // oracle-checked RetrievalMetrics operator, exercised end to end here
     Main.run(Array("eval", kb, "spark joins;;window functions", "5"), spark)
+    // --rerank A/B (bm25 vs lexical vs learned scorer on the same qrels)
+    // must complete and be deterministic: two runs print identical lines
+    val out = new java.io.ByteArrayOutputStream()
+    def captured(): String = { out.reset()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Main.run(Array("eval", kb, "spark joins;;window functions", "5",
+          "--rerank"), spark)
+      }
+      out.toString.linesIterator.filter(_.contains("eval A/B")).mkString("\n")
+    }
+    val first = captured()
+    assert(first.linesIterator.size == 3, s"expected 3 A/B lines:\n$first")
+    assert(first.contains("rerank-learned") && first.contains("rerank-lexical"))
+    assert(captured() == first, "A/B metrics must be deterministic")
   }
 
   test("CLI search verb: bm25 default, --phrase from the positional store, --snippets") {

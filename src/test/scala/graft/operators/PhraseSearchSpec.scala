@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Phrase search ([[PhraseSearch]]): occurrence-count conventions
-  * (adjacent repeats count, true overlaps don't), BM25 scoring against a
+/** Phrase search ([[PhraseSearch]]): adjacent-start occurrence counting
+  * (adjacent repeats AND true overlaps each count — the positional-index
+  * semantics the stored tier shares), BM25 scoring against a
   * hand-computed value, and ranking determinism.
   */
 class PhraseSearchSpec extends SparkSpec {
@@ -13,7 +14,7 @@ class PhraseSearchSpec extends SparkSpec {
     PhraseSearch.phraseStats(rows.toDF("doc_id", "text"), "doc_id", "text", phrase)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
 
-  test("tf counts non-overlapping occurrences; adjacent repeats each count") {
+  test("tf counts adjacent-start occurrences; adjacent repeats each count") {
     val m = tfs(Seq(
       (1L, "window join"),
       (2L, "window join window join"), // adjacent: both count
@@ -29,10 +30,10 @@ class PhraseSearchSpec extends SparkSpec {
     assert(m(6L) == (0L, 0L))
   }
 
-  test("true overlaps count once (left-to-right non-overlapping convention)") {
+  test("true overlaps each count (adjacent-start positional convention)") {
     val m = tfs(Seq((1L, "a a a"), (2L, "a a a a")), "a a")
-    assert(m(1L)._2 == 1L) // (0,1) consumed; (1,2) overlaps
-    assert(m(2L)._2 == 2L) // (0,1) and (2,3)
+    assert(m(1L)._2 == 2L) // starts 0 and 1
+    assert(m(2L)._2 == 3L) // starts 0, 1 and 2
   }
 
   test("phrase tokenization ignores punctuation and case") {

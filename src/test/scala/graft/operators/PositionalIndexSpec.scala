@@ -5,9 +5,9 @@ import java.nio.file.Files
 import graft.SparkSpec
 
 /** Positional index ([[PositionalIndex]]): stored serving ≡ the computed
-  * [[PhraseSearch]] tier on distinct-token phrases, the documented
-  * adjacent-start divergence on repeated tokens, write/read round-trip,
-  * and bucket pruning correctness.
+  * [[PhraseSearch]] tier on EVERY phrase — repeated-token ones included
+  * (both count adjacent starts, overlaps allowed) — plus write/read
+  * round-trip and bucket pruning correctness.
   */
 class PositionalIndexSpec extends SparkSpec {
   import spark.implicits._
@@ -29,15 +29,36 @@ class PositionalIndexSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
-  test("repeated-token phrase: positional counts adjacent starts, replace counts non-overlapping") {
+  test("repeated-token phrase: BOTH tiers count adjacent starts (overlaps included)") {
     val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
     val ix = PositionalIndex.build(docs, "doc_id", "text")
     val pos = PositionalIndex.phraseStats(ix, Seq("a", "a"))
       .as[(Long, Long, Long)].collect().toSeq
     assert(pos == Seq((1L, 2L, 3L)), s"positional: $pos") // starts 0 and 1
-    val rep = PhraseSearch.phraseStats(docs, "doc_id", "text", "a a")
+    val comp = PhraseSearch.phraseStats(docs, "doc_id", "text", "a a")
       .as[(Long, Long, Long)].collect().toSeq
-    assert(rep == Seq((1L, 3L, 1L)), s"replace: $rep") // non-overlapping
+    assert(comp == Seq((1L, 3L, 2L)), s"computed: $comp") // same two starts
+  }
+
+  test("stored phraseTopK == PhraseSearch.phraseTopK on a repeated-token phrase") {
+    val docs = (1L to 30L).map { i =>
+      (i, if (i % 3 == 0) s"vector vector vector pad$i"
+          else if (i % 3 == 1) "vector vector once here"
+          else "vector alone no pair")
+    }.toDF("doc_id", "text")
+    val computed = PhraseSearch.phraseTopK(docs, "doc_id", "text",
+        "vector vector", 50)
+      .as[(Long, Double)].collect().toSeq
+    val ix = PositionalIndex.build(docs, "doc_id", "text")
+    val stored = PositionalIndex.phraseTopK(ix, "vector vector", 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored == computed, s"stored $stored vs computed $computed")
+    assert(stored.nonEmpty)
+    // the overlap case is actually exercised: tf 2 in the triple-run docs
+    val st = PhraseSearch.phraseStats(docs, "doc_id", "text", "vector vector")
+      .filter("doc_id % 3 = 0")
+      .as[(Long, Long, Long)].collect()
+    assert(st.forall(_._3 == 2L), s"expected overlapping tf 2: ${st.toSeq}")
   }
 
   test("write/read round-trip serves identically and prunes to the phrase buckets") {

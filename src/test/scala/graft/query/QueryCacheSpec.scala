@@ -1,0 +1,68 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.Embedder
+
+/** Query-side caches ([[QueryCache]]): hits read FROM the table and never
+  * touch the scorer/provider, misses compute once and round-trip as
+  * appendable rows, duplicated cache rows don't fan out.
+  */
+class QueryCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rerank cache: hits come from the table, misses from the scorer, appends round-trip") {
+    val cands = Seq(
+      (1L, "spark join", 10L, "spark join filter doc"),
+      (1L, "spark join", 20L, "cooking pasta"),
+      (2L, "pasta", 10L, "spark join filter doc"))
+      .toDF("query_id", "qtext", "doc_id", "text")
+    val scorer = graft.query.Rerank.lexicalScoreCols(
+      array_distinct(graft.functions.TextFunctions.tokenizeBm25(col("qtext"))),
+      col("text"))
+    val empty = Seq.empty[(String, Long, Double)]
+      .toDF("query_key", "doc_id", "rscore")
+    val cold = QueryCache.rerankWithCache(cands, "qtext", "doc_id", empty, scorer)
+    assert(cold.newCacheRows.count() == 3) // all misses
+    val direct = cands.withColumn("rscore", scorer)
+      .select("query_id", "doc_id", "rscore")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cold.scored.select("query_id", "doc_id", "rscore")
+      .as[(Long, Long, Double)].collect().toSet == direct)
+    // warm: poisoned scorer — a single miss would poison the values
+    val warm = QueryCache.rerankWithCache(cands, "qtext", "doc_id",
+      cold.newCacheRows, lit(-999.0))
+    assert(warm.newCacheRows.count() == 0)
+    assert(warm.scored.select("query_id", "doc_id", "rscore")
+      .as[(Long, Long, Double)].collect().toSet == direct)
+  }
+
+  test("rerank cache: a duplicated cache row does not fan candidates out") {
+    val cands = Seq((1L, "spark join", 10L, "spark join doc"))
+      .toDF("query_id", "qtext", "doc_id", "text")
+    val key = cands.select(Embedder.contentKey(col("qtext"))).head.getString(0)
+    val dupCache = Seq((key, 10L, 0.5), (key, 10L, 0.5))
+      .toDF("query_key", "doc_id", "rscore")
+    val r = QueryCache.rerankWithCache(cands, "qtext", "doc_id",
+      dupCache, lit(-999.0))
+    assert(r.scored.count() == 1)
+    assert(r.scored.select("rscore").as[Double].head() == 0.5)
+  }
+
+  test("refusing provider throws on any miss; a fully warm embed pass succeeds") {
+    val queries = Seq((1L, "spark join"), (2L, "pasta"))
+      .toDF("query_id", "text")
+    val empty = Seq.empty[(String, Array[Float])].toDF("content_key", "embedding")
+    intercept[Exception] { // cold pass against the refusing provider: boom
+      Embedder.embedWithCache(queries, "text", empty,
+        QueryCache.refusingProvider(8)).embedded.count()
+    }
+    val cold = Embedder.embedWithCache(queries, "text", empty,
+      Embedder.Deterministic(8))
+    val warm = Embedder.embedWithCache(queries, "text", cold.newCacheRows,
+      QueryCache.refusingProvider(8))
+    assert(warm.embedded.count() == 2) // served entirely by the cache join
+    assert(warm.newCacheRows.count() == 0)
+  }
+}
