@@ -713,6 +713,15 @@ object Scale {
           d, "doc_id", "text", batch, k = 10).count()
       secs(s"late-interaction-batch20 1x")(liBatch(docs))
       secs(s"late-interaction-batch20 ${kDocs}x")(liBatch(bigDocs))
+      // batch-width guard (r14): 200 queries ≈ 1,200 token columns split
+      // into ~10 column-bounded waves sharing the checkpointed vocabulary
+      // — per-query cost must stay within ~3× of the batch-20 row's
+      val batch200 = (1L to 200L).map(i =>
+        i -> s"spark join filter window query $i")
+      def liBatch200(d: DataFrame): Long =
+        operators.LateInteraction.maxSimTopKBatch(
+          d, "doc_id", "text", batch200, k = 10).count()
+      secs(s"late-interaction-batch200 ${kDocs}x")(liBatch200(bigDocs))
       // pruned tier (r14): candidate-token heads rank on the VOCABULARY,
       // the kept tokens semi-join-prune the corpus stream before scoring —
       // the 100× twin lives in the 100× block

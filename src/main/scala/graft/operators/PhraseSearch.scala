@@ -30,22 +30,54 @@ object PhraseSearch {
 
   /** Per-document phrase stats: `(id, dl, tf)` — BM25 token count and
     * adjacent-start (overlapping) occurrences of the phrase. One corpus
-    * pass.
+    * pass. Two value-identical plans, picked at plan time:
+    *  - DISTINCT-token phrases can never overlap (an overlap forces the
+    *    phrase to have a border, i.e. a repeated token), so the
+    *    allocation-free double-space-join `replace` count — which counts
+    *    left-to-right non-overlapping — already equals the adjacent-start
+    *    count and is the fast common path;
+    *  - repeated-token phrases compute tf EXACTLY like the stored tier:
+    *    an inline positional stream restricted to the phrase's (few
+    *    distinct) tokens — posexplode + codegen'd filter + one groupBy
+    *    into per-term position lists, then the shifted-list intersection
+    *    on matching docs only. (A per-row start-position filter via
+    *    higher-order functions was measured 6× slower — HOFs are
+    *    interpreted, not codegen'd.)
     */
   def phraseStats(docs: DataFrame, idCol: String, textCol: String,
                   phraseText: String): DataFrame = {
     val ptoks = LateInteraction.tokenizeValue(phraseText)
     require(ptoks.nonEmpty, "empty phrase")
     val m = ptoks.size
-    docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("toks"))
-      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
-        when(size(col("toks")) >= m,
-          size(filter(
-            sequence(lit(1), size(col("toks")) - lit(m - 1)),
-            i => ptoks.zipWithIndex.map { case (pt, j) =>
-              element_at(col("toks"), (i + lit(j)).cast("int")) === lit(pt)
-            }.reduce(_ && _))))
-          .otherwise(lit(0)).cast("long").as("tf"))
+    if (ptoks.distinct.size == m) {
+      val p = " " + ptoks.mkString("  ") + " "
+      val toks = TextFunctions.tokenize(col(textCol))
+      val s = concat(lit(" "), array_join(toks, "  "), lit(" "))
+      docs.select(col(idCol), size(toks).cast("long").as("dl"),
+        ((length(s) - length(replace(s, lit(p), lit("")))) / lit(p.length))
+          .cast("long").as("tf"))
+    } else {
+      val base = docs.select(col(idCol),
+        TextFunctions.tokenize(col(textCol)).as("l"))
+      val pos = base
+        .select(col(idCol), posexplode(col("l")).as(Seq("p", "term")))
+        .filter(col("term").isin(ptoks.distinct: _*))
+        .groupBy(col(idCol), col("term"))
+        .agg(sort_array(collect_list(col("p"))).as("positions"))
+      val sides = ptoks.zipWithIndex.map { case (t, i) =>
+        pos.filter(col("term") === t)
+          .select(col(idCol), col("positions").as(s"pos_$i"))
+      }
+      val joined = sides.reduce((a, b) => a.join(b, Seq(idCol)))
+      val matched = ptoks.indices.tail.foldLeft(col("pos_0")) { (acc, i) =>
+        array_intersect(acc, transform(col(s"pos_$i"), x => x - i))
+      }
+      val tfs = joined.select(col(idCol), size(matched).cast("long").as("tf"))
+      base.select(col(idCol), size(col("l")).cast("long").as("dl"))
+        .join(tfs, Seq(idCol), "left")
+        .select(col(idCol), col("dl"),
+          coalesce(col("tf"), lit(0L)).as("tf"))
+    }
   }
 
   /** Top-k BM25-scored phrase search: `(id, score)` with the phrase as
