@@ -378,7 +378,10 @@ object Main {
           // fingerprinted like Bm25.readIndex's key: a corpus rewrite in
           // the SAME session must never serve the stale memoized broadcast
           corpusKey = Some(s"$kb/embeddings@" +
-            graft.operators.PathFingerprint(s"$kb/embeddings")))
+            graft.operators.PathFingerprint(s"$kb/embeddings")),
+          // at-rest query-embedding cache: a repeated query reads its
+          // vector back instead of re-calling the provider
+          queryVecCacheDir = Some(s"$kb/qcache"))
         // The reference's query flow returns the built context when
         // `--context-only` is passed and otherwise generates the answer
         // from it (`query/processing.py:262-285`). query_model = "none"

@@ -526,6 +526,7 @@ object Dedup {
       val mapDf = broadcast(
         seedMap(cur.limit(headLimit)).persist(StorageLevel.MEMORY_AND_DISK))
       maps += mapDf
+      val tMap = (System.nanoTime() - t0) / 1e9
       // contract: rewrite both endpoints through the pass labels (head
       // edges become self-loops and drop; cross-group edges become
       // super-node edges; distinct collapses the parallel ones)
@@ -542,7 +543,8 @@ object Dedup {
       val nxtCount = nxt.count()
       cur.unpersist()
       println(f"[cc] seed pass $pass: $curCount -> $nxtCount edges" +
-        f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        f" (${(System.nanoTime() - t0) / 1e9}%.1f s: head+uf+map $tMap%.1f," +
+        f" contract ${(System.nanoTime() - t0) / 1e9 - tMap}%.1f)")
       progress = nxtCount < curCount
       cur = nxt
       curCount = nxtCount
@@ -734,14 +736,16 @@ object Dedup {
   def connectedComponentsStars(pairs: DataFrame, aCol: String = "doc_a",
                                bCol: String = "doc_b",
                                maxIter: Int = 50): DataFrame = {
-    // (count, Σsrc, Σdst, Σhash(src,dst)) — decimal sums are overflow-proof
-    // at any id magnitude; the hash component guards against two distinct
-    // consecutive edge sets sharing plain sums
+    // (count, Σhash(src), Σhash(dst), Σhash(src,dst)) — hashes make the
+    // checksum TYPE-AGNOSTIC (string ids crash a raw decimal cast under
+    // ANSI), decimal sums are overflow-proof at any count; three
+    // independent hash sums guard against distinct consecutive edge sets
+    // colliding
     def checksum(e: DataFrame)
         : (Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(col("src").cast("decimal(38,0)")),
-        sum(col("dst").cast("decimal(38,0)")),
+        sum(xxhash64(col("src")).cast("decimal(38,0)")),
+        sum(xxhash64(col("dst")).cast("decimal(38,0)")),
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
     }

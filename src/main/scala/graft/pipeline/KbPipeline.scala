@@ -97,7 +97,8 @@ object KbPipeline {
             categoryFilter: Seq[String] = Nil,
             bm25Index: Option[Bm25.Index] = None,
             serving: VectorSearch.Serving = VectorSearch.Serving.Flat,
-            corpusKey: Option[String] = None): QueryResult = {
+            corpusKey: Option[String] = None,
+            queryVecCacheDir: Option[String] = None): QueryResult = {
 
     // 1. enhancement (F6-F8) — constant-folded on the driver (no job, no
     //    codegen compile of the regex chain; Enhancement.enhanceValue)
@@ -110,7 +111,16 @@ object KbPipeline {
     //    score garbage against a Deterministic(cfg.vectorDimensions) query
     //    vector) and a transient provider failure retries instead of
     //    aborting the query
-    val qvec = retryingEmbedder(cfg).embedBatch(Seq(enhanced)).head.toSeq
+    //    With `queryVecCacheDir`, the vector comes through the AT-REST
+    //    query-embedding cache (keyed by the ENHANCED text — the same
+    //    string the provider would see): a repeated query reads its row
+    //    back instead of re-calling the provider
+    //    (query/embedding.py:47-143; hit ≡ recompute is the m16 oracle)
+    val qvec = queryVecCacheDir match {
+      case Some(dir) => graft.query.QueryCache
+        .embedQueryCached(spark, dir, enhanced, retryingEmbedder(cfg)).toSeq
+      case None => retryingEmbedder(cfg).embedBatch(Seq(enhanced)).head.toSeq
+    }
 
     // 3a. vector k-NN (T1). Every top-k boundary in the pipeline ranks on a
     //     ROUNDED score (cosine 6dp, BM25 4dp): raw float sums are

@@ -62,6 +62,42 @@ object QueryCache {
       misses.select(col("query_key"), col(idCol), col("rscore")))
   }
 
+  /** Single-query serving form of the query-embedding cache: hit = one
+    * pushdown-filtered read of the at-rest cache table (the scan prunes
+    * on `content_key = <literal>`), miss = one provider call + one
+    * appended row. This is what the `query` CLI verb runs per request —
+    * the reference's in-process dict (`query/embedding.py:47-143`)
+    * re-expressed as a table the whole cluster shares; the batched join
+    * form ([[Embedder.embedWithCache]]) covers bulk paths and m16 proves
+    * hit ≡ recompute value-exactly.
+    */
+  def embedQueryCached(spark: org.apache.spark.sql.SparkSession,
+                       cacheDir: String, text: String,
+                       provider: Embedder.Provider): Array[Float] = {
+    val key = contentKeyValue(text)
+    val hit =
+      if (new java.io.File(cacheDir).exists())
+        spark.read.parquet(cacheDir)
+          .filter(col("content_key") === key)
+          .select("embedding").take(1).headOption
+      else None
+    hit match {
+      case Some(r) => r.getSeq[Float](0).toArray
+      case None =>
+        val v = provider.embedBatch(Seq(text)).head
+        import spark.implicits._
+        Seq((key, v)).toDF("content_key", "embedding")
+          .coalesce(1).write.mode("append").parquet(cacheDir)
+        v
+    }
+  }
+
+  /** Driver-side twin of [[Embedder.contentKey]] (sha2 hex, lowercase). */
+  private[graft] def contentKeyValue(text: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** A provider that REFUSES to embed — wiring it into a warm pass turns
     * "the cache served every row" from an assumption into a property the
     * run itself enforces (any miss crashes instead of silently

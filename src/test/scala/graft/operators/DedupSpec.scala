@@ -149,6 +149,44 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 30 && got.values.forall(_ == 1L))
   }
 
+  test("connectedComponents: string ids take the generic path and match Long results") {
+    // the primitive LongUnionFind path is Long-only; string ids must flow
+    // through the generic union-find (and the seed-contract regime when
+    // forced over the limit) with identical component structure
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y"), ("m", "m"))
+      .toDF("doc_a", "doc_b")
+    val want = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "m" -> "m")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(viaDriver == want)
+    // forced over the (zero) limit: one useless seed pass + stars — the
+    // generic seed plumbing and the composition joins must hold for strings
+    val viaLoop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(viaLoop == want)
+    // seed-contract regime with a tiny head (limit 2 < 5 edges ≤ 4×2):
+    // iterated driver passes + composition across pass maps
+    val viaSeed = Dedup.connectedComponents(pairs, driverEdgeLimit = 2L)
+      .as[(String, String)].collect().toMap
+    assert(viaSeed == want)
+  }
+
+  test("connectedComponents: Long ids in the seed-contract regime (limit between 1x and 4x)") {
+    // 12 edges with limit 5: ⌈12/5⌉ ≤ 4 passes of iterated contraction,
+    // finishing on the driver — must equal the plain driver answer
+    val pairs = ((1L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (30L, 31L), (40L, 30L)))
+      .toDF("doc_a", "doc_b")
+    val direct = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val seeded = Dedup.connectedComponents(pairs, driverEdgeLimit = 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(seeded == direct)
+    assert((1L to 9L).forall(seeded(_) == 1L))
+    assert(seeded(22L) == 20L && seeded(40L) == 30L)
+  }
+
   test("connectedComponentsStars agrees with driver union-find on random graphs") {
     // the alternating large-star/small-star loop is the >driverEdgeLimit
     // scale path — it must be VALUE-identical to exact union-find on any

@@ -50,6 +50,33 @@ class QueryCacheSpec extends SparkSpec {
     assert(r.scored.select("rscore").as[Double].head() == 0.5)
   }
 
+  test("embedQueryCached: miss calls the provider once, the repeat is served at rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcache").toString + "/qcache"
+    var calls = 0
+    val counting = new Embedder.Provider {
+      val model = "counting-8"; val dims = 8
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        calls += texts.size
+        Embedder.Deterministic(8).embedBatch(texts)
+      }
+    }
+    val v1 = QueryCache.embedQueryCached(spark, dir, "spark join", counting)
+    assert(calls == 1)
+    // the repeat must be served from the table — the refusing provider
+    // makes "no provider call" a property the run enforces
+    val v2 = QueryCache.embedQueryCached(spark, dir, "spark join",
+      QueryCache.refusingProvider(8))
+    assert(v2.toSeq == v1.toSeq)
+    // a different query misses and appends alongside
+    QueryCache.embedQueryCached(spark, dir, "pasta", counting)
+    assert(calls == 2)
+    assert(spark.read.parquet(dir).count() == 2)
+    // the driver-side key twin matches the column form
+    val colKey = Seq(Tuple1("spark join")).toDF("t")
+      .select(Embedder.contentKey(col("t"))).head.getString(0)
+    assert(QueryCache.contentKeyValue("spark join") == colKey)
+  }
+
   test("refusing provider throws on any miss; a fully warm embed pass succeeds") {
     val queries = Seq((1L, "spark join"), (2L, "pasta"))
       .toDF("query_id", "text")
