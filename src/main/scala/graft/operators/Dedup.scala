@@ -521,15 +521,23 @@ object Dedup {
     while (curCount > driverEdgeLimit && pass < passCap && progress) {
       pass += 1
       val t0 = System.nanoTime()
-      // broadcast the pass labels: the contraction then streams the edge
-      // list map-side — no shuffle of the (possibly huge) edge table
-      val mapDf = broadcast(
-        seedMap(cur.limit(headLimit)).persist(StorageLevel.MEMORY_AND_DISK))
+      // broadcast the pass labels ONLY in the one-pass-into-stars regime,
+      // where the edge list can be arbitrarily large and a map-side join
+      // avoids shuffling it raw; inside the iterated regime the list is
+      // ≤ SeedPassCap × limit by definition, and two parallel shuffle
+      // joins beat a driver-built 5M-row hashed relation (built twice —
+      // the two projections defeat exchange reuse)
+      val rawMap = seedMap(cur.limit(headLimit))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mapDf = if (passCap == 1) broadcast(rawMap) else rawMap
       maps += mapDf
       val tMap = (System.nanoTime() - t0) / 1e9
       // contract: rewrite both endpoints through the pass labels (head
       // edges become self-loops and drop; cross-group edges become
-      // super-node edges; distinct collapses the parallel ones)
+      // super-node edges). No distinct: it cost a full shuffle per pass,
+      // parallel super-edges are harmless (the next head just union-finds
+      // them, the final driver pass and the star loop both dedup), and
+      // contraction can only ever REMOVE rows
       val nxt = cur
         .join(mapDf.select(col("node").as("a"), col("root").as("ra")),
           Seq("a"), "left")
@@ -538,7 +546,6 @@ object Dedup {
         .select(coalesce(col("ra"), col("a")).as("a"),
           coalesce(col("rb"), col("b")).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nxtCount = nxt.count()
       cur.unpersist()
