@@ -117,13 +117,14 @@ object Main {
       |  categorize <kbDir>                       LLM-shaped categorization
       |  convert-encoding <inputGlob> <outDir>    legacy files -> UTF-8
       |  edit <kbDir> [<key> <value>]             show/set config.ini
+      |  ivf      <kbDir> [nCentroids]            build + persist the IVF index at rest
       |  dedup | components | knn | graph | pq | curate   training-pipeline suite
       |  classify <kbDir> [labelCol]              NB domain classifier (train/held-out)
       |  maintain <kbDir> <inputGlob>             streaming lifecycle: dedup -> chunk -> embed -> index
       |  select   <kbDir> <targetGlob> [n]        DSIR importance selection vs a target corpus
       |  export   <kbDir> [nShards]               deterministic training-order shard export
       |  tokenize <kbDir> [numMerges]             train BPE merges + per-chunk token counts
-      |  eval     <kbDir> "<q1>[;;<q2>...]" [k]   nDCG/MRR/P/R of BM25 vs the vector tier
+      |  eval     <kbDir> "<q1>[;;<q2>...]" [k] [--rerank]   nDCG/MRR/P/R of BM25 vs the vector tier
       |  help | version""".stripMargin
 
   /** Verb dispatch against a caller-owned session (main owns stop()). */
@@ -359,6 +360,10 @@ object Main {
         val serving = {
           import graft.operators.VectorSearch
           if (cfg.indexType == "exact") VectorSearch.Serving.Flat
+          // an `ivf`-verb store wins over a per-session rebuild: the
+          // reference loads whatever .faiss sidecar exists the same way
+          else if (new java.io.File(s"$kb/ivf/assigned").exists())
+            VectorSearch.Serving.Ivf(VectorSearch.readIvf(spark, s"$kb/ivf"))
           else VectorSearch.chooseIndex(emb.count(), cfg.vectorDimensions) match {
             case VectorSearch.IndexStrategy.Ivf(nc) =>
               VectorSearch.Serving.Ivf(
@@ -822,6 +827,29 @@ object Main {
         val comp = spark.read.parquet(s"$kb/dedup/components")
         println(s"[graft] components: ${comp.count()} nodes in " +
           s"${comp.select("component").distinct().count()} groups -> $kb/dedup/components")
+
+      case "ivf" =>
+        // extension verb (FAISS-file analogue): build the policy-sized IVF
+        // index once and persist it AT REST — assigned vectors partitioned
+        // by cluster_id (file-pruned probes), centroids as a sidecar. The
+        // `query` verb serves this store without re-clustering.
+        // usage: ivf <kbDir> [nCentroids]
+        import graft.operators.VectorSearch
+        val emb = spark.read.parquet(s"$kb/embeddings")
+        val nc =
+          if (args.length > 2 && args(2).forall(_.isDigit)) args(2).toInt
+          else {
+            val dim = emb.select(size(col("embedding"))).head().getInt(0)
+            VectorSearch.chooseIndex(emb.count(), dim) match {
+              case VectorSearch.IndexStrategy.Ivf(n) => n
+              case VectorSearch.IndexStrategy.IvfPq(n, _) => n
+              case _ => 8 // small corpus: a handful of clusters still prunes
+            }
+          }
+        VectorSearch.writeIvf(
+          VectorSearch.buildIvf(emb, "doc_id", "embedding", nc), s"$kb/ivf")
+        println(s"[graft] ivf: ${spark.read.parquet(s"$kb/ivf/assigned").count()} " +
+          s"vectors in $nc clusters -> $kb/ivf")
 
       case "pq" =>
         // extension verb: build the PQ-encoded table (codes replace raw

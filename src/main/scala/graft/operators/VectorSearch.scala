@@ -1010,6 +1010,49 @@ object VectorSearch {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)), idCol, vecCol)
   }
 
+  /** Persist an IVF index AT REST: `assigned` partitioned by
+    * `cluster_id` — the probe's cluster filter prunes whole files before
+    * any row is read — plus the centroids as a tiny sidecar table. This
+    * is the FAISS index-FILE analogue (the reference persists `.faiss`
+    * sidecars and reloads them per process, `embedding/index.py`); here
+    * the artifact is a table any executor can scan, built once by the
+    * `ivf` CLI verb and served by `query` without re-clustering.
+    */
+  def writeIvf(ix: IvfIndex, dir: String): Unit = {
+    ix.assigned.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$dir/assigned")
+    val spark = ix.assigned.sparkSession
+    import spark.implicits._
+    ix.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Read a persisted IVF index. The id/vector column names come from the
+    * stored `assigned` schema (the vector is the array column); the
+    * cacheKey fingerprints the store so in-process rungs never serve a
+    * stale memo across a rewrite (the [[graft.operators.Bm25.readIndex]]
+    * contract).
+    */
+  def readIvf(spark: org.apache.spark.sql.SparkSession,
+              dir: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val vecCol = assigned.schema.fields
+      .find(_.dataType.typeName.startsWith("array")).map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no vector column in $dir/assigned: ${assigned.columns.mkString(",")}"))
+    val idCol = assigned.columns
+      .filterNot(c => c == "cluster_id" || c == vecCol).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no id column in $dir/assigned: ${assigned.columns.mkString(",")}"))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("cluster_id", "centroid").orderBy("cluster_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    IvfIndex(assigned, cents, idCol, vecCol,
+      cacheKey = Some(s"stored:$dir@${PathFingerprint(s"$dir/assigned")}"))
+  }
+
   /** Memoized IVF index per corpus (the reference loads its FAISS index
     * once and reuses it across queries; same economics here).
     */

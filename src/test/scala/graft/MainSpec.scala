@@ -82,6 +82,20 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$kb/logs")
       .filter(org.apache.spark.sql.functions.col("answer") === "").count() == 2,
       "--context-only must log an empty answer even with a model configured")
+
+    // ivf persists the index at rest; the query verb then serves THAT
+    // store (never re-clusters) when index_type opts into ANN
+    Main.run(Array("ivf", kb, "2"), spark)
+    val assigned = spark.read.parquet(s"$kb/ivf/assigned")
+    assert(assigned.count() == emb.count(), "every vector must be assigned")
+    assert(assigned.select("cluster_id").distinct().count() <= 2)
+    assert(spark.read.parquet(s"$kb/ivf/centroids").count() == 2)
+    Files.write(Paths.get(kb, "config.ini"),
+      "[DEFAULT]\nindex_type = ivf\n".getBytes(StandardCharsets.UTF_8))
+    Main.run(Array("query", kb, "fast spark joins and filters",
+      "--context-only"), spark)
+    assert(spark.read.parquet(s"$kb/logs").count() == 4,
+      "the stored-ivf query must serve and log")
   }
 
   test("CLI database verb: registry skip, incremental append, --force rebuild") {

@@ -195,6 +195,29 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall >= 0.3, s"1-probe recall $recall suspiciously low")
   }
 
+  test("writeIvf/readIvf round-trip: stored serving equals the built index exactly") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val index = VectorSearch.buildIvf(emb, "vec_id", "embedding", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    VectorSearch.writeIvf(index, dir)
+    val rd = VectorSearch.readIvf(spark, dir)
+    // schema detection recovers the column roles from the stored table
+    assert(rd.idCol == "vec_id" && rd.vecCol == "embedding")
+    assert(rd.cacheKey.exists(_.startsWith("stored:")))
+    // centroids round-trip bit-exactly, in cluster order
+    assert(rd.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    // served top-k identical at every probe depth
+    Seq(1, 2, 4).foreach { np =>
+      val built = VectorSearch.ivfTopK(index, query.toSeq, 10, nprobe = np)
+        .as[(Long, Double)].collect().toSeq
+      val stored = VectorSearch.ivfTopK(rd, query.toSeq, 10, nprobe = np)
+        .as[(Long, Double)].collect().toSeq
+      assert(stored == built, s"nprobe=$np: stored $stored vs built $built")
+    }
+    // the at-rest scan carries the partition column probes prune on
+    assert(rd.assigned.columns.contains("cluster_id"))
+  }
+
   test("PQ: driver LUT is bit-identical to the l2Sq column expression") {
     val emb = corpus.toDF("vec_id", "embedding")
     val cb = VectorSearch.seededPqCodebook(emb, "vec_id", "embedding",
