@@ -368,6 +368,28 @@ object Scale {
     secs(s"i8-quantized-knn ${kEmb}x")(i8knn(bigEmb))
     secs(s"ivf-batch50 1x")(ivfBatch(emb))
     secs(s"ivf-batch50 ${kEmb}x")(ivfBatch(bigEmb))
+    // r14: the AT-REST ivf store — build+write attributed once per tag,
+    // the serve row probes the cluster-partitioned files (the `ivf` verb
+    // + stored-`query` path; oracle twin sim_knn_ivf_stored)
+    def ivfStoreBuildServe(e: DataFrame, tag: String): Unit = {
+      import graft.operators.VectorSearch
+      val dir = s"$base/ivfstore_$tag"
+      var rd: VectorSearch.IvfIndex = null
+      secs(s"ivf-store-build $tag") {
+        VectorSearch.writeIvf(
+          VectorSearch.buildIvf(e, "vec_id", "embedding", nCentroids = 8), dir)
+        rd = VectorSearch.readIvf(spark, dir)
+        rd.centroids.length
+      }
+      if (rd != null) {
+        val qv = e.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toSeq
+        secs(s"ivf-store-serve $tag")(
+          operators.VectorSearch.ivfTopK(rd, qv, 20, nprobe = 2).count())
+      }
+    }
+    ivfStoreBuildServe(emb, "1x")
+    ivfStoreBuildServe(bigEmb, s"${kEmb}x")
     secs(s"graph-build+search50 1x")(graphAnn(emb))
     secs(s"graph-build+search50 ${kEmb}x")(graphAnn(bigEmb))
     // duplicate-robust graph variant: the Scale corpus is EXACT replication,
@@ -971,6 +993,7 @@ object Scale {
       secs(s"textrank-served ${k100}x")(
         operators.TextRank.keywordsFromEdges(
           spark.read.parquet(s"$base/tredges_${k100}x"), 30, 8).count())
+      ivfStoreBuildServe(emb100, s"${k100}x")
     }
     spark.stop()
   }
