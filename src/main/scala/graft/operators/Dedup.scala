@@ -486,7 +486,14 @@ object Dedup {
         spark.createDataFrame(out, schema)
       }
     def seedMap(df: DataFrame): DataFrame =
-      if (isLong) longUF(df).nonIdentityEntries().toSeq.toDF("node", "root")
+      if (isLong)
+        // parallelize the label rows (32 slices) instead of planning a
+        // LocalRelation: the driver→executor transfer of a ~5M-row map is
+        // chunked per partition and the downstream shuffle write runs in
+        // parallel, instead of one driver thread serializing the whole map
+        spark.createDataset(spark.sparkContext.parallelize(
+          longUF(df).nonIdentityEntries().toIndexedSeq, 32))
+          .toDF("node", "root")
       else {
         val parent = unionFindRoots(df.collect())
         val mapRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
