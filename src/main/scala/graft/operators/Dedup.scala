@@ -474,7 +474,13 @@ object Dedup {
       org.apache.spark.sql.types.StructField("node", nodeType),
       org.apache.spark.sql.types.StructField("component", nodeType)))
     def driverComponents(df: DataFrame): DataFrame =
-      if (isLong) longUF(df).entries().toSeq.toDF("node", "component")
+      if (isLong)
+        // parallelize, same as seedMap below: callers JOIN this result
+        // (dup groups → docs), and a driver-encoded LocalRelation of up
+        // to 2×limit rows would bottleneck that join on one thread
+        spark.createDataset(spark.sparkContext.parallelize(
+          longUF(df).entries().toIndexedSeq, 32))
+          .toDF("node", "component")
       else {
         val parent = unionFindRoots(df.collect())
         val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
