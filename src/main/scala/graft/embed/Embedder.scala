@@ -71,12 +71,13 @@ object Embedder {
   /** The deterministic embedding as a pure COLUMN expression — identical
     * values to [[Deterministic.embedBatch]], but runs inside codegen with no
     * mapPartitions. Used by oracle-checked queries; the mapPartitions path
-    * exists to exercise the real provider plumbing.
+    * exists to exercise the real provider plumbing. Implemented as the
+    * [[graft.functions.DeterministicEmbedExpr]] codegen expression — one
+    * rolling-hash pass over the text extended per component, not
+    * dims × full-string re-scans through an interpreted HOF lambda.
     */
   def deterministicEmbed(text: Column, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)), j =>
-      (((pmod(FastFunctions.polyHash(concat(text, lit("|"), j.cast("string"))), lit(1000L)))
-        .cast("float") - lit(500f)) / lit(500f)).cast("float"))
+    FastFunctions.deterministicEmbed(text, dims)
 
   /** M1 batch embedding via mapPartitions: per-partition provider call with
     * the partition as the batch (M2's batch planning = partition sizing;

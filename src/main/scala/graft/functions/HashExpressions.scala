@@ -47,6 +47,40 @@ object HashAlgos {
     h
   }
 
+  /** Deterministic embedding, one codepoint pass + O(digits) extension per
+    * component (see [[DeterministicEmbedExpr]]): base = poly31(text), then
+    * component j continues the rolling hash over "|" and j's decimal
+    * digits — identical to poly31(text + "|" + j) because the hash is a
+    * left-to-right polynomial.
+    */
+  def deterministicEmbed(s: UTF8String, dims: Int): ArrayData = {
+    val str = s.toString
+    var base = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      base = (base * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    base = (base * 31L + '|'.toInt) % P
+    val out = new Array[Float](dims)
+    var j = 0
+    while (j < dims) {
+      var h = base
+      val ds = java.lang.Integer.toString(j)
+      var k = 0
+      while (k < ds.length) {
+        h = (h * 31L + ds.charAt(k).toInt) % P
+        k += 1
+      }
+      out(j) = ((h % 1000L).toFloat - 500f) / 500f
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Combined pair hash poly31(s)·P + poly131(s) in ONE codepoint pass —
     * ~60 bits where a single poly hash has ~30 (birthday collisions at
     * ~2³⁰ ≈ 1B strings instead of ~50k). Both component hashes are the
@@ -645,6 +679,34 @@ case class PqAdcDistColsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `deterministic_embed(text, dims)` → ARRAY<FLOAT> — the deterministic
+  * embedding as ONE codegen expression: component j =
+  * ((poly31(text ⊕ "|" ⊕ j) mod 1000) − 500) / 500, with the rolling
+  * hash of `text` computed ONCE and extended per component with "|" and
+  * j's digits — O(len + dims·log dims) total, where the previous
+  * `transform(sequence(...), j → polyHash(concat(text,'|',j)))`
+  * formulation re-scanned the whole string per component through an
+  * interpreted lambda (higher-order functions don't codegen):
+  * O(dims·len) with per-element eval overhead. Values are bit-identical
+  * to [[graft.embed.Embedder.Deterministic]] and the embedSql oracle
+  * twins.
+  */
+case class DeterministicEmbedExpr(child: Expression, dims: Int)
+    extends UnaryExpression {
+  require(dims > 0, "dims must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.require(prettyName, child.dataType, StringType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_deterministic_embed"
+  override protected def nullSafeEval(s: Any): Any =
+    HashAlgos.deterministicEmbed(s.asInstanceOf[UTF8String], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashAlgos.deterministicEmbed($c, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): DeterministicEmbedExpr =
+    copy(child = newChild)
+}
+
 /** `polyhash(str)` with a configurable multiplier — fingerprinting (F9). */
 case class PolyHashExpr(child: Expression, mult: Long)
     extends UnaryExpression {
@@ -998,6 +1060,8 @@ object FastFunctions {
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), 131L))
   def polyHashPair(c: Column): Column =
     GraftShims.column(PolyHashPairExpr(GraftShims.expression(c)))
+  def deterministicEmbed(c: Column, dims: Int): Column =
+    GraftShims.column(DeterministicEmbedExpr(GraftShims.expression(c), dims))
   def charNgramHashes(c: Column, n: Int): Column =
     GraftShims.column(CharNgramHashesExpr(GraftShims.expression(c), n))
   def wordShingles(tokens: Column, shingleN: Int): Column =

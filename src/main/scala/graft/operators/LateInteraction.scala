@@ -64,11 +64,17 @@ object LateInteraction {
     */
   private def vocabSims(vocab: DataFrame, qtoks: Seq[String],
                         dims: Int): DataFrame = {
-    val tvec = embedTok(col("tok"), dims)
+    // materialize the token's embedding ONCE as its own projection —
+    // plan-level common-subexpression elimination: with Σ|q| similarity
+    // columns all reading the embedding, inlining it would evaluate the
+    // hash dims·Σ|q| times per token (CollapseProject keeps the two
+    // projects apart because `tv` is expensive and multiply-referenced)
+    val withVec = vocab.select(col("tok"),
+      embedTok(col("tok"), dims).as("tv"))
     val simCols = qtoks.zipWithIndex.map { case (qt, i) =>
-      VectorFunctions.cosine(tvec, embedTok(lit(qt), dims)).as(s"s_$i")
+      VectorFunctions.cosine(col("tv"), embedTok(lit(qt), dims)).as(s"s_$i")
     }
-    vocab.select(col("tok") +: simCols: _*)
+    withVec.select(col("tok") +: simCols: _*)
   }
 
   /** Per-document MaxSim components for a flat token list: one row per

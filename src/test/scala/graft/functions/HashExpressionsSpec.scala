@@ -140,6 +140,35 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("DeterministicEmbedExpr matches the provider and the transform formulation bit for bit") {
+    import graft.embed.Embedder
+    val texts = Seq("spark join", "", "a", "naïve café ünïcode 𝔘", "x" * 500,
+      "word1 word2 word3 word4 word5")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "txt")
+    for (dims <- Seq(1, 8, 16)) {
+      // codegen expression vs the driver-side provider (the m1/m5 contract)
+      val got = docs.select(col("id"),
+          Embedder.deterministicEmbed(col("txt"), dims).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      val want = Embedder.Deterministic(dims).embedBatch(texts)
+      texts.indices.foreach { i =>
+        assert(got(i.toLong) == want(i).toSeq, s"dims=$dims text #$i")
+      }
+      // and vs the interpreted transform(sequence) chain it replaced
+      val old = docs.select(col("id"),
+          transform(sequence(lit(0), lit(dims - 1)), j =>
+            (((pmod(FastFunctions.polyHash(concat(col("txt"), lit("|"), j.cast("string"))), lit(1000L)))
+              .cast("float") - lit(500f)) / lit(500f)).cast("float")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(old == got, s"dims=$dims: expr diverges from the old chain")
+    }
+    // NULL text embeds to NULL (null-safe unary)
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "txt")
+      .select(Embedder.deterministicEmbed(col("txt"), 4)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("type check rejects wrong input types loudly") {
     val df = Seq((1, 2)).toDF("a", "b")
     val e = intercept[Exception] {
