@@ -811,10 +811,16 @@ object Dedup {
     while (!converged && cs._1 > 0L && it < maxIter) {
       it += 1
       val t0 = System.nanoTime()
-      // the heavy action: one alternation, LAZY-checkpointed — the
-      // checksum materializes it, so each non-freeze round is exactly ONE
-      // Spark action (on a cluster swap in reliable checkpoint())
-      val next = smallStar(largeStar(live)).localCheckpoint(false)
+      // the heavy action: TWO alternations, the middle one LAZY-checkpointed
+      // — localCheckpoint returns a LogicalRDD-backed frame, so the second
+      // alternation's three references to `mid` share ONE cached compute
+      // instead of re-expanding the subtree (the un-severed nesting was
+      // measured 27×-recompute slow); the checksum then materializes the
+      // whole chain, so each non-freeze round is exactly ONE Spark action
+      // covering two alternations (on a cluster swap in reliable
+      // checkpoint())
+      val mid = smallStar(largeStar(live)).localCheckpoint(false)
+      val next = smallStar(largeStar(mid)).localCheckpoint(false)
       val ncs = checksum(next)
       if (ncs == cs) {
         // global fixpoint: every live component is a final star
