@@ -424,7 +424,7 @@ object Bm25 {
     * row (no join); indexes persisted before the denormalization fall back
     * to the lengths join.
     */
-  private def withDocLen(ix: Index): DataFrame =
+  private[operators] def withDocLen(ix: Index): DataFrame =
     if (ix.postings.columns.contains("doc_len")) ix.postings
     else ix.postings.join(ix.lengths, "doc_id")
 
@@ -435,7 +435,7 @@ object Bm25 {
     * the crc32 twin). Semantically a no-op: every removed row would have
     * been dropped by the `term` equi-join anyway (identity spec-asserted).
     */
-  private def prunedPostings(ix: Index, termSet: Seq[String]): DataFrame =
+  private[operators] def prunedPostings(ix: Index, termSet: Seq[String]): DataFrame =
     ix.termBuckets match {
       case Some(n) =>
         val buckets = termSet.map(termBucketValue(_, n)).distinct

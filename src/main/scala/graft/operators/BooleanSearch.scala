@@ -146,4 +146,30 @@ object BooleanSearch {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BATCHED boolean retrieval: N parsed queries evaluated in ONE
+    * DataFrame DAG — each query's set algebra and scoring subplan is a
+    * branch of a single union, so the whole batch is one Spark action and
+    * the per-query cost is the pruned-postings work itself, not per-action
+    * scheduling overhead. Value-identical to [[booleanTopK]] per query by
+    * construction (the branches ARE that plan). Returns
+    * `(query_id, doc_id, score)` — top-k per query, each branch already
+    * (score DESC, doc_id)-cut.
+    *
+    * 100 TB shape: every branch's leaves are pruned (bucket-partitioned)
+    * postings lookups; a shared scan feeds equal-term leaves via exchange
+    * reuse, and branch results are k-bounded before the union.
+    */
+  def booleanTopKBatch(ix: Bm25.Index, spark: SparkSession,
+                       queries: Seq[(Long, String)], k: Int,
+                       k1: Double = Bm25.K1,
+                       b: Double = Bm25.B): DataFrame = {
+    require(queries.nonEmpty, "empty boolean batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query_id in batch")
+    queries.map { case (qid, q) =>
+      booleanTopK(ix, spark, q, k, k1, b)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -523,12 +523,21 @@ object Dedup {
       return out
     }
     // ── beyond the driver budget: iterated seed-and-contract ────────────
+    // (no partition-local contraction here: it shrinks DIAMETER, not edge
+    // count — tree/chain graphs keep ~|E| star edges — and the seed regime
+    // only pays for count. The stars regime, which pays for diameter, runs
+    // [[localContractPass]] internally; MEASURED on the 12.8M-edge chain
+    // policy row, a pre-contraction pass here was ~2 s of pure overhead.)
     // each pass is allowed when the REMAINING pass count stays small;
     // otherwise one seed pass only, then the distributed star loop
     val headLimit = math.min(driverEdgeLimit, Int.MaxValue.toLong - 1).toInt
     val passCap =
       if (curCount <= driverEdgeLimit * SeedPassCap) Int.MaxValue else 1
     val maps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // the persisted handles behind `maps` (a broadcast() wrapper is a
+    // different frame): released after the composed result materializes,
+    // so repeated closures in one session don't accumulate cached blocks
+    val persistedMaps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var pass = 0
     var progress = true
     while (curCount > driverEdgeLimit && pass < passCap && progress) {
@@ -542,6 +551,7 @@ object Dedup {
       // the two projections defeat exchange reuse)
       val rawMap = seedMap(cur.limit(headLimit))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      persistedMaps += rawMap
       val mapDf = if (passCap == 1) broadcast(rawMap) else rawMap
       maps += mapDf
       val tMap = (System.nanoTime() - t0) / 1e9
@@ -572,13 +582,17 @@ object Dedup {
     // finish: driver union-find if the remainder fits, stars otherwise
     // (the driver result is a local map — broadcast it into the
     // composition join below)
+    var starsInput: Option[DataFrame] = None
     val comp: Option[DataFrame] =
-      if (curCount == 0L) None
+      if (curCount == 0L) { cur.unpersist(); None }
       else if (curCount <= driverEdgeLimit) {
         val out = broadcast(driverComponents(cur))
         cur.unpersist()
         Some(out)
-      } else Some(connectedComponentsStars(cur, "a", "b", maxIter))
+      } else {
+        starsInput = Some(cur) // released after the composed result exists
+        Some(connectedComponentsStars(cur, "a", "b", maxIter))
+      }
     // compose: node → pass-1 root → pass-2 root → … → final component
     val nodes = pairs.select(col(aCol).as("node"))
       .unionByName(pairs.select(col(bCol).as("node"))).distinct()
@@ -588,7 +602,7 @@ object Dedup {
         .join(mp.select(col("node").as("r"), col("root")), Seq("r"), "left")
         .select(col("node"), coalesce(col("root"), col("r")).as("r"))
     }
-    comp match {
+    val composed = comp match {
       case None => lab.select(col("node"), col("r").as("component"))
       case Some(c) =>
         lab.join(c.select(col("node").as("r"), col("component")),
@@ -596,6 +610,13 @@ object Dedup {
           .select(col("node"),
             coalesce(col("component"), col("r")).as("component"))
     }
+    // materialize ONCE (severing the lineage through every pass map), then
+    // release the pass caches — a long session running many closures must
+    // not accumulate MEMORY_AND_DISK blocks that only this plan references
+    val out = composed.localCheckpoint(true)
+    persistedMaps.foreach(_.unpersist())
+    starsInput.foreach(_.unpersist())
+    out
   }
 
   /** Beyond this many sequential seed-and-contract driver passes, the
@@ -709,6 +730,190 @@ object Dedup {
     parent
   }
 
+  /** Large-star over ONE hash(src) partition of the SYMMETRIZED edge list,
+    * rows sorted (src, dst): for each src-group `u` with neighbors
+    * d1 ≤ d2 ≤ …, the closed-neighborhood minimum is m = min(u, d1), and
+    * every DISTINCT neighbor d > u emits (d, m). Output is oriented
+    * big → small (m ≤ u < d), and within-group duplicates are skipped on
+    * the fly (sorted adjacency) — the separate distinct() shuffle of the
+    * generic DataFrame star op does not exist on this path. O(1) state,
+    * fully streaming: hub neighborhoods never materialize.
+    */
+  private[operators] def largeStarPass(in: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] =
+    new scala.collection.AbstractIterator[(Long, Long)] {
+      private var curU = 0L
+      private var m = 0L
+      private var lastD = 0L
+      private var started = false
+      private var outD = 0L
+      private var ready = false
+      private def advance(): Unit = {
+        while (!ready && in.hasNext) {
+          val r = in.next()
+          val u = r._1; val d = r._2
+          if (!started || u != curU) {
+            started = true; curU = u; m = math.min(u, d); lastD = d
+            if (d > u) { outD = d; ready = true }
+          } else if (d != lastD) {
+            lastD = d
+            if (d > u) { outD = d; ready = true }
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); ready }
+      def next(): (Long, Long) = {
+        advance()
+        if (!ready) throw new NoSuchElementException("largeStarPass")
+        ready = false
+        (outD, m)
+      }
+    }
+
+  /** Small-star over ONE hash(src) partition of big→small-oriented edges,
+    * rows sorted (src, dst): for each src-group `u` with members
+    * m1 ≤ m2 ≤ …, emit (m_i, m1) for every DISTINCT m_i ≠ m1 plus the
+    * group-closing (u, m1). Output stays big → small; at most one emission
+    * is pending at a time (a group-closing row opens the next group without
+    * emitting for it), so the pass is O(1)-state streaming like
+    * [[largeStarPass]].
+    */
+  private[operators] def smallStarPass(in: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] =
+    new scala.collection.AbstractIterator[(Long, Long)] {
+      private var curU = 0L
+      private var m1 = 0L
+      private var lastM = 0L
+      private var started = false
+      private var outA = 0L
+      private var outB = 0L
+      private var ready = false
+      private var drained = false
+      private def advance(): Unit = {
+        while (!ready && !drained) {
+          if (in.hasNext) {
+            val r = in.next()
+            val u = r._1; val d = r._2
+            if (!started) {
+              started = true; curU = u; m1 = d; lastM = d
+            } else if (u != curU) {
+              outA = curU; outB = m1; ready = true
+              curU = u; m1 = d; lastM = d
+            } else if (d != lastM) {
+              lastM = d
+              outA = d; outB = m1; ready = true
+            }
+          } else {
+            if (started) { outA = curU; outB = m1; ready = true }
+            drained = true
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); ready }
+      def next(): (Long, Long) = {
+        advance()
+        if (!ready) throw new NoSuchElementException("smallStarPass")
+        ready = false
+        (outA, outB)
+      }
+    }
+
+  /** Partition-LOCAL exact contraction — the zero-shuffle pre-pass of the
+    * distributed component closure: each partition union-finds ITS OWN
+    * edges in memory ([[LongUnionFind]], the driver-seed structure run per
+    * task) and emits the connectivity-EQUIVALENT star edges
+    * `(node → local root)` instead. No exchange: the pass runs on the
+    * input's existing partitioning.
+    *
+    * Correctness is the seed-and-contract argument, distributed: the
+    * emitted edges connect exactly the nodes each partition PROVED
+    * connected (a,b in one local component ⇒ both emit an edge to the
+    * local min, so a–root–b is a path), no original node disappears
+    * (n ≠ root emits (n, root); a local root of a ≥2-node component
+    * appears as some member's dst), and nothing new is connected. Output
+    * size is ≤ distinct-nodes-per-partition ≤ 2·|E_p| and in practice ≪:
+    * dup-pair lists carry heavy producer locality (LSH band buckets,
+    * range-built fixtures), so most edges collapse into per-partition
+    * stars and the distributed loop starts from a graph whose diameter is
+    * bounded by the PARTITION graph, not the node graph.
+    *
+    * Memory: the per-task union-find is capped at [[LocalContractCap]]
+    * edges (≈ the sorter-budget class); a partition's overflow streams
+    * through RAW ahead of the contracted head — still
+    * connectivity-equivalent, just less contracted.
+    */
+  val LocalContractCap: Int = 4000000
+
+  private[operators] def localContractPass(in: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val uf = new LongUnionFind(1 << 16)
+    var n = 0
+    while (n < LocalContractCap && in.hasNext) {
+      val r = in.next()
+      uf.union(r._1, r._2)
+      n += 1
+    }
+    in ++ new scala.collection.AbstractIterator[(Long, Long)] {
+      private var arr: Array[(Long, Long)] = _
+      private var i = 0
+      private def init(): Unit =
+        if (arr == null) arr = uf.nonIdentityEntries()
+      def hasNext: Boolean = { init(); i < arr.length }
+      def next(): (Long, Long) = { init(); val r = arr(i); i += 1; r }
+    }
+  }
+
+  /** [[localContractPass]] over a Long-id `(src, dst)`/(a, b) edge frame —
+    * zero-shuffle, partitioning preserved, column names preserved.
+    */
+  private def contractLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val names = e.columns
+    e.as[(Long, Long)].mapPartitions(localContractPass _)
+      .toDF(names.head, names(1))
+  }
+
+  /** ONE small-star(large-star(E)) alternation for Long-id edge lists as
+    * exactly TWO shuffle+sort stages — the sorted-neighborhood fusion of
+    * Kiveris et al.'s two star ops: each star is a streaming
+    * `mapPartitions` over its hash(src)-partitioned, (src, dst)-sorted
+    * input, so the groupBy(min), the min-join, and the distinct() of the
+    * generic DataFrame form all collapse into the sort the shuffle already
+    * pays for. Cross-group duplicate emissions (the same (v, m) from many
+    * u) survive a pass, but land sorted-adjacent in the NEXT pass's group
+    * and are skipped there — duplicate growth is bounded without any
+    * distinct() exchange, and a fixpoint star reproduces itself exactly
+    * (duplicate-free), so the stability checksum still converges. Lineage
+    * is LINEAR (no stage references its input twice), so alternations can
+    * nest inside one action without the multiplicative-recompute trap the
+    * generic star ops have (PLANS.md r14).
+    */
+  private def starAlternationLong(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // NO explicit partition count: AQE is free to coalesce each round's
+    // exchange to advisory-sized partitions. MEASURED both ways on the
+    // 1.6M-edge chain receipt: pinning 32 partitions cost ~0.1 s/stage in
+    // pure task overhead (33.2 s vs 26.3 s total) because each round's
+    // edge list is a few dozen MB — and at real scale AQE keeps the
+    // partitioning anyway.
+    val sym = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val afterLarge = sym
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .as[(Long, Long)]
+      .mapPartitions(largeStarPass _)
+      .toDF("src", "dst")
+    afterLarge
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .as[(Long, Long)]
+      .mapPartitions(smallStarPass _)
+      .toDF("src", "dst")
+  }
+
   /** Distributed connected components by ALTERNATING STARS (Kiveris et al.
     * 2014, arXiv:1203.5387 — the "two-phase" algorithm): repeat
     * small-star(large-star(E)) until the edge set is stable, at which point
@@ -722,12 +927,22 @@ object Dedup {
     * Both keep connectivity invariant and strictly shrink a potential
     * function; convergence is O(log² n) ROUNDS IRRESPECTIVE OF DIAMETER —
     * the property that matters at 100 TB, where verbatim-duplicate chains
-    * make min-label propagation's O(diameter) unbounded. Each star op is
-    * one map-side-combinable `groupBy(min)` plus one join that REUSES the
-    * aggregation's hash partitioning on `src` (exchange reuse — ~1 shuffle
-    * of the edge list per op). No `collect_list`: hub neighborhoods never
-    * materialize as arrays, so skewed dup clusters (one page duplicated
-    * millions of times) cost a skew-join AQE split, not an OOM.
+    * make min-label propagation's O(diameter) unbounded.
+    *
+    * Long-id edge lists (every dedup-family producer) run the r15 FAST
+    * path: one zero-shuffle [[localContractPass]] first (each partition
+    * union-finds its own edges — the loop then starts from the PARTITION
+    * graph's diameter; receipt: the 1.6M/6.4M chain rows converge in one
+    * round, 48 s → ~7 s), then [[starAlternationLong]] rounds — each star
+    * a single shuffle+sort with a streaming sorted-neighborhood pass, no
+    * join/agg/distinct exchanges (receipt: the scattered row, where
+    * contraction finds nothing, runs the pure loop at 22.6 s vs the
+    * generic ops' 48 s). Other id types keep the generic DataFrame ops:
+    * each star one map-side-combinable `groupBy(min)` plus one join that
+    * REUSES the aggregation's hash partitioning on `src`. Neither path
+    * materializes hub neighborhoods as arrays (`collect_list`-free), so
+    * skewed dup clusters (one page duplicated millions of times) stream,
+    * not OOM.
     *
     * Constant-factor structure (what the wall-clock is actually made of —
     * per-ACTION and per-exchange overhead, not row volume, dominates at
@@ -795,9 +1010,22 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var live = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint(false)
+    // Long-id edge lists (every dedup-family producer) take the fused
+    // sorted-neighborhood alternation — 2 shuffles per alternation, no
+    // joins/distinct/agg exchanges, linear lineage (no mid checkpoint)
+    val fastLong =
+      pairs.schema(pairs.schema.fieldIndex(aCol)).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      pairs.schema(pairs.schema.fieldIndex(bCol)).dataType ==
+        org.apache.spark.sql.types.LongType
+    var live = {
+      val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      // zero-shuffle partition-local contraction first (Long ids): the
+      // loop then starts from the partition-graph's diameter, not the
+      // node-graph's — worst case (no locality) it costs one map pass
+      if (fastLong) contractLocal(raw) else raw
+    }.localCheckpoint(false)
     var cs = checksum(live) // materializes the checkpoint too
     val nodes = pairs.select(col(aCol).as("node"))
       .unionByName(pairs.select(col(bCol).as("node"))).distinct()
@@ -811,16 +1039,27 @@ object Dedup {
     while (!converged && cs._1 > 0L && it < maxIter) {
       it += 1
       val t0 = System.nanoTime()
-      // the heavy action: TWO alternations, the middle one LAZY-checkpointed
-      // — localCheckpoint returns a LogicalRDD-backed frame, so the second
+      // the heavy action: TWO alternations. On the Long fast path both
+      // nest in one LINEAR plan (each fused stage is referenced once — no
+      // recompute multiplication) and the round is 4 shuffle+sort stages;
+      // on the generic path the middle alternation is LAZY-checkpointed —
+      // localCheckpoint returns a LogicalRDD-backed frame, so the second
       // alternation's three references to `mid` share ONE cached compute
       // instead of re-expanding the subtree (the un-severed nesting was
-      // measured 27×-recompute slow); the checksum then materializes the
-      // whole chain, so each non-freeze round is exactly ONE Spark action
-      // covering two alternations (on a cluster swap in reliable
-      // checkpoint())
-      val mid = smallStar(largeStar(live)).localCheckpoint(false)
-      val next = smallStar(largeStar(mid)).localCheckpoint(false)
+      // measured 27×-recompute slow). Either way the checksum then
+      // materializes the whole chain, so each non-freeze round is exactly
+      // ONE Spark action covering two alternations (on a cluster swap in
+      // reliable checkpoint())
+      val next = (if (fastLong)
+          // two alternations per action on the fused path: lineage is
+          // linear so the nesting is recompute-free without a mid
+          // checkpoint (three per action was MEASURED slower — overshoot
+          // past the fixpoint costs more than the saved checksum scans)
+          starAlternationLong(starAlternationLong(live))
+        else {
+          val mid = smallStar(largeStar(live)).localCheckpoint(false)
+          smallStar(largeStar(mid))
+        }).localCheckpoint(false)
       val ncs = checksum(next)
       if (ncs == cs) {
         // global fixpoint: every live component is a final star

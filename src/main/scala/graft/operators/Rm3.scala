@@ -95,4 +95,112 @@ object Rm3 {
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** BATCHED RM3: N queries through the same two-pass retrieval with a
+    * FIXED number of Spark actions for the whole batch (3: the pass-1
+    * scoring materialization doubling as the per-query head collect, the
+    * expansion-term mining collect, and whatever action consumes the
+    * returned plan) — the serving regime where the per-query cost is the
+    * retrieval itself, not per-action overhead. Value-identical to
+    * [[rm3TopK]] per query (same rounded cuts, same blend; the
+    * empty-expansion fallback keeps the same score-is-s1 contract).
+    * Returns `(query_id, doc_id, score)`, top-k per query by
+    * (score DESC, doc_id).
+    *
+    * 100 TB shape: pass 1 is ONE bucket-pruned postings scan for the
+    * union of all queries' terms ([[Bm25.scoreBatch]]); the per-query
+    * heads and expansion cuts are k-bounded collects (|queries|·fbDocs /
+    * ·fbTerms rows); pass 2 is again one pruned scan over the union of
+    * expansion terms. Nothing scales with |queries| except tiny
+    * broadcast relations.
+    */
+  def rm3TopKBatch(ix: Bm25.Index, spark: org.apache.spark.sql.SparkSession,
+                   queries: Seq[(Long, String)], k: Int,
+                   fbDocs: Int = 10, fbTerms: Int = 10,
+                   k1: Double = Bm25.K1, b: Double = Bm25.B): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query_id in batch")
+    val docIdType = ix.postings.schema("doc_id").dataType
+    val qt = queries.toDF("query_id", "qtext")
+    val qTermPairs = queries.flatMap { case (qid, q) =>
+      TextFunctions.tokenizeBm25Value(spark, q).distinct.map(t => (qid, t))
+    }
+    val knownTerms = qTermPairs.map(_._2).distinct
+    // pass 1, all queries in ONE pruned scan; checkpointed because both the
+    // head collect and the final blend re-read it
+    val s1 = Bm25.scoreBatch(ix, broadcast(qt), "query_id", "qtext", k1, b,
+        knownTerms = Some(knownTerms))
+      .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("s1"))
+      .localCheckpoint(false)
+    val headW = Window.partitionBy("query_id")
+      .orderBy(col("s1").desc, col("doc_id"))
+    val heads = s1.withColumn("rk", row_number().over(headW))
+      .filter(col("rk") <= fbDocs)
+      .select("query_id", "doc_id", "s1").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getDouble(2)))
+      .toSeq
+    val topDf = broadcast(heads.toDF("query_id", "doc_id", "s1d")
+      .withColumn("doc_id", col("doc_id").cast(docIdType)))
+    val exclDf = broadcast(qTermPairs.toDF("query_id", "term"))
+    // expansion mining for every query in ONE postings pass (the feedback
+    // docs' postings only — the topDf join prunes), per-query cuts by the
+    // same rounded (w DESC, term) boundary
+    val mined = ix.postings.select("doc_id", "term", "tf")
+      .join(topDf, "doc_id")
+      .join(exclDf, Seq("query_id", "term"), "left_anti")
+      .groupBy("query_id", "term")
+      .agg(round(sum(col("tf") * col("s1d")), 4).as("w"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("w").desc, col("term"))))
+      .filter(col("rk") <= fbTerms)
+      .select("query_id", "term", "w").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    // per-query normalization on the driver (k-bounded rows)
+    val wn = mined.groupBy(_._1).toSeq.flatMap { case (qid, ts) =>
+      val sumW = ts.map(_._3).sum
+      ts.map { case (_, t, w) =>
+        (qid, t, BigDecimal.valueOf(w / sumW)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val noExpansion = queries.map(_._1).toSet -- wn.map(_._1).toSet
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    if (wn.isEmpty)
+      // degenerate batch: every query falls back to its pass-1 scores
+      return s1.select(col("query_id"), col("doc_id"), col("s1").as("score"))
+        .filter(col("score") > 0)
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") <= k).drop("rk")
+    val wnDf = broadcast(wn.toDF("query_id", "term", "wn"))
+    val expTerms = wn.map(_._2).distinct
+    val stats = ix.idf.select("term", "idf")
+      .filter(col("term").isin(expTerms: _*))
+    val es = Bm25.prunedPostings(ix, expTerms)
+      .filter(col("term").isin(expTerms: _*))
+      .join(broadcast(stats), "term")
+      .join(wnDf, "term") // fans each posting row out to the queries weighting its term
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("wn") *
+        Bm25.termScore(col("tf"), col("doc_len"), lit(ix.avgdl), col("idf"),
+          k1, b)), 4).as("es"))
+    // same 5-dp blend as [[rm3TopK]]; queries whose expansion came up empty
+    // keep score = s1 (the single-query fallback contract)
+    val blendCol =
+      if (noExpansion.isEmpty)
+        round(lit(Lambda) * coalesce(col("s1"), lit(0.0)) +
+          lit(1.0 - Lambda) * coalesce(col("es"), lit(0.0)), 5)
+      else when(col("query_id").isin(noExpansion.toSeq: _*),
+          coalesce(col("s1"), lit(0.0)))
+        .otherwise(round(lit(Lambda) * coalesce(col("s1"), lit(0.0)) +
+          lit(1.0 - Lambda) * coalesce(col("es"), lit(0.0)), 5))
+    s1.join(es, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), blendCol.as("score"))
+      .filter(col("score") > 0)
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k).drop("rk")
+  }
 }

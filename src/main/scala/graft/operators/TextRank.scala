@@ -65,6 +65,16 @@ object TextRank {
     keywordsFromEdges(cooccurrenceEdges(docs, textCol).localCheckpoint(true),
       k, iters)
 
+  /** Edge lists at or under this many rows iterate ON THE DRIVER (the
+    * k-bounded serving idiom MMR/RM3 already use): the co-occurrence graph
+    * is vocabulary-bounded — corpus-size-independent — so the 8 power
+    * iterations are pure per-ACTION overhead when run as Spark rounds
+    * (~8–10 actions over a ~10³-row table). Above the bound the
+    * distributed join+groupBy loop is unchanged (a web-scale vocabulary
+    * graph is real data again).
+    */
+  val DriverEdgeLimit = 1000000L
+
   /** [[keywords]] over a PRE-BUILT `(src, dst, w)` co-occurrence edge
     * table — the maintain-once/serve-many shape: the one corpus pass that
     * builds the edges persists as a table (it only changes when the corpus
@@ -72,8 +82,58 @@ object TextRank {
     * iterations. Input must be the [[cooccurrenceEdges]] contract (both
     * directions present, no self-loops).
     */
-  def keywordsFromEdges(edges: DataFrame, k: Int,
-                        iters: Int = 8): DataFrame = {
+  def keywordsFromEdges(edges: DataFrame, k: Int, iters: Int = 8,
+                        driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
+    val spark = edges.sparkSession
+    if (driverEdgeLimit > 0 &&
+        edges.limit(driverEdgeLimit.toInt + 1).count() <= driverEdgeLimit) {
+      // driver regime: one collect, then the SAME exact-integer recurrence
+      // (operation for operation — truncating Long division on non-negative
+      // operands both here and in the `div` plan) with zero per-round jobs
+      val es = edges.select(col("src"), col("dst"), col("w").cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val ow = new java.util.HashMap[String, Long]()
+      es.foreach { case (s, _, w) => ow.put(s, ow.getOrDefault(s, 0L) + w) }
+      val nodes = {
+        import scala.jdk.CollectionConverters._
+        ow.keySet().asScala.toArray
+      }
+      val n = nodes.length.toLong
+      if (n == 0L)
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("word",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rank_micro",
+              org.apache.spark.sql.types.LongType))))
+      val base = (Scale * 15L) / (n * 100L)
+      var r = new java.util.HashMap[String, Long]()
+      nodes.foreach(w => r.put(w, Scale / n))
+      var it = 0
+      while (it < iters) {
+        val cs = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i < es.length) {
+          val (s, d, w) = es(i)
+          val rv = r.get(s); val o = ow.get(s)
+          val c = (rv / o) * w + ((rv % o) * w) / o
+          cs.put(d, cs.getOrDefault(d, 0L) + c)
+          i += 1
+        }
+        val nr = new java.util.HashMap[String, Long]()
+        nodes.foreach { wd =>
+          nr.put(wd, base + (85L * cs.getOrDefault(wd, 0L)) / 100L)
+        }
+        r = nr
+        it += 1
+      }
+      val top = nodes.map(wd => (wd, r.get(wd).longValue()))
+        .sortBy { case (wd, rk) => (-rk, wd) }.take(k)
+      import spark.implicits._
+      return top.toSeq.toDF("word", "rank_micro")
+    }
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("word")).distinct()

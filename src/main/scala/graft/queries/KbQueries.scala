@@ -58,27 +58,29 @@ object KbQueries {
   private val BooleanFixture = "(window OR join) AND filter NOT slow"
   private def booleanSql: String = {
     import graft.operators.BooleanSearch._
-    def setSql(n: Node): String = n match {
-      case Term(t) => s"(SELECT DISTINCT doc_id FROM post WHERE term = '$t')"
-      case And(l, r) => s"(${setSql(l)} INTERSECT ${setSql(r)})"
-      case Or(l, r) => s"(${setSql(l)} UNION ${setSql(r)})"
-      case Not(x) =>
-        s"((SELECT DISTINCT doc_id FROM lens) EXCEPT ${setSql(x)})"
-    }
     val ast: Node = And(And(Or(Term("window"), Term("join")),
       Term("filter")), Not(Term("slow")))
-    val pos = positiveTerms(ast).map(t => s"'$t'").mkString(", ")
     s"""$bm25Cte
-       |SELECT p.doc_id,
-       |       round(sum((i.idf * (p.tf * (1.2 + 1.0))) /
-       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))),
-       |             4) AS score
-       |FROM post p JOIN idf i USING (term) JOIN lens l USING (doc_id)
-       |CROSS JOIN stats s
-       |WHERE p.term IN ($pos) AND p.doc_id IN ${setSql(ast)}
-       |GROUP BY p.doc_id
-       |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin
+       |${booleanBlockSql(ast, 20)}""".stripMargin
   }
+
+  /** The t15 batch oracle: one boolean block per fixture, unioned with its
+    * query_id — all blocks share ONE bm25 CTE chain.
+    */
+  private def booleanBatchSql: String =
+    s"""$bm25Cte
+       |${BooleanBatch.zipWithIndex.map { case ((qid, _), i) =>
+            s"SELECT $qid AS query_id, f.* FROM (${booleanBlockSql(
+              batchFixtureAst(i), 20)}) f"
+          }.mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** The t13 batch oracle: one full RM3 rendition per query (each block
+    * carries its own WITH chain, the e2e_hybrid_batch20 pattern).
+    */
+  private def rm3BatchSql: String =
+    Rm3Batch.map { case (qid, q) =>
+      s"SELECT $qid AS query_id, f.* FROM (${rm3SqlFor(q)}) f"
+    }.mkString("\nUNION ALL\n")
 
   /** Computed-tier phrase SQL for `phrase`, top `k`: tf is the
     * ADJACENT-START positional count (overlaps included — `a a a`
@@ -113,9 +115,79 @@ object KbQueries {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Deterministic fixture pool for the BATCHED serving rows — all words
+    * the relational fixtures already use (so every query finds postings),
+    * none a BM25 stopword, none single-char.
+    */
+  private val BatchTermPool = Vector("spark", "join", "filter", "window",
+    "hash", "merge", "batch", "scan", "sort", "table", "row", "value",
+    "vector", "slow")
+
+  /** 20 three-term RM3 batch queries, rotating through the pool. */
+  private[graft] val Rm3Batch: Seq[(Long, String)] =
+    (0 until 20).map { i =>
+      val p = BatchTermPool
+      ((i + 1).toLong,
+        s"${p(i % p.size)} ${p((i + 3) % p.size)} ${p((i + 7) % p.size)}")
+    }
+
+  /** 20 boolean batch fixtures `(a OR b) AND c NOT d`, rotating through
+    * the pool with pairwise-distinct offsets (no degenerate `c NOT c`).
+    */
+  private[graft] val BooleanBatch: Seq[(Long, String)] =
+    (0 until 20).map { i =>
+      val p = BatchTermPool
+      ((i + 1).toLong,
+        s"(${p(i % p.size)} OR ${p((i + 5) % p.size)}) AND " +
+          s"${p((i + 9) % p.size)} NOT ${p((i + 11) % p.size)}")
+    }
+
+  /** The boolean doc-set algebra + positive-term BM25 block for one AST —
+    * assumes the bm25 CTE names (`post`/`idf`/`lens`/`stats`) are in
+    * scope; shared by the single-query twin and the batch blocks.
+    */
+  private def booleanBlockSql(ast: graft.operators.BooleanSearch.Node,
+                              k: Int): String = {
+    import graft.operators.BooleanSearch._
+    def setSql(n: Node): String = n match {
+      case Term(t) => s"(SELECT DISTINCT doc_id FROM post WHERE term = '$t')"
+      case And(l, r) => s"(${setSql(l)} INTERSECT ${setSql(r)})"
+      case Or(l, r) => s"(${setSql(l)} UNION ${setSql(r)})"
+      case Not(x) =>
+        s"((SELECT DISTINCT doc_id FROM lens) EXCEPT ${setSql(x)})"
+    }
+    val pos = positiveTerms(ast).map(t => s"'$t'").mkString(", ")
+    s"""SELECT p.doc_id,
+       |       round(sum((i.idf * (p.tf * (1.2 + 1.0))) /
+       |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))),
+       |             4) AS score
+       |FROM post p JOIN idf i USING (term) JOIN lens l USING (doc_id)
+       |CROSS JOIN stats s
+       |WHERE p.term IN ($pos) AND p.doc_id IN ${setSql(ast)}
+       |GROUP BY p.doc_id
+       |ORDER BY score DESC, p.doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Driver-side twin of [[graft.operators.BooleanSearch.parse]] for the
+    * batch fixtures: the grammar subset the fixtures use — spec-pinned
+    * equal to the real parser on every fixture (BooleanSearchSpec).
+    */
+  private[graft] def batchFixtureAst(i: Int)
+      : graft.operators.BooleanSearch.Node = {
+    import graft.operators.BooleanSearch._
+    val p = BatchTermPool
+    And(And(Or(Term(p(i % p.size)), Term(p((i + 5) % p.size))),
+      Term(p((i + 9) % p.size))), Not(Term(p((i + 11) % p.size))))
+  }
+
   /** RM3 two-pass SQL — shared by t13_rm3_feedback and t13_rm3_served. */
-  private def rm3Sql: String =
-    s"""$bm25Cte,
+  private def rm3Sql: String = rm3SqlFor(QueryText)
+
+  /** [[rm3Sql]] parameterized on the query text — one block per batch
+    * query in the t13_rm3_batch20 oracle.
+    */
+  private def rm3SqlFor(qtext: String): String =
+    s"""${OracleSql.bm25CteFor(qtext)},
        |s1 AS (SELECT doc_id, round(score, 4) AS s1 FROM bm25),
        |fb AS (SELECT doc_id, s1 FROM s1 ORDER BY s1 DESC, doc_id LIMIT 10),
        |wq AS (
@@ -364,6 +436,16 @@ object KbQueries {
         storedBm25(s, dir), s, BooleanFixture, 20)
     },
 
+    // ── t15 BATCHED serving: 20 boolean queries in ONE DataFrame DAG from
+    //    the AT-REST index — the per-query serve cost the store exists to
+    //    deliver (test_performance.py:326's 20-query budget), invisible in
+    //    one-query-per-action rows. Each batch fixture's AST is pinned to
+    //    the real parser by a BooleanSearchSpec ─────────────────────────────
+    QueryDef.sql("t15_boolean_batch20", booleanBatchSql) { (s, dir) =>
+      graft.operators.BooleanSearch.booleanTopKBatch(
+        storedBm25(s, dir), s, BooleanBatch, 20)
+    },
+
     // ── Stored-index phrase search: the same BM25-with-phrase-as-term
     //    contract as t12, served from the AT-REST positional index
     //    (term-bucket-partitioned parquet, built+written once per corpus)
@@ -476,6 +558,16 @@ object KbQueries {
     //    pruned-postings passes, not the build ──────────────────────────
     QueryDef.sql("t13_rm3_served", rm3Sql) { (s, dir) =>
       graft.operators.Rm3.rm3TopK(storedBm25(s, dir), s, QueryText, 20)
+    },
+
+    // ── t13 BATCHED serving: 20 RM3 retrievals (two passes each) from the
+    //    AT-REST index with a FIXED number of Spark actions for the whole
+    //    batch — pass 1 is one pruned scan for the union of the queries'
+    //    terms, the per-query head/expansion cuts are k-bounded collects,
+    //    pass 2 one pruned scan of the union of expansion terms. Each
+    //    query's oracle block is the full rm3Sql rendition for its text ────
+    QueryDef.sql("t13_rm3_batch20", rm3BatchSql) { (s, dir) =>
+      graft.operators.Rm3.rm3TopKBatch(storedBm25(s, dir), s, Rm3Batch, 20)
     },
 
     // ── Exact token-phrase search, BM25-scored with the PHRASE as the

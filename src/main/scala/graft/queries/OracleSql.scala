@@ -51,6 +51,14 @@ private[queries] object OracleSql {
     */
   val PhraseText = "window join"
 
+  /** BM25 scores CTE for an arbitrary query text over `documents`
+    * (defines `post`/`lens`/`stats`/`idf`/`q`/`bm25`) — the per-query
+    * parameterization the batched serving oracles embed once per
+    * query block.
+    */
+  def bm25CteFor(queryText: String): String =
+    bm25Cte.replace(s"'$QueryText'", s"'$queryText'")
+
   /** BM25 scores CTE for [[QueryText]] over `documents` (defines `bm25`). */
   val bm25Cte: String =
     s"""WITH tok AS (

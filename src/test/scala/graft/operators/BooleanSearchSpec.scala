@@ -24,6 +24,40 @@ class BooleanSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse(spark, "alpha AND"))
   }
 
+  test("t15 batch fixtures: parse(string) == the oracle's hand-built AST") {
+    // the t15_boolean_batch20 oracle builds its SQL from batchFixtureAst —
+    // the real parser must agree on every fixture string, or the Spark
+    // side (which parses) and the oracle (which doesn't) silently diverge
+    graft.queries.KbQueries.BooleanBatch.zipWithIndex.foreach {
+      case ((_, q), i) =>
+        assert(parse(spark, q) == graft.queries.KbQueries.batchFixtureAst(i),
+          s"fixture $i: $q")
+    }
+  }
+
+  test("booleanTopKBatch ≡ per-query booleanTopK") {
+    val docs = Seq(
+      (1L, "window join filter fast"),
+      (2L, "window filter slow path"),
+      (3L, "join filter quick"),
+      (4L, "window only here"),
+      (5L, "filter alone"),
+      (6L, "spark window filter"),
+      (7L, "hash merge join window filter"))
+    val ix = Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val queries = Seq(1L -> "(window OR join) AND filter NOT slow",
+      2L -> "spark OR hash", 3L -> "filter NOT (join OR spark)")
+    val batch = BooleanSearch.booleanTopKBatch(ix, spark, queries, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1))).toMap
+    queries.foreach { case (qid, q) =>
+      val single = BooleanSearch.booleanTopK(ix, spark, q, 10)
+        .as[(Long, Double)].collect().toSeq.sortBy(r => (-r._2, r._1))
+      assert(batch.getOrElse(qid, Nil) == single, s"query $qid '$q'")
+    }
+  }
+
   test("render→parse round-trip over 200 seeded random ASTs") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
     val rnd = new scala.util.Random(42)

@@ -187,6 +187,29 @@ class DedupSpec extends SparkSpec {
     assert(seeded(22L) == 20L && seeded(40L) == 30L)
   }
 
+  test("localContractPass: connectivity-equivalent star edges + raw overflow") {
+    // one partition's edges: chain 1-2-3-4 and pair (10, 11) — the pass
+    // must emit (node -> local min) for every non-root node and nothing else
+    val got = Dedup.localContractPass(
+      Iterator((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))).toSet
+    assert(got == Set((2L, 1L), (3L, 1L), (4L, 1L), (11L, 10L)), s"got $got")
+    // self-loop-only nodes vanish (callers re-attach them from the full
+    // node list); empty input stays empty
+    assert(Dedup.localContractPass(Iterator((7L, 7L))).isEmpty)
+    assert(Dedup.localContractPass(Iterator.empty).isEmpty)
+  }
+
+  test("connectedComponents: scattered partitioning (no locality) still exact") {
+    // round-robin repartition makes adjacent chain edges never co-locate,
+    // so the local contraction contracts ~nothing and the star loop does
+    // the whole job — results must match the driver answer exactly
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .repartition(8)
+    val got = Dedup.connectedComponents(chain, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 60 && got.values.forall(_ == 1L))
+  }
+
   test("connectedComponentsStars agrees with driver union-find on random graphs") {
     // the alternating large-star/small-star loop is the >driverEdgeLimit
     // scale path — it must be VALUE-identical to exact union-find on any

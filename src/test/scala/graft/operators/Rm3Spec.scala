@@ -60,4 +60,25 @@ class Rm3Spec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("rm3TopKBatch ≡ per-query rm3TopK, including no-expansion queries") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"term${i % 7} term${i % 5} term${i % 3} quantum")) ++
+      Seq((90L, "isolated solo"), (91L, "isolated solo"))
+    val ix = index(docs)
+    // "isolated solo" covers every token of its feedback docs — empty
+    // expansion, the score-is-s1 fallback; the others expand normally
+    val queries = Seq(1L -> "quantum term1", 2L -> "term2 term3",
+      3L -> "isolated solo", 4L -> "quantum")
+    val batch = Rm3.rm3TopKBatch(ix, spark, queries, 15)
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1))).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Rm3.rm3TopK(ix, spark, q, 15)
+        .as[(Long, Double)].collect().toSeq.sortBy(r => (-r._2, r._1))
+      assert(batch.getOrElse(qid, Nil) == single,
+        s"query $qid '$q': batch ${batch.get(qid)} vs single $single")
+    }
+  }
 }

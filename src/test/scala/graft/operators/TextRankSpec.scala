@@ -56,4 +56,25 @@ class TextRankSpec extends SparkSpec {
     val docs = Seq((1L, ""), (2L, "lonely")).toDF("doc_id", "text")
     assert(TextRank.keywords(docs, "text", k = 10).count() == 0L)
   }
+
+  test("driver regime ≡ distributed loop, value for value (both vs the twin)") {
+    // default keywordsFromEdges now iterates the vocab-bounded graph on
+    // the driver; forcing driverEdgeLimit=0 keeps the distributed
+    // join+groupBy rounds — identical ranks and identical (rank DESC,
+    // word) head either way
+    val docs = Seq(
+      (1L, "spark join filter window spark"),
+      (2L, "join window join scan"),
+      (3L, "filter scan filter spark window")).toDF("doc_id", "text")
+    val edges = TextRank.cooccurrenceEdges(docs, "text").localCheckpoint(true)
+    val viaDriver = TextRank.keywordsFromEdges(edges, k = 100, iters = 8)
+      .as[(String, Long)].collect().toSeq
+    val viaSpark = TextRank.keywordsFromEdges(edges, k = 100, iters = 8,
+        driverEdgeLimit = 0L)
+      .as[(String, Long)].collect().toSeq
+    assert(viaDriver == viaSpark, s"driver $viaDriver vs spark $viaSpark")
+    val twin = driverRanks(
+      edges.as[(String, String, Long)].collect().toSet, 8)
+    assert(viaDriver.toMap == twin)
+  }
 }
