@@ -234,7 +234,7 @@ object Main {
         val chunks = spark.read.parquet(s"$kb/chunks")
         val cachePath = s"$kb/cache"
         val cache =
-          if (new java.io.File(cachePath).exists()) spark.read.parquet(cachePath)
+          if (graft.sources.KbStorage.pathExists(spark, cachePath)) spark.read.parquet(cachePath)
           else {
             import spark.implicits._
             Seq.empty[(String, Array[Float])].toDF("content_key", "embedding")
@@ -279,7 +279,7 @@ object Main {
         val chunks = spark.read.parquet(s"$kb/chunks")
           .withColumnRenamed("chunk_text", "text")
         def loadIx() =
-          if (new java.io.File(s"$kb/bm25").exists())
+          if (graft.sources.KbStorage.pathExists(spark, s"$kb/bm25"))
             graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
           else graft.streaming.StreamingIngest.currentIndexPath(kb)
             .map(p => graft.operators.Bm25.readIndex(spark, p))
@@ -287,7 +287,7 @@ object Main {
               chunks, "doc_id", "text"))
         val hits =
           if (args.contains("--phrase")) {
-            if (new java.io.File(s"$kb/posindex").exists())
+            if (graft.sources.KbStorage.pathExists(spark, s"$kb/posindex"))
               graft.operators.PositionalIndex.phraseTopK(
                 graft.operators.PositionalIndex.read(spark, s"$kb/posindex"),
                 q, k)
@@ -349,7 +349,7 @@ object Main {
         // the CURRENT pointer of a `maintain`-built versioned store, so a
         // stream-maintained kb serves without a separate batch `bm25` run
         val ix =
-          if (new java.io.File(s"$kb/bm25").exists())
+          if (graft.sources.KbStorage.pathExists(spark, s"$kb/bm25"))
             Some(graft.operators.Bm25.readIndex(spark, s"$kb/bm25"))
           else graft.streaming.StreamingIngest.currentIndexPath(kb)
             .map(p => graft.operators.Bm25.readIndex(spark, p))
@@ -359,10 +359,26 @@ object Main {
         // "exact" (default) keeps the full-scan vector stage
         val serving = {
           import graft.operators.VectorSearch
+          // an `ivf`-verb store wins over a per-session rebuild (the
+          // reference loads whatever .faiss sidecar exists the same way) —
+          // but ONLY while its recorded source fingerprint still matches
+          // the embeddings table: after a re-embed/maintain rewrote or
+          // appended vectors, a stale index silently misses them (or
+          // serves deleted ids), so staleness falls back to the rebuild
+          // path below. Pre-fingerprint stores (no meta) keep the old
+          // trust-the-artifact behavior.
+          def storedIvfFresh: Boolean =
+            graft.sources.KbStorage.pathExists(spark, s"$kb/ivf/assigned") && {
+              val ok = VectorSearch.readIvfSourceFp(spark, s"$kb/ivf").forall {
+                fp => fp == graft.operators.PathFingerprint(s"$kb/embeddings")
+              }
+              if (!ok) println(s"[graft] query: WARNING $kb/ivf was built " +
+                "from different embeddings (stale fingerprint); rebuilding " +
+                "the serving index — re-run the ivf verb to refresh the store")
+              ok
+            }
           if (cfg.indexType == "exact") VectorSearch.Serving.Flat
-          // an `ivf`-verb store wins over a per-session rebuild: the
-          // reference loads whatever .faiss sidecar exists the same way
-          else if (new java.io.File(s"$kb/ivf/assigned").exists())
+          else if (storedIvfFresh)
             VectorSearch.Serving.Ivf(VectorSearch.readIvf(spark, s"$kb/ivf"))
           else VectorSearch.chooseIndex(emb.count(), cfg.vectorDimensions) match {
             case VectorSearch.IndexStrategy.Ivf(nc) =>
@@ -603,11 +619,18 @@ object Main {
 
       case "eval" =>
         // extension verb: retrieval-quality metrics of the KB's BM25
-        // ranking against its own vector tier as graded pseudo-qrels —
-        // nDCG@k / MRR / P@k / R@k per query (grades 3/2/1 by vector rank
-        // tier, ranking depth 2k); --rerank adds an A/B of the rerank
+        // ranking against graded qrels — nDCG@k / MRR / P@k / R@k per
+        // query (ranking depth 2k); --rerank adds an A/B of the rerank
         // scorers (bm25 vs lexical vs learned) on the same qrels.
+        // Qrels source: `--qrels=<parquet>` reads explicit judgments
+        // (query_id, doc_id, grade) — the TREC shape, and the only
+        // meaningful A/B basis when the embedding provider is the
+        // deterministic hash (its cosine tier is uncorrelated with
+        // relevance at corpus scale — receipted in tools/eval_r15.txt);
+        // without the flag the KB's own vector tier supplies graded
+        // pseudo-qrels (grades 3/2/1 by vector rank tier).
         // usage: eval <kbDir> "<q1>[;;<q2>...]" [k] [--rerank]
+        //        [--qrels=<parquet>]
         require(args.length >= 3, "eval <kbDir> \"<q1>[;;<q2>...]\" [k]")
         import org.apache.spark.sql.expressions.Window
         import spark.implicits._
@@ -620,7 +643,7 @@ object Main {
           .withColumnRenamed("chunk_text", "text")
         val emb = spark.read.parquet(s"$kb/embeddings")
         val ix =
-          if (new java.io.File(s"$kb/bm25").exists())
+          if (graft.sources.KbStorage.pathExists(spark, s"$kb/bm25"))
             graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
           else graft.streaming.StreamingIngest.currentIndexPath(kb)
             .map(p => graft.operators.Bm25.readIndex(spark, p))
@@ -638,23 +661,32 @@ object Main {
               .orderBy(round(col("score"), 4).desc, col("doc_id"))))
           .filter(col("rank") <= 2 * k)
         val ktop = ktopScored.select("query_id", "doc_id", "rank")
-        // the same enhancement + registry-resolved embedding the query
-        // verb uses, so the pseudo-qrels reflect the serving vector tier
-        val qv = qSeq.map { case (qid, t) =>
-          (qid, provider.embedBatch(
-            Seq(graft.query.Enhancement.enhanceValue(spark, t))).head)
-        }.toDF("query_id", "qvec")
-        val qrels = emb.crossJoin(broadcast(qv))
-          .select(col("query_id"), col("doc_id"),
-            graft.functions.VectorFunctions.cosine(col("embedding"),
-              col("qvec")).as("c"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("query_id")
-              .orderBy(round(col("c"), 6).desc, col("doc_id"))))
-          .filter(col("rk") <= 2 * k)
-          .select(col("query_id"), col("doc_id"),
-            when(col("rk") <= math.max(k / 2, 1), 3.0)
-              .when(col("rk") <= k, 2.0).otherwise(1.0).as("grade"))
+        val qrels = args.collectFirst {
+          case a if a.startsWith("--qrels=") => a.drop("--qrels=".length)
+        } match {
+          case Some(p) =>
+            spark.read.parquet(p)
+              .select(col("query_id").cast("long"), col("doc_id"),
+                col("grade").cast("double"))
+          case None =>
+            // the same enhancement + registry-resolved embedding the query
+            // verb uses, so the pseudo-qrels reflect the serving vector tier
+            val qv = qSeq.map { case (qid, t) =>
+              (qid, provider.embedBatch(
+                Seq(graft.query.Enhancement.enhanceValue(spark, t))).head)
+            }.toDF("query_id", "qvec")
+            emb.crossJoin(broadcast(qv))
+              .select(col("query_id"), col("doc_id"),
+                graft.functions.VectorFunctions.cosine(col("embedding"),
+                  col("qvec")).as("c"))
+              .withColumn("rk", row_number().over(
+                Window.partitionBy("query_id")
+                  .orderBy(round(col("c"), 6).desc, col("doc_id"))))
+              .filter(col("rk") <= 2 * k)
+              .select(col("query_id"), col("doc_id"),
+                when(col("rk") <= math.max(k / 2, 1), 3.0)
+                  .when(col("rk") <= k, 2.0).otherwise(1.0).as("grade"))
+        }
         val rows = graft.operators.RetrievalMetrics.evaluate(ktop, qrels, k)
           .collect()
         val byId = qSeq.toMap
@@ -846,10 +878,35 @@ object Main {
               case _ => 8 // small corpus: a handful of clusters still prunes
             }
           }
-        VectorSearch.writeIvf(
-          VectorSearch.buildIvf(emb, "doc_id", "embedding", nc), s"$kb/ivf")
-        println(s"[graft] ivf: ${spark.read.parquet(s"$kb/ivf/assigned").count()} " +
-          s"vectors in $nc clusters -> $kb/ivf")
+        // incremental refresh: an existing store keeps its centroids and
+        // only the MISSING vectors (appended since the last build) are
+        // assigned + appended partition-wise — FAISS add_with_ids, not a
+        // re-cluster. `--rebuild` (or no store) takes the full build path.
+        val storeDir = s"$kb/ivf"
+        val hasStore = !args.contains("--rebuild") &&
+          graft.sources.KbStorage.pathExists(spark, s"$storeDir/assigned")
+        if (hasStore) {
+          val assignedIds = spark.read.parquet(s"$storeDir/assigned")
+            .select(col("doc_id"))
+          val fresh = emb.join(assignedIds, Seq("doc_id"), "left_anti")
+          val nFresh = fresh.count()
+          if (nFresh > 0)
+            VectorSearch.appendIvfStore(spark, storeDir, fresh)
+          // refresh the staleness sidecar: the store now covers the
+          // current embeddings table
+          import spark.implicits._
+          Seq(Tuple1(graft.operators.PathFingerprint(s"$kb/embeddings")))
+            .toDF("source_fp")
+            .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/meta")
+          println(s"[graft] ivf: appended $nFresh new vectors -> $storeDir")
+        } else {
+          VectorSearch.writeIvf(
+            VectorSearch.buildIvf(emb, "doc_id", "embedding", nc), storeDir,
+            sourceFingerprint =
+              Some(graft.operators.PathFingerprint(s"$kb/embeddings")))
+          println(s"[graft] ivf: ${spark.read.parquet(s"$storeDir/assigned").count()} " +
+            s"vectors in $nc clusters -> $storeDir")
+        }
 
       case "pq" =>
         // extension verb: build the PQ-encoded table (codes replace raw

@@ -33,9 +33,11 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix))
-      .foreach { case (name, fn) =>
+    var audited = 0
+    var failed = 0
+    all.foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -60,10 +62,22 @@ object PlanAudit {
             println(s"  WARN $name: no codegen'd operators")
           if (fullScans > 0)
             println(s"  WARN $name: $fullScans wide ReadSchema (check column pruning)")
+          audited += 1
         } catch {
-          case e: Throwable => println(s"$name EXPLAIN FAILED: ${e.getMessage}")
+          case e: Throwable =>
+            failed += 1
+            println(s"$name EXPLAIN FAILED: ${e.getMessage}")
         }
       }
+    // completeness gate (r14 shipped a 189/190 audit without noticing):
+    // every SparkEntry query gets a line or the run itself fails
+    println(s"[planaudit] audited=$audited failed=$failed " +
+      s"total=${all.size} queries")
     spark.stop()
+    if (failed > 0 || audited != all.size) {
+      println(s"[planaudit] INCOMPLETE: ${all.size - audited} queries " +
+        "missing an audit line")
+      sys.exit(1)
+    }
   }
 }

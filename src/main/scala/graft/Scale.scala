@@ -386,6 +386,15 @@ object Scale {
           .select("embedding").head().getSeq[Float](0).toSeq
         secs(s"ivf-store-serve $tag")(
           operators.VectorSearch.ivfTopK(rd, qv, 20, nprobe = 2).count())
+        // r15: append a FIXED 1000-vector batch to the stored index — the
+        // claim is the FAISS add_with_ids economics: cost tracks the batch,
+        // not the store (1× vs kEmb× rows should read ~equal)
+        val batch = e.limit(1000).select(
+          (col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+        secs(s"ivf-store-append $tag") {
+          operators.VectorSearch.appendIvfStore(spark, dir, batch)
+          1000
+        }
       }
     }
     ivfStoreBuildServe(emb, "1x")
@@ -889,6 +898,15 @@ object Scale {
       operators.Dedup.connectedComponents(chainEdges(64, 200000L)), 64))
     secs(s"cc-stars-chains 1.6M-edges (direct)")(countComps(
       operators.Dedup.connectedComponentsStars(chainEdges(8, 200000L)), 8))
+    secs(s"cc-stars-chains 6.4M-edges (direct)")(countComps(
+      operators.Dedup.connectedComponentsStars(chainEdges(32, 200000L)), 32))
+    // the SCATTERED row defeats partition locality (round-robin shuffle of
+    // the chain edges: adjacent edges never co-locate, the zero-shuffle
+    // local contraction finds nothing) — it receipts the PURE star-loop
+    // constant that the rows above no longer isolate
+    secs(s"cc-stars-chains 1.6M-edges (scattered)")(countComps(
+      operators.Dedup.connectedComponentsStars(
+        chainEdges(8, 200000L).repartition(32)), 8))
 
     // ── r13: 100× rows for the headline paths — the "plans you'd want at
     //    100×" bar. In-process guards are EXPECTED to refuse here and the
@@ -985,6 +1003,17 @@ object Scale {
       secs(s"late-pruned ${k100}x")(
         operators.LateInteraction.maxSimTopKPruned(docs100, "doc_id", "text",
           scaleQ, 10).count())
+      // r15: the AUTO tier at 100× must route to pruned (500k docs >
+      // ExactMaxDocs policy bound) — same cost class as the row above
+      secs(s"late-auto ${k100}x")(
+        operators.LateInteraction.maxSimTopKAuto(docs100, "doc_id", "text",
+          scaleQ, 10, corpusDocs = Some(docs100.count())).count())
+      // r15: batch-200 at 100× — the wave guard's widest receipt: ~10
+      // column-bounded waves over the shared checkpointed vocabulary
+      secs(s"late-interaction-batch200 ${k100}x")(
+        operators.LateInteraction.maxSimTopKBatch(docs100, "doc_id", "text",
+          (1L to 200L).map(i => i -> s"spark join filter window query $i"),
+          k = 10).count())
       secs(s"textrank-edges-build ${k100}x") {
         operators.TextRank.cooccurrenceEdges(docs100, "text")
           .write.mode("overwrite").parquet(s"$base/tredges_${k100}x")

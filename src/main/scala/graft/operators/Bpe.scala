@@ -61,6 +61,7 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var rank = 1
     var exhausted = false
+    var lastReapplied: Option[(String, String)] = None
     while (rank <= numMerges && !exhausted) {
       // adjacent symbol pairs of each word, weighted by word freq
       val a = filter(split(trim(col("s")), " "), x => length(x) > 0)
@@ -77,16 +78,35 @@ object Bpe {
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = best.head
-        // a pair can never recur once every occurrence merges (tokens only
-        // fuse, never split) — recurrence means the replace undercounted,
-        // which would silently duplicate merge rules: fail loudly instead
-        require(!merges.exists(m => m._2 == l && m._3 == r),
-          s"BPE trainer re-selected already-learned pair ($l, $r)")
-        merges += ((rank, l, r, l + r, cnt))
-        w = w.select(col("freq"),
-            expr(s"replace(s, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')").as("s"))
-          .localCheckpoint(true)
-        rank += 1
+        if (merges.exists(m => m._2 == l && m._3 == r)) {
+          // an already-learned pair re-emerged. For this char-level
+          // greedy-replace variant tokens only fuse, so the common cause
+          // is an adjacency RECREATED by later merges of overlapping runs
+          // — reference BPE trainers simply merge it again. Re-apply the
+          // replace without learning a duplicate rule; if the SAME pair
+          // comes straight back the replace is a no-op (a degenerate
+          // corpus) and training stops with what it has, instead of the
+          // pre-r15 require-crash or an infinite loop.
+          if (lastReapplied.contains((l, r))) {
+            println(s"[bpe] WARNING: pair ($l, $r) re-selected twice with " +
+              s"no effect; stopping at ${merges.size} merges")
+            exhausted = true
+          } else {
+            println(s"[bpe] WARNING: learned pair ($l, $r) re-emerged " +
+              s"(count $cnt); re-applying its merge without a new rule")
+            lastReapplied = Some((l, r))
+            w = w.select(col("freq"),
+                expr(s"replace(s, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')").as("s"))
+              .localCheckpoint(true)
+          }
+        } else {
+          lastReapplied = None
+          merges += ((rank, l, r, l + r, cnt))
+          w = w.select(col("freq"),
+              expr(s"replace(s, ' ${esc(l)}  ${esc(r)} ', ' ${esc(l + r)} ')").as("s"))
+            .localCheckpoint(true)
+          rank += 1
+        }
       }
     }
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")

@@ -238,4 +238,39 @@ object LateInteraction {
     */
   private[graft] def tokenizeValue(s: String): Seq[String] =
     s.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** Above this many corpus documents the PRUNED tier is the automatic
+    * default: exact MaxSim aggregates the full corpus token stream per
+    * query, while the pruned tier ranks candidate tokens on the
+    * vocabulary and semi-join-prunes the stream first — the same
+    * build-vs-serve crossover [[VectorSearch.chooseIndex]] encodes for the
+    * ANN family (and the regime ColBERT itself serves in). Below the
+    * bound the exact scan is already cheap and pruning is pure overhead.
+    */
+  val ExactMaxDocs = 100000L
+
+  /** The serving-tier policy: Exact below [[ExactMaxDocs]], Pruned above. */
+  sealed trait Tier
+  object Tier {
+    case object Exact extends Tier
+    final case class Pruned(candPerTok: Int) extends Tier
+  }
+  def chooseTier(corpusDocs: Long, candPerTok: Int = 50): Tier =
+    if (corpusDocs > ExactMaxDocs) Tier.Pruned(candPerTok) else Tier.Exact
+
+  /** Policy-dispatched top-k MaxSim — the AUTO default callers get when
+    * they don't pick a tier ([[chooseTier]] on the corpus size, the
+    * `chooseIndex` idiom). Pass `corpusDocs` when the caller already
+    * holds the count (avoids the extra count job).
+    */
+  def maxSimTopKAuto(docs: DataFrame, idCol: String, textCol: String,
+                     queryText: String, k: Int, dims: Int = 8,
+                     candPerTok: Int = 50,
+                     corpusDocs: Option[Long] = None): DataFrame =
+    chooseTier(corpusDocs.getOrElse(docs.count()), candPerTok) match {
+      case Tier.Exact =>
+        maxSimTopK(docs, idCol, textCol, queryText, k, dims)
+      case Tier.Pruned(c) =>
+        maxSimTopKPruned(docs, idCol, textCol, queryText, k, dims, c)
+    }
 }

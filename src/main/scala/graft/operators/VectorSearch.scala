@@ -1018,7 +1018,8 @@ object VectorSearch {
     * the artifact is a table any executor can scan, built once by the
     * `ivf` CLI verb and served by `query` without re-clustering.
     */
-  def writeIvf(ix: IvfIndex, dir: String): Unit = {
+  def writeIvf(ix: IvfIndex, dir: String,
+               sourceFingerprint: Option[Long] = None): Unit = {
     ix.assigned.write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$dir/assigned")
     val spark = ix.assigned.sparkSession
@@ -1027,7 +1028,21 @@ object VectorSearch {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cluster_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // staleness sidecar: the fingerprint of the SOURCE embeddings the
+    // index was built from — query-time loads compare it to the current
+    // embeddings and fall back to a rebuild on mismatch, instead of
+    // silently missing vectors appended after the build
+    sourceFingerprint.foreach(fp =>
+      Seq(Tuple1(fp)).toDF("source_fp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta"))
   }
+
+  /** The `source_fp` recorded by [[writeIvf]], if the store has one. */
+  def readIvfSourceFp(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Option[Long] =
+    scala.util.Try(
+      spark.read.parquet(s"$dir/meta").select("source_fp")
+        .head().getLong(0)).toOption
 
   /** Read a persisted IVF index. The id/vector column names come from the
     * stored `assigned` schema (the vector is the array column); the
@@ -1108,6 +1123,34 @@ object VectorSearch {
     * append there is nearest-by-cosine — equivalent for normalized
     * embeddings, documented divergence otherwise.
     */
+  /** Incremental append to an AT-REST IVF store — FAISS `add_with_ids` +
+    * `write_index` checkpoint (`embed_manager.py:502-522`) as a table
+    * operation: assign ONLY the new batch to the STORED centroids (no
+    * re-cluster) and append the rows into the `cluster_id`-partitioned
+    * `assigned` table. Existing partition files are never read or
+    * rewritten, so the append cost tracks the BATCH, not the store.
+    * Assignment is the same per-vector argmax-cosine rule as [[appendIvf]]
+    * — per-vector independent, so append-after-write ≡ write-over-union
+    * value-exactly (oracle: sim_knn_ivf_stored_append; the KMeans
+    * Euclidean-vs-cosine caveat of [[appendIvf]] applies to
+    * KMeans-built stores).
+    *
+    * `newVectors` must carry the store's id/vector column names (they ride
+    * in the stored schema — see [[readIvf]]).
+    */
+  def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVectors: DataFrame): Unit = {
+    val ix = readIvf(spark, dir)
+    val cents = ix.centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+    seededIvfAssign(newVectors.select(col(ix.idCol), col(ix.vecCol)),
+        ix.idCol, ix.vecCol, cents)
+      .withColumn("cluster_id", col("cluster_id").cast(
+        ix.assigned.schema("cluster_id").dataType))
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$dir/assigned")
+  }
+
   def appendIvf(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
     val cents = index.centroids.zipWithIndex
       .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq

@@ -188,18 +188,40 @@ object EngineQueries {
       s"replace(replace(replace(replace(replace($e," +
         " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')," +
         " '\"', '&quot;'), '''', '&apos;')"
+    // JSON string escaping in Spark's to_json field order — Jackson
+    // escapes backslash first, then quote, then the control chars the
+    // corpus can contain (the block join introduces real newlines)
+    def jesc(e: String): String =
+      s"""replace(replace(replace(replace(replace($e,
+         | '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+         | chr(13), '\\r'), chr(9), '\\t')""".stripMargin.replaceAll("\n", "")
     val (body, frame) = style match {
       case "xml" => (
         s"'<reference source=\"' || ${esc("sourcedoc")} || '\" start=\"' ||" +
           s" start_sid || '\" end=\"' || end_sid || '\">' || chr(10) ||" +
           s" ${esc("block_text")} || chr(10) || '</reference>'",
         "'<references>' || chr(10) || agg || chr(10) || '</references>'")
+      case "json" => (
+        s"""'{"sourcedoc":"' || ${jesc("sourcedoc")} ||
+           | '","start_sid":' || start_sid ||
+           | ',"end_sid":' || end_sid ||
+           | ',"text":"' || ${jesc("block_text")} || '"}'"""
+          .stripMargin.replaceAll("\n", ""),
+        "'[' || agg || ']'")
+      case "plain" => (
+        "'From ' || sourcedoc || ' (chunks ' || start_sid || '-' ||" +
+          " end_sid || '):' || chr(10) || block_text",
+        "agg")
       case _ => ( // markdown
         "'### ' || sourcedoc || ' [' || start_sid || '-' || end_sid ||" +
           " ']' || chr(10) || chr(10) || block_text",
         "agg")
     }
-    val sep = if (style == "xml") "chr(10)" else "chr(10) || chr(10)"
+    val sep = style match {
+      case "xml" => "chr(10)"
+      case "json" => "',' || chr(10)"
+      case _ => "chr(10) || chr(10)"
+    }
     s"""WITH chunks AS (
        |  SELECT doc_id, source AS sourcedoc,
        |         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS sid,
@@ -1134,6 +1156,18 @@ object EngineQueries {
     },
     QueryDef.sql("f_format_md", formatDocSql("markdown")) { (s, dir) =>
       formatDocDf(s, dir, "markdown")
+    },
+
+    // ── The remaining two formatter styles (query/formatters.py:100-378
+    //    has FOUR: xml/json/markdown/plain) under the same full-document
+    //    hash oracle — json is Spark's to_json per block (the twin rebuilds
+    //    Jackson's field order and escape chain), plain is the prose frame ──
+    QueryDef.sql("f_format_json", formatDocSql("json")) { (s, dir) =>
+      formatDocDf(s, dir, "json")
+    },
+
+    QueryDef.sql("f_format_plain", formatDocSql("plain")) { (s, dir) =>
+      formatDocDf(s, dir, "plain")
     },
 
     // ── M7/T4: head rerank with the deterministic lexical scorer ──────────

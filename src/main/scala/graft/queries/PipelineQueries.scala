@@ -1258,6 +1258,63 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ── STORED IVF append lifecycle (closes the r14 gap: the at-rest
+    //    store had no append path): the base corpus (vec_id < 400) is
+    //    written as its own cluster-partitioned store, the new batch
+    //    (vec_id ≥ 400) lands via VectorSearch.appendIvfStore — batch rows
+    //    assigned to the STORED centroids and appended partition-wise,
+    //    existing files never rewritten — and the serve reads the appended
+    //    store. The oracle assigns over the WHOLE table, so a hash match
+    //    proves append-at-rest ≡ rebuild-over-union, value-exactly ────────
+    QueryDef.sql("sim_knn_ivf_stored_append",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |              WHERE vec_id < 8),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ev, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT doc_id, ev, cid FROM asg WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (
+         |      ORDER BY ${cosineSql("cv", "(SELECT v FROM qv)")} DESC, cid) AS rn
+         |    FROM cent) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT doc_id, ${cosineSql("ev", "(SELECT v FROM qv)")} AS score
+         |  FROM a2 WHERE cid IN (SELECT cid FROM probe))
+         |SELECT doc_id, round(score, 6) AS score
+         |FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.VectorSearch
+      val emb = Tables.embeddings(s, dir)
+      val cents = Tables.seedVecs(s, dir, 8)
+      val qv = Tables.queryVec(s, dir, 0)
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfixa_$suffix").getPath
+      IvfStoreMemo.memo.getOrBuild(s, s"$dir|append") {
+        VectorSearch.writeIvf(VectorSearch.IvfIndex(
+          VectorSearch.seededIvfAssign(
+            emb.filter(col("vec_id") < 400), "vec_id", "embedding", cents),
+          cents.map(_._2.toArray).toArray, "vec_id", "embedding"), root)
+        VectorSearch.appendIvfStore(s, root, emb.filter(col("vec_id") >= 400))
+        true
+      }
+      val rd = VectorSearch.readIvf(s, root)
+      val probeIds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qv)).as("cs"))
+        .orderBy(col("cs").desc, col("cid")).limit(2)
+        .select("cid").collect().map(_.getInt(0))
+      rd.assigned.filter(col("cluster_id").isin(probeIds.toIndexedSeq: _*))
+        .select(col(rd.idCol).as("doc_id"),
+          VectorFunctions.cosine(col(rd.vecCol), VectorFunctions.vecLit(qv)).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ── Incremental IVF append (FAISS add()): base corpus assigned, the
     //    "new batch" (vec_id ≥ 400) appended to the EXISTING centroids via
     //    VectorSearch.appendIvf — the oracle assigns over the WHOLE table,

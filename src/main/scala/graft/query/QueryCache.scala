@@ -74,20 +74,32 @@ object QueryCache {
   def embedQueryCached(spark: org.apache.spark.sql.SparkSession,
                        cacheDir: String, text: String,
                        provider: Embedder.Provider): Array[Float] = {
+    // the cache identity is (model, dims, content): vectors from different
+    // embedding models live in different subdirectories, so an `edit` that
+    // switches models (or a re-embed that changes vector_dimensions) can
+    // never serve a stale vector of the wrong space. Model names sanitize
+    // to a path token; the dims ride separately so a same-name dims change
+    // still separates.
+    val dir = s"$cacheDir/${provider.model.replaceAll("[^A-Za-z0-9_.-]", "_")}" +
+      s"_${provider.dims}"
     val key = contentKeyValue(text)
     val hit =
-      if (new java.io.File(cacheDir).exists())
-        spark.read.parquet(cacheDir)
+      if (graft.sources.KbStorage.pathExists(spark, dir))
+        spark.read.parquet(dir)
           .filter(col("content_key") === key)
           .select("embedding").take(1).headOption
       else None
     hit match {
-      case Some(r) => r.getSeq[Float](0).toArray
-      case None =>
+      // belt and braces: a hit of the wrong length (a corrupt or
+      // hand-migrated cache) recomputes instead of serving a vector the
+      // cosine stage would silently mis-score
+      case Some(r) if r.getSeq[Float](0).size == provider.dims =>
+        r.getSeq[Float](0).toArray
+      case _ =>
         val v = provider.embedBatch(Seq(text)).head
         import spark.implicits._
         Seq((key, v)).toDF("content_key", "embedding")
-          .coalesce(1).write.mode("append").parquet(cacheDir)
+          .coalesce(1).write.mode("append").parquet(dir)
         v
     }
   }
@@ -103,9 +115,16 @@ object QueryCache {
     * run itself enforces (any miss crashes instead of silently
     * recomputing). The m16_query_cache oracle's second pass runs on this.
     */
-  def refusingProvider(dimensions: Int): Embedder.Provider =
+  /** @param mirrorModel the REAL provider's model name to impersonate —
+    *   [[embedQueryCached]] keys its at-rest cache by (model, dims), so a
+    *   warm-pass refuser must look up the same cache the real provider
+    *   filled (empty = the standalone `cache-only-<dims>` identity).
+    */
+  def refusingProvider(dimensions: Int,
+                       mirrorModel: String = ""): Embedder.Provider =
     new Embedder.Provider {
-      val model = s"cache-only-$dimensions"
+      val model =
+        if (mirrorModel.nonEmpty) mirrorModel else s"cache-only-$dimensions"
       val dims = dimensions
       def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
         throw new IllegalStateException(

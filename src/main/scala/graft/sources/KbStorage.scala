@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object KbStorage {
 
+  /** Existence probe through the Hadoop FileSystem API — `java.io.File`
+    * is local-filesystem-only and silently answers false for an HDFS/S3
+    * kb dir, which would make store/cache detection skip artifacts the
+    * parquet readers could serve. Errors (bad scheme, no credentials)
+    * read as absent: the caller's fallback path is always the safe one.
+    */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    scala.util.Try(
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      .getOrElse(false)
+  }
+
   /** Write the chunk table bucketed for context-join locality. Bucketing
     * requires the table catalog (`saveAsTable`); plain parquet paths lose
     * bucket metadata.

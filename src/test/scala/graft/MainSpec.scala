@@ -374,6 +374,33 @@ class MainSpec extends SparkSpec {
     assert(first.linesIterator.size == 3, s"expected 3 A/B lines:\n$first")
     assert(first.contains("rerank-learned") && first.contains("rerank-lexical"))
     assert(captured() == first, "A/B metrics must be deterministic")
+
+    // --qrels: explicit TREC-style judgments replace the vector-tier
+    // pseudo-qrels. Doc a.txt is the only relevant doc for "spark joins";
+    // BM25 ranks it first, so the per-query line must read perfect
+    // ndcg/mrr — and with only an unreachable doc marked relevant, zero.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val aId = spark.read.parquet(s"$kb/chunks")
+      .filter(col("chunk_text").contains("spark joins"))
+      .select("doc_id").head().getLong(0)
+    Seq((1L, aId, 3.0)).toDF("query_id", "doc_id", "grade")
+      .write.mode("overwrite").parquet(s"$kb/qrels_hit")
+    def evalLine(qrels: String): String = { out.reset()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Main.run(Array("eval", kb, "spark joins", "5",
+          s"--qrels=$qrels"), spark)
+      }
+      out.toString.linesIterator.filter(_.contains("eval q1")).mkString
+    }
+    val hit = evalLine(s"$kb/qrels_hit")
+    assert(hit.contains("ndcg@5=1.0000") && hit.contains("mrr=1.0000"),
+      s"explicit relevant top doc must score perfectly: $hit")
+    Seq((1L, 999999L, 3.0)).toDF("query_id", "doc_id", "grade")
+      .write.mode("overwrite").parquet(s"$kb/qrels_miss")
+    val miss = evalLine(s"$kb/qrels_miss")
+    assert(miss.contains("ndcg@5=0.0000") && miss.contains("mrr=0.0000"),
+      s"unreachable relevant doc must score zero: $miss")
   }
 
   test("CLI search verb: bm25 default, --phrase from the positional store, --snippets") {

@@ -161,6 +161,31 @@ class LateInteractionSpec extends SparkSpec {
     assert(tiny == single)
   }
 
+  test("auto tier policy: exact below the bound, pruned above, exact dispatch") {
+    import LateInteraction.Tier
+    assert(LateInteraction.chooseTier(10L) == Tier.Exact)
+    assert(LateInteraction.chooseTier(LateInteraction.ExactMaxDocs) == Tier.Exact)
+    assert(LateInteraction.chooseTier(LateInteraction.ExactMaxDocs + 1) ==
+      Tier.Pruned(50))
+    assert(LateInteraction.chooseTier(1000000L, candPerTok = 7) ==
+      Tier.Pruned(7))
+    // below the bound the auto result IS the exact result
+    val docs = Seq((1L, "spark join filter"), (2L, "window scan"),
+      (3L, "spark window")).toDF("doc_id", "text")
+    val auto = LateInteraction.maxSimTopKAuto(docs, "doc_id", "text",
+      "spark window", 5).as[(Long, Double)].collect().toSeq
+    val exact = LateInteraction.maxSimTopK(docs, "doc_id", "text",
+      "spark window", 5).as[(Long, Double)].collect().toSeq
+    assert(auto == exact)
+    // forcing the pruned dispatch via corpusDocs: scores of returned docs
+    // still equal the exact scores (pruning only excludes docs)
+    val pruned = LateInteraction.maxSimTopKAuto(docs, "doc_id", "text",
+        "spark window", 5, corpusDocs = Some(LateInteraction.ExactMaxDocs + 1))
+      .as[(Long, Double)].collect().toMap
+    val exactMap = exact.toMap
+    assert(pruned.forall { case (id, s) => exactMap(id) == s })
+  }
+
   test("tokenless docs get no score row; repeated tokens count once") {
     val docs = Seq(
       (1L, "spark spark spark"),

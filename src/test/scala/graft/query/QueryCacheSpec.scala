@@ -63,14 +63,27 @@ class QueryCacheSpec extends SparkSpec {
     val v1 = QueryCache.embedQueryCached(spark, dir, "spark join", counting)
     assert(calls == 1)
     // the repeat must be served from the table — the refusing provider
-    // makes "no provider call" a property the run enforces
+    // makes "no provider call" a property the run enforces; it mirrors the
+    // real provider's model name because the cache is keyed (model, dims)
     val v2 = QueryCache.embedQueryCached(spark, dir, "spark join",
-      QueryCache.refusingProvider(8))
+      QueryCache.refusingProvider(8, mirrorModel = "counting-8"))
     assert(v2.toSeq == v1.toSeq)
     // a different query misses and appends alongside
     QueryCache.embedQueryCached(spark, dir, "pasta", counting)
     assert(calls == 2)
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(spark.read.parquet(s"$dir/counting-8_8").count() == 2)
+    // a DIFFERENT model (or dims) never hits the first model's rows: the
+    // at-rest cache separates by (model, dims) subdirectory
+    var otherCalls = 0
+    val otherModel = new Embedder.Provider {
+      val model = "other-8"; val dims = 8
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        otherCalls += texts.size
+        Embedder.Deterministic(8).embedBatch(texts)
+      }
+    }
+    QueryCache.embedQueryCached(spark, dir, "spark join", otherModel)
+    assert(otherCalls == 1, "model change must MISS, not serve stale vectors")
     // the driver-side key twin matches the column form
     val colKey = Seq(Tuple1("spark join")).toDF("t")
       .select(Embedder.contentKey(col("t"))).head.getString(0)
