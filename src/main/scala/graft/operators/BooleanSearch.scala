@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -148,28 +148,84 @@ object BooleanSearch {
   }
 
   /** BATCHED boolean retrieval: N parsed queries evaluated in ONE
-    * DataFrame DAG — each query's set algebra and scoring subplan is a
-    * branch of a single union, so the whole batch is one Spark action and
-    * the per-query cost is the pruned-postings work itself, not per-action
-    * scheduling overhead. Value-identical to [[booleanTopK]] per query by
-    * construction (the branches ARE that plan). Returns
-    * `(query_id, doc_id, score)` — top-k per query, each branch already
-    * (score DESC, doc_id)-cut.
+    * DataFrame DAG whose shuffle count does NOT grow with N. One pruned
+    * postings pass builds a per-(query, doc) term-presence BITMASK
+    * (each query's terms get private bit slots, `bit_or`-style sum);
+    * every query's boolean tree then compiles to a pure bitwise
+    * predicate over that mask — codegen, zero extra shuffles — instead
+    * of per-query INTERSECT/UNION/EXCEPT chains. A second pruned pass
+    * scores the positive terms and a per-query window takes the top-k.
+    * Value-identical to [[booleanTopK]] per query: a doc's mask bit is
+    * set iff the doc is in that term's posting set, so the compiled
+    * predicate IS the set algebra. Docs carrying NONE of a query's
+    * terms (absent from the mask table) need no recovery even when the
+    * tree is true on the all-absent assignment (`a OR NOT b` shapes):
+    * such a doc has no positive-term postings either, so the scoring
+    * join omits it — the same "matches without positive evidence are
+    * omitted" contract [[booleanTopK]] has (spec-pinned). Returns
+    * `(query_id, doc_id, score)` — top-k per query by
+    * (score DESC, doc_id).
     *
-    * 100 TB shape: every branch's leaves are pruned (bucket-partitioned)
-    * postings lookups; a shared scan feeds equal-term leaves via exchange
-    * reuse, and branch results are k-bounded before the union.
+    * 100 TB shape: two bucket-pruned postings scans TOTAL for the whole
+    * batch, one groupBy each, one window — the same plan at N=2 and
+    * N=2000. The mask is a Long (≤62 distinct terms per query — far
+    * beyond any user query; enforced).
     */
   def booleanTopKBatch(ix: Bm25.Index, spark: SparkSession,
                        queries: Seq[(Long, String)], k: Int,
                        k1: Double = Bm25.K1,
                        b: Double = Bm25.B): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "empty boolean batch")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query_id in batch")
-    queries.map { case (qid, q) =>
-      booleanTopK(ix, spark, q, k, k1, b)
-        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionByName _)
+    val parsed = queries.map { case (qid, q) => (qid, parse(spark, q)) }
+    val slots: Map[Long, Map[String, Int]] = parsed.map { case (qid, n) =>
+      val ts = allTerms(n).distinct.sorted
+      require(ts.size <= 62, s"boolean query $qid: ${ts.size} terms (max 62)")
+      qid -> ts.zipWithIndex.toMap
+    }.toMap
+    val qtermRows = parsed.flatMap { case (qid, _) =>
+      slots(qid).toSeq.sortBy(_._2)
+        .map { case (t, i) => (qid, t, 1L << i) }
+    }
+    val allT = qtermRows.map(_._2).distinct
+    val masks = Bm25.prunedPostings(ix, allT)
+      .filter(col("term").isin(allT: _*))
+      .select("doc_id", "term")
+      .join(broadcast(qtermRows.toDF("query_id", "term", "bit")), "term")
+      .groupBy("query_id", "doc_id")
+      // postings are unique per (term, doc) and slots unique per
+      // (query, term), so sum == bit_or
+      .agg(sum("bit").as("mask"))
+    def evalMask(n: Node, slot: Map[String, Int]): Column = n match {
+      case Term(t) =>
+        col("mask").bitwiseAND(lit(1L << slot(t))) =!= lit(0L)
+      case And(l, r) => evalMask(l, slot) && evalMask(r, slot)
+      case Or(l, r) => evalMask(l, slot) || evalMask(r, slot)
+      case Not(x) => !evalMask(x, slot)
+    }
+    val predicate = parsed.map { case (qid, n) =>
+      (col("query_id") === lit(qid)) && evalMask(n, slots(qid))
+    }.reduce(_ || _)
+    val matches = masks.filter(predicate).select("query_id", "doc_id")
+    val posPairs = parsed.flatMap { case (qid, n) =>
+      positiveTerms(n).map(t => (qid, t))
+    }
+    val posT = posPairs.map(_._2).distinct
+    val stats = ix.idf.select("term", "idf")
+      .filter(col("term").isin(posT: _*))
+    Bm25.prunedPostings(ix, posT)
+      .filter(col("term").isin(posT: _*))
+      .join(broadcast(posPairs.toDF("query_id", "term")), "term")
+      .join(matches, Seq("query_id", "doc_id"), "left_semi")
+      .join(broadcast(stats), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(Bm25.termScore(col("tf"), col("doc_len"),
+        lit(ix.avgdl), col("idf"), k1, b)), 4).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k).drop("rk")
   }
 }

@@ -46,7 +46,10 @@ class BooleanSearchSpec extends SparkSpec {
       (7L, "hash merge join window filter"))
     val ix = Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text")
     val queries = Seq(1L -> "(window OR join) AND filter NOT slow",
-      2L -> "spark OR hash", 3L -> "filter NOT (join OR spark)")
+      2L -> "spark OR hash", 3L -> "filter NOT (join OR spark)",
+      // true on the all-absent assignment (`a OR NOT b`): zero-term docs
+      // "match" but carry no positive evidence — both paths must omit them
+      4L -> "spark OR NOT filter")
     val batch = BooleanSearch.booleanTopKBatch(ix, spark, queries, 10)
       .as[(Long, Long, Double)].collect().toSeq
       .groupBy(_._1).view.mapValues(
