@@ -835,6 +835,18 @@ object Scale {
         operators.BooleanSearch.booleanTopK(
           bm25StoredProbe(s"$base/bm25_${kDocs}x"),
           spark, "(window OR join) AND filter NOT slow", 20).count())
+      // r15: BATCHED serve from the store (t15_boolean_batch20's fixtures)
+      // — the mask-based one-pass plan: two pruned postings scans for the
+      // WHOLE batch, so per-query cost is the store probe itself, not
+      // per-action overhead or per-query set-algebra shuffles
+      secs(s"boolean-batch20-stored 1x")(
+        operators.BooleanSearch.booleanTopKBatch(
+          bm25StoredProbe(s"$base/bm25_1x"), spark,
+          graft.queries.KbQueries.BooleanBatch, 20).count())
+      secs(s"boolean-batch20-stored ${kDocs}x")(
+        operators.BooleanSearch.booleanTopKBatch(
+          bm25StoredProbe(s"$base/bm25_${kDocs}x"), spark,
+          graft.queries.KbQueries.BooleanBatch, 20).count())
       def snippets(d: DataFrame): Long =
         operators.Snippets.bestSnippets(d, "doc_id", "text",
           "spark join filter window", 20).count()
@@ -860,6 +872,14 @@ object Scale {
       secs(s"rm3-stored ${kDocs}x")(
         operators.Rm3.rm3TopK(bm25StoredProbe(s"$base/bm25_${kDocs}x"), spark,
           "spark join filter window", 20).count())
+      // r15: BATCHED serve (t13_rm3_batch20's fixtures) — both feedback
+      // passes run ONCE for the whole batch (3 fixed actions total)
+      secs(s"rm3-batch20-stored 1x")(
+        operators.Rm3.rm3TopKBatch(bm25StoredProbe(s"$base/bm25_1x"), spark,
+          graft.queries.KbQueries.Rm3Batch, 20).count())
+      secs(s"rm3-batch20-stored ${kDocs}x")(
+        operators.Rm3.rm3TopKBatch(bm25StoredProbe(s"$base/bm25_${kDocs}x"),
+          spark, graft.queries.KbQueries.Rm3Batch, 20).count())
     }
 
     // ── r13: central-chunk selection — pairwise cosine only WITHIN a
@@ -1000,6 +1020,12 @@ object Scale {
           "(window OR join) AND filter NOT slow", 20).count())
       secs(s"rm3-stored ${k100}x")(
         operators.Rm3.rm3TopK(ix100, spark, scaleQ, 20).count())
+      secs(s"boolean-batch20-stored ${k100}x")(
+        operators.BooleanSearch.booleanTopKBatch(ix100, spark,
+          graft.queries.KbQueries.BooleanBatch, 20).count())
+      secs(s"rm3-batch20-stored ${k100}x")(
+        operators.Rm3.rm3TopKBatch(ix100, spark,
+          graft.queries.KbQueries.Rm3Batch, 20).count())
       secs(s"late-pruned ${k100}x")(
         operators.LateInteraction.maxSimTopKPruned(docs100, "doc_id", "text",
           scaleQ, 10).count())
