@@ -809,6 +809,11 @@ object Scale {
         }
         secs(s"phrase-stored-serve $tag")(
           operators.PositionalIndex.phraseTopK(ix, "window join", 50).count())
+        // r15: BATCHED serve (t12_phrase_batch20's fixtures) — one pruned
+        // postings pass + requirement-count matching for all 20 phrases
+        secs(s"phrase-batch20-stored $tag")(
+          operators.PositionalIndex.phraseTopKBatch(ix,
+            graft.queries.KbQueries.PhraseBatch, 20).count())
       }
       buildServe(docs, "1x")
       buildServe(bigDocs, s"${kDocs}x")
@@ -1012,9 +1017,13 @@ object Scale {
         posIx = operators.PositionalIndex.read(spark, s"$base/posix_${k100}x")
         posIx.corpusSize
       }
-      if (posIx != null)
+      if (posIx != null) {
         secs(s"phrase-stored-serve ${k100}x")(
           operators.PositionalIndex.phraseTopK(posIx, "window join", 50).count())
+        secs(s"phrase-batch20-stored ${k100}x")(
+          operators.PositionalIndex.phraseTopKBatch(posIx,
+            graft.queries.KbQueries.PhraseBatch, 20).count())
+      }
       secs(s"boolean-stored ${k100}x")(
         operators.BooleanSearch.booleanTopK(ix100, spark,
           "(window OR join) AND filter NOT slow", 20).count())

@@ -121,4 +121,77 @@ object PositionalIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BATCHED phrase search from the stored index: N phrases in ONE
+    * DataFrame DAG whose shuffle count does not grow with N. The
+    * per-query position-list join chain of [[phraseTopK]] is replaced by
+    * a requirement join: every query token becomes a `(query_id, term,
+    * offset)` requirement, ONE pruned postings pass explodes the matched
+    * terms' position lists, and each position satisfies the requirement
+    * at `start = p − offset`. A start is a phrase occurrence iff ALL the
+    * query's offsets are satisfied — and since a fixed (query, doc,
+    * start, offset) pins one position carrying one token, the plain row
+    * COUNT per (query, doc, start) is exactly the satisfied-offset count
+    * (no bitmask needed): `count == |tokens|` ⇔ match. Repeated-token
+    * phrases fall out naturally (each offset is its own requirement), so
+    * the adjacent-start overlapping count the tiers share is preserved.
+    * Value-identical to [[phraseTopK]] per query: same stored stats, idf,
+    * saturation, 4 dp rounding, and (score DESC, doc_id) top-k — here as
+    * a per-query window. Returns `(query_id, doc_id, score)`.
+    *
+    * 100 TB shape: one bucket-pruned postings scan for the union of all
+    * phrases' terms, two count aggregations keyed by (query, doc[, start])
+    * and one window — the same plan at N=2 and N=2000.
+    */
+  def phraseTopKBatch(ix: Index, queries: Seq[(Long, String)], k: Int,
+                      k1: Double = Bm25.K1, b: Double = Bm25.B): DataFrame = {
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "empty phrase batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query_id in batch")
+    val qtoks = queries.map { case (qid, t) =>
+      val p = LateInteraction.tokenizeValue(t)
+      require(p.nonEmpty, s"phrase $qid analyzes to nothing")
+      (qid, p)
+    }
+    val reqRows = qtoks.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, off) => (qid, t, off) }
+    }
+    val ntokDf = broadcast(qtoks.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("query_id", "ntok"))
+    val allT = reqRows.map(_._2).distinct
+    val buckets = {
+      val n = ix.stats.select(col("term_buckets")).head().getInt(0)
+      allT.map(Bm25.termBucketValue(_, n)).distinct
+    }
+    val tf = ix.postings
+      .filter(col("term_bucket").isin(buckets: _*))
+      .filter(col("term").isin(allT: _*))
+      .select(col("doc_id"), col("doc_len"), col("term"),
+        explode(col("positions")).as("p"))
+      .join(broadcast(reqRows.toDF("query_id", "term", "off")), "term")
+      .groupBy(col("query_id"), col("doc_id"), col("doc_len"),
+        (col("p") - col("off")).as("start"))
+      .agg(count(lit(1)).as("hits"))
+      .join(ntokDf, "query_id")
+      .filter(col("hits") === col("ntok"))
+      .groupBy("query_id", "doc_id", "doc_len")
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("query_id").agg(count(lit(1)).as("df"))
+    val idf = log((lit(ix.corpusSize.toDouble) - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    tf.join(broadcast(dfs), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          idf * (col("tf") * (k1 + 1.0)) /
+            (col("tf") +
+              lit(k1) * (lit(1.0 - b) +
+                (lit(b) * col("doc_len")) / lit(ix.avgdl))),
+          4).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k).drop("rk")
+  }
 }

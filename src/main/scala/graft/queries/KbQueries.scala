@@ -82,6 +82,15 @@ object KbQueries {
       s"SELECT $qid AS query_id, f.* FROM (${rm3SqlFor(q)}) f"
     }.mkString("\nUNION ALL\n")
 
+  /** The t12 batch oracle: one proven computed-tier phrase rendition per
+    * query (the rm3BatchSql pattern) — the batch operator must agree with
+    * 20 independent single-phrase evaluations.
+    */
+  private def phraseBatchSql: String =
+    PhraseBatch.map { case (qid, q) =>
+      s"SELECT $qid AS query_id, f.* FROM (${phraseComputedSql(q, 20)}) f"
+    }.mkString("\nUNION ALL\n")
+
   /** Computed-tier phrase SQL for `phrase`, top `k`: tf is the
     * ADJACENT-START positional count (overlaps included — `a a a`
     * counts the phrase `a a` twice), identical to the stored tier's
@@ -122,6 +131,16 @@ object KbQueries {
   private val BatchTermPool = Vector("spark", "join", "filter", "window",
     "hash", "merge", "batch", "scan", "sort", "table", "row", "value",
     "vector", "slow")
+
+  /** 20 two-token phrase fixtures rotating the pool. Some phrases occur
+    * in the corpus and some don't — a no-hit phrase must yield zero rows
+    * on BOTH sides, so the batch oracle covers the empty case too.
+    */
+  private[graft] val PhraseBatch: Seq[(Long, String)] =
+    (0 until 20).map { i =>
+      val p = BatchTermPool
+      ((i + 1).toLong, s"${p(i % p.size)} ${p((i + 4) % p.size)}")
+    }
 
   /** 20 three-term RM3 batch queries, rotating through the pool. */
   private[graft] val Rm3Batch: Seq[(Long, String)] =
@@ -496,6 +515,27 @@ object KbQueries {
         true
       }
       PositionalIndex.phraseTopK(PositionalIndex.read(s, root), PhraseText, 50)
+    },
+
+    // ── t12 BATCHED serving: 20 phrases in ONE DataFrame DAG from the
+    //    AT-REST positional index — the per-query join chain replaced by
+    //    a (query_id, term, offset) requirement join over one pruned
+    //    postings pass; a start matches iff its satisfied-offset count
+    //    equals the phrase length. Oracle = 20 proven single-phrase
+    //    computed-tier blocks (the rm3BatchSql pattern) ──────────────────
+    QueryDef.sql("t12_phrase_batch20", phraseBatchSql) { (s, dir) =>
+      import graft.operators.PositionalIndex
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_posix_$suffix").getPath
+      PosIxMemo.memo.getOrBuild(s, dir) {
+        PositionalIndex.write(
+          PositionalIndex.build(Tables.documents(s, dir), "doc_id", "text"),
+          root)
+        true
+      }
+      PositionalIndex.phraseTopKBatch(
+        PositionalIndex.read(s, root), PhraseBatch, 20)
     },
 
     // ── MMR diversification (Carbonell & Goldstein 1998): greedy re-rank

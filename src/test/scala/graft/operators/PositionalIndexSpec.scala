@@ -61,6 +61,28 @@ class PositionalIndexSpec extends SparkSpec {
     assert(st.forall(_._3 == 2L), s"expected overlapping tf 2: ${st.toSeq}")
   }
 
+  test("phraseTopKBatch ≡ per-query phraseTopK (repeated-token and no-hit phrases included)") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) s"window join here pad$i window join"
+          else if (i % 4 == 1) "vector vector vector run"
+          else if (i % 4 == 2) "window join window join dense"
+          else "nothing at all relevant")
+    }.toDF("doc_id", "text")
+    val ix = PositionalIndex.build(docs, "doc_id", "text")
+    val queries = Seq(1L -> "window join", 2L -> "vector vector",
+      3L -> "join window", 4L -> "absent phrase")
+    val batch = PositionalIndex.phraseTopKBatch(ix, queries, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1))).toMap
+    queries.foreach { case (qid, q) =>
+      val single = PositionalIndex.phraseTopK(ix, q, 10)
+        .as[(Long, Double)].collect().toSeq.sortBy(r => (-r._2, r._1))
+      assert(batch.getOrElse(qid, Nil) == single, s"query $qid '$q'")
+    }
+    assert(batch.contains(1L) && !batch.contains(4L)) // no-hit stays empty
+  }
+
   test("write/read round-trip serves identically and prunes to the phrase buckets") {
     val docs = (1L to 30L).map(i =>
       (i, s"alpha beta w$i gamma alpha beta")).toDF("doc_id", "text")
