@@ -1059,6 +1059,22 @@ object Scale {
           spark.read.parquet(s"$base/tredges_${k100}x"), 30, 8).count())
       ivfStoreBuildServe(emb100, s"${k100}x")
     }
+
+    // ── r15: at-rest BM25 store APPEND — a FIXED 500-doc batch against
+    //    the 1x/20x/100x stores. Claim: cost tracks the BATCH (postings/
+    //    lengths partition-wise append + vocab-sized idf rewrite), not
+    //    the store. Runs LAST because it mutates the stores the serving
+    //    rows above read; a filtered run must include bm25-store-write. ──
+    def bm25StoreAppend(tag: String): Long = {
+      val batch = docs.limit(500).select(
+        (col("doc_id") + lit(950000000L)).as("doc_id"), col("text"))
+      operators.Bm25.appendIndexStore(spark, s"$base/bm25_$tag", batch,
+        "doc_id", "text")
+      500L
+    }
+    secs(s"bm25-store-append 1x")(bm25StoreAppend("1x"))
+    secs(s"bm25-store-append ${kDocs}x")(bm25StoreAppend(s"${kDocs}x"))
+    secs(s"bm25-store-append ${k100}x")(bm25StoreAppend(s"${k100}x"))
     spark.stop()
   }
 }

@@ -129,8 +129,11 @@ object Bm25 {
     val idfDf = idf(p, n)
     val i = if (persist) idfDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else idfDf
     // corpus size rides in stats so an index can be incrementally MERGED
-    // later (idf needs N; avgdl consumers ignore the extra column)
-    val stats = l.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+    // later (idf needs N; avgdl consumers ignore the extra columns), and
+    // the EXACT integer doc_len sum so an at-rest APPEND can update avgdl
+    // bit-identically to a rebuild ([[appendIndexStore]])
+    val stats = l.agg(avg(col("doc_len").cast("double")).as("avgdl"),
+        sum(col("doc_len").cast("long")).as("sum_dl"))
       .withColumn("n", lit(n))
     Index(p, l, i, stats)
   }
@@ -166,7 +169,8 @@ object Bm25 {
     val post = oldPost.unionByName(np)
     val lens = old.lengths.unionByName(npLens)
     val idfDf = idf(post, oldN + newN)
-    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"),
+        sum(col("doc_len").cast("long")).as("sum_dl"))
       .withColumn("n", lit(oldN + newN))
     Index(post, lens, idfDf, stats)
   }
@@ -187,7 +191,8 @@ object Bm25 {
     val removedN = old.lengths.join(rm, Seq("doc_id"), "left_semi").count()
     val n = oldN - removedN
     val idfDf = idf(post, n)
-    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"))
+    val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"),
+        sum(col("doc_len").cast("long")).as("sum_dl"))
       .withColumn("n", lit(n))
     Index(post, lens, idfDf, stats)
   }
@@ -237,6 +242,80 @@ object Bm25 {
       // (no java.io view) fingerprint as 0 and fall back to dir-only
       // identity — the pre-existing cachedIndex staleness contract
       cacheKey = Some(s"stored:$dir@${PathFingerprint(s"$dir/stats")}"))
+
+  /** Incremental append to an AT-REST BM25 store — [[mergeIndex]]'s
+    * economics on the persisted artifact (the [[graft.operators.VectorSearch.appendIvfStore]]
+    * analogue; reference: the NPZ sidecar is rebuilt whole on every
+    * change, `embedding/bm25_manager.py:71-112`): the batch's postings
+    * and lengths APPEND partition-wise into the bucketed directories
+    * (existing files never read or rewritten), and only the VOCAB-sized
+    * idf table and the one-row stats are rewritten — from the STORED df
+    * counts plus the batch's, never by rescanning the postings.
+    * Equivalent to `writeIndex(buildIndex(old ∪ batch))` scoring-value-
+    * exactly:
+    *  - postings/lengths rows are per-doc independent — identical;
+    *  - `df' = df_stored + df_batch` in integers and `N' = N + |batch|`,
+    *    so every term's idf double recomputes from identical inputs;
+    *  - avgdl derives from the EXACT integer doc_len sum (integer-valued
+    *    doubles sum exactly below 2^53, so the rebuild's avg aggregation
+    *    equals `sum/count` bit-for-bit) — the stored `sum_dl` plus the
+    *    batch's; stores written before `sum_dl` pay one slim scan of the
+    *    stored lengths table instead.
+    * The stats rewrite changes the store's [[PathFingerprint]], so the
+    * in-process serving memo can never serve the pre-append snapshot.
+    * Contract (as [[mergeIndex]]): batch doc ids are disjoint from the
+    * store's — route re-ingests through the S5 anti-join first.
+    */
+  def appendIndexStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newDocs: DataFrame, idCol: String,
+                       textCol: String): Unit = {
+    import spark.implicits._
+    val stored = readIndex(spark, dir)
+    val oldN = stored.stats.select(col("n")).head().getLong(0)
+    val storedBuckets =
+      if (stored.stats.columns.contains("term_buckets"))
+        stored.stats.select(col("term_buckets")).head().getInt(0)
+      else 0
+    val post0 = postings(newDocs, idCol, textCol)
+    val lens = docLengths(post0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val post = if (stored.postings.columns.contains("doc_len"))
+        post0.join(lens, "doc_id") else post0
+      if (storedBuckets > 0)
+        post.withColumn("term_bucket", termBucket(col("term"), storedBuckets))
+          .write.mode("append").partitionBy("term_bucket")
+          .parquet(s"$dir/postings")
+      else post.write.mode("append").parquet(s"$dir/postings")
+      lens.write.mode("append").parquet(s"$dir/lengths")
+      val bRow = lens.agg(count(lit(1)),
+        coalesce(sum(col("doc_len").cast("long")), lit(0L))).head()
+      val (batchN, batchSum) = (bRow.getLong(0), bRow.getLong(1))
+      val oldSum =
+        if (stored.stats.columns.contains("sum_dl"))
+          stored.stats.select(col("sum_dl")).head().getLong(0)
+        else stored.lengths
+          .agg(coalesce(sum(col("doc_len").cast("long")), lit(0L)))
+          .head().getLong(0)
+      val n2 = oldN + batchN
+      val sum2 = oldSum + batchSum
+      // vocab-sized df merge → idf rewrite; the eager localCheckpoint
+      // severs lineage from the files being overwritten
+      stored.idf.select(col("term"), col("df"))
+        .join(post0.groupBy("term").agg(count(lit(1)).as("df_b")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+            .as("df"))
+        .withColumn("idf",
+          log((lit(n2.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/idf")
+      Seq((sum2.toDouble / n2, sum2, n2, storedBuckets))
+        .toDF("avgdl", "sum_dl", "n", "term_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    } finally lens.unpersist()
+  }
 
   /** Memoized per-corpus index — the "load the persisted index" path the
     * reference takes on every query. Keyed by corpus identity (sf dir).

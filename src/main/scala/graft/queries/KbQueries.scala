@@ -368,6 +368,31 @@ object KbQueries {
             .select(col("doc_id"), round(col("score"), 4).as("score")), 20))
     },
 
+    // ── S8 store LIFECYCLE: incremental append to the AT-REST BM25 index
+    //    (the sim_knn_ivf_stored_append analogue) — base store written
+    //    from 4/5 of the corpus, the remaining 1/5 APPENDED partition-wise
+    //    (postings/lengths files untouched; vocab-sized idf + one-row
+    //    stats rewritten from stored df counts and exact integer sums),
+    //    then served. Oracle = the FULL-corpus t2 SQL: a hash match
+    //    proves append ≡ rebuild-over-union scoring-value-exactly ────────
+    QueryDef.sql("s8_bm25_store_append",
+      s"""$bm25Cte
+         |SELECT doc_id, round(score, 4) AS score FROM bm25
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25app_$suffix").getPath
+      // fresh store per invocation: the lifecycle IS the query
+      Bm25.writeIndex(Bm25.buildIndex(
+        docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text"), root)
+      Bm25.appendIndexStore(s, root,
+        docs.filter(col("doc_id") % 5 === 3), "doc_id", "text")
+      val ix = Bm25.readIndex(s, root)
+      Bm25.topK(Bm25.scoreWithIndex(ix, s, QueryText, inProcessLimit = 0)
+        .select(col("doc_id"), round(col("score"), 4).as("score")), 20)
+    },
+
     // ── Keyword-in-context snippets: per doc the width-10 token window
     //    covering the most DISTINCT query terms (earliest wins ties) —
     //    wholly integer/string math, value-exact by construction. The

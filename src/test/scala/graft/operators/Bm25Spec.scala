@@ -237,6 +237,43 @@ class Bm25Spec extends SparkSpec {
     assert(merged.termBuckets.isEmpty)
   }
 
+  test("appendIndexStore == writeIndex(buildIndex(union)) exactly, files never rewritten") {
+    val docs = corpus.toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 2)
+    val delta = docs.filter(col("doc_id") > 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft_bm25_ref").toString
+    Bm25.writeIndex(Bm25.buildIndex(base, "doc_id", "text"), dir, termBuckets = 4)
+    val baseFiles = new java.io.File(s"$dir/postings").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array())).map(f => f.getPath -> f.lastModified).toMap
+    val preKey = Bm25.readIndex(spark, dir).cacheKey
+    Bm25.appendIndexStore(spark, dir, delta, "doc_id", "text")
+    // append-only: every pre-append postings file survives untouched
+    baseFiles.foreach { case (p, mtime) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.lastModified == mtime, s"rewritten: $p")
+    }
+    Bm25.writeIndex(Bm25.buildIndex(docs, "doc_id", "text"), ref, termBuckets = 4)
+    val appended = Bm25.readIndex(spark, dir)
+    val rebuilt = Bm25.readIndex(spark, ref)
+    // idf EXACT (df integers + identical double recompute), stats EXACT
+    def idfKey(ix: Bm25.Index) = ix.idf.select("term", "df", "idf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(idfKey(appended) == idfKey(rebuilt))
+    assert(appended.avgdl == rebuilt.avgdl) // bit-exact, not approx
+    assert(appended.stats.select("n", "sum_dl").head() ==
+      rebuilt.stats.select("n", "sum_dl").head())
+    // scores identical through the distributed pruned path
+    val q = "quick fox"
+    def key(ix: Bm25.Index) = Bm25.scoreWithIndex(ix, spark, q, inProcessLimit = 0)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSet
+    assert(key(appended) == key(rebuilt))
+    // the appended store keeps its bucket pruning contract
+    assert(appended.termBuckets.contains(4))
+    // the stats rewrite changed the fingerprint: no stale in-proc memo
+    assert(appended.cacheKey != preKey)
+  }
+
   test("topKBatchInProcess == the distributed rounded-rank window, ties included") {
     // docs 6/7 are identical → identical scores for any query: the k
     // boundary must cut by doc_id exactly like row_number does
