@@ -45,15 +45,14 @@ object Rm3 {
     import spark.implicits._
     val s1 = Bm25.scoreWithIndex(ix, spark, query, k1, b)
       .select(col("doc_id"), round(col("score"), 4).as("s1"))
-    // pass-1 head — fbDocs rows on the driver (k-bounded, the serving
-    // idiom), deterministic under the rounded (s1 DESC, doc_id) order
+      .localCheckpoint(false) // both the head and the final blend re-read it
+    // pass-1 head — fbDocs rows, deterministic under the rounded
+    // (s1 DESC, doc_id) order. Kept as a PLAN (broadcast-hinted k-bounded
+    // limit), not a driver collect: the expansion-mining collect below is
+    // then the ONLY action before the returned plan's own
     val top = s1.orderBy(col("s1").desc, col("doc_id")).limit(fbDocs)
-      .collect()
-      .map(r => (r.getAs[Number](0).longValue(), r.getDouble(1))).toSeq
     val qTerms = TextFunctions.tokenizeBm25Value(spark, query).distinct
-    val topDf = broadcast(top.toDF("doc_id", "s1d")
-      .withColumn("doc_id",
-        col("doc_id").cast(ix.postings.schema("doc_id").dataType)))
+    val topDf = broadcast(top.select(col("doc_id"), col("s1").as("s1d")))
     // expansion-term mining: relevance-weighted term mass over the
     // feedback docs, original query terms excluded
     val expansion = ix.postings
@@ -122,7 +121,6 @@ object Rm3 {
     import org.apache.spark.sql.expressions.Window
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query_id in batch")
-    val docIdType = ix.postings.schema("doc_id").dataType
     val qt = queries.toDF("query_id", "qtext")
     val qTermPairs = queries.flatMap { case (qid, q) =>
       TextFunctions.tokenizeBm25Value(spark, q).distinct.map(t => (qid, t))
@@ -136,13 +134,13 @@ object Rm3 {
       .localCheckpoint(false)
     val headW = Window.partitionBy("query_id")
       .orderBy(col("s1").desc, col("doc_id"))
-    val heads = s1.withColumn("rk", row_number().over(headW))
+    // per-query heads as a PLAN (|queries|·fbDocs rows, broadcast-hinted)
+    // — not a driver collect: the expansion-mining collect below is then
+    // the only action before the returned plan's own, and it materializes
+    // the s1 checkpoint on the way
+    val topDf = broadcast(s1.withColumn("rk", row_number().over(headW))
       .filter(col("rk") <= fbDocs)
-      .select("query_id", "doc_id", "s1").collect()
-      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getDouble(2)))
-      .toSeq
-    val topDf = broadcast(heads.toDF("query_id", "doc_id", "s1d")
-      .withColumn("doc_id", col("doc_id").cast(docIdType)))
+      .select(col("query_id"), col("doc_id"), col("s1").as("s1d")))
     val exclDf = broadcast(qTermPairs.toDF("query_id", "term"))
     // expansion mining for every query in ONE postings pass (the feedback
     // docs' postings only — the topDf join prunes), per-query cuts by the
