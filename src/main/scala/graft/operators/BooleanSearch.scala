@@ -126,26 +126,19 @@ object BooleanSearch {
     * (possible only when OR-ing a NOT branch, e.g. `a OR NOT b`) has no
     * score and is omitted — ranked retrieval needs evidence, contract
     * shared with the SQL twin by construction.
+    *
+    * Delegates to the mask-based [[booleanTopKBatch]] plan (batch of 1):
+    * one pruned postings pass + a codegen bitwise predicate replaces the
+    * per-leaf INTERSECT/UNION/EXCEPT exchanges of the [[matchingDocs]]
+    * set-algebra form (which remains the doc-SET api — it alone keeps the
+    * zero-evidence NOT matches).
     */
   def booleanTopK(ix: Bm25.Index, spark: SparkSession, query: String,
                   k: Int, k1: Double = Bm25.K1,
-                  b: Double = Bm25.B): DataFrame = {
-    val node = parse(spark, query)
-    val pos = positiveTerms(node)
-    val matches = matchingDocs(ix, node)
-    val pl =
-      if (ix.postings.columns.contains("doc_len")) ix.postings
-      else ix.postings.join(ix.lengths, "doc_id")
-    val stats = ix.idf.select("term", "idf").filter(col("term").isin(pos: _*))
-    pl.filter(col("term").isin(pos: _*))
-      .join(matches, Seq("doc_id"), "left_semi")
-      .join(broadcast(stats), "term")
-      .groupBy("doc_id")
-      .agg(round(sum(Bm25.termScore(col("tf"), col("doc_len"),
-        lit(ix.avgdl), col("idf"), k1, b)), 4).as("score"))
+                  b: Double = Bm25.B): DataFrame =
+    booleanTopKBatch(ix, spark, Seq((0L, query)), k, k1, b)
+      .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-  }
 
   /** BATCHED boolean retrieval: N parsed queries evaluated in ONE
     * DataFrame DAG whose shuffle count does NOT grow with N. One pruned
