@@ -761,6 +761,15 @@ object Scale {
           d, "doc_id", "text", scaleQ, 10).count()
       secs(s"late-pruned 1x")(liPruned(docs))
       secs(s"late-pruned ${kDocs}x")(liPruned(bigDocs))
+      // r15: BATCHED pruned tier — the candidate semi-join prunes the
+      // shared corpus pass before the wave-guarded batch scorer
+      def liBatchPruned(d: DataFrame, n: Int): Long =
+        operators.LateInteraction.maxSimTopKBatchPruned(
+          d, "doc_id", "text",
+          (1L to n.toLong).map(i => i -> s"spark join filter window query $i"),
+          k = 10).count()
+      secs(s"late-pruned-batch20 ${kDocs}x")(liBatchPruned(bigDocs, 20))
+      secs(s"late-pruned-batch200 ${kDocs}x")(liBatchPruned(bigDocs, 200))
     }
 
     // ── r13: TextRank keywords — ONE corpus pass builds the co-occurrence
@@ -1047,6 +1056,11 @@ object Scale {
       // column-bounded waves over the shared checkpointed vocabulary
       secs(s"late-interaction-batch200 ${k100}x")(
         operators.LateInteraction.maxSimTopKBatch(docs100, "doc_id", "text",
+          (1L to 200L).map(i => i -> s"spark join filter window query $i"),
+          k = 10).count())
+      secs(s"late-pruned-batch200 ${k100}x")(
+        operators.LateInteraction.maxSimTopKBatchPruned(docs100, "doc_id",
+          "text",
           (1L to 200L).map(i => i -> s"spark join filter window query $i"),
           k = 10).count())
       secs(s"textrank-edges-build ${k100}x") {

@@ -154,19 +154,7 @@ object LateInteraction {
         require(qts.nonEmpty, s"query $qid tokenizes to nothing")
         qid -> qts
       }
-    // greedy packing in batch order: a wave closes when the NEXT query's
-    // tokens would push its column count (= sim columns = agg buffers)
-    // past the budget; an over-budget single query still gets its own wave
-    val waves = scala.collection.mutable.ArrayBuffer[Vector[(Long, Seq[String])]]()
-    var cur = Vector.empty[(Long, Seq[String])]
-    var curCols = 0
-    perQuery.foreach { q =>
-      if (cur.nonEmpty && curCols + q._2.size > colsPerWave) {
-        waves += cur; cur = Vector.empty; curCols = 0
-      }
-      cur :+= q; curCols += q._2.size
-    }
-    if (cur.nonEmpty) waves += cur
+    val waves = packWaves(perQuery, colsPerWave)
     val dtok = docTokens(docs, idCol, textCol)
     // multiple waves re-read the vocabulary at embed cost — checkpoint it
     // once (distinct tokens: vocabulary-sized, not corpus-sized); the
@@ -174,19 +162,7 @@ object LateInteraction {
     val vocab =
       if (waves.size > 1) vocabOf(dtok).localCheckpoint(true)
       else vocabOf(dtok)
-    val parts = waves.map { wave =>
-      val flat: Seq[String] = wave.flatMap(_._2)
-      val offsets = wave.map(_._2.size).scanLeft(0)(_ + _)
-      val comps = maxComponents(dtok, vocab, idCol, flat, dims)
-      val qScores = wave.zip(offsets).map { case ((qid, qts), off) =>
-        struct(lit(qid).as("query_id"),
-          round(qts.indices.map(i => col(s"m_${off + i}")).reduce(_ + _), 4)
-            .as("score"))
-      }
-      comps.select(col(idCol), explode(array(qScores: _*)).as("qs"))
-        .select(col("qs.query_id").as("query_id"), col(idCol),
-          col("qs.score").as("score"))
-    }
+    val parts = waves.map(wavePart(_, dtok, vocab, idCol, dims))
     parts.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
@@ -231,6 +207,130 @@ object LateInteraction {
         toks, dims)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** BATCHED pruned MaxSim — [[maxSimTopKPruned]]'s candidate-generation
+    * serving shape for a whole query batch in ONE DAG, value-identical to
+    * the single-query pruned tier per query (same candidate cut, same
+    * exact scores — pruning only EXCLUDES docs). Three stages, none
+    * scaling with batch size beyond columns/rows:
+    *  1. Candidate ranking on the VOCABULARY: the wide per-wave similarity
+    *     table unfolds to `(query_id, slot, tok, s)` long form and one
+    *     window keeps the `candPerTok` head per (query, token) — the
+    *     batched twin of the per-token TakeOrdered heads.
+    *  2. The corpus token stream is semi-join-pruned to docs that are a
+    *     candidate for ANY query (the union keep-set), so the shared
+    *     scoring aggregation only pays for plausibly-ranking docs.
+    *  3. The exact batch scorer ([[maxSimTopKBatch]]'s wave-guarded
+    *     column aggregation) runs on the pruned stream; each query's rows
+    *     then semi-join ITS OWN candidate doc set before the per-query
+    *     ranking window — a doc kept for query A only never leaks into
+    *     query B's ranking.
+    * Returns `(query_id, id, score, rank)` like [[maxSimTopKBatch]].
+    */
+  def maxSimTopKBatchPruned(docs: DataFrame, idCol: String, textCol: String,
+                            queries: Seq[(Long, String)], k: Int,
+                            dims: Int = 8, candPerTok: Int = 50,
+                            colsPerWave: Int = MaxAggColsPerWave): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val perQuery: Seq[(Long, Seq[String])] =
+      queries.map { case (qid, t) =>
+        val qts = tokenizeValue(t).distinct.sorted
+        require(qts.nonEmpty, s"query $qid tokenizes to nothing")
+        qid -> qts
+      }
+    val waves = packWaves(perQuery, colsPerWave)
+    val dtok = docTokens(docs, idCol, textCol)
+    // the vocabulary feeds candidate ranking AND every scoring wave
+    val vocab = vocabOf(dtok).localCheckpoint(true)
+    // stage 1: candidate heads per DISTINCT token across the whole batch
+    // — a candidate list depends only on the token STRING, so queries
+    // sharing tokens share heads (a templated 200-query batch ranks ~its
+    // template's tokens once, not 200×); the wide sims table unfolds to
+    // (slot, tok, s) long form and one window keeps each slot's head
+    val allToks: Seq[String] = perQuery.flatMap(_._2).distinct.sorted
+    val tokWaves = allToks.grouped(colsPerWave).toSeq
+    val candParts = tokWaves.map { ts =>
+      val entries = ts.indices.map(i =>
+        struct(lit(ts(i)).as("qtok"), col(s"s_$i").as("s")))
+      vocabSims(vocab, ts, dims)
+        .select(col("tok"), explode(array(entries: _*)).as("e"))
+        .select(col("e.qtok").as("qtok"), col("tok"), col("e.s").as("s"))
+    }
+    val candTok = candParts.reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qtok").orderBy(col("s").desc, col("tok"))))
+      .filter(col("rn") <= candPerTok)
+      .select("qtok", "tok")
+      // |distinct tokens|·candPerTok rows — bounded, read twice below
+      .localCheckpoint(true)
+    import docs.sparkSession.implicits._
+    val qtokPairs = perQuery.flatMap { case (qid, qts) =>
+      qts.map(t => (qid, t))
+    }.toDF("query_id", "qtok")
+    val cand = qtokPairs.join(broadcast(candTok), Seq("qtok"))
+      .select("query_id", "tok").distinct()
+    val candDocs = dtok.join(broadcast(cand), Seq("tok"))
+      .select(col("query_id"), col(idCol)).distinct()
+    // stage 2: one keep-set across the batch prunes the shared stream
+    val dtokPruned = dtok.join(
+      candDocs.select(idCol).distinct(), Seq(idCol), "left_semi")
+    // stage 3: exact batch scoring on the pruned stream (distinct-token
+    // waves), then each query's own candidate set gates its rows
+    waves.map(wavePart(_, dtokPruned, vocab, idCol, dims))
+      .reduce(_ unionByName _)
+      .join(candDocs, Seq("query_id", idCol), "left_semi")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Greedy wave packing in batch order — the column budget counts the
+    * wave's DISTINCT tokens (the agg buffers the wave actually allocates:
+    * max-sim depends only on the token STRING, so queries sharing tokens
+    * share columns — a 200-query serving batch with a common template
+    * packs into 1-2 waves instead of 10). A wave closes when the next
+    * query's tokens would push the distinct count past the budget; an
+    * over-budget single query still gets its own wave.
+    */
+  private def packWaves(perQuery: Seq[(Long, Seq[String])],
+                        colsPerWave: Int): Seq[Vector[(Long, Seq[String])]] = {
+    require(colsPerWave >= 1, "colsPerWave must be positive")
+    val waves = scala.collection.mutable.ArrayBuffer[Vector[(Long, Seq[String])]]()
+    var cur = Vector.empty[(Long, Seq[String])]
+    var curToks = Set.empty[String]
+    perQuery.foreach { q =>
+      if (cur.nonEmpty && (curToks ++ q._2).size > colsPerWave) {
+        waves += cur; cur = Vector.empty; curToks = Set.empty
+      }
+      cur :+= q; curToks ++= q._2
+    }
+    if (cur.nonEmpty) waves += cur
+    waves.toSeq
+  }
+
+  /** One wave of the batch scorer: ONE aggregation over the wave's
+    * DISTINCT tokens (shared across its queries), per-query scores
+    * unfolded from the single per-doc row by summing each query's own
+    * tokens' max columns. Identical values to per-(query, token) columns
+    * — the m column for a token string is the same whoever asks.
+    */
+  private def wavePart(wave: Vector[(Long, Seq[String])], dtok: DataFrame,
+                       vocab: DataFrame, idCol: String,
+                       dims: Int): DataFrame = {
+    val toks: Seq[String] = wave.flatMap(_._2).distinct.sorted
+    val tIdx = toks.zipWithIndex.toMap
+    val comps = maxComponents(dtok, vocab, idCol, toks, dims)
+    val qScores = wave.map { case (qid, qts) =>
+      struct(lit(qid).as("query_id"),
+        round(qts.map(t => col(s"m_${tIdx(t)}")).reduce(_ + _), 4)
+          .as("score"))
+    }
+    comps.select(col(idCol), explode(array(qScores: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col(idCol),
+        col("qs.score").as("score"))
   }
 
   /** Driver-side twin of [[TextFunctions.tokenize]] on one string (the

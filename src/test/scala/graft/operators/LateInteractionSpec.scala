@@ -119,6 +119,37 @@ class LateInteractionSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 $recall")
   }
 
+  test("batched pruned MaxSim ≡ per-query maxSimTopKPruned, tight and wide budgets") {
+    val docs = (1L to 60L).map { i =>
+      (i, if (i % 3 == 0) s"spark join filter window doc$i"
+          else if (i % 3 == 1) s"cooking pasta recipe doc$i"
+          else s"football match report doc$i")
+    }.toDF("doc_id", "text")
+    val queries = Seq(1L -> "spark join filter window",
+      2L -> "cooking pasta recipe", 3L -> "football report")
+    for (cand <- Seq(25, 10000)) {
+      val batch = LateInteraction.maxSimTopKBatchPruned(docs, "doc_id",
+          "text", queries, k = 10, candPerTok = cand)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4)
+          .map(r => (r._2, r._3))).toMap
+      queries.foreach { case (qid, q) =>
+        val single = LateInteraction.maxSimTopKPruned(docs, "doc_id", "text",
+            q, 10, candPerTok = cand)
+          .as[(Long, Double)].collect().toSeq
+        assert(batch.getOrElse(qid, Nil) == single, s"cand=$cand query $qid")
+      }
+    }
+    // waves: a 3-column budget forces one query per wave — same result
+    val waved = LateInteraction.maxSimTopKBatchPruned(docs, "doc_id", "text",
+        queries, k = 10, candPerTok = 25, colsPerWave = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val unwaved = LateInteraction.maxSimTopKBatchPruned(docs, "doc_id", "text",
+        queries, k = 10, candPerTok = 25)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(waved == unwaved)
+  }
+
   test("empty queries are refused loudly at every entry point") {
     val docs = Seq((1L, "spark join")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
