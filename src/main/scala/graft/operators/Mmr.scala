@@ -62,6 +62,51 @@ object Mmr {
     out.toSeq
   }
 
+  /** BATCHED diversified retrieval: `(query_id, rank, doc_id, mmr)` —
+    * every query's `nCands` candidates retrieved in ONE DataFrame DAG
+    * (the bounded per-partition top-k aggregation over a broadcast query
+    * set — the sim_knn_batch idiom; candidate vectors ride back on one
+    * broadcast join), then the greedy selection runs per query on the
+    * driver over |queries|·nCands rows — the k-bounded idiom [[mmrTopK]]
+    * already uses, value-identical per query (same rounded-6dp relevance
+    * cut by (rel DESC, id), same [[select]] recurrence).
+    */
+  def mmrTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+                   queries: Seq[(Long, Seq[Float])], nCands: Int, k: Int,
+                   lambda: Double = Lambda): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "empty MMR batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query_id in batch")
+    val qdf = broadcast(queries.map { case (qid, v) => (qid, v) }
+      .toDF("query_id", "qvec"))
+    val scored = emb.crossJoin(qdf)
+      .select(col("query_id"), col(idCol).as("doc_id"),
+        round(VectorFunctions.cosine(col(vecCol), col("qvec")), 6).as("rel"))
+    val cands = TopK.explodeRanked(
+        scored.groupBy("query_id")
+          .agg(TopK.topK(nCands)(col("doc_id"), col("rel")).as("tk")),
+        "tk", Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("score").as("rel"))
+    val rows = broadcast(cands)
+      .join(emb.select(col(idCol).as("doc_id"), col(vecCol).as("vec")),
+        Seq("doc_id"))
+      .select("query_id", "doc_id", "rel", "vec")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getDouble(2), r.getSeq[Float](3).toArray))
+    queries.flatMap { case (qid, _) =>
+      val qc = rows.filter(_._1 == qid)
+        .sortBy(c => (-c._3, c._2)) // the (rel DESC, id) candidate order
+        .map(c => (c._2, c._3, c._4)).toSeq
+      select(qc, k, lambda).map { case (rank, id, mmr) =>
+        (qid, rank, id, mmr)
+      }
+    }.toDF("query_id", "rank", "doc_id", "mmr")
+      .orderBy("query_id", "rank")
+  }
+
   /** Top-k diversified retrieval: `(rank, doc_id, mmr)` for the greedy
     * MMR re-ranking of the `nCands` cosine-nearest candidates to `qvec`.
     */

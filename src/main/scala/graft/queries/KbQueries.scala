@@ -82,6 +82,49 @@ object KbQueries {
       s"SELECT $qid AS query_id, f.* FROM (${rm3SqlFor(q)}) f"
     }.mkString("\nUNION ALL\n")
 
+  /** The full unrolled MMR twin for query vector `vecId` — 10 greedy
+    * steps as CTEs making the exact rounded cuts [[graft.operators.Mmr]]
+    * makes (rel/sims 6 dp, step value 7 dp, ties by doc id). Shared by
+    * the single t14 entry (vecId 0) and the 20-block batch oracle.
+    */
+  private def mmrSqlFor(vecId: Int): String = {
+    val steps = 10
+    val sb = new StringBuilder
+    sb ++= s"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = $vecId),
+              |cos AS (
+              |  SELECT vec_id AS doc_id,
+              |         ${cosineSql("embedding", "(SELECT v FROM qv)")} AS score
+              |  FROM embeddings),
+              |cand AS MATERIALIZED (
+              |  SELECT doc_id, round(score, 6) AS rel FROM cos
+              |  ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+              |ce AS MATERIALIZED (
+              |  SELECT c.doc_id, e.embedding
+              |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+              |sims AS MATERIALIZED (
+              |  SELECT a.doc_id AS da, b.doc_id AS db,
+              |         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS s
+              |  FROM ce a JOIN ce b ON a.doc_id <> b.doc_id),
+              |sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0)""".stripMargin
+    for (i <- 1 to steps)
+      sb ++= s""",
+                |s$i AS MATERIALIZED (
+                |  SELECT c.doc_id,
+                |         round(0.5 * c.rel - 0.5 * coalesce(
+                |           (SELECT max(s) FROM sims
+                |            WHERE da = c.doc_id
+                |              AND db IN (SELECT doc_id FROM sel${i - 1})), 0.0), 7) AS mmr
+                |  FROM cand c
+                |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+                |  ORDER BY mmr DESC, c.doc_id LIMIT 1),
+                |sel$i AS MATERIALIZED (
+                |  SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM s$i)""".stripMargin
+    sb ++= "\n" + (1 to steps)
+      .map(i => s"SELECT $i AS rank, doc_id, mmr FROM s$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
+
   /** The t12 batch oracle: one proven computed-tier phrase rendition per
     * query (the rm3BatchSql pattern) — the batch operator must agree with
     * 20 independent single-phrase evaluations.
@@ -587,42 +630,29 @@ object KbQueries {
     //    rel and pairwise sims round to 6 dp, each step's value to 7 dp
     //    (exact for the λ=0.5 blend — no half-boundary), ties by doc id;
     //    the twin unrolls the 10 greedy steps as CTEs ────────────────────
-    QueryDef.sql("t14_mmr_diversify", {
-      val steps = 10
-      val sb = new StringBuilder
-      sb ++= s"""$cosCte,
-                |cand AS MATERIALIZED (
-                |  SELECT doc_id, round(score, 6) AS rel FROM cos
-                |  ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
-                |ce AS MATERIALIZED (
-                |  SELECT c.doc_id, e.embedding
-                |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
-                |sims AS MATERIALIZED (
-                |  SELECT a.doc_id AS da, b.doc_id AS db,
-                |         round(${cosineSql("a.embedding", "b.embedding")}, 6) AS s
-                |  FROM ce a JOIN ce b ON a.doc_id <> b.doc_id),
-                |sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0)""".stripMargin
-      for (i <- 1 to steps)
-        sb ++= s""",
-                  |s$i AS MATERIALIZED (
-                  |  SELECT c.doc_id,
-                  |         round(0.5 * c.rel - 0.5 * coalesce(
-                  |           (SELECT max(s) FROM sims
-                  |            WHERE da = c.doc_id
-                  |              AND db IN (SELECT doc_id FROM sel${i - 1})), 0.0), 7) AS mmr
-                  |  FROM cand c
-                  |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
-                  |  ORDER BY mmr DESC, c.doc_id LIMIT 1),
-                  |sel$i AS MATERIALIZED (
-                  |  SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM s$i)""".stripMargin
-      sb ++= "\n" + (1 to steps)
-        .map(i => s"SELECT $i AS rank, doc_id, mmr FROM s$i")
-        .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
-      sb.toString
-    }) { (s, dir) =>
+    QueryDef.sql("t14_mmr_diversify", mmrSqlFor(0)) { (s, dir) =>
       graft.operators.Mmr.mmrTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         Tables.queryVec(s, dir, 0), nCands = 50, k = 10)
+    },
+
+    // ── t14 BATCHED diversification: 20 MMR queries — candidate top-50s
+    //    for ALL queries in one bounded-aggregation DAG (+ one broadcast
+    //    join riding the vectors back), then the greedy loops on the
+    //    driver (k-bounded, the serving idiom). Oracle = 20 proven
+    //    unrolled-CTE blocks, one per query vector ─────────────────────
+    QueryDef.sql("t14_mmr_batch20",
+      (0 until 20).map { i =>
+        s"SELECT ${i + 1} AS query_id, f.* FROM (${mmrSqlFor(i)}) f"
+      }.mkString("\nUNION ALL\n")) { (s, dir) =>
+      val qs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 20).select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toSeq))
+        .sortBy(_._1).toSeq
+      graft.operators.Mmr.mmrTopKBatch(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        qs, nCands = 50, k = 10)
     },
 
     // ── RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / RM3

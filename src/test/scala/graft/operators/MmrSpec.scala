@@ -48,4 +48,23 @@ class MmrSpec extends SparkSpec {
       .as[(Int, Long, Double)].collect().toSeq
     assert(c.size == 5)
   }
+
+  test("mmrTopKBatch ≡ per-query mmrTopK") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat / 11f)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i =>
+      (i + 1).toLong -> Seq.tabulate(8)(j => ((j + i) % 3).toFloat / 3f))
+    val batch = Mmr.mmrTopKBatch(emb, "vec_id", "embedding", queries,
+        nCands = 20, k = 10)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4))).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Mmr.mmrTopK(emb, "vec_id", "embedding", q,
+          nCands = 20, k = 10)
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid")
+    }
+  }
 }
