@@ -274,6 +274,26 @@ class Bm25Spec extends SparkSpec {
     assert(appended.cacheKey != preKey)
   }
 
+  test("appendIndexStore accepts a legacy store whose stats lack sum_dl") {
+    val docs = corpus.toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 2)
+    val delta = docs.filter(col("doc_id") > 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_leg").toString
+    Bm25.writeIndex(Bm25.buildIndex(base, "doc_id", "text"), dir, termBuckets = 4)
+    // strip sum_dl: rewrite the stats sidecar the way a pre-r15 store
+    // looks — append must fall back to the slim lengths scan
+    val legacy = spark.read.parquet(s"$dir/stats").drop("sum_dl")
+      .localCheckpoint(true)
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    Bm25.appendIndexStore(spark, dir, delta, "doc_id", "text")
+    val appended = Bm25.readIndex(spark, dir)
+    val rebuilt = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(appended.avgdl == rebuilt.stats.select("avgdl").head().getDouble(0))
+    assert(appended.stats.select("n").head().getLong(0) == docs.count())
+    // and the upgraded stats now carry sum_dl for the NEXT append
+    assert(appended.stats.columns.contains("sum_dl"))
+  }
+
   test("topKBatchInProcess == the distributed rounded-rank window, ties included") {
     // docs 6/7 are identical → identical scores for any query: the k
     // boundary must cut by doc_id exactly like row_number does
