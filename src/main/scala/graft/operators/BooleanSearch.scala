@@ -209,16 +209,16 @@ object BooleanSearch {
     val posT = posPairs.map(_._2).distinct
     val stats = ix.idf.select("term", "idf")
       .filter(col("term").isin(posT: _*))
-    Bm25.prunedPostings(ix, posT)
-      .filter(col("term").isin(posT: _*))
-      .join(broadcast(posPairs.toDF("query_id", "term")), "term")
-      .join(matches, Seq("query_id", "doc_id"), "left_semi")
-      .join(broadcast(stats), "term")
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(Bm25.termScore(col("tf"), col("doc_len"),
-        lit(ix.avgdl), col("idf"), k1, b)), 4).as("score"))
-      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rk") <= k).drop("rk")
+    // bounded-agg per-query top-k — no full sort of the scored match set
+    TopK.perGroupTopK(
+      Bm25.prunedPostings(ix, posT)
+        .filter(col("term").isin(posT: _*))
+        .join(broadcast(posPairs.toDF("query_id", "term")), "term")
+        .join(matches, Seq("query_id", "doc_id"), "left_semi")
+        .join(broadcast(stats), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum(Bm25.termScore(col("tf"), col("doc_len"),
+          lit(ix.avgdl), col("idf"), k1, b)), 4).as("score")),
+      "query_id", "doc_id", "score", k)
   }
 }

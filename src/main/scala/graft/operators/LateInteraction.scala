@@ -163,12 +163,9 @@ object LateInteraction {
       if (waves.size > 1) vocabOf(dtok).localCheckpoint(true)
       else vocabOf(dtok)
     val parts = waves.map(wavePart(_, dtok, vocab, idCol, dims))
-    parts.reduce(_ unionByName _)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+    // bounded-agg per-query top-k (Long-id fast path; window otherwise)
+    TopK.perGroupTopK(parts.reduce(_ unionByName _),
+      "query_id", idCol, "score", k, includeRank = true)
   }
 
   /** Pruned MaxSim — the candidate-generation serving shape ColBERT
@@ -277,14 +274,11 @@ object LateInteraction {
       candDocs.select(idCol).distinct(), Seq(idCol), "left_semi")
     // stage 3: exact batch scoring on the pruned stream (distinct-token
     // waves), then each query's own candidate set gates its rows
-    waves.map(wavePart(_, dtokPruned, vocab, idCol, dims))
-      .reduce(_ unionByName _)
-      .join(candDocs, Seq("query_id", idCol), "left_semi")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+    TopK.perGroupTopK(
+      waves.map(wavePart(_, dtokPruned, vocab, idCol, dims))
+        .reduce(_ unionByName _)
+        .join(candDocs, Seq("query_id", idCol), "left_semi"),
+      "query_id", idCol, "score", k, includeRank = true)
   }
 
   /** Greedy wave packing in batch order — the column budget counts the

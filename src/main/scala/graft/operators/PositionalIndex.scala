@@ -182,16 +182,16 @@ object PositionalIndex {
     val dfs = tf.groupBy("query_id").agg(count(lit(1)).as("df"))
     val idf = log((lit(ix.corpusSize.toDouble) - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)
-    tf.join(broadcast(dfs), "query_id")
-      .select(col("query_id"), col("doc_id"),
-        round(
-          idf * (col("tf") * (k1 + 1.0)) /
-            (col("tf") +
-              lit(k1) * (lit(1.0 - b) +
-                (lit(b) * col("doc_len")) / lit(ix.avgdl))),
-          4).as("score"))
-      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rk") <= k).drop("rk")
+    // bounded-agg per-query top-k — no full sort of the scored match set
+    TopK.perGroupTopK(
+      tf.join(broadcast(dfs), "query_id")
+        .select(col("query_id"), col("doc_id"),
+          round(
+            idf * (col("tf") * (k1 + 1.0)) /
+              (col("tf") +
+                lit(k1) * (lit(1.0 - b) +
+                  (lit(b) * col("doc_len")) / lit(ix.avgdl))),
+            4).as("score")),
+      "query_id", "doc_id", "score", k)
   }
 }

@@ -175,14 +175,12 @@ object Rm3 {
       }
     }
     val noExpansion = queries.map(_._1).toSet -- wn.map(_._1).toSet
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
     if (wn.isEmpty)
       // degenerate batch: every query falls back to its pass-1 scores
-      return s1.select(col("query_id"), col("doc_id"), col("s1").as("score"))
-        .filter(col("score") > 0)
-        .withColumn("rk", row_number().over(rankW))
-        .filter(col("rk") <= k).drop("rk")
+      return TopK.perGroupTopK(
+        s1.select(col("query_id"), col("doc_id"), col("s1").as("score"))
+          .filter(col("score") > 0),
+        "query_id", "doc_id", "score", k)
     val wnDf = broadcast(wn.toDF("query_id", "term", "wn"))
     val expTerms = wn.map(_._2).distinct
     val stats = ix.idf.select("term", "idf")
@@ -205,10 +203,13 @@ object Rm3 {
           coalesce(col("s1"), lit(0.0)))
         .otherwise(round(lit(Lambda) * coalesce(col("s1"), lit(0.0)) +
           lit(1.0 - Lambda) * coalesce(col("es"), lit(0.0)), 5))
-    s1.join(es, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"), blendCol.as("score"))
-      .filter(col("score") > 0)
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k).drop("rk")
+    // bounded-agg per-query top-k (map-side combine, no full sort of the
+    // blended score set) — identical (score DESC, doc_id) cut to the
+    // row_number window
+    TopK.perGroupTopK(
+      s1.join(es, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), blendCol.as("score"))
+        .filter(col("score") > 0),
+      "query_id", "doc_id", "score", k)
   }
 }

@@ -102,4 +102,37 @@ object TopK {
         col("col.doc_id").as("doc_id"),
         col("col.score").as("score"),
         (col("pos") + 1).cast("int").as("rank")): _*)
+
+  /** Per-group top-k of `(idCol, scoreCol)` rows by (score DESC, id ASC)
+    * — the shared ending of every batched serving plan. Long-id/Double-
+    * score inputs take the BOUNDED AGGREGATION (map-side combine: only k
+    * rows per partition per group reach the shuffle, no per-partition
+    * sort of the full scored set — the window formulation shuffles and
+    * sorts EVERY row to rank it); other types keep the `row_number`
+    * window, which is output-identical by the aggregator's determinism
+    * contract. Returns exactly `(groupCol, idCol, scoreCol[, rank])`.
+    */
+  def perGroupTopK(df: DataFrame, groupCol: String, idCol: String,
+                   scoreCol: String, k: Int,
+                   includeRank: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val fast = df.schema(idCol).dataType == LongType &&
+      df.schema(scoreCol).dataType == DoubleType
+    val out =
+      if (fast)
+        explodeRanked(
+          df.groupBy(groupCol)
+            .agg(topK(k)(col(idCol), col(scoreCol)).as("tk")),
+          "tk", Seq(groupCol))
+          .select(col(groupCol), col("doc_id").as(idCol),
+            col("score").as(scoreCol), col("rank"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+        df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col(groupCol), col(idCol), col(scoreCol), col("rank"))
+      }
+    if (includeRank) out else out.drop("rank")
+  }
 }
