@@ -883,23 +883,42 @@ object Main {
         // assigned + appended partition-wise — FAISS add_with_ids, not a
         // re-cluster. `--rebuild` (or no store) takes the full build path.
         val storeDir = s"$kb/ivf"
+        val curFp = graft.operators.PathFingerprint(s"$kb/embeddings")
+        // the append-only refresh is sound ONLY for id-disjoint growth.
+        // A re-embed (model/dims change, chunk edit) rewrites vectors IN
+        // PLACE: the id set is unchanged, so nFresh = 0 — if the
+        // embeddings fingerprint moved without new ids, the content
+        // changed under the store and blessing it would serve vectors
+        // from the wrong embedding space. That case (and a store with no
+        // recorded fingerprint to attest against) takes the rebuild path.
+        val storedFp = VectorSearch.readIvfSourceFp(spark, storeDir)
         val hasStore = !args.contains("--rebuild") &&
           graft.sources.KbStorage.pathExists(spark, s"$storeDir/assigned")
-        if (hasStore) {
-          val assignedIds = spark.read.parquet(s"$storeDir/assigned")
-            .select(col("doc_id"))
-          val fresh = emb.join(assignedIds, Seq("doc_id"), "left_anti")
-          val nFresh = fresh.count()
-          if (nFresh > 0)
-            VectorSearch.appendIvfStore(spark, storeDir, fresh)
+        val (nFreshOpt, appendSound) =
+          if (!hasStore) (None, false)
+          else {
+            val assignedIds = spark.read.parquet(s"$storeDir/assigned")
+              .select(col("doc_id"))
+            val fresh = emb.join(assignedIds, Seq("doc_id"), "left_anti")
+            val n = fresh.count()
+            val sound = storedFp.contains(curFp) || // untouched: no-op ok
+              (n > 0 && storedFp.isDefined) // id growth on an attested base
+            if (sound && n > 0)
+              VectorSearch.appendIvfStore(spark, storeDir, fresh)
+            (Some(n), sound)
+          }
+        if (hasStore && appendSound) {
           // refresh the staleness sidecar: the store now covers the
           // current embeddings table
           import spark.implicits._
-          Seq(Tuple1(graft.operators.PathFingerprint(s"$kb/embeddings")))
-            .toDF("source_fp")
+          Seq(Tuple1(curFp)).toDF("source_fp")
             .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/meta")
-          println(s"[graft] ivf: appended $nFresh new vectors -> $storeDir")
+          println(s"[graft] ivf: appended ${nFreshOpt.get} new vectors -> $storeDir")
         } else {
+          if (hasStore)
+            println("[graft] ivf: store is stale beyond append " +
+              "(vectors rewritten in place or no recorded fingerprint) — " +
+              "rebuilding")
           VectorSearch.writeIvf(
             VectorSearch.buildIvf(emb, "doc_id", "embedding", nc), storeDir,
             sourceFingerprint =

@@ -132,8 +132,12 @@ object Bm25 {
     // later (idf needs N; avgdl consumers ignore the extra columns), and
     // the EXACT integer doc_len sum so an at-rest APPEND can update avgdl
     // bit-identically to a rebuild ([[appendIndexStore]])
+    // n counts ALL docs (idf's N) while avgdl averages over the
+    // TOKEN-BEARING lengths rows only — n_len records that denominator so
+    // an append can reproduce both exactly even when docs tokenize empty
     val stats = l.agg(avg(col("doc_len").cast("double")).as("avgdl"),
-        sum(col("doc_len").cast("long")).as("sum_dl"))
+        sum(col("doc_len").cast("long")).as("sum_dl"),
+        count(lit(1)).as("n_len"))
       .withColumn("n", lit(n))
     Index(p, l, i, stats)
   }
@@ -170,7 +174,8 @@ object Bm25 {
     val lens = old.lengths.unionByName(npLens)
     val idfDf = idf(post, oldN + newN)
     val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"),
-        sum(col("doc_len").cast("long")).as("sum_dl"))
+        sum(col("doc_len").cast("long")).as("sum_dl"),
+        count(lit(1)).as("n_len"))
       .withColumn("n", lit(oldN + newN))
     Index(post, lens, idfDf, stats)
   }
@@ -192,7 +197,8 @@ object Bm25 {
     val n = oldN - removedN
     val idfDf = idf(post, n)
     val stats = lens.agg(avg(col("doc_len").cast("double")).as("avgdl"),
-        sum(col("doc_len").cast("long")).as("sum_dl"))
+        sum(col("doc_len").cast("long")).as("sum_dl"),
+        count(lit(1)).as("n_len"))
       .withColumn("n", lit(n))
     Index(post, lens, idfDf, stats)
   }
@@ -264,7 +270,11 @@ object Bm25 {
     * The stats rewrite changes the store's [[PathFingerprint]], so the
     * in-process serving memo can never serve the pre-append snapshot.
     * Contract (as [[mergeIndex]]): batch doc ids are disjoint from the
-    * store's — route re-ingests through the S5 anti-join first.
+    * store's — ENFORCED here (one slim semi-join against the stored
+    * lengths), which also makes a crashed append retry-SAFE: lengths are
+    * appended before postings, so a retry after any partial failure sees
+    * the overlap and aborts with a rebuild instruction instead of
+    * silently double-counting tf/df.
     */
   def appendIndexStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                        newDocs: DataFrame, idCol: String,
@@ -276,10 +286,22 @@ object Bm25 {
       if (stored.stats.columns.contains("term_buckets"))
         stored.stats.select(col("term_buckets")).head().getInt(0)
       else 0
+    val batchDocs = newDocs.count() // ALL batch docs — idf's N counts
+    // docs that tokenize to nothing too, exactly as buildIndex's n does
+    val overlap = newDocs.select(col(idCol).as("doc_id"))
+      .join(stored.lengths.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count()
+    require(overlap == 0L,
+      s"appendIndexStore: $overlap batch doc ids already in the store at " +
+        s"$dir — route re-ingests through the S5 anti-join; if a previous " +
+        "append crashed mid-write, rebuild the store (writeIndex) instead " +
+        "of retrying")
     val post0 = postings(newDocs, idCol, textCol)
     val lens = docLengths(post0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // lengths FIRST: they are the overlap sentinel a retry checks
+      lens.write.mode("append").parquet(s"$dir/lengths")
       val post = if (stored.postings.columns.contains("doc_len"))
         post0.join(lens, "doc_id") else post0
       if (storedBuckets > 0)
@@ -287,18 +309,26 @@ object Bm25 {
           .write.mode("append").partitionBy("term_bucket")
           .parquet(s"$dir/postings")
       else post.write.mode("append").parquet(s"$dir/postings")
-      lens.write.mode("append").parquet(s"$dir/lengths")
       val bRow = lens.agg(count(lit(1)),
         coalesce(sum(col("doc_len").cast("long")), lit(0L))).head()
-      val (batchN, batchSum) = (bRow.getLong(0), bRow.getLong(1))
-      val oldSum =
-        if (stored.stats.columns.contains("sum_dl"))
-          stored.stats.select(col("sum_dl")).head().getLong(0)
-        else stored.lengths
-          .agg(coalesce(sum(col("doc_len").cast("long")), lit(0L)))
-          .head().getLong(0)
-      val n2 = oldN + batchN
+      val (batchLenRows, batchSum) = (bRow.getLong(0), bRow.getLong(1))
+      // avgdl's denominator is the TOKEN-BEARING row count (buildIndex
+      // averages over lengths rows), tracked separately from idf's n;
+      // stores written before sum_dl/n_len pay one slim lengths scan
+      val (oldSum, oldLenRows) =
+        if (stored.stats.columns.contains("sum_dl") &&
+            stored.stats.columns.contains("n_len")) {
+          val r = stored.stats.select(col("sum_dl"), col("n_len")).head()
+          (r.getLong(0), r.getLong(1))
+        } else {
+          val r = stored.lengths
+            .agg(coalesce(sum(col("doc_len").cast("long")), lit(0L)),
+              count(lit(1))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      val n2 = oldN + batchDocs
       val sum2 = oldSum + batchSum
+      val nLen2 = oldLenRows + batchLenRows
       // vocab-sized df merge → idf rewrite; the eager localCheckpoint
       // severs lineage from the files being overwritten
       stored.idf.select(col("term"), col("df"))
@@ -311,8 +341,8 @@ object Bm25 {
           log((lit(n2.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
         .localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/idf")
-      Seq((sum2.toDouble / n2, sum2, n2, storedBuckets))
-        .toDF("avgdl", "sum_dl", "n", "term_buckets")
+      Seq((sum2.toDouble / nLen2, sum2, nLen2, n2, storedBuckets))
+        .toDF("avgdl", "sum_dl", "n_len", "n", "term_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     } finally lens.unpersist()
   }

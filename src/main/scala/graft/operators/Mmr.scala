@@ -79,8 +79,7 @@ object Mmr {
     require(queries.nonEmpty, "empty MMR batch")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query_id in batch")
-    val qdf = broadcast(queries.map { case (qid, v) => (qid, v) }
-      .toDF("query_id", "qvec"))
+    val qdf = broadcast(queries.toDF("query_id", "qvec"))
     val scored = emb.crossJoin(qdf)
       .select(col("query_id"), col(idCol).as("doc_id"),
         round(VectorFunctions.cosine(col(vecCol), col("qvec")), 6).as("rel"))

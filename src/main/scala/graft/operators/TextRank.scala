@@ -85,8 +85,10 @@ object TextRank {
   def keywordsFromEdges(edges: DataFrame, k: Int, iters: Int = 8,
                         driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
-    if (driverEdgeLimit > 0 &&
-        edges.limit(driverEdgeLimit.toInt + 1).count() <= driverEdgeLimit) {
+    // clamp before toInt: a caller-supplied limit above Int.MaxValue would
+    // wrap and let the unbounded collect below run on a giant edge table
+    val lim = math.min(driverEdgeLimit, (Int.MaxValue - 1).toLong)
+    if (lim > 0 && edges.limit(lim.toInt + 1).count() <= lim) {
       // driver regime: one collect, then the SAME exact-integer recurrence
       // (operation for operation — truncating Long division on non-negative
       // operands both here and in the `div` plan) with zero per-round jobs

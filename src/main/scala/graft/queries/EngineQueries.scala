@@ -188,13 +188,21 @@ object EngineQueries {
       s"replace(replace(replace(replace(replace($e," +
         " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')," +
         " '\"', '&quot;'), '''', '&apos;')"
-    // JSON string escaping in Spark's to_json field order — Jackson
-    // escapes backslash first, then quote, then the control chars the
-    // corpus can contain (the block join introduces real newlines)
-    def jesc(e: String): String =
-      s"""replace(replace(replace(replace(replace($e,
-         | '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
-         | chr(13), '\\r'), chr(9), '\\t')""".stripMargin.replaceAll("\n", "")
+    // JSON string escaping matching Spark's to_json (Jackson): backslash
+    // first, then quote, the short-form controls (\b \t \n \f \r), and
+    // EVERY remaining char below 0x20 as \u00XX uppercase hex — a corpus
+    // byte like 0x01 must escape identically on both engines or the
+    // full-document hash diverges (chr(0) is unrepresentable in both
+    // engines' strings and excluded)
+    def jesc(e: String): String = {
+      val base =
+        s"""replace(replace(replace(replace(replace(replace(replace($e,
+           | '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+           | chr(13), '\\r'), chr(9), '\\t'), chr(8), '\\b'),
+           | chr(12), '\\f')""".stripMargin.replaceAll("\n", "")
+      (1 until 32).filterNot(Set(8, 9, 10, 12, 13))
+        .foldLeft(base)((acc, c) => f"replace($acc, chr($c), '\\u00$c%02X')")
+    }
     val (body, frame) = style match {
       case "xml" => (
         s"'<reference source=\"' || ${esc("sourcedoc")} || '\" start=\"' ||" +

@@ -438,15 +438,28 @@ object KbQueries {
           baseRoot, termBuckets = 8)
         true
       }
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_bm25app").toString
+      // fixed scratch path, wiped and recopied per invocation — repeated
+      // runs replace one store-sized dir instead of accumulating tempdirs
+      // (the previous invocation's lazy plan has already materialized by
+      // the time the next invocation runs: Verify writes, Bench counts)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bm25appscratch_$suffix").getPath
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally s.close()
+      }
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+        rmTree(java.nio.file.Paths.get(root))
       val src = java.nio.file.Paths.get(baseRoot)
-      java.nio.file.Files.walk(src).forEach { p =>
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
         val dst = java.nio.file.Paths.get(root).resolve(src.relativize(p))
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.createDirectories(dst)
         else java.nio.file.Files.copy(p, dst)
-      }
+      } finally walk.close()
       Bm25.appendIndexStore(s, root,
         docs.filter(col("doc_id") % 5 === 3), "doc_id", "text")
       val ix = Bm25.readIndex(s, root)

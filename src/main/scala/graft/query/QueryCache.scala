@@ -79,7 +79,11 @@ object QueryCache {
     // switches models (or a re-embed that changes vector_dimensions) can
     // never serve a stale vector of the wrong space. Model names sanitize
     // to a path token; the dims ride separately so a same-name dims change
-    // still separates.
+    // still separates. Pre-keying caches (rows at the cacheDir ROOT) are
+    // deliberately ORPHANED, not migrated: an unkeyed entry carries no
+    // record of which model produced it, so serving it would be exactly
+    // the stale-model bug the keying exists to prevent — those entries
+    // cost one re-embed each and the dead files are harmless.
     val dir = s"$cacheDir/${provider.model.replaceAll("[^A-Za-z0-9_.-]", "_")}" +
       s"_${provider.dims}"
     val key = contentKeyValue(text)

@@ -274,6 +274,38 @@ class Bm25Spec extends SparkSpec {
     assert(appended.cacheKey != preKey)
   }
 
+  test("appendIndexStore == rebuild when docs tokenize to NOTHING on either side") {
+    // n counts all docs (idf's N) while avgdl averages token-bearing rows
+    // only — an empty-tokenizing doc must shift them exactly as a rebuild
+    val docs = (corpus ++ Seq((100L, "!!! ..."), (101L, "... ---")))
+      .toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 100) // incl. one empty doc
+    val delta = docs.filter(col("doc_id") > 100) // the other empty doc
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_emp").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft_bm25_empref").toString
+    Bm25.writeIndex(Bm25.buildIndex(base, "doc_id", "text"), dir, termBuckets = 4)
+    Bm25.appendIndexStore(spark, dir, delta, "doc_id", "text")
+    Bm25.writeIndex(Bm25.buildIndex(docs, "doc_id", "text"), ref, termBuckets = 4)
+    val appended = Bm25.readIndex(spark, dir)
+    val rebuilt = Bm25.readIndex(spark, ref)
+    assert(appended.avgdl == rebuilt.avgdl)
+    assert(appended.stats.select("n", "n_len", "sum_dl").head() ==
+      rebuilt.stats.select("n", "n_len", "sum_dl").head())
+    def idfKey(ix: Bm25.Index) = ix.idf.select("term", "df", "idf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(idfKey(appended) == idfKey(rebuilt))
+  }
+
+  test("appendIndexStore refuses overlapping doc ids (retry safety)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_ovl").toString
+    Bm25.writeIndex(Bm25.buildIndex(docs, "doc_id", "text"), dir, termBuckets = 4)
+    val e = intercept[IllegalArgumentException](
+      Bm25.appendIndexStore(spark, dir,
+        docs.filter(col("doc_id") === 1), "doc_id", "text"))
+    assert(e.getMessage.contains("already in the store"))
+  }
+
   test("appendIndexStore accepts a legacy store whose stats lack sum_dl") {
     val docs = corpus.toDF("doc_id", "text")
     val base = docs.filter(col("doc_id") <= 2)
