@@ -157,7 +157,7 @@ object Scale {
       bfp.join(lfp, Seq("fp"), "left").groupBy("batch_id")
         .agg(min("keep_cand").as("keep_id")).count()
     }
-    val bloomBatch = docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+    val bloomBatch = docs.select((col("doc_id") + lit(1900000000L)).as("doc_id"),
       col("text"))
     val nBloomBatch = docs.count() // sfDir is an argument — never hardcode
     secs(s"bloom-incr-dedup 1x")(bloomIncr(docs, bloomBatch, nBloomBatch))
@@ -390,7 +390,7 @@ object Scale {
         // claim is the FAISS add_with_ids economics: cost tracks the batch,
         // not the store (1× vs kEmb× rows should read ~equal)
         val batch = e.limit(1000).select(
-          (col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+          (col("vec_id") + lit(1900000000L)).as("vec_id"), col("embedding"))
         secs(s"ivf-store-append $tag") {
           operators.VectorSearch.appendIvfStore(spark, dir, batch)
           1000
@@ -428,10 +428,10 @@ object Scale {
     // lazy: localCheckpoint is EAGER, and a filtered run that skips every
     // incremental row should not pay for the batches it never probes
     lazy val batchDocs = docs.limit(500).select(
-        (col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+        (col("doc_id") + lit(1900000000L)).as("doc_id"), col("text"))
       .localCheckpoint(true) // fixed 500-doc batch, all planted dups of lake texts
     lazy val batchVecs = emb.limit(1000).select(
-        (col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+        (col("vec_id") + lit(1900000000L)).as("vec_id"), col("embedding"))
       .localCheckpoint(true) // fixed 1000-vector batch
 
     // incremental dedup: stored bucket table per lake; the timed step
@@ -479,7 +479,7 @@ object Scale {
     }
     def ivfAppendAssign(lakeIx: operators.VectorSearch.IvfIndex): Long =
       operators.VectorSearch.appendIvf(lakeIx, batchVecs)
-        .assigned.filter(col("vec_id") >= 900000000L).count()
+        .assigned.filter(col("vec_id") >= 1900000000L).count()
     def ivfAppendSearch(lakeIx: operators.VectorSearch.IvfIndex,
                         centDf: DataFrame, e: DataFrame): Long = {
       val appended = operators.VectorSearch.appendIvf(lakeIx, batchVecs)
@@ -508,7 +508,7 @@ object Scale {
       operators.VectorSearch.appendGraph(g,
         e.select("vec_id", "embedding").unionByName(batchVecs),
         "vec_id", "embedding", batchVecs.select("vec_id"), k = 8,
-        numPlanes = planes).filter(col("src") >= 900000000L).count()
+        numPlanes = planes).filter(col("src") >= 1900000000L).count()
     def graphAppendSearch(g: DataFrame, e: DataFrame, planes: Int): Long = {
       val all = e.select("vec_id", "embedding").unionByName(batchVecs)
       val g2 = operators.VectorSearch.appendGraph(g, all, "vec_id", "embedding",
@@ -1081,7 +1081,7 @@ object Scale {
     //    rows above read; a filtered run must include bm25-store-write. ──
     def bm25StoreAppend(tag: String): Long = {
       val batch = docs.limit(500).select(
-        (col("doc_id") + lit(950000000L)).as("doc_id"), col("text"))
+        (col("doc_id") + lit(1950000000L)).as("doc_id"), col("text"))
       operators.Bm25.appendIndexStore(spark, s"$base/bm25_$tag", batch,
         "doc_id", "text")
       500L
