@@ -259,6 +259,42 @@ class MainSpec extends SparkSpec {
     assert(!out.contains("vector_dimensions = 32"))
   }
 
+  test("CLI ivf verb: id growth appends; a re-embed in place forces a rebuild") {
+    val kb = Files.createTempDirectory("graft_cli_ivfstale").toString
+    import spark.implicits._
+    def embRows(ids: Range, scale: Float) = ids.map(i =>
+      i.toLong -> Array.tabulate(8)(j =>
+        ((i + j) % 5 + 1).toFloat * scale).toSeq)
+    embRows(0 until 40, 1f).toDF("doc_id", "embedding")
+      .write.mode("overwrite").parquet(s"$kb/embeddings")
+    Main.run(Array("ivf", kb, "2"), spark)
+    val cents1 = spark.read.parquet(s"$kb/ivf/centroids")
+      .orderBy("cluster_id").collect().map(_.getSeq[Float](1)).toSeq
+    // append-only growth: incremental — new ids assigned to the EXISTING
+    // centroids, nothing re-clustered
+    embRows(40 until 50, 1f).toDF("doc_id", "embedding")
+      .write.mode("append").parquet(s"$kb/embeddings")
+    Main.run(Array("ivf", kb, "2"), spark)
+    assert(spark.read.parquet(s"$kb/ivf/assigned").count() == 50)
+    val cents2 = spark.read.parquet(s"$kb/ivf/centroids")
+      .orderBy("cluster_id").collect().map(_.getSeq[Float](1)).toSeq
+    assert(cents2 == cents1, "append must not re-cluster")
+    // re-embed IN PLACE (same ids, new vectors): the id anti-join finds
+    // nothing fresh, but the fingerprint moved — the verb must REBUILD,
+    // never bless the stale store (the r15 review finding)
+    embRows(0 until 50, -1f).toDF("doc_id", "embedding")
+      .write.mode("overwrite").parquet(s"$kb/embeddings")
+    Main.run(Array("ivf", kb, "2"), spark)
+    import org.apache.spark.sql.functions.col
+    val assigned = spark.read.parquet(s"$kb/ivf/assigned")
+      .select(col("doc_id"), col("embedding").as("stored"))
+    val matches = assigned
+      .join(spark.read.parquet(s"$kb/embeddings"), "doc_id")
+      .filter(col("stored") === col("embedding")).count()
+    assert(matches == 50,
+      s"store must carry the re-embedded vectors, got $matches/50")
+  }
+
   test("CLI tune verb calibrates ivf_nprobe into the KB config") {
     val kb = Files.createTempDirectory("graft_cli_tune").toString
     // a clustered 1200-vector corpus: big enough for the policy to pick the
