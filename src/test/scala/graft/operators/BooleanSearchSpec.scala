@@ -61,6 +61,62 @@ class BooleanSearchSpec extends SparkSpec {
     }
   }
 
+  test("mask-plan match sets == brute-force driver set algebra over 60 random ASTs") {
+    // the batch path compiles each AST to a bitwise predicate over a
+    // per-doc term-presence mask — sweep random ASTs against a literal
+    // driver evaluation of the same set semantics on a known corpus
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (1L to 32L).map { i =>
+      // doc i contains vocab(j) iff bit j of i is set → every subset
+      // of the vocabulary appears as some document's token set
+      (i, vocab.indices.filter(j => ((i >> j) & 1L) == 1L)
+        .map(vocab).mkString(" ") + s" filler$i")
+    }
+    val corpus = docs.map(_._1).toSet
+    val tokSets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val ix = Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text")
+    def evalDriver(n: Node, id: Long): Boolean = n match {
+      case Term(t) => tokSets(id).contains(t)
+      case And(l, r) => evalDriver(l, id) && evalDriver(r, id)
+      case Or(l, r) => evalDriver(l, id) || evalDriver(r, id)
+      case Not(x) => !evalDriver(x, id)
+    }
+    val rnd = new scala.util.Random(7)
+    def gen(depth: Int): Node =
+      if (depth == 0 || rnd.nextInt(3) == 0) Term(vocab(rnd.nextInt(vocab.size)))
+      else rnd.nextInt(3) match {
+        case 0 => And(gen(depth - 1), gen(depth - 1))
+        case 1 => Or(gen(depth - 1), gen(depth - 1))
+        case _ => Not(gen(depth - 1))
+      }
+    def render(n: Node): String = n match {
+      case Term(t) => t
+      case And(l, r) => s"(${render(l)} AND ${render(r)})"
+      case Or(l, r) => s"(${render(l)} OR ${render(r)})"
+      case Not(x) => s"(NOT ${render(x)})"
+    }
+    var batch = Vector.empty[(Long, Node)]
+    while (batch.size < 60) {
+      val ast = gen(3)
+      if (positiveTerms(ast).nonEmpty) batch :+= ((batch.size + 1).toLong, ast)
+    }
+    val got = BooleanSearch.booleanTopKBatch(ix, spark,
+        batch.map { case (qid, ast) => qid -> render(ast) }, 40)
+      .select("query_id", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    batch.foreach { case (qid, ast) =>
+      // expected output ids: the driver match set MINUS docs with no
+      // positive-term evidence (the documented scoring contract; k=40
+      // exceeds the 32-doc corpus so no top-k cut interferes)
+      val pos = positiveTerms(ast).toSet
+      val expect = corpus.filter(evalDriver(ast, _))
+        .filter(id => tokSets(id).intersect(pos).nonEmpty)
+      assert(got.getOrElse(qid, Set.empty) == expect,
+        s"query $qid: ${render(ast)}")
+    }
+  }
+
   test("render→parse round-trip over 200 seeded random ASTs") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
     val rnd = new scala.util.Random(42)

@@ -83,6 +83,37 @@ class PositionalIndexSpec extends SparkSpec {
     assert(batch.contains(1L) && !batch.contains(4L)) // no-hit stays empty
   }
 
+  test("requirement-join batch tf == naive driver adjacent-start count over 40 random phrases") {
+    val vocab = Vector("a", "b", "c")
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val texts = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val ix = PositionalIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text")
+    def naiveTf(toks: Seq[String], doc: Seq[String]): Int =
+      (0 to doc.size - toks.size).count(s =>
+        toks.indices.forall(j => doc(s + j) == toks(j)))
+    val batch = (1L to 40L).map { q =>
+      q -> Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ") // repeats likely with a 3-token vocab
+    }
+    // k > corpus so no top-k cut interferes; compare the MATCH SETS (docs
+    // with tf > 0) — the score is a deterministic function of (tf, dl,
+    // df) already pinned by the other specs
+    val got = PositionalIndex.phraseTopKBatch(ix, batch, 50)
+      .select("query_id", "doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    batch.foreach { case (qid, phrase) =>
+      val toks = phrase.split(" ").toSeq
+      val expect = texts.collect {
+        case (id, doc) if naiveTf(toks, doc) > 0 => id
+      }.toSet
+      assert(got.getOrElse(qid, Set.empty) == expect, s"query $qid '$phrase'")
+    }
+  }
+
   test("write/read round-trip serves identically and prunes to the phrase buckets") {
     val docs = (1L to 30L).map(i =>
       (i, s"alpha beta w$i gamma alpha beta")).toDF("doc_id", "text")
