@@ -1141,6 +1141,16 @@ object VectorSearch {
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      newVectors: DataFrame): Unit = {
     val ix = readIvf(spark, dir)
+    // enforce id-disjointness (the Bm25.appendIndexStore contract): a
+    // retried or double-run append would otherwise silently duplicate
+    // rows in the assigned table and serve the same id twice
+    val overlap = newVectors.select(col(ix.idCol))
+      .join(ix.assigned.select(ix.idCol), Seq(ix.idCol), "left_semi")
+      .count()
+    require(overlap == 0L,
+      s"appendIvfStore: $overlap batch ids already in the store at $dir — " +
+        "anti-join the batch against the stored ids first (the ivf verb " +
+        "does); rebuild the store if a previous append crashed mid-write")
     val cents = ix.centroids.zipWithIndex
       .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
     seededIvfAssign(newVectors.select(col(ix.idCol), col(ix.vecCol)),
