@@ -941,6 +941,20 @@ object Scale {
     secs(s"cc-stars-chains 1.6M-edges (scattered)")(countComps(
       operators.Dedup.connectedComponentsStars(
         chainEdges(8, 200000L).repartition(32)), 8))
+    // r15: the MANY-COMPONENT shape real dup graphs have (most components
+    // tiny, a few chains) — scattered so contraction can't pre-solve it;
+    // this is the regime the freeze mechanism exists for (finished stars
+    // leave the loop; the chain rows above never freeze mid-run)
+    secs(s"cc-stars-mixed 1.6M-edges (scattered)")(countComps(
+      operators.Dedup.connectedComponentsStars(
+        // 128k size-10 star components + 4 chains of 80k nodes
+        spark.range(1280000L)
+          .select((col("id") - col("id") % 10).as("doc_a"), col("id").as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .unionByName(spark.range(2000000L, 2320000L)
+            .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+            .filter((col("id") + 1) % 80000L =!= 0))
+          .repartition(32)), 128000L + 4L))
 
     // ── r13: 100× rows for the headline paths — the "plans you'd want at
     //    100×" bar. In-process guards are EXPECTED to refuse here and the
