@@ -770,6 +770,26 @@ object Scale {
           k = 10).count()
       secs(s"late-pruned-batch20 ${kDocs}x")(liBatchPruned(bigDocs, 20))
       secs(s"late-pruned-batch200 ${kDocs}x")(liBatchPruned(bigDocs, 200))
+      // r15: the pruned batch's QUALITY receipt — per-query top-10 overlap
+      // vs the exact batch (pruning can only exclude docs, so this is the
+      // candidate sets' recall; the hash embedder makes candidates
+      // pseudo-random, a real embedding provider makes them semantic)
+      secs(s"late-pruned-batch20-recall ${kDocs}x") {
+        val batch = (1L to 20L).map(i =>
+          i -> s"spark join filter window query $i")
+        def tops(df: DataFrame): Map[Long, Set[Long]] = df
+          .select("query_id", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        val exact = tops(operators.LateInteraction.maxSimTopKBatch(
+          bigDocs, "doc_id", "text", batch, 10))
+        val pruned = tops(operators.LateInteraction.maxSimTopKBatchPruned(
+          bigDocs, "doc_id", "text", batch, 10))
+        val rec = batch.map { case (q, _) =>
+          pruned.getOrElse(q, Set.empty).intersect(exact(q)).size / 10.0
+        }.sum / batch.size
+        f"recall@10=$rec%.3f"
+      }
     }
 
     // ── r13: TextRank keywords — ONE corpus pass builds the co-occurrence
