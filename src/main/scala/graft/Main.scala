@@ -716,7 +716,8 @@ object Main {
             "rerank-lexical" -> ranked(
               Rerank.lexicalScoreCols(qToks, col("text"))),
             "rerank-learned" -> ranked(
-              Rerank.LogisticScorer.pretrained.scoreCols(qToks, col("text"))))
+              Rerank.LogisticScorer.pretrained.scoreCols(qToks, col("text"),
+                col("score"))))
           variants.foreach { case (name, ranking) =>
             val m = graft.operators.RetrievalMetrics.evaluate(ranking, qrels, k)
               .agg(avg("ndcg"), avg("mrr")).head()

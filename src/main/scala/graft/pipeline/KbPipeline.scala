@@ -286,7 +286,8 @@ object KbPipeline {
       col("sourcedoc"), col("sid")), "doc_id")
     if (cfg.enableReranking)
       Rerank.rerankHead(withText, "score", cfg.rerankingTopK,
-        Rerank.scorerFor(cfg.rerankingModel).score(enhanced, col("text")))
+        Rerank.scorerFor(cfg.rerankingModel)
+          .scoreWithRetrieval(enhanced, col("text"), col("score")))
         .orderBy("final_rank").limit(cfg.queryTopK)
     else withText.orderBy(col("score").desc, col("doc_id")).limit(cfg.queryTopK)
     }
@@ -450,28 +451,32 @@ object KbPipeline {
       .tokenizeBm25Value(spark, enhanced).toSet
     // rung scorer mirrors the configured column scorer value-for-value:
     // lexical → set Jaccard (null text → 0.0, the when(union > 0) null
-    // path); learned → LogisticScorer.scoreValue over the same token sets
-    // (null text → the empty set, matching featureColsQ's coalesce)
-    val jac: String => Double = Rerank.scorerFor(cfg.rerankingModel) match {
-      case m: Rerank.LogisticScorer =>
-        text => m.scoreValue(qset,
-          if (text == null) Set.empty
-          else graft.functions.TextFunctions.tokenizeBm25Value(spark, text).toSet)
-      case _ =>
-        text =>
-          if (text == null) 0.0
-          else {
-            val d = graft.functions.TextFunctions
-              .tokenizeBm25Value(spark, text).toSet
-            val union = (d union qset).size
-            if (union > 0) (d intersect qset).size.toDouble / union else 0.0
-          }
-    }
+    // path); learned → LogisticScorer.scoreValue over the same token LIST
+    // plus the hit's retrieval score (null text → the empty list, matching
+    // featureColsQ's coalesce; the score arg matches scoreWithRetrieval's
+    // col("score") in the column path)
+    val jac: (String, Double) => Double =
+      Rerank.scorerFor(cfg.rerankingModel) match {
+        case m: Rerank.LogisticScorer =>
+          (text, s) => m.scoreValue(qset,
+            if (text == null) Seq.empty
+            else graft.functions.TextFunctions.tokenizeBm25Value(spark, text),
+            s)
+        case _ =>
+          (text, _) =>
+            if (text == null) 0.0
+            else {
+              val d = graft.functions.TextFunctions
+                .tokenizeBm25Value(spark, text).toSet
+              val union = (d union qset).size
+              if (union > 0) (d intersect qset).size.toDouble / union else 0.0
+            }
+      }
     val topK = cfg.rerankingTopK
     val ranked = wt.sortBy { case (id, s, _, _, _) => (-s, id) }.zipWithIndex
       .map { case (r, i) => (r, i + 1) }
     val rescoredHead = ranked.filter(_._2 <= topK)
-      .map { case ((id, s, t, sd, si), _) => (id, s, t, sd, si, jac(t)) }
+      .map { case ((id, s, t, sd, si), _) => (id, s, t, sd, si, jac(t, s)) }
       .sortBy { case (id, _, _, _, _, rs) => (-rs, id) }
       .zipWithIndex.map { case (r, i) => (r, i + 1) }
     val keptTail = ranked.filter(_._2 > topK)
@@ -674,7 +679,8 @@ object KbPipeline {
       if (cfg.enableReranking) {
         val qToks = graft.functions.TextFunctions.tokenizeBm25(col("qtext"))
         val scorer = Rerank.scorerFor(cfg.rerankingModel) match {
-          case m: Rerank.LogisticScorer => m.scoreCols(qToks, col("text"))
+          case m: Rerank.LogisticScorer =>
+            m.scoreCols(qToks, col("text"), col("score"))
           case _ => Rerank.lexicalScoreCols(qToks, col("text"))
         }
         Rerank.rerankHeadBatch(withText, "query_id", "score", cfg.rerankingTopK,

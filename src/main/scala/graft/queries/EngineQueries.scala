@@ -1289,20 +1289,29 @@ object EngineQueries {
     //    at this seam, rerank_manager.py:133-277). The trained WEIGHTS are
     //    embedded as numeric literals in both engines, so the oracle
     //    value-checks the learned scoring math (sigmoid over jaccard /
-    //    coverage / length-prior features) through the full rerank
-    //    plumbing — the learned path is ⊕, not spec-only ──────────────────
+    //    coverage / length-prior / tf-mass / retrieval-score features)
+    //    through the full rerank plumbing — the learned path is ⊕, not
+    //    spec-only ──────────────────────────────────────────────────────
     QueryDef.sql("m7_rerank_learned", {
       val m = LearnedM7.model
       val qToks = LearnedM7.qTokens.toSeq.sorted
         .map(t => s"'$t'").mkString("[", ",", "]")
       val nQ = LearnedM7.qTokens.size
-      // features over the doc's distinct token set dt (see featureCols)
+      // features over the doc's token list dt (see featureCols): the set
+      // features use list_distinct(dt); tf mass counts occurrences in the
+      // FULL list; the retrieval feature reads the correlated r.score (the
+      // rounded-4 BM25 score the Spark side passes as scoreWithRetrieval's
+      // retrieval column — non-negative by the bm25 CTE's HAVING, so the
+      // greatest(·,0) clamp is the identity here)
       val inter = s"len(list_filter(list_distinct(dt), t -> list_contains($qToks, t)))::DOUBLE"
       val union = s"len(list_distinct(list_concat(dt, $qToks)))::DOUBLE"
       val dlen = "len(list_distinct(dt))::DOUBLE"
+      val tfm = s"len(list_filter(dt, t -> list_contains($qToks, t)))::DOUBLE"
       val z = s"(${m.w(0)} * (CASE WHEN $union > 0 THEN $inter / $union ELSE 0.0 END)" +
         s" + ${m.w(1)} * ($inter / $nQ.0)" +
         s" + ${m.w(2)} * ($dlen / ($dlen + 20.0))" +
+        s" + ${m.w(3)} * ($tfm / ($tfm + 25.0))" +
+        s" + ${m.w(4)} * (r.score / (r.score + 5.0))" +
         s" + ${m.b})"
       s"""$bm25Cte,
          |ranked AS (
@@ -1333,7 +1342,8 @@ object EngineQueries {
       val withText = ktop.join(
         Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
       Rerank.rerankHead(withText, "score", 20,
-          LearnedM7.model.score(QueryText, col("text")))
+          LearnedM7.model.scoreWithRetrieval(QueryText, col("text"),
+            col("score")))
         .select(col("doc_id"), col("score"),
           round(coalesce(col("rerank_score"), lit(-1.0)), 6).as("rerank_score"),
           col("final_rank").cast("long").as("final_rank"))

