@@ -33,6 +33,61 @@ object EngineQueries {
         graft.query.Rerank.LogisticScorer.syntheticRelevance(qTokens))
   }
 
+  /** The m15_retrieval_planted computation, shared with Rm16EvalGateSpec
+    * (which asserts the learned-vs-bm25 inequality the oracle hash gates):
+    * plant tf-mass-graded qrels over `documents`, rank the 3-query batch
+    * by BM25 (top-20, rounded-4 scores), rerank the head (topK 10) with
+    * the PRETRAINED learned scorer, and evaluate both rankings at k=10.
+    */
+  def retrievalPlanted(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("query_id")
+    val docs = Tables.documents(s, dir)
+    val qdf = Seq((1L, "spark join filter window"),
+      (2L, "hash merge batch scan"), (3L, "sort table row value"))
+      .toDF("query_id", "qtext")
+    // planted qrels: grade by corpus query-term tf mass (EvalReceipt's
+    // TREC-shape construction — relevance IS the tf-mass rank)
+    val qterms = qdf.select(col("query_id"), explode(array_distinct(
+      TextFunctions.tokenizeBm25(col("qtext")))).as("term"))
+    val qrels = docs.select(col("doc_id"),
+        explode(TextFunctions.tokenizeBm25(col("text"))).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfm"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("tfm").desc, col("doc_id"))))
+      .filter(col("rk") <= 100)
+      .select(col("query_id"), col("doc_id"),
+        when(col("rk") <= 20, 3.0).when(col("rk") <= 50, 2.0)
+          .otherwise(1.0).as("grade"))
+    val ix = Bm25.cachedIndex(dir, docs, "doc_id", "text")
+    val ktop = Bm25.scoreBatch(ix, qdf, "query_id", "qtext")
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 20)
+    val withText = broadcast(ktop)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .join(broadcast(qdf), "query_id")
+    val learned = Rerank.rerankHeadBatch(withText, "query_id", "score", 10,
+        Rerank.LogisticScorer.pretrained.scoreCols(
+          array_distinct(TextFunctions.tokenizeBm25(col("qtext"))),
+          col("text"), col("score")))
+      .select(col("query_id"), col("doc_id"),
+        col("final_rank").cast("int").as("rank"))
+    def metrics(variant: String, ranking: org.apache.spark.sql.DataFrame) =
+      graft.operators.RetrievalMetrics.evaluate(ranking, qrels, k = 10)
+        .withColumn("variant", lit(variant))
+    metrics("bm25", ktop.select("query_id", "doc_id", "rank"))
+      .unionByName(metrics("learned", learned))
+      .select(col("variant"), col("query_id"), col("n_rel"), col("hits"),
+        col("ndcg"), col("mrr"), col("p_at_k"), col("r_at_k"))
+      .orderBy("variant", "query_id")
+  }
+
   /** Crafted strings that exercise normalization/spelling/synonym paths the
     * word-soup documents table can't (smart quotes, repeated punctuation,
     * stretched letters). Same literals live in the oracle VALUES list.
@@ -1787,6 +1842,119 @@ object EngineQueries {
           when(col("rk") <= 5, 3.0).when(col("rk") <= 10, 2.0)
             .otherwise(1.0).as("grade"))
       graft.operators.RetrievalMetrics.evaluate(ktop, qrels, k = 10)
+    },
+
+    // ── m15 on PLANTED lexical qrels, bm25 vs learned-reranked — the
+    //    hash-gated form of tools/eval_r16.txt's A/B: qrels grade docs by
+    //    corpus query-term TF MASS (top-20 grade 3 / next-30 grade 2 /
+    //    next-50 grade 1, the TREC-shape construction EvalReceipt plants),
+    //    the bm25 top-20 head is reranked (topK 10) by the PRETRAINED
+    //    5-feature logistic scorer, and both rankings' nDCG@10/MRR/P/R are
+    //    emitted per query. The driver's hash compare re-proves
+    //    learned > bm25 every round (Rm16EvalGateSpec asserts the
+    //    inequality itself); weights are literals in both engines ────────
+    QueryDef.sql("m15_retrieval_planted", {
+      val qdefs = Seq(1 -> "spark join filter window",
+        2 -> "hash merge batch scan", 3 -> "sort table row value")
+      val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      val m = graft.query.Rerank.LogisticScorer.pretrained
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (
+         |  SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |  FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES $qtVals),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qtok GROUP BY query_id, term),
+         |tfmass AS (
+         |  SELECT q.query_id, t.doc_id, count(*)::BIGINT AS tfm
+         |  FROM tok t JOIN (SELECT DISTINCT query_id, term FROM qtok) q USING (term)
+         |  GROUP BY q.query_id, t.doc_id),
+         |qrels AS (
+         |  SELECT query_id, doc_id,
+         |         CASE WHEN rk <= 20 THEN 3.0 WHEN rk <= 50 THEN 2.0
+         |              ELSE 1.0 END AS grade
+         |  FROM (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY tfm DESC, doc_id) AS rk
+         |        FROM tfmass)
+         |  WHERE rk <= 100),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY q.query_id, p.doc_id
+         |  HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |ktop AS (
+         |  SELECT query_id, doc_id, round(score, 4) AS score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 4) DESC, doc_id) AS rk
+         |  FROM kscores QUALIFY rk <= 20),
+         |qlist AS (SELECT query_id, list_distinct(${tokSql("qtext")}) AS qtoks FROM qt),
+         |feat AS (
+         |  SELECT k.query_id, k.doc_id, k.score AS sc,
+         |         len(list_filter(list_distinct(${tokSql("d.text")}), t -> list_contains(ql.qtoks, t)))::DOUBLE AS i,
+         |         len(list_distinct(list_concat(${tokSql("d.text")}, ql.qtoks)))::DOUBLE AS u,
+         |         len(list_distinct(${tokSql("d.text")}))::DOUBLE AS dl,
+         |         len(list_filter(${tokSql("d.text")}, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
+         |         len(ql.qtoks)::DOUBLE AS nq
+         |  FROM ktop k JOIN documents d USING (doc_id) JOIN qlist ql USING (query_id)
+         |  WHERE k.rk <= 10),
+         |rescored AS (
+         |  SELECT query_id, doc_id,
+         |         1.0 / (1.0 + exp(-(${m.w(0)} * (CASE WHEN u > 0 THEN i / u ELSE 0.0 END)
+         |           + ${m.w(1)} * (CASE WHEN nq > 0 THEN i / nq ELSE 0.0 END)
+         |           + ${m.w(2)} * (dl / (dl + 20.0))
+         |           + ${m.w(3)} * (tf / (tf + 25.0))
+         |           + ${m.w(4)} * (sc / (sc + 5.0))
+         |           + ${m.b}))) AS rscore
+         |  FROM feat),
+         |rankings AS (
+         |  SELECT 'bm25' AS variant, query_id, doc_id, rk AS rank FROM ktop
+         |  UNION ALL
+         |  SELECT 'learned' AS variant, query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rscore DESC, doc_id) AS rank
+         |  FROM rescored),
+         |scored AS (
+         |  SELECT r.variant, r.query_id,
+         |         sum((pow(2.0, coalesce(q.grade, 0.0)) - 1.0) / ln(r.rank + 1.0)) AS dcg,
+         |         sum(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |         max(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1.0 / r.rank ELSE 0.0 END) AS rr
+         |  FROM rankings r LEFT JOIN qrels q USING (query_id, doc_id)
+         |  WHERE r.rank <= 10 GROUP BY r.variant, r.query_id),
+         |ideal AS (
+         |  SELECT query_id, sum((pow(2.0, grade) - 1.0) / ln(irk + 1.0)) AS idcg
+         |  FROM (SELECT query_id, grade, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY grade DESC, doc_id) AS irk
+         |        FROM qrels WHERE grade > 0)
+         |  WHERE irk <= 10 GROUP BY query_id),
+         |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+         |         FROM qrels WHERE grade > 0 GROUP BY query_id)
+         |SELECT s.variant, s.query_id,
+         |       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+         |       coalesce(s.hits, 0)::BIGINT AS hits,
+         |       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN s.dcg / i.idcg
+         |             ELSE 0.0 END, 4) AS ndcg,
+         |       round(coalesce(s.rr, 0.0), 4) AS mrr,
+         |       round(coalesce(s.hits, 0)::DOUBLE / 10, 4) AS p_at_k,
+         |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+         |             THEN coalesce(s.hits, 0)::DOUBLE / n.n_rel
+         |             ELSE 0.0 END, 4) AS r_at_k
+         |FROM scored s LEFT JOIN ideal i USING (query_id)
+         |LEFT JOIN nrel n USING (query_id)
+         |ORDER BY s.variant, s.query_id""".stripMargin
+    }) { (s, dir) =>
+      EngineQueries.retrievalPlanted(s, dir)
     },
 
     QueryDef.sql("hybrid_batch", {
