@@ -961,11 +961,31 @@ object Scale {
     secs(s"cc-stars-chains 1.6M-edges (scattered)")(countComps(
       operators.Dedup.connectedComponentsStars(
         chainEdges(8, 200000L).repartition(32)), 8))
+    // the PERMUTED row additionally scrambles the NODE IDS with a
+    // NON-AFFINE bijection on [0, 2^21) — odd-multiplier mod 2^21 (an
+    // invertible ring map) composed with an xor-shift (invertible on a
+    // fixed width) — so chain components are exactly relabeled but ids no
+    // longer correlate with structure: this defeats the range-contraction
+    // pass the same way repartition defeats producer locality, pinning
+    // the PURE star-loop constant — the honest
+    // no-locality-of-any-kind 100-TB upper bound
+    def permuteId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val y = (c * 2654435761L) % 2097152L
+      y.bitwiseXOR(shiftrightunsigned(y, 10))
+    }
+    secs(s"cc-stars-chains 1.6M-edges (permuted)")(countComps(
+      operators.Dedup.connectedComponentsStars(
+        chainEdges(8, 200000L)
+          .select(permuteId(col("doc_a")).as("doc_a"),
+            permuteId(col("doc_b")).as("doc_b"))
+          .repartition(32)), 8))
     // r15: the MANY-COMPONENT shape real dup graphs have (most components
     // tiny, a few chains) — scattered so contraction can't pre-solve it;
     // this is the regime the freeze mechanism exists for (finished stars
     // leave the loop; the chain rows above never freeze mid-run)
-    secs(s"cc-stars-mixed 1.6M-edges (scattered)")(countComps(
+    // true edge count: 128k stars × 9 edges + 4 × (80k−1) chain edges
+    // = 1,471,996 ≈ 1.47M (the r15 label said 1.6M — ADVICE r15 fix)
+    secs(s"cc-stars-mixed 1.47M-edges (scattered)")(countComps(
       operators.Dedup.connectedComponentsStars(
         // 128k size-10 star components + 4 chains of 80k nodes
         spark.range(1280000L)

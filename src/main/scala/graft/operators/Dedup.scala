@@ -730,89 +730,71 @@ object Dedup {
     parent
   }
 
-  /** Large-star over ONE hash(src) partition of the SYMMETRIZED edge list,
-    * rows sorted (src, dst): for each src-group `u` with neighbors
-    * d1 ≤ d2 ≤ …, the closed-neighborhood minimum is m = min(u, d1), and
-    * every DISTINCT neighbor d > u emits (d, m). Output is oriented
-    * big → small (m ≤ u < d), and within-group duplicates are skipped on
-    * the fly (sorted adjacency) — the separate distinct() shuffle of the
-    * generic DataFrame star op does not exist on this path. O(1) state,
-    * fully streaming: hub neighborhoods never materialize.
+  /** BOTH star families from ONE pass over a hash(src) partition of the
+    * SYMMETRIZED edge list, rows sorted (src, dst) — the r16 fusion that
+    * makes a whole star round cost a SINGLE shuffle+sort (the r15 shape
+    * paid one per star op, two per alternation). For each src-group `u`
+    * with distinct sorted neighbors d1 ≤ d2 ≤ …:
+    *
+    *  - '''small-star members''': every d < u emits (d, m1) where
+    *    m1 = d1 is the group's minimum member (d = m1 itself emits
+    *    nothing);
+    *  - '''large-star''': every d > u emits (d, m) where m = min(u, d1)
+    *    is the closed-neighborhood minimum.
+    *
+    * The classical small-star GROUP-CLOSING emission (u, m1) is dropped:
+    * it is always redundant — u is a (larger) neighbor in group m1, whose
+    * large-star emits (u, min(Γ(m1) ∪ {m1})), and that chain of minima
+    * bottoms out at the component minimum, so u's connectivity and
+    * presence survive without the extra row. Dropping it is what makes a
+    * fixpoint star reproduce itself EXACTLY (duplicate-free): the center
+    * group re-emits each (v, c) via large-star and member groups emit
+    * nothing, so the stability checksum and the freeze check see clean
+    * stars. Connectivity is preserved both ways (each family replaces
+    * edges within one proven-connected neighborhood), every node with an
+    * edge stays present (its minimum neighbor's group emits for it, or it
+    * is itself a closed-neighborhood minimum), and within-group duplicate
+    * neighbors are skipped on the fly (sorted adjacency) — cross-group
+    * duplicates land sorted-adjacent in the NEXT round's group and die
+    * there, exactly the r15 bound. O(1) state, fully streaming: hub
+    * neighborhoods never materialize; sorted order delivers all d < u
+    * before any d > u, so at most one emission is pending.
     */
-  private[operators] def largeStarPass(in: Iterator[(Long, Long)])
+  private[operators] def bothStarsPass(in: Iterator[(Long, Long)])
       : Iterator[(Long, Long)] =
     new scala.collection.AbstractIterator[(Long, Long)] {
       private var curU = 0L
-      private var m = 0L
+      private var nbMin = 0L // first (minimum) neighbor of the group
       private var lastD = 0L
       private var started = false
-      private var outD = 0L
+      private var outA = 0L
+      private var outB = 0L
       private var ready = false
+      private def emitFor(u: Long, d: Long): Unit =
+        if (d < u) {
+          // small-star member: (d, m1) unless d IS the minimum member
+          if (d != nbMin) { outA = d; outB = nbMin; ready = true }
+        } else if (d > u) {
+          // large-star: closed-neighborhood min
+          outA = d; outB = math.min(u, nbMin); ready = true
+        } // d == u (self-loop) emits nothing
       private def advance(): Unit = {
         while (!ready && in.hasNext) {
           val r = in.next()
           val u = r._1; val d = r._2
           if (!started || u != curU) {
-            started = true; curU = u; m = math.min(u, d); lastD = d
-            if (d > u) { outD = d; ready = true }
+            started = true; curU = u; nbMin = d; lastD = d
+            emitFor(u, d)
           } else if (d != lastD) {
             lastD = d
-            if (d > u) { outD = d; ready = true }
+            emitFor(u, d)
           }
         }
       }
       def hasNext: Boolean = { advance(); ready }
       def next(): (Long, Long) = {
         advance()
-        if (!ready) throw new NoSuchElementException("largeStarPass")
-        ready = false
-        (outD, m)
-      }
-    }
-
-  /** Small-star over ONE hash(src) partition of big→small-oriented edges,
-    * rows sorted (src, dst): for each src-group `u` with members
-    * m1 ≤ m2 ≤ …, emit (m_i, m1) for every DISTINCT m_i ≠ m1 plus the
-    * group-closing (u, m1). Output stays big → small; at most one emission
-    * is pending at a time (a group-closing row opens the next group without
-    * emitting for it), so the pass is O(1)-state streaming like
-    * [[largeStarPass]].
-    */
-  private[operators] def smallStarPass(in: Iterator[(Long, Long)])
-      : Iterator[(Long, Long)] =
-    new scala.collection.AbstractIterator[(Long, Long)] {
-      private var curU = 0L
-      private var m1 = 0L
-      private var lastM = 0L
-      private var started = false
-      private var outA = 0L
-      private var outB = 0L
-      private var ready = false
-      private var drained = false
-      private def advance(): Unit = {
-        while (!ready && !drained) {
-          if (in.hasNext) {
-            val r = in.next()
-            val u = r._1; val d = r._2
-            if (!started) {
-              started = true; curU = u; m1 = d; lastM = d
-            } else if (u != curU) {
-              outA = curU; outB = m1; ready = true
-              curU = u; m1 = d; lastM = d
-            } else if (d != lastM) {
-              lastM = d
-              outA = d; outB = m1; ready = true
-            }
-          } else {
-            if (started) { outA = curU; outB = m1; ready = true }
-            drained = true
-          }
-        }
-      }
-      def hasNext: Boolean = { advance(); ready }
-      def next(): (Long, Long) = {
-        advance()
-        if (!ready) throw new NoSuchElementException("smallStarPass")
+        if (!ready) throw new NoSuchElementException("bothStarsPass")
         ready = false
         (outA, outB)
       }
@@ -874,44 +856,81 @@ object Dedup {
       .toDF(names.head, names(1))
   }
 
-  /** ONE small-star(large-star(E)) alternation for Long-id edge lists as
-    * exactly TWO shuffle+sort stages — the sorted-neighborhood fusion of
-    * Kiveris et al.'s two star ops: each star is a streaming
-    * `mapPartitions` over its hash(src)-partitioned, (src, dst)-sorted
-    * input, so the groupBy(min), the min-join, and the distinct() of the
-    * generic DataFrame form all collapse into the sort the shuffle already
-    * pays for. Cross-group duplicate emissions (the same (v, m) from many
-    * u) survive a pass, but land sorted-adjacent in the NEXT pass's group
-    * and are skipped there — duplicate growth is bounded without any
-    * distinct() exchange, and a fixpoint star reproduces itself exactly
-    * (duplicate-free), so the stability checksum still converges. Lineage
-    * is LINEAR (no stage references its input twice), so alternations can
-    * nest inside one action without the multiplicative-recompute trap the
-    * generic star ops have (PLANS.md r14).
+  /** ONE fused star round for Long-id edge lists as exactly ONE
+    * shuffle+sort stage — [[bothStarsPass]] over the hash(src)-partitioned,
+    * (src, dst)-sorted symmetrized list emits the large-star AND
+    * small-star-member families together, so the groupBy(min), the
+    * min-join, the distinct(), and the second star op's whole exchange all
+    * collapse into the one sort the shuffle already pays for (the r15
+    * shape was two shuffle+sort stages per alternation; receipt:
+    * tools/scale_r16.txt scattered rows). Lineage is LINEAR (no stage
+    * references its input twice), so rounds can nest inside one action
+    * without the multiplicative-recompute trap the generic star ops have
+    * (PLANS.md r14).
+    *
+    * When every id fits in 31 bits (`packed` — checked once per closure;
+    * true for doc ids, which are non-negative and ≪ 2³¹), the exchange
+    * moves ONE packed Long per edge, `(src << 32) | dst`: 8-byte shuffle
+    * rows instead of 16, and the sort keys a single Long column — fully
+    * radix-sortable, with (src, dst) lexicographic order preserved because
+    * both halves are non-negative. Pack/unpack are codegen projections
+    * fused into the map stages on either side of the exchange.
+    *
+    * NO explicit partition count: AQE is free to coalesce each round's
+    * exchange to advisory-sized partitions. MEASURED both ways on the
+    * 1.6M-edge chain receipt: pinning 32 partitions cost ~0.1 s/stage in
+    * pure task overhead because each round's edge list is a few dozen
+    * MB — and at real scale AQE keeps the partitioning anyway.
     */
-  private def starAlternationLong(e: DataFrame): DataFrame = {
+  private def fusedStarRounds(e: DataFrame, rounds: Int,
+                              packed: Boolean): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // NO explicit partition count: AQE is free to coalesce each round's
-    // exchange to advisory-sized partitions. MEASURED both ways on the
-    // 1.6M-edge chain receipt: pinning 32 partitions cost ~0.1 s/stage in
-    // pure task overhead (33.2 s vs 26.3 s total) because each round's
-    // edge list is a few dozen MB — and at real scale AQE keeps the
-    // partitioning anyway.
-    val sym = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst")))
-    val afterLarge = sym
-      .repartition(col("src"))
-      .sortWithinPartitions("src", "dst")
-      .as[(Long, Long)]
-      .mapPartitions(largeStarPass _)
-      .toDF("src", "dst")
-    afterLarge
-      .repartition(col("src"))
-      .sortWithinPartitions("src", "dst")
-      .as[(Long, Long)]
-      .mapPartitions(smallStarPass _)
-      .toDF("src", "dst")
+    // symmetrization is FUSED into the map stages: the input hop and every
+    // non-final pass emit both orientations straight into the next
+    // exchange from the same task (no Generate/explode operator, no
+    // second scan of the input); only the final pass emits oriented rows
+    if (packed) {
+      var ds: org.apache.spark.sql.Dataset[Long] = e.as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (a, b) =>
+          Iterator((a << 32) | b, (b << 32) | a) })
+      var i = 0
+      while (i < rounds) {
+        val last = i == rounds - 1
+        ds = ds.toDF("p")
+          .repartition(shiftrightunsigned(col("p"), 32))
+          .sortWithinPartitions("p")
+          .as[Long]
+          .mapPartitions { it =>
+            val out = bothStarsPass(it.map(x => (x >>> 32, x & 0xFFFFFFFFL)))
+            if (last) out.map { case (a, b) => (a << 32) | b }
+            else out.flatMap { case (a, b) =>
+              Iterator((a << 32) | b, (b << 32) | a) }
+          }
+        i += 1
+      }
+      ds.toDF("p")
+        .select(shiftrightunsigned(col("p"), 32).as("src"),
+          col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"))
+    } else {
+      var ds: org.apache.spark.sql.Dataset[(Long, Long)] = e.as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (a, b) => Iterator((a, b), (b, a)) })
+      var i = 0
+      while (i < rounds) {
+        val last = i == rounds - 1
+        ds = ds.toDF("src", "dst")
+          .repartition(col("src"))
+          .sortWithinPartitions("src", "dst")
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            val out = bothStarsPass(it)
+            if (last) out
+            else out.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+          }
+        i += 1
+      }
+      ds.toDF("src", "dst")
+    }
   }
 
   /** Distributed connected components by ALTERNATING STARS (Kiveris et al.
@@ -929,15 +948,17 @@ object Dedup {
     * the property that matters at 100 TB, where verbatim-duplicate chains
     * make min-label propagation's O(diameter) unbounded.
     *
-    * Long-id edge lists (every dedup-family producer) run the r15 FAST
-    * path: one zero-shuffle [[localContractPass]] first (each partition
+    * Long-id edge lists (every dedup-family producer) run the FAST path:
+    * one zero-shuffle [[localContractPass]] first (each partition
     * union-finds its own edges — the loop then starts from the PARTITION
     * graph's diameter; receipt: the 1.6M/6.4M chain rows converge in one
-    * round, 48 s → ~7 s), then [[starAlternationLong]] rounds — each star
-    * a single shuffle+sort with a streaming sorted-neighborhood pass, no
-    * join/agg/distinct exchanges (receipt: the scattered row, where
-    * contraction finds nothing, runs the pure loop at 22.6 s vs the
-    * generic ops' 48 s). Other id types keep the generic DataFrame ops:
+    * round, 48 s → ~7 s), then [[fusedStarRound]]s — ONE shuffle+sort per
+    * round emitting both star families from a single streaming
+    * sorted-neighborhood pass ([[bothStarsPass]]), packed to 8-byte
+    * single-Long rows when ids fit 31 bits, no join/agg/distinct
+    * exchanges (receipt: the scattered rows in tools/scale_r16.txt, where
+    * contraction finds nothing and the pure loop constant is isolated).
+    * Other id types keep the generic DataFrame ops:
     * each star one map-side-combinable `groupBy(min)` plus one join that
     * REUSES the aggregation's hash partitioning on `src`. Neither path
     * materializes hub neighborhoods as arrays (`collect_list`-free), so
@@ -961,10 +982,11 @@ object Dedup {
     *    component (a chain) nothing freezes until the end, so after each
     *    miss the next check is pushed out 2× and the steady-state cost is
     *    the star action alone. Per-round counts and times are logged.
-    *  (Batching two alternations into one plan was MEASURED and rejected:
-    *  each star op references its input twice, so un-checkpointed nesting
-    *  recomputes the inner subtree multiplicatively — 204 s vs 160 s on
-    *  the 6.4M-edge chain receipt.)
+    *  (On the GENERIC path, batching two alternations into one plan was
+    *  MEASURED and rejected: each generic star op references its input
+    *  twice, so un-checkpointed nesting recomputes the inner subtree
+    *  multiplicatively — 204 s vs 160 s on the 6.4M-edge chain receipt.
+    *  The fused Long path has linear lineage, so it nests freely.)
     *
     * @return `(node, component)` for every node appearing in `pairs`
     */
@@ -1011,7 +1033,7 @@ object Dedup {
         .distinct()
     }
     // Long-id edge lists (every dedup-family producer) take the fused
-    // sorted-neighborhood alternation — 2 shuffles per alternation, no
+    // sorted-neighborhood rounds — ONE shuffle per round, no
     // joins/distinct/agg exchanges, linear lineage (no mid checkpoint)
     val fastLong =
       pairs.schema(pairs.schema.fieldIndex(aCol)).dataType ==
@@ -1021,12 +1043,36 @@ object Dedup {
     var live = {
       val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .filter(col("src") =!= col("dst"))
-      // zero-shuffle partition-local contraction first (Long ids): the
-      // loop then starts from the partition-graph's diameter, not the
-      // node-graph's — worst case (no locality) it costs one map pass
-      if (fastLong) contractLocal(raw) else raw
+      // TWO locality-recovery contractions ahead of the loop (Long ids):
+      //  1. zero-shuffle partition-local union-find — PRODUCER locality
+      //     (LSH band buckets, range-built fixtures co-locate neighbors);
+      //  2. ONE range exchange on src + the same per-partition union-find
+      //     — ID locality (crawl/batch-ordered ids make duplicate
+      //     neighborhoods id-adjacent even when the producer scattered
+      //     them across partitions; each contiguous id window contracts
+      //     to its window stars, so an id-correlated graph enters the
+      //     loop at the WINDOW graph's diameter).
+      // Worst case — ids uncorrelated with structure — the pair costs one
+      // map pass plus one exchange; the PERMUTED receipt row
+      // (tools/scale_r16.txt) pins that pure-loop bound.
+      if (fastLong)
+        contractLocal(contractLocal(raw).repartitionByRange(col("src")))
+      else raw
     }.localCheckpoint(false)
-    var cs = checksum(live) // materializes the checkpoint too
+    // the initial checksum action ALSO materializes the checkpoint and
+    // carries the packed-round eligibility bounds: every id in [0, 2³¹)
+    // — 31 bits (not 32) keeps the packed Long non-negative, so its
+    // signed sort is the (src, dst) lexicographic order the fused pass
+    // needs. One action, no separate min/max pass.
+    val r0 = live.agg(count(lit(1)),
+      sum(xxhash64(col("src")).cast("decimal(38,0)")),
+      sum(xxhash64(col("dst")).cast("decimal(38,0)")),
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+      min(least(col("src"), col("dst"))),
+      max(greatest(col("src"), col("dst")))).head()
+    var cs = (r0.getLong(0), r0.getDecimal(1), r0.getDecimal(2), r0.getDecimal(3))
+    val packedOk = fastLong && cs._1 > 0L &&
+      r0.getAs[Long](4) >= 0L && r0.getAs[Long](5) < (1L << 31)
     val nodes = pairs.select(col(aCol).as("node"))
       .unionByName(pairs.select(col(bCol).as("node"))).distinct()
     if (cs._1 == 0L) // no non-loop edges: every node is its own component
@@ -1039,40 +1085,49 @@ object Dedup {
     while (!converged && cs._1 > 0L && it < maxIter) {
       it += 1
       val t0 = System.nanoTime()
-      // the heavy action: TWO alternations. On the Long fast path both
-      // nest in one LINEAR plan (each fused stage is referenced once — no
-      // recompute multiplication) and the round is 4 shuffle+sort stages;
-      // on the generic path the middle alternation is LAZY-checkpointed —
-      // localCheckpoint returns a LogicalRDD-backed frame, so the second
-      // alternation's three references to `mid` share ONE cached compute
-      // instead of re-expanding the subtree (the un-severed nesting was
-      // measured 27×-recompute slow). Either way the checksum then
-      // materializes the whole chain, so each non-freeze round is exactly
-      // ONE Spark action covering two alternations (on a cluster swap in
-      // reliable checkpoint())
+      // the heavy action. On the Long fast path: three FUSED star rounds
+      // nested in one LINEAR plan (each stage referenced once — no
+      // recompute multiplication), 3 shuffle+sort stages total; on the
+      // generic path: two alternations with the middle one
+      // LAZY-checkpointed — localCheckpoint returns a LogicalRDD-backed
+      // frame, so the second alternation's three references to `mid`
+      // share ONE cached compute instead of re-expanding the subtree (the
+      // un-severed nesting was measured 27×-recompute slow). Either way
+      // the checksum then materializes the whole chain, so each
+      // non-freeze round is exactly ONE Spark action (on a cluster swap
+      // in reliable checkpoint())
       val next = (if (fastLong)
-          // two alternations per action on the fused path: lineage is
-          // linear so the nesting is recompute-free without a mid
-          // checkpoint (three per action was MEASURED slower — overshoot
-          // past the fixpoint costs more than the saved checksum scans)
-          starAlternationLong(starAlternationLong(live))
+          // FOUR fused rounds per action on the fast path (4 shuffles;
+          // same as the r15 two-alternation shape but each shuffle moves
+          // packed 8-byte rows and every round advances both families):
+          // lineage is linear so the nesting is recompute-free without a
+          // mid checkpoint; overshoot past the fixpoint is cheap (a star
+          // reproduces itself)
+          fusedStarRounds(live, 4, packedOk)
         else {
           val mid = smallStar(largeStar(live)).localCheckpoint(false)
           smallStar(largeStar(mid))
         }).localCheckpoint(false)
       val ncs = checksum(next)
       if (ncs == cs) {
-        // global fixpoint: every live component is a final star
+        // global fixpoint: every live component is a final star. Checked
+        // FIRST (one cheap scan) so fixpoint rounds never pay the freeze
+        // machinery — the direct receipt rows converge in round 1 on
+        // their biggest edge set
         doneParts += next
         converged = true
         println(f"[cc-stars] round=$it fixpoint: ${ncs._1} star edges done" +
           f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } else if (it >= nextFreezeCheck) {
-        // freeze check over the checkpointed round, all oriented src > dst:
-        // star S(c) = {(v → c)} is a finished component iff c never emits
-        // (c ∉ src) and every member v appears in NO other edge (deg 1) —
-        // then S(c) is a whole component at its fixpoint and can leave the
-        // loop. busyCenters = centers disqualified by either condition.
+        // FUSED freeze check over the checkpointed round, all oriented
+        // src > dst: star S(c) = {(v → c)} is a finished component iff c
+        // never emits (c ∉ src) and every member v appears in NO other
+        // edge (deg 1) — then S(c) is a whole component at its fixpoint
+        // and can leave the loop. busyCenters = centers disqualified by
+        // either condition. ONE left join flags every row, ONE agg action
+        // then computes the frozen count AND the live-side checksum
+        // together — the r15 shape paid two more actions, an extra
+        // checkpoint, and a second join of `next` per check.
         val deg = next.select(col("src").as("n"))
           .unionByName(next.select(col("dst").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -1082,14 +1137,21 @@ object Dedup {
           .select(col("dst"))
           .unionByName(next.select(col("src").as("dst")))
           .distinct()
-        val frozen = next.join(busyCenters, Seq("dst"), "left_anti")
-          .select("src", "dst").localCheckpoint(false)
-        val frozenCount = frozen.count()
+        val flagged = next
+          .join(busyCenters.withColumn("busy", lit(true)), Seq("dst"), "left")
+          .localCheckpoint(false)
+        val busy = col("busy").isNotNull
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val r = flagged.agg(
+          count(when(busy, 1)),
+          sum(when(busy, dec(xxhash64(col("src"))))),
+          sum(when(busy, dec(xxhash64(col("dst"))))),
+          sum(when(busy, dec(xxhash64(col("src"), col("dst")))))).head()
+        val frozenCount = ncs._1 - r.getLong(0)
         if (frozenCount > 0L) {
-          doneParts += frozen
-          live = next.join(busyCenters, Seq("dst"), "left_semi")
-            .select("src", "dst").localCheckpoint(false)
-          cs = checksum(live)
+          doneParts += flagged.filter(!busy).select("src", "dst")
+          live = flagged.filter(busy).select("src", "dst")
+          cs = (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
           freezeGap = 1 // freezing is paying off: keep checking every round
         } else {
           live = next

@@ -199,6 +199,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.localContractPass(Iterator.empty).isEmpty)
   }
 
+  test("bothStarsPass: one sorted pass emits both star families, no group-close") {
+    // symmetrized sorted chain 1-2-3 partition: groups 1:{2}, 2:{1,3}, 3:{2}
+    //  group 1: large-star (2, 1); group 2: small-star member 1 == min ->
+    //  nothing, large-star (3, min(2,1)=1); group 3: single smaller member
+    //  == min -> nothing (the classical group-close (3,2) is DROPPED — the
+    //  connectivity of 3 comes from group 2's large-star emission)
+    val got = Dedup.bothStarsPass(Iterator(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))).toSeq
+    assert(got == Seq((2L, 1L), (3L, 1L)), s"got $got")
+    // a fixpoint star reproduces itself EXACTLY (duplicate-free): center 1
+    // re-emits each member via large-star; member groups emit nothing
+    val star = Dedup.bothStarsPass(Iterator(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))).toSeq
+    assert(star == Seq((2L, 1L), (3L, 1L), (4L, 1L)), s"got $star")
+    // within-group duplicates are skipped on the fly; self-loops ignored
+    val dup = Dedup.bothStarsPass(Iterator(
+      (1L, 2L), (1L, 2L), (2L, 1L), (2L, 1L), (2L, 2L))).toSeq
+    assert(dup == Seq((2L, 1L)), s"got $dup")
+    assert(Dedup.bothStarsPass(Iterator.empty).isEmpty)
+  }
+
   test("connectedComponents: scattered partitioning (no locality) still exact") {
     // round-robin repartition makes adjacent chain edges never co-locate,
     // so the local contraction contracts ~nothing and the star loop does
