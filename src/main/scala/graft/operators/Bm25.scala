@@ -220,12 +220,19 @@ object Bm25 {
     val post = if (alreadyPersisted) ix.postings
       else ix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // postings are SORTED BY TERM within each bucket file, so parquet
+      // page/row-group min-max statistics line up with the term IN (…)
+      // pushdown [[prunedPostings]] emits: a query's scan skips to its
+      // terms' page runs instead of decoding the whole bucket
       if (termBuckets > 0)
         post.withColumn("term_bucket", termBucket(col("term"), termBuckets))
+          .repartition(col("term_bucket"))
+          .sortWithinPartitions("term_bucket", "term", "doc_id")
           .write.mode("overwrite").partitionBy("term_bucket")
           .parquet(s"$dir/postings")
       else
-        post.write.mode("overwrite").parquet(s"$dir/postings")
+        post.sortWithinPartitions("term", "doc_id")
+          .write.mode("overwrite").parquet(s"$dir/postings")
       ix.lengths.write.mode("overwrite").parquet(s"$dir/lengths")
       ix.idf.write.mode("overwrite").parquet(s"$dir/idf")
       ix.stats.withColumn("term_buckets", lit(termBuckets))
@@ -286,6 +293,23 @@ object Bm25 {
       if (stored.stats.columns.contains("term_buckets"))
         stored.stats.select(col("term_buckets")).head().getInt(0)
       else 0
+    // consistency sentinel (ADVICE r15): stats is written LAST, so its
+    // n_len is the committed lengths row count — a crash between the
+    // postings append and the idf/stats rewrite leaves actual lengths
+    // (appended FIRST) ahead of the committed count, and the store would
+    // otherwise serve with stale idf/avgdl/n without complaint. One slim
+    // lengths scan per append catches it even when the NEXT batch's ids
+    // are disjoint (the overlap require below only catches a same-batch
+    // retry).
+    if (stored.stats.columns.contains("n_len")) {
+      val committed = stored.stats.select(col("n_len")).head().getLong(0)
+      val actual = stored.lengths.count()
+      require(actual == committed,
+        s"appendIndexStore: store at $dir is inconsistent (lengths rows " +
+          s"$actual != committed n_len $committed) — a previous append " +
+          "crashed between the data appends and the stats commit; rebuild " +
+          "the store (writeIndex) before appending")
+    }
     val batchDocs = newDocs.count() // ALL batch docs — idf's N counts
     // docs that tokenize to nothing too, exactly as buildIndex's n does
     val overlap = newDocs.select(col(idCol).as("doc_id"))
@@ -304,11 +328,16 @@ object Bm25 {
       lens.write.mode("append").parquet(s"$dir/lengths")
       val post = if (stored.postings.columns.contains("doc_len"))
         post0.join(lens, "doc_id") else post0
+      // appended files keep the store's term-sorted-within-bucket layout
+      // (batch-sized sort) so page-level term pruning covers them too
       if (storedBuckets > 0)
         post.withColumn("term_bucket", termBucket(col("term"), storedBuckets))
+          .repartition(col("term_bucket"))
+          .sortWithinPartitions("term_bucket", "term", "doc_id")
           .write.mode("append").partitionBy("term_bucket")
           .parquet(s"$dir/postings")
-      else post.write.mode("append").parquet(s"$dir/postings")
+      else post.sortWithinPartitions("term", "doc_id")
+        .write.mode("append").parquet(s"$dir/postings")
       val bRow = lens.agg(count(lit(1)),
         coalesce(sum(col("doc_len").cast("long")), lit(0L))).head()
       val (batchLenRows, batchSum) = (bRow.getLong(0), bRow.getLong(1))
@@ -484,8 +513,7 @@ object Bm25 {
     val qStats = ix.idf.select("term", "idf")
       .filter(col("term").isin(termSet: _*))
       .join(broadcast(qDf), "term")
-    prunedPostings(ix, termSet)
-      .filter(col("term").isin(termSet: _*))           // prune to query terms
+    prunedPostings(ix, termSet) // bucket dirs + term IN pushdown
       .join(broadcast(qStats), "term")
       .groupBy("doc_id")
       .agg(sum(col("qtf") * termScore(col("tf"), col("doc_len"), lit(ix.avgdl), col("idf"), k1, b)).as("score"))
@@ -537,20 +565,29 @@ object Bm25 {
     if (ix.postings.columns.contains("doc_len")) ix.postings
     else ix.postings.join(ix.lengths, "doc_id")
 
-  /** [[withDocLen]] plus the at-rest partition prune: when the index is
-    * term-bucketed on disk, restrict the scan to the query terms' bucket
-    * directories via a literal `term_bucket IN (…)` — file-level
-    * PartitionFilters, no job to plan it (buckets computed driver-side by
-    * the crc32 twin). Semantically a no-op: every removed row would have
-    * been dropped by the `term` equi-join anyway (identity spec-asserted).
+  /** [[withDocLen]] plus the at-rest scan prune, two levels deep:
+    *  - when the index is term-bucketed on disk, a literal
+    *    `term_bucket IN (…)` restricts the scan to the query terms' bucket
+    *    directories — file-level PartitionFilters, no job to plan it
+    *    (buckets computed driver-side by the crc32 twin);
+    *  - a literal `term IN (…)` rides along as a parquet data filter
+    *    (PushedFilters) — [[writeIndex]] sorts postings by term WITHIN
+    *    each bucket, so parquet page/row-group statistics skip everything
+    *    but the query terms' page runs even inside a touched bucket (the
+    *    r16 fix for the rm3-batch pass-1 growth: a 20-query batch's term
+    *    union touches most bucket DIRECTORIES, but only slivers of them).
+    * Semantically a no-op either way: every removed row would have been
+    * dropped by the `term` equi-join anyway (identity spec-asserted).
     */
-  private[operators] def prunedPostings(ix: Index, termSet: Seq[String]): DataFrame =
-    ix.termBuckets match {
+  private[operators] def prunedPostings(ix: Index, termSet: Seq[String]): DataFrame = {
+    val base = ix.termBuckets match {
       case Some(n) =>
         val buckets = termSet.map(termBucketValue(_, n)).distinct
         withDocLen(ix).filter(col("term_bucket").isin(buckets: _*))
       case None => withDocLen(ix)
     }
+    base.filter(col("term").isin(termSet.distinct: _*))
+  }
 
   /** Score a single query string against a corpus; returns
     * `(doc_id, score)` for docs with positive score (P4 filter,

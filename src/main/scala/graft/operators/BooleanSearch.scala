@@ -105,9 +105,8 @@ object BooleanSearch {
   def matchingDocs(ix: Bm25.Index, node: Node): DataFrame = {
     val terms = allTerms(node).distinct
     // one pruned scan feeds every leaf (the term filter re-applies per
-    // leaf on the shared, bucket-pruned projection)
-    val leaves = ix.postings
-      .filter(col("term").isin(terms: _*))
+    // leaf on the shared bucket-pruned, term-pushdown projection)
+    val leaves = Bm25.prunedPostings(ix, terms)
       .select(col("doc_id"), col("term"))
     val corpus = ix.lengths.select(col("doc_id")).distinct()
     def eval(n: Node): DataFrame = n match {
@@ -131,14 +130,34 @@ object BooleanSearch {
     * one pruned postings pass + a codegen bitwise predicate replaces the
     * per-leaf INTERSECT/UNION/EXCEPT exchanges of the [[matchingDocs]]
     * set-algebra form (which remains the doc-SET api — it alone keeps the
-    * zero-evidence NOT matches).
+    * zero-evidence NOT matches). Queries beyond the mask's 62 distinct
+    * terms (ADVICE r15: the delegation must not regress the public
+    * single-query API's unlimited-term contract) take the set-algebra
+    * path instead: [[matchingDocs]] for the match set, then the same
+    * positive-term BM25 scoring restricted to it — value-identical
+    * semantics, just per-leaf set exchanges instead of one mask pass.
     */
   def booleanTopK(ix: Bm25.Index, spark: SparkSession, query: String,
                   k: Int, k1: Double = Bm25.K1,
-                  b: Double = Bm25.B): DataFrame =
-    booleanTopKBatch(ix, spark, Seq((0L, query)), k, k1, b)
-      .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+                  b: Double = Bm25.B): DataFrame = {
+    val node = parse(spark, query)
+    if (allTerms(node).distinct.size <= 62)
+      booleanTopKBatch(ix, spark, Seq((0L, query)), k, k1, b)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    else {
+      val posT = positiveTerms(node)
+      val stats = ix.idf.select("term", "idf")
+        .filter(col("term").isin(posT: _*))
+      Bm25.prunedPostings(ix, posT)
+        .join(matchingDocs(ix, node), Seq("doc_id"), "left_semi")
+        .join(broadcast(stats), "term")
+        .groupBy("doc_id")
+        .agg(round(sum(Bm25.termScore(col("tf"), col("doc_len"),
+          lit(ix.avgdl), col("idf"), k1, b)), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+    }
+  }
 
   /** BATCHED boolean retrieval: N parsed queries evaluated in ONE
     * DataFrame DAG whose shuffle count does NOT grow with N. One pruned
@@ -184,8 +203,7 @@ object BooleanSearch {
         .map { case (t, i) => (qid, t, 1L << i) }
     }
     val allT = qtermRows.map(_._2).distinct
-    val masks = Bm25.prunedPostings(ix, allT)
-      .filter(col("term").isin(allT: _*))
+    val masks = Bm25.prunedPostings(ix, allT) // bucket dirs + term IN pushdown
       .select("doc_id", "term")
       .join(broadcast(qtermRows.toDF("query_id", "term", "bit")), "term")
       .groupBy("query_id", "doc_id")
@@ -211,8 +229,7 @@ object BooleanSearch {
       .filter(col("term").isin(posT: _*))
     // bounded-agg per-query top-k — no full sort of the scored match set
     TopK.perGroupTopK(
-      Bm25.prunedPostings(ix, posT)
-        .filter(col("term").isin(posT: _*))
+      Bm25.prunedPostings(ix, posT) // bucket dirs + term IN pushdown
         .join(broadcast(posPairs.toDF("query_id", "term")), "term")
         .join(matches, Seq("query_id", "doc_id"), "left_semi")
         .join(broadcast(stats), "term")

@@ -185,8 +185,7 @@ object Rm3 {
     val expTerms = wn.map(_._2).distinct
     val stats = ix.idf.select("term", "idf")
       .filter(col("term").isin(expTerms: _*))
-    val es = Bm25.prunedPostings(ix, expTerms)
-      .filter(col("term").isin(expTerms: _*))
+    val es = Bm25.prunedPostings(ix, expTerms) // bucket dirs + term IN pushdown
       .join(broadcast(stats), "term")
       .join(wnDf, "term") // fans each posting row out to the queries weighting its term
       .groupBy("query_id", "doc_id")

@@ -61,6 +61,33 @@ class BooleanSearchSpec extends SparkSpec {
     }
   }
 
+  test("booleanTopK beyond 62 distinct terms: set-algebra fallback, same semantics") {
+    // ADVICE r15: the mask delegation capped the public single-query API
+    // at 62 distinct terms — wide queries must take the set-algebra path,
+    // not throw. 70-term corpus, a 70-way OR plus a NOT: the fallback's
+    // scores/order must agree with a narrow two-term query's contract.
+    val wide = (1 to 70).map(i => s"term$i")
+    val docs = Seq(
+      (1L, wide.take(35).mkString(" ")),
+      (2L, wide.drop(35).mkString(" ")),
+      (3L, s"${wide.head} unrelated words here"),
+      (4L, "nothing matching at all"))
+    val ix = Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val q = s"(${wide.mkString(" OR ")}) NOT ${wide.last}"
+    val got = BooleanSearch.booleanTopK(ix, spark, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    // doc 2 contains the NOT'd term -> excluded; docs 1 and 3 match and
+    // carry positive evidence; doc 4 matches nothing
+    assert(got.map(_._1).sorted == Seq(1L, 3L), s"got $got")
+    // 35 matched terms must outscore 1
+    assert(got.toMap.apply(1L) > got.toMap.apply(3L))
+    // and the narrow form of the same shape still goes through the mask
+    val narrow = BooleanSearch.booleanTopK(ix, spark,
+      s"(${wide.head} OR ${wide(1)}) NOT ${wide.last}", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(narrow.map(_._1).sorted == Seq(1L, 3L), s"got $narrow")
+  }
+
   test("mask-plan match sets == brute-force driver set algebra over 60 random ASTs") {
     // the batch path compiles each AST to a bitwise predicate over a
     // per-doc term-presence mask — sweep random ASTs against a literal
