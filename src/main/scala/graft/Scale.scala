@@ -1117,6 +1117,36 @@ object Scale {
           "text",
           (1L to 200L).map(i => i -> s"spark join filter window query $i"),
           k = 10).count())
+      // r16: the BATCH auto-policy rows — chooseBatchTier routes the
+      // template batch to EXACT on overlap alone, and the DISJOINT batch
+      // to EXACT too once the one-agg geometry probe sees the word-soup
+      // corpus (vocab 31 → candidate keep-set = the whole corpus; the
+      // counterfactual row receipts that pruned would have LOST, 15.0 vs
+      // 7.4 s when first measured). The pruned side of the policy only
+      // opens in the large-vocab/selective corner (spec-pinned); the
+      // receipted pruned WIN remains the single-query late-auto row above.
+      locally {
+        import operators.LateInteraction
+        val template200 = (1L to 200L)
+          .map(i => i -> s"spark join filter window query $i")
+        val disjoint20 = (1L to 20L).map(i =>
+          i -> s"q${i}ax q${i}bx q${i}cx q${i}dx q${i}ex")
+        val n100 = docs100.count()
+        require(LateInteraction.chooseBatchTier(n100, template200) ==
+          LateInteraction.Tier.Exact,
+          "policy must serve the template batch exact")
+        secs(s"late-batch-auto-template200 ${k100}x (exact)")(
+          LateInteraction.maxSimTopKBatchAuto(docs100, "doc_id", "text",
+            template200, k = 10, corpusDocs = Some(n100)).count())
+        secs(s"late-batch-auto-disjoint20 ${k100}x (geometry->exact)")(
+          LateInteraction.maxSimTopKBatchAuto(docs100, "doc_id", "text",
+            disjoint20, k = 10, corpusDocs = Some(n100)).count())
+        // the policy's counterfactual: the disjoint batch on the pruned
+        // scorer — the side the geometry probe rejected
+        secs(s"late-batch-pruned-disjoint20 ${k100}x (counterfactual)")(
+          LateInteraction.maxSimTopKBatchPruned(docs100, "doc_id", "text",
+            disjoint20, k = 10).count())
+      }
       secs(s"textrank-edges-build ${k100}x") {
         operators.TextRank.cooccurrenceEdges(docs100, "text")
           .write.mode("overwrite").parquet(s"$base/tredges_${k100}x")

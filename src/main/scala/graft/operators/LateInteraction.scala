@@ -267,8 +267,13 @@ object LateInteraction {
     }.toDF("query_id", "qtok")
     val cand = qtokPairs.join(broadcast(candTok), Seq("qtok"))
       .select("query_id", "tok").distinct()
+    // bounded by |queries| × candidate docs, and consumed TWICE in the
+    // final DAG (the union keep-set semi-join and the per-query gating
+    // semi-join) — checkpoint so the corpus-sized dtok join underneath
+    // runs once per action, not twice (ADVICE r15)
     val candDocs = dtok.join(broadcast(cand), Seq("tok"))
       .select(col("query_id"), col(idCol)).distinct()
+      .localCheckpoint(true)
     // stage 2: one keep-set across the batch prunes the shared stream
     val dtokPruned = dtok.join(
       candDocs.select(idCol).distinct(), Seq(idCol), "left_semi")
@@ -367,4 +372,93 @@ object LateInteraction {
       case Tier.Pruned(c) =>
         maxSimTopKPruned(docs, idCol, textCol, queryText, k, dims, c)
     }
+
+  /** Token-duplication factor (Σ per-query distinct tokens / batch-wide
+    * distinct tokens) at or above which a BATCH counts as template-shaped
+    * and serves EXACT regardless of anything else: the wave dedup already
+    * collapses a template batch's exact scorer to the template's few
+    * distinct token columns (r15 receipt, batch200 at 100×: exact 25 s vs
+    * pruned 70 s).
+    */
+  val BatchOverlapMax = 2.0
+
+  /** Expected-keep-fraction bound for batch pruning: the pruned tier only
+    * serves a batch when the candidate keep-set is predicted to leave at
+    * most this fraction of the corpus. With `c = min(1, |batch distinct
+    * tokens|·candPerTok / vocab)` the chance a document with `t` distinct
+    * tokens carries ≥1 candidate is `1 − (1−c)^t` — on the word-soup test
+    * corpus (vocab 31) this is 1.0 for every batch, and the r15/r16
+    * receipts confirm blind batch pruning LOSES there (batch20-disjoint
+    * at 100×: pruned 15.0 s vs exact 7.4 s; batch200: 70 vs 25 s). The
+    * batched pruned tier's candidate stage is itself O(vocab·Σ|q|)
+    * exploded rows, so it pays only in the large-vocab / selective-batch
+    * corner this bound encodes.
+    */
+  val PrunedKeepFractionMax = 0.2
+
+  /** The batch serving-tier policy ([[chooseTier]]'s batched twin,
+    * verdict r15 #4), decided from the batch's token-overlap statistic
+    * plus the corpus geometry: Pruned ONLY when the corpus is big, the
+    * batch is mostly disjoint (duplication factor below
+    * [[BatchOverlapMax]]), AND the candidate keep-set is predicted
+    * selective ([[PrunedKeepFractionMax]] via `vocabSize`/`avgDocTokens`
+    * — one cheap corpus agg the dispatcher runs when the caller doesn't
+    * hold them). Without the geometry stats the policy stays EXACT: every
+    * receipted batch shape on the test corpus loses under blind pruning.
+    * Driver-side arithmetic otherwise — no Spark job.
+    */
+  def chooseBatchTier(corpusDocs: Long, queries: Seq[(Long, String)],
+                      candPerTok: Int = 50,
+                      vocabSize: Option[Long] = None,
+                      avgDocTokens: Option[Double] = None): Tier = {
+    val toksPer = queries.map(q => tokenizeValue(q._2).distinct)
+    val total = toksPer.map(_.size.toLong).sum
+    val distinct = toksPer.flatten.distinct.size.toLong
+    val dupFactor = if (distinct == 0L) 1.0 else total.toDouble / distinct
+    val selective = (vocabSize, avgDocTokens) match {
+      case (Some(v), Some(t)) if v > 0L =>
+        val c = math.min(1.0, distinct.toDouble * candPerTok / v)
+        1.0 - math.pow(1.0 - c, math.max(t, 1.0)) <= PrunedKeepFractionMax
+      case _ => false
+    }
+    if (corpusDocs > ExactMaxDocs && dupFactor < BatchOverlapMax && selective)
+      Tier.Pruned(candPerTok)
+    else Tier.Exact
+  }
+
+  /** Policy-dispatched batched MaxSim — [[maxSimTopKAuto]]'s batch twin:
+    * [[chooseBatchTier]] on (corpus size, batch token overlap, corpus
+    * geometry) picks the exact wave scorer or the candidate-pruned one.
+    * Pass `corpusDocs` when the caller already holds the count; the
+    * vocabulary geometry costs ONE agg over the token stream and is only
+    * computed when it could change the decision (big corpus, disjoint
+    * batch).
+    */
+  def maxSimTopKBatchAuto(docs: DataFrame, idCol: String, textCol: String,
+                          queries: Seq[(Long, String)], k: Int,
+                          dims: Int = 8, candPerTok: Int = 50,
+                          corpusDocs: Option[Long] = None): DataFrame = {
+    val n = corpusDocs.getOrElse(docs.count())
+    val toksPer = queries.map(q => tokenizeValue(q._2).distinct)
+    val dupFactor = {
+      val d = toksPer.flatten.distinct.size.toLong
+      if (d == 0L) 1.0 else toksPer.map(_.size.toLong).sum.toDouble / d
+    }
+    val tier =
+      if (n <= ExactMaxDocs || dupFactor >= BatchOverlapMax) Tier.Exact
+      else {
+        // disjoint batch on a big corpus: geometry decides — pay the one
+        // agg for (vocab size, avg distinct tokens per doc)
+        val r = docTokens(docs, idCol, textCol)
+          .agg(countDistinct(col("tok")), count(lit(1))).head()
+        chooseBatchTier(n, queries, candPerTok,
+          Some(r.getLong(0)), Some(r.getLong(1).toDouble / math.max(n, 1L)))
+      }
+    tier match {
+      case Tier.Exact =>
+        maxSimTopKBatch(docs, idCol, textCol, queries, k, dims)
+      case Tier.Pruned(c) =>
+        maxSimTopKBatchPruned(docs, idCol, textCol, queries, k, dims, c)
+    }
+  }
 }

@@ -217,6 +217,50 @@ class LateInteractionSpec extends SparkSpec {
     assert(pruned.forall { case (id, s) => exactMap(id) == s })
   }
 
+  test("batch tier policy: overlap + corpus geometry route the crossover") {
+    import LateInteraction.Tier
+    val big = LateInteraction.ExactMaxDocs + 1
+    // selective geometry: huge vocab, short docs — keep fraction tiny
+    val wideVocab = (Some(100000000L), Some(20.0))
+    // template batch: 200 queries over one 5-token template + a unique
+    // suffix -> dup factor >> BatchOverlapMax -> EXACT whatever the corpus
+    val template = (1L to 200L).map(i => i -> s"spark join filter window query $i")
+    assert(LateInteraction.chooseBatchTier(big, template,
+      vocabSize = wideVocab._1, avgDocTokens = wideVocab._2) == Tier.Exact)
+    // disjoint batch: dup factor 1.0 -> PRUNED on a big SELECTIVE corpus...
+    val disjoint = (1L to 20L).map(i => i -> s"a${i}x b${i}x c${i}x")
+    assert(LateInteraction.chooseBatchTier(big, disjoint,
+      vocabSize = wideVocab._1, avgDocTokens = wideVocab._2) == Tier.Pruned(50))
+    assert(LateInteraction.chooseBatchTier(big, disjoint, candPerTok = 9,
+      vocabSize = wideVocab._1, avgDocTokens = wideVocab._2) == Tier.Pruned(9))
+    // ...EXACT on a small corpus (pruning is pure overhead there)...
+    assert(LateInteraction.chooseBatchTier(10L, disjoint,
+      vocabSize = wideVocab._1, avgDocTokens = wideVocab._2) == Tier.Exact)
+    // ...EXACT when the keep-set would cover the corpus (tiny vocab — the
+    // word-soup receipt shape: pruned 15.0 s vs exact 7.4 s at 100×)...
+    assert(LateInteraction.chooseBatchTier(big, disjoint,
+      vocabSize = Some(31L), avgDocTokens = Some(23.0)) == Tier.Exact)
+    // ...and EXACT when the geometry is unknown (blind pruning lost on
+    // every receipted batch shape)
+    assert(LateInteraction.chooseBatchTier(big, disjoint) == Tier.Exact)
+    // dispatch identity: small corpus -> batch auto IS the exact batch
+    val docs = Seq((1L, "spark join filter"), (2L, "window scan"),
+      (3L, "spark window")).toDF("doc_id", "text")
+    val batch = Seq(1L -> "spark window", 2L -> "join scan")
+    val auto = LateInteraction.maxSimTopKBatchAuto(docs, "doc_id", "text",
+        batch, 5).as[(Long, Long, Double, Int)].collect().toSet
+    val exact = LateInteraction.maxSimTopKBatch(docs, "doc_id", "text",
+        batch, 5).as[(Long, Long, Double, Int)].collect().toSet
+    assert(auto == exact)
+    // forced pruned dispatch: returned scores still equal exact scores
+    val pruned = LateInteraction.maxSimTopKBatchAuto(docs, "doc_id", "text",
+        batch, 5, corpusDocs = Some(big))
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exactMap = exact.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pruned.forall { case (k2, s) => exactMap(k2) == s })
+  }
+
   test("tokenless docs get no score row; repeated tokens count once") {
     val docs = Seq(
       (1L, "spark spark spark"),
