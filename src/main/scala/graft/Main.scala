@@ -486,12 +486,18 @@ object Main {
         }
 
       case "optimize" =>
-        val bytes = new java.io.File(s"$kb/chunks").listFiles()
-          .map(_.length()).sum
-        val advice = Tuning.advise(bytes,
-          Runtime.getRuntime.availableProcessors(),
-          Runtime.getRuntime.maxMemory())
-        println(s"[graft] optimize: $advice")
+        // Hadoop-FS probe (r16, ADVICE sweep): java.io.File.listFiles()
+        // NPE'd on a missing chunks dir and answered wrong for remote kbs
+        graft.sources.KbStorage.dirBytes(spark, s"$kb/chunks") match {
+          case None =>
+            println(s"[graft] optimize: no chunk table at $kb/chunks — " +
+              "run `database` first")
+          case Some(bytes) =>
+            val advice = Tuning.advise(bytes,
+              Runtime.getRuntime.availableProcessors(),
+              Runtime.getRuntime.maxMemory())
+            println(s"[graft] optimize: $advice")
+        }
 
       case "verify-indexes" =>
         val findings = Tuning.verifyLayout(spark, s"`$kb`.chunks",
@@ -499,7 +505,9 @@ object Main {
         val pathFindings = Seq(
           s"$kb/chunks" -> "chunk table", s"$kb/embeddings" -> "embeddings",
           s"$kb/bm25/postings" -> "bm25 postings").flatMap { case (p, what) =>
-          if (!new java.io.File(p).exists()) Some(s"$what missing at $p") else None
+          if (!graft.sources.KbStorage.pathExists(spark, p))
+            Some(s"$what missing at $p")
+          else None
         }
         val all = pathFindings // layout findings need catalog tables
         if (all.isEmpty) println("[graft] verify-indexes: healthy")
@@ -569,9 +577,10 @@ object Main {
           .awaitTermination()
         // the glob may have matched no files (or --curate gated everything
         // out) — then no lake dir exists and the run is still a success
-        val lakeDir = new java.io.File(s"$kb/lake")
         val lakeN =
-          if (lakeDir.exists()) spark.read.parquet(s"$kb/lake").count() else 0L
+          if (graft.sources.KbStorage.pathExists(spark, s"$kb/lake"))
+            spark.read.parquet(s"$kb/lake").count()
+          else 0L
         val ixPath = graft.streaming.StreamingIngest.currentIndexPath(kb)
         println(s"[graft] maintain: lake=$lakeN docs, index=${ixPath.getOrElse("(none)")}")
         println(s"[graft] maintain: the `query` verb serves this CURRENT index " +
@@ -887,12 +896,31 @@ object Main {
         val curFp = graft.operators.PathFingerprint(s"$kb/embeddings")
         // the append-only refresh is sound ONLY for id-disjoint growth.
         // A re-embed (model/dims change, chunk edit) rewrites vectors IN
-        // PLACE: the id set is unchanged, so nFresh = 0 — if the
-        // embeddings fingerprint moved without new ids, the content
-        // changed under the store and blessing it would serve vectors
-        // from the wrong embedding space. That case (and a store with no
-        // recorded fingerprint to attest against) takes the rebuild path.
+        // PLACE — blessing the store then serves vectors from the wrong
+        // embedding space. nFresh = 0 catches the pure rewrite, but a
+        // rewrite that ALSO adds new docs in the same step has nFresh > 0
+        // (ADVICE r15) — so soundness is attested by the PER-FILE
+        // inventory of the embeddings dir recorded when the store was
+        // last blessed: append-only parquet growth adds part files
+        // without touching old ones, so every recorded file must still be
+        // present with the same mtime+length. A changed/missing recorded
+        // file, or a store with no recorded inventory, takes the rebuild.
+        import spark.implicits._
+        val curInv = graft.operators.PathInventory(s"$kb/embeddings")
+        def stampMeta(): Unit = {
+          Seq(Tuple1(curFp)).toDF("source_fp")
+            .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/meta")
+          curInv.toDF("file", "mtime", "length")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/meta_inventory")
+        }
         val storedFp = VectorSearch.readIvfSourceFp(spark, storeDir)
+        val recordedInv: Option[Set[(String, Long, Long)]] =
+          scala.util.Try(
+            spark.read.parquet(s"$storeDir/meta_inventory")
+              .select("file", "mtime", "length").collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+            .toOption
         val hasStore = !args.contains("--rebuild") &&
           graft.sources.KbStorage.pathExists(spark, s"$storeDir/assigned")
         val (nFreshOpt, appendSound) =
@@ -902,28 +930,28 @@ object Main {
               .select(col("doc_id"))
             val fresh = emb.join(assignedIds, Seq("doc_id"), "left_anti")
             val n = fresh.count()
+            val curSet = curInv.toSet
             val sound = storedFp.contains(curFp) || // untouched: no-op ok
-              (n > 0 && storedFp.isDefined) // id growth on an attested base
+              (n > 0 && recordedInv.exists(inv =>
+                inv.nonEmpty && inv.subsetOf(curSet))) // attested pure growth
             if (sound && n > 0)
               VectorSearch.appendIvfStore(spark, storeDir, fresh)
             (Some(n), sound)
           }
         if (hasStore && appendSound) {
-          // refresh the staleness sidecar: the store now covers the
-          // current embeddings table
-          import spark.implicits._
-          Seq(Tuple1(curFp)).toDF("source_fp")
-            .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/meta")
+          // refresh the staleness sidecars: the store now covers the
+          // current embeddings table AND its per-file inventory
+          stampMeta()
           println(s"[graft] ivf: appended ${nFreshOpt.get} new vectors -> $storeDir")
         } else {
           if (hasStore)
             println("[graft] ivf: store is stale beyond append " +
-              "(vectors rewritten in place or no recorded fingerprint) — " +
+              "(vectors rewritten in place or no recorded inventory) — " +
               "rebuilding")
           VectorSearch.writeIvf(
             VectorSearch.buildIvf(emb, "doc_id", "embedding", nc), storeDir,
-            sourceFingerprint =
-              Some(graft.operators.PathFingerprint(s"$kb/embeddings")))
+            sourceFingerprint = Some(curFp))
+          stampMeta()
           println(s"[graft] ivf: ${spark.read.parquet(s"$storeDir/assigned").count()} " +
             s"vectors in $nc clusters -> $storeDir")
         }

@@ -31,6 +31,30 @@ private[graft] object PathFingerprint {
     }.getOrElse(0L)
 }
 
+/** Per-FILE inventory of a locally-stored table directory — sorted
+  * `(name, mtime, length)` rows over the DATA files (Spark-hidden `_`/`.`
+  * metadata like `_SUCCESS` is excluded: a legitimate append rewrites the
+  * success marker). Where [[PathFingerprint]] answers "did ANYTHING
+  * change", the inventory answers the append-soundness question (ADVICE
+  * r15): append-only parquet growth adds new part files without touching
+  * old ones, so `recorded ⊆ current` discriminates pure id growth from an
+  * in-place re-embed that also added files in the same step. Empty when
+  * the path has no local java.io view — callers treat that as
+  * unattestable and take the rebuild path.
+  */
+private[graft] object PathInventory {
+  def apply(path: String): Seq[(String, Long, Long)] =
+    scala.util.Try {
+      val d = new java.io.File(path)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .sortBy(_.getName)
+        .map(f => (f.getName, f.lastModified(), f.length()))
+        .toSeq
+    }.getOrElse(Seq.empty)
+}
+
 private[graft] final class SessionMemo[V] {
   private val cache =
     new java.util.WeakHashMap[SparkSession,

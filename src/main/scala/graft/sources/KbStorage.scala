@@ -32,6 +32,18 @@ object KbStorage {
       .getOrElse(false)
   }
 
+  /** Total bytes under a directory through the Hadoop FileSystem API —
+    * None when the path is absent or unreadable. The `java.io.File`
+    * equivalent NPEs on a missing dir (`listFiles()` returns null) and is
+    * local-filesystem-only.
+    */
+  def dirBytes(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    scala.util.Try(
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength).toOption
+  }
+
   /** Write the chunk table bucketed for context-join locality. Bucketing
     * requires the table catalog (`saveAsTable`); plain parquet paths lose
     * bucket metadata.

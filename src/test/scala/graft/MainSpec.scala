@@ -506,6 +506,48 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$kb/embeddings").count() == n1)
   }
 
+  test("tool verbs against an ABSENT kb dir: clean message, no NPE") {
+    // ADVICE r15 / verdict #6: optimize NPE'd on a missing chunks dir
+    // (java.io.File.listFiles() == null) and verify-indexes/maintain
+    // probed local-only — all three now go through the Hadoop FS API
+    val kb = java.nio.file.Files.createTempDirectory("graft_absent").toString +
+      "/never_created"
+    Main.run(Array("optimize", kb), spark) // must not throw
+    Main.run(Array("verify-indexes", kb), spark) // reports missing, no throw
+  }
+
+  test("ivf verb: in-place re-embed PLUS growth in one step takes the rebuild path") {
+    // ADVICE r15 (medium): nFresh > 0 on an attested base used to bless
+    // the append even when the SAME refresh rewrote existing vectors in
+    // place — the store then served stale-space vectors with a matching
+    // fingerprint. The per-file inventory discriminates: growth only adds
+    // part files; a rewrite replaces them.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val kb = java.nio.file.Files.createTempDirectory("graft_ivfinv").toString
+    def vecs(ids: Seq[Long], sign: Float) =
+      ids.map(i => (i, Array.tabulate(8)(j => sign * (i + j + 1) / 10.0f)))
+        .toDF("doc_id", "embedding")
+    vecs(1L to 40L, 1.0f).write.mode("overwrite").parquet(s"$kb/embeddings")
+    Main.run(Array("ivf", kb, "2"), spark)
+    // pure growth: new part files only — the append path must cover them
+    vecs(41L to 50L, 1.0f).write.mode("append").parquet(s"$kb/embeddings")
+    Main.run(Array("ivf", kb, "2"), spark)
+    assert(spark.read.parquet(s"$kb/ivf/assigned").count() == 50)
+    // in-place re-embed (negated vectors, same ids) + 5 NEW ids, one step
+    vecs(1L to 50L, -1.0f).write.mode("overwrite").parquet(s"$kb/embeddings")
+    vecs(51L to 55L, -1.0f).write.mode("append").parquet(s"$kb/embeddings")
+    Main.run(Array("ivf", kb, "2"), spark)
+    val assigned = spark.read.parquet(s"$kb/ivf/assigned")
+    assert(assigned.count() == 55)
+    // soundness: an OLD id's stored vector must be the re-embedded one —
+    // the append path would have kept the stale positive-space vector
+    val v1 = assigned.filter(col("doc_id") === 1L)
+      .select("embedding").head().getSeq[Float](0)
+    assert(v1.forall(_ <= 0.0f),
+      s"store serves the stale embedding space: $v1")
+  }
+
   test("KbConfig.renderIni round-trips through load") {
     import graft.config.KbConfig
     val c = KbConfig(queryTopK = 7, bm25B = 0.5, enableReranking = false,
