@@ -1893,6 +1893,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ── F16 audit timestamps (the reference's created_at/updated_at
+    //    columns + AFTER UPDATE trigger, migrations.py:253-283) in
+    //    deterministic INTEGER time: ingest at t=1, an m12-shaped CDC wave
+    //    at t=2 (updates keep created_at, take updated_at=2; inserts get
+    //    2/2), a second update wave at t=3 — created_at is sticky across
+    //    both, updated_at is the LAST change. One shuffled window per
+    //    wave (Merge.upsertAudited) ─────────────────────────────────────
+    QueryDef.sql("f16_audit_timestamps",
+      """WITH base AS (
+        |  SELECT doc_id, text, source,
+        |         1::BIGINT AS created_at, 1::BIGINT AS updated_at
+        |  FROM documents),
+        |wa AS (
+        |  SELECT doc_id, reverse(text) AS text, source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |u1 AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn,
+        |         min(created_at) OVER (PARTITION BY doc_id) AS c2,
+        |         max(updated_at) OVER (PARTITION BY doc_id) AS u2
+        |  FROM (SELECT doc_id, text, source, created_at, updated_at, 0 AS pri FROM base
+        |        UNION ALL
+        |        SELECT doc_id, text, source, 2::BIGINT, 2::BIGINT, 1 AS pri FROM wa)),
+        |m1 AS (SELECT doc_id, text, source, c2 AS created_at, u2 AS updated_at
+        |       FROM u1 WHERE rn = 1),
+        |wb AS (SELECT doc_id, upper(text) AS text, source FROM m1 WHERE doc_id % 20 = 0),
+        |u2x AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pri DESC) AS rn,
+        |         min(created_at) OVER (PARTITION BY doc_id) AS c2,
+        |         max(updated_at) OVER (PARTITION BY doc_id) AS u2
+        |  FROM (SELECT doc_id, text, source, created_at, updated_at, 0 AS pri FROM m1
+        |        UNION ALL
+        |        SELECT doc_id, text, source, 3::BIGINT, 3::BIGINT, 1 AS pri FROM wb))
+        |SELECT doc_id, text, c2 AS created_at, u2 AS updated_at
+        |FROM u2x WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val base = docs
+        .withColumn("created_at", lit(1L)).withColumn("updated_at", lit(1L))
+      val waveA = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), reverse(col("text")).as("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            col("source")))
+      val m1 = graft.operators.Merge.upsertAudited(base, waveA,
+        Seq("doc_id"), changeTime = 2L)
+      val waveB = m1.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), col("source"))
+      graft.operators.Merge.upsertAudited(m1, waveB, Seq("doc_id"),
+          changeTime = 3L)
+        .select(col("doc_id"), col("text"), col("created_at"),
+          col("updated_at"))
+        .orderBy("doc_id")
+    },
+
     // ── Heavy hitters: exact top-50 corpus vocabulary by term frequency —
     //    the frequent-items op of a training pipeline's vocabulary audit.
     //    One explode + one map-side-combined groupBy; the top-k is a
