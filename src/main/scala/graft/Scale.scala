@@ -1158,6 +1158,69 @@ object Scale {
       ivfStoreBuildServe(emb100, s"${k100}x")
     }
 
+    // ── r16: the 500× SERVING DECADE (verdict #7) — one more order of
+    //    magnitude over the three headline serving rows, build rows split
+    //    from serve rows, per-query ms printed. 2.5M docs / 1M vectors:
+    //    the in-process guards are EXPECTED to refuse here (the serve
+    //    rows measure the distributed 100-TB plans), and any hidden
+    //    superlinear term shows against the 20×/100× rows. Lazy tables —
+    //    a filtered run that skips the family never builds them. ─────────
+    locally {
+      val k500 = 500
+      def servedRow(label: String, nQ: Int)(f: => Any): Unit =
+        if (rowFilter.forall(_.findFirstIn(label).isDefined)) {
+          val t0 = System.nanoTime()
+          val r = f
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] $label%-34s $s%8.2f s   " +
+            f"(${s * 1000.0 / nQ}%.1f ms/q, $r)")
+        }
+      // the decade's BUILD rows run unconditionally once any of its SERVE
+      // rows is wanted (they assign the state the serves read; a generic
+      // "bm25-store-write" filter elsewhere must NOT pull in this block)
+      val wanted = rowFilter.forall(re =>
+        re.findFirstIn(s"knn-batch50-inproc ${k500}x").isDefined ||
+        re.findFirstIn(s"e2e-batch20-stored ${k500}x").isDefined ||
+        re.findFirstIn(s"boolean-batch20-stored ${k500}x").isDefined)
+      def buildRow(label: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+      }
+      if (wanted) {
+        lazy val docs500 = {
+          (0 until k500).map(i => docs.select(
+              (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              col("text"), concat(col("source"), lit(s"_$i")).as("source"),
+              col("n_chars")))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$base/documents500.parquet")
+          spark.read.parquet(s"$base/documents500.parquet")
+        }
+        lazy val emb500 = {
+          (0 until k500).map(i => emb.select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+              col("embedding")))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$base/embeddings500.parquet")
+          spark.read.parquet(s"$base/embeddings500.parquet")
+        }
+        buildRow(s"tables-build ${k500}x")(s"${docs500.count()} docs, " +
+          s"${emb500.count()} vectors")
+        servedRow(s"knn-batch50-inproc ${k500}x", 50)(
+          knn50InProc(emb500, s"scale|knn${k500}x"))
+        buildRow(s"bm25-store-write ${k500}x")(
+          bm25StoreWrite(docs500, s"$base/bm25_${k500}x",
+            operators.Bm25.DefaultTermBuckets))
+        lazy val ix500 = bm25StoredProbe(s"$base/bm25_${k500}x")
+        servedRow(s"e2e-batch20-stored ${k500}x", 20)(
+          e2e20Stored(docs500, emb500, ix500))
+        servedRow(s"boolean-batch20-stored ${k500}x", 20)(
+          operators.BooleanSearch.booleanTopKBatch(ix500, spark,
+            graft.queries.KbQueries.BooleanBatch, 20).count())
+      }
+    }
+
     // ── r15: at-rest BM25 store APPEND — a FIXED 500-doc batch against
     //    the 1x/20x/100x stores. Claim: cost tracks the BATCH (postings/
     //    lengths partition-wise append + vocab-sized idf rewrite), not
