@@ -196,6 +196,11 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan.take(1500))
     assert(plan.split("PartitionFilters").exists(s =>
       s.take(400).contains("term_bucket")), plan.take(1500))
+    // r16: AND the literal term IN (…) DATA filter pushed to parquet —
+    // with the term-sorted bucket layout this is what page/row-group
+    // statistics prune on inside a touched bucket
+    assert(plan.split("PushedFilters").exists(s =>
+      s.take(400).contains("In(term")), plan.take(2000))
     val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val memMap = Bm25.scoreWithIndex(mem, spark, q)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
