@@ -243,8 +243,15 @@ class DedupSpec extends SparkSpec {
     val pairs = (rand ++ chain).toDF("doc_a", "doc_b")
     val viaDriver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    val viaStars = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
-      .as[(Long, Long)].collect().toMap
+    val starRows = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSeq
+    // exactly ONE row per node: a duplicated star edge surviving to the
+    // fixpoint would multiply rows through the final node join (the
+    // fused bothStarsPass drops the small-star group-close precisely so
+    // fixpoint stars reproduce duplicate-free)
+    assert(starRows.size == starRows.map(_._1).distinct.size,
+      s"${starRows.size} rows for ${starRows.map(_._1).distinct.size} nodes")
+    val viaStars = starRows.toMap
     assert(viaStars == viaDriver)
     // every chain node landed in the chain-min component
     assert((1000L to 1150L).forall(viaStars(_) == 1000L))
