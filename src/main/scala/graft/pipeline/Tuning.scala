@@ -80,8 +80,14 @@ object Tuning {
       case e: Exception => findings += s"$chunkTable: not in catalog (${e.getMessage})"
     }
     embeddingsPath.foreach { p =>
-      val dirs = new java.io.File(p).listFiles()
-      if (dirs == null || !dirs.exists(_.getName.startsWith("cluster_id=")))
+      // Hadoop FS listing (r16 sweep): java.io.File was local-only, so a
+      // remote kb's healthy layout would read as a finding
+      val names = scala.util.Try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .listStatus(hp).map(_.getPath.getName)
+      }.getOrElse(Array.empty[String])
+      if (!names.exists(_.startsWith("cluster_id=")))
         findings += s"$p: not partitioned by cluster_id (IVF probes will full-scan)"
     }
     findings.toSeq
