@@ -57,7 +57,13 @@ object PositionalIndex {
   }
 
   /** Persist the index partitioned by term bucket (file-level pruning at
-    * serve time), stats as a one-row sidecar.
+    * serve time), stats as a one-row sidecar. Deliberately NOT term-sorted
+    * within buckets (the r16 [[Bm25.writeIndex]] layout): same-day A/B on
+    * phrase-batch20-stored at 100× read 17.2 s sorted vs 15.0 s unsorted —
+    * positional rows carry heavy `positions` arrays, the
+    * repartition-per-bucket write skews on small vocabularies, and the
+    * serve paths' per-term equality filters already prune at the bucket
+    * level (1-2 terms per bucket at test vocab sizes).
     */
   def write(ix: Index, dir: String): Unit = {
     ix.postings.write.mode("overwrite").partitionBy("term_bucket")
