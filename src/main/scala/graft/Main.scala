@@ -577,12 +577,16 @@ object Main {
           .awaitTermination()
         // the glob may have matched no files (or --curate gated everything
         // out) — then no lake dir exists and the run is still a success
-        val lakeN =
+        val (lakeN, curN) =
           if (graft.sources.KbStorage.pathExists(spark, s"$kb/lake"))
-            spark.read.parquet(s"$kb/lake").count()
-          else 0L
+            (spark.read.parquet(s"$kb/lake").count(),
+             // audited current view: version rows collapse per doc_id with
+             // created_at sticky / updated_at bumped (F16 lifecycle)
+             graft.streaming.StreamingIngest.lakeCurrent(spark, kb).count())
+          else (0L, 0L)
         val ixPath = graft.streaming.StreamingIngest.currentIndexPath(kb)
-        println(s"[graft] maintain: lake=$lakeN docs, index=${ixPath.getOrElse("(none)")}")
+        println(s"[graft] maintain: lake=$lakeN version rows / $curN current docs, " +
+          s"index=${ixPath.getOrElse("(none)")}")
         println(s"[graft] maintain: the `query` verb serves this CURRENT index " +
           s"automatically when no batch-built $kb/bm25 exists")
 
@@ -906,7 +910,7 @@ object Main {
         // present with the same mtime+length. A changed/missing recorded
         // file, or a store with no recorded inventory, takes the rebuild.
         import spark.implicits._
-        val curInv = graft.operators.PathInventory(s"$kb/embeddings")
+        val curInv = graft.operators.PathInventory(spark, s"$kb/embeddings")
         def stampMeta(): Unit = {
           Seq(Tuple1(curFp)).toDF("source_fp")
             .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/meta")
@@ -923,20 +927,41 @@ object Main {
             .toOption
         val hasStore = !args.contains("--rebuild") &&
           graft.sources.KbStorage.pathExists(spark, s"$storeDir/assigned")
-        val (nFreshOpt, appendSound) =
-          if (!hasStore) (None, false)
+        val (nFreshOpt, appendSound, soundnessNote) =
+          if (!hasStore) (None, false, "")
           else {
             val assignedIds = spark.read.parquet(s"$storeDir/assigned")
               .select(col("doc_id"))
             val fresh = emb.join(assignedIds, Seq("doc_id"), "left_anti")
             val n = fresh.count()
             val curSet = curInv.toSet
+            // count reconciliation (ADVICE r16): a re-embed done VIA
+            // append mode (new part files that re-carry existing doc_ids
+            // plus new ids) passes the file-inventory subset test — but
+            // then the embeddings table holds duplicate doc_ids, so
+            // |emb| > |assigned| + nFresh. Require exact balance before
+            // blessing the append; imbalance routes to rebuild.
+            lazy val balanced =
+              emb.count() == spark.read.parquet(s"$storeDir/assigned").count() + n
+            val invAttested = recordedInv.exists(_.nonEmpty)
             val sound = storedFp.contains(curFp) || // untouched: no-op ok
-              (n > 0 && recordedInv.exists(inv =>
-                inv.nonEmpty && inv.subsetOf(curSet))) // attested pure growth
+              (n > 0 && invAttested &&
+                recordedInv.get.subsetOf(curSet) && // attested pure growth
+                balanced)
+            val note =
+              if (sound) ""
+              else if (!invAttested)
+                "no attestable file inventory for the embeddings dir " +
+                  "(none recorded, or the store path has no listable view)"
+              else if (!recordedInv.get.subsetOf(curSet))
+                "recorded embedding files were rewritten or removed"
+              else if (n > 0 && !balanced)
+                "embeddings row count disagrees with assigned + fresh " +
+                  "(duplicate doc_ids — re-embed via append-mode write)"
+              else "no new vectors but the source fingerprint changed"
             if (sound && n > 0)
               VectorSearch.appendIvfStore(spark, storeDir, fresh)
-            (Some(n), sound)
+            (Some(n), sound, note)
           }
         if (hasStore && appendSound) {
           // refresh the staleness sidecars: the store now covers the
@@ -945,9 +970,7 @@ object Main {
           println(s"[graft] ivf: appended ${nFreshOpt.get} new vectors -> $storeDir")
         } else {
           if (hasStore)
-            println("[graft] ivf: store is stale beyond append " +
-              "(vectors rewritten in place or no recorded inventory) — " +
-              "rebuilding")
+            println(s"[graft] ivf: store is stale beyond append — $soundnessNote — rebuilding")
           VectorSearch.writeIvf(
             VectorSearch.buildIvf(emb, "doc_id", "embedding", nc), storeDir,
             sourceFingerprint = Some(curFp))

@@ -1085,9 +1085,9 @@ object Dedup {
     while (!converged && cs._1 > 0L && it < maxIter) {
       it += 1
       val t0 = System.nanoTime()
-      // the heavy action. On the Long fast path: three FUSED star rounds
+      // the heavy action. On the Long fast path: four FUSED star rounds
       // nested in one LINEAR plan (each stage referenced once — no
-      // recompute multiplication), 3 shuffle+sort stages total; on the
+      // recompute multiplication), 4 shuffle+sort stages total; on the
       // generic path: two alternations with the middle one
       // LAZY-checkpointed — localCheckpoint returns a LogicalRDD-backed
       // frame, so the second alternation's three references to `mid`

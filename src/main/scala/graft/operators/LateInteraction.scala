@@ -407,21 +407,40 @@ object LateInteraction {
     * receipted batch shape on the test corpus loses under blind pruning.
     * Driver-side arithmetic otherwise — no Spark job.
     */
+  /** Batch token-duplication factor (Σ per-query distinct tokens /
+    * batch-wide distinct tokens) — the template-shape statistic both the
+    * policy and its dispatcher gate on. Driver-side tokenization only.
+    */
+  def batchDupFactor(queries: Seq[(Long, String)]): Double = {
+    val toksPer = queries.map(q => tokenizeValue(q._2).distinct)
+    val d = toksPer.flatten.distinct.size.toLong
+    if (d == 0L) 1.0 else toksPer.map(_.size.toLong).sum.toDouble / d
+  }
+
+  /** The first two [[chooseBatchTier]] gates (corpus size, batch overlap)
+    * as ONE shared predicate: true iff the corpus-geometry agg could
+    * still change the decision. The dispatcher
+    * ([[maxSimTopKBatchAuto]]) uses this to decide whether to PAY for the
+    * geometry stats; the policy uses it as its own gate — one definition,
+    * so a future change to either bound cannot drift the two call sites
+    * apart (ADVICE r16).
+    */
+  def needsGeometry(corpusDocs: Long, queries: Seq[(Long, String)]): Boolean =
+    corpusDocs > ExactMaxDocs && batchDupFactor(queries) < BatchOverlapMax
+
   def chooseBatchTier(corpusDocs: Long, queries: Seq[(Long, String)],
                       candPerTok: Int = 50,
                       vocabSize: Option[Long] = None,
                       avgDocTokens: Option[Double] = None): Tier = {
-    val toksPer = queries.map(q => tokenizeValue(q._2).distinct)
-    val total = toksPer.map(_.size.toLong).sum
-    val distinct = toksPer.flatten.distinct.size.toLong
-    val dupFactor = if (distinct == 0L) 1.0 else total.toDouble / distinct
+    val distinct =
+      queries.map(q => tokenizeValue(q._2).distinct).flatten.distinct.size.toLong
     val selective = (vocabSize, avgDocTokens) match {
       case (Some(v), Some(t)) if v > 0L =>
         val c = math.min(1.0, distinct.toDouble * candPerTok / v)
         1.0 - math.pow(1.0 - c, math.max(t, 1.0)) <= PrunedKeepFractionMax
       case _ => false
     }
-    if (corpusDocs > ExactMaxDocs && dupFactor < BatchOverlapMax && selective)
+    if (needsGeometry(corpusDocs, queries) && selective)
       Tier.Pruned(candPerTok)
     else Tier.Exact
   }
@@ -439,13 +458,8 @@ object LateInteraction {
                           dims: Int = 8, candPerTok: Int = 50,
                           corpusDocs: Option[Long] = None): DataFrame = {
     val n = corpusDocs.getOrElse(docs.count())
-    val toksPer = queries.map(q => tokenizeValue(q._2).distinct)
-    val dupFactor = {
-      val d = toksPer.flatten.distinct.size.toLong
-      if (d == 0L) 1.0 else toksPer.map(_.size.toLong).sum.toDouble / d
-    }
     val tier =
-      if (n <= ExactMaxDocs || dupFactor >= BatchOverlapMax) Tier.Exact
+      if (!needsGeometry(n, queries)) Tier.Exact
       else {
         // disjoint batch on a big corpus: geometry decides — pay the one
         // agg for (vocab size, avg distinct tokens per doc)

@@ -25,14 +25,19 @@ object Merge {
     * `created_at` and stamps `updated_at = changeTime` (the trigger fires
     * per UPDATE statement, content-equal or not); every unmatched change
     * inserts with `created_at = updated_at = changeTime`. Same
-    * one-shuffled-window plan as [[upsert]].
+    * one-shuffled-window plan as [[upsert]], and the same contract:
+    * `changes` must be unique per key — with duplicate change keys the
+    * ranking window's `_pri` tie leaves WHICH change row survives
+    * arbitrary (dedupe the CDC stream first, exactly as [[upsert]]'s
+    * object-level contract states).
     */
   def upsertAudited(base: DataFrame, changes: DataFrame,
                     keyCols: Seq[String], changeTime: Long): DataFrame = {
     require(base.columns.contains("created_at") &&
       base.columns.contains("updated_at"),
       "base must carry created_at/updated_at")
-    require(!changes.columns.contains("created_at"),
+    require(!changes.columns.contains("created_at") &&
+      !changes.columns.contains("updated_at"),
       "changes carry no audit columns — the merge maintains them")
     val stamped = changes
       .withColumn("created_at", lit(changeTime).cast("long"))

@@ -31,27 +31,43 @@ private[graft] object PathFingerprint {
     }.getOrElse(0L)
 }
 
-/** Per-FILE inventory of a locally-stored table directory — sorted
-  * `(name, mtime, length)` rows over the DATA files (Spark-hidden `_`/`.`
-  * metadata like `_SUCCESS` is excluded: a legitimate append rewrites the
-  * success marker). Where [[PathFingerprint]] answers "did ANYTHING
-  * change", the inventory answers the append-soundness question (ADVICE
-  * r15): append-only parquet growth adds new part files without touching
-  * old ones, so `recorded ⊆ current` discriminates pure id growth from an
-  * in-place re-embed that also added files in the same step. Empty when
-  * the path has no local java.io view — callers treat that as
-  * unattestable and take the rebuild path.
+/** Per-FILE inventory of a stored table directory — sorted
+  * `(relative path, mtime, length)` rows over the DATA files
+  * (Spark-hidden `_`/`.` metadata like `_SUCCESS` is excluded at every
+  * path level: a legitimate append rewrites the success marker). Where
+  * [[PathFingerprint]] answers "did ANYTHING change", the inventory
+  * answers the append-soundness question (ADVICE r15): append-only
+  * parquet growth adds new part files without touching old ones, so
+  * `recorded ⊆ current` discriminates pure id growth from an in-place
+  * re-embed that also added files in the same step.
+  *
+  * Routed through the Hadoop FileSystem API with RECURSIVE listing
+  * (ADVICE r16): the previous `java.io.File` top-level view returned
+  * empty on remote kbs AND on subdirectory-partitioned layouts, silently
+  * degrading every incremental run there to a full rebuild. Keys are
+  * base-relative paths so a partitioned layout's files stay distinct.
+  * Empty when the path is absent or unlistable — callers treat empty as
+  * UNATTESTABLE (not merely stale) and take the rebuild path; note
+  * name+mtime+length is change detection, not content attestation (a
+  * same-size rewrite with preserved mtime evades it — the documented
+  * limit of fingerprint-level staleness everywhere in this engine).
   */
 private[graft] object PathInventory {
-  def apply(path: String): Seq[(String, Long, Long)] =
+  def apply(spark: SparkSession, path: String): Seq[(String, Long, Long)] =
     scala.util.Try {
-      val d = new java.io.File(path)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .sortBy(_.getName)
-        .map(f => (f.getName, f.lastModified(), f.length()))
-        .toSeq
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      val baseUri = fs.makeQualified(base).toUri
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      val it = fs.listFiles(base, true) // recursive
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = baseUri.relativize(st.getPath.toUri).getPath
+        val hidden = rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) out += ((rel, st.getModificationTime, st.getLen))
+      }
+      out.sortBy(_._1).toSeq
     }.getOrElse(Seq.empty)
 }
 

@@ -149,24 +149,24 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", s"$dir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupIngestBatch(spark, batch, dir)
+        dedupIngestBatch(spark, batch, dir, batchId)
       }
       .trigger(trigger)
       .start()
 
   /** The per-micro-batch step of [[startDedupIngest]], spec-drivable. */
   private[graft] def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
-                                      dir: String): Unit = {
-    dedupIngestStep(spark, batch, dir); ()
+                                      dir: String, batchId: Long = 0L): Unit = {
+    dedupIngestStep(spark, batch, dir, batchId); ()
   }
 
   /** [[dedupIngestBatch]] returning the MATERIALIZED survivor documents —
     * the composition seam [[kbMaintenanceBatch]] chains further stages on.
     */
   private[graft] def dedupIngestStep(spark: SparkSession, batch: DataFrame,
-                                     dir: String): DataFrame = {
+                                     dir: String, batchId: Long = 0L): DataFrame = {
     val out = dedupSurvivors(spark, batch, dir)
-    appendToLake(out, dir)
+    appendToLake(out, dir, batchId)
     out
   }
 
@@ -213,21 +213,78 @@ object StreamingIngest {
     * drop out on its fingerprints. The fingerprint is stored AT REST so
     * later batches' dedup probes never re-hash lake text
     * ([[graft.operators.Dedup.incrementalBloomPrehashed]]).
+    *
+    * F16 lifecycle wiring (verdict r16 #5): every committed row is stamped
+    * with `created_at = updated_at = changeTime` (the micro-batch id — the
+    * stream's monotone logical clock; deterministic where the reference's
+    * trigger uses wall-clock). The lake stays APPEND-ONLY — at 100 TB the
+    * audit trigger can't be an in-place row update, so the lake is the CDC
+    * log and [[lakeCurrent]] is the audited table view: a re-ingested
+    * document with CHANGED content (new fingerprint, same doc_id) commits
+    * as a new version row, and the view resolves the reference's
+    * `migrations.py:253-283` AFTER UPDATE semantics per doc_id —
+    * created_at sticky at the FIRST commit, updated_at bumped to the
+    * LAST. A content-identical replay never reaches the commit (the
+    * fingerprint dedup drops it), matching the reference where no UPDATE
+    * statement fires. Pre-audit lakes keep their shape (same
+    * mixed-schema rule as the fp column).
     */
-  private[graft] def appendToLake(survivors: DataFrame, dir: String): Unit =
+  private[graft] def appendToLake(survivors: DataFrame, dir: String,
+                                  changeTime: Long = 0L): Unit =
     if (survivors.head(1).nonEmpty) {
       val lakeDir = s"$dir/lake"
       // schema consistency: a pre-fp lake keeps its shape (mixed parquet
       // schemas in one directory would corrupt reads); fresh lakes and
       // fp-carrying lakes store the fingerprint
-      val withFp = !new java.io.File(lakeDir).exists() ||
-        survivors.sparkSession.read.parquet(lakeDir).columns.contains("fp")
-      val out =
+      val exists = new java.io.File(lakeDir).exists()
+      val lakeCols =
+        if (exists) survivors.sparkSession.read.parquet(lakeDir).columns.toSet
+        else Set.empty[String]
+      val withFp = !exists || lakeCols.contains("fp")
+      val withAudit = !exists || lakeCols.contains("created_at")
+      val fpd =
         if (withFp)
           survivors.withColumn("fp", TextFunctions.fingerprint(col("text")))
         else survivors
+      val out =
+        if (withAudit)
+          fpd.withColumn("created_at", lit(changeTime).cast("long"))
+            .withColumn("updated_at", lit(changeTime).cast("long"))
+        else fpd
       out.write.mode("append").parquet(lakeDir)
     }
+
+  /** The audited CURRENT view of the append-only lake — one row per
+    * doc_id carrying the LATEST committed content with the reference's
+    * trigger-maintained audit columns resolved across all version rows:
+    * `created_at` = the minimum commit stamp (sticky from the original
+    * insert), `updated_at` = the maximum (bumped by every committed
+    * update). Same one-shuffled-window plan as
+    * [[graft.operators.Merge.upsertAudited]] generalized to N waves; ties
+    * inside one commit stamp break on the fingerprint so the view is
+    * deterministic. Pre-audit lakes (no stamp columns) get stamp 0 for
+    * every row — the view still collapses to one row per doc_id.
+    */
+  def lakeCurrent(spark: SparkSession, dir: String): DataFrame = {
+    val lake = spark.read.parquet(s"$dir/lake")
+    val stamped =
+      if (lake.columns.contains("created_at")) lake
+      else lake.withColumn("created_at", lit(0L))
+        .withColumn("updated_at", lit(0L))
+    val keyed =
+      if (stamped.columns.contains("fp")) stamped
+      else stamped.withColumn("fp", TextFunctions.fingerprint(col("text")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wOrd = w.orderBy(col("updated_at").desc, col("fp").desc)
+    keyed
+      .withColumn("_created", org.apache.spark.sql.functions.min(col("created_at")).over(w))
+      .withColumn("_updated", org.apache.spark.sql.functions.max(col("updated_at")).over(w))
+      .withColumn("_rn", row_number().over(wOrd))
+      .filter(col("_rn") === 1)
+      .withColumn("created_at", col("_created"))
+      .withColumn("updated_at", col("_updated"))
+      .drop("_rn", "_created", "_updated")
+  }
 
   /** The WHOLE incremental lifecycle as one stream — the streaming twin of
     * the reference's `database → embed → bm25` verb sequence: each
@@ -296,7 +353,7 @@ object StreamingIngest {
       .localCheckpoint(true)
     embedMaintenanceBatch(spark, chunks, dir, provider)
     maintainIndexBatch(spark, chunks, dir, batchId)
-    appendToLake(survivors, dir)
+    appendToLake(survivors, dir, batchId)
   }
 
   /** Streaming cache-aware embedding maintenance — the third leg of the

@@ -435,6 +435,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$kb/embeddings")
       .filter(col("chunk_id").contains("junk.txt")).count() == 0)
   }
+
+  test("lake audit columns: created_at sticky, updated_at bumped through two maintenance waves") {
+    // F16 lifecycle wiring (verdict r16 #5): the lake commit stamps audit
+    // columns with the batch's logical time; lakeCurrent resolves the
+    // reference's AFTER UPDATE trigger semantics (migrations.py:253-283)
+    // per doc_id across version rows.
+    val kb = Files.createTempDirectory("graft_stream_audit").toString
+    val provider = graft.embed.Embedder.Deterministic(8)
+    // wave 1 (t=10): docs A and B
+    val w1 = Seq(("a.txt", "alpha beta gamma delta"),
+                 ("b.txt", "epsilon zeta eta theta")).toDF("doc_id", "text")
+    StreamingIngest.kbMaintenanceBatch(spark, w1, kb, provider, batchId = 10L)
+    // wave 2 (t=20): A re-ingested with CHANGED content (an UPDATE), C new
+    val w2 = Seq(("a.txt", "alpha beta gamma delta REVISED"),
+                 ("c.txt", "iota kappa lambda mu")).toDF("doc_id", "text")
+    StreamingIngest.kbMaintenanceBatch(spark, w2, kb, provider, batchId = 20L)
+
+    val cur = StreamingIngest.lakeCurrent(spark, kb)
+      .select("doc_id", "text", "created_at", "updated_at")
+      .as[(String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(cur.map(_._1) == Seq("a.txt", "b.txt", "c.txt"),
+      "one current row per doc_id")
+    val a = cur.find(_._1 == "a.txt").get
+    assert(a._2.endsWith("REVISED"), "the update's content wins")
+    assert(a._3 == 10L, "created_at is sticky at the original insert time")
+    assert(a._4 == 20L, "updated_at bumps to the update's commit time")
+    assert(cur.find(_._1 == "b.txt").get == (("b.txt", "epsilon zeta eta theta", 10L, 10L)))
+    assert(cur.find(_._1 == "c.txt").get == (("c.txt", "iota kappa lambda mu", 20L, 20L)))
+    // the lake itself stays an append-only version log: A has two rows
+    val lake = spark.read.parquet(s"$kb/lake")
+    assert(lake.filter(col("doc_id") === "a.txt").count() == 2)
+
+    // content-identical replay of wave 2 at t=30: no UPDATE fires in the
+    // reference either (the statement never runs) — audit columns freeze
+    StreamingIngest.kbMaintenanceBatch(spark, w2, kb, provider, batchId = 30L)
+    val a2 = StreamingIngest.lakeCurrent(spark, kb)
+      .filter(col("doc_id") === "a.txt")
+      .select("created_at", "updated_at").as[(Long, Long)].head()
+    assert(a2 == ((10L, 20L)), "a replayed identical wave must not bump updated_at")
+  }
 }
 
 
