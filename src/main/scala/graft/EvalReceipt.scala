@@ -42,32 +42,25 @@ object EvalReceipt {
     // relevant and saturated every scorer at 1.0; the deterministic hash
     // embedder's cosine tier (the pseudo-qrels default) has the opposite
     // failure, relevance-uncorrelated → all-zeros (receipted below).
-    import graft.functions.TextFunctions
-    import org.apache.spark.sql.expressions.Window
-    val qSeq = queriesArg.split(";;").toSeq.zipWithIndex
-      .map { case (t, i) => ((i + 1).toLong, t) }
-    import spark.implicits._
-    val qterms = qSeq.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(array_distinct(
-        TextFunctions.tokenizeBm25(col("qtext")))).as("term"))
-    docs.select(col("doc_id"), explode(
-        TextFunctions.tokenizeBm25(col("text"))).as("term"))
-      .join(qterms, "term")
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfm"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("tfm").desc, col("doc_id"))))
-      .filter(col("rk") <= 100)
-      .select(col("query_id"), col("doc_id"),
-        when(col("rk") <= 20, 3.0).when(col("rk") <= 50, 2.0)
-          .otherwise(1.0).as("grade"))
+    // both planted families come from the SAME builders the hash-gated
+    // m15_retrieval_planted / _prox oracle entries use
+    graft.queries.EngineQueries.tfQrels(spark, sfDir)
       .write.mode("overwrite").parquet(s"$kb/qrels")
+    // the r17 DE-CIRCULARIZED family (verdict r16 #2): graded by
+    // ordered-bigram proximity, a signal the tf-mass-aligned r16 receipt
+    // never tested — the honest history is in the gate specs
+    // (Rm16EvalGateSpec / Rm17ProxGateSpec)
+    graft.queries.EngineQueries.proxQrels(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$kb/qrels_prox")
     println("[receipt] A/B vs the vector-tier PSEUDO-qrels (deterministic " +
       "hash embedder -> expected ~0 for every scorer):")
     Main.run(Array("eval", kb, queriesArg, "10", "--rerank"), spark)
-    println("[receipt] A/B vs planted LEXICAL qrels (--qrels):")
+    println("[receipt] A/B vs planted LEXICAL tf-mass qrels (--qrels):")
     Main.run(Array("eval", kb, queriesArg, "10", "--rerank",
       s"--qrels=$kb/qrels"), spark)
+    println("[receipt] A/B vs planted PROXIMITY qrels (de-circularized):")
+    Main.run(Array("eval", kb, queriesArg, "10", "--rerank",
+      s"--qrels=$kb/qrels_prox"), spark)
     spark.stop()
   }
 }

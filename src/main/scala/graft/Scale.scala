@@ -11,6 +11,62 @@ import org.apache.spark.sql.functions._
   * PLANS.md round-3.
   */
 object Scale {
+
+  /** Deterministic Zipf-vocabulary corpus (verdict r17 #1): the word-soup
+    * testdata has ~31 distinct tokens, so every retrieval-scale receipt
+    * ran in a geometry where every doc matches every query — this
+    * generator produces text with a realistic ~50k-term Zipf(1.07)
+    * unigram distribution (Zipf 1949; exponent ~1.05-1.1 measured on web
+    * corpora) so candidate pruning, page pruning, and batch-tier policies
+    * can be measured where selectivity actually exists. Doc lengths are
+    * caller-supplied (the sf0.1 empirical token-count multiset, cycled),
+    * and every doc's text is a pure function of its id (seeded
+    * splitmix-style scramble per doc) — same (n, lengths, vocab,
+    * exponent) in, bit-identical corpus out, no stored fixture needed.
+    * Token draw = binary search of a broadcast vocab-sized CDF: generation
+    * is one narrow mapPartitions, linear and shuffle-free at any scale.
+    */
+  private[graft] def zipfCorpus(spark: SparkSession, nDocs: Long,
+                                lengths: Array[Int], vocab: Int = 50000,
+                                exponent: Double = 1.07): DataFrame = {
+    require(lengths.nonEmpty && vocab > 0)
+    val w = Array.tabulate(vocab)(r => 1.0 / math.pow(r + 1.0, exponent))
+    val total = w.sum
+    val cum = new Array[Double](vocab)
+    var acc = 0.0
+    var i = 0
+    while (i < vocab) { acc += w(i) / total; cum(i) = acc; i += 1 }
+    val bCum = spark.sparkContext.broadcast(cum)
+    val bLen = spark.sparkContext.broadcast(lengths)
+    import spark.implicits._
+    spark.range(nDocs).as[Long].mapPartitions { it =>
+      val c = bCum.value
+      val ls = bLen.value
+      it.map { id =>
+        // splitmix64 finalizer scrambles the linear doc ids into
+        // well-spread RNG seeds (adjacent ids share no draw structure)
+        var z = id + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        val rnd = new java.util.Random(z ^ (z >>> 31))
+        val len = ls((id % ls.length).toInt)
+        val sb = new java.lang.StringBuilder(len * 7)
+        var j = 0
+        while (j < len) {
+          var k = java.util.Arrays.binarySearch(c, rnd.nextDouble())
+          if (k < 0) k = -k - 1
+          if (k >= c.length) k = c.length - 1
+          if (j > 0) sb.append(' ')
+          sb.append('w').append(k + 1)
+          j += 1
+        }
+        (id, sb.toString)
+      }
+    }.toDF("doc_id", "text")
+      .withColumn("source", concat(lit("zipf_"), pmod(col("doc_id"), lit(32))))
+      .withColumn("n_chars", length(col("text")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val base = "/tmp/graft_scale"
@@ -283,6 +339,80 @@ object Scale {
     secs(s"e2e-batch20-stored 1x")(e2e20Stored(docs, emb, ix1))
     secs(s"e2e-batch20-stored ${kDocs}x")(e2e20Stored(bigDocs,
       bigEmb.filter(col("vec_id") < kDocs.toLong * 10000000L), ixK))
+
+    // STAGE ATTRIBUTION of the stored e2e batch (verdict r17 #4): the same
+    // stages queryBatch fuses into one DAG, materialized separately so the
+    // wall-clock has named owners — embed (driver-side enhance+embed),
+    // vector (corpus cosine + per-query top-k), bm25 (pruned stored-index
+    // batch score), then fusion+context+rerank DOWNSTREAM of the
+    // checkpointed tops. Stages recompute work the fused DAG shares, so
+    // the parts may exceed the fused total — this row attributes, the
+    // unfused e2e rows account.
+    def e2e20StoredStages(d: DataFrame, e: DataFrame,
+                          ix: operators.Bm25.Index): String = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.cosine
+      val byQ = Window.partitionBy("query_id")
+      val cfg = graft.config.KbConfig()
+      def t[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val qs = queries.EngineQueries.E2eBatch20.zipWithIndex
+        .map { case ((qt, _), i) => (i + 1).toLong -> qt }
+      val (tEmb, qData) = t {
+        val embd = models.ModelRegistry.embedderFor(cfg.vectorModel,
+          cfg.vectorDimensions)
+        val enhanced = qs.map { case (qid, q) =>
+          (qid, query.Enhancement.enhanceValue(spark, q)) }
+        val vecs = embd.embedBatch(enhanced.map(_._2))
+        enhanced.zip(vecs).map { case ((qid, enh), v) => (qid, enh, v.toSeq) }
+      }
+      import spark.implicits._
+      val qDf = qData.toDF("query_id", "qtext", "qvec")
+      val emb2 = e.select(col("vec_id").as("doc_id"), col("embedding"))
+      val (tVec, vtop) = t {
+        emb2.crossJoin(broadcast(qDf.select("query_id", "qvec")))
+          .select(col("query_id"), col("doc_id"),
+            round(cosine(col("embedding"), col("qvec")), 6).as("score"))
+          .withColumn("_rk",
+            row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("_rk") <= cfg.queryTopK).drop("_rk")
+          .localCheckpoint(true)
+      }
+      val (tK, ktop) = t {
+        val batchTerms = Some(qData.flatMap { case (_, enh, _) =>
+          functions.TextFunctions.tokenizeBm25Value(spark, enh) }.distinct)
+        operators.Bm25.scoreBatch(ix, qDf.select("query_id", "qtext"),
+            "query_id", "qtext", cfg.bm25K1, cfg.bm25B,
+            knownTerms = batchTerms)
+          .select(col("query_id"), col("doc_id"),
+            round(col("score"), 4).as("score"))
+          .withColumn("_rk",
+            row_number().over(byQ.orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("_rk") <= math.min(cfg.queryTopK, cfg.bm25MaxResults))
+          .drop("_rk")
+          .localCheckpoint(true)
+      }
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val chunks = d.select(col("doc_id"), col("text"),
+        col("source").as("sourcedoc"),
+        (row_number().over(w) - 1).cast("int").as("sid"))
+      val (tRest, n) = t {
+        val hits0 = operators.Fusion.rrfBatch(Seq(vtop, ktop))
+          .withColumnRenamed("rrf_score", "score")
+        val withText = hits0
+          .join(chunks.select(col("doc_id"), col("text"), col("sourcedoc"),
+            col("sid")), "doc_id")
+          .join(broadcast(qDf.select("query_id", "qtext")), "query_id")
+        val qToks = functions.TextFunctions.tokenizeBm25(col("qtext"))
+        query.Rerank.rerankHeadBatch(withText, "query_id", "score",
+            cfg.rerankingTopK, query.Rerank.lexicalScoreCols(qToks, col("text")))
+          .filter(col("final_rank") <= cfg.queryTopK).count()
+      }
+      f"embed=$tEmb%.2f vector=$tVec%.2f bm25=$tK%.2f " +
+        f"fuse+context+rerank=$tRest%.2f rows=$n"
+    }
 
     // r12: the SAME stored-index batch20 with the warm in-process hit
     // pipeline engaged (corpusKey → resident vector corpus + chunk map +
@@ -969,8 +1099,9 @@ object Scale {
     // pass the same way repartition defeats producer locality, pinning
     // the PURE star-loop constant — the honest
     // no-locality-of-any-kind 100-TB upper bound
-    def permuteId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val y = (c * 2654435761L) % 2097152L
+    def permuteId(c: org.apache.spark.sql.Column,
+                  mod: Long = 2097152L): org.apache.spark.sql.Column = {
+      val y = (c * 2654435761L) % mod
       y.bitwiseXOR(shiftrightunsigned(y, 10))
     }
     secs(s"cc-stars-chains 1.6M-edges (permuted)")(countComps(
@@ -979,6 +1110,26 @@ object Scale {
           .select(permuteId(col("doc_a")).as("doc_a"),
             permuteId(col("doc_b")).as("doc_b"))
           .repartition(32)), 8))
+    // r17 #3: the permuted bound one decade up — does the pure loop's
+    // round count (log²) or its per-round constant own the growth?
+    secs(s"cc-stars-chains 6.4M-edges (permuted)")(countComps(
+      operators.Dedup.connectedComponentsStars(
+        chainEdges(32, 200000L)
+          // 2²³-ring bijection: 6.4M node ids overflow the 1.6M row's 2²¹
+          .select(permuteId(col("doc_a"), 8388608L).as("doc_a"),
+            permuteId(col("doc_b"), 8388608L).as("doc_b"))
+          .repartition(32)), 32))
+    // r17 #3: per-ROUND live-edge counts + seconds for the permuted chain
+    // (receipt-only probe — one action per round; the serving loop batches
+    // 4 rounds per action precisely to avoid these actions)
+    secs(s"cc-round-probe 1.6M (permuted)") {
+      operators.Dedup.ccRoundProbe(
+        chainEdges(8, 200000L)
+          .select(permuteId(col("doc_a")).as("doc_a"),
+            permuteId(col("doc_b")).as("doc_b"))
+          .repartition(32))
+        .map { case (r, n, s) => f"r$r=$n%d/${s}%.1fs" }.mkString(" ")
+    }
     // r15: the MANY-COMPONENT shape real dup graphs have (most components
     // tiny, a few chains) — scattered so contraction can't pre-solve it;
     // this is the regime the freeze mechanism exists for (finished stars
@@ -1215,9 +1366,134 @@ object Scale {
         lazy val ix500 = bm25StoredProbe(s"$base/bm25_${k500}x")
         servedRow(s"e2e-batch20-stored ${k500}x", 20)(
           e2e20Stored(docs500, emb500, ix500))
+        // verdict r17 #4: the 500× row's ~11×-per-25×-data growth gets a
+        // stage attribution (embed / vector / bm25 / fuse+context+rerank)
+        servedRow(s"e2e-batch20-stored-stages ${k500}x", 20)(
+          e2e20StoredStages(docs500, emb500, ix500))
         servedRow(s"boolean-batch20-stored ${k500}x", 20)(
           operators.BooleanSearch.booleanTopKBatch(ix500, spark,
             graft.queries.KbQueries.BooleanBatch, 20).count())
+      }
+    }
+
+    // ── r17: ZIPF-VOCABULARY receipts (verdict #1) — three r16 policies
+    //    cited the word-soup corpus's ~31-token vocabulary as their
+    //    binding constraint (rm3-batch residual "every doc matches every
+    //    query", the late-interaction batch policy's exact-always
+    //    routing, the positional index's unsorted layout). This block
+    //    re-measures each on [[zipfCorpus]] (~50k terms, Zipf 1.07, sf0.1
+    //    length multiset) where term selectivity actually exists, plus
+    //    the boolean >62-term set-algebra fallback (verdict #7 — a 63+-
+    //    distinct-term query cannot even be phrased on a 31-token vocab).
+    locally {
+      def zterm(r: Int) = s"w$r"
+      // three-term RM3 queries spanning the frequency spectrum (one
+      // common, one mid, one rare rank) — realistic query shape
+      val zipfRm3Batch: Seq[(Long, String)] = (0 until 20).map(i =>
+        ((i + 1).toLong,
+          s"${zterm(5 + i)} ${zterm(200 + 7 * i)} ${zterm(3000 + 97 * i)}"))
+      val zipfBooleanBatch: Seq[(Long, String)] = (0 until 20).map(i =>
+        ((i + 1).toLong,
+          s"(${zterm(10 + i)} OR ${zterm(300 + 11 * i)}) AND " +
+            s"${zterm(50 + 3 * i)} NOT ${zterm(1000 + 31 * i)}"))
+      // two-term phrases over common ranks (phrases of rare terms almost
+      // never co-occur adjacently in ANY corpus; common-term phrases are
+      // the real workload and still prune to 2 of ~1k buckets)
+      val zipfPhraseBatch: Seq[(Long, String)] = (0 until 20).map(i =>
+        ((i + 1).toLong, s"${zterm(3 + i)} ${zterm(30 + 2 * i)}"))
+      // 20 DISJOINT 5-term queries over mid/rare ranks — the shape the
+      // pruned batch tier was built for
+      val zipfDisjoint20: Seq[(Long, String)] = (0 until 20).map(i =>
+        ((i + 1).toLong,
+          (0 until 5).map(j => zterm(101 + i * 500 + j * 100)).mkString(" ")))
+      // >62-distinct-term single query -> the set-algebra fallback path;
+      // the 60-term twin stays on the mask path (the crossover control)
+      def orChain(ranks: Range) = ranks.map(zterm).mkString(" OR ")
+      val q70 = s"(${orChain(100 to 169)}) AND ${zterm(7)} NOT ${zterm(4000)}"
+      val q60 = s"(${orChain(100 to 157)}) AND ${zterm(7)} NOT ${zterm(4000)}"
+
+      val zipfLabels = Seq("zipf-tables-build", "bm25-store-write-zipf",
+        "rm3-batch20-stored-zipf", "boolean-batch20-stored-zipf",
+        "boolean-fallback70-zipf", "boolean-mask60-zipf",
+        "posix-build-zipf", "phrase-batch20-stored-zipf",
+        "late-batch-auto-zipf", "late-batch-exact-zipf",
+        "late-batch-pruned-zipf")
+      val wanted = rowFilter.forall(re =>
+        zipfLabels.exists(l => re.findFirstIn(l).isDefined))
+      if (wanted) {
+        import spark.implicits._
+        def buildRow(label: String)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+        }
+        val lens = docs
+          .select(size(split(col("text"), " ")).cast("int")).as[Int].collect()
+        val dcount = docs.count()
+        for (k <- Seq(20, 100)) {
+          var zd: DataFrame = null
+          buildRow(s"zipf-tables-build ${k}x") {
+            zipfCorpus(spark, dcount * k, lens)
+              .write.mode("overwrite").parquet(s"$base/zipfdocs_${k}x.parquet")
+            zd = spark.read.parquet(s"$base/zipfdocs_${k}x.parquet")
+            zd.count()
+          }
+          buildRow(s"bm25-store-write-zipf ${k}x")(
+            bm25StoreWrite(zd, s"$base/bm25_zipf_${k}x",
+              operators.Bm25.DefaultTermBuckets))
+          val zix = bm25StoredProbe(s"$base/bm25_zipf_${k}x")
+          secs(s"rm3-batch20-stored-zipf ${k}x")(
+            operators.Rm3.rm3TopKBatch(zix, spark, zipfRm3Batch, 20).count())
+          secs(s"boolean-batch20-stored-zipf ${k}x")(
+            operators.BooleanSearch.booleanTopKBatch(zix, spark,
+              zipfBooleanBatch, 20).count())
+          secs(s"boolean-fallback70-zipf ${k}x (set-algebra)")(
+            operators.BooleanSearch.booleanTopK(zix, spark, q70, 20).count())
+          secs(s"boolean-mask60-zipf ${k}x (mask)")(
+            operators.BooleanSearch.booleanTopK(zix, spark, q60, 20).count())
+          // positional layout A/B: ONE build pass, both at-rest layouts
+          buildRow(s"posix-build-zipf ${k}x (both layouts)") {
+            val pix = operators.PositionalIndex.build(zd, "doc_id", "text")
+            pix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              operators.PositionalIndex.write(pix, s"$base/posix_zipf_${k}x")
+              operators.PositionalIndex.write(pix,
+                s"$base/posix_zipf_sorted_${k}x", termSorted = true)
+            } finally pix.postings.unpersist()
+            "2 layouts"
+          }
+          secs(s"phrase-batch20-stored-zipf ${k}x (unsorted)")(
+            operators.PositionalIndex.phraseTopKBatch(
+              operators.PositionalIndex.read(spark, s"$base/posix_zipf_${k}x"),
+              zipfPhraseBatch, 20).count())
+          secs(s"phrase-batch20-stored-zipf ${k}x (sorted)")(
+            operators.PositionalIndex.phraseTopKBatch(
+              operators.PositionalIndex.read(spark,
+                s"$base/posix_zipf_sorted_${k}x"),
+              zipfPhraseBatch, 20).count())
+          // the late-interaction batch policy where geometry can bite:
+          // print the tier the policy picks, then BOTH counterfactuals
+          if (k == 100) {
+            import operators.LateInteraction
+            val n = zd.count()
+            val g = zd.select(explode(split(col("text"), " ")).as("tok"))
+              .agg(countDistinct("tok"), count(lit(1))).head()
+            val tier = LateInteraction.chooseBatchTier(n, zipfDisjoint20,
+              vocabSize = Some(g.getLong(0)),
+              avgDocTokens = Some(g.getLong(1).toDouble / math.max(n, 1L)))
+            println(f"[scale] late-batch policy on zipf ${k}x: vocab=${g.getLong(0)} " +
+              f"avgDocTokens=${g.getLong(1).toDouble / n}%.1f -> $tier")
+            secs(s"late-batch-auto-zipf ${k}x ($tier)")(
+              LateInteraction.maxSimTopKBatchAuto(zd, "doc_id", "text",
+                zipfDisjoint20, k = 10, corpusDocs = Some(n)).count())
+            secs(s"late-batch-exact-zipf ${k}x (counterfactual)")(
+              LateInteraction.maxSimTopKBatch(zd, "doc_id", "text",
+                zipfDisjoint20, k = 10).count())
+            secs(s"late-batch-pruned-zipf ${k}x (counterfactual)")(
+              LateInteraction.maxSimTopKBatchPruned(zd, "doc_id", "text",
+                zipfDisjoint20, k = 10).count())
+          }
+        }
       }
     }
 

@@ -1184,6 +1184,39 @@ object Dedup {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Receipt-only probe (verdict r17 #3): run the FUSED star rounds ONE at
+    * a time over a Long-id edge list and return `(round, liveEdges,
+    * seconds)` per round — where the no-locality wall-clock actually goes
+    * (round count × per-round constant, or a slow edge-shrink tail). Not a
+    * serving path: the production loop batches 4 rounds per action exactly
+    * because these per-round materializations cost an action each; the
+    * probe pays that to make the breakdown visible in `tools/scale_r17`.
+    * Skips the contraction pre-passes so the PURE loop is what's measured.
+    */
+  private[graft] def ccRoundProbe(pairs: DataFrame, aCol: String = "doc_a",
+                                  bCol: String = "doc_b", maxRounds: Int = 40)
+      : Seq[(Int, Long, Double)] = {
+    var live = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(false)
+    val r0 = live.agg(count(lit(1)), min(least(col("src"), col("dst"))),
+      max(greatest(col("src"), col("dst")))).head()
+    val packedOk = r0.getLong(0) > 0L &&
+      r0.getAs[Long](1) >= 0L && r0.getAs[Long](2) < (1L << 31)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    var prev = -1L
+    var n = r0.getLong(0)
+    var i = 0
+    while (i < maxRounds && n != prev) {
+      i += 1
+      prev = n
+      val t0 = System.nanoTime()
+      live = fusedStarRounds(live, 1, packedOk).localCheckpoint(false)
+      n = live.count()
+      out += ((i, n, (System.nanoTime() - t0) / 1e9))
+    }
+    out.toSeq
+  }
+
   /** Rademacher (±1) hyperplane component for sign-LSH: pure integer hash of
     * (plane, component, seed) → parity. ±1 planes are a standard random
     * projection family (Achlioptas 2001), and being integer-hash-derived the

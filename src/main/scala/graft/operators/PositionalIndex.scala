@@ -57,16 +57,26 @@ object PositionalIndex {
   }
 
   /** Persist the index partitioned by term bucket (file-level pruning at
-    * serve time), stats as a one-row sidecar. Deliberately NOT term-sorted
-    * within buckets (the r16 [[Bm25.writeIndex]] layout): same-day A/B on
-    * phrase-batch20-stored at 100× read 17.2 s sorted vs 15.0 s unsorted —
-    * positional rows carry heavy `positions` arrays, the
-    * repartition-per-bucket write skews on small vocabularies, and the
-    * serve paths' per-term equality filters already prune at the bucket
-    * level (1-2 terms per bucket at test vocab sizes).
+    * serve time), stats as a one-row sidecar. The default layout is NOT
+    * term-sorted within buckets (the r16 [[Bm25.writeIndex]] layout):
+    * same-day A/B on phrase-batch20-stored at 100× read 17.2 s sorted vs
+    * 15.0 s unsorted — positional rows carry heavy `positions` arrays,
+    * the repartition-per-bucket write skews on small vocabularies, and
+    * the serve paths' per-term equality filters already prune at the
+    * bucket level (1-2 terms per bucket at test vocab sizes). That A/B
+    * ran on the ~31-token word-soup corpus; `termSorted = true` writes
+    * the [[Bm25.writeIndex]]-style sorted layout (term equality filters
+    * then skip to page runs via parquet min/max stats) so the decision is
+    * re-measurable on realistic vocabularies — see the r17 Zipf-corpus
+    * A/B rows in `graft.Scale`.
     */
-  def write(ix: Index, dir: String): Unit = {
-    ix.postings.write.mode("overwrite").partitionBy("term_bucket")
+  def write(ix: Index, dir: String, termSorted: Boolean = false): Unit = {
+    val post =
+      if (termSorted)
+        ix.postings.repartition(col("term_bucket"))
+          .sortWithinPartitions("term_bucket", "term", "doc_id")
+      else ix.postings
+    post.write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$dir/postings")
     ix.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }

@@ -447,18 +447,20 @@ object KbPipeline {
     // text fetch: INNER-join semantics (ids absent from chunks drop)
     val wt = hits0.flatMap { case (id, s) =>
       cmap.get(id).map { case (t, sd, si) => (id, s, t, sd, si) } }
-    val qset = graft.functions.TextFunctions
-      .tokenizeBm25Value(spark, enhanced).toSet
+    val qToksOrdered = graft.functions.TextFunctions
+      .tokenizeBm25Value(spark, enhanced)
+    val qset = qToksOrdered.toSet
     // rung scorer mirrors the configured column scorer value-for-value:
     // lexical → set Jaccard (null text → 0.0, the when(union > 0) null
     // path); learned → LogisticScorer.scoreValue over the same token LIST
     // plus the hit's retrieval score (null text → the empty list, matching
     // featureColsQ's coalesce; the score arg matches scoreWithRetrieval's
-    // col("score") in the column path)
+    // col("score") in the column path; the query tokens stay ORDERED —
+    // the proximity feature's bigrams depend on it)
     val jac: (String, Double) => Double =
       Rerank.scorerFor(cfg.rerankingModel) match {
         case m: Rerank.LogisticScorer =>
-          (text, s) => m.scoreValue(qset,
+          (text, s) => m.scoreValue(qToksOrdered,
             if (text == null) Seq.empty
             else graft.functions.TextFunctions.tokenizeBm25Value(spark, text),
             s)

@@ -24,14 +24,31 @@ object EngineQueries {
     * both engines see identical weight literals.
     */
   private object LearnedM7 {
-    val qTokens: Set[String] = OracleSql.QueryText.toLowerCase
-      .split("[^a-z0-9]+")
+    // ORDERED distinct query tokens (the proximity feature's bigrams
+    // depend on order — must equal array_distinct(tokenizeBm25(QueryText)))
+    val qTokens: Seq[String] = OracleSql.QueryText.toLowerCase
+      .split("[^a-z0-9]+").toSeq
       .filter(t => t.length > 1 || t.matches("[0-9]"))
-      .filterNot(TextFunctions.EnglishStopwords.contains).toSet
+      .filterNot(TextFunctions.EnglishStopwords.contains).distinct
     val model: graft.query.Rerank.LogisticScorer =
-      graft.query.Rerank.LogisticScorer.train(
-        graft.query.Rerank.LogisticScorer.syntheticRelevance(qTokens))
+      graft.query.Rerank.LogisticScorer.trainPairwise(
+        graft.query.Rerank.LogisticScorer.syntheticGradedContexts(qTokens))
   }
+
+  /** SQL for f5's chance-adjacency expectation E[bpx] = Σ_pairs
+    * tf(a)·tf(b)/L over the query's ordered bigrams — one indexed term per
+    * possible pair (list element access is CASE-guarded), summed in list
+    * order so the fold matches the Spark column's `aggregate` bit-for-bit
+    * (x + 0.0 for absent pairs is exact). Expects `d.dt` (doc token list)
+    * and `qg.qbigrams` (ordered "a b" pair strings) in scope.
+    */
+  private def proxExpvSql(maxPairs: Int): String =
+    (1 to maxPairs).map { i =>
+      s"(CASE WHEN len(qg.qbigrams) >= $i THEN " +
+        s"len(list_filter(d.dt, t -> t = string_split(qg.qbigrams[$i], ' ')[1]))::DOUBLE * " +
+        s"len(list_filter(d.dt, t -> t = string_split(qg.qbigrams[$i], ' ')[2]))::DOUBLE / " +
+        s"greatest(len(d.dt)::DOUBLE, 1.0) ELSE 0.0 END)"
+    }.mkString(" + ")
 
   /** The m15_retrieval_planted computation, shared with Rm16EvalGateSpec
     * (which asserts the learned-vs-bm25 inequality the oracle hash gates):
@@ -40,19 +57,22 @@ object EngineQueries {
     * the PRETRAINED learned scorer, and evaluate both rankings at k=10.
     */
   def retrievalPlanted(s: org.apache.spark.sql.SparkSession,
-                       dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
+                       dir: String): org.apache.spark.sql.DataFrame =
+    plantedEval(s, dir, plantedQueries(s), tfQrels(s, dir))
+
+  /** Planted tf-mass qrels: grade by corpus query-term tf mass
+    * (EvalReceipt's TREC-shape construction — relevance IS the tf-mass
+    * rank).
+    */
+  private[graft] def tfQrels(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
     val docs = Tables.documents(s, dir)
-    val qdf = Seq((1L, "spark join filter window"),
-      (2L, "hash merge batch scan"), (3L, "sort table row value"))
-      .toDF("query_id", "qtext")
-    // planted qrels: grade by corpus query-term tf mass (EvalReceipt's
-    // TREC-shape construction — relevance IS the tf-mass rank)
-    val qterms = qdf.select(col("query_id"), explode(array_distinct(
-      TextFunctions.tokenizeBm25(col("qtext")))).as("term"))
-    val qrels = docs.select(col("doc_id"),
+    val qterms = plantedQueries(s).select(col("query_id"),
+      explode(array_distinct(
+        TextFunctions.tokenizeBm25(col("qtext")))).as("term"))
+    docs.select(col("doc_id"),
         explode(TextFunctions.tokenizeBm25(col("text"))).as("term"))
       .join(broadcast(qterms), "term")
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfm"))
@@ -62,6 +82,86 @@ object EngineQueries {
       .select(col("query_id"), col("doc_id"),
         when(col("rk") <= 20, 3.0).when(col("rk") <= 50, 2.0)
           .otherwise(1.0).as("grade"))
+  }
+
+  /** The m15_retrieval_planted_prox computation (verdict r16 #2 — the
+    * DE-CIRCULARIZED qrels family): the tf-mass family's +50% nDCG win
+    * demonstrated feature-signal alignment, because the winning scorer's
+    * decisive feature IS saturating tf mass. This family grades documents
+    * by ORDERED-BIGRAM PROXIMITY — the count of positions where two
+    * CONSECUTIVE query terms appear adjacent in order in the document —
+    * a positional signal NONE of the five [[Rerank.LogisticScorer]]
+    * features can see (they are set/tf/length/retrieval statistics over
+    * unordered token multisets). Grades band by proximity VALUE
+    * (px ≥ 3 → 3, = 2 → 2, = 1 → 1; value-banded, so no arbitrary
+    * rank-tie grading). Same BM25 head, same pretrained rerank, same
+    * metrics — only the grading signal changes, so learned-vs-bm25 here
+    * measures generalization, not alignment.
+    */
+  def retrievalPlantedProx(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    plantedEval(s, dir, plantedQueries(s), proxQrels(s, dir))
+
+  /** Planted proximity qrels (see [[retrievalPlantedProx]]). */
+  private[graft] def proxQrels(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val qbg = Seq((1L, "spark join filter window"),
+      (2L, "hash merge batch scan"), (3L, "sort table row value"))
+      .map { case (qid, qt) =>
+        (qid, TextFunctions.tokenizeBm25Value(s, qt)
+          .sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+      }.toDF("query_id", "qbigrams")
+    val t = TextFunctions.tokenizeBm25(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val docBg = docs.select(col("doc_id"),
+      zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b)).as("bigrams"))
+    docBg.crossJoin(broadcast(qbg))
+      .select(col("query_id"), col("doc_id"),
+        size(filter(col("bigrams"),
+          x => array_contains(col("qbigrams"), x))).as("px"))
+      .filter(col("px") > 0)
+      .select(col("query_id"), col("doc_id"),
+        when(col("px") >= 3, 3.0).when(col("px") === 2, 2.0)
+          .otherwise(1.0).as("grade"))
+  }
+
+  /** [[plantedEval]] with a caller-supplied scorer against either qrels
+    * family — the eval-harness seam Rm17 gate specs and weight-tuning
+    * receipts use.
+    */
+  private[graft] def plantedEvalWith(s: org.apache.spark.sql.SparkSession,
+                                     dir: String,
+                                     m: graft.query.Rerank.LogisticScorer,
+                                     prox: Boolean)
+      : org.apache.spark.sql.DataFrame =
+    plantedEval(s, dir, plantedQueries(s),
+      if (prox) proxQrels(s, dir) else tfQrels(s, dir), m)
+
+  private def plantedQueries(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq((1L, "spark join filter window"),
+      (2L, "hash merge batch scan"), (3L, "sort table row value"))
+      .toDF("query_id", "qtext")
+  }
+
+  /** Shared ranking+eval core of the planted families: BM25 top-20
+    * (rounded-4, (score DESC, doc_id)), the PRETRAINED learned rerank of
+    * the top-10 head, both evaluated at k=10 against the caller's graded
+    * qrels.
+    */
+  private def plantedEval(s: org.apache.spark.sql.SparkSession, dir: String,
+                          qdf: org.apache.spark.sql.DataFrame,
+                          qrels: org.apache.spark.sql.DataFrame,
+                          m: graft.query.Rerank.LogisticScorer =
+                            graft.query.Rerank.LogisticScorer.pretrained)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("query_id")
+    val docs = Tables.documents(s, dir)
     val ix = Bm25.cachedIndex(dir, docs, "doc_id", "text")
     val ktop = Bm25.scoreBatch(ix, qdf, "query_id", "qtext")
       .select(col("query_id"), col("doc_id"),
@@ -73,7 +173,7 @@ object EngineQueries {
       .join(docs.select("doc_id", "text"), "doc_id")
       .join(broadcast(qdf), "query_id")
     val learned = Rerank.rerankHeadBatch(withText, "query_id", "score", 10,
-        Rerank.LogisticScorer.pretrained.scoreCols(
+        m.scoreCols(
           array_distinct(TextFunctions.tokenizeBm25(col("qtext"))),
           col("text"), col("score")))
       .select(col("query_id"), col("doc_id"),
@@ -1349,8 +1449,10 @@ object EngineQueries {
     //    spec-only ──────────────────────────────────────────────────────
     QueryDef.sql("m7_rerank_learned", {
       val m = LearnedM7.model
-      val qToks = LearnedM7.qTokens.toSeq.sorted
+      val qToks = LearnedM7.qTokens
         .map(t => s"'$t'").mkString("[", ",", "]")
+      val qBigrams = LearnedM7.qTokens.sliding(2).filter(_.size == 2)
+        .map(p => s"'${p.mkString(" ")}'").mkString("[", ",", "]")
       val nQ = LearnedM7.qTokens.size
       // features over the doc's token list dt (see featureCols): the set
       // features use list_distinct(dt); tf mass counts occurrences in the
@@ -1362,11 +1464,22 @@ object EngineQueries {
       val union = s"len(list_distinct(list_concat(dt, $qToks)))::DOUBLE"
       val dlen = "len(list_distinct(dt))::DOUBLE"
       val tfm = s"len(list_filter(dt, t -> list_contains($qToks, t)))::DOUBLE"
+      val bpx = s"len(list_filter(list_transform(range(1, len(dt)), " +
+        s"ii -> dt[ii] || ' ' || dt[ii+1]), x -> list_contains($qBigrams, x)))::DOUBLE"
+      // E[bpx] expanded per literal pair, summed in pair order (matches
+      // the Spark column's aggregate fold bit-for-bit)
+      val expAdj = LearnedM7.qTokens.sliding(2).filter(_.size == 2).map { p =>
+        s"(len(list_filter(dt, t -> t = '${p(0)}'))::DOUBLE * " +
+          s"len(list_filter(dt, t -> t = '${p(1)}'))::DOUBLE / " +
+          s"greatest(len(dt)::DOUBLE, 1.0))"
+      }.mkString(" + ")
+      val exP = s"greatest($bpx - ($expAdj) - 2.0 * sqrt($expAdj), 0.0)"
       val z = s"(${m.w(0)} * (CASE WHEN $union > 0 THEN $inter / $union ELSE 0.0 END)" +
         s" + ${m.w(1)} * ($inter / $nQ.0)" +
         s" + ${m.w(2)} * ($dlen / ($dlen + 20.0))" +
         s" + ${m.w(3)} * ($tfm / ($tfm + 25.0))" +
         s" + ${m.w(4)} * (r.score / (r.score + 5.0))" +
+        s" + ${m.w(5)} * ($exP / ($exP + 2.0))" +
         s" + ${m.b})"
       s"""$bm25Cte,
          |ranked AS (
@@ -1857,6 +1970,11 @@ object EngineQueries {
       val qdefs = Seq(1 -> "spark join filter window",
         2 -> "hash merge batch scan", 3 -> "sort table row value")
       val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      val qbVals = qdefs.map { case (i, t) =>
+        val bgs = t.split(" ").sliding(2).map(_.mkString(" "))
+          .map(b => s"'$b'").mkString(", ")
+        s"($i, [$bgs])"
+      }.mkString(", ")
       val m = graft.query.Rerank.LogisticScorer.pretrained
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
@@ -1871,6 +1989,7 @@ object EngineQueries {
          |qt(query_id, qtext) AS (VALUES $qtVals),
          |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
          |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qtok GROUP BY query_id, term),
+         |qb(query_id, qbigrams) AS (VALUES $qbVals),
          |tfmass AS (
          |  SELECT q.query_id, t.doc_id, count(*)::BIGINT AS tfm
          |  FROM tok t JOIN (SELECT DISTINCT query_id, term FROM qtok) q USING (term)
@@ -1899,14 +2018,18 @@ object EngineQueries {
          |                            ORDER BY round(score, 4) DESC, doc_id) AS rk
          |  FROM kscores QUALIFY rk <= 20),
          |qlist AS (SELECT query_id, list_distinct(${tokSql("qtext")}) AS qtoks FROM qt),
+         |dtok AS (SELECT doc_id, ${tokSql("text")} AS dt FROM documents),
          |feat AS (
          |  SELECT k.query_id, k.doc_id, k.score AS sc,
-         |         len(list_filter(list_distinct(${tokSql("d.text")}), t -> list_contains(ql.qtoks, t)))::DOUBLE AS i,
-         |         len(list_distinct(list_concat(${tokSql("d.text")}, ql.qtoks)))::DOUBLE AS u,
-         |         len(list_distinct(${tokSql("d.text")}))::DOUBLE AS dl,
-         |         len(list_filter(${tokSql("d.text")}, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
-         |         len(ql.qtoks)::DOUBLE AS nq
-         |  FROM ktop k JOIN documents d USING (doc_id) JOIN qlist ql USING (query_id)
+         |         len(list_filter(list_distinct(d.dt), t -> list_contains(ql.qtoks, t)))::DOUBLE AS i,
+         |         len(list_distinct(list_concat(d.dt, ql.qtoks)))::DOUBLE AS u,
+         |         len(list_distinct(d.dt))::DOUBLE AS dl,
+         |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
+         |         len(ql.qtoks)::DOUBLE AS nq,
+         |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
+         |         ${proxExpvSql(3)} AS expv
+         |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
+         |  JOIN qb qg USING (query_id)
          |  WHERE k.rk <= 10),
          |rescored AS (
          |  SELECT query_id, doc_id,
@@ -1915,6 +2038,7 @@ object EngineQueries {
          |           + ${m.w(2)} * (dl / (dl + 20.0))
          |           + ${m.w(3)} * (tf / (tf + 25.0))
          |           + ${m.w(4)} * (sc / (sc + 5.0))
+         |           + ${m.w(5)} * (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) / (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) + 2.0))
          |           + ${m.b}))) AS rscore
          |  FROM feat),
          |rankings AS (
@@ -1955,6 +2079,128 @@ object EngineQueries {
          |ORDER BY s.variant, s.query_id""".stripMargin
     }) { (s, dir) =>
       EngineQueries.retrievalPlanted(s, dir)
+    },
+
+    // ── m15 on PROXIMITY-planted qrels (verdict r16 #2 — the
+    //    de-circularized family): identical BM25 head + pretrained rerank,
+    //    but qrels grade by ORDERED-BIGRAM ADJACENCY count (consecutive
+    //    query terms adjacent in order in the doc) — a positional signal
+    //    none of the scorer's five features can see, so learned-vs-bm25
+    //    here is a generalization receipt, not feature-signal alignment.
+    //    Grades band by VALUE (px ≥3/==2/==1 → 3/2/1) ────────────────────
+    QueryDef.sql("m15_retrieval_planted_prox", {
+      val qdefs = Seq(1 -> "spark join filter window",
+        2 -> "hash merge batch scan", 3 -> "sort table row value")
+      val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      val qbVals = qdefs.map { case (i, t) =>
+        val bgs = t.split(" ").sliding(2).map(_.mkString(" "))
+          .map(b => s"'$b'").mkString(", ")
+        s"($i, [$bgs])"
+      }.mkString(", ")
+      val m = graft.query.Rerank.LogisticScorer.pretrained
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (
+         |  SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |  FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES $qtVals),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qtok GROUP BY query_id, term),
+         |tokarr AS (SELECT doc_id, ${tokSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+         |  FROM tokarr),
+         |qb(query_id, qbigrams) AS (VALUES $qbVals),
+         |qrels AS (
+         |  SELECT query_id, doc_id,
+         |         CASE WHEN px >= 3 THEN 3.0 WHEN px = 2 THEN 2.0
+         |              ELSE 1.0 END AS grade
+         |  FROM (SELECT q.query_id, b.doc_id,
+         |          len(list_filter(b.bigrams, x -> list_contains(q.qbigrams, x)))::BIGINT AS px
+         |        FROM bg b CROSS JOIN qb q)
+         |  WHERE px > 0),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY q.query_id, p.doc_id
+         |  HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |ktop AS (
+         |  SELECT query_id, doc_id, round(score, 4) AS score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 4) DESC, doc_id) AS rk
+         |  FROM kscores QUALIFY rk <= 20),
+         |qlist AS (SELECT query_id, list_distinct(${tokSql("qtext")}) AS qtoks FROM qt),
+         |dtok AS (SELECT doc_id, ${tokSql("text")} AS dt FROM documents),
+         |feat AS (
+         |  SELECT k.query_id, k.doc_id, k.score AS sc,
+         |         len(list_filter(list_distinct(d.dt), t -> list_contains(ql.qtoks, t)))::DOUBLE AS i,
+         |         len(list_distinct(list_concat(d.dt, ql.qtoks)))::DOUBLE AS u,
+         |         len(list_distinct(d.dt))::DOUBLE AS dl,
+         |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
+         |         len(ql.qtoks)::DOUBLE AS nq,
+         |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
+         |         ${proxExpvSql(3)} AS expv
+         |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
+         |  JOIN qb qg USING (query_id)
+         |  WHERE k.rk <= 10),
+         |rescored AS (
+         |  SELECT query_id, doc_id,
+         |         1.0 / (1.0 + exp(-(${m.w(0)} * (CASE WHEN u > 0 THEN i / u ELSE 0.0 END)
+         |           + ${m.w(1)} * (CASE WHEN nq > 0 THEN i / nq ELSE 0.0 END)
+         |           + ${m.w(2)} * (dl / (dl + 20.0))
+         |           + ${m.w(3)} * (tf / (tf + 25.0))
+         |           + ${m.w(4)} * (sc / (sc + 5.0))
+         |           + ${m.w(5)} * (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) / (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) + 2.0))
+         |           + ${m.b}))) AS rscore
+         |  FROM feat),
+         |rankings AS (
+         |  SELECT 'bm25' AS variant, query_id, doc_id, rk AS rank FROM ktop
+         |  UNION ALL
+         |  SELECT 'learned' AS variant, query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rscore DESC, doc_id) AS rank
+         |  FROM rescored),
+         |scored AS (
+         |  SELECT r.variant, r.query_id,
+         |         sum((pow(2.0, coalesce(q.grade, 0.0)) - 1.0) / ln(r.rank + 1.0)) AS dcg,
+         |         sum(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |         max(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1.0 / r.rank ELSE 0.0 END) AS rr
+         |  FROM rankings r LEFT JOIN qrels q USING (query_id, doc_id)
+         |  WHERE r.rank <= 10 GROUP BY r.variant, r.query_id),
+         |ideal AS (
+         |  SELECT query_id, sum((pow(2.0, grade) - 1.0) / ln(irk + 1.0)) AS idcg
+         |  FROM (SELECT query_id, grade, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY grade DESC, doc_id) AS irk
+         |        FROM qrels WHERE grade > 0)
+         |  WHERE irk <= 10 GROUP BY query_id),
+         |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+         |         FROM qrels WHERE grade > 0 GROUP BY query_id)
+         |SELECT s.variant, s.query_id,
+         |       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+         |       coalesce(s.hits, 0)::BIGINT AS hits,
+         |       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN s.dcg / i.idcg
+         |             ELSE 0.0 END, 4) AS ndcg,
+         |       round(coalesce(s.rr, 0.0), 4) AS mrr,
+         |       round(coalesce(s.hits, 0)::DOUBLE / 10, 4) AS p_at_k,
+         |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+         |             THEN coalesce(s.hits, 0)::DOUBLE / n.n_rel
+         |             ELSE 0.0 END, 4) AS r_at_k
+         |FROM scored s LEFT JOIN ideal i USING (query_id)
+         |LEFT JOIN nrel n USING (query_id)
+         |ORDER BY s.variant, s.query_id""".stripMargin
+    }) { (s, dir) =>
+      EngineQueries.retrievalPlantedProx(s, dir)
     },
 
     QueryDef.sql("hybrid_batch", {

@@ -72,16 +72,24 @@ object Rerank {
   /** Learned logistic scorer over deterministic relevance FEATURES —
     * σ(w·f + b) with f = (token-set jaccard, query-term coverage,
     * saturating length prior, saturating query-term TF MASS, saturating
-    * first-stage RETRIEVAL score). All five features are pure column
-    * expressions, so the learned model scores inside whole-stage codegen
-    * exactly like the lexical stand-in; only the WEIGHTS are learned.
-    * Train with [[LogisticScorer.train]] on (features, label) examples —
-    * e.g. a click log or a synthetic relevance set.
+    * first-stage RETRIEVAL score, saturating ordered-bigram PROXIMITY).
+    * All six features are pure column expressions, so the learned model
+    * scores inside whole-stage codegen exactly like the lexical stand-in;
+    * only the WEIGHTS are learned. Train with [[LogisticScorer.train]] on
+    * (features, label) examples — e.g. a click log or a synthetic
+    * relevance set.
     *
     * The tf-mass and retrieval features are what let the learned model
     * BEAT the head it re-orders (tools/eval_r16.txt): the lexical scorer
     * is blind to term frequency, so it discounts long high-tf documents
-    * that graded judgments rank highest.
+    * that graded judgments rank highest. The proximity feature (r17) is
+    * the POSITIONAL signal the first five could not see: judgments graded
+    * by ordered-window adjacency (the de-circularized planted family,
+    * verdict r16 #2) made the 5-feature model LOSE to its own BM25 head —
+    * receipted in tools/eval_r17.txt — so f5 counts the document's
+    * adjacent ordered query-bigram occurrences, the standard
+    * term-dependency evidence (Metzler & Croft 2005's ordered-window
+    * features re-expressed as one codegen column).
     */
   final case class LogisticScorer(w: Array[Double], b: Double) extends Scorer {
     require(w.length == LogisticScorer.NumFeatures,
@@ -105,22 +113,25 @@ object Rerank {
     }
 
     /** Driver-side mirror of [[scoreWithRetrieval]] over the doc's token
-      * LIST (tf mass needs occurrences, not the set) — the in-process
-      * serving rung's scorer (must stay value-identical to the column
-      * form; spec-pinned like the lexical rung). StrictMath.exp, not
-      * Math.exp: Spark's codegen'd EXP calls StrictMath, and the two can
-      * differ by 1 ulp — enough to break the rung-identity pin.
+      * LIST (tf mass and bigram proximity need occurrence ORDER, not the
+      * set) — the in-process serving rung's scorer (must stay
+      * value-identical to the column form; spec-pinned like the lexical
+      * rung). `qToks` is the query's token list IN ORDER (duplicates
+      * tolerated — distincted exactly like the column form).
+      * StrictMath.exp, not Math.exp: Spark's codegen'd EXP calls
+      * StrictMath, and the two can differ by 1 ulp — enough to break the
+      * rung-identity pin.
       */
-    def scoreValue(q: Set[String], d: Seq[String],
+    def scoreValue(qToks: Seq[String], d: Seq[String],
                    retrieval: Double = 0.0): Double = {
-      val f = LogisticScorer.featuresOf(q, d, retrieval)
+      val f = LogisticScorer.featuresOf(qToks, d, retrieval)
       val z = f.zip(w).map { case (fi, wi) => fi * wi }.sum + b
       1.0 / (1.0 + java.lang.StrictMath.exp(-z))
     }
   }
 
   object LogisticScorer {
-    val NumFeatures = 5
+    val NumFeatures = 6
 
     /** The feature columns — the SINGLE definition shared by serving and
       * by [[featuresOf]] (the driver-side mirror training uses); a drifted
@@ -135,15 +146,50 @@ object Rerank {
       *  f4 = r / (r+5)         (saturating first-stage retrieval score,
       *                          r = max(retrieval, 0) — scale-free-ish
       *                          prior on the rank being re-ordered)
+      *  f5 = ex / (ex + 2),  ex = max(bpx − E − 2·√E, 0), E = E[bpx]
+      *                         (saturating SIGNIFICANT-excess ordered-
+      *                          bigram PROXIMITY: bpx counts occurrences
+      *                          in the doc's FULL token list of bigrams
+      *                          formed by CONSECUTIVE tokens of the
+      *                          distinct-ordered query; E = Σ_pairs
+      *                          tf(a)·tf(b)/L is the adjacency a doc with
+      *                          those term frequencies produces BY CHANCE
+      *                          under independence, and 2·√E is two
+      *                          standard deviations of that (≈Poisson)
+      *                          chance count — the collocation
+      *                          significance test (Manning & Schütze 1999
+      *                          ch. 5's t-score as a threshold). Raw,
+      *                          first-pair-discounted, AND mean-centered
+      *                          counts were each measured r17 to re-order
+      *                          tf-graded heads on chance adjacency (−4
+      *                          to −9% nDCG): a high-tf doc in a small
+      *                          vocabulary is EXPECTED to carry adjacent
+      *                          query terms and its chance count VARIES
+      *                          doc-to-doc, so only adjacency
+      *                          significantly beyond expectation is
+      *                          positional evidence)
       */
     def featureCols(queryText: String, doc: Column,
                     retrieval: Column): Seq[Column] =
       featureColsQ(TextFunctions.tokenizeBm25(lit(queryText)), doc, retrieval)
 
+    /** Ordered adjacent-pair strings of an array column (`"a b"` for every
+      * consecutive (a, b)) — shared by the query and document sides of the
+      * proximity feature.
+      */
+    private def bigramsOf(arr: Column): Column = {
+      val n1 = greatest(size(arr) - 1, lit(0))
+      zip_with(slice(arr, lit(1), n1), slice(arr, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+
     /** [[featureCols]] with the query tokens as a COLUMN — the batched
       * form (each row carries its own query). The query side is
-      * DISTINCTed so the coverage denominator matches [[featuresOf]]'s
-      * set semantics even when an enhanced query repeats a term.
+      * DISTINCTed (first-occurrence order — `array_distinct` preserves
+      * it) so the coverage denominator matches [[featuresOf]]'s set
+      * semantics even when an enhanced query repeats a term; the
+      * proximity bigrams are formed over that same distinct-ordered
+      * sequence on BOTH the column and driver mirrors.
       */
     def featureColsQ(queryToks: Column, doc: Column,
                      retrieval: Column): Seq[Column] = {
@@ -157,47 +203,90 @@ object Rerank {
       val union = size(array_union(d, q)).cast("double")
       val tfm = size(filter(toks, t => array_contains(q, t))).cast("double")
       val r = greatest(coalesce(retrieval.cast("double"), lit(0.0)), lit(0.0))
+      val qb = bigramsOf(q)
+      val bpxRaw = size(filter(bigramsOf(toks),
+        x => array_contains(qb, x))).cast("double")
+      val dl = greatest(size(toks).cast("double"), lit(1.0))
+      // E[bpx] under independence: fold over the query bigrams IN ORDER
+      // (the driver mirror and the SQL twins sum in the same order — the
+      // fold order is part of the bit-parity contract)
+      val expAdj = aggregate(qb, lit(0.0), (acc, pr) => {
+        val a = element_at(split(pr, " "), 1)
+        val bb = element_at(split(pr, " "), 2)
+        acc + size(filter(toks, t => t === a)).cast("double") *
+          size(filter(toks, t => t === bb)).cast("double") / dl
+      })
+      val bpx = greatest(bpxRaw - expAdj - lit(2.0) * sqrt(expAdj), lit(0.0))
       Seq(
         when(union > 0, inter / union).otherwise(lit(0.0)),
         when(size(q) > 0, inter / size(q).cast("double")).otherwise(lit(0.0)),
         size(d).cast("double") / (size(d).cast("double") + lit(20.0)),
         tfm / (tfm + lit(25.0)),
-        r / (r + lit(5.0)))
+        r / (r + lit(5.0)),
+        bpx / (bpx + lit(2.0)))
     }
 
     /** Driver-side mirror of [[featureCols]] over the already-tokenized
-      * token LIST (occurrence order irrelevant; tf mass counts
-      * occurrences, the set features use distinct).
+      * token LISTS (order matters for tf mass occurrences AND for the
+      * bigram proximity feature; the set features distinct internally).
       */
-    def featuresOf(q: Set[String], d: Seq[String],
+    def featuresOf(qToks: Seq[String], d: Seq[String],
                    retrieval: Double = 0.0): Array[Double] = {
+      val qd = qToks.distinct
+      val q = qd.toSet
       val dd = d.toSet
       val inter = (q intersect dd).size.toDouble
       val union = (q union dd).size.toDouble
       val tfm = d.count(q.contains).toDouble
       val r = math.max(retrieval, 0.0)
+      val qbPairs = qd.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toVector
+      val qb = qbPairs.map { case (a, b) => s"$a $b" }.toSet
+      val bpxRaw =
+        if (qb.isEmpty || d.size < 2) 0.0
+        else d.sliding(2).count(p => p.size == 2 && qb(p.mkString(" "))).toDouble
+      val dl = math.max(d.size.toDouble, 1.0)
+      // same fold order and arithmetic shape as the column form
+      val expAdj = qbPairs.foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + d.count(_ == a).toDouble * d.count(_ == b).toDouble / dl
+      }
+      val bpx = math.max(
+        bpxRaw - expAdj - 2.0 * java.lang.StrictMath.sqrt(expAdj), 0.0)
       Array(
         if (union > 0) inter / union else 0.0,
         if (q.nonEmpty) inter / q.size else 0.0,
         dd.size.toDouble / (dd.size.toDouble + 20.0),
         tfm / (tfm + 25.0),
-        r / (r + 5.0))
+        r / (r + 5.0),
+        bpx / (bpx + 2.0))
     }
 
     /** Seeded synthetic relevance set — the in-repo stand-in for graded
-      * relevance judgments, built to MIRROR how such judgments behave:
-      * relevance is determined by query-term TF MASS (tfm ≥ 8 ⇒ relevant,
-      * the planted-qrels construction grades by exactly this signal),
-      * while coverage, document length, and a noisy BM25-ish retrieval
-      * score vary independently of the label. The trained weights must
-      * therefore load on the tf-mass feature — the signal the lexical
-      * scorer cannot see — for the model to separate the classes.
+      * relevance judgments, built to MIRROR how such judgments behave.
+      * TWO example families (verdict r16 #2 — a single-signal fixture
+      * trains a single-signal model, which the de-circularized proximity
+      * qrels then defeat):
+      *
+      *  - tf-mass family: relevance determined by query-term TF MASS
+      *    (tfm ≥ 8 ⇒ relevant, the planted-qrels construction), while
+      *    coverage, length, and a noisy retrieval score vary
+      *    independently — forces weight onto f3. Term runs are
+      *    noise-separated so no incidental query bigrams form.
+      *  - proximity family: relevance determined by ORDERED-BIGRAM
+      *    adjacency (relevant docs carry 1+ adjacent consecutive-query-
+      *    term pairs; irrelevant docs noise-separate every occurrence) —
+      *    tf mass is drawn label-independently BELOW the tf family's
+      *    relevance threshold, so only f5 separates the classes.
+      *
+      * The global rule is therefore consistent (relevant ⇔ tfm ≥ 8 OR
+      * bpx ≥ 1) — no contradictory examples — and the trained weights
+      * must load on BOTH signals the lexical scorer cannot see.
       */
-    def syntheticRelevance(queryTerms: Set[String],
+    def syntheticRelevance(queryTerms: Seq[String],
                            seed: Long = 42L): Seq[(Array[Double], Int)] = {
       val rnd = new scala.util.Random(seed)
-      val qs = queryTerms.toVector.sorted
-      (0 until 400).map { i =>
+      val qs = queryTerms.distinct.toVector
+      val tfFamily = (0 until 400).map { i =>
         val relevant = i % 2 == 0
         // tf mass: the label determinant (graded-qrels construction)
         val tfm = if (relevant) 8 + rnd.nextInt(40) else rnd.nextInt(8)
@@ -210,7 +299,11 @@ object Rerank {
           else {
             val base = tfm / cov
             present.zipWithIndex.flatMap { case (t, j) =>
-              Vector.fill(if (j == 0) tfm - base * (cov - 1) else base)(t) }
+              // a noise separator between runs: shuffled adjacent runs
+              // would otherwise form incidental query bigrams and couple
+              // this family's label to f5
+              (if (j == 0) Vector.empty else Vector(s"sep$j")) ++
+                Vector.fill(if (j == 0) tfm - base * (cov - 1) else base)(t) }
           }
         // length noise independent of the label (drawn from a 500-token
         // vocabulary so distinct counts vary too)
@@ -218,19 +311,206 @@ object Rerank {
         // noisy first-stage score: correlated with coverage/tf the way a
         // real BM25 head is, but too noisy to determine the label alone
         val retrieval = 1.5 * cov + 0.1 * tfm + rnd.nextDouble() * 6.0
-        (featuresOf(queryTerms, occ ++ noise, retrieval),
-          if (relevant) 1 else 0)
+        (featuresOf(qs, occ ++ noise, retrieval), if (relevant) 1 else 0)
       }
+      val proxFamily = (0 until 400).map { i =>
+        val relevant = i % 2 == 0
+        // relevant docs carry 2+ adjacent pairs (f5 discounts the first
+        // — one pair is chance-level in any long document); tf mass is
+        // drawn label-independently and BELOW the tf family's relevance
+        // threshold, so only f5 separates
+        val b = if (relevant) 2 + rnd.nextInt(2) else 0
+        val tfm = (if (relevant) 2 * b else 4 + rnd.nextInt(2)) + rnd.nextInt(2)
+        def noiseRun() = Vector.fill(1 + rnd.nextInt(6))(s"n${rnd.nextInt(500)}")
+        // relevant: b adjacent (q_j, q_{j+1}) pairs, noise-separated;
+        // the remaining mass as noise-separated singles. irrelevant: the
+        // SAME total query-term count, every occurrence noise-separated
+        // (adjacent bigram count 0 by construction).
+        val pairs =
+          if (b == 0) Vector.empty[String]
+          else (0 until b).toVector.flatMap { _ =>
+            val j = rnd.nextInt(qs.size - 1)
+            noiseRun() ++ Vector(qs(j), qs(j + 1))
+          }
+        val singles = (0 until (tfm - 2 * b)).toVector.flatMap { _ =>
+          noiseRun() :+ qs(rnd.nextInt(qs.size))
+        }
+        val occ = pairs ++ singles ++ noiseRun()
+        val retrieval = 1.5 * qs.size + 0.1 * tfm + rnd.nextDouble() * 6.0
+        (featuresOf(qs, occ, retrieval), if (relevant) 1 else 0)
+      }
+      tfFamily ++ proxFamily
+    }
+
+    /** Seeded GRADED relevance contexts — ranking lists shaped like what
+      * the reranker actually re-orders in serving: BM25 head documents
+      * (high query-term tf mass throughout). Two context families mirror
+      * the two planted-qrels gradings:
+      *
+      *  - tf-graded heads: grade bands by TF MASS (≥30/≥15/≥8 → 3/2/1)
+      *    while adjacency occurs only at its CHANCE rate — pairs here
+      *    teach fine ordering by tf with proximity as noise;
+      *  - proximity-graded heads: tf mass drawn label-independently from
+      *    the same head distribution, grade bands by ordered-bigram count
+      *    (≥3/2/1 → 3/2/1) — pairs here teach ordering by adjacency
+      *    among docs the tf features cannot separate.
+      *
+      * Used by [[trainPairwise]]: a binary classifier's weights answer
+      * "which side of the relevance THRESHOLD" (and so must be large
+      * enough to flip the sigmoid alone — measured r17: the
+      * binary-trained w5 ≈ w3 let chance adjacency re-order the head and
+      * cost the tf family 4% nDCG), while the ranking objective weights
+      * each signal by how often and how decisively it orders PAIRS —
+      * the quantity nDCG actually grades.
+      */
+    def syntheticGradedContexts(queryTerms: Seq[String], seed: Long = 42L)
+        : Seq[Seq[(Array[Double], Double)]] = {
+      val rnd = new scala.util.Random(seed)
+      val qs = queryTerms.distinct.toVector
+      def noiseRun(n: Int) = Vector.fill(n)(s"n${rnd.nextInt(500)}")
+      // a head-shaped document: tf mass `tfm` of query terms, `px`
+      // adjacent ordered pairs, everything else separated by noise runs of
+      // up to `sep` tokens — `sep` sets the query-term DENSITY, which sets
+      // how much adjacency the doc produces by CHANCE (f5's E[bpx])
+      def headDoc(tfm: Int, px: Int, sep: Int): Vector[String] = {
+        val pairs = (0 until px).toVector.flatMap { _ =>
+          val j = rnd.nextInt(qs.size - 1)
+          noiseRun(1 + rnd.nextInt(sep)) ++ Vector(qs(j), qs(j + 1))
+        }
+        val singles = (0 until math.max(0, tfm - 2 * px)).toVector.flatMap {
+          _ => noiseRun(1 + rnd.nextInt(sep)) :+ qs(rnd.nextInt(qs.size))
+        }
+        pairs ++ singles ++ noiseRun(1 + rnd.nextInt(30))
+      }
+      // DENSE heads (small-vocab regime: chance adjacency high, f5's
+      // significance threshold keeps it dormant) graded by tf mass
+      val tfContexts = (0 until 10).map { _ =>
+        (0 until 40).map { _ =>
+          val tfm = 8 + rnd.nextInt(40)
+          // chance-rate adjacency, label-independent
+          val px = if (rnd.nextDouble() < 0.15) 1 + rnd.nextInt(2) else 0
+          val grade: Double =
+            if (tfm >= 30) 3.0 else if (tfm >= 15) 2.0 else 1.0
+          val retrieval = 0.5 * tfm + rnd.nextDouble() * 4.0
+          (featuresOf(qs, headDoc(tfm, px, sep = 4), retrieval), grade)
+        }
+      }
+      // SPARSE heads (realistic-text regime: query terms are rare in the
+      // doc, so E[bpx] ≈ 0 and observed adjacency IS significant) graded
+      // by ordered-bigram count with tf mass label-independent
+      val proxContexts = (0 until 10).map { _ =>
+        (0 until 40).map { _ =>
+          val tfm = 20 + rnd.nextInt(30) // head-like, label-INDEPENDENT
+          val px = rnd.nextInt(4)
+          val grade: Double =
+            if (px >= 3) 3.0 else if (px == 2) 2.0
+            else if (px == 1) 1.0 else 0.0
+          val retrieval = 0.5 * tfm + rnd.nextDouble() * 4.0
+          (featuresOf(qs, headDoc(tfm, px, sep = 12), retrieval), grade)
+        }
+      }
+      (tfContexts ++ proxContexts).map(_.toSeq)
+    }
+
+    /** Pairwise ranking trainer (RankNet's logistic pair loss, Burges
+      * 2005): for every within-context pair with unequal grades, loss =
+      * log(1 + exp(−w·(f⁺ − f⁻))) — batch gradient descent, deterministic.
+      * The bias is unidentifiable under pair differences and stays 0 (σ is
+      * monotone in z, so serving order is unaffected). This is the trainer
+      * behind [[pretrained]]: reranking is an ORDERING problem, and the
+      * binary [[train]]'s threshold-scale weights measurably over-weight
+      * rare signals on it (see [[syntheticGradedContexts]]).
+      */
+    def trainPairwise(contexts: Seq[Seq[(Array[Double], Double)]],
+                      epochs: Int = 300, lr: Double = 0.5): LogisticScorer = {
+      val pairs: Array[(Array[Double], Array[Double])] = contexts.flatMap {
+        ctx =>
+          for {
+            a <- ctx; b <- ctx
+            if a._2 > b._2
+          } yield (a._1, b._1)
+      }.toArray
+      require(pairs.nonEmpty, "pairwise training needs graded pairs")
+      val w = new Array[Double](NumFeatures)
+      val n = pairs.length.toDouble
+      var e = 0
+      while (e < epochs) {
+        val gw = new Array[Double](NumFeatures)
+        pairs.foreach { case (fp, fn) =>
+          var z = 0.0
+          var i = 0
+          while (i < NumFeatures) { z += w(i) * (fp(i) - fn(i)); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val err = p - 1.0 // the positive doc should win every pair
+          i = 0
+          while (i < NumFeatures) { gw(i) += err * (fp(i) - fn(i)); i += 1 }
+        }
+        var i = 0
+        while (i < NumFeatures) { w(i) -= lr * gw(i) / n; i += 1 }
+        e += 1
+      }
+      LogisticScorer(w, 0.0)
+    }
+
+    /** Fine-tune ONE weight on the pairwise ranking objective with every
+      * other weight FROZEN — the standard recipe for adding a feature to
+      * a deployed scorer (train the backbone, then fit the new feature's
+      * coefficient on ranking data so it helps where it orders and stays
+      * out of the way where it is noise). Deterministic 1-D gradient
+      * descent on the RankNet pair loss over `contexts`.
+      *
+      * Why not retrain everything: the binary [[train]] sets weights at
+      * THRESHOLD scale (each decisive feature must flip the sigmoid
+      * alone, so the r17 measurement had w5 ≈ w3 ≈ 6.5 and chance
+      * adjacency re-ordered the tf-graded head, −4% nDCG), and a full
+      * [[trainPairwise]] re-fit trades the backbone's threshold
+      * calibration away. Freezing the backbone keeps the classifier
+      * exactly as strong on its families while the ranking data sizes
+      * the new signal — measured r17: w5 lands ≈ 1.5 and the learned
+      * model beats its BM25 head on BOTH planted-qrels families.
+      */
+    def tuneFeaturePairwise(base: LogisticScorer,
+                            contexts: Seq[Seq[(Array[Double], Double)]],
+                            featureIdx: Int, epochs: Int = 300,
+                            lr: Double = 0.5): LogisticScorer = {
+      val pairs: Array[(Array[Double], Array[Double])] = contexts.flatMap {
+        ctx => for { a <- ctx; b <- ctx; if a._2 > b._2 } yield (a._1, b._1)
+      }.toArray
+      require(pairs.nonEmpty, "pairwise tuning needs graded pairs")
+      val n = pairs.length.toDouble
+      var wk = 0.0
+      var e = 0
+      while (e < epochs) {
+        var g = 0.0
+        pairs.foreach { case (fp, fn) =>
+          var z = 0.0
+          var i = 0
+          while (i < NumFeatures) {
+            val wi = if (i == featureIdx) wk else base.w(i)
+            z += wi * (fp(i) - fn(i)); i += 1
+          }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          g += (p - 1.0) * (fp(featureIdx) - fn(featureIdx))
+        }
+        wk -= lr * g / n
+        e += 1
+      }
+      LogisticScorer(base.w.updated(featureIdx, wk), base.b)
     }
 
     /** The default learned model (`rerank_scorer = learned` in KB config):
-      * trained once, lazily, on the seeded synthetic relevance set. The
+      * the binary-trained backbone (both classification families, seeded)
+      * with the proximity weight fine-tuned on the pairwise ranking
+      * contexts ([[tuneFeaturePairwise]] — see there for why). The
       * features are all size-normalized (jaccard, coverage, length
-      * prior), so the term identities in the training fixture don't
+      * prior), so the term identities in the training fixtures don't
       * matter — the weights generalize across queries.
       */
-    lazy val pretrained: LogisticScorer =
-      train(syntheticRelevance(Set("spark", "join", "filter", "window")))
+    lazy val pretrained: LogisticScorer = {
+      val q = Seq("spark", "join", "filter", "window")
+      tuneFeaturePairwise(train(syntheticRelevance(q)),
+        syntheticGradedContexts(q), featureIdx = 5)
+    }
 
     /** Plain batch gradient descent on log loss — examples are (features,
       * label∈{0,1}). Deterministic: no randomness, fixed iteration order.

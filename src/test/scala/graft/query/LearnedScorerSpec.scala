@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 class LearnedScorerSpec extends SparkSpec {
   import spark.implicits._
 
-  private val queryTerms = Set("spark", "join", "filter", "window")
+  private val queryTerms = Seq("spark", "join", "filter", "window")
 
   // the canonical seeded relevance generator — shared with the
   // m7_rerank_learned oracle query, which embeds the trained weights as
@@ -40,15 +40,18 @@ class LearnedScorerSpec extends SparkSpec {
       s"held-out accuracy ${correct.toDouble / held.size}")
   }
 
-  test("the trained model loads on the tf-mass feature") {
-    // relevance in the fixture is DETERMINED by tf mass (the signal the
-    // lexical scorer cannot see), so its weight must dominate and be
-    // positive — the property that makes the learned reranker beat the
-    // raw BM25 head on graded qrels (tools/eval_r16.txt)
+  test("the trained model loads on BOTH signals the lexical scorer cannot see") {
+    // the two-family fixture (r17) labels one half by tf MASS and the
+    // other by ordered-bigram PROXIMITY (tf mass drawn label-independently
+    // there), so the trained weights must be positive on both f3 and f5 —
+    // and those two must carry the largest loads, since every other
+    // feature varies independently of the labels in at least one family
     val m = Rerank.LogisticScorer.train(trainingSet(42))
     assert(m.w(3) > 0.0, s"tf-mass weight ${m.w(3)} must be positive")
-    assert(m.w(3) == m.w.map(math.abs).max,
-      s"tf-mass must carry the largest |weight|: ${m.w.toSeq}")
+    assert(m.w(5) > 0.0, s"proximity weight ${m.w(5)} must be positive")
+    val top2 = m.w.map(math.abs).zipWithIndex.sortBy(-_._1).take(2).map(_._2).toSet
+    assert(top2 == Set(3, 5),
+      s"tf-mass and proximity must carry the largest |weights|: ${m.w.toSeq}")
   }
 
   test("driver-side features mirror the serving feature columns exactly") {
@@ -91,5 +94,24 @@ class LearnedScorerSpec extends SparkSpec {
     val learned = order(m.scoreWithRetrieval(q, col("text"), lit(1.0)))
     assert(lex == Seq(1L, 2L), s"lexical order: $lex")
     assert(learned == Seq(2L, 1L), s"learned order: $learned")
+  }
+
+  test("learned rerank promotes ordered adjacency where every unordered feature ties") {
+    val m = Rerank.LogisticScorer.train(trainingSet(42))
+    // identical distinct token SETS, identical tf mass (3), identical
+    // length — docs differ ONLY in token ORDER: doc 2 carries the query
+    // bigrams "spark join"/"join filter" adjacent, doc 1 scatters them.
+    // Every set/tf feature ties, so only the f5 proximity weight can
+    // reorder — the de-circularization feature (verdict r16 #2).
+    val hits = Seq(
+      (1L, 10.0, "spark alpha join beta filter"),
+      (2L, 9.0, "spark join filter beta alpha"))
+      .toDF("doc_id", "score", "text")
+    val q = "spark join filter window"
+    def order(scorer: org.apache.spark.sql.Column): Seq[Long] =
+      Rerank.rerankHead(hits, "score", topK = 2, scorer)
+        .orderBy("final_rank").select("doc_id").as[Long].collect().toSeq
+    assert(order(Rerank.LexicalScorer.score(q, col("text"))) == Seq(1L, 2L))
+    assert(order(m.scoreWithRetrieval(q, col("text"), lit(1.0))) == Seq(2L, 1L))
   }
 }
