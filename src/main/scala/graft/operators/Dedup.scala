@@ -1078,6 +1078,9 @@ object Dedup {
     if (cs._1 == 0L) // no non-loop edges: every node is its own component
       return nodes.withColumn("component", col("node"))
     val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // node → representative relabel tables accumulated by the stall
+    // finisher's CONTRACTIONS, applied in order at assembly time
+    val relabels = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var it = 0
     var converged = false
     var nextFreezeCheck = 1
@@ -1102,23 +1105,103 @@ object Dedup {
           // packed 8-byte rows and every round advances both families):
           // lineage is linear so the nesting is recompute-free without a
           // mid checkpoint; overshoot past the fixpoint is cheap (a star
-          // reproduces itself)
+          // reproduces itself). TWO rounds per action was A/B'd when the
+          // r17 stall finisher landed (deeper trees per action feed the
+          // contraction): permuted 1.6M read 17.6 s at 4 rounds vs
+          // 20.6 s at 2 — fewer, deeper actions win because each
+          // finisher then contracts ~250× instead of ~16×
           fusedStarRounds(live, 4, packedOk)
         else {
           val mid = smallStar(largeStar(live)).localCheckpoint(false)
           smallStar(largeStar(mid))
         }).localCheckpoint(false)
       val ncs = checksum(next)
-      if (ncs == cs) {
+      // STALL detector + POINTER-DOUBLING finisher (verdict r17 #3): on a
+      // no-locality graph the star loop enters a long pointer-chasing
+      // tail — the r17 per-round probe on the permuted 1.6M-edge chain
+      // showed the live count frozen at ~n from round 4 while ~18 more
+      // rounds each advance labels one neighborhood step (each ~0.7 s of
+      // pure per-stage constant). When an action barely shrinks the edge
+      // set and nothing is freezing, the surviving structure is parent
+      // chains (every edge already points strictly downward, src > dst),
+      // and the right tool is pointer doubling on the min-parent FUNCTION
+      // (Shiloach & Vishkin 1982's jumping half; CC-MR / Rastogi 2013 use
+      // the same composition): self-compose the one-row-per-src parent
+      // table until stable — depth halves per join on an n-row table —
+      // then CONTRACT the live graph through the converged pointer R
+      // (both endpoints mapped, intra-tree loops dropped): every pointer
+      // tree becomes one node and the loop continues on the root graph, a
+      // contraction factor smaller each time (contract-and-recurse, the
+      // standard parallel-CC shape). Connectivity is preserved — each
+      // min-parent edge (v, p(v)) IS a live edge, so a tree is a
+      // connected subgraph and collapsing it onto its root changes no
+      // component; R is recorded in `relabels` and composed back over the
+      // original nodes at assembly. A dst-only remap without the
+      // contraction was MEASURED first (r17): it kept n edges per round
+      // alive and made the permuted receipt WORSE (38 s vs 28 s) — the
+      // shrink is where the win is. The loop's own checksum/freeze
+      // machinery stays the arbiter.
+      val stalled = fastLong && ncs != cs && ncs._1 > 0L &&
+        ncs._1.toDouble >= cs._1.toDouble * 0.90
+      val (round, rcs) =
+        if (!stalled) (next, ncs)
+        else {
+          var par = next.groupBy("src").agg(min(col("dst")).as("p"))
+            .localCheckpoint(false)
+          var sig = par.agg(sum(xxhash64(col("src"), col("p"))
+            .cast("decimal(38,0)"))).head().getDecimal(0)
+          var advancing = true
+          var hops = 0
+          while (advancing && hops < 40) {
+            hops += 1
+            val stepped = par.join(
+                par.select(col("src").as("p"), col("p").as("_pp")),
+                Seq("p"), "left")
+              .select(col("src"), coalesce(col("_pp"), col("p")).as("p"))
+              .localCheckpoint(false)
+            val nsig = stepped.agg(sum(xxhash64(col("src"), col("p"))
+              .cast("decimal(38,0)"))).head().getDecimal(0)
+            advancing = nsig != sig
+            sig = nsig
+            par = stepped
+          }
+          // CONTRACT to the root graph: map BOTH endpoints through the
+          // converged pointer R, drop the (many) intra-tree self-loops,
+          // dedup, re-orient. Every pointer tree collapses to ONE node,
+          // so the loop continues on a graph a contraction factor smaller
+          // — the contract-and-recurse shape of parallel CC (Shun et al.
+          // 2014); R itself is recorded and composed back over the
+          // original nodes at assembly time.
+          relabels += par
+          val rsrc = par.select(col("src").as("src"), col("p").as("_rs"))
+          val rdst = par.select(col("src").as("dst"), col("p").as("_rd"))
+          val jumped = next
+            .join(rsrc, Seq("src"), "left")
+            .join(rdst, Seq("dst"), "left")
+            .select(coalesce(col("_rs"), col("src")).as("a"),
+              coalesce(col("_rd"), col("dst")).as("b"))
+            .filter(col("a") =!= col("b"))
+            .select(greatest(col("a"), col("b")).as("src"),
+              least(col("a"), col("b")).as("dst"))
+            .distinct()
+            .localCheckpoint(false)
+          println(f"[cc-stars] round=$it stall -> pointer-double + contract" +
+            f" ($hops compositions)")
+          (jumped, checksum(jumped))
+        }
+      // a jumped set equalling the previous live set does NOT certify
+      // star-invariance (the fixpoint criterion) — only a pure star
+      // action's unchanged output does
+      if (rcs == cs && !stalled) {
         // global fixpoint: every live component is a final star. Checked
         // FIRST (one cheap scan) so fixpoint rounds never pay the freeze
         // machinery — the direct receipt rows converge in round 1 on
         // their biggest edge set
-        doneParts += next
+        doneParts += round
         converged = true
-        println(f"[cc-stars] round=$it fixpoint: ${ncs._1} star edges done" +
+        println(f"[cc-stars] round=$it fixpoint: ${rcs._1} star edges done" +
           f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
-      } else if (it >= nextFreezeCheck) {
+      } else if (it >= nextFreezeCheck || stalled) {
         // FUSED freeze check over the checkpointed round, all oriented
         // src > dst: star S(c) = {(v → c)} is a finished component iff c
         // never emits (c ∉ src) and every member v appears in NO other
@@ -1128,16 +1211,16 @@ object Dedup {
         // then computes the frozen count AND the live-side checksum
         // together — the r15 shape paid two more actions, an extra
         // checkpoint, and a second join of `next` per check.
-        val deg = next.select(col("src").as("n"))
-          .unionByName(next.select(col("dst").as("n")))
+        val deg = round.select(col("src").as("n"))
+          .unionByName(round.select(col("dst").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
-        val busyCenters = next
+        val busyCenters = round
           .join(deg.filter(col("deg") > 1).select(col("n").as("src")),
             Seq("src"), "left_semi")
           .select(col("dst"))
-          .unionByName(next.select(col("src").as("dst")))
+          .unionByName(round.select(col("src").as("dst")))
           .distinct()
-        val flagged = next
+        val flagged = round
           .join(busyCenters.withColumn("busy", lit(true)), Seq("dst"), "left")
           .localCheckpoint(false)
         val busy = col("busy").isNotNull
@@ -1147,15 +1230,15 @@ object Dedup {
           sum(when(busy, dec(xxhash64(col("src"))))),
           sum(when(busy, dec(xxhash64(col("dst"))))),
           sum(when(busy, dec(xxhash64(col("src"), col("dst")))))).head()
-        val frozenCount = ncs._1 - r.getLong(0)
+        val frozenCount = rcs._1 - r.getLong(0)
         if (frozenCount > 0L) {
           doneParts += flagged.filter(!busy).select("src", "dst")
           live = flagged.filter(busy).select("src", "dst")
           cs = (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
           freezeGap = 1 // freezing is paying off: keep checking every round
         } else {
-          live = next
-          cs = ncs
+          live = round
+          cs = rcs
           freezeGap *= 2 // a miss: push the next check out (chain graphs
           // never freeze mid-run — don't pay the check per round for them)
         }
@@ -1164,8 +1247,8 @@ object Dedup {
           f" done=${doneParts.size} parts" +
           f" (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } else {
-        live = next
-        cs = ncs
+        live = round
+        cs = rcs
         println(f"[cc-stars] round=$it live=${cs._1}" +
           f" (freeze check deferred to round $nextFreezeCheck," +
           f" ${(System.nanoTime() - t0) / 1e9}%.1f s)")
@@ -1175,13 +1258,40 @@ object Dedup {
       s"connectedComponentsStars did not converge in $maxIter rounds" +
         s" (${cs._1} live edges remain)")
     // every frozen edge is (node, componentMin); the minima themselves
-    // (and any self-paired input nodes) label themselves
-    if (doneParts.isEmpty) // unreachable unless the input was all loops
-      return nodes.withColumn("component", col("node"))
+    // (and any self-paired input nodes) label themselves. Contraction
+    // relabels (stall finisher) compose first, IN ORDER — each maps a
+    // node to its pointer-tree root in the space the next table was
+    // built over; a fully-contracted component's root IS its minimum
+    // (min-parent chains strictly decrease, and the component minimum is
+    // the unique sink once a component collapses to one tree).
+    // compose the relabel CHAIN first (each table is contraction-factor
+    // smaller than the last, so r1 ∘ r2 ∘ … costs one join of the FIRST
+    // table plus joins of tiny tails), then apply to the node set once —
+    // folding over `nodes` instead would re-join the full node table per
+    // finisher
+    val relComposed = relabels.reduceLeftOption { (r1, r2) =>
+      // map r1's targets through r2, AND keep r2 rows for nodes r1 never
+      // relabeled (an earlier finisher's tree ROOT can be relabeled by a
+      // later one — dropping it would freeze that node at itself)
+      r1.join(r2.select(col("src").as("p"), col("p").as("_np")),
+          Seq("p"), "left")
+        .select(col("src"), coalesce(col("_np"), col("p")).as("p"))
+        .unionByName(r2.join(r1.select("src"), Seq("src"), "left_anti"))
+    }
+    val withRep = relComposed.fold(nodes.withColumn("rep", col("node"))) {
+      rel =>
+        nodes.join(rel.select(col("src").as("node"), col("p").as("_nr")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("_nr"), col("node")).as("rep"))
+    }
+    if (doneParts.isEmpty) // all loops, or every component contracted away
+      return withRep.select(col("node"), col("rep").as("component"))
     val stars = doneParts.reduce(_ unionByName _)
-    nodes.join(stars.select(col("src").as("node"), col("dst").as("component")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    withRep.join(
+        stars.select(col("src").as("rep"), col("dst").as("component")),
+        Seq("rep"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("rep")).as("component"))
   }
 
   /** Receipt-only probe (verdict r17 #3): run the FUSED star rounds ONE at

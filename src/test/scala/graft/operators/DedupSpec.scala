@@ -257,6 +257,59 @@ class DedupSpec extends SparkSpec {
     assert((1000L to 1150L).forall(viaStars(_) == 1000L))
   }
 
+  test("connectedComponentsStars: permuted chains force the stall finisher and stay exact") {
+    // id-permuted scattered chains defeat every locality tier, so the
+    // star loop hits the r17 STALL path (pointer-double + contract) —
+    // often more than once, exercising the relabel COMPOSITION at
+    // assembly. Output must be value-identical to driver union-find and
+    // one-row-per-node, exactly like the plain path.
+    // a TRUE (Fisher-Yates) permutation: the Scale receipt's modular
+    // bijection keeps enough arithmetic structure at unit scale for the
+    // range tier to contract through it
+    val n = 64000
+    val ids = (0L until n).toArray
+    val prnd = new scala.util.Random(12345)
+    var i = n - 1
+    while (i >= 1) {
+      val j = prnd.nextInt(i + 1)
+      val t = ids(i); ids(i) = ids(j); ids(j) = t
+      i -= 1
+    }
+    val chains = (0 until 2).flatMap { c =>
+      (0 until 31999).map(k => (ids(c * 32000 + k), ids(c * 32000 + k + 1)))
+    }
+    val pairs = chains.toDF("doc_a", "doc_b").repartition(32)
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val log = new java.io.ByteArrayOutputStream()
+    // the test session's 4 shuffle partitions make the ID-locality
+    // range windows a QUARTER of the id ring — wide enough to contract
+    // even permuted ids. 64 windows restores the production geometry
+    // (window ≪ component id-span) so the no-locality stall is reachable
+    // at unit-test scale.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val starRows = Console.withOut(new java.io.PrintStream(log)) {
+      try {
+        // AQE coalesces this tiny fixture's range exchange to ONE
+        // partition, where the local union-find solves the whole graph —
+        // production-scale graphs keep many windows; pin that geometry
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Dedup.connectedComponentsStars(pairs).as[(Long, Long)].collect().toSeq
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+    assert(log.toString.contains("stall -> pointer-double + contract"),
+      s"the fixture must exercise the stall finisher; loop log:\n$log")
+    assert(starRows.size == starRows.map(_._1).distinct.size,
+      s"${starRows.size} rows for ${starRows.map(_._1).distinct.size} nodes")
+    assert(starRows.toMap == viaDriver)
+    assert(starRows.map(_._2).distinct.size == 2, "two chain components")
+  }
+
   test("embeddingDups finds planted high-cosine pairs inside LSH buckets") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
