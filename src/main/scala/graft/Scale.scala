@@ -572,9 +572,10 @@ object Scale {
           operators.Dedup.minhashSignatures(d, "doc_id", "text"),
           bands = 4, rowsPerBand = 4)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    def incDedup(lake: DataFrame, lakeB: DataFrame): Long = {
+    def incDedup(lake: DataFrame, lakeB: DataFrame,
+                 batch: DataFrame = batchDocs): Long = {
       val bb = operators.Dedup.lshBuckets(
-        operators.Dedup.minhashSignatures(batchDocs, "doc_id", "text"),
+        operators.Dedup.minhashSignatures(batch, "doc_id", "text"),
         bands = 4, rowsPerBand = 4)
       // an ingest pipeline knows its batch size exactly (bucket rows =
       // docs × bands) — same contract the production callers use, so the
@@ -582,7 +583,7 @@ object Scale {
       val cand = operators.Dedup.lshCandidatesAcross(lakeB, bb,
         knownBatchRows = Some(500L * 4))
       operators.Dedup.jaccardPairs(
-          lake.select("doc_id", "text").unionByName(batchDocs),
+          lake.select("doc_id", "text").unionByName(batch),
           "doc_id", "text", cand)
         .filter(col("jaccard") >= 0.5).count()
     }
@@ -1080,6 +1081,9 @@ object Scale {
       operators.Dedup.connectedComponents(chainEdges(32, 200000L)), 32))
     secs(s"cc-chains 12.8M-edges (policy)")(countComps(
       operators.Dedup.connectedComponents(chainEdges(64, 200000L)), 64))
+    // r17 #6: the policy path one decade up (⌈26M/5M⌉ driver seed passes)
+    secs(s"cc-chains 25.6M-edges (policy)")(countComps(
+      operators.Dedup.connectedComponents(chainEdges(128, 200000L)), 128))
     secs(s"cc-stars-chains 1.6M-edges (direct)")(countComps(
       operators.Dedup.connectedComponentsStars(chainEdges(8, 200000L)), 8))
     secs(s"cc-stars-chains 6.4M-edges (direct)")(countComps(
@@ -1332,7 +1336,9 @@ object Scale {
       val wanted = rowFilter.forall(re =>
         re.findFirstIn(s"knn-batch50-inproc ${k500}x").isDefined ||
         re.findFirstIn(s"e2e-batch20-stored ${k500}x").isDefined ||
-        re.findFirstIn(s"boolean-batch20-stored ${k500}x").isDefined)
+        re.findFirstIn(s"boolean-batch20-stored ${k500}x").isDefined ||
+        re.findFirstIn(s"dedup-incremental ${k500}x").isDefined ||
+        re.findFirstIn(s"phrase-batch20-stored ${k500}x").isDefined)
       def buildRow(label: String)(f: => Any): Unit = {
         val t0 = System.nanoTime()
         val r = f
@@ -1373,6 +1379,35 @@ object Scale {
         servedRow(s"boolean-batch20-stored ${k500}x", 20)(
           operators.BooleanSearch.booleanTopKBatch(ix500, spark,
             graft.queries.KbQueries.BooleanBatch, 20).count())
+        // r17 #6: second-decade receipts for the families that stopped at
+        // 100× — incremental dedup vs a 2.5M-doc lake (cost must keep
+        // tracking the FIXED 500-doc batch) and stored-positional phrase
+        // serving (build attributed, serve = the pruned batch plan)
+        buildRow(s"dedup-incr-index-build ${k500}x") {
+          val b = storedBuckets(docs500)
+          val n = b.count()
+          // the shared 1.9B-offset batch fixture COLLIDES with the 500×
+          // corpus's replica-190 id range (id-disjointness, ADVICE r15) —
+          // this decade's batch sits beyond all 500 replica ranges
+          val batch500 = docs.limit(500).select(
+              (col("doc_id") + lit(9000000000L)).as("doc_id"), col("text"))
+            .localCheckpoint(true)
+          servedRow(s"dedup-incremental ${k500}x", 500)(
+            incDedup(docs500, b, batch500))
+          b.unpersist()
+          n
+        }
+        buildRow(s"phrase-store-build ${k500}x") {
+          operators.PositionalIndex.write(
+            operators.PositionalIndex.build(docs500, "doc_id", "text"),
+            s"$base/posix_${k500}x")
+          operators.PositionalIndex.read(spark, s"$base/posix_${k500}x")
+            .corpusSize
+        }
+        servedRow(s"phrase-batch20-stored ${k500}x", 20)(
+          operators.PositionalIndex.phraseTopKBatch(
+            operators.PositionalIndex.read(spark, s"$base/posix_${k500}x"),
+            graft.queries.KbQueries.PhraseBatch, 20).count())
       }
     }
 
@@ -1414,7 +1449,7 @@ object Scale {
 
       val zipfLabels = Seq("zipf-tables-build", "bm25-store-write-zipf",
         "rm3-batch20-stored-zipf", "boolean-batch20-stored-zipf",
-        "boolean-fallback70-zipf", "boolean-mask60-zipf",
+        "boolean-wide70-zipf", "boolean-mask60-zipf",
         "posix-build-zipf", "phrase-batch20-stored-zipf",
         "late-batch-auto-zipf", "late-batch-exact-zipf",
         "late-batch-pruned-zipf")
@@ -1447,7 +1482,11 @@ object Scale {
           secs(s"boolean-batch20-stored-zipf ${k}x")(
             operators.BooleanSearch.booleanTopKBatch(zix, spark,
               zipfBooleanBatch, 20).count())
-          secs(s"boolean-fallback70-zipf ${k}x (set-algebra)")(
+          // the >62-distinct-term single query: measured 4-9× slower on
+          // the r15 set-algebra fallback (r17 same-day: 14.1/11.8 s at
+          // 20×/100×), now served by the ⌈T/62⌉-word mask plan; the
+          // 60-term twin is the single-word control
+          secs(s"boolean-wide70-zipf ${k}x (multi-word mask)")(
             operators.BooleanSearch.booleanTopK(zix, spark, q70, 20).count())
           secs(s"boolean-mask60-zipf ${k}x (mask)")(
             operators.BooleanSearch.booleanTopK(zix, spark, q60, 20).count())
@@ -1456,9 +1495,10 @@ object Scale {
             val pix = operators.PositionalIndex.build(zd, "doc_id", "text")
             pix.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              operators.PositionalIndex.write(pix, s"$base/posix_zipf_${k}x")
+              operators.PositionalIndex.write(pix, s"$base/posix_zipf_${k}x",
+                termSorted = Some(false))
               operators.PositionalIndex.write(pix,
-                s"$base/posix_zipf_sorted_${k}x", termSorted = true)
+                s"$base/posix_zipf_sorted_${k}x", termSorted = Some(true))
             } finally pix.postings.unpersist()
             "2 layouts"
           }
@@ -1483,12 +1523,15 @@ object Scale {
               avgDocTokens = Some(g.getLong(1).toDouble / math.max(n, 1L)))
             println(f"[scale] late-batch policy on zipf ${k}x: vocab=${g.getLong(0)} " +
               f"avgDocTokens=${g.getLong(1).toDouble / n}%.1f -> $tier")
-            secs(s"late-batch-auto-zipf ${k}x ($tier)")(
-              LateInteraction.maxSimTopKBatchAuto(zd, "doc_id", "text",
-                zipfDisjoint20, k = 10, corpusDocs = Some(n)).count())
+            // exact runs FIRST: the leading maxSim row pays the one-time
+            // session-memoized vocabulary state, so auto − exact then
+            // isolates the policy's own cost (the sampled geometry probe)
             secs(s"late-batch-exact-zipf ${k}x (counterfactual)")(
               LateInteraction.maxSimTopKBatch(zd, "doc_id", "text",
                 zipfDisjoint20, k = 10).count())
+            secs(s"late-batch-auto-zipf ${k}x ($tier)")(
+              LateInteraction.maxSimTopKBatchAuto(zd, "doc_id", "text",
+                zipfDisjoint20, k = 10, corpusDocs = Some(n)).count())
             secs(s"late-batch-pruned-zipf ${k}x (counterfactual)")(
               LateInteraction.maxSimTopKBatchPruned(zd, "doc_id", "text",
                 zipfDisjoint20, k = 10).count())

@@ -130,34 +130,19 @@ object BooleanSearch {
     * one pruned postings pass + a codegen bitwise predicate replaces the
     * per-leaf INTERSECT/UNION/EXCEPT exchanges of the [[matchingDocs]]
     * set-algebra form (which remains the doc-SET api — it alone keeps the
-    * zero-evidence NOT matches). Queries beyond the mask's 62 distinct
-    * terms (ADVICE r15: the delegation must not regress the public
-    * single-query API's unlimited-term contract) take the set-algebra
-    * path instead: [[matchingDocs]] for the match set, then the same
-    * positive-term BM25 scoring restricted to it — value-identical
-    * semantics, just per-leaf set exchanges instead of one mask pass.
+    * zero-evidence NOT matches). The delegation is unconditional since
+    * r17: the mask spreads over ⌈T/62⌉ Long words, so wide queries keep
+    * the one-pass plan — the former >62-term set-algebra fallback
+    * measured 4-9× slower on the zipf receipt's 70-term query
+    * (tools/scale_r17), a cliff in the public single-query API's
+    * unlimited-term contract (ADVICE r15) that no longer exists.
     */
   def booleanTopK(ix: Bm25.Index, spark: SparkSession, query: String,
                   k: Int, k1: Double = Bm25.K1,
-                  b: Double = Bm25.B): DataFrame = {
-    val node = parse(spark, query)
-    if (allTerms(node).distinct.size <= 62)
-      booleanTopKBatch(ix, spark, Seq((0L, query)), k, k1, b)
-        .select(col("doc_id"), col("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-    else {
-      val posT = positiveTerms(node)
-      val stats = ix.idf.select("term", "idf")
-        .filter(col("term").isin(posT: _*))
-      Bm25.prunedPostings(ix, posT)
-        .join(matchingDocs(ix, node), Seq("doc_id"), "left_semi")
-        .join(broadcast(stats), "term")
-        .groupBy("doc_id")
-        .agg(round(sum(Bm25.termScore(col("tf"), col("doc_len"),
-          lit(ix.avgdl), col("idf"), k1, b)), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(k)
-    }
-  }
+                  b: Double = Bm25.B): DataFrame =
+    booleanTopKBatch(ix, spark, Seq((0L, query)), k, k1, b)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
 
   /** BATCHED boolean retrieval: N parsed queries evaluated in ONE
     * DataFrame DAG whose shuffle count does NOT grow with N. One pruned
@@ -180,8 +165,8 @@ object BooleanSearch {
     *
     * 100 TB shape: two bucket-pruned postings scans TOTAL for the whole
     * batch, one groupBy each, one window — the same plan at N=2 and
-    * N=2000. The mask is a Long (≤62 distinct terms per query — far
-    * beyond any user query; enforced).
+    * N=2000. Masks are ⌈maxTerms/62⌉ Long words per (query, doc) — one
+    * agg column per word, so term width costs columns, never exchanges.
     */
   def booleanTopKBatch(ix: Bm25.Index, spark: SparkSession,
                        queries: Seq[(Long, String)], k: Int,
@@ -194,25 +179,41 @@ object BooleanSearch {
       "duplicate query_id in batch")
     val parsed = queries.map { case (qid, q) => (qid, parse(spark, q)) }
     val slots: Map[Long, Map[String, Int]] = parsed.map { case (qid, n) =>
-      val ts = allTerms(n).distinct.sorted
-      require(ts.size <= 62, s"boolean query $qid: ${ts.size} terms (max 62)")
-      qid -> ts.zipWithIndex.toMap
+      qid -> allTerms(n).distinct.sorted.zipWithIndex.toMap
     }.toMap
+    // 62 slot bits per mask WORD; a query wider than one word spreads its
+    // terms over ⌈T/62⌉ per-(query, doc) mask columns — same one-pass
+    // sum-as-bit_or aggregation, one extra agg column per extra word, so
+    // the >62-term shape keeps the batch plan instead of falling back to
+    // per-leaf set-algebra exchanges (r17: the zipf receipt measured that
+    // fallback 4-9× slower than the mask plan on a 70-term query — a
+    // cliff this removes)
+    val WordBits = 62
+    val nWords = math.max(1,
+      slots.valuesIterator.map(s => (s.size + WordBits - 1) / WordBits)
+        .max)
     val qtermRows = parsed.flatMap { case (qid, _) =>
       slots(qid).toSeq.sortBy(_._2)
-        .map { case (t, i) => (qid, t, 1L << i) }
+        .map { case (t, i) => (qid, t, i / WordBits, 1L << (i % WordBits)) }
     }
     val allT = qtermRows.map(_._2).distinct
     val masks = Bm25.prunedPostings(ix, allT) // bucket dirs + term IN pushdown
       .select("doc_id", "term")
-      .join(broadcast(qtermRows.toDF("query_id", "term", "bit")), "term")
+      .join(broadcast(qtermRows.toDF("query_id", "term", "word", "bit")),
+        "term")
       .groupBy("query_id", "doc_id")
       // postings are unique per (term, doc) and slots unique per
-      // (query, term), so sum == bit_or
-      .agg(sum("bit").as("mask"))
+      // (query, term), so per-word sum == bit_or; a word with none of the
+      // doc's terms aggregates to NULL → coalesced to 0 at the predicate
+      .agg(
+        sum(when(col("word") === 0, col("bit"))).as("mask_0"),
+        (1 until nWords).map(w =>
+          sum(when(col("word") === w, col("bit"))).as(s"mask_$w")): _*)
     def evalMask(n: Node, slot: Map[String, Int]): Column = n match {
       case Term(t) =>
-        col("mask").bitwiseAND(lit(1L << slot(t))) =!= lit(0L)
+        val i = slot(t)
+        coalesce(col(s"mask_${i / WordBits}"), lit(0L))
+          .bitwiseAND(lit(1L << (i % WordBits))) =!= lit(0L)
       case And(l, r) => evalMask(l, slot) && evalMask(r, slot)
       case Or(l, r) => evalMask(l, slot) || evalMask(r, slot)
       case Not(x) => !evalMask(x, slot)

@@ -396,6 +396,13 @@ object LateInteraction {
     */
   val PrunedKeepFractionMax = 0.2
 
+  /** Sample size for the batch dispatcher's one-agg geometry probe —
+    * bounded so the POLICY never costs a corpus pass (see
+    * [[maxSimTopKBatchAuto]]; the probe only runs past [[ExactMaxDocs]],
+    * so this is at most a 20% sample).
+    */
+  val GeometryProbeDocs = 20000L
+
   /** The batch serving-tier policy ([[chooseTier]]'s batched twin,
     * verdict r15 #4), decided from the batch's token-overlap statistic
     * plus the corpus geometry: Pruned ONLY when the corpus is big, the
@@ -461,12 +468,21 @@ object LateInteraction {
     val tier =
       if (!needsGeometry(n, queries)) Tier.Exact
       else {
-        // disjoint batch on a big corpus: geometry decides — pay the one
-        // agg for (vocab size, avg distinct tokens per doc)
-        val r = docTokens(docs, idCol, textCol)
+        // disjoint batch on a big corpus: geometry decides. The probe
+        // runs on a BOUNDED SAMPLE (r17): the full-corpus tokenize+agg
+        // measured as expensive as the batch itself at 100× (the auto
+        // row paid 40 s against a 21-s exact counterfactual). A sample
+        // UNDERESTIMATES the vocabulary, which overestimates the
+        // candidate keep-fraction — the bias is conservative: a marginal
+        // corpus stays on the exact tier, and the pruned tier still opens
+        // where it actually pays (vocab ≫ batch·candPerTok shows up in
+        // any 20k-doc sample).
+        val sampleN = math.min(n, GeometryProbeDocs)
+        val r = docTokens(docs.limit(sampleN.toInt), idCol, textCol)
           .agg(countDistinct(col("tok")), count(lit(1))).head()
         chooseBatchTier(n, queries, candPerTok,
-          Some(r.getLong(0)), Some(r.getLong(1).toDouble / math.max(n, 1L)))
+          Some(r.getLong(0)),
+          Some(r.getLong(1).toDouble / math.max(sampleN, 1L)))
       }
     tier match {
       case Tier.Exact =>

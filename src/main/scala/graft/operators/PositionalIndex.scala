@@ -56,23 +56,40 @@ object PositionalIndex {
     Index(post, stats)
   }
 
-  /** Persist the index partitioned by term bucket (file-level pruning at
-    * serve time), stats as a one-row sidecar. The default layout is NOT
-    * term-sorted within buckets (the r16 [[Bm25.writeIndex]] layout):
-    * same-day A/B on phrase-batch20-stored at 100× read 17.2 s sorted vs
-    * 15.0 s unsorted — positional rows carry heavy `positions` arrays,
-    * the repartition-per-bucket write skews on small vocabularies, and
-    * the serve paths' per-term equality filters already prune at the
-    * bucket level (1-2 terms per bucket at test vocab sizes). That A/B
-    * ran on the ~31-token word-soup corpus; `termSorted = true` writes
-    * the [[Bm25.writeIndex]]-style sorted layout (term equality filters
-    * then skip to page runs via parquet min/max stats) so the decision is
-    * re-measurable on realistic vocabularies — see the r17 Zipf-corpus
-    * A/B rows in `graft.Scale`.
+  /** A bucket pays for term-sorting once it holds at least this many
+    * distinct terms: below it a bucket resolves to 1-2 terms and the
+    * directory pruning already did the work, while the consolidating
+    * repartition only costs parallelism (the r16 word-soup A/B, 31 terms
+    * / 64 buckets: sorted 17.2 s vs unsorted 15.0 s at 100×); above it
+    * the term IN (…) pushdown skips to page runs via parquet min/max
+    * stats (the r17 Zipf A/B, ~50k terms: sorted 3.13 s vs unsorted
+    * 4.14 s at 100× — tools/scale_r17).
     */
-  def write(ix: Index, dir: String, termSorted: Boolean = false): Unit = {
+  val SortedLayoutMinTermsPerBucket = 4.0
+
+  /** Persist the index partitioned by term bucket (file-level pruning at
+    * serve time), stats as a one-row sidecar. The within-bucket layout is
+    * VOCABULARY-AWARE by default (None): term-sorted in the
+    * [[Bm25.writeIndex]] style when the corpus carries at least
+    * [[SortedLayoutMinTermsPerBucket]] distinct terms per bucket (page
+    * pruning then has something to skip — realistic text), the plain
+    * parallel write otherwise (degenerate small vocabularies, where the
+    * r16 A/B measured sorting as a pure loss). One vocab-sized
+    * countDistinct at write time decides; pass Some(_) to force a layout
+    * (the Scale A/B rows do).
+    */
+  def write(ix: Index, dir: String,
+            termSorted: Option[Boolean] = None): Unit = {
+    val sorted = termSorted.getOrElse {
+      val nTerms = ix.postings.agg(
+        org.apache.spark.sql.functions.countDistinct(col("term")))
+        .head().getLong(0)
+      val nBuckets = math.max(ix.stats.select(col("term_buckets"))
+        .head().getInt(0), 1)
+      nTerms.toDouble / nBuckets >= SortedLayoutMinTermsPerBucket
+    }
     val post =
-      if (termSorted)
+      if (sorted)
         ix.postings.repartition(col("term_bucket"))
           .sortWithinPartitions("term_bucket", "term", "doc_id")
       else ix.postings

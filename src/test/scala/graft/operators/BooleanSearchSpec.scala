@@ -61,11 +61,13 @@ class BooleanSearchSpec extends SparkSpec {
     }
   }
 
-  test("booleanTopK beyond 62 distinct terms: set-algebra fallback, same semantics") {
-    // ADVICE r15: the mask delegation capped the public single-query API
-    // at 62 distinct terms — wide queries must take the set-algebra path,
-    // not throw. 70-term corpus, a 70-way OR plus a NOT: the fallback's
-    // scores/order must agree with a narrow two-term query's contract.
+  test("booleanTopK beyond 62 distinct terms: multi-word mask, same semantics") {
+    // ADVICE r15 capped the single-Long mask at 62 distinct terms; the
+    // r15 set-algebra fallback honored the unlimited-term contract but
+    // measured 4-9× slower (tools/scale_r17's 70-term zipf rows), so r17
+    // spreads the mask over ⌈T/62⌉ words — wide queries stay on the
+    // one-pass batch plan. 70-term corpus, a 70-way OR plus a NOT: the
+    // wide query's scores/order must agree with the narrow contract.
     val wide = (1 to 70).map(i => s"term$i")
     val docs = Seq(
       (1L, wide.take(35).mkString(" ")),
