@@ -31,8 +31,11 @@ object EvalReceipt {
       .write.mode("overwrite").parquet(s"$kb/chunks")
     Main.run(Array("embed", kb), spark)
     Main.run(Array("bm25", kb), spark)
-    val queriesArg =
-      "spark join filter window;;hash merge batch scan;;sort table row value"
+    // single-sourced from the planted-query list the qrels builders use
+    // (ADVICE r17): position i in this arg IS query_id i+1 in the qrels,
+    // by construction — editing either can no longer silently misalign
+    // the A/B's query ids
+    val queriesArg = graft.queries.EngineQueries.plantedQueriesArg
     // planted LEXICAL qrels (the TREC shape the --qrels flag reads):
     // per query, docs ranked by total query-term OCCURRENCES (raw tf
     // mass, ties by doc_id) — top 20 grade 3, next 30 grade 2, next 50

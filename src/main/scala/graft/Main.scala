@@ -935,14 +935,21 @@ object Main {
             val fresh = emb.join(assignedIds, Seq("doc_id"), "left_anti")
             val n = fresh.count()
             val curSet = curInv.toSet
-            // count reconciliation (ADVICE r16): a re-embed done VIA
+            // count reconciliation (ADVICE r16/r17): a re-embed done VIA
             // append mode (new part files that re-carry existing doc_ids
             // plus new ids) passes the file-inventory subset test — but
-            // then the embeddings table holds duplicate doc_ids, so
-            // |emb| > |assigned| + nFresh. Require exact balance before
-            // blessing the append; imbalance routes to rebuild.
-            lazy val balanced =
-              emb.count() == spark.read.parquet(s"$storeDir/assigned").count() + n
+            // then the embeddings table holds duplicate doc_ids. Total
+            // row counts miss duplicates confined to NEW ids (two rows of
+            // one fresh doc_id still balance |emb| = |assigned| + nFresh),
+            // so reconcile on DISTINCT doc_ids: every id is either already
+            // assigned or fresh-and-unique, else route to rebuild.
+            lazy val balanced = {
+              val c = emb.agg(count(lit(1)), countDistinct(col("doc_id")))
+                .head()
+              c.getLong(0) == c.getLong(1) && // no duplicate ids anywhere
+                c.getLong(1) ==
+                  spark.read.parquet(s"$storeDir/assigned").count() + n
+            }
             val invAttested = recordedInv.exists(_.nonEmpty)
             val sound = storedFp.contains(curFp) || // untouched: no-op ok
               (n > 0 && invAttested &&

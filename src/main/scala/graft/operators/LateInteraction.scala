@@ -477,12 +477,24 @@ object LateInteraction {
         // corpus stays on the exact tier, and the pruned tier still opens
         // where it actually pays (vocab ≫ batch·candPerTok shows up in
         // any 20k-doc sample).
-        val sampleN = math.min(n, GeometryProbeDocs)
-        val r = docTokens(docs.limit(sampleN.toInt), idCol, textCol)
-          .agg(countDistinct(col("tok")), count(lit(1))).head()
+        // deterministic CROSS-CORPUS sample (ADVICE r17): limit() takes a
+        // partition-order prefix, and a short-doc prefix biases
+        // avgDocTokens DOWN, which overestimates the keep fraction and
+        // can flip the policy toward the Pruned tier — the direction that
+        // EXCLUDES documents, not just costs more. Hashing the id column
+        // samples uniformly over the whole corpus regardless of file
+        // layout; the realized doc count rides along in the same agg so
+        // avgDocTokens divides by what was actually sampled.
+        val sampleMod = math.max(n / GeometryProbeDocs, 1L)
+        val sampled =
+          if (sampleMod <= 1L) docs
+          else docs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+        val r = docTokens(sampled, idCol, textCol)
+          .agg(countDistinct(col("tok")), count(lit(1)),
+            countDistinct(col(idCol))).head()
         chooseBatchTier(n, queries, candPerTok,
           Some(r.getLong(0)),
-          Some(r.getLong(1).toDouble / math.max(sampleN, 1L)))
+          Some(r.getLong(1).toDouble / math.max(r.getLong(2), 1L)))
       }
     tier match {
       case Tier.Exact =>

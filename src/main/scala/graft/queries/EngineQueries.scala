@@ -35,6 +35,34 @@ object EngineQueries {
         graft.query.Rerank.LogisticScorer.syntheticGradedContexts(qTokens))
   }
 
+  /** The ONE planted-query list every m15_* planted family, both qrels
+    * builders, and EvalReceipt's CLI eval derive from. Single-sourced
+    * (ADVICE r17): the qrels' query_ids and the eval's positional
+    * query_ids come from the same rows, so editing a query here can
+    * never silently misalign one side of the A/B.
+    */
+  private[graft] val PlantedQueryDefs: Seq[(Long, String)] = Seq(
+    1L -> "spark join filter window",
+    2L -> "hash merge batch scan",
+    3L -> "sort table row value")
+
+  /** The `;;`-joined eval-verb argument for the planted batch — the form
+    * `Main eval` parses positionally; position i IS query_id i+1 because
+    * both come from [[PlantedQueryDefs]] in order.
+    */
+  private[graft] def plantedQueriesArg: String =
+    PlantedQueryDefs.map(_._2).mkString(";;")
+
+  /** Upper bound on any planted query's ordered-bigram count, derived
+    * from the queries themselves (ADVICE r17 — was a hard-coded 3, which
+    * would silently truncate the SQL oracle's E[bpx] if a query grew).
+    * Splitting on non-alphanumerics over-counts vs tokenizeBm25 (which
+    * also drops stopwords/short tokens); over-count is exact-safe — the
+    * extra unrolled terms are CASE-guarded zeros.
+    */
+  private[graft] def plantedMaxPairs: Int =
+    PlantedQueryDefs.map(_._2.split("[^a-zA-Z0-9]+").length - 1).max
+
   /** SQL for f5's chance-adjacency expectation E[bpx] = Σ_pairs
     * tf(a)·tf(b)/L over the query's ordered bigrams — one indexed term per
     * possible pair (list element access is CASE-guarded), summed in list
@@ -107,8 +135,7 @@ object EngineQueries {
                         dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val qbg = Seq((1L, "spark join filter window"),
-      (2L, "hash merge batch scan"), (3L, "sort table row value"))
+    val qbg = PlantedQueryDefs
       .map { case (qid, qt) =>
         (qid, TextFunctions.tokenizeBm25Value(s, qt)
           .sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
@@ -143,9 +170,7 @@ object EngineQueries {
   private def plantedQueries(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    Seq((1L, "spark join filter window"),
-      (2L, "hash merge batch scan"), (3L, "sort table row value"))
-      .toDF("query_id", "qtext")
+    PlantedQueryDefs.toDF("query_id", "qtext")
   }
 
   /** Shared ranking+eval core of the planted families: BM25 top-20
@@ -1967,8 +1992,7 @@ object EngineQueries {
     //    learned > bm25 every round (Rm16EvalGateSpec asserts the
     //    inequality itself); weights are literals in both engines ────────
     QueryDef.sql("m15_retrieval_planted", {
-      val qdefs = Seq(1 -> "spark join filter window",
-        2 -> "hash merge batch scan", 3 -> "sort table row value")
+      val qdefs = PlantedQueryDefs
       val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
       val qbVals = qdefs.map { case (i, t) =>
         val bgs = t.split(" ").sliding(2).map(_.mkString(" "))
@@ -2027,7 +2051,7 @@ object EngineQueries {
          |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
          |         len(ql.qtoks)::DOUBLE AS nq,
          |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
-         |         ${proxExpvSql(3)} AS expv
+         |         ${proxExpvSql(plantedMaxPairs)} AS expv
          |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
          |  JOIN qb qg USING (query_id)
          |  WHERE k.rk <= 10),
@@ -2089,8 +2113,7 @@ object EngineQueries {
     //    here is a generalization receipt, not feature-signal alignment.
     //    Grades band by VALUE (px ≥3/==2/==1 → 3/2/1) ────────────────────
     QueryDef.sql("m15_retrieval_planted_prox", {
-      val qdefs = Seq(1 -> "spark join filter window",
-        2 -> "hash merge batch scan", 3 -> "sort table row value")
+      val qdefs = PlantedQueryDefs
       val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
       val qbVals = qdefs.map { case (i, t) =>
         val bgs = t.split(" ").sliding(2).map(_.mkString(" "))
@@ -2149,7 +2172,7 @@ object EngineQueries {
          |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
          |         len(ql.qtoks)::DOUBLE AS nq,
          |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
-         |         ${proxExpvSql(3)} AS expv
+         |         ${proxExpvSql(plantedMaxPairs)} AS expv
          |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
          |  JOIN qb qg USING (query_id)
          |  WHERE k.rk <= 10),

@@ -235,8 +235,13 @@ object StreamingIngest {
       val lakeDir = s"$dir/lake"
       // schema consistency: a pre-fp lake keeps its shape (mixed parquet
       // schemas in one directory would corrupt reads); fresh lakes and
-      // fp-carrying lakes store the fingerprint
-      val exists = new java.io.File(lakeDir).exists()
+      // fp-carrying lakes store the fingerprint. Existence goes through
+      // the Hadoop FileSystem (ADVICE r17): java.io.File answers false
+      // for every remote kb path, which would audit-stamp appends into a
+      // pre-audit remote lake — exactly the mixed-schema corruption this
+      // guard exists to prevent.
+      val exists =
+        graft.sources.KbStorage.pathExists(survivors.sparkSession, lakeDir)
       val lakeCols =
         if (exists) survivors.sparkSession.read.parquet(lakeDir).columns.toSet
         else Set.empty[String]
