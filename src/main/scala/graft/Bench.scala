@@ -55,6 +55,11 @@ object Bench {
     // JVM/codegen warmup (one trivial whole-stage-codegen job)
     val warmupSec = secs { spark.range(1000000).selectExpr("sum(id)").collect() }
 
+    // host-speed canary (verdict r17 #2): a fixed single-threaded CPU
+    // workload timed before any query runs, carried in both JSON lines —
+    // cross-day comparisons divide row times by their runs' canaries
+    val canarySec = HostCanary.receiptLine("bench")
+
     // Shared index builds, forced to materialization here so per-query
     // numbers measure query work, not one-time build work. These hit the
     // same memoization keys (sfDir) the query registry uses, so the first
@@ -130,7 +135,7 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val passes = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    val build = s"""{"warmup":${ms(warmupSec)},"bm25_index":${ms(bm25Sec)},"ivf_index":${ms(ivfSec)},"graph_index":${ms(graphSec)}}"""
+    val build = s"""{"warmup":${ms(warmupSec)},"canary":${ms(canarySec)},"bm25_index":${ms(bm25Sec)},"ivf_index":${ms(ivfSec)},"graph_index":${ms(graphSec)}}"""
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries_max":$qsMax,"queries_failed_reps":$failedReps,"build":$build,"sf":"$sfDir","pass_totals":$passes,"failed":$failed,"queries":$qs}"""
     println(fullLine)
     // The capture window that becomes BENCH_r{N}.json keeps only the TAIL
@@ -160,7 +165,7 @@ object Bench {
       "sim_knn_graph", "sim_knn_graph_unique", "e2e_incremental")
     val headline = jmap(results.collect {
       case (k, mn, _) if headlineNames(k) => (k, mn) })
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passes,"failed":$failed,"nqueries":${results.size},"headline":$headline,"full":"tools/bench_full_last.json"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passes,"failed":$failed,"canary":${ms(canarySec)},"nqueries":${results.size},"headline":$headline,"full":"tools/bench_full_last.json"}""")
     spark.stop()
   }
 }

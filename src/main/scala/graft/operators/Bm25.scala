@@ -645,7 +645,8 @@ object Bm25 {
   def scoreBatch(ix: Index, queries: DataFrame,
                  qidCol: String, qtextCol: String,
                  k1: Double = K1, b: Double = B,
-                 knownTerms: Option[Seq[String]] = None): DataFrame = {
+                 knownTerms: Option[Seq[String]] = None,
+                 postingsOverride: Option[DataFrame] = None): DataFrame = {
     // NOTE deliberately NOT routed through [[indexInProcess]]: batch
     // scoring emits |docs|x|queries|-scale rows, and a driver-side replay
     // would hand downstream operators one giant single-partition
@@ -660,8 +661,12 @@ object Bm25 {
     // callers holding the query strings driver-side (the pipeline batch
     // path does) pass their tokenized union so a bucketed at-rest index
     // partition-prunes exactly like the single-query path; without it the
-    // batch scans all buckets (the term equi-join still bounds the work)
-    knownTerms.fold(withDocLen(ix))(ts => prunedPostings(ix, ts))
+    // batch scans all buckets (the term equi-join still bounds the work).
+    // postingsOverride lets a caller hand in an already-pruned (and
+    // possibly persisted) postings slice covering its terms — Rm3's
+    // batched two-pass serve shares ONE cached slice across passes
+    postingsOverride.getOrElse(
+      knownTerms.fold(withDocLen(ix))(ts => prunedPostings(ix, ts)))
       .join(broadcast(qStats), "term")
       .crossJoin(broadcast(ix.stats))
       .groupBy("query_id", "doc_id")

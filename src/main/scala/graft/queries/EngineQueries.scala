@@ -78,6 +78,36 @@ object EngineQueries {
         s"greatest(len(d.dt)::DOUBLE, 1.0) ELSE 0.0 END)"
     }.mkString(" + ")
 
+  /** Shared SQL twin of the exact MaxSim tier — t11_late_interaction and
+    * t11_late_stored serve the identical computation (the stored tier only
+    * changes WHERE the token stream and vocabulary embeddings come from),
+    * so both hash-gate against this one oracle.
+    */
+  private lazy val lateInteractionSql: String = {
+    def rawEmb(text: String, dims: Int): String =
+      s"""list_transform(range(0, $dims), j ->
+         | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
+         |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
+    val vals = graft.operators.LateInteraction.tokenizeValue(OracleSql.QueryText)
+      .distinct.sorted.map(t => s"('$t')").mkString(", ")
+    s"""WITH dtok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS tok
+       |  FROM documents),
+       |ve AS MATERIALIZED (
+       |  SELECT tok, ${rawEmb("tok", 8)} AS tvec
+       |  FROM (SELECT DISTINCT tok FROM dtok)),
+       |q(qtok) AS (VALUES $vals),
+       |qe AS MATERIALIZED (SELECT qtok, ${rawEmb("qtok", 8)} AS qvec FROM q),
+       |sims AS MATERIALIZED (
+       |  SELECT tok, qtok, ${cosineSql("tvec", "qvec")} AS sim
+       |  FROM ve CROSS JOIN qe),
+       |ms AS (SELECT d.doc_id, s.qtok, max(s.sim) AS m
+       |       FROM dtok d JOIN sims s USING (tok) GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, round(sum(m), 4) AS score FROM ms GROUP BY doc_id)
+       |SELECT doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** The m15_retrieval_planted computation, shared with Rm16EvalGateSpec
     * (which asserts the learned-vs-bm25 inequality the oracle hash gates):
     * plant tf-mass-graded qrels over `documents`, rank the 3-query batch
@@ -1172,32 +1202,30 @@ object EngineQueries {
     //    corpus token stream then joins that broadcast-small similarity
     //    table — max per (doc, qtok), sum per doc, round(·,4), top-20.
     //    Nothing is quadratic in corpus size: vocab × |q| pairs only ────
-    QueryDef.sql("t11_late_interaction", {
-      def rawEmb(text: String, dims: Int): String =
-        s"""list_transform(range(0, $dims), j ->
-           | ((((${polyHashSql(s"$text || '|' || j::VARCHAR")}) % 1000) - 500)::DOUBLE
-           |   / 500.0)::FLOAT)""".stripMargin.replaceAll("\n", "")
-      val vals = graft.operators.LateInteraction.tokenizeValue(QueryText)
-        .distinct.sorted.map(t => s"('$t')").mkString(", ")
-      s"""WITH dtok AS MATERIALIZED (
-         |  SELECT doc_id, unnest(list_distinct(${plainTokSql("text")})) AS tok
-         |  FROM documents),
-         |ve AS MATERIALIZED (
-         |  SELECT tok, ${rawEmb("tok", 8)} AS tvec
-         |  FROM (SELECT DISTINCT tok FROM dtok)),
-         |q(qtok) AS (VALUES $vals),
-         |qe AS MATERIALIZED (SELECT qtok, ${rawEmb("qtok", 8)} AS qvec FROM q),
-         |sims AS MATERIALIZED (
-         |  SELECT tok, qtok, ${cosineSql("tvec", "qvec")} AS sim
-         |  FROM ve CROSS JOIN qe),
-         |ms AS (SELECT d.doc_id, s.qtok, max(s.sim) AS m
-         |       FROM dtok d JOIN sims s USING (tok) GROUP BY 1, 2),
-         |sc AS (SELECT doc_id, round(sum(m), 4) AS score FROM ms GROUP BY doc_id)
-         |SELECT doc_id, score FROM sc
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    }) { (s, dir) =>
+    QueryDef.sql("t11_late_interaction", lateInteractionSql) { (s, dir) =>
       graft.operators.LateInteraction.maxSimTopK(
         Tables.documents(s, dir), "doc_id", "text", QueryText, 20, dims = 8)
+    },
+
+    // ── Late interaction from the AT-REST index (verdict r18 #3): the
+    //    token stream and the EMBEDDED vocabulary are build-once parquet
+    //    (the build-once/serve-many idiom of the BM25/IVF stores), so a
+    //    fresh session serves MaxSim without re-tokenizing the corpus or
+    //    re-embedding the vocabulary. Value-identical to the computed
+    //    tier — same oracle SQL, same hash gate ──────────────────────────
+    QueryDef.sql("t11_late_stored", lateInteractionSql) { (s, dir) =>
+      import graft.operators.LateInteraction
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_latestore_$suffix").getPath
+      LateStoreMemo.memo.getOrBuild(s, dir) {
+        LateInteraction.writeIndex(
+          LateInteraction.buildIndex(Tables.documents(s, dir), "doc_id",
+            "text", dims = 8), root)
+        true
+      }
+      LateInteraction.maxSimTopKStored(
+        LateInteraction.readIndex(s, root), QueryText, 20)
     },
 
     // ── Pruned late interaction — ColBERT's candidate-generation serving

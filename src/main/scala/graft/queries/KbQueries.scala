@@ -919,3 +919,10 @@ private[queries] object Bm25StoreMemo {
 private[queries] object Bm25AppendBaseMemo {
   val memo = new graft.operators.SessionMemo[Boolean]
 }
+
+/** Session-scoped once-per-corpus latch for the stored late-interaction
+  * index (build+write once, serve many — t11_late_stored).
+  */
+private[queries] object LateStoreMemo {
+  val memo = new graft.operators.SessionMemo[Boolean]
+}

@@ -272,4 +272,34 @@ class LateInteractionSpec extends SparkSpec {
     // dedup: identical distinct-token sets => identical scores
     assert(got.map(_._2).distinct.size == 1)
   }
+
+  test("at-rest index round-trip: stored serving equals the computed tier") {
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "window functions rank rows per partition"),
+      (3L, "filter pushdown prunes parquet row groups"),
+      (4L, "join strategies: broadcast hash and sort merge"),
+      (5L, "")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("latestore").toString
+    LateInteraction.writeIndex(
+      LateInteraction.buildIndex(docs, "doc_id", "text", dims = 8), dir)
+    val ix = LateInteraction.readIndex(spark, dir)
+    assert(ix.idCol == "doc_id" && ix.dims == 8)
+    val q = "spark join filter window"
+    // single query: stored == computed, row for row (incl. order)
+    val stored = LateInteraction.maxSimTopKStored(ix, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val computed = LateInteraction.maxSimTopK(docs, "doc_id", "text", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored == computed)
+    // batch: same contract, one-column wave budget forces multi-wave so
+    // the stored path's per-wave vocabulary re-read is exercised
+    val batch = Seq(1L -> "spark window", 2L -> "join scan broadcast")
+    val sb = LateInteraction.maxSimTopKBatchStored(ix, batch, 5,
+      colsPerWave = 2).as[(Long, Long, Double, Int)].collect().toSet
+    val cb = LateInteraction.maxSimTopKBatch(docs, "doc_id", "text",
+      batch, 5).as[(Long, Long, Double, Int)].collect().toSet
+    assert(sb == cb)
+  }
 }
