@@ -102,13 +102,55 @@ object Main {
     ()
   }
 
+  /** The serving chunk table for a kb (verdict r18 #8): the batch-built
+    * `chunks/` artifact when present; otherwise — for a `maintain`-built
+    * kb — chunks derived on the fly from [[graft.streaming.StreamingIngest.lakeCurrent]],
+    * the audited CURRENT view of the append-only lake. Reading THROUGH
+    * the view is what gives serving the reference's AFTER-UPDATE trigger
+    * semantics (`migrations.py:253-283`): a re-ingested document with
+    * changed content serves its LATEST committed text, with the sticky
+    * `created_at` / bumped `updated_at` columns riding on every chunk
+    * row. Chunk ids reproduce the maintenance lifecycle's
+    * `sourcedoc#sid` form with the same config-resolved geometry, so
+    * they line up with the versioned BM25 store and the maintained
+    * embeddings table.
+    */
+  private def servingChunks(spark: SparkSession, kb: String,
+                            cfg: KbConfig): Option[org.apache.spark.sql.DataFrame] =
+    if (graft.sources.KbStorage.pathExists(spark, s"$kb/chunks"))
+      Some(spark.read.parquet(s"$kb/chunks")
+        .withColumnRenamed("chunk_text", "text"))
+    else if (graft.sources.KbStorage.pathExists(spark, s"$kb/lake"))
+      Some(graft.streaming.StreamingIngest.lakeCurrent(spark, kb)
+        .select(col("doc_id").as("sourcedoc"), col("created_at"),
+          col("updated_at"),
+          explode(graft.ingest.Chunker.chunks(col("text"),
+            cfg.dbMaxTokens, cfg.dbMaxTokens / 4)).as("c"))
+        .select(concat(col("sourcedoc"), lit("#"), col("c.sid")).as("doc_id"),
+          col("sourcedoc"), col("c.sid").as("sid"),
+          col("c.chunk_text").as("text"),
+          col("created_at"), col("updated_at")))
+    else None
+
+  /** The serving embeddings table: maintained kbs key vectors by
+    * `chunk_id` (the lifecycle's append-only artifact) — adapt to the
+    * pipeline's `doc_id` convention.
+    */
+  private def servingEmbeddings(spark: SparkSession,
+                                kb: String): org.apache.spark.sql.DataFrame = {
+    val emb = spark.read.parquet(s"$kb/embeddings")
+    if (emb.columns.contains("chunk_id"))
+      emb.select(col("chunk_id").as("doc_id"), col("embedding"))
+    else emb
+  }
+
   private[graft] val Version = "0.9.0"
 
   private[graft] val Usage: String =
     """usage: graft.Main <verb> ...
       |  database <kbDir> <inputGlob> [cfg.ini] [--force]   ingest + chunk (incremental)
       |  embed    <kbDir> [cfg.ini]               embed chunks (cache-aware)
-      |  bm25     <kbDir> [--positions]           build the BM25 (+ positional) index
+      |  bm25     <kbDir> [--positions [--relayout]]  build the BM25 (+ positional) index / migrate its layout
       |  search   <kbDir> "<text>" [k] [--phrase|--boolean] [--snippets]   keyword search
       |  query    <kbDir> "<text>" [cfg.ini] [--context-only]   hybrid retrieval (+answer)
       |  tune     <kbDir> [target] [cfg.ini]      calibrate ANN knobs to a recall target
@@ -253,12 +295,25 @@ object Main {
           graft.operators.Bm25.buildIndex(chunks, "doc_id", "text"), s"$kb/bm25")
         println(s"[graft] bm25: index -> $kb/bm25")
         // --positions: also persist the positional inverted index so the
-        // `search --phrase` verb serves from bucket-pruned partitions
+        // `search --phrase` verb serves from bucket-pruned partitions.
+        // --relayout migrates an EXISTING store's within-bucket layout in
+        // place (pre-r18 stores serve forever unsorted otherwise) without
+        // re-tokenizing the corpus — postings rows and stats values are
+        // preserved, only the physical order and the layout field change
         if (args.contains("--positions")) {
-          graft.operators.PositionalIndex.write(
-            graft.operators.PositionalIndex.build(chunks, "doc_id", "text"),
-            s"$kb/posindex")
-          println(s"[graft] bm25: positional index -> $kb/posindex")
+          val pdir = s"$kb/posindex"
+          if (args.contains("--relayout") &&
+              graft.sources.KbStorage.pathExists(spark, pdir)) {
+            val changed = graft.operators.PositionalIndex.relayout(spark, pdir)
+            println(s"[graft] bm25: positional index " +
+              (if (changed) "relayout rewritten" else "layout already current") +
+              s" -> $pdir")
+          } else {
+            graft.operators.PositionalIndex.write(
+              graft.operators.PositionalIndex.build(chunks, "doc_id", "text"),
+              pdir)
+            println(s"[graft] bm25: positional index -> $pdir")
+          }
         }
 
       case "search" =>
@@ -276,8 +331,11 @@ object Main {
         val k = args.drop(3)
           .find(a => a.nonEmpty && a.forall(_.isDigit))
           .map(_.toInt).getOrElse(10)
-        val chunks = spark.read.parquet(s"$kb/chunks")
-          .withColumnRenamed("chunk_text", "text")
+        // same maintained-kb fallback as the query verb: keyword search on
+        // a stream-maintained store reads text through lakeCurrent
+        val chunks = servingChunks(spark, kb, loadCfg(Array.empty, 99, kb))
+          .getOrElse(sys.error(s"search: no $kb/chunks and no $kb/lake — " +
+            "run the database or maintain verb first"))
         def loadIx() =
           if (graft.sources.KbStorage.pathExists(spark, s"$kb/bm25"))
             graft.operators.Bm25.readIndex(spark, s"$kb/bm25")
@@ -287,11 +345,18 @@ object Main {
               chunks, "doc_id", "text"))
         val hits =
           if (args.contains("--phrase")) {
-            if (graft.sources.KbStorage.pathExists(spark, s"$kb/posindex"))
-              graft.operators.PositionalIndex.phraseTopK(
-                graft.operators.PositionalIndex.read(spark, s"$kb/posindex"),
-                q, k)
-            else graft.operators.PhraseSearch.phraseTopK(
+            if (graft.sources.KbStorage.pathExists(spark, s"$kb/posindex")) {
+              val pix = graft.operators.PositionalIndex.read(
+                spark, s"$kb/posindex")
+              // layout provenance (verdict r18 #6): a pre-r18 store has no
+              // layout field and may be serving unsorted on a vocabulary
+              // where page pruning pays — tell the operator how to migrate
+              if (pix.layout.isEmpty)
+                println(s"[graft] search: $kb/posindex predates the layout " +
+                  "record (may serve unsorted); migrate with " +
+                  "`bm25 <kbDir> --positions --relayout`")
+              graft.operators.PositionalIndex.phraseTopK(pix, q, k)
+            } else graft.operators.PhraseSearch.phraseTopK(
               chunks, "doc_id", "text", q, k)
           } else if (args.contains("--boolean"))
             graft.operators.BooleanSearch.booleanTopK(loadIx(), spark, q, k)
@@ -332,9 +397,12 @@ object Main {
         require(args.length >= 3, "query <kbDir> \"<text>\" [cfg.ini] [--context-only]")
         // flags are not positional: strip them before the cfg-path lookup
         val cfg0 = loadCfg(args.filterNot(_.startsWith("--")), 3, kb)
-        val chunks = spark.read.parquet(s"$kb/chunks")
-          .withColumnRenamed("chunk_text", "text")
-        val emb = spark.read.parquet(s"$kb/embeddings")
+        // maintained kbs (no batch chunks/) serve text THROUGH the audited
+        // lakeCurrent view — latest committed version, sticky created_at
+        val chunks = servingChunks(spark, kb, cfg0).getOrElse(
+          sys.error(s"query: no $kb/chunks and no $kb/lake — run the " +
+            "database or maintain verb first"))
+        val emb = servingEmbeddings(spark, kb)
         // M6 verify-at-load: the query vector must match the stored corpus
         // dims or the cosine is meaningless — warn and use the stored value
         // (embed_manager.py:616-626 probes the same way)

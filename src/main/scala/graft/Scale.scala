@@ -1117,6 +1117,15 @@ object Scale {
           .select(permuteId(col("doc_a")).as("doc_a"),
             permuteId(col("doc_b")).as("doc_b"))
           .repartition(32)), 8))
+    // r18 #7 counterfactual: EARLY stall trigger (first action at 1 round
+    // so the frozen-count signal is probed ~3 rounds sooner) — REJECTED
+    // same-JVM: shallow trees gut the finisher's contraction factor
+    secs(s"cc-stars-chains 1.6M-edges (permuted, early trigger)")(countComps(
+      operators.Dedup.connectedComponentsStars(
+        chainEdges(8, 200000L)
+          .select(permuteId(col("doc_a")).as("doc_a"),
+            permuteId(col("doc_b")).as("doc_b"))
+          .repartition(32), firstActionRounds = 1), 8))
     // r17 #3: the permuted bound one decade up — does the pure loop's
     // round count (log²) or its per-round constant own the growth?
     secs(s"cc-stars-chains 6.4M-edges (permuted)")(countComps(
@@ -1126,6 +1135,12 @@ object Scale {
           .select(permuteId(col("doc_a"), 8388608L).as("doc_a"),
             permuteId(col("doc_b"), 8388608L).as("doc_b"))
           .repartition(32)), 32))
+    secs(s"cc-stars-chains 6.4M-edges (permuted, early trigger)")(countComps(
+      operators.Dedup.connectedComponentsStars(
+        chainEdges(32, 200000L)
+          .select(permuteId(col("doc_a"), 8388608L).as("doc_a"),
+            permuteId(col("doc_b"), 8388608L).as("doc_b"))
+          .repartition(32), firstActionRounds = 1), 32))
     // r17 #3: per-ROUND live-edge counts + seconds for the permuted chain
     // (receipt-only probe — one action per round; the serving loop batches
     // 4 rounds per action precisely to avoid these actions)

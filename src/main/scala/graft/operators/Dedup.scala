@@ -992,7 +992,8 @@ object Dedup {
     */
   def connectedComponentsStars(pairs: DataFrame, aCol: String = "doc_a",
                                bCol: String = "doc_b",
-                               maxIter: Int = 50): DataFrame = {
+                               maxIter: Int = 50,
+                               firstActionRounds: Int = 4): DataFrame = {
     // (count, Σhash(src), Σhash(dst), Σhash(src,dst)) — hashes make the
     // checksum TYPE-AGNOSTIC (string ids crash a raw decimal cast under
     // ANSI), decimal sums are overflow-proof at any count; three
@@ -1109,8 +1110,18 @@ object Dedup {
           // r17 stall finisher landed (deeper trees per action feed the
           // contraction): permuted 1.6M read 17.6 s at 4 rounds vs
           // 20.6 s at 2 — fewer, deeper actions win because each
-          // finisher then contracts ~250× instead of ~16×
-          fusedStarRounds(live, 4, packedOk)
+          // finisher then contracts ~250× instead of ~16×.
+          // An EARLIER trigger (first action at 1 round so the stall
+          // check sees the frozen-at-~n count ~3 rounds sooner — verdict
+          // r18 #7) was A/B'd same-JVM and REJECTED: permuted 1.6M
+          // 28.0 s (early) vs 26.2 s (this policy), 6.4M 46.4 vs 38.8 —
+          // the shallow trees gut the contraction factor (post-finisher
+          // live 852k vs 191k at 6.4M), re-confirming deeper-trees-feed-
+          // the-contraction from the opposite direction
+          // (tools/scale_r18.txt; firstActionRounds keeps the
+          // counterfactual runnable)
+          fusedStarRounds(live, if (it == 1) firstActionRounds else 4,
+            packedOk)
         else {
           val mid = smallStar(largeStar(live)).localCheckpoint(false)
           smallStar(largeStar(mid))

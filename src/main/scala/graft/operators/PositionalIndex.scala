@@ -33,6 +33,16 @@ object PositionalIndex {
     }
     def corpusSize: Long = snapshot._1
     def avgdl: Double = snapshot._2
+
+    /** The recorded at-rest layout ("sorted"/"unsorted"); None for
+      * pre-r18 stores and freshly-built in-memory indexes — the signal
+      * the search verb warns on and [[PositionalIndex.relayout]]
+      * migrates.
+      */
+    def layout: Option[String] =
+      if (stats.columns.contains("layout"))
+        Option(stats.select(col("layout")).head().getString(0))
+      else None
   }
 
   /** One corpus pass: per-(term, doc) sorted position lists with tf and
@@ -80,27 +90,77 @@ object PositionalIndex {
     */
   def write(ix: Index, dir: String,
             termSorted: Option[Boolean] = None): Unit = {
-    val sorted = termSorted.getOrElse {
-      val nTerms = ix.postings.agg(
-        org.apache.spark.sql.functions.countDistinct(col("term")))
-        .head().getLong(0)
-      val nBuckets = math.max(ix.stats.select(col("term_buckets"))
-        .head().getInt(0), 1)
-      nTerms.toDouble / nBuckets >= SortedLayoutMinTermsPerBucket
-    }
+    val sorted = termSorted.getOrElse(autoSorted(ix))
+    writePostings(ix.postings, sorted, s"$dir/postings")
+    // the layout RECORDED in stats (verdict r18 #6): serve paths and the
+    // relayout migration can tell how the postings lie at rest; pre-r18
+    // stores lack the column and read as layout-unknown
+    ix.stats.withColumn("layout", lit(if (sorted) "sorted" else "unsorted"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The vocabulary-aware layout rule ([[SortedLayoutMinTermsPerBucket]]);
+    * one vocab-sized countDistinct decides.
+    */
+  private def autoSorted(ix: Index): Boolean = {
+    val nTerms = ix.postings.agg(
+      org.apache.spark.sql.functions.countDistinct(col("term")))
+      .head().getLong(0)
+    val nBuckets = math.max(ix.stats.select(col("term_buckets"))
+      .head().getInt(0), 1)
+    nTerms.toDouble / nBuckets >= SortedLayoutMinTermsPerBucket
+  }
+
+  private def writePostings(postings: DataFrame, sorted: Boolean,
+                            path: String): Unit = {
     val post =
       if (sorted)
-        ix.postings.repartition(col("term_bucket"))
+        postings.repartition(col("term_bucket"))
           .sortWithinPartitions("term_bucket", "term", "doc_id")
-      else ix.postings
-    post.write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$dir/postings")
-    ix.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      else postings
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(path)
   }
 
   def read(spark: SparkSession, dir: String): Index =
     Index(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/stats"))
+
+  /** Migrate an existing at-rest store's within-bucket layout (verdict
+    * r18 #6): stores written before the layout rule — or under the OLD
+    * unsorted default — otherwise serve forever unsorted even on corpora
+    * where page pruning pays. Rewrites ONLY the postings directory (in
+    * the target layout, auto-decided by the vocabulary rule unless
+    * forced) plus the layout field of the stats sidecar; every stats
+    * value and the postings ROW SET are preserved, so serving is
+    * value-identical before and after (spec-pinned). The rewrite
+    * snapshots the tables into checkpoint blocks first — the source
+    * files are never read by the write that truncates them. Returns true
+    * when a rewrite happened, false when the store already records the
+    * target layout.
+    */
+  def relayout(spark: SparkSession, dir: String,
+               termSorted: Option[Boolean] = None): Boolean = {
+    val ix = read(spark, dir)
+    val sorted = termSorted.getOrElse(autoSorted(ix))
+    val target = if (sorted) "sorted" else "unsorted"
+    if (ix.layout.contains(target)) return false
+    // SNAPSHOT both tables out of the directory before overwriting it:
+    // a lazy plan must never read the files its own write is truncating.
+    // The DataFrame writer's overwrite is preferred over a staged
+    // filesystem rename — it participates in the session's listing/cache
+    // invalidation, and object stores implement rename as copy anyway.
+    // The checkpoint spills beyond memory; a relayout is a full rewrite
+    // either way. Callers holding pre-migration Index handles must
+    // re-read: their plans pin the replaced part files (the spec
+    // demonstrates both contracts).
+    val snap = ix.postings.localCheckpoint(true)
+    val statsRow = ix.stats.drop("layout").localCheckpoint(true)
+      .withColumn("layout", lit(target))
+    writePostings(snap, sorted, s"$dir/postings")
+    statsRow.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    snap.unpersist()
+    true
+  }
 
   /** Per-document adjacent-start phrase count served FROM the index:
     * `(doc_id, tf, doc_len)`, tf > 0 rows only. The scan touches only

@@ -323,11 +323,21 @@ object KbPipeline {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunkMapMemo.getOrBuild(spark, s"$key|lim=$maxRows") {
-      val sel = chunks.select(col("doc_id").cast("long"), col("text"),
-        col("sourcedoc"), col("sid").cast("int"))
-      if (sel.limit(maxRows + 1).count() > maxRows) None
-      else Some(sel.as[(Long, String, String, Int)].collect()
-        .map { case (id, t, sd, si) => id -> ((t, sd, si)) }.toMap)
+      // maintained kbs key chunks by STRING ids (sourcedoc#sid) — the
+      // Long-keyed resident map can't hold them (and the ANSI cast would
+      // throw); those serve through the distributed text-fetch join
+      val idType = chunks.schema("doc_id").dataType
+      val numericId =
+        idType == org.apache.spark.sql.types.LongType ||
+          idType == org.apache.spark.sql.types.IntegerType
+      if (!numericId) None
+      else {
+        val sel = chunks.select(col("doc_id").cast("long"), col("text"),
+          col("sourcedoc"), col("sid").cast("int"))
+        if (sel.limit(maxRows + 1).count() > maxRows) None
+        else Some(sel.as[(Long, String, String, Int)].collect()
+          .map { case (id, t, sd, si) => id -> ((t, sd, si)) }.toMap)
+      }
     }
   }
 

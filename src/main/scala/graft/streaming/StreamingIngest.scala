@@ -186,7 +186,10 @@ object StreamingIngest {
     val canon = batch.join(canonIds, "doc_id")
     val lakeDir = s"$dir/lake"
     val survivors =
-      if (!new java.io.File(lakeDir).exists()) canon
+      // Hadoop FS probe (the appendToLake ADVICE-r17 fix's sibling):
+      // java.io.File answers false for every remote lake, which would
+      // re-admit every already-committed document on a remote kb
+      if (!graft.sources.KbStorage.pathExists(spark, lakeDir)) canon
       else {
         val lake = spark.read.parquet(lakeDir)
         // lakes written by [[appendToLake]] carry the fingerprint AT REST:
@@ -397,12 +400,12 @@ object StreamingIngest {
       col("embedtext"))
     // replay guard: chunk ids already embedded drop out entirely
     val chunks =
-      if (!new java.io.File(vecDir).exists()) chunks0
+      if (!graft.sources.KbStorage.pathExists(spark, vecDir)) chunks0
       else chunks0.join(spark.read.parquet(vecDir).select("chunk_id"),
         Seq("chunk_id"), "left_anti")
     if (chunks.head(1).isEmpty) return
     val cache =
-      if (new java.io.File(cacheDir).exists()) spark.read.parquet(cacheDir)
+      if (graft.sources.KbStorage.pathExists(spark, cacheDir)) spark.read.parquet(cacheDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

@@ -506,6 +506,57 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$kb/embeddings").count() == n1)
   }
 
+  test("maintained kb: query serves the LATEST committed text with sticky created_at") {
+    // verdict r18 #8 — the serve path reads THROUGH lakeCurrent, so a
+    // re-ingested changed document (the reference's AFTER-UPDATE trigger
+    // path, migrations.py:253-283) serves its newest text while the audit
+    // view keeps created_at from the FIRST commit
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val kb = Files.createTempDirectory("graft_cli_lakecur").toString
+    val in = Files.createTempDirectory("graft_cli_lakecur_in").toString
+    val pad = (1 to 80).map(i => s"word$i").mkString(" ")
+    Files.writeString(Paths.get(in, "a.txt"),
+      s"spark joins and filters run fast version_one_marker $pad")
+    Main.run(Array("maintain", kb, s"$in/*.txt"), spark)
+    // UPDATE wave: same doc_id (the lake's own id — the stream source
+    // can't re-read a modified file, so the wave drives the spec-drivable
+    // micro-batch step directly), changed content
+    val docId = spark.read.parquet(s"$kb/lake")
+      .select("doc_id").head().getString(0)
+    val mcfg = graft.config.KbConfig.load()
+    graft.streaming.StreamingIngest.kbMaintenanceBatch(spark,
+      Seq((docId, s"spark joins and filters run fast version_two_marker $pad"))
+        .toDF("doc_id", "text"),
+      kb,
+      graft.embed.Embedder.Retrying(
+        graft.models.ModelRegistry.embedderFor(
+          mcfg.vectorModel, mcfg.vectorDimensions)),
+      batchId = 7L)
+    // the lake is append-only CDC (2 version rows); the audited view
+    // resolves ONE current row: latest text, created_at sticky from the
+    // first commit (batch 0), updated_at bumped to the update wave
+    assert(spark.read.parquet(s"$kb/lake").count() == 2)
+    val cur = graft.streaming.StreamingIngest.lakeCurrent(spark, kb)
+      .select("doc_id", "text", "created_at", "updated_at").collect()
+    assert(cur.length == 1)
+    assert(cur.head.getString(1).contains("version_two_marker"))
+    assert(cur.head.getLong(2) == 0L, "created_at must stick at the first commit")
+    assert(cur.head.getLong(3) == 7L, "updated_at must bump to the update wave")
+    // and the QUERY verb serves that view: the context carries the latest
+    // version's text, not the originally-indexed one
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("query", kb, "spark joins filters", "--context-only"),
+        spark)
+    }
+    val served = out.toString
+    assert(served.contains("version_two_marker"),
+      s"query must serve the latest committed text:\n$served")
+    assert(!served.contains("version_one_marker"),
+      "the replaced version must no longer be served")
+  }
+
   test("tool verbs against an ABSENT kb dir: clean message, no NPE") {
     // ADVICE r15 / verdict #6: optimize NPE'd on a missing chunks dir
     // (java.io.File.listFiles() == null) and verify-indexes/maintain

@@ -133,4 +133,45 @@ class PositionalIndexSpec extends SparkSpec {
     assert(st.forall(_._2 == 2L))
     assert(rt.postings.columns.contains("term_bucket"))
   }
+
+  test("relayout migrates an unsorted store in place, serving value-identically") {
+    // a store pinned to the OLD unsorted layout (the pre-r17 default) —
+    // simulating a pre-layout-record store by dropping the layout field
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta w$i gamma alpha beta delta w${i % 7}"))
+      .toDF("doc_id", "text")
+    val ix = PositionalIndex.build(docs, "doc_id", "text")
+    val dir = Files.createTempDirectory("graft_posix_relayout").toString
+    PositionalIndex.write(ix, dir, termSorted = Some(false))
+    // strip the layout field so the store reads exactly like a pre-r18 one
+    val legacyStats = spark.read.parquet(s"$dir/stats").drop("layout")
+      .localCheckpoint(true)
+    legacyStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val legacy = PositionalIndex.read(spark, dir)
+    assert(legacy.layout.isEmpty)
+    val before = PositionalIndex.phraseTopK(legacy, "alpha beta", 40)
+      .as[(Long, Double)].collect().toSeq
+    // capture the pre-migration facts NOW: the relayout replaces the
+    // files under this store, so `legacy`'s plans must not run after it
+    val (beforeN, beforeAvgdl) = (legacy.corpusSize, legacy.avgdl)
+    val beforeRows = legacy.postings.count()
+    // migrate to the sorted layout; stats values and served rows unchanged
+    assert(PositionalIndex.relayout(spark, dir, termSorted = Some(true)))
+    val migrated = PositionalIndex.read(spark, dir)
+    assert(migrated.layout.contains("sorted"))
+    assert(migrated.corpusSize == beforeN && migrated.avgdl == beforeAvgdl)
+    val after = PositionalIndex.phraseTopK(migrated, "alpha beta", 40)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    // postings row set preserved exactly (order is the only change)
+    assert(migrated.postings.count() == beforeRows)
+    // idempotent: a second relayout to the same target is a no-op...
+    assert(!PositionalIndex.relayout(spark, dir, termSorted = Some(true)))
+    // ...and the auto rule can flip it back (tiny vocab -> unsorted)
+    assert(PositionalIndex.relayout(spark, dir))
+    assert(PositionalIndex.read(spark, dir).layout.contains("unsorted"))
+    val back = PositionalIndex.phraseTopK(PositionalIndex.read(spark, dir),
+      "alpha beta", 40).as[(Long, Double)].collect().toSeq
+    assert(back == before)
+  }
 }
