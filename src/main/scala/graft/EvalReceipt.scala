@@ -64,6 +64,51 @@ object EvalReceipt {
     println("[receipt] A/B vs planted PROXIMITY qrels (de-circularized):")
     Main.run(Array("eval", kb, queriesArg, "10", "--rerank",
       s"--qrels=$kb/qrels_prox"), spark)
+    // r18 third family: SEMANTIC qrels — graded by a held-out-salt pooled
+    // hash-embedder cosine (see EngineQueries.semQrels)
+    graft.queries.EngineQueries.semQrels(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$kb/qrels_sem")
+    println("[receipt] A/B vs planted SEMANTIC qrels (held-out embedder):")
+    Main.run(Array("eval", kb, queriesArg, "10", "--rerank",
+      s"--qrels=$kb/qrels_sem"), spark)
+    // ── r18 model-recipe A/B (verdict #4): candidate pretrained models ×
+    // all three qrels families, mean nDCG@10 of the learned rerank of
+    // the SAME bm25 head (bm25 row printed once per family as the bar).
+    // Candidates: the r17-style frozen backbone WITHOUT the dense
+    // feature (w6 = 0), the frozen backbone with both 1-D pairwise tunes
+    // (f5 then f6), and the full JOINT pairwise ranking fit.
+    locally {
+      import graft.query.Rerank.LogisticScorer
+      val frozen = LogisticScorer.pretrainedFrozen
+      val models = Seq(
+        // the r17 recipe: dense feature dead (w6 = 0)
+        "backbone+f5" -> LogisticScorer(frozen.w.updated(6, 0.0), frozen.b),
+        // the SHIPPED r18 model: w6 dev/test-selected (sf0.01 dev,
+        // largest sem margin s.t. the Rm16 per-query tf gate; sf0.1 validation) — see Rerank.DevSelectedW6
+        "shipped-w6=0.35" -> LogisticScorer.pretrained,
+        // the fixture pairwise 1-D tune's own w6 (~0.70) — oversized:
+        // trades the tf family below its bm25 bar
+        "fixture-w6" -> frozen,
+        // the full-vector JOINT pairwise ranking fit (verdict r18 #4's
+        // question: does joint beat the frozen-backbone recipe?)
+        "joint" -> LogisticScorer.pretrainedJoint)
+      models.foreach { case (n, m) =>
+        println(s"[receipt] model $n weights = " +
+          m.w.map(w => f"$w%.3f").mkString("[", ", ", "]"))
+      }
+      Seq("tf", "prox", "sem").foreach { fam =>
+        val rows = models.map { case (name, m) =>
+          val df = graft.queries.EngineQueries
+            .plantedEvalWith(spark, sfDir, m, fam)
+            .groupBy("variant").agg(avg("ndcg").as("ndcg"))
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          (name, df("learned"), df("bm25"))
+        }
+        val bm = rows.head._3
+        println(f"[receipt] family=$fam%-5s bm25=$bm%.4f " +
+          rows.map { case (n, l, _) => f"$n=$l%.4f" }.mkString(" "))
+      }
+    }
     spark.stop()
   }
 }

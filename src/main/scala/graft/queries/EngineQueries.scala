@@ -63,6 +63,37 @@ object EngineQueries {
   private[graft] def plantedMaxPairs: Int =
     PlantedQueryDefs.map(_._2.split("[^a-zA-Z0-9]+").length - 1).max
 
+  /** SQL for f6's mean-pooled doc vector over a token-list expr: per
+    * dimension j, the mean over tokens of the engine embedder's FLOAT
+    * component (the t11-proven rawEmb form), summed as DOUBLE in token
+    * order — the bit-parity contract [[graft.query.Rerank.LogisticScorer.pooledVecCol]]
+    * keeps on the Spark side. Empty lists pool to the zero vector.
+    */
+  private def pooledVecSql(toksExpr: String, salt: String = ""): String = {
+    val tokenExpr =
+      if (salt.isEmpty) "t || '|' || j::VARCHAR"
+      else s"'$salt' || t || '|' || j::VARCHAR"
+    s"list_transform(range(0, 8), j -> " +
+      s"coalesce(list_sum(list_transform($toksExpr, t -> " +
+      s"((((${polyHashSql(tokenExpr)}) % 1000) - 500)::DOUBLE" +
+      s" / 500.0)::FLOAT::DOUBLE)), 0.0)" +
+      s" / greatest(len($toksExpr), 1)::DOUBLE)"
+  }
+
+  /** Literal DOUBLE-list SQL of the driver-pooled query vector (query
+    * tokens are plan-time constants in every twin that needs f6;
+    * Double.toString round-trips through the SQL parser exactly).
+    */
+  private def pooledQvLitSql(qTokens: Seq[String],
+                             salt: String = ""): String =
+    graft.query.Rerank.LogisticScorer
+      .pooledVecValue(qTokens.distinct.map(salt + _), 8)
+      .map(_.toString).mkString("[", ", ", "]")
+
+  /** The f6 SQL term: round(max(cos, 0), 6) of two vector exprs. */
+  private def f6Sql(dv: String, qv: String): String =
+    s"round(greatest(${cosineSql(dv, qv)}, 0.0), 6)"
+
   /** SQL for f5's chance-adjacency expectation E[bpx] = Σ_pairs
     * tf(a)·tf(b)/L over the query's ordered bigrams — one indexed term per
     * possible pair (list element access is CASE-guarded), summed in list
@@ -185,6 +216,78 @@ object EngineQueries {
           .otherwise(1.0).as("grade"))
   }
 
+  /** The m15_retrieval_planted_sem computation (verdict r18 #4 — the
+    * THIRD, SEMANTIC qrels family): documents graded by a HELD-OUT
+    * hash-embedder's pooled cosine — per doc, the mean over its full
+    * token list of per-token embeddings under a salt ("sem|") no serving
+    * path uses, against the same-salt pooled query vector; grades band
+    * by cosine RANK (top-20 → 3, next 30 → 2, next 50 → 1, the tf
+    * family's TREC shape). BM25 cannot see this signal at all, and the
+    * scorer's dense feature f6 reads the same FUNCTIONAL CLASS (pooled
+    * cosine) under a DIFFERENT salt — so learned-vs-bm25 here measures
+    * whether the pooling geometry generalizes across embedders, not
+    * alignment with the grader's own noise.
+    */
+  def retrievalPlantedSem(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    plantedEval(s, dir, plantedQueries(s), semQrels(s, dir))
+
+  /** Positive-safe double cosine fold (the f6 arithmetic shape). */
+  private def cosFoldCol(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
+    val na = aggregate(transform(a, x => x * x), lit(0.0d), _ + _)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0d), _ + _)
+    when(sqrt(na) * sqrt(nb) > 0, dot / (sqrt(na) * sqrt(nb)))
+      .otherwise(lit(0.0))
+  }
+
+  /** Planted semantic qrels (see [[retrievalPlantedSem]]) — DEPTH-POOLED
+    * like real TREC judgments: the assessed pool is the BM25 top-200 per
+    * query (grading the whole corpus by a retrieval-orthogonal signal
+    * leaves the head with zero relevant docs at 50k+ docs — every
+    * variant reads 0.0000 and the family measures nothing, receipted
+    * r18), and pool documents band by the held-out-salt pooled cosine
+    * rank within the pool (top-20 → 3, next 30 → 2, next 50 → 1).
+    */
+  private[graft] def semQrels(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("query_id")
+    val docs = Tables.documents(s, dir)
+    val ix = Bm25.cachedIndex(dir, docs, "doc_id", "text")
+    val pool = Bm25.scoreBatch(ix, broadcast(plantedQueries(s)),
+        "query_id", "qtext")
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .withColumn("prk", row_number().over(
+        byQ.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("prk") <= 200)
+      .select("query_id", "doc_id")
+    val qv = PlantedQueryDefs.map { case (qid, qt) =>
+      (qid, graft.query.Rerank.LogisticScorer.pooledVecValue(
+        qt.split(" ").distinct.toSeq.map("sem|" + _), 8))
+    }.toDF("query_id", "qv")
+    val toks = TextFunctions.tokenizeBm25(col("text"))
+    val dvec = graft.query.Rerank.LogisticScorer.pooledVecCol(
+      transform(toks, t => concat(lit("sem|"), t)), 8)
+    // join the (queries × 200)-row pool BEFORE projecting the pooled
+    // vector so the embed work is pool-bounded, not corpus-bounded
+    docs.join(pool, "doc_id")
+      .select(col("query_id"), col("doc_id"), dvec.as("dv"))
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(cosFoldCol(col("dv"), col("qv")), 6).as("c"))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("c").desc, col("doc_id"))))
+      .filter(col("rk") <= 100)
+      .select(col("query_id"), col("doc_id"),
+        when(col("rk") <= 20, 3.0).when(col("rk") <= 50, 2.0)
+          .otherwise(1.0).as("grade"))
+  }
+
   /** [[plantedEval]] with a caller-supplied scorer against either qrels
     * family — the eval-harness seam Rm17 gate specs and weight-tuning
     * receipts use.
@@ -192,10 +295,13 @@ object EngineQueries {
   private[graft] def plantedEvalWith(s: org.apache.spark.sql.SparkSession,
                                      dir: String,
                                      m: graft.query.Rerank.LogisticScorer,
-                                     prox: Boolean)
+                                     family: String)
       : org.apache.spark.sql.DataFrame =
-    plantedEval(s, dir, plantedQueries(s),
-      if (prox) proxQrels(s, dir) else tfQrels(s, dir), m)
+    plantedEval(s, dir, plantedQueries(s), family match {
+      case "prox" => proxQrels(s, dir)
+      case "sem"  => semQrels(s, dir)
+      case _      => tfQrels(s, dir)
+    }, m)
 
   private def plantedQueries(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
@@ -1533,6 +1639,8 @@ object EngineQueries {
         s" + ${m.w(3)} * ($tfm / ($tfm + 25.0))" +
         s" + ${m.w(4)} * (r.score / (r.score + 5.0))" +
         s" + ${m.w(5)} * ($exP / ($exP + 2.0))" +
+        s" + ${m.w(6)} * ${f6Sql(pooledVecSql("dt"),
+          pooledQvLitSql(LearnedM7.qTokens))}" +
         s" + ${m.b})"
       s"""$bm25Cte,
          |ranked AS (
@@ -2027,6 +2135,9 @@ object EngineQueries {
           .map(b => s"'$b'").mkString(", ")
         s"($i, [$bgs])"
       }.mkString(", ")
+      val qvVals = qdefs.map { case (i, t) =>
+        s"($i, ${pooledQvLitSql(t.split(" ").toSeq)})"
+      }.mkString(", ")
       val m = graft.query.Rerank.LogisticScorer.pretrained
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
@@ -2042,6 +2153,7 @@ object EngineQueries {
          |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
          |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qtok GROUP BY query_id, term),
          |qb(query_id, qbigrams) AS (VALUES $qbVals),
+         |qvt(query_id, qv) AS (VALUES $qvVals),
          |tfmass AS (
          |  SELECT q.query_id, t.doc_id, count(*)::BIGINT AS tfm
          |  FROM tok t JOIN (SELECT DISTINCT query_id, term FROM qtok) q USING (term)
@@ -2079,9 +2191,10 @@ object EngineQueries {
          |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
          |         len(ql.qtoks)::DOUBLE AS nq,
          |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
-         |         ${proxExpvSql(plantedMaxPairs)} AS expv
+         |         ${proxExpvSql(plantedMaxPairs)} AS expv,
+         |         ${pooledVecSql("d.dt")} AS dv, qvt.qv AS qv
          |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
-         |  JOIN qb qg USING (query_id)
+         |  JOIN qb qg USING (query_id) JOIN qvt USING (query_id)
          |  WHERE k.rk <= 10),
          |rescored AS (
          |  SELECT query_id, doc_id,
@@ -2091,6 +2204,7 @@ object EngineQueries {
          |           + ${m.w(3)} * (tf / (tf + 25.0))
          |           + ${m.w(4)} * (sc / (sc + 5.0))
          |           + ${m.w(5)} * (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) / (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) + 2.0))
+         |           + ${m.w(6)} * ${f6Sql("dv", "qv")}
          |           + ${m.b}))) AS rscore
          |  FROM feat),
          |rankings AS (
@@ -2148,6 +2262,9 @@ object EngineQueries {
           .map(b => s"'$b'").mkString(", ")
         s"($i, [$bgs])"
       }.mkString(", ")
+      val qvVals = qdefs.map { case (i, t) =>
+        s"($i, ${pooledQvLitSql(t.split(" ").toSeq)})"
+      }.mkString(", ")
       val m = graft.query.Rerank.LogisticScorer.pretrained
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
@@ -2168,6 +2285,7 @@ object EngineQueries {
          |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
          |  FROM tokarr),
          |qb(query_id, qbigrams) AS (VALUES $qbVals),
+         |qvt(query_id, qv) AS (VALUES $qvVals),
          |qrels AS (
          |  SELECT query_id, doc_id,
          |         CASE WHEN px >= 3 THEN 3.0 WHEN px = 2 THEN 2.0
@@ -2200,9 +2318,10 @@ object EngineQueries {
          |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
          |         len(ql.qtoks)::DOUBLE AS nq,
          |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
-         |         ${proxExpvSql(plantedMaxPairs)} AS expv
+         |         ${proxExpvSql(plantedMaxPairs)} AS expv,
+         |         ${pooledVecSql("d.dt")} AS dv, qvt.qv AS qv
          |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
-         |  JOIN qb qg USING (query_id)
+         |  JOIN qb qg USING (query_id) JOIN qvt USING (query_id)
          |  WHERE k.rk <= 10),
          |rescored AS (
          |  SELECT query_id, doc_id,
@@ -2212,6 +2331,7 @@ object EngineQueries {
          |           + ${m.w(3)} * (tf / (tf + 25.0))
          |           + ${m.w(4)} * (sc / (sc + 5.0))
          |           + ${m.w(5)} * (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) / (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) + 2.0))
+         |           + ${m.w(6)} * ${f6Sql("dv", "qv")}
          |           + ${m.b}))) AS rscore
          |  FROM feat),
          |rankings AS (
@@ -2252,6 +2372,136 @@ object EngineQueries {
          |ORDER BY s.variant, s.query_id""".stripMargin
     }) { (s, dir) =>
       EngineQueries.retrievalPlantedProx(s, dir)
+    },
+
+    QueryDef.sql("m15_retrieval_planted_sem", {
+      val qdefs = PlantedQueryDefs
+      val qtVals = qdefs.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      val qbVals = qdefs.map { case (i, t) =>
+        val bgs = t.split(" ").sliding(2).map(_.mkString(" "))
+          .map(b => s"'$b'").mkString(", ")
+        s"($i, [$bgs])"
+      }.mkString(", ")
+      val qvVals = qdefs.map { case (i, t) =>
+        s"($i, ${pooledQvLitSql(t.split(" ").toSeq)})"
+      }.mkString(", ")
+      // the GRADING vectors: same pooling class, HELD-OUT salt — the
+      // serving path (f6, salt "") never sees these components
+      val qvSemVals = qdefs.map { case (i, t) =>
+        s"($i, ${pooledQvLitSql(t.split(" ").toSeq, "sem|")})"
+      }.mkString(", ")
+      val m = graft.query.Rerank.LogisticScorer.pretrained
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS term FROM documents),
+         |post AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+         |lens AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM post GROUP BY doc_id),
+         |stats AS (SELECT avg(doc_len::DOUBLE) AS avgdl FROM lens),
+         |corpus AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |idf AS (
+         |  SELECT term, ln(((SELECT n FROM corpus)::DOUBLE - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |  FROM post GROUP BY term),
+         |qt(query_id, qtext) AS (VALUES $qtVals),
+         |qtok AS (SELECT query_id, unnest(${tokSql("qtext")}) AS term FROM qt),
+         |qterms AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM qtok GROUP BY query_id, term),
+         |qb(query_id, qbigrams) AS (VALUES $qbVals),
+         |qvt(query_id, qv) AS (VALUES $qvVals),
+         |qsem(query_id, qsv) AS (VALUES $qvSemVals),
+         |kscores AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) AS score
+         |  FROM post p JOIN qterms q USING (term) JOIN idf i USING (term)
+         |  JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY q.query_id, p.doc_id
+         |  HAVING sum(q.qtf * (i.idf * (p.tf * (1.2 + 1.0))) /
+         |             (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.doc_len) / s.avgdl))) > 0),
+         |pool AS (
+         |  SELECT query_id, doc_id, round(score, 4) AS score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 4) DESC, doc_id) AS rk
+         |  FROM kscores QUALIFY rk <= 200),
+         |dtok AS (SELECT doc_id, ${tokSql("text")} AS dt FROM documents),
+         |semv AS (
+         |  SELECT p.query_id, p.doc_id,
+         |         ${pooledVecSql("d.dt", "sem|")} AS dsv, q.qsv AS qsv
+         |  FROM pool p JOIN dtok d USING (doc_id) JOIN qsem q USING (query_id)),
+         |semc AS (
+         |  SELECT query_id, doc_id, round(${cosineSql("dsv", "qsv")}, 6) AS c
+         |  FROM semv),
+         |qrels AS (
+         |  SELECT query_id, doc_id,
+         |         CASE WHEN srk <= 20 THEN 3.0 WHEN srk <= 50 THEN 2.0
+         |              ELSE 1.0 END AS grade
+         |  FROM (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY c DESC, doc_id) AS srk
+         |        FROM semc)
+         |  WHERE srk <= 100),
+         |ktop AS (SELECT query_id, doc_id, score, rk FROM pool WHERE rk <= 20),
+         |qlist AS (SELECT query_id, list_distinct(${tokSql("qtext")}) AS qtoks FROM qt),
+         |feat AS (
+         |  SELECT k.query_id, k.doc_id, k.score AS sc,
+         |         len(list_filter(list_distinct(d.dt), t -> list_contains(ql.qtoks, t)))::DOUBLE AS i,
+         |         len(list_distinct(list_concat(d.dt, ql.qtoks)))::DOUBLE AS u,
+         |         len(list_distinct(d.dt))::DOUBLE AS dl,
+         |         len(list_filter(d.dt, t -> list_contains(ql.qtoks, t)))::DOUBLE AS tf,
+         |         len(ql.qtoks)::DOUBLE AS nq,
+         |         len(list_filter(list_transform(range(1, len(d.dt)), ii -> d.dt[ii] || ' ' || d.dt[ii+1]), x -> list_contains(qg.qbigrams, x)))::DOUBLE AS bpxr,
+         |         ${proxExpvSql(plantedMaxPairs)} AS expv,
+         |         ${pooledVecSql("d.dt")} AS dv, qvt.qv AS qv
+         |  FROM ktop k JOIN dtok d USING (doc_id) JOIN qlist ql USING (query_id)
+         |  JOIN qb qg USING (query_id) JOIN qvt USING (query_id)
+         |  WHERE k.rk <= 10),
+         |rescored AS (
+         |  SELECT query_id, doc_id,
+         |         1.0 / (1.0 + exp(-(${m.w(0)} * (CASE WHEN u > 0 THEN i / u ELSE 0.0 END)
+         |           + ${m.w(1)} * (CASE WHEN nq > 0 THEN i / nq ELSE 0.0 END)
+         |           + ${m.w(2)} * (dl / (dl + 20.0))
+         |           + ${m.w(3)} * (tf / (tf + 25.0))
+         |           + ${m.w(4)} * (sc / (sc + 5.0))
+         |           + ${m.w(5)} * (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) / (greatest(bpxr - expv - 2.0 * sqrt(expv), 0.0) + 2.0))
+         |           + ${m.w(6)} * ${f6Sql("dv", "qv")}
+         |           + ${m.b}))) AS rscore
+         |  FROM feat),
+         |rankings AS (
+         |  SELECT 'bm25' AS variant, query_id, doc_id, rk AS rank FROM ktop
+         |  UNION ALL
+         |  SELECT 'learned' AS variant, query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rscore DESC, doc_id) AS rank
+         |  FROM rescored),
+         |scored AS (
+         |  SELECT r.variant, r.query_id,
+         |         sum((pow(2.0, coalesce(q.grade, 0.0)) - 1.0) / ln(r.rank + 1.0)) AS dcg,
+         |         sum(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |         max(CASE WHEN coalesce(q.grade, 0) > 0 THEN 1.0 / r.rank ELSE 0.0 END) AS rr
+         |  FROM rankings r LEFT JOIN qrels q USING (query_id, doc_id)
+         |  WHERE r.rank <= 10 GROUP BY r.variant, r.query_id),
+         |ideal AS (
+         |  SELECT query_id, sum((pow(2.0, grade) - 1.0) / ln(irk + 1.0)) AS idcg
+         |  FROM (SELECT query_id, grade, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY grade DESC, doc_id) AS irk
+         |        FROM qrels WHERE grade > 0)
+         |  WHERE irk <= 10 GROUP BY query_id),
+         |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+         |         FROM qrels WHERE grade > 0 GROUP BY query_id)
+         |SELECT s.variant, s.query_id,
+         |       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+         |       coalesce(s.hits, 0)::BIGINT AS hits,
+         |       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN s.dcg / i.idcg
+         |             ELSE 0.0 END, 4) AS ndcg,
+         |       round(coalesce(s.rr, 0.0), 4) AS mrr,
+         |       round(coalesce(s.hits, 0)::DOUBLE / 10, 4) AS p_at_k,
+         |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+         |             THEN coalesce(s.hits, 0)::DOUBLE / n.n_rel
+         |             ELSE 0.0 END, 4) AS r_at_k
+         |FROM scored s LEFT JOIN ideal i USING (query_id)
+         |LEFT JOIN nrel n USING (query_id)
+         |ORDER BY s.variant, s.query_id""".stripMargin
+    }) { (s, dir) =>
+      EngineQueries.retrievalPlantedSem(s, dir)
     },
 
     QueryDef.sql("hybrid_batch", {
