@@ -327,15 +327,17 @@ object Scale {
     // e2e batch20 with the SHARED build replaced by the stored bucketed
     // index: serving reads pruned postings; the linear build cost moved to
     // the one-time store-write rows above
-    def e2e20Stored(d: DataFrame, e: DataFrame, ix: operators.Bm25.Index): Long = {
+    def e2e20Stored(d: DataFrame, e: DataFrame, ix: operators.Bm25.Index,
+                    qsOverride: Option[Seq[(Long, String)]] = None): Long = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
       val chunks = d.select(col("doc_id"), col("text"),
         col("source").as("sourcedoc"),
         (row_number().over(w) - 1).cast("int").as("sid"))
       val emb2 = e.select(col("vec_id").as("doc_id"), col("embedding"))
-      val qs = queries.EngineQueries.E2eBatch20.zipWithIndex
-        .map { case ((t, _), i) => (i + 1).toLong -> t }
+      val qs = qsOverride.getOrElse(
+        queries.EngineQueries.E2eBatch20.zipWithIndex
+          .map { case ((t, _), i) => (i + 1).toLong -> t })
       pipeline.KbPipeline.queryBatch(spark, chunks, emb2, qs,
         bm25Index = Some(ix)).count()
     }
@@ -352,7 +354,8 @@ object Scale {
     // the parts may exceed the fused total — this row attributes, the
     // unfused e2e rows account.
     def e2e20StoredStages(d: DataFrame, e: DataFrame,
-                          ix: operators.Bm25.Index): String = {
+                          ix: operators.Bm25.Index,
+                          qsOverride: Option[Seq[(Long, String)]] = None): String = {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.VectorFunctions.cosine
       val byQ = Window.partitionBy("query_id")
@@ -361,8 +364,9 @@ object Scale {
         val t0 = System.nanoTime(); val r = f
         ((System.nanoTime() - t0) / 1e9, r)
       }
-      val qs = queries.EngineQueries.E2eBatch20.zipWithIndex
-        .map { case ((qt, _), i) => (i + 1).toLong -> qt }
+      val qs = qsOverride.getOrElse(
+        queries.EngineQueries.E2eBatch20.zipWithIndex
+          .map { case ((qt, _), i) => (i + 1).toLong -> qt })
       val (tEmb, qData) = t {
         val embd = models.ModelRegistry.embedderFor(cfg.vectorModel,
           cfg.vectorDimensions)
@@ -1615,6 +1619,79 @@ object Scale {
                 zipfDisjoint20, k = 10).count())
           }
         }
+      }
+    }
+
+    // ── r18: the 500× decade on the ZIPF corpus (verdict #5) — r17's
+    //    "BM25 owns 92%" e2e stage attribution was measured on the
+    //    word-soup corpus, whose ~31-token vocabulary makes every query
+    //    term match ~every document (the scored set is corpus × batch by
+    //    construction). This block re-attributes the stored hybrid e2e at
+    //    2.5M docs on the ~50k-term Zipf vocabulary, where the pruned
+    //    stored-postings batch join has real term selectivity. The vector
+    //    side embeds 1M zipf docs at the testdata dims (64) with the
+    //    engine's deterministic embedder, matching the word-soup decade's
+    //    vector-stage cardinality, so the vector rows compare directly
+    //    and any attribution shift is the bm25/fuse stages' own. ─────────
+    locally {
+      val k500 = 500
+      val z500Labels = Seq("zipf500-tables-build", "zipf500-emb-build",
+        "bm25-store-write-zipf500", "e2e-batch20-stored-zipf500",
+        "e2e-batch20-stored-stages-zipf500")
+      val wanted = rowFilter.forall(re =>
+        z500Labels.exists(l => re.findFirstIn(l).isDefined))
+      if (wanted) {
+        import spark.implicits._
+        def buildRow(label: String)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+        }
+        def servedRow(label: String, nQ: Int)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          val r = f
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] $label%-34s $t%8.2f s   " +
+            f"(${t * 1000.0 / nQ}%.1f ms/q, $r)")
+        }
+        def zterm(r: Int) = s"w$r"
+        // mixed-selectivity hybrid batch (the rm3-zipf query shape): one
+        // common, one mid, one rare rank per query — zipf terms pass the
+        // enhancement chain unchanged (letters-only repeat collapse, no
+        // synonym heads), so the bm25 stage scores exactly these terms
+        val zipfE2eBatch: Seq[(Long, String)] = (0 until 20).map(i =>
+          ((i + 1).toLong,
+            s"${zterm(5 + i)} ${zterm(200 + 7 * i)} ${zterm(3000 + 97 * i)}"))
+        val lens = docs
+          .select(size(split(col("text"), " ")).cast("int")).as[Int].collect()
+        val dcount = docs.count()
+        var zd: DataFrame = null
+        buildRow(s"zipf500-tables-build ${k500}x") {
+          zipfCorpus(spark, dcount * k500, lens)
+            .write.mode("overwrite").parquet(s"$base/zipfdocs_${k500}x.parquet")
+          zd = spark.read.parquet(s"$base/zipfdocs_${k500}x.parquet")
+          zd.count()
+        }
+        var zemb: DataFrame = null
+        buildRow(s"zipf500-emb-build ${k500}x") {
+          // 2 of every 5 docs carry a vector -> 1M vectors over 2.5M docs
+          // (the word-soup decade's exact vector-side cardinality)
+          zd.filter(pmod(col("doc_id"), lit(5)) < 2)
+            .select(col("doc_id").as("vec_id"),
+              embed.Embedder.deterministicEmbed(col("text"), 64)
+                .as("embedding"))
+            .write.mode("overwrite").parquet(s"$base/zipfemb_${k500}x.parquet")
+          zemb = spark.read.parquet(s"$base/zipfemb_${k500}x.parquet")
+          zemb.count()
+        }
+        buildRow(s"bm25-store-write-zipf500 ${k500}x")(
+          bm25StoreWrite(zd, s"$base/bm25_zipf_${k500}x",
+            operators.Bm25.DefaultTermBuckets))
+        val zix = bm25StoredProbe(s"$base/bm25_zipf_${k500}x")
+        servedRow(s"e2e-batch20-stored-zipf500 ${k500}x", 20)(
+          e2e20Stored(zd, zemb, zix, Some(zipfE2eBatch)))
+        servedRow(s"e2e-batch20-stored-stages-zipf500 ${k500}x", 20)(
+          e2e20StoredStages(zd, zemb, zix, Some(zipfE2eBatch)))
       }
     }
 
