@@ -1637,7 +1637,9 @@ object Scale {
       val k500 = 500
       val z500Labels = Seq("zipf500-tables-build", "zipf500-emb-build",
         "bm25-store-write-zipf500", "e2e-batch20-stored-zipf500",
-        "e2e-batch20-stored-stages-zipf500")
+        "e2e-batch20-stored-stages-zipf500", "rm3-batch20-stored-zipf500",
+        "boolean-batch20-stored-zipf500", "posix-build-zipf500",
+        "phrase-batch20-stored-zipf500")
       val wanted = rowFilter.forall(re =>
         z500Labels.exists(l => re.findFirstIn(l).isDefined))
       if (wanted) {
@@ -1692,6 +1694,33 @@ object Scale {
           e2e20Stored(zd, zemb, zix, Some(zipfE2eBatch)))
         servedRow(s"e2e-batch20-stored-stages-zipf500 ${k500}x", 20)(
           e2e20StoredStages(zd, zemb, zix, Some(zipfE2eBatch)))
+        // the retrieval family at the same decade (r18): the word-soup
+        // 500x boolean/phrase/rm3 rows are the adversarial bound (every
+        // term matches ~every doc, 62-72 s); these are the realistic-
+        // vocabulary twins over the same 2.5M-doc corpus and stores
+        val zipfBool500: Seq[(Long, String)] = (0 until 20).map(i =>
+          ((i + 1).toLong,
+            s"(${zterm(10 + i)} OR ${zterm(300 + 11 * i)}) AND " +
+              s"${zterm(50 + 3 * i)} NOT ${zterm(1000 + 31 * i)}"))
+        val zipfPhrase500: Seq[(Long, String)] = (0 until 20).map(i =>
+          ((i + 1).toLong, s"${zterm(3 + i)} ${zterm(30 + 2 * i)}"))
+        servedRow(s"rm3-batch20-stored-zipf500 ${k500}x", 20)(
+          operators.Rm3.rm3TopKBatch(zix, spark, zipfE2eBatch, 20).count())
+        servedRow(s"boolean-batch20-stored-zipf500 ${k500}x", 20)(
+          operators.BooleanSearch.booleanTopKBatch(zix, spark,
+            zipfBool500, 20).count())
+        buildRow(s"posix-build-zipf500 ${k500}x") {
+          operators.PositionalIndex.write(
+            operators.PositionalIndex.build(zd, "doc_id", "text"),
+            s"$base/posix_zipf_${k500}x")
+          operators.PositionalIndex.read(spark, s"$base/posix_zipf_${k500}x")
+            .corpusSize
+        }
+        servedRow(s"phrase-batch20-stored-zipf500 ${k500}x", 20)(
+          operators.PositionalIndex.phraseTopKBatch(
+            operators.PositionalIndex.read(spark,
+              s"$base/posix_zipf_${k500}x"),
+            zipfPhrase500, 20).count())
       }
     }
 
