@@ -303,7 +303,7 @@ object EngineQueries {
       case _      => tfQrels(s, dir)
     }, m)
 
-  private def plantedQueries(s: org.apache.spark.sql.SparkSession)
+  private[graft] def plantedQueries(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     PlantedQueryDefs.toDF("query_id", "qtext")
