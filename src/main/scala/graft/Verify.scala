@@ -28,6 +28,12 @@ object Verify {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata WARNs a full stack trace on EVERY
+    // spark.read of a glob path (it stats the literal glob string) — the
+    // s1/s10 glob-scan entries are correct, the trace is pure log noise
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
