@@ -67,20 +67,29 @@ object Bm25 {
   final case class Index(postings: DataFrame, lengths: DataFrame,
                          idf: DataFrame, stats: DataFrame,
                          cacheKey: Option[String] = None) {
-    /** The one-row corpus stats, snapshotted on the driver ONCE per index —
-      * serving queries inline `avgdl` as a literal instead of re-running
-      * the stats aggregation (or a 1-row broadcast build) per query. The
-      * reference holds the same scalar in memory with its loaded index.
+    /** The one-row stats row, snapshotted on the driver ONCE per index with
+      * a single job (r18: [[avgdl]] and [[termBuckets]] each ran their own
+      * one-row head — two sequential jobs per served index; every scalar
+      * now reads from this shared snapshot).
       */
-    lazy val avgdl: Double = stats.select(col("avgdl")).head().getDouble(0)
+    private lazy val statsRow: org.apache.spark.sql.Row = stats.head()
+
+    /** Corpus avgdl — served from [[statsRow]]; serving queries inline it
+      * as a literal instead of re-running the stats aggregation (or a
+      * 1-row broadcast build) per query. The reference holds the same
+      * scalar in memory with its loaded index.
+      */
+    lazy val avgdl: Double =
+      statsRow.getDouble(statsRow.fieldIndex("avgdl"))
 
     /** Term-bucket count of an at-rest bucketed index (None for in-memory
-      * or pre-bucketing indexes). Snapshotted once like [[avgdl]].
+      * or pre-bucketing indexes). Served from [[statsRow]] like [[avgdl]].
       */
     lazy val termBuckets: Option[Int] =
       if (stats.columns.contains("term_buckets") &&
           postings.columns.contains("term_bucket"))
-        Some(stats.select(col("term_buckets")).head().getInt(0)).filter(_ > 0)
+        Some(statsRow.getInt(statsRow.fieldIndex("term_buckets")))
+          .filter(_ > 0)
       else None
   }
 
@@ -295,10 +304,16 @@ object Bm25 {
                        textCol: String): Unit = {
     import spark.implicits._
     val stored = readIndex(spark, dir)
-    val oldN = stored.stats.select(col("n")).head().getLong(0)
+    // ONE one-row head for every stats scalar this append needs (r18: n,
+    // term_buckets, n_len and sum_dl each ran their own job — four
+    // sequential one-row jobs on the same one-row table)
+    val statsCols = stored.stats.columns.toSet
+    val statsRow = stored.stats.head()
+    def statL(c: String): Long = statsRow.getLong(statsRow.fieldIndex(c))
+    val oldN = statL("n")
     val storedBuckets =
-      if (stored.stats.columns.contains("term_buckets"))
-        stored.stats.select(col("term_buckets")).head().getInt(0)
+      if (statsCols.contains("term_buckets"))
+        statsRow.getInt(statsRow.fieldIndex("term_buckets"))
       else 0
     // consistency sentinel (ADVICE r15): stats is written LAST, so its
     // n_len is the committed lengths row count — a crash between the
@@ -308,9 +323,20 @@ object Bm25 {
     // lengths scan per append catches it even when the NEXT batch's ids
     // are disjoint (the overlap require below only catches a same-batch
     // retry).
-    if (stored.stats.columns.contains("n_len")) {
-      val committed = stored.stats.select(col("n_len")).head().getLong(0)
-      val actual = stored.lengths.count()
+    // ONE scan of the stored lengths serves BOTH stored-side checks (r18:
+    // the sentinel count and the overlap semi-join each scanned lengths in
+    // their own job): total row count (vs the committed n_len) and overlap
+    // with the batch ids. The semi-join direction keeps the same scale
+    // shape as before — lengths-side rows survive at most once per row, so
+    // count(matched doc_id) ≡ the old left_semi count.
+    val batchIds = newDocs.select(col(idCol).as("doc_id")).distinct()
+    val chkRow = stored.lengths.select("doc_id")
+      .join(batchIds.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("actual"), count(col("hit")).as("overlap"))
+      .head()
+    val (actual, overlap) = (chkRow.getLong(0), chkRow.getLong(1))
+    if (statsCols.contains("n_len")) {
+      val committed = statL("n_len")
       require(actual == committed,
         s"appendIndexStore: store at $dir is inconsistent (lengths rows " +
           s"$actual != committed n_len $committed) — a previous append " +
@@ -319,9 +345,6 @@ object Bm25 {
     }
     val batchDocs = newDocs.count() // ALL batch docs — idf's N counts
     // docs that tokenize to nothing too, exactly as buildIndex's n does
-    val overlap = newDocs.select(col(idCol).as("doc_id"))
-      .join(stored.lengths.select("doc_id"), Seq("doc_id"), "left_semi")
-      .count()
     require(overlap == 0L,
       s"appendIndexStore: $overlap batch doc ids already in the store at " +
         s"$dir — route re-ingests through the S5 anti-join; if a previous " +
@@ -352,11 +375,9 @@ object Bm25 {
       // averages over lengths rows), tracked separately from idf's n;
       // stores written before sum_dl/n_len pay one slim lengths scan
       val (oldSum, oldLenRows) =
-        if (stored.stats.columns.contains("sum_dl") &&
-            stored.stats.columns.contains("n_len")) {
-          val r = stored.stats.select(col("sum_dl"), col("n_len")).head()
-          (r.getLong(0), r.getLong(1))
-        } else {
+        if (statsCols.contains("sum_dl") && statsCols.contains("n_len"))
+          (statL("sum_dl"), statL("n_len"))
+        else {
           val r = stored.lengths
             .agg(coalesce(sum(col("doc_len").cast("long")), lit(0L)),
               count(lit(1))).head()

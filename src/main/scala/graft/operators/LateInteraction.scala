@@ -293,18 +293,37 @@ object LateInteraction {
     val toks = tokenizeValue(queryText).distinct.sorted
     require(toks.nonEmpty, "empty query: no tokens to score")
     val dtok = docTokens(docs, idCol, textCol)
+    // r18: the embedded vocabulary feeds EVERY per-token candidate head
+    // AND the final scorer — uncheckpointed, each of those |toks|+1 plans
+    // re-ran the corpus tokenize + distinct + embed (t11_late_pruned sat
+    // at ~3× t11_late_interaction on identical output). Checkpoint it once
+    // (vocabulary-sized — the trade the batched tier already makes).
+    val vocab = embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
+    // candPerTok ≥ |vocab| makes pruning an algebraic no-op: every token's
+    // head keeps the WHOLE vocabulary, so the candidate doc set is every
+    // token-bearing doc and the pruned scores equal the exact ones — skip
+    // the candidate DAG (identity spec-pinned; small-vocab corpora only,
+    // a real vocabulary never hits this).
+    if (vocab.count() <= candPerTok)
+      return maxSimScoresVec(dtok, vocab, idCol, toks, dims)
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
     // per-qtok candidate ranking over the vocabulary similarity table:
     // each query token's head as TakeOrderedAndProject (no global window),
     // union of the kept heads
-    val vs = vocabSims(embedVocab(vocabOf(dtok), dims), toks, dims)
+    val vs = vocabSims(vocab, toks, dims)
     val cand = toks.indices.map { i =>
       vs.orderBy(col(s"s_$i").desc, col("tok"))
         .limit(candPerTok).select("tok")
     }.reduce(_ unionByName _).distinct()
     val candDocs = dtok.join(broadcast(cand), Seq("tok"))
       .select(idCol).distinct()
-    maxSimScoresOf(dtok.join(candDocs, Seq(idCol), "left_semi"), idCol,
-        toks, dims)
+    // the full embedded vocabulary serves the pruned stream's scorer too —
+    // the tok equi-join keeps only the pruned stream's tokens, so scoring
+    // off the superset table is value-identical to re-deriving the pruned
+    // subset (and skips that re-derivation)
+    maxSimScoresVec(dtok.join(candDocs, Seq(idCol), "left_semi"), vocab,
+        idCol, toks, dims)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -345,6 +364,15 @@ object LateInteraction {
     // wave — checkpointing it with vectors means the per-token embedding
     // runs once for the whole DAG
     val vocab = embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
+    // candPerTok ≥ |vocab| makes the whole candidate pipeline an algebraic
+    // no-op (see [[maxSimTopKPruned]]): every (query, token) head keeps the
+    // full vocabulary, every query's candidate doc set is every
+    // token-bearing doc, and both semi-joins are identities — the pruned
+    // batch result IS the exact batch result. Skip stages 1-2 (the count
+    // reads the just-checkpointed vocabulary — one vocabulary-sized job).
+    if (vocab.count() <= candPerTok)
+      return maxSimBatchCore(dtok, _ => vocab, idCol, queries, k, dims,
+        colsPerWave)
     // stage 1: candidate heads per DISTINCT token across the whole batch
     // — a candidate list depends only on the token STRING, so queries
     // sharing tokens share heads (a templated 200-query batch ranks ~its
