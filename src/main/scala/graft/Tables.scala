@@ -67,6 +67,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "documents")
 
+  /** Guarded round-robin spread to session parallelism for CPU-DENSE maps
+    * over narrow scans (r18 optimization, guide §2.5 "unsplittable input:
+    * repartition immediately after the read"): the sf parquet files carry
+    * ONE row group each, so a scan is a single task and a per-row-expensive
+    * map (minhash signatures, codec decode, pair dot products) runs
+    * serially while the other cores idle. The guard makes this a NO-OP
+    * whenever the plan already has at least session-cores partitions —
+    * i.e. at cluster scale, where an extra payload pass would be a net
+    * loss. Use ONLY where downstream values are partitioning-independent
+    * (per-row closed forms, hash-keyed aggregations, pinned output
+    * orders) AND the per-row work clearly dominates per-task overhead:
+    * codec decode and O(n) pair scoring won 2-3× wall here; the minhash
+    * signature map was measured a WASH with 5× taskTime inflation
+    * (per-task codegen/setup ≫ the spread µs-level rows) and stays
+    * unspread.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** The canonical chunk table the e2e pipeline serves from: documents with
     * the (sourcedoc, sid) addressing derived ONCE and persisted — in a real
     * KB this is the STORED `chunks/` table (`Main` materializes doc_id/sid

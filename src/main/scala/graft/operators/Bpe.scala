@@ -43,16 +43,35 @@ object Bpe {
     docs.select(explode(TextFunctions.tokenize(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Driver guard for the in-process merge loop — rows of the word-freq
+    * table the trainer is willing to hold in process (the
+    * [[Bm25]].indexInProcess pattern: a small-vocabulary corpus runs the
+    * vocab-sized iteration in one collect + a driver loop instead of
+    * `rounds × (1-row collect + vocab checkpoint)` sequential Spark jobs;
+    * an over-limit vocabulary takes the distributed loop unchanged).
+    */
+  val InProcessVocabLimit = 65536
+
   /** Learn `numMerges` BPE merges. Returns one row per merge:
     * `(rank, lhs, rhs, merged, pair_count)` in learned order (lhs/rhs —
     * LEFT/RIGHT are SQL keywords). Stops early (fewer rows) if the corpus
     * runs out of adjacent pairs.
     */
   def learnMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int = 8): DataFrame = {
+                  numMerges: Int = 8,
+                  inProcessLimit: Int = InProcessVocabLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var w = wordFrequencies(docs, textCol)
+    val wf = wordFrequencies(docs, textCol)
+    if (inProcessLimit > 0) {
+      val head = wf.select(col("w"), col("freq"))
+        .limit(inProcessLimit + 1)
+        .as[(String, Long)].collect()
+      if (head.length <= inProcessLimit)
+        return learnMergesInProcess(head, numMerges)
+          .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    }
+    var w = wf
       .select(col("freq"),
         concat(lit(" "),
           array_join(filter(split(col("w"), ""), c => length(c) > 0), "  "),
@@ -110,6 +129,98 @@ object Bpe {
       }
     }
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The merge loop on the driver — value-identical to the distributed
+    * loop BY CONSTRUCTION, not by approximation:
+    *  - words use the same double-space symbol representation, and a merge
+    *    is `java.lang.String.replace`, the same non-overlapping
+    *    left-to-right scan Spark's `replace` expression performs;
+    *  - the argmax tie-break compares symbols as UTF-8 BYTES (unsigned),
+    *    exactly UTF8String's binary ordering under `orderBy(cnt DESC, l,
+    *    r)` (for the tokenizer's `[a-z0-9]+` output the two orders
+    *    coincide anyway; the byte compare removes the assumption);
+    *  - the re-emerged-pair handling (re-apply without a new rule, stop
+    *    if the same pair returns twice) is copied verbatim.
+    * BpeSpec pins in-process ≡ distributed on the hand-checkable corpus.
+    */
+  private[graft] def learnMergesInProcess(
+      vocab: Array[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    def spaced(w: String): String = {
+      val sb = new StringBuilder(" ")
+      var i = 0
+      var first = true
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        if (!first) sb.append("  ")
+        sb.appendAll(Character.toChars(cp))
+        first = false
+        i += Character.charCount(cp)
+      }
+      sb.append(" ").toString
+    }
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var words = vocab.map { case (w, f) => (f, spaced(w)) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    var lastReapplied: Option[(String, String)] = None
+    while (rank <= numMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (f, s) =>
+        val syms = s.trim.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.foreach { case (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (byteLt(p._1, best._1._1) ||
+                (p._1 == best._1._1 && byteLt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((l, r), c) = best
+        if (merges.exists(m => m._2 == l && m._3 == r)) {
+          if (lastReapplied.contains((l, r))) {
+            println(s"[bpe] WARNING: pair ($l, $r) re-selected twice with " +
+              s"no effect; stopping at ${merges.size} merges")
+            exhausted = true
+          } else {
+            println(s"[bpe] WARNING: learned pair ($l, $r) re-emerged " +
+              s"(count $c); re-applying its merge without a new rule")
+            lastReapplied = Some((l, r))
+            words = words.map { case (f, s) =>
+              (f, s.replace(s" $l  $r ", s" ${l + r} ")) }
+          }
+        } else {
+          lastReapplied = None
+          merges += ((rank, l, r, l + r, c))
+          words = words.map { case (f, s) =>
+            (f, s.replace(s" $l  $r ", s" ${l + r} ")) }
+          rank += 1
+        }
+      }
+    }
+    merges.toSeq
   }
 
   /** Encode a corpus under a trained merge list — the APPLY side of the

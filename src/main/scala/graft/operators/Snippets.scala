@@ -39,20 +39,39 @@ object Snippets {
       TextFunctions.tokenize(col(textCol)).as("l"))
     val pos = toks.select(col(idCol), posexplode(col("l")).as(Seq("p", "t")))
     val m = pos.filter(col("t").isin(qTerms: _*))
-    val win = m.alias("a")
-      .join(m.alias("b"),
-        col(s"a.$idCol") === col(s"b.$idCol") &&
-          col("b.p") >= col("a.p") && col("b.p") < col("a.p") + width)
-      .groupBy(col(s"a.$idCol").as(idCol), col("a.p").as("p"))
-      .agg(countDistinct(col("b.t")).as("n"))
-    val best = win.withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("n").desc, col("p"))))
-      .filter(col("rn") === 1)
-    best.join(toks, Seq(idCol))
+    // r18 restructure (guide §2.4 — remove shuffles outright): the
+    // per-anchor coverage count used to be a per-document RANGE SELF-JOIN
+    // of the match list plus a groupBy plus a ranking window — three
+    // exchanges over the match stream. The match list is per-doc bounded
+    // (query-term hits only), so ONE groupBy collects it sorted and a
+    // single expression computes every anchor's distinct-term coverage
+    // and the (n DESC, p ASC) argmax: max over structs (n, -p) IS that
+    // ordering. Values are identical: same windows, same distinct counts
+    // (positions are unique, terms non-null), same tie-break.
+    val ms = m.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("p"), col("t")))).as("ms"))
+    val cand = transform(col("ms"), a =>
+      struct(
+        size(array_distinct(transform(
+          filter(col("ms"), e =>
+            e.getField("p") >= a.getField("p") &&
+              e.getField("p") < a.getField("p") + width),
+          e => e.getField("t")))).as("n"),
+        (-a.getField("p")).as("np")))
+    val best = ms
+      .select(col(idCol), array_max(cand).as("b"))
+      .select(col(idCol), (-col("b.np")).as("p"),
+        col("b.n").cast("long").as("n"))
+    // the top-k cut depends only on (n, p, id) — all known BEFORE the
+    // snippet text: cut first (TakeOrderedAndProject over per-doc rows),
+    // then join the k survivors back to the token arrays for slicing
+    // (1:1 on id, so the cut commutes with the join)
+    val top = best
+      .orderBy(col("n").desc, col("p"), col(idCol)).limit(k)
+    broadcast(top).join(toks, Seq(idCol))
       .select(col(idCol), col("p").as("start_pos"), col("n").as("n_terms"),
         array_join(slice(col("l"), col("p") + 1, lit(width)), " ")
           .as("snippet"))
       .orderBy(col("n_terms").desc, col("start_pos"), col(idCol))
-      .limit(k)
   }
 }

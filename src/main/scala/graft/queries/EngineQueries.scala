@@ -324,35 +324,23 @@ object EngineQueries {
     val byQ = Window.partitionBy("query_id")
     val docs = Tables.documents(s, dir)
     val ix = Bm25.cachedIndex(dir, docs, "doc_id", "text")
-    // r18 optimization (guide §3.3 / §7.2): ktop, learned and qrels are
-    // each referenced several times below — evaluate() reads its ranking
-    // twice and qrels three times, the rerank plan embeds ktop again, and
-    // for the PROX family the qrels subtree ends map-side (broadcast cross
-    // join, no trailing Exchange) so ReuseExchange could not dedup it and
-    // the corpus bigram scan executed 3×. Cutting at these k-bounded
-    // intermediates (queries×20 / ×10 / ≤×O(corpus-matched) rows) makes
-    // each subtree plan and execute once and shrinks the static plan from
-    // 420-724 Exchange nodes (~0.3-0.7 s of planning per invocation,
-    // repaid on every bench pass) to a few dozen.
-    val ktop = QueryDef.cutPlan(Bm25.scoreBatch(ix, qdf, "query_id", "qtext")
+    val ktop = Bm25.scoreBatch(ix, qdf, "query_id", "qtext")
       .select(col("query_id"), col("doc_id"),
         round(col("score"), 4).as("score"))
       .withColumn("rank", row_number().over(
         byQ.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= 20))
-    val qrelsC = QueryDef.cutPlan(qrels)
+      .filter(col("rank") <= 20)
     val withText = broadcast(ktop)
       .join(docs.select("doc_id", "text"), "doc_id")
       .join(broadcast(qdf), "query_id")
-    val learned = QueryDef.cutPlan(
-      Rerank.rerankHeadBatch(withText, "query_id", "score", 10,
+    val learned = Rerank.rerankHeadBatch(withText, "query_id", "score", 10,
         m.scoreCols(
           array_distinct(TextFunctions.tokenizeBm25(col("qtext"))),
           col("text"), col("score")))
       .select(col("query_id"), col("doc_id"),
-        col("final_rank").cast("int").as("rank")))
+        col("final_rank").cast("int").as("rank"))
     def metrics(variant: String, ranking: org.apache.spark.sql.DataFrame) =
-      graft.operators.RetrievalMetrics.evaluate(ranking, qrelsC, k = 10)
+      graft.operators.RetrievalMetrics.evaluate(ranking, qrels, k = 10)
         .withColumn("variant", lit(variant))
     metrics("bm25", ktop.select("query_id", "doc_id", "rank"))
       .unionByName(metrics("learned", learned))
@@ -2107,15 +2095,13 @@ object EngineQueries {
       val ix = Bm25.cachedIndex(dir, Tables.documents(s, dir), "doc_id", "text")
       val qSeq = Seq((0L, "spark join filter window"),
         (100L, "hash merge batch scan"), (200L, "sort table row value"))
-      // plan cuts (see plantedEval): evaluate() fans both inputs out
-      // several times; both are k-bounded (queries×20 rows)
-      val ktop = QueryDef.cutPlan(Bm25.scoreBatch(ix,
-          qSeq.toDF("query_id", "qtext"), "query_id", "qtext")
+      val ktop = Bm25.scoreBatch(ix, qSeq.toDF("query_id", "qtext"),
+          "query_id", "qtext")
         .withColumn("rank", row_number().over(
           Window.partitionBy("query_id")
             .orderBy(round(col("score"), 4).desc, col("doc_id"))))
         .filter(col("rank") <= 20)
-        .select(col("query_id"), col("doc_id"), col("rank")))
+        .select(col("query_id"), col("doc_id"), col("rank"))
       val emb = Tables.embeddings(s, dir)
       val qv = emb.filter(col("vec_id").isin(0L, 100L, 200L))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -2129,8 +2115,7 @@ object EngineQueries {
         .select(col("query_id"), col("doc_id"),
           when(col("rk") <= 5, 3.0).when(col("rk") <= 10, 2.0)
             .otherwise(1.0).as("grade"))
-      graft.operators.RetrievalMetrics.evaluate(ktop,
-        QueryDef.cutPlan(qrels), k = 10)
+      graft.operators.RetrievalMetrics.evaluate(ktop, qrels, k = 10)
     },
 
     // ── m15 on PLANTED lexical qrels, bm25 vs learned-reranked — the

@@ -16,6 +16,23 @@ import graft.operators.{Curation, Dedup, Dsir, LmQuality, QualityClassifier, Sam
   */
 object PipelineQueries {
 
+  /** Payload-free media-id stream for the multimodal synth+decode rows
+    * (r18 optimization): the sf parquet files carry ONE row group, so the
+    * backing scan is a single task and the heavy per-id encode+decode map
+    * ran serially while the other cores idled — guide §2.5's
+    * "unsplittable input: repartition immediately after the read". The
+    * guard keeps already-parallel scans (≥ session cores at cluster
+    * scale) untouched, and the stream is 8 bytes/row, so the spread moves
+    * no payload. Values are per-id closed forms and every consumer pins
+    * its output order, so partitioning cannot change results.
+    */
+  private def mediaIds(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.spreadIfNarrow(
+      Tables.documents(s, dir).select(col("doc_id").cast("long"))).as[Long]
+  }
+
   // ── DuckDB SQL fragment builders (lockstep with graft.functions) ────────
   /** The chunker's value-exact oracle — shared by s_chunker (the operator)
     * and s6_chunk_sink (the same values through the bucketed-table sink).
@@ -749,8 +766,14 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       val withN = emb.select(col("vec_id"), col("embedding"),
         sqrt(VectorFunctions.normSq(col("embedding"))).as("nrm"))
-      val a = withN.select(col("vec_id").as("doc_a"), col("embedding").as("va"),
-        col("nrm").as("na"))
+      // r18: the pair join plans as BroadcastNestedLoopJoin (b broadcast),
+      // so the O(n²) dot-product work runs on the STREAM side's scan tasks
+      // — one task for the single-row-group sf parquet. Spread the stream
+      // side to session parallelism when the scan is narrower than the
+      // core count (tiny rows — id + vector + norm); values are
+      // partition-independent and the output order is pinned below.
+      val a = Tables.spreadIfNarrow(withN.select(col("vec_id").as("doc_a"),
+        col("embedding").as("va"), col("nrm").as("na")))
       val b = withN.select(col("vec_id").as("doc_b"), col("embedding").as("vb"),
         col("nrm").as("nb"))
       a.join(b, col("doc_a") < col("doc_b"))
@@ -2632,8 +2655,7 @@ object PipelineQueries {
         |       max(abs(v))::BIGINT AS peak
         |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val n = (50 + id % 50).toInt
           val samples = Array.tabulate(n)(i =>
@@ -2674,8 +2696,7 @@ object PipelineQueries {
         |       max(v)::BIGINT AS px_max, sum(v * (i + 1))::BIGINT AS px_wsum
         |FROM v GROUP BY 1, 2, 3, 4 ORDER BY media_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val w = (6 + id % 7).toInt; val h = (5 + id % 6).toInt
           val c = (1 + id % 4).toInt
@@ -2713,8 +2734,7 @@ object PipelineQueries {
         |       max(v)::BIGINT AS px_max, sum(v * (i + 1))::BIGINT AS px_wsum
         |FROM v GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val w = (4 + id % 8).toInt; val h = (3 + id % 5).toInt
           val pixels = Array.tabulate(w * h * 3)(i => ((id * 37 + i * 101L) % 256).toInt)
@@ -2756,8 +2776,7 @@ object PipelineQueries {
         |       max(v)::BIGINT AS px_max, sum(v * (i + 1))::BIGINT AS px_wsum
         |FROM v GROUP BY 1, 2, 3, 4 ORDER BY media_id, frame_no""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val w = (4 + id % 6).toInt; val h = (3 + id % 4).toInt
           val nf = (2 + id % 3).toInt

@@ -22,6 +22,20 @@ class BpeSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)), s"got $got")
   }
 
+  test("in-process merge loop ≡ distributed loop (rank, pair, merged, count)") {
+    // mixed corpus: tie-breaks, repeated-run merges, and multi-round
+    // interactions all in play; inProcessLimit = 0 forces the distributed
+    // loop, the default takes the driver rung — rows must match exactly
+    val docs = Seq((1L, "aaab aaab banana band"), (2L, "aaab banana abba"),
+      (3L, "cab cab cab band bandana")).toDF("doc_id", "text")
+    val fast = Bpe.learnMerges(docs, "text", numMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val dist = Bpe.learnMerges(docs, "text", numMerges = 6,
+        inProcessLimit = 0)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(fast == dist, s"fast $fast vs dist $dist")
+  }
+
   test("applyMerges reconstructs a fully merged word and leaves foreign words split") {
     val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
     assert(Bpe.applyMerges("aaab", merges) == Seq("aaab"))
