@@ -158,13 +158,29 @@ object EngineQueries {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("query_id")
     val docs = Tables.documents(s, dir)
-    val qterms = plantedQueries(s).select(col("query_id"),
-      explode(array_distinct(
-        TextFunctions.tokenizeBm25(col("qtext")))).as("term"))
+    // r18 (guide §2.3/§2.4): the tf-mass count used to explode EVERY
+    // corpus token into rows, broadcast-join the (query, term) pairs and
+    // groupBy (query, doc) — a corpus-token-stream explode plus an extra
+    // Exchange before the ranking window. The planted queries are
+    // plan-time literals, so per (query, doc) the same count is one
+    // map-side array expression: size(filter(tokens, t ∈ query's terms))
+    // counts exactly the token OCCURRENCES the join counted (same
+    // multiset membership). Only matching (query, doc) rows reach the one
+    // remaining shuffle (the window).
+    val qlits = PlantedQueryDefs.map { case (qid, qt) =>
+      (qid, TextFunctions.tokenizeBm25Value(s, qt).distinct.sorted)
+    }
+    val perQ = qlits.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        size(filter(col("tk"),
+          t => t.isin(ts: _*))).cast("long").as("tfm"))
+    }
     docs.select(col("doc_id"),
-        explode(TextFunctions.tokenizeBm25(col("text"))).as("term"))
-      .join(broadcast(qterms), "term")
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfm"))
+        TextFunctions.tokenizeBm25(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array(perQ: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.tfm").as("tfm"))
+      .filter(col("tfm") > 0)
       .withColumn("rk", row_number().over(
         byQ.orderBy(col("tfm").desc, col("doc_id"))))
       .filter(col("rk") <= 100)
