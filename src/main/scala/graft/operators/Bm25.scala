@@ -82,6 +82,16 @@ object Bm25 {
     lazy val avgdl: Double =
       statsRow.getDouble(statsRow.fieldIndex("avgdl"))
 
+    /** Corpus document count — served from [[statsRow]] like [[avgdl]];
+      * the driver-side scale signal adaptive policies key on (r18:
+      * [[Rm3]] gates its pass-1 slice reuse on it). Pre-`n` legacy
+      * stores fall back to counting lengths, the [[mergeIndex]] rule.
+      */
+    lazy val nDocs: Long =
+      if (stats.columns.contains("n"))
+        statsRow.getLong(statsRow.fieldIndex("n"))
+      else lengths.count()
+
     /** Term-bucket count of an at-rest bucketed index (None for in-memory
       * or pre-bucketing indexes). Served from [[statsRow]] like [[avgdl]].
       */

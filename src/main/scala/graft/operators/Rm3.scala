@@ -126,12 +126,26 @@ object Rm3 {
     * expansion terms. Nothing scales with |queries| except tiny
     * broadcast relations.
     */
+  /** Corpus-size gate for the batched pass-1 slice reuse (r18
+    * optimization): persisting the pruned pass-1 postings pays when pass
+    * 2's re-scan of the OVERLAP terms' buckets is expensive — i.e. when
+    * posting lists are long (the 100× receipts: 20.8→15.4 s word-soup,
+    * 20.5→12.0 s zipf, tools/scale_r18.txt). Under this many corpus
+    * docs the whole slice is a few MB the page cache already covers, and
+    * the persist is pure overhead (~6.5% on the 1× row, receipted in
+    * tools/bench_r18_local.txt) — plus a cached RDD the returned plan
+    * pins for the session. Both regimes are row-identical by
+    * construction (the union IS prunedPostings(ix, expTerms)); the
+    * staged receipt API keeps its explicit reuseP1 knob.
+    */
+  val ReuseP1MinDocs = 50000L
+
   def rm3TopKBatch(ix: Bm25.Index, spark: org.apache.spark.sql.SparkSession,
                    queries: Seq[(Long, String)], k: Int,
                    fbDocs: Int = 10, fbTerms: Int = 10,
                    k1: Double = Bm25.K1, b: Double = Bm25.B): DataFrame =
     rm3BatchCore(ix, spark, queries, k, fbDocs, fbTerms, k1, b,
-      reuseP1 = true, probe = None)
+      reuseP1 = ix.nDocs > ReuseP1MinDocs, probe = None)
 
   /** Receipt instrumentation: [[rm3TopKBatch]] with each pass forced by
     * its own action and wall-clock attributed into `probe` (keys: pass1,

@@ -43,24 +43,15 @@ object TextRank {
     */
   def cooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame = {
     val toks = graft.functions.TextFunctions.tokenize(col(textCol))
-    // r18 (guide §2.4): both directions used to come from a UNION of two
-    // projections over the map-side pair stream — no Exchange underneath,
-    // so each branch re-ran the corpus tokenize + adjacent-pair explode.
-    // One explode now emits both directions of each pair (the same row
-    // multiset: every non-self adjacent pair contributes (a,b) and (b,a)
-    // exactly once), so the corpus is tokenized once.
-    docs
-      .select(explode(flatten(transform(zip_with(
+    val pairs = docs
+      .select(explode(zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => struct(a.as("a"), b.as("b"))),
-        p => when(p.getField("a") =!= p.getField("b"),
-            array(
-              struct(p.getField("a").as("src"), p.getField("b").as("dst")),
-              struct(p.getField("b").as("src"), p.getField("a").as("dst"))))
-          .otherwise(array().cast("array<struct<src:string,dst:string>>")))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
