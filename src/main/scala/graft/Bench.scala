@@ -165,7 +165,35 @@ object Bench {
       "sim_knn_graph", "sim_knn_graph_unique", "e2e_incremental")
     val headline = jmap(results.collect {
       case (k, mn, _) if headlineNames(k) => (k, mn) })
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passes,"failed":$failed,"canary":${ms(canarySec)},"nqueries":${results.size},"headline":$headline,"full":"tools/bench_full_last.json"}""")
+    // ── per-query visibility for the driver (r18 verdict #1) ─────────────
+    // The driver's capture keeps only the LAST ~2000 bytes of stdout and
+    // JSON-parses the LITERAL last line; the full 204-query map is ~5 KB
+    // (names alone are 3.7 KB), so no single tail-captured line can carry
+    // it. Two additive mechanisms, the full line above staying the
+    // complete record:
+    //  (a) the final line below carries a "queries" sub-map of the
+    //      MOST EXPENSIVE rows, greedily filled so the whole line stays
+    //      under 1900 bytes — fully inside the tail window, so a
+    //      strict-last-line parser always gets a non-empty per-query map
+    //      covering the rows that dominate the total;
+    //  (b) the complete map goes out just before it in small
+    //      "queries_part" chunk lines (cheapest rows first, so the chunks
+    //      nearest the tail hold the most expensive remainder) for any
+    //      parser that scans a larger window and merges "queries" keys.
+    val byCost = results.filter(_._2 >= 0).sortBy(-_._2)
+    val chunkLines = byCost.reverse.grouped(12).toSeq
+    chunkLines.zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunkLines.size},"queries":${jmap(chunk.map { case (k, mn, _) => (k, mn) })}}""")
+    }
+    val fixed = s""""unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passes,"failed":$failed,"canary":${ms(canarySec)},"nqueries":${results.size},"headline":$headline,"full":"tools/bench_full_last.json""""
+    val budget = 1900 - (s"""{"metric":"total","value":${ms(total)},$fixed,"queries":{}}""".length)
+    val inline = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    byCost.foreach { case (k, mn, _) =>
+      val entryLen = k.length + 3 + ms(mn).length + (if (inline.isEmpty) 0 else 1)
+      if (used + entryLen <= budget) { inline += ((k, mn)); used += entryLen }
+    }
+    println(s"""{"metric":"total","value":${ms(total)},$fixed,"queries":${jmap(inline.toSeq)}}""")
     spark.stop()
   }
 }
