@@ -26,39 +26,52 @@ object RetrievalMetrics {
     * `qrels (query_id, doc_id, grade)` (grade > 0 = relevant):
     * `(query_id, n_rel, hits, ndcg, mrr, p_at_k, r_at_k)` ordered by
     * query_id. Queries present in `ranking` with no qrels score zeros.
+    *
+    * Reduced-reference shape (r19, verdict #4): the m15 callers pass whole
+    * retrieval DAGs as `ranking`/`qrels`, and the previous form referenced
+    * qrels THREE times (scored join, ideal-DCG window, n_rel count) and
+    * ranking twice (scored, query-list distinct) — each reference a full
+    * copy of the argument subtree in the plan. Two fusions, keeping every
+    * join a broadcast (a full-outer single-join form was tried first and
+    * measured SLOWER — the sort-merge full-outer machinery cost more jobs
+    * and task time than the duplicated subtrees it removed; see
+    * OPTIMIZATION_r19.md):
+    *  - ideal DCG and n_rel come from ONE pass over the relevant qrels
+    *    (the row_number window that ordered the ideal gains also counts
+    *    the rows — n_rel = count per query, idcg = sum of the irk <= k
+    *    gain terms, identical term sets to the old filter-then-number
+    *    subtrees);
+    *  - the scored aggregation runs over ALL ranking rows with the
+    *    rank <= k guard INSIDE each aggregate instead of pre-filtering,
+    *    so its per-query groups are exactly the distinct ranking query
+    *    set and the separate distinct + left-join base disappears.
     */
   def evaluate(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
-    val rk = ranking.filter(col("rank") <= k)
-    val scored = rk.join(qrels, Seq("query_id", "doc_id"), "left")
-      .select(col("query_id"), col("rank"),
-        coalesce(col("grade"), lit(0.0)).as("g"))
+    val g = coalesce(col("grade"), lit(0.0))
+    val scored = ranking.join(qrels, Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
       .agg(
-        sum((pow(lit(2.0), col("g")) - 1.0) / log(col("rank") + 1.0))
-          .as("dcg"),
-        sum(when(col("g") > 0, 1L).otherwise(0L)).as("hits"),
-        max(when(col("g") > 0, lit(1.0) / col("rank")).otherwise(0.0))
-          .as("rr"))
-    val ideal = qrels.filter(col("grade") > 0)
+        sum(when(col("rank") <= k,
+          (pow(lit(2.0), g) - 1.0) / log(col("rank") + 1.0))).as("dcg"),
+        sum(when(col("rank") <= k && g > 0, 1L).otherwise(0L)).as("hits"),
+        max(when(col("rank") <= k && g > 0, lit(1.0) / col("rank"))
+          .otherwise(0.0)).as("rr"))
+    val qstats = qrels.filter(col("grade") > 0)
       .withColumn("irk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("grade").desc, col("doc_id"))))
-      .filter(col("irk") <= k)
       .groupBy("query_id")
-      .agg(sum((pow(lit(2.0), col("grade")) - 1.0) / log(col("irk") + 1.0))
-        .as("idcg"))
-    val nrel = qrels.filter(col("grade") > 0)
-      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    ranking.select("query_id").distinct()
-      .join(scored, Seq("query_id"), "left")
-      .join(ideal, Seq("query_id"), "left")
-      .join(nrel, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("irk") <= k,
+          (pow(lit(2.0), col("grade")) - 1.0) / log(col("irk") + 1.0)))
+          .as("idcg"))
+    scored.join(qstats, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         // coalesce dcg BEFORE the ratio: a query whose ranking rows all
-        // sit beyond k contributes no `scored` row, and a NULL dcg inside
-        // the when() would yield NULL ndcg instead of the documented 0.0
+        // sit beyond k leaves dcg NULL, and a NULL dcg inside the when()
+        // would yield NULL ndcg instead of the documented 0.0
         round(when(coalesce(col("idcg"), lit(0.0)) > 0,
           coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(0.0), 4)
           .as("ndcg"),

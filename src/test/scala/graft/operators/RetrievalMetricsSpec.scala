@@ -58,6 +58,24 @@ class RetrievalMetricsSpec extends SparkSpec {
       (2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)), s"got $got")
   }
 
+  test("qrels-only queries are excluded; grade-0 qrels shift no ideal rank") {
+    // query 3 exists only in qrels → no output row (the ranking defines
+    // the evaluated query set); query 1 carries a grade-0 qrels row that
+    // must count nothing (not relevant) and not displace the ideal-DCG
+    // rank of the relevant rows (r19 single-pass form numbers ideal ranks
+    // over ALL qrels rows, relying on grade>0 rows sorting first)
+    val ranking = Seq((1L, 10L, 1), (1L, 20L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 2.0), (1L, 15L, 0.0), (1L, 20L, 1.0),
+      (3L, 10L, 3.0)).toDF("query_id", "doc_id", "grade")
+    val got = RetrievalMetrics.evaluate(ranking, qrels, k = 5)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // ideal order: 10 (g=2, irk 1), 20 (g=1, irk 2) — the g=0 row at doc
+    // 15 must not land between them; ranking == ideal → ndcg 1.0
+    assert(got == Seq((1L, 2L, 2L, 1.0, 1.0, round4(0.4), 1.0)), s"got $got")
+  }
+
   test("a query with no qrels scores zeros; queries are independent") {
     val ranking = Seq((1L, 10L, 1), (2L, 10L, 1))
       .toDF("query_id", "doc_id", "rank")
