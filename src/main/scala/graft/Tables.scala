@@ -85,7 +85,19 @@ object Tables {
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // HARD precondition (r19, advice r18): the plan must be shuffle-free
+    // (scan + narrow ops only). The old `df.rdd.getNumPartitions` probe
+    // would, on a plan containing an Exchange under AQE, materialize
+    // query stages at plan-BUILD time and read the pre-AQE partition
+    // count; `queryExecution.toRdd` on a shuffle-free plan builds the
+    // scan RDD on the driver with no job and no row-format conversion.
+    val physical = df.queryExecution.executedPlan
+    assert(!physical.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "spreadIfNarrow requires a shuffle-free plan (narrow scan + maps); " +
+        "apply it to the scan side before any join/aggregation")
+    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par)
+    else df
   }
 
   /** The canonical chunk table the e2e pipeline serves from: documents with

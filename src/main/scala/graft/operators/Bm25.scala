@@ -72,7 +72,7 @@ object Bm25 {
       * one-row head — two sequential jobs per served index; every scalar
       * now reads from this shared snapshot).
       */
-    private lazy val statsRow: org.apache.spark.sql.Row = stats.head()
+    private[operators] lazy val statsRow: org.apache.spark.sql.Row = stats.head()
 
     /** Corpus avgdl — served from [[statsRow]]; serving queries inline it
       * as a literal instead of re-running the stats aggregation (or a
@@ -173,11 +173,12 @@ object Bm25 {
     */
   def mergeIndex(old: Index, newDocs: DataFrame, idCol: String, textCol: String): Index = {
     val newN = newDocs.count()
-    // pre-`n` indexes persisted by an older writeIndex lack the stats
-    // column: fall back to counting lengths (one row per doc)
-    val oldN =
-      if (old.stats.columns.contains("n")) old.stats.select(col("n")).head().getLong(0)
-      else old.lengths.count()
+    // corpus size off the index's one shared statsRow snapshot (r19: this
+    // ran its own one-row head job per merge even when `old` was a
+    // memoized cachedIndex/readIndex instance whose snapshot already
+    // existed — e2e_incremental paid it on every invocation); Index.nDocs
+    // keeps the pre-`n` legacy fallback of counting lengths
+    val oldN = old.nDocs
     val np0 = postings(newDocs, idCol, textCol)
     val npLens = docLengths(np0)
     val np = np0.join(npLens, "doc_id")
@@ -209,9 +210,7 @@ object Bm25 {
     val rm = removeIds.select(col(idCol).as("doc_id"))
     val post = old.postings.join(rm, Seq("doc_id"), "left_anti")
     val lens = old.lengths.join(rm, Seq("doc_id"), "left_anti")
-    val oldN =
-      if (old.stats.columns.contains("n")) old.stats.select(col("n")).head().getLong(0)
-      else old.lengths.count()
+    val oldN = old.nDocs // shared statsRow snapshot (see mergeIndex)
     val removedN = old.lengths.join(rm, Seq("doc_id"), "left_semi").count()
     val n = oldN - removedN
     val idfDf = idf(post, n)
@@ -266,21 +265,39 @@ object Bm25 {
     } finally if (!alreadyPersisted) post.unpersist()
   }
 
-  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
-    Index(
+  // r19: the Index PLANS are memoized per (session, dir@fingerprint) too —
+  // every spark.read.parquet schedules a footer/listing job, so each
+  // readIndex call was four sequential driver jobs plus a fresh one-row
+  // statsRow head on first scalar access (t13_rm3_served/_batch20 and
+  // t15_boolean_served paid all five per invocation). The fingerprint in
+  // the key is the SAME staleness contract the in-process memo already
+  // rides: every store mutation (writeIndex, appendIndexStore) rewrites
+  // stats last, so a rewritten store reads fresh and an unchanged store
+  // serves the memoized plans (and its already-snapshotted statsRow).
+  private val storedIndexCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Index]]()
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    // a stored index has a natural identity — the serving fast path
+    // ([[indexInProcess]]) memoizes its in-memory term arrays under it,
+    // the reference's load-NPZ-arrays-once regime. The key carries a
+    // cheap directory fingerprint (stats file mtimes+sizes) so a
+    // REWRITTEN index read in the same session gets a fresh snapshot
+    // instead of the stale memoized arrays; non-local filesystems
+    // (no java.io view) fingerprint as 0 and fall back to dir-only
+    // identity — the pre-existing cachedIndex staleness contract
+    val key = s"stored:$dir@${PathFingerprint(s"$dir/stats")}"
+    val perSession = storedIndexCache.synchronized {
+      storedIndexCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Index]())
+    }
+    perSession.computeIfAbsent(key, k => Index(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/lengths"),
       spark.read.parquet(s"$dir/idf"),
       spark.read.parquet(s"$dir/stats"),
-      // a stored index has a natural identity — the serving fast path
-      // ([[indexInProcess]]) memoizes its in-memory term arrays under it,
-      // the reference's load-NPZ-arrays-once regime. The key carries a
-      // cheap directory fingerprint (stats file mtimes+sizes) so a
-      // REWRITTEN index read in the same session gets a fresh snapshot
-      // instead of the stale memoized arrays; non-local filesystems
-      // (no java.io view) fingerprint as 0 and fall back to dir-only
-      // identity — the pre-existing cachedIndex staleness contract
-      cacheKey = Some(s"stored:$dir@${PathFingerprint(s"$dir/stats")}"))
+      cacheKey = Some(k)))
+  }
 
   /** Incremental append to an AT-REST BM25 store — [[mergeIndex]]'s
     * economics on the persisted artifact (the [[graft.operators.VectorSearch.appendIvfStore]]
@@ -318,7 +335,7 @@ object Bm25 {
     // term_buckets, n_len and sum_dl each ran their own job — four
     // sequential one-row jobs on the same one-row table)
     val statsCols = stored.stats.columns.toSet
-    val statsRow = stored.stats.head()
+    val statsRow = stored.statsRow // shared snapshot; one head per store read
     def statL(c: String): Long = statsRow.getLong(statsRow.fieldIndex(c))
     val oldN = statL("n")
     val storedBuckets =
@@ -356,7 +373,7 @@ object Bm25 {
     val batchDocs = newDocs.count() // ALL batch docs — idf's N counts
     // docs that tokenize to nothing too, exactly as buildIndex's n does
     require(overlap == 0L,
-      s"appendIndexStore: $overlap batch doc ids already in the store at " +
+      s"appendIndexStore: $overlap stored doc ids also present in the batch at " +
         s"$dir — route re-ingests through the S5 anti-join; if a previous " +
         "append crashed mid-write, rebuild the store (writeIndex) instead " +
         "of retrying")

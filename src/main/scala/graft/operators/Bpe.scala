@@ -62,7 +62,12 @@ object Bpe {
                   inProcessLimit: Int = InProcessVocabLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wf = wordFrequencies(docs, textCol)
+    // checkpointed BEFORE the in-process probe (advice r18): the probe's
+    // limit(n+1) collect runs the full word-frequency aggregation, and an
+    // over-limit vocabulary would otherwise re-run that corpus pass from
+    // scratch for the distributed loop — which reuses wf every round
+    // anyway, so the checkpoint pays for itself on either branch
+    val wf = wordFrequencies(docs, textCol).localCheckpoint(false)
     if (inProcessLimit > 0) {
       val head = wf.select(col("w"), col("freq"))
         .limit(inProcessLimit + 1)

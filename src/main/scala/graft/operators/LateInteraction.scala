@@ -156,6 +156,12 @@ object LateInteraction {
                       queries: Seq[(Long, String)], k: Int,
                       dims: Int = 8,
                       colsPerWave: Int = MaxAggColsPerWave): DataFrame = {
+    // NOTE (r19, measured): spreading the narrow corpus scan to session
+    // parallelism before this tier's wide aggregation was tried and is a
+    // LOSS — per-task init of the Σ|q|-buffer codegen'd aggregate (~100
+    // max buffers) × 32 tasks inflated task time 0.87 s → 5.8 s and wall
+    // 1.1 → 2.0 s at sf0.1. The minhash lesson: fixed per-task cost of a
+    // huge generated aggregate dominates the spread row work.
     val dtok = docTokens(docs, idCol, textCol)
     maxSimBatchCore(dtok, nWaves =>
       // multiple waves re-read the vocabulary at embed cost — checkpoint
@@ -287,9 +293,31 @@ object LateInteraction {
     * the corpus token stream BEFORE the scoring aggregation — the
     * aggregation only pays for documents that can plausibly rank.
     */
+  /** Checkpointed embedded vocabulary + its row count, memoized per
+    * (session, cacheKey) when the caller holds a corpus identity (r19,
+    * advice r18: the single-query pruned tier checkpointed a fresh
+    * vocabulary-sized RDD and ran its count gate on EVERY call — per-call
+    * jobs and a per-call pinned RDD under a many-query serving loop).
+    * Keyless callers keep the per-call checkpoint, the pre-r19 behavior.
+    */
+  private val vocabMemo = new SessionMemo[(DataFrame, Long)]
+  private def checkpointedVocab(dtok: DataFrame, dims: Int,
+                                cacheKey: Option[String]): (DataFrame, Long) = {
+    def build(): (DataFrame, Long) = {
+      val v = embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
+      (v, v.count())
+    }
+    cacheKey match {
+      case Some(key) => vocabMemo.getOrBuild(dtok.sparkSession,
+        s"latevocab:$key@dims=$dims")(build())
+      case None => build()
+    }
+  }
+
   def maxSimTopKPruned(docs: DataFrame, idCol: String, textCol: String,
                        queryText: String, k: Int, dims: Int = 8,
-                       candPerTok: Int = 50): DataFrame = {
+                       candPerTok: Int = 50,
+                       cacheKey: Option[String] = None): DataFrame = {
     val toks = tokenizeValue(queryText).distinct.sorted
     require(toks.nonEmpty, "empty query: no tokens to score")
     val dtok = docTokens(docs, idCol, textCol)
@@ -298,13 +326,13 @@ object LateInteraction {
     // re-ran the corpus tokenize + distinct + embed (t11_late_pruned sat
     // at ~3× t11_late_interaction on identical output). Checkpoint it once
     // (vocabulary-sized — the trade the batched tier already makes).
-    val vocab = embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
+    val (vocab, vocabRows) = checkpointedVocab(dtok, dims, cacheKey)
     // candPerTok ≥ |vocab| makes pruning an algebraic no-op: every token's
     // head keeps the WHOLE vocabulary, so the candidate doc set is every
     // token-bearing doc and the pruned scores equal the exact ones — skip
     // the candidate DAG (identity spec-pinned; small-vocab corpora only,
     // a real vocabulary never hits this).
-    if (vocab.count() <= candPerTok)
+    if (vocabRows <= candPerTok)
       return maxSimScoresVec(dtok, vocab, idCol, toks, dims)
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
@@ -350,7 +378,8 @@ object LateInteraction {
   def maxSimTopKBatchPruned(docs: DataFrame, idCol: String, textCol: String,
                             queries: Seq[(Long, String)], k: Int,
                             dims: Int = 8, candPerTok: Int = 50,
-                            colsPerWave: Int = MaxAggColsPerWave): DataFrame = {
+                            colsPerWave: Int = MaxAggColsPerWave,
+                            cacheKey: Option[String] = None): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     val perQuery: Seq[(Long, Seq[String])] =
       queries.map { case (qid, t) =>
@@ -362,15 +391,15 @@ object LateInteraction {
     val dtok = docTokens(docs, idCol, textCol)
     // the EMBEDDED vocabulary feeds candidate ranking AND every scoring
     // wave — checkpointing it with vectors means the per-token embedding
-    // runs once for the whole DAG
-    val vocab = embedVocab(vocabOf(dtok), dims).localCheckpoint(true)
+    // runs once for the whole DAG (memoized per corpus when keyed)
+    val (vocab, vocabRows) = checkpointedVocab(dtok, dims, cacheKey)
     // candPerTok ≥ |vocab| makes the whole candidate pipeline an algebraic
     // no-op (see [[maxSimTopKPruned]]): every (query, token) head keeps the
     // full vocabulary, every query's candidate doc set is every
     // token-bearing doc, and both semi-joins are identities — the pruned
-    // batch result IS the exact batch result. Skip stages 1-2 (the count
-    // reads the just-checkpointed vocabulary — one vocabulary-sized job).
-    if (vocab.count() <= candPerTok)
+    // batch result IS the exact batch result. Skip stages 1-2 (the memoized
+    // count makes this gate job-free on a warm corpus).
+    if (vocabRows <= candPerTok)
       return maxSimBatchCore(dtok, _ => vocab, idCol, queries, k, dims,
         colsPerWave)
     // stage 1: candidate heads per DISTINCT token across the whole batch

@@ -1387,7 +1387,7 @@ object EngineQueries {
     }) { (s, dir) =>
       graft.operators.LateInteraction.maxSimTopKPruned(
         Tables.documents(s, dir), "doc_id", "text", QueryText, 20,
-        dims = 8, candPerTok = 50)
+        dims = 8, candPerTok = 50, cacheKey = Some(dir))
     },
 
     // ── Batched late interaction: top-10 MaxSim per query for the 20-query
@@ -1486,7 +1486,7 @@ object EngineQueries {
       graft.operators.LateInteraction.maxSimTopKBatchPruned(
           Tables.documents(s, dir), "doc_id", "text",
           E2eBatch20.zipWithIndex.map { case ((raw, _), i) => (i + 1).toLong -> raw },
-          k = 10, dims = 8, candPerTok = 50)
+          k = 10, dims = 8, candPerTok = 50, cacheKey = Some(dir))
         .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
         .orderBy("query_id", "rank")
     },
